@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables.
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4 refuses
+  * to read natively; we read it as a long (nanosAsLong) and truncate to
+  * microseconds, matching DuckDB's cast-to-TIMESTAMP semantics.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+
+  /** Canonical hourly-resampled event series: one series per `event_type`.
+    *
+    * Rounds the aggregated value to 6 dp so every downstream operator (here
+    * and in the DuckDB oracle) computes on bit-identical inputs regardless
+    * of float summation order.
+    */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("ts"))
+      .agg(round(sum("value"), 6).as("value"), count(lit(1)).as("n"))
+
+  /** The oracle-side equivalent of [[hourlyEvents]], as a DuckDB CTE body. */
+  val hourlySql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS ts,
+      |       round(sum(value), 6) AS value, count(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft._
+import graft.metrics.Metrics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.1 core time-series ops + §2.5 metrics, each paired with a DuckDB
+  * oracle. Timestamps are emitted as epoch seconds (bigint) so the
+  * driver's value compare is engine-neutral.
+  */
+object CoreQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private def hourly(s: SparkSession, dir: String) = Tables.hourlyEvents(s, dir)
+  private val H = Tables.hourlySql
+  private def epochS(c: String) = unix_timestamp(col(c)).as("ts_s")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample" -> ((s, dir) =>
+      hourly(s, dir).select(col("event_type"), epochS("ts"), col("value"), col("n"))),
+
+    "q_fill_gaps" -> ((s, dir) =>
+      TS.fillGaps(hourly(s, dir).drop("n"), S, 3600L, Some(0.0))
+        .select(col("event_type"), epochS("ts"), col("value"))),
+
+    "q_interpolate_linear" -> ((s, dir) =>
+      TS.interpolateLinear(TS.fillGaps(hourly(s, dir).drop("n"), S, 3600L, None), S)
+        .select(col("event_type"), epochS("ts"), round(col("value"), 6).as("value"))),
+
+    "q_lag_diff" -> ((s, dir) =>
+      TS.withLagDiff(hourly(s, dir).drop("n"), S, 1)
+        .select(col("event_type"), epochS("ts"), col("value"), col("lag"), col("lead"), col("diff"), col("pct_change"))),
+
+    "q_rolling_stats" -> ((s, dir) =>
+      TS.rolling(hourly(s, dir).drop("n"), S, 24)
+        .select(col("event_type"), epochS("ts"), col("value"),
+          col("roll_mean"), col("roll_std"), col("roll_min"), col("roll_max"), col("roll_n"))),
+
+    "q_ewma" -> ((s, dir) =>
+      TS.ewma(hourly(s, dir).drop("n"), S, alpha = 0.2)
+        .select(col("event_type"), epochS("ts"), col("value"), col("ewma"))),
+
+    "q_time_features" -> ((s, dir) =>
+      TS.timeFeatures(Tables.events(s, dir).select("event_id", "ts"), TSSchema(Seq("event_id")))
+        .select(col("event_id"), epochS("ts"), col("year"), col("month"), col("day"),
+          col("hour"), col("minute"), col("dow"), col("doy"), col("week"), col("is_weekend"))),
+
+    "q_datapartition" -> ((s, dir) =>
+      TS.dataPartition(hourly(s, dir).drop("n"), S, "2024-01-22 00:00:00")
+        .groupBy("event_type", "fold").agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))),
+
+    "q_metrics" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      hourly(s, dir)
+        .withColumn("f", lag("value", 24).over(w))
+        .where(col("f").isNotNull)
+        .groupBy("event_type")
+        .agg(Metrics.battery(col("value"), col("f")).head, Metrics.battery(col("value"), col("f")).tail: _*)
+    }),
+
+    "q_backtest" -> ((s, dir) => {
+      // Expanding-window rolling-origin backtest (backtesters.py): folds end
+      // at day 16/23/30; forecast = seasonal-naive lag-24; score last 7 days.
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val base = hourly(s, dir).withColumn("f", lag("value", 24).over(w))
+      val folds = Seq(("2024-01-09", "2024-01-16"), ("2024-01-16", "2024-01-23"), ("2024-01-23", "2024-01-30"))
+      folds.zipWithIndex.map { case ((lo, hi), i) =>
+        base.where(col("ts") >= lit(lo).cast("timestamp") && col("ts") < lit(hi).cast("timestamp"))
+          .groupBy("event_type")
+          .agg(round(Metrics.mape(col("value"), col("f")), 6).as("mape"),
+               round(Metrics.rmse(col("value"), col("f")), 6).as("rmse"))
+          .withColumn("fold", lit(i))
+      }.reduce(_ unionByName _)
+    }),
+
+    "q_emp_ci" -> ((s, dir) => {
+      // Empirical CI (utils/emp_confidence_int.py): per-series quantiles of
+      // seasonal-naive backtest errors → symmetric interval half-widths.
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      hourly(s, dir)
+        .withColumn("f", lag("value", 24).over(w))
+        .where(col("f").isNotNull)
+        .withColumn("err", col("value") - col("f"))
+        .groupBy("event_type")
+        .agg(round(expr("percentile(err, 0.05)"), 6).as("err_p05"),
+             round(expr("percentile(err, 0.5)"), 6).as("err_p50"),
+             round(expr("percentile(err, 0.95)"), 6).as("err_p95"),
+             count(lit(1)).as("n"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_resample" ->
+      s"""WITH hourly AS ($H)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, n FROM hourly""".stripMargin,
+
+    "q_fill_gaps" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM b)
+         |SELECT g.event_type, epoch_us(g.ts)//1000000 AS ts_s, coalesce(h.value, 0.0) AS value
+         |FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts""".stripMargin,
+
+    "q_interpolate_linear" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM b),
+         |j AS (SELECT g.event_type, g.ts, h.value
+         |      FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |k AS (SELECT event_type, ts, value,
+         |  last_value(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |  first_value(value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |  last_value(CASE WHEN value IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |  first_value(CASE WHEN value IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM j)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s,
+         |  round(CASE WHEN value IS NOT NULL THEN value
+         |        WHEN pv IS NULL THEN nv
+         |        WHEN nv IS NULL THEN pv
+         |        WHEN nt = pt THEN pv
+         |        ELSE round(pv + (nv - pv) * (epoch(ts) - pt) / (nt - pt), 6) END, 6) AS value
+         |FROM k""".stripMargin,
+
+    "q_lag_diff" ->
+      s"""WITH hourly AS ($H)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |  lag(value, 1) OVER w AS lag, lead(value, 1) OVER w AS lead,
+         |  round(value - lag(value, 1) OVER w, 6) AS diff,
+         |  CASE WHEN lag(value, 1) OVER w <> 0
+         |       THEN round((value - lag(value, 1) OVER w) / (lag(value, 1) OVER w), 6) END AS pct_change
+         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin,
+
+    "q_rolling_stats" ->
+      s"""WITH hourly AS ($H)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |  round(avg(value) OVER w, 6) AS roll_mean,
+         |  round(stddev_samp(value) OVER w, 6) AS roll_std,
+         |  min(value) OVER w AS roll_min, max(value) OVER w AS roll_max,
+         |  count(*) OVER w AS roll_n
+         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_time_features" ->
+      """SELECT event_id, epoch_us(date_trunc('microsecond', ts))//1000000 AS ts_s,
+        |  year(ts)::INT AS year, month(ts)::INT AS month, day(ts)::INT AS day,
+        |  hour(ts)::INT AS hour, minute(ts)::INT AS minute,
+        |  (dayofweek(ts) + 1)::INT AS dow, dayofyear(ts)::INT AS doy,
+        |  weekofyear(ts)::INT AS week,
+        |  (CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)::INT AS is_weekend
+        |FROM events""".stripMargin,
+
+    "q_datapartition" ->
+      s"""WITH hourly AS ($H)
+         |SELECT event_type,
+         |  CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train' ELSE 'test' END AS fold,
+         |  count(*) AS n, round(sum(value), 6) AS total
+         |FROM hourly GROUP BY 1, 2""".stripMargin,
+
+    "q_metrics" ->
+      s"""WITH hourly AS ($H),
+         |f AS (SELECT event_type, ts, value, lag(value, 24) OVER (PARTITION BY event_type ORDER BY ts) AS f FROM hourly)
+         |SELECT event_type,
+         |  round(avg(abs(value - f)), 6) AS mae,
+         |  round(avg((value - f)^2), 6) AS mse,
+         |  round(sqrt(avg((value - f)^2)), 6) AS rmse,
+         |  round(avg(CASE WHEN value <> 0 THEN abs((value - f) / value) END), 6) AS mape,
+         |  round(avg(CASE WHEN abs(value) + abs(f) <> 0 THEN abs(value - f) / ((abs(value) + abs(f)) / 2) END), 6) AS smape,
+         |  round(avg(value - f), 6) AS me,
+         |  round(1.0 - sum((value - f)^2) / (sum(value^2) - sum(value)^2 / count(*)), 6) AS r2,
+         |  count(*) AS n
+         |FROM f WHERE f IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_backtest" ->
+      s"""WITH hourly AS ($H),
+         |f AS (SELECT event_type, ts, value, lag(value, 24) OVER (PARTITION BY event_type ORDER BY ts) AS f FROM hourly),
+         |folds AS (SELECT * FROM (VALUES
+         |  (0, TIMESTAMP '2024-01-09', TIMESTAMP '2024-01-16'),
+         |  (1, TIMESTAMP '2024-01-16', TIMESTAMP '2024-01-23'),
+         |  (2, TIMESTAMP '2024-01-23', TIMESTAMP '2024-01-30')) t(fold, lo, hi))
+         |SELECT event_type,
+         |  round(avg(CASE WHEN value <> 0 THEN abs((value - f) / value) END), 6) AS mape,
+         |  round(sqrt(avg((value - f)^2)), 6) AS rmse, fold
+         |FROM f JOIN folds ON f.ts >= folds.lo AND f.ts < folds.hi
+         |GROUP BY event_type, fold""".stripMargin,
+
+    "q_emp_ci" ->
+      s"""WITH hourly AS ($H),
+         |f AS (SELECT event_type, value - lag(value, 24) OVER (PARTITION BY event_type ORDER BY ts) AS err FROM hourly)
+         |SELECT event_type,
+         |  round(quantile_cont(err, 0.05), 6) AS err_p05,
+         |  round(quantile_cont(err, 0.5), 6) AS err_p50,
+         |  round(quantile_cont(err, 0.95), 6) AS err_p95,
+         |  count(*) AS n
+         |FROM f WHERE err IS NOT NULL GROUP BY 1""".stripMargin
+  )
+}
