@@ -1,0 +1,218 @@
+package graft.queries
+
+import graft._
+import graft.detectors._
+import graft.operators.Decompose
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2 detectors + §2.6 decomposition, with DuckDB oracles where the
+  * algorithm is ANSI-SQL-expressible. The Mann-Kendall oracle deliberately
+  * uses the O(n²) pair-join formulation to cross-check the O(n log n)
+  * Fenwick implementation.
+  */
+object DetectorQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private def hourly(s: SparkSession, dir: String) = Tables.hourlyEvents(s, dir).drop("n")
+  private def dense(s: SparkSession, dir: String) = TS.fillGaps(hourly(s, dir), S, 3600L, Some(0.0))
+  private val H = Tables.hourlySql
+  private val DenseSql =
+    """b AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+      |grid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM b),
+      |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+      |          FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts)""".stripMargin
+  private def epochS(c: String, as: String = "ts_s") = unix_timestamp(col(c)).as(as)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decompose_additive" -> ((s, dir) =>
+      Decompose.additive(hourly(s, dir), S)
+        .select(col("event_type"), epochS("ts"), col("value"), col("trend"), col("seasonal"), col("resid"))),
+
+    "q_outlier_iqr" -> ((s, dir) =>
+      Detectors.outlierIqr(hourly(s, dir), S)
+        .select(col("event_type"), epochS("ts"), col("value"), col("resid"))),
+
+    "q_outlier_zscore" -> ((s, dir) =>
+      Detectors.outlierZscore(hourly(s, dir), S, 2.5)
+        .select(col("event_type"), epochS("ts"), col("value"), col("z"))),
+
+    "q_stat_sig" -> ((s, dir) =>
+      Detectors.statSig(hourly(s, dir), S, "2024-01-22 00:00:00")),
+
+    "q_cusum" -> ((s, dir) =>
+      Detectors.cusum(hourly(s, dir), S)
+        .select(col("event_type"), epochS("cp_ts", "cp_ts_s"), col("cusum"), col("direction"))),
+
+    "q_robust_stat" -> ((s, dir) =>
+      Detectors.robustStat(hourly(s, dir), S, 5, 12, 2.5)
+        .select(col("event_type"), epochS("ts"), col("value"), col("zscore"))),
+
+    "q_mann_kendall" -> ((s, dir) =>
+      MannKendall.detect(hourly(s, dir), S)),
+
+    "q_level_shift" -> ((s, dir) =>
+      Detectors.levelShift(hourly(s, dir), S, 24)
+        .select(col("event_type"), epochS("shift_ts", "shift_ts_s"), col("shift"))),
+
+    "q_threshold_detect" -> ((s, dir) =>
+      Detectors.thresholdDetect(hourly(s, dir), S, 0.95)
+        .select(col("event_type"), epochS("ts"), col("value"), col("threshold"))),
+
+    "q_hourly_ratio" -> ((s, dir) =>
+      Detectors.hourlyRatio(Tables.events(s, dir).select(col("event_type"), col("ts"), col("value")), S)),
+
+    "q_seasonality_acf" -> ((s, dir) =>
+      Detectors.seasonalityAcf(dense(s, dir), S, Seq(24, 168))),
+
+    "q_anomaly_window" -> ((s, dir) =>
+      Detectors.anomalyWindows(hourly(s, dir), S, 2.0)
+        .select(col("event_type"), epochS("win_start", "win_start_s"), epochS("win_end", "win_end_s"),
+          col("npoints"), col("peak_z"))),
+
+    "q_bocpd" -> ((s, dir) =>
+      Bocpd.detect(dense(s, dir), S, hazard = 0.01, topK = 3)
+        .select(col("event_type"), epochS("ts"), col("value"), col("cp_prob"))),
+
+    "q_seasonality_fft" -> ((s, dir) =>
+      FftSeasonality.detect(dense(s, dir), S))
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_decompose_additive" ->
+      s"""WITH hourly AS ($H),
+         |${Decompose.additiveSql}
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, trend, seasonal, resid FROM decomp""".stripMargin,
+
+    "q_outlier_iqr" ->
+      s"""WITH hourly AS ($H),
+         |${Decompose.additiveSql},
+         |q AS (SELECT event_type, quantile_cont(resid, 0.25) q1, quantile_cont(resid, 0.75) q3 FROM decomp GROUP BY 1)
+         |SELECT d.event_type, epoch_us(d.ts)//1000000 AS ts_s, d.value, d.resid
+         |FROM decomp d JOIN q ON d.event_type = q.event_type
+         |WHERE d.resid < q.q1 - 3.0 * (q.q3 - q.q1) OR d.resid > q.q3 + 3.0 * (q.q3 - q.q1)""".stripMargin,
+
+    "q_outlier_zscore" ->
+      s"""WITH hourly AS ($H),
+         |z AS (SELECT event_type, ts, value,
+         |  round((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+         |  FROM hourly)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, z FROM z WHERE abs(z) > 2.5""".stripMargin,
+
+    "q_stat_sig" ->
+      s"""WITH hourly AS ($H)
+         |SELECT event_type,
+         |  count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00') AS n1,
+         |  count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00') AS n2,
+         |  round(avg(value) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00'), 6) AS m1,
+         |  round(avg(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'), 6) AS m2,
+         |  round((avg(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00') - avg(value) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00'))
+         |    / sqrt(var_samp(value) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00') / count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00')
+         |         + var_samp(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00') / count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00')), 6) AS t,
+         |  CASE WHEN abs((avg(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00') - avg(value) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00'))
+         |    / sqrt(var_samp(value) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00') / count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00')
+         |         + var_samp(value) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00') / count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'))) > 1.96
+         |    THEN 1 ELSE 0 END AS significant
+         |FROM hourly GROUP BY 1""".stripMargin,
+
+    "q_cusum" ->
+      s"""WITH hourly AS ($H),
+         |m AS (SELECT event_type, avg(value) AS mu FROM hourly GROUP BY 1),
+         |c AS (SELECT h.event_type, h.ts,
+         |        sum(h.value - m.mu) OVER (PARTITION BY h.event_type ORDER BY h.ts) AS cum
+         |      FROM hourly h JOIN m ON h.event_type = m.event_type),
+         |r AS (SELECT event_type, ts, cum,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY abs(cum) DESC, ts) AS rn FROM c)
+         |SELECT event_type, epoch_us(ts)//1000000 AS cp_ts_s, round(cum, 6) AS cusum,
+         |  CASE WHEN cum > 0 THEN 'up' ELSE 'down' END AS direction
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_robust_stat" ->
+      s"""WITH hourly AS ($H),
+         |sm AS (SELECT event_type, ts, value,
+         |  round(avg(value) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS smv
+         |  FROM hourly),
+         |d AS (SELECT *, smv - lag(smv, 12) OVER (PARTITION BY event_type ORDER BY ts) AS dd FROM sm),
+         |z AS (SELECT event_type, ts, value,
+         |  round((dd - avg(dd) OVER (PARTITION BY event_type)) / stddev_samp(dd) OVER (PARTITION BY event_type), 6) AS zscore
+         |  FROM d)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, zscore FROM z WHERE abs(zscore) > 2.5""".stripMargin,
+
+    "q_mann_kendall" ->
+      s"""WITH hourly AS ($H),
+         |p AS (SELECT a.event_type, sign(b.value - a.value) AS sg
+         |      FROM hourly a JOIN hourly b ON a.event_type = b.event_type AND a.ts < b.ts),
+         |sgg AS (SELECT event_type, sum(sg)::BIGINT AS s FROM p GROUP BY 1),
+         |nn AS (SELECT event_type, count(*)::BIGINT AS n FROM hourly GROUP BY 1),
+         |tie AS (SELECT event_type, sum(c * (c - 1) * (2 * c + 5)) AS tie_sum
+         |        FROM (SELECT event_type, value, count(*)::BIGINT AS c FROM hourly GROUP BY 1, 2) GROUP BY 1),
+         |st AS (SELECT sgg.event_type, sgg.s, nn.n,
+         |         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(tie.tie_sum, 0)) / 18.0 AS var_s
+         |       FROM sgg JOIN nn ON sgg.event_type = nn.event_type
+         |       LEFT JOIN tie ON sgg.event_type = tie.event_type)
+         |SELECT event_type, s,
+         |  round(s / (n * (n - 1) / 2.0), 6) AS tau,
+         |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+         |             WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END, 6) AS z,
+         |  CASE WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s) WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END) > 1.96 THEN 1
+         |       WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s) WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END) < -1.96 THEN -1
+         |       ELSE 0 END AS trend
+         |FROM st""".stripMargin,
+
+    "q_level_shift" ->
+      s"""WITH hourly AS ($H),
+         |ls AS (SELECT event_type, ts,
+         |  avg(value) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS lm,
+         |  avg(value) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS rm,
+         |  count(*) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS nl,
+         |  count(*) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING) AS nr
+         |  FROM hourly),
+         |f AS (SELECT event_type, ts, round(abs(rm - lm), 6) AS shift FROM ls WHERE nl = 24 AND nr = 24),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY shift DESC, ts) AS rn FROM f)
+         |SELECT event_type, epoch_us(ts)//1000000 AS shift_ts_s, shift FROM r WHERE rn = 1""".stripMargin,
+
+    "q_threshold_detect" ->
+      s"""WITH hourly AS ($H),
+         |t AS (SELECT event_type, ts, value,
+         |  quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS thr FROM hourly)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, round(thr, 6) AS threshold
+         |FROM t WHERE value > thr""".stripMargin,
+
+    "q_hourly_ratio" ->
+      """WITH prof AS (
+        |  SELECT event_type, hour(ts) AS hod, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sh AS (SELECT event_type, hod,
+        |  round(v / sum(v) OVER (PARTITION BY event_type), 6) AS share FROM prof),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY share DESC, hod) AS rn FROM sh)
+        |SELECT event_type, hod::INT AS hod, share, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_peak FROM r""".stripMargin,
+
+    "q_seasonality_acf" ->
+      s"""WITH hourly AS ($H),
+         |$DenseSql,
+         |base AS (SELECT event_type, ts, value,
+         |  value - avg(value) OVER (PARTITION BY event_type) AS dev,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dense),
+         |lag24 AS (SELECT event_type, n, dev, lag(dev, 24) OVER (PARTITION BY event_type ORDER BY ts) AS devk FROM base),
+         |lag168 AS (SELECT event_type, n, dev, lag(dev, 168) OVER (PARTITION BY event_type ORDER BY ts) AS devk FROM base),
+         |a AS (
+         |  SELECT event_type, 24 AS lag, sum(dev * devk) / sum(dev * dev) AS acf_raw, max(n) AS n FROM lag24 GROUP BY 1
+         |  UNION ALL
+         |  SELECT event_type, 168 AS lag, sum(dev * devk) / sum(dev * dev) AS acf_raw, max(n) AS n FROM lag168 GROUP BY 1)
+         |SELECT event_type, lag::INT AS lag, round(acf_raw, 6) AS acf,
+         |  CASE WHEN acf_raw > 2.0 / sqrt(n) THEN 1 ELSE 0 END AS seasonal
+         |FROM a""".stripMargin,
+
+    "q_anomaly_window" ->
+      s"""WITH hourly AS ($H),
+         |z AS (SELECT event_type, ts, value,
+         |  (value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type) AS z,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+         |  FROM hourly),
+         |fl AS (SELECT *, rn - row_number() OVER (PARTITION BY event_type ORDER BY ts) AS grp
+         |       FROM z WHERE abs(z) > 2.0)
+         |SELECT event_type, epoch_us(min(ts))//1000000 AS win_start_s, epoch_us(max(ts))//1000000 AS win_end_s,
+         |  count(*) AS npoints, round(max(abs(z)), 6) AS peak_z
+         |FROM fl GROUP BY event_type, grp""".stripMargin
+  )
+}
