@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (CoreQueries.defs, CoreQueries.sql),
-    (DetectorQueries.defs, DetectorQueries.sql)
+    (DetectorQueries.defs, DetectorQueries.sql),
+    (FeatureQueries.defs, FeatureQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft._
+import graft.features.{FeatureKernels, TsFeatures}
+import graft.operators.Decompose
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.3 TsFeatures battery. SQL-expressible features carry exact DuckDB
+  * oracles; the statsmodels-equivalent kernels (PACF, spectral entropy,
+  * Hurst, ARCH-LM, special AC, KPSS) are spec-tested and rows-only here.
+  */
+object FeatureQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private def hourly(s: SparkSession, dir: String) = Tables.hourlyEvents(s, dir).drop("n")
+  private val H = Tables.hourlySql
+
+  private def sumsq(cols: Seq[String]) =
+    cols.map(c => col(c) * col(c)).reduce(_ + _)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feat_basic" -> ((s, dir) => TsFeatures.basic(hourly(s, dir), S)
+      .withColumnRenamed("min", "vmin").withColumnRenamed("max", "vmax")
+      .withColumnRenamed("length", "n_obs")),
+
+    "q_feat_crossing_points" -> ((s, dir) => TsFeatures.crossingPoints(hourly(s, dir), S)),
+
+    "q_feat_flat_spots" -> ((s, dir) => TsFeatures.flatSpots(hourly(s, dir), S)),
+
+    "q_feat_lumpiness" -> ((s, dir) =>
+      TsFeatures.lumpinessStability(hourly(s, dir), S).select(col("event_type"), col("lumpiness"))),
+
+    "q_feat_stability" -> ((s, dir) =>
+      TsFeatures.lumpinessStability(hourly(s, dir), S).select(col("event_type"), col("stability"))),
+
+    "q_feat_std1st_der" -> ((s, dir) => TsFeatures.std1stDer(hourly(s, dir), S)),
+
+    "q_feat_binarize_mean" -> ((s, dir) => TsFeatures.binarizeMean(hourly(s, dir), S)),
+
+    "q_feat_histogram_mode" -> ((s, dir) => TsFeatures.histogramMode(hourly(s, dir), S)),
+
+    "q_feat_linearity" -> ((s, dir) => TsFeatures.linearity(hourly(s, dir), S)),
+
+    "q_feat_level_shift" -> ((s, dir) => TsFeatures.levelShiftFeatures(hourly(s, dir), S)),
+
+    "q_feat_acf" -> ((s, dir) => {
+      val h = hourly(s, dir)
+      val raw = TsFeatures.acfAtLags(h, S, Seq(1, 2, 3, 4, 5, 24), "y_")
+      val d1 = TsFeatures.acfAtLags(TsFeatures.diffSeries(h, S, 1), S, Seq(1, 2, 3, 4, 5), "d1_")
+      val d2 = TsFeatures.acfAtLags(TsFeatures.diffSeries(h, S, 2), S, Seq(1, 2, 3, 4, 5), "d2_")
+      raw.join(d1, S.keys).join(d2, S.keys).select(
+        col("event_type"),
+        round(col("y_acf_1"), 6).as("y_acf1"),
+        round(sumsq(Seq("y_acf_1", "y_acf_2", "y_acf_3", "y_acf_4", "y_acf_5")), 6).as("y_acf5"),
+        round(col("d1_acf_1"), 6).as("diff1y_acf1"),
+        round(sumsq(Seq("d1_acf_1", "d1_acf_2", "d1_acf_3", "d1_acf_4", "d1_acf_5")), 6).as("diff1y_acf5"),
+        round(col("d2_acf_1"), 6).as("diff2y_acf1"),
+        round(sumsq(Seq("d2_acf_1", "d2_acf_2", "d2_acf_3", "d2_acf_4", "d2_acf_5")), 6).as("diff2y_acf5"),
+        round(col("y_acf_24"), 6).as("seas_acf1"))
+    }),
+
+    "q_feat_stl" -> ((s, dir) => TsFeatures.stlStrength(Decompose.additive(hourly(s, dir), S), S)),
+
+    "q_feat_pacf" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S, Seq("y_pacf5", "diff1y_pacf5", "diff2y_pacf5", "seas_pacf1")) { xs =>
+        def ss(a: Array[Double]) = a.take(5).map(v => v * v).sum
+        val p = FeatureKernels.pacf(xs, 24)
+        val d1 = xs.indices.drop(1).map(i => xs(i) - xs(i - 1)).toArray
+        val d2 = d1.indices.drop(1).map(i => d1(i) - d1(i - 1)).toArray
+        Array(ss(p), ss(FeatureKernels.pacf(d1, 5)), ss(FeatureKernels.pacf(d2, 5)), p(23))
+      }),
+
+    "q_feat_entropy" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S, Seq("spectral_entropy")) { xs =>
+        Array(FeatureKernels.spectralEntropy(xs))
+      }),
+
+    "q_feat_hurst" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S, Seq("hurst")) { xs =>
+        Array(FeatureKernels.hurst(xs))
+      }),
+
+    "q_feat_heterogeneity" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S, Seq("arch_lm")) { xs =>
+        Array(FeatureKernels.archLm(xs))
+      }),
+
+    "q_feat_special_ac" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S, Seq("firstmin_ac", "firstzero_ac")) { xs =>
+        val (m, z) = FeatureKernels.specialAc(xs)
+        Array(m.toDouble, z.toDouble)
+      }),
+
+    "q_feat_unitroot_kpss" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S, Seq("kpss_stat")) { xs =>
+        Array(FeatureKernels.kpss(xs))
+      })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_feat_basic" ->
+      s"""WITH hourly AS ($H),
+         |m AS (SELECT event_type, avg(value) AS mu FROM hourly GROUP BY 1)
+         |SELECT h.event_type, count(*) AS n_obs, round(avg(value), 6) AS mean,
+         |  round(avg((value - mu)^2), 6) AS var_pop,
+         |  round(sqrt(avg((value - mu)^2)), 6) AS std_pop,
+         |  round(sqrt(avg((value - mu)^2)) / avg(value), 6) AS cv,
+         |  min(value) AS vmin, max(value) AS vmax,
+         |  round(avg((value - mu)^3) / avg((value - mu)^2)^1.5, 6) AS skew,
+         |  round(avg((value - mu)^4) / avg((value - mu)^2)^2 - 3.0, 6) AS kurt
+         |FROM hourly h JOIN m ON h.event_type = m.event_type GROUP BY 1""".stripMargin,
+
+    "q_feat_crossing_points" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, value,
+         |  quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS m,
+         |  lead(value) OVER (PARTITION BY event_type ORDER BY ts) AS nx
+         |  FROM hourly)
+         |SELECT event_type,
+         |  count(*) FILTER (WHERE (value <= m AND nx > m) OR (value >= m AND nx < m)) AS crossing_points
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "q_feat_flat_spots" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |c AS (SELECT *, (rn - 1) // (n // 10) AS seg FROM b),
+         |e AS (SELECT event_type, seg, value,
+         |  rn - row_number() OVER (PARTITION BY event_type, seg, value ORDER BY ts) AS grp FROM c),
+         |f AS (SELECT event_type, count(*) AS run FROM e GROUP BY event_type, seg, value, grp)
+         |SELECT event_type, max(run) AS flat_spots FROM f GROUP BY 1""".stripMargin,
+
+    "q_feat_lumpiness" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |c AS (SELECT *, n // 20 + 1 AS k FROM b),
+         |d AS (SELECT *, n // k AS q, n % k AS r FROM c),
+         |e AS (SELECT event_type, value,
+         |  CASE WHEN rn <= r * (q + 1) THEN (rn - 1) // (q + 1)
+         |       ELSE r + (rn - 1 - r * (q + 1)) // q END AS chunk FROM d),
+         |f AS (SELECT event_type, chunk, avg(value * value) - avg(value) * avg(value) AS cvar FROM e GROUP BY 1, 2)
+         |SELECT event_type, round(avg(cvar * cvar) - avg(cvar) * avg(cvar), 6) AS lumpiness FROM f GROUP BY 1""".stripMargin,
+
+    "q_feat_stability" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |c AS (SELECT *, n // 20 + 1 AS k FROM b),
+         |d AS (SELECT *, n // k AS q, n % k AS r FROM c),
+         |e AS (SELECT event_type, value,
+         |  CASE WHEN rn <= r * (q + 1) THEN (rn - 1) // (q + 1)
+         |       ELSE r + (rn - 1 - r * (q + 1)) // q END AS chunk FROM d),
+         |f AS (SELECT event_type, chunk, avg(value) AS cmean FROM e GROUP BY 1, 2)
+         |SELECT event_type, round(avg(cmean * cmean) - avg(cmean) * avg(cmean), 6) AS stability FROM f GROUP BY 1""".stripMargin,
+
+    "q_feat_std1st_der" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, value,
+         |  row_number() OVER w AS rn, count(*) OVER (PARTITION BY event_type) AS n,
+         |  lead(value) OVER w AS nx, lag(value) OVER w AS pv
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |g AS (SELECT event_type,
+         |  CASE WHEN rn = 1 THEN nx - value WHEN rn = n THEN value - pv ELSE (nx - pv) / 2 END AS gr FROM b)
+         |SELECT event_type, round(sqrt(avg(gr * gr) - avg(gr) * avg(gr)), 6) AS std1st_der FROM g GROUP BY 1""".stripMargin,
+
+    "q_feat_binarize_mean" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, value, avg(value) OVER (PARTITION BY event_type) AS mu FROM hourly)
+         |SELECT event_type, round(avg(CASE WHEN value > mu THEN 1.0 ELSE 0.0 END), 6) AS binarize_mean
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "q_feat_histogram_mode" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, value,
+         |  min(value) OVER (PARTITION BY event_type) AS lo,
+         |  max(value) OVER (PARTITION BY event_type) AS hi FROM hourly),
+         |c AS (SELECT event_type, lo, hi,
+         |  least(floor((value - lo) / ((hi - lo) / 10)), 9)::BIGINT AS bin FROM b),
+         |d AS (SELECT event_type, bin, lo, hi, count(*) AS cnt FROM c GROUP BY 1, 2, 3, 4),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, bin) AS rk FROM d)
+         |SELECT event_type, round(lo + bin * ((hi - lo) / 10), 6) AS histogram_mode FROM r WHERE rk = 1""".stripMargin,
+
+    "q_feat_linearity" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, value,
+         |  (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1)::DOUBLE AS t FROM hourly)
+         |SELECT event_type, round(regr_r2(value, t), 6) AS linearity FROM b GROUP BY 1""".stripMargin,
+
+    "q_feat_level_shift" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, ts, value,
+         |  row_number() OVER w AS rn,
+         |  round(abs(lead(value, 20) OVER w - value) / 20, 6) AS d
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d DESC, rn) AS rk
+         |      FROM b WHERE d IS NOT NULL)
+         |SELECT event_type, (rn - 1)::BIGINT AS level_shift_idx, d AS level_shift_size FROM r WHERE rk = 1""".stripMargin,
+
+    "q_feat_acf" -> {
+      def acfBlock(src: String, tag: String, lags: Seq[Int]): String = {
+        val lagCols = lags.map(k => s"lag(dev, $k) OVER w AS k$k").mkString(", ")
+        val aggCols = lags.map(k => s"sum(dev * k$k) / sum(dev * dev) AS a$k").mkString(", ")
+        s"""${tag}dev AS (SELECT event_type, ts, value - avg(value) OVER (PARTITION BY event_type) AS dev FROM $src),
+           |${tag}l AS (SELECT event_type, dev, $lagCols FROM ${tag}dev WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+           |${tag}acf AS (SELECT event_type, $aggCols FROM ${tag}l GROUP BY 1)""".stripMargin
+      }
+      s"""WITH hourly AS ($H),
+         |d1 AS (SELECT event_type, ts, value FROM (
+         |  SELECT event_type, ts, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS value FROM hourly)
+         |  WHERE value IS NOT NULL),
+         |d2 AS (SELECT event_type, ts, value FROM (
+         |  SELECT event_type, ts, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS value FROM d1)
+         |  WHERE value IS NOT NULL),
+         |${acfBlock("hourly", "r", Seq(1, 2, 3, 4, 5, 24))},
+         |${acfBlock("d1", "e", Seq(1, 2, 3, 4, 5))},
+         |${acfBlock("d2", "f", Seq(1, 2, 3, 4, 5))}
+         |SELECT r.event_type,
+         |  round(r.a1, 6) AS y_acf1,
+         |  round(r.a1^2 + r.a2^2 + r.a3^2 + r.a4^2 + r.a5^2, 6) AS y_acf5,
+         |  round(e.a1, 6) AS diff1y_acf1,
+         |  round(e.a1^2 + e.a2^2 + e.a3^2 + e.a4^2 + e.a5^2, 6) AS diff1y_acf5,
+         |  round(f.a1, 6) AS diff2y_acf1,
+         |  round(f.a1^2 + f.a2^2 + f.a3^2 + f.a4^2 + f.a5^2, 6) AS diff2y_acf5,
+         |  round(r.a24, 6) AS seas_acf1
+         |FROM racf r JOIN eacf e ON r.event_type = e.event_type JOIN facf f ON r.event_type = f.event_type""".stripMargin
+    },
+
+    "q_feat_stl" ->
+      s"""WITH hourly AS ($H),
+         |${Decompose.additiveSql}
+         |SELECT event_type,
+         |  round(greatest(0.0, 1 - (avg(resid^2) - avg(resid)^2) /
+         |    (avg((trend + resid)^2) - avg(trend + resid)^2)), 6) AS trend_strength,
+         |  round(greatest(0.0, 1 - (avg(resid^2) - avg(resid)^2) /
+         |    (avg((seasonal + resid)^2) - avg(seasonal + resid)^2)), 6) AS seasonal_strength
+         |FROM decomp GROUP BY 1""".stripMargin
+  )
+}
