@@ -11,7 +11,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] = Seq(
     (CoreQueries.defs, CoreQueries.sql),
     (DetectorQueries.defs, DetectorQueries.sql),
-    (FeatureQueries.defs, FeatureQueries.sql)
+    (FeatureQueries.defs, FeatureQueries.sql),
+    (ModelQueries.defs, ModelQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

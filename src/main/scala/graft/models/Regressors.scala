@@ -1,0 +1,132 @@
+package graft.models
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+
+/** Least-squares forecasters that need a design matrix
+  * (kats/models/harmonic_regression.py, prophet.py re-derived,
+  * bayesian_var.py/var.py). Solved per collected series with breeze
+  * (ships inside Spark MLlib) — the fit is on a reduced one-row-per-series
+  * representation, so the cluster-scale axis stays the series count.
+  */
+object Regressors {
+
+  /** OLS fit of y on X (ridge-regularized for rank safety). */
+  def solve(x: DenseMatrix[Double], y: DenseVector[Double], ridge: Double = 1e-8): DenseVector[Double] = {
+    val xtx = x.t * x
+    var i = 0
+    while (i < xtx.rows) { xtx(i, i) += ridge; i += 1 }
+    xtx \ (x.t * y)
+  }
+
+  /** Harmonic regression (harmonic_regression.py): y ~ 1 + Σ_k [sin, cos]
+    * (2πkt/period). Returns forecasts for horizons 1..h plus in-sample R².
+    */
+  def harmonic(xs: Array[Double], period: Int, orders: Int, h: Int): (Array[Double], Double) = {
+    val n = xs.length
+    val p = 1 + 2 * orders
+    val X = DenseMatrix.zeros[Double](n, p)
+    var t = 0
+    while (t < n) {
+      X(t, 0) = 1.0
+      var k = 1
+      while (k <= orders) {
+        val w = 2 * math.Pi * k * t / period
+        X(t, 2 * k - 1) = math.sin(w)
+        X(t, 2 * k) = math.cos(w)
+        k += 1
+      }
+      t += 1
+    }
+    val y = DenseVector(xs)
+    val beta = solve(X, y)
+    val fitted = X * beta
+    val mu = xs.sum / n
+    var sse = 0.0; var sst = 0.0
+    t = 0
+    while (t < n) { val e = y(t) - fitted(t); sse += e * e; val d = y(t) - mu; sst += d * d; t += 1 }
+    val r2 = if (sst > 0) 1 - sse / sst else 0.0
+    val out = Array.tabulate(h) { i =>
+      val tt = n + i
+      var v = beta(0)
+      var k = 1
+      while (k <= orders) {
+        val w = 2 * math.Pi * k * tt / period
+        v += beta(2 * k - 1) * math.sin(w) + beta(2 * k) * math.cos(w)
+        k += 1
+      }
+      v
+    }
+    (out, r2)
+  }
+
+  /** Prophet-style additive model (prophet.py re-derived, not a port):
+    * piecewise-linear trend with `nChangepoints` evenly spaced hinge
+    * knots + daily Fourier seasonality, ridge-fit. Returns forecasts for
+    * horizons 1..h.
+    */
+  def prophetLite(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int, h: Int): Array[Double] = {
+    val n = xs.length
+    val cps = Array.tabulate(nChangepoints)(i => (i + 1).toDouble * n / (nChangepoints + 1))
+    val p = 2 + nChangepoints + 2 * orders
+    def row(t: Double): Array[Double] = {
+      val r = new Array[Double](p)
+      r(0) = 1.0
+      r(1) = t / n
+      var j = 0
+      while (j < nChangepoints) { r(2 + j) = math.max(0.0, (t - cps(j)) / n); j += 1 }
+      var k = 1
+      while (k <= orders) {
+        val w = 2 * math.Pi * k * t / period
+        r(2 + nChangepoints + 2 * (k - 1)) = math.sin(w)
+        r(2 + nChangepoints + 2 * (k - 1) + 1) = math.cos(w)
+        k += 1
+      }
+      r
+    }
+    val X = DenseMatrix.tabulate[Double](n, p)((i, j) => row(i.toDouble)(j))
+    val beta = solve(X, DenseVector(xs), ridge = 1e-4)
+    Array.tabulate(h) { i =>
+      val r = row((n + i).toDouble)
+      var v = 0.0
+      var j = 0
+      while (j < p) { v += r(j) * beta(j); j += 1 }
+      v
+    }
+  }
+
+  /** VAR(1) (var.py re-derived): fit X_t = c + A·X_{t-1} per equation by
+    * OLS on a k-variate series given as rows of observations (time-major).
+    * Returns (c, A) and one-step forecast from the last observation.
+    */
+  def var1(obs: Array[Array[Double]]): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val T = obs.length
+    val k = obs(0).length
+    val X = DenseMatrix.zeros[Double](T - 1, k + 1)
+    var t = 0
+    while (t < T - 1) {
+      X(t, 0) = 1.0
+      var j = 0
+      while (j < k) { X(t, j + 1) = obs(t)(j); j += 1 }
+      t += 1
+    }
+    val c = new Array[Double](k)
+    val a = Array.ofDim[Double](k, k)
+    var eq = 0
+    while (eq < k) {
+      val y = DenseVector.tabulate(T - 1)(t => obs(t + 1)(eq))
+      val beta = solve(X, y)
+      c(eq) = beta(0)
+      var j = 0
+      while (j < k) { a(eq)(j) = beta(j + 1); j += 1 }
+      eq += 1
+    }
+    val last = obs(T - 1)
+    val fc = Array.tabulate(k) { eq =>
+      var v = c(eq)
+      var j = 0
+      while (j < k) { v += a(eq)(j) * last(j); j += 1 }
+      v
+    }
+    (c, a, fc)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.models
+
+/** Exponential-smoothing family forecasters (kats/models/holtwinters.py,
+  * theta.py re-derived; fixed smoothing parameters rather than the
+  * reference's MLE search, so results are deterministic and
+  * engine-reproducible). Pure per-series kernels: O(n) scans applied to
+  * collected series, parallel across series.
+  */
+object Smoothers {
+
+  /** Simple exponential smoothing; returns the flat h-step forecast level. */
+  def ses(xs: Array[Double], alpha: Double): Double = {
+    var l = xs(0)
+    var i = 1
+    while (i < xs.length) { l = alpha * xs(i) + (1 - alpha) * l; i += 1 }
+    l
+  }
+
+  /** Holt's linear method; returns (level, trend). Forecast_h = l + h·b. */
+  def holt(xs: Array[Double], alpha: Double, beta: Double): (Double, Double) = {
+    if (xs.length < 2) return (xs.headOption.getOrElse(0.0), 0.0)
+    var l = xs(0)
+    var b = xs(1) - xs(0)
+    var i = 1
+    while (i < xs.length) {
+      val lPrev = l
+      l = alpha * xs(i) + (1 - alpha) * (l + b)
+      b = beta * (l - lPrev) + (1 - beta) * b
+      i += 1
+    }
+    (l, b)
+  }
+
+  /** Additive Holt-Winters with period m; classical initialization
+    * (first-season mean level, cross-season trend, first-season seasonal
+    * offsets). Returns (level, trend, seasonals) after the full scan;
+    * forecast_h = l + h·b + s[(n + h - 1) mod m].
+    */
+  def holtWinters(xs: Array[Double], m: Int, alpha: Double, beta: Double, gamma: Double)
+      : (Double, Double, Array[Double]) = {
+    val n = xs.length
+    require(n >= 2 * m, s"need two full seasons, got $n < ${2 * m}")
+    val mean1 = xs.take(m).sum / m
+    val mean2 = xs.slice(m, 2 * m).sum / m
+    var l = mean1
+    var b = (mean2 - mean1) / m
+    // trend-adjusted initial seasonals: remove the in-season trend ramp so
+    // a strong trend doesn't leak into the seasonal components
+    val s = Array.tabulate(m)(i => xs(i) - (mean1 + (i - (m - 1) / 2.0) * b))
+    var t = m
+    while (t < n) {
+      val si = t % m
+      val lPrev = l
+      l = alpha * (xs(t) - s(si)) + (1 - alpha) * (l + b)
+      b = beta * (l - lPrev) + (1 - beta) * b
+      s(si) = gamma * (xs(t) - l) + (1 - gamma) * s(si)
+      t += 1
+    }
+    (l, b, s)
+  }
+
+  /** Theta method (θ=2; kats/models/theta.py re-derived): decompose into
+    * the linear-trend theta-0 line and the double-curvature theta-2 line
+    * Z_t = 2x_t - (a + b·t); combine SES(Z) with the extrapolated trend.
+    * Returns forecast for horizon h (1-based).
+    */
+  def theta(xs: Array[Double], h: Int, alpha: Double = 0.2): Double = {
+    val n = xs.length
+    // OLS of x on t = 0..n-1
+    var st = 0.0; var sx = 0.0; var stt = 0.0; var stx = 0.0
+    var t = 0
+    while (t < n) { st += t; sx += xs(t); stt += t.toDouble * t; stx += t * xs(t); t += 1 }
+    val b = (n * stx - st * sx) / (n * stt - st * st)
+    val a = (sx - b * st) / n
+    val z = Array.tabulate(n)(i => 2 * xs(i) - (a + b * i))
+    val zf = ses(z, alpha)
+    0.5 * (zf + a + b * (n - 1 + h))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.models.{Regressors, Smoothers}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SmootherSpec extends AnyFunSuite {
+
+  test("SES of a constant series is that constant") {
+    assert(Smoothers.ses(Array.fill(50)(7.5), 0.3) === 7.5)
+  }
+
+  test("Holt on an exact linear trend recovers level and slope") {
+    val xs = Array.tabulate(300)(i => 10.0 + 2.0 * i)
+    val (l, b) = Smoothers.holt(xs, 0.3, 0.1)
+    assert(math.abs(l - xs.last) < 1e-6)
+    assert(math.abs(b - 2.0) < 1e-6)
+  }
+
+  test("Holt-Winters forecasts an exact seasonal+trend series") {
+    val m = 24
+    val xs = Array.tabulate(m * 10)(i => 100.0 + 0.5 * i + 10 * math.sin(2 * math.Pi * i / m))
+    val (l, b, s) = Smoothers.holtWinters(xs, m, 0.3, 0.05, 0.1)
+    val n = xs.length
+    val f1 = l + b + s((n + 1 - 1) % m)
+    val expected = 100.0 + 0.5 * n + 10 * math.sin(2 * math.Pi * n / m)
+    assert(math.abs(f1 - expected) < 1.5, s"f1=$f1 expected=$expected")
+  }
+
+  test("Theta behaves as SES-with-drift-b/2 (Hyndman & Billah 2003)") {
+    val b = 3.0
+    val xs = Array.tabulate(200)(i => 5.0 + b * i)
+    val f1 = Smoothers.theta(xs, 1)
+    val f24 = Smoothers.theta(xs, 24)
+    // drift between horizons is exactly b/2 per step
+    assert(math.abs((f24 - f1) - 23 * b / 2) < 1e-9, s"drift=${f24 - f1}")
+    // the flat-SES half lags a pure trend by at most (1-α)/α·b; combined ≤ half that
+    assert(math.abs(f1 - (5.0 + b * 200)) < ((1 - 0.2) / 0.2 / 2 + 1) * b + 1e-6, s"f1=$f1")
+  }
+
+  test("harmonic regression recovers a pure sinusoid (R2 ~ 1)") {
+    val xs = Array.tabulate(240)(i => 50 + 10 * math.sin(2 * math.Pi * i / 24) + 3 * math.cos(4 * math.Pi * i / 24))
+    val (fc, r2) = Regressors.harmonic(xs, 24, 3, 24)
+    assert(r2 > 0.999)
+    val expected = 50 + 10 * math.sin(2 * math.Pi * 240 / 24) + 3 * math.cos(4 * math.Pi * 240 / 24)
+    assert(math.abs(fc(0) - expected) < 1e-6)
+  }
+
+  test("VAR(1) recovers the transition matrix of a simulated process") {
+    val rnd = new scala.util.Random(11)
+    val a = Array(Array(0.6, 0.2), Array(-0.1, 0.5))
+    val obs = Array.ofDim[Double](3000, 2)
+    for (t <- 1 until 3000; i <- 0 until 2)
+      obs(t)(i) = a(i)(0) * obs(t - 1)(0) + a(i)(1) * obs(t - 1)(1) + rnd.nextGaussian() * 0.5
+    val (c, ahat, _) = Regressors.var1(obs)
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(ahat(i)(j) - a(i)(j)) < 0.05, s"a($i)($j)=${ahat(i)(j)}")
+    assert(c.forall(v => math.abs(v) < 0.1))
+  }
+}
