@@ -12,7 +12,8 @@ object SparkEntry {
     (CoreQueries.defs, CoreQueries.sql),
     (DetectorQueries.defs, DetectorQueries.sql),
     (FeatureQueries.defs, FeatureQueries.sql),
-    (ModelQueries.defs, ModelQueries.sql)
+    (ModelQueries.defs, ModelQueries.sql),
+    (LlmQueries.defs, LlmQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

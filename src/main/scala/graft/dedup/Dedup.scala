@@ -1,0 +1,107 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-training corpora. Every variant
+  * generates candidate pairs through a KEY-EQUALITY SHUFFLE JOIN
+  * (content hash / shingle / LSH band / Hamming chunk) — never a cross
+  * join — so pair-generation cost scales with collisions, not n².
+  * That is the property that survives a 100 TB corpus: the shuffle moves
+  * (doc, key) rows, and hot keys can be salted by appending a hash-mod
+  * suffix to the band id.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 content hash, keep the lowest id per group.
+    * At scale this is one hash-partitioned groupBy — the canonical
+    * first pass of any corpus pipeline.
+    */
+  def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val w = Window.partitionBy("fp")
+    docs.withColumn("fp", TextFunctions.fingerprint(col(text)))
+      .withColumn("keep", (col(id) === min(col(id)).over(w)).cast("int"))
+      .select(col(id), col("fp"), col("keep"))
+  }
+
+  /** Distinct word-k-shingles per doc: (id, shingle). */
+  def docShingles(docs: DataFrame, id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame =
+    docs.select(col(id), explode(TextFunctions.shingles(col(text), k)).as("shingle"))
+
+  /** Candidate pairs by shared shingle + exact Jaccard on shingle sets.
+    * The shingle join is the blocking key: only docs sharing at least one
+    * shingle ever meet.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame = {
+    val sh = docShingles(docs, id, text, k).cache()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("nsh"))
+    val common = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .where(col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("i"), col(s"b.$id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed(id, "i").withColumnRenamed("nsh", "ni"), "i")
+      .join(sizes.withColumnRenamed(id, "j").withColumnRenamed("nsh", "nj"), "j")
+      .withColumn("jaccard", round(col("common") / (col("ni") + col("nj") - col("common")), 6))
+  }
+
+  /** MinHash signatures: numPerms columns mh0..mh{n-1}, each the min of
+    * (a·h31(shingle) + b) mod p over the doc's shingle set. One explode +
+    * one groupBy — the classic distributed MinHash shape.
+    */
+  def minhashSignatures(docs: DataFrame, numPerms: Int, id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame = {
+    val params = TextFunctions.permParams(numPerms)
+    val sh = docShingles(docs, id, text, k)
+      .withColumn("h", TextFunctions.hash31(col("shingle")))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % TextFunctions.MinHashPrime).as(s"mh$i")
+    }
+    sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numPerms), join docs whose band signature collides, verify with the
+    * exact signature-estimated Jaccard (share of matching minhashes).
+    */
+  def minhashLshPairs(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
+                      id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame = {
+    val rows = numPerms / bands
+    val sig = minhashSignatures(docs, numPerms, id, text, k).cache()
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("bsig"))
+    }
+    val banded = sig.select(col(id), explode(array(bandCols: _*)).as("bd"))
+      .select(col(id), col("bd.band"), col("bd.bsig"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bsig"))
+      .where(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("i"), col(s"b.$id").as("j")).distinct()
+    val est = (0 until numPerms).map(p =>
+      when(col(s"sa.mh$p") === col(s"sb.mh$p"), 1).otherwise(0)).reduce(_ + _).cast("double") / numPerms
+    cand
+      .join(sig.as("sa"), col("i") === col(s"sa.$id"))
+      .join(sig.as("sb"), col("j") === col(s"sb.$id"))
+      .select(col("i"), col("j"), round(est, 6).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, then Hamming-distance
+    * blocking on 4×16-bit chunks (pigeonhole: any pair within distance 3
+    * shares at least one exact chunk), verified with bit_count.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sim = udf { (toks: Seq[String]) => TextFunctions.simhash64(toks) }
+    val sig = docs.select(col(id), sim(TextFunctions.tokens(col(text))).as("sh")).cache()
+    val chunked = sig.select(col(id), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"), shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("b"))
+      .select(col(id), col("sh"), col("b.chunk"), col("b.ck"))
+    chunked.as("a").join(chunked.as("b"), Seq("chunk", "ck"))
+      .where(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("i"), col(s"b.$id").as("j"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media travel as opaque `binary` columns
+  * with typed metadata alongside. The pattern at 100 TB:
+  *
+  *   raw bytes (binary) ──mapPartitions (batched)──► decoded features
+  *
+  * The decode itself is STUBBED here (no image/audio codecs in this
+  * container): `fakeDecode` derives deterministic "pixel stats" from the
+  * bytes. Everything around it — schema, per-partition batching, null
+  * handling, feature schema — is the real production shape; swapping the
+  * stub for libjpeg/ffmpeg is a one-function change.
+  */
+object Multimodal {
+
+  /** Synthesize an opaque binary payload column from a text column
+    * (stand-in for real image bytes; md5-derived so oracles reproduce it).
+    */
+  def withPayload(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("payload", unhex(md5(col(text))))
+
+  /** Typed metadata extracted without decoding: byte length, magic
+    * prefix, and header-derived (stubbed) dimensions — all computable by
+    * any engine from the same bytes.
+    */
+  def metadata(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", length(col("payload")))
+      .withColumn("magic", lower(hex(substring(col("payload"), 1, 4))))
+      .withColumn("width", lit(64) + conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 192)
+      .withColumn("height", lit(64) + conv(substring(md5(col("text")), 3, 2), 16, 10).cast("long") % 192)
+      .withColumn("channels", lit(1) + conv(substring(md5(col("text")), 5, 1), 16, 10).cast("long") % 3)
+
+  /** STUB decode: deterministic byte statistics standing in for decoded
+    * pixel features. Real deployments replace the body with a codec call;
+    * the mapPartitions batching (one codec init per partition, not per
+    * row) is the part that matters at scale.
+    */
+  def decodeFeatures(df: DataFrame, id: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType), StructField("byte_mean", DoubleType),
+      StructField("byte_std", DoubleType), StructField("byte_entropy", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(id), col("payload")).mapPartitions { rows =>
+      // per-partition init happens HERE (codec handle, model weights, …)
+      rows.map { r =>
+        val idv = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = bytes.length
+        var s = 0.0; var s2 = 0.0
+        val hist = new Array[Int](256)
+        bytes.foreach { b => val v = (b & 0xff).toDouble; s += v; s2 += v * v; hist(b & 0xff) += 1 }
+        val mean = s / n
+        val std = math.sqrt(math.max(s2 / n - mean * mean, 0))
+        var h = 0.0
+        hist.foreach { c => if (c > 0) { val p = c.toDouble / n; h -= p * math.log(p) / math.log(2) } }
+        Row(idv, mean, std, h)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.7–§2.10 LLM-pipeline operators over `documents` / `embeddings`.
+  * Hashes are md5-derived and LSH planes are integer-LCG noise, so the
+  * DuckDB oracle reproduces signatures, buckets and similarities exactly.
+  */
+object LlmQueries {
+  private val NumPerms = 64
+  private val Bands = 16
+  private val Rows = NumPerms / Bands
+  private val P = TextFunctions.MinHashPrime
+  private val perms = TextFunctions.permParams(NumPerms)
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  private val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "it")
+
+  // ---- shared SQL fragments --------------------------------------------
+
+  /** tokens / distinct 3-shingles per doc. */
+  private val shSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |       )) AS shingle FROM toks)""".stripMargin
+
+  private val h31Sql = s"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P)"
+
+  private def minhashAggSql: String =
+    perms.zipWithIndex.map { case ((a, b), i) => s"min((h * $a + $b) % $P) AS mh$i" }.mkString(", ")
+
+  private val sigSql =
+    s"""hs AS (SELECT doc_id, $h31Sql AS h FROM sh),
+       |sig AS (SELECT doc_id, $minhashAggSql FROM hs GROUP BY 1)""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), x -> x[1] * x[2]))"
+  private def normSql(v: String) =
+    s"sqrt(list_sum(list_transform($v::DOUBLE[], x -> x * x)))"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  private def langScoreSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  // ---- queries ----------------------------------------------------------
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_unique"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        round(TextFunctions.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextFunctions.stopwordRatio(col("text"), EnStop), 6).as("stopword_ratio"),
+        round(
+          TextFunctions.alphaRatio(col("text")) * 0.5
+            + least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)) * 0.3
+            + TextFunctions.stopwordRatio(col("text"), EnStop) * 0.2, 6).as("quality_score"))),
+
+    "q_text_langid" -> ((s, dir) => {
+      val scored = TextFunctions.LangProfiles.foldLeft(docs(s, dir)) { case (d, (lang, words)) =>
+        d.withColumn(s"score_$lang", TextFunctions.wordListHits(col("text"), words).cast("long"))
+      }
+      val langs = TextFunctions.LangProfiles.map(_._1)
+      val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+        .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+      scored
+        .withColumn("pred_lang", best.getField("lang"))
+        .withColumn("is_correct", (col("pred_lang") === col("lang")).cast("int"))
+        .select((col("doc_id") +: col("lang") +: langs.map(l => col(s"score_$l")) :+
+          col("pred_lang") :+ col("is_correct")): _*)
+    }),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir))
+      val w = Window.orderBy(col("jaccard").desc, col("i"), col("j"))
+      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 20)
+        .select(col("i"), col("j"), col("common"), col("ni"), col("nj"), col("jaccard"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), NumPerms)
+        .select((col("doc_id") +: (0 until 8).map(i => col(s"mh$i"))): _*)),
+
+    "q_dedup_minhash_pairs" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), NumPerms, Bands)
+      // rank so the output is stable even if no pair clears a threshold
+      val w = Window.orderBy(col("est_jaccard").desc, col("i"), col("j"))
+      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 20).drop("rk")
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      val near = Dedup.simhashPairs(docs(s, dir), maxHamming = 16)
+      val w = Window.orderBy(col("hamming"), col("i"), col("j"))
+      near.withColumn("rk", row_number().over(w)).where(col("rk") <= 20).drop("rk")
+    }),
+
+    "q_neardup_cosine" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", Ann.cosine(col("a.embedding"), col("b.embedding")))
+        .where(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), round(col("cos"), 6).as("cos"))
+    }),
+
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.knnBruteForce(e, e.where(col("vec_id") % 50 === 0), k = 5)
+    }),
+
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.knnLsh(e, e.where(col("vec_id") % 50 === 0), k = 5, planes = 8)
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.knnIvf(e, e.where(col("vec_id") % 50 === 0), cell = "label", k = 3, nprobe = 2)
+    }),
+
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.metadata(Multimodal.withPayload(docs(s, dir)))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("magic"),
+          col("width"), col("height"), col("channels"))),
+
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
+        .select(col("doc_id"), round(col("byte_mean"), 6).as("byte_mean"),
+          round(col("byte_std"), 6).as("byte_std"), round(col("byte_entropy"), 6).as("byte_entropy")))
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id, length(text)::BIGINT AS n_chars,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" -> {
+      val stopList = EnStop.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  round(length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')), 6) AS mean_token_len,
+         |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
+         |  round(len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::DOUBLE / len(string_split(text, ' ')), 6) AS stopword_ratio,
+         |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) * 0.5
+         |    + least(len(string_split(text, ' '))::DOUBLE / 100, 1.0) * 0.3
+         |    + len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::DOUBLE / len(string_split(text, ' ')) * 0.2, 6) AS quality_score
+         |FROM documents""".stripMargin
+    },
+
+    "q_text_langid" -> {
+      val scoreCols = TextFunctions.LangProfiles
+        .map { case (l, ws) => s"${langScoreSql(ws)}::BIGINT AS score_$l" }.mkString(",\n  ")
+      // argmax with ties resolved by profile order (de, en, es, fr, zh)
+      val langs = TextFunctions.LangProfiles.map(_._1)
+      val pred = langs.tail.foldLeft(s"struct_pack(score := score_${langs.head}, lang := '${langs.head}')") {
+        (acc, l) => s"CASE WHEN struct_pack(score := score_$l, lang := '$l').score > ($acc).score THEN struct_pack(score := score_$l, lang := '$l') ELSE ($acc) END"
+      }
+      s"""WITH scored AS (SELECT doc_id, lang, text, $scoreCols FROM documents)
+         |SELECT doc_id, lang, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  ($pred).lang AS pred_lang,
+         |  CASE WHEN ($pred).lang = lang THEN 1 ELSE 0 END AS is_correct
+         |FROM scored""".stripMargin
+    },
+
+    "q_fingerprint" -> "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep
+        |FROM documents""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $shSql,
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |jac AS (SELECT i, j, common, si.nsh AS ni, sj.nsh AS nj,
+         |          round(common::DOUBLE / (si.nsh + sj.nsh - common), 6) AS jaccard
+         |        FROM common JOIN sizes si ON i = si.doc_id JOIN sizes sj ON j = sj.doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY jaccard DESC, i, j) AS rk FROM jac)
+         |SELECT i, j, common, ni, nj, jaccard FROM r WHERE rk <= 20""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shSql,
+         |$sigSql
+         |SELECT doc_id, ${(0 until 8).map(i => s"mh$i").mkString(", ")} FROM sig""".stripMargin,
+
+    "q_dedup_minhash_pairs" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
+        s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val est = (0 until NumPerms).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $shSql,
+         |$sigSql,
+         |banded AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |est AS (SELECT i, j, round(($est)::DOUBLE / $NumPerms, 6) AS est_jaccard
+         |        FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY est_jaccard DESC, i, j) AS rk FROM est)
+         |SELECT i, j, est_jaccard FROM r WHERE rk <= 20""".stripMargin
+    },
+
+    "q_neardup_cosine" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+
+    "q_knn_bruteforce" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT probe_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("pvec", "c.embedding")} AS cos
+         |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+         |SELECT probe_id, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 5""".stripMargin,
+
+    "q_knn_lsh" -> {
+      def projSql(v: String, p: Int) =
+        s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
+           |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
+      def bucketSql(v: String) =
+        (0 until 8).map(p => s"(CASE WHEN ${projSql(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH be AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |probes AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be WHERE vec_id % 50 = 0),
+         |scored AS (SELECT probe_id, c.bucket, c.vec_id AS neighbor_id,
+         |  ${cosSql("pvec", "c.embedding")} AS cos
+         |  FROM probes JOIN be c ON c.bucket = probes.bucket AND c.vec_id <> probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+         |SELECT probe_id, bucket, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    "q_ann_ivf" ->
+      s"""WITH flat AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x FROM embeddings),
+         |cd AS (SELECT label, dim, avg(x) AS cx FROM flat GROUP BY 1, 2),
+         |cent AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cd GROUP BY 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+         |pc AS (SELECT probe_id, pvec, cent.label, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cent),
+         |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, label) AS crk FROM pc) WHERE crk <= 2),
+         |scored AS (SELECT probe_id, chosen.label, c.vec_id AS neighbor_id,
+         |  ${cosSql("pvec", "c.embedding")} AS cos
+         |  FROM chosen JOIN embeddings c ON c.label = chosen.label AND c.vec_id <> probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+         |SELECT probe_id, label, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,
+        |  substr(md5(text), 1, 8) AS magic,
+        |  64 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 192 AS width,
+        |  64 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 192 AS height,
+        |  1 + ('0x' || substr(md5(text), 5, 1))::BIGINT % 3 AS channels
+        |FROM documents""".stripMargin
+  )
+}
