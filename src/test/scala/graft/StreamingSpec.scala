@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.StreamingDetectors
+import graft.streaming.StreamingDetectors.Point
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(hour: Int) = new Timestamp(1704067200000L + hour * 3600000L)
+
+  test("streaming windowed resample emits per-window sums") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Point]
+    val q = StreamingDetectors.windowedResample(mem.toDF(), every = "1 hour")
+      .writeStream.format("memory").queryName("resampled").outputMode("append").start()
+    mem.addData(
+      Point("click", ts(0), 1.0), Point("click", ts(0), 2.0),
+      Point("click", ts(1), 5.0),
+      Point("click", ts(10), 1.0)) // advances watermark past hours 0-1
+    q.processAllAvailable()
+    val rows = spark.sql("select * from resampled where ts < timestamp'2024-01-01 02:00:00' order by ts").collect()
+    assert(rows.length === 2, rows.mkString(";"))
+    assert(rows(0).getAs[Double]("value") === 3.0 && rows(0).getAs[Long]("n") === 2)
+    assert(rows(1).getAs[Double]("value") === 5.0)
+    q.stop()
+  }
+
+  test("streaming z-score flags points far from the static baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val baseline = Seq(("click", 10.0, 2.0)).toDF("event_type", "mu", "sigma")
+    val mem = MemoryStream[Point]
+    val q = StreamingDetectors.zscoreAgainstBaseline(mem.toDF(), baseline, z = 3.0)
+      .writeStream.format("memory").queryName("anoms").outputMode("append").start()
+    mem.addData(Point("click", ts(0), 11.0), Point("click", ts(1), 40.0), Point("click", ts(2), 9.5))
+    q.processAllAvailable()
+    val rows = spark.sql("select value from anoms").collect().map(_.getDouble(0))
+    assert(rows.toSeq === Seq(40.0))
+    q.stop()
+  }
+
+  test("streaming CUSUM emits a changepoint after a level shift") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val mem = MemoryStream[Point]
+    val q = StreamingDetectors.cusum(mem.toDS(), k = 3.0)
+      .writeStream.format("memory").queryName("cps").outputMode("append").start()
+    val pts = (0 until 60).map(i => Point("click", ts(i), (if (i < 30) 0.0 else 50.0) + rnd.nextGaussian()))
+    mem.addData(pts: _*)
+    q.processAllAvailable()
+    val cps = spark.sql("select * from cps").as[StreamingDetectors.Changepoint].collect()
+    assert(cps.nonEmpty, "expected at least one changepoint")
+    val hour = (cps.head.ts.getTime - ts(0).getTime) / 3600000L
+    assert(hour >= 30 && hour <= 43, s"changepoint at hour $hour")
+    q.stop()
+  }
+}
