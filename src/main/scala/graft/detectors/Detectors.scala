@@ -101,10 +101,13 @@ object Detectors {
       .select((s.keyCols ++ Seq(col(s.ts).as("shift_ts"), col("shift"))): _*)
   }
 
-  /** Static threshold detection at a per-series quantile (threshold_detector.py). */
+  /** Static threshold detection at a per-series quantile (threshold_detector.py).
+    * The quantile is a groupBy aggregate + broadcast join back — a window
+    * percentile would re-sort the frame per row.
+    */
   def thresholdDetect(df: DataFrame, s: TSSchema, q: Double = 0.95): DataFrame = {
-    val wKey = Window.partitionBy(s.keyCols: _*)
-    df.withColumn("_thr", expr(s"percentile(${s.value}, $q)").over(wKey))
+    val thr = df.groupBy(s.keyCols: _*).agg(expr(s"percentile(${s.value}, $q)").as("_thr"))
+    df.join(broadcast(thr), s.keys)
       .where(col(s.value) > col("_thr"))
       .select((s.keyCols ++ Seq(col(s.ts), col(s.value), round(col("_thr"), 6).as("threshold"))): _*)
   }

@@ -114,13 +114,8 @@ object LlmQueries {
       near.withColumn("rk", row_number().over(w)).where(col("rk") <= 20).drop("rk")
     }),
 
-    "q_neardup_cosine" -> ((s, dir) => {
-      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", Ann.cosine(col("a.embedding"), col("b.embedding")))
-        .where(col("cos") >= 0.4)
-        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), round(col("cos"), 6).as("cos"))
-    }),
+    "q_neardup_cosine" -> ((s, dir) =>
+      Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
 
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
