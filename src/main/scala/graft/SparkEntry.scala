@@ -13,7 +13,8 @@ object SparkEntry {
     (DetectorQueries.defs, DetectorQueries.sql),
     (FeatureQueries.defs, FeatureQueries.sql),
     (ModelQueries.defs, ModelQueries.sql),
-    (LlmQueries.defs, LlmQueries.sql)
+    (LlmQueries.defs, LlmQueries.sql),
+    (ExtraQueries.defs, ExtraQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft._
+import graft.detectors.DtwCpd
+import graft.models.MlAr
+import graft.operators.Simulator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining §2 coverage: global ML-AR (MLlib), DTW changepoint,
+  * deterministic simulators, and the distribution-distance detector
+  * (JS divergence between calendar windows, oracle-exact).
+  */
+object ExtraQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private def hourly(s: SparkSession, dir: String) = Tables.hourlyEvents(s, dir).drop("n")
+  private def dense(s: SparkSession, dir: String) = TS.fillGaps(hourly(s, dir), S, 3600L, Some(0.0))
+  private val H = Tables.hourlySql
+  private val Cut = "2024-01-16 00:00:00"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_ar" -> ((s, dir) => MlAr.forecast(dense(s, dir), S)),
+
+    "q_dtw_cpd" -> ((s, dir) => DtwCpd.detect(dense(s, dir), S, w = 24, band = 4)),
+
+    "q_simulate_arima" -> ((s, dir) => {
+      // library simulator exercised through Spark: simulate per (phi, seed)
+      // parameter grid in parallel, summarize each draw
+      val grid = s.createDataFrame(Seq((0.5, 1L), (0.7, 2L), (0.9, 3L), (-0.5, 4L)))
+        .toDF("phi", "seed")
+      val sim = udf { (phi: Double, seed: Long) =>
+        val xs = Simulator.arma(Array(phi), Array.empty, 2000, seed)
+        val n = xs.length
+        val mu = xs.sum / n
+        val v = xs.map(x => (x - mu) * (x - mu)).sum / n
+        val acf1 = xs.indices.drop(1).map(i => (xs(i) - mu) * (xs(i - 1) - mu)).sum / (v * n)
+        Seq(mu, v, acf1)
+      }
+      grid.withColumn("stats", sim(col("phi"), col("seed")))
+        .select(col("phi"), col("seed"),
+          round(col("stats")(0), 6).as("mean"),
+          round(col("stats")(1), 6).as("var_pop"),
+          round(col("stats")(2), 6).as("acf1"))
+    }),
+
+    "q_distribution_distance" -> ((s, dir) => {
+      val wKey = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val b = hourly(s, dir)
+        .withColumn("_lo", min("value").over(wKey))
+        .withColumn("_hi", max("value").over(wKey))
+        .withColumn("bin", least(floor((col("value") - col("_lo")) / ((col("_hi") - col("_lo")) / 10)), lit(9)).cast("long"))
+        .withColumn("win", when(col("ts") < lit(Cut).cast("timestamp"), "p").otherwise("q"))
+      val counts = b.groupBy("event_type", "bin")
+        .agg(count(when(col("win") === "p", 1)).as("np"), count(when(col("win") === "q", 1)).as("nq"))
+      val allBins = b.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(9L))).as("bin"))
+      val filled = allBins.join(counts, Seq("event_type", "bin"), "left")
+        .na.fill(0, Seq("np", "nq"))
+      val tot = filled.groupBy("event_type").agg(sum("np").as("tp"), sum("nq").as("tq"))
+      val probs = filled.join(tot, "event_type")
+        .withColumn("p", (col("np") + 0.5) / (col("tp") + 5.0))
+        .withColumn("q", (col("nq") + 0.5) / (col("tq") + 5.0))
+        .withColumn("m", (col("p") + col("q")) / 2)
+      probs.groupBy("event_type")
+        .agg(round(sum(col("p") * log(col("p") / col("m")) * 0.5 + col("q") * log(col("q") / col("m")) * 0.5), 6).as("js_divergence"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_distribution_distance" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, ts, value,
+         |  min(value) OVER (PARTITION BY event_type) AS lo,
+         |  max(value) OVER (PARTITION BY event_type) AS hi FROM hourly),
+         |c AS (SELECT event_type,
+         |  least(floor((value - lo) / ((hi - lo) / 10)), 9)::BIGINT AS bin,
+         |  CASE WHEN ts < TIMESTAMP '$Cut' THEN 'p' ELSE 'q' END AS win FROM b),
+         |counts AS (SELECT event_type, bin,
+         |  count(*) FILTER (WHERE win = 'p') AS np,
+         |  count(*) FILTER (WHERE win = 'q') AS nq FROM c GROUP BY 1, 2),
+         |allbins AS (SELECT DISTINCT event_type, unnest(range(0, 10)) AS bin FROM c),
+         |filled AS (SELECT a.event_type, a.bin, coalesce(np, 0) AS np, coalesce(nq, 0) AS nq
+         |           FROM allbins a LEFT JOIN counts ON a.event_type = counts.event_type AND a.bin = counts.bin),
+         |tot AS (SELECT event_type, sum(np) AS tp, sum(nq) AS tq FROM filled GROUP BY 1),
+         |probs AS (SELECT f.event_type,
+         |  (np + 0.5) / (tp + 5.0) AS p, (nq + 0.5) / (tq + 5.0) AS q,
+         |  ((np + 0.5) / (tp + 5.0) + (nq + 0.5) / (tq + 5.0)) / 2 AS m
+         |  FROM filled f JOIN tot ON f.event_type = tot.event_type)
+         |SELECT event_type, round(sum(p * ln(p / m) * 0.5 + q * ln(q / m) * 0.5), 6) AS js_divergence
+         |FROM probs GROUP BY 1""".stripMargin
+  )
+}
