@@ -32,6 +32,46 @@ object Decompose {
       .drop("_hod", "_seasonal_raw", "detrended")
   }
 
+  /** Iterated decomposition (STL-flavored, loess replaced by the centered
+    * MA): re-estimate the trend on the DESEASONALIZED series, then
+    * re-estimate seasonality against the refined trend. Two passes remove
+    * most of the seasonal leakage a single MA pass leaves in the trend.
+    */
+  def stlLite(df: DataFrame, s: TSSchema, half: Int = 12): DataFrame = {
+    val pass1 = additive(df, s, half)
+    val wTrend = s.orderedWindow.rowsBetween(-half, half)
+    val wHod = Window.partitionBy((s.keyCols :+ col("_hod2")): _*)
+    val wKey = Window.partitionBy(s.keyCols: _*)
+    pass1
+      .withColumn("_deseason", col(s.value) - col("seasonal"))
+      .withColumn("trend2", round(avg("_deseason").over(wTrend), 6))
+      .withColumn("_hod2", hour(col(s.ts)))
+      .withColumn("_detr2", col(s.value) - col("trend2"))
+      .withColumn("_sraw2", avg("_detr2").over(wHod))
+      .withColumn("seasonal2", round(col("_sraw2") - avg("_sraw2").over(wKey), 6))
+      .withColumn("resid2", round(col(s.value) - col("trend2") - col("seasonal2"), 6))
+      .drop("_deseason", "_hod2", "_detr2", "_sraw2", "trend", "seasonal", "resid")
+  }
+
+  /** Oracle-side equivalent of [[stlLite]] on top of [[additiveSql]]'s
+    * `decomp` CTE, yielding CTE `stl2` with trend2/seasonal2/resid2.
+    */
+  val stlLiteSql: String =
+    """stl1 AS (
+      |  SELECT event_type, ts, value, seasonal, value - seasonal AS deseason FROM decomp),
+      |stl2a AS (
+      |  SELECT event_type, ts, value,
+      |    round(avg(deseason) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6) AS trend2,
+      |    hour(ts) AS hod2
+      |  FROM stl1),
+      |stl2b AS (
+      |  SELECT *, avg(value - trend2) OVER (PARTITION BY event_type, hod2) AS sraw2 FROM stl2a),
+      |stl2 AS (
+      |  SELECT event_type, ts, value, trend2,
+      |    round(sraw2 - avg(sraw2) OVER (PARTITION BY event_type), 6) AS seasonal2,
+      |    round(value - trend2 - round(sraw2 - avg(sraw2) OVER (PARTITION BY event_type), 6), 6) AS resid2
+      |  FROM stl2b)""".stripMargin
+
   /** Oracle-side equivalent of [[additive]] over a CTE named `hourly`
     * (event_type/ts/value), yielding event_type, ts, value, trend,
     * seasonal, resid as CTE `decomp`.

@@ -41,6 +41,13 @@ object CoreQueries {
       TS.ewma(hourly(s, dir).drop("n"), S, alpha = 0.2)
         .select(col("event_type"), epochS("ts"), col("value"), col("ewma"))),
 
+    "q_user_resample" -> ((s, dir) =>
+      // high-cardinality series key: (user, event_type) — the shape the
+      // engine actually scales on (millions of keys at 100 TB)
+      TS.resample(Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"), col("value")),
+          TSSchema(keys = Seq("user_id", "event_type")), unit = "day")
+        .select(col("user_id"), col("event_type"), epochS("ts"), col("value"), col("n"))),
+
     "q_time_features" -> ((s, dir) =>
       TS.timeFeatures(Tables.events(s, dir).select("event_id", "ts"), TSSchema(Seq("event_id")))
         .select(col("event_id"), epochS("ts"), col("year"), col("month"), col("day"),
@@ -139,6 +146,11 @@ object CoreQueries {
          |  min(value) OVER w AS roll_min, max(value) OVER w AS roll_max,
          |  count(*) OVER w AS roll_n
          |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_user_resample" ->
+      """SELECT user_id, event_type, epoch_us(date_trunc('day', ts))//1000000 AS ts_s,
+        |  round(sum(value), 6) AS value, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "q_time_features" ->
       """SELECT event_id, epoch_us(date_trunc('microsecond', ts))//1000000 AS ts_s,

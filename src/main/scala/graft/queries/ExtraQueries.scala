@@ -21,6 +21,11 @@ object ExtraQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ml_ar" -> ((s, dir) => MlAr.forecast(dense(s, dir), S)),
 
+    "q_decompose_stl" -> ((s, dir) =>
+      graft.operators.Decompose.stlLite(hourly(s, dir), S)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+          col("trend2"), col("seasonal2"), col("resid2"))),
+
     "q_dtw_cpd" -> ((s, dir) => DtwCpd.detect(dense(s, dir), S, w = 24, band = 4)),
 
     "q_simulate_arima" -> ((s, dir) => {
@@ -67,6 +72,12 @@ object ExtraQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_decompose_stl" ->
+      s"""WITH hourly AS ($H),
+         |${graft.operators.Decompose.additiveSql},
+         |${graft.operators.Decompose.stlLiteSql}
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, trend2, seasonal2, resid2 FROM stl2""".stripMargin,
+
     "q_distribution_distance" ->
       s"""WITH hourly AS ($H),
          |b AS (SELECT event_type, ts, value,
