@@ -1,0 +1,46 @@
+package graft
+
+import graft.expressions.EwmaArray
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.FunctionShim
+import org.apache.spark.sql.types.Decimal
+
+/** Session extension wiring: register graft's native expressions as SQL
+  * functions. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — then
+  * `SELECT ewma_array(xs, 0.2)` works from plain SQL. For sessions built
+  * without the config, [[GraftExtensions.registerOn]] registers the same
+  * functions post-hoc.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def toDouble(e: Expression): Double = e.eval() match {
+    case d: Double  => d
+    case f: Float   => f.toDouble
+    case d: Decimal => d.toDouble
+    case i: Int     => i.toDouble
+    case l: Long    => l.toDouble
+    case other      => throw new IllegalArgumentException(s"expected numeric literal, got $other")
+  }
+
+  /** (name, info, builder) for every graft-native SQL function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("ewma_array",
+      new ExpressionInfo(classOf[EwmaArray].getName, "ewma_array"),
+      (exprs: Seq[Expression]) => EwmaArray(exprs.head, toDouble(exprs(1)))))
+
+  /** Register all graft functions on an already-built session. */
+  def registerOn(spark: SparkSession): Unit =
+    functions.foreach { case (name, info, builder) =>
+      FunctionShim.register(spark, name, info, builder)
+    }
+}

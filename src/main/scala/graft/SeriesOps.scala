@@ -29,12 +29,19 @@ object SeriesOps {
     */
   def mapSeries(df: DataFrame, s: TSSchema, outName: String)(f: Array[Double] => Array[Double]): DataFrame = {
     val fn = udf { xs: Seq[Double] => f(xs.toArray).toSeq }
+    mapSeriesCol(df, s, outName)(xs => fn(xs))
+  }
+
+  /** Like [[mapSeries]] but the transform is a Column expression (e.g. a
+    * native Catalyst expression from [[graft.expressions]]) — stays inside
+    * whole-stage codegen, no UDF boundary.
+    */
+  def mapSeriesCol(df: DataFrame, s: TSSchema, outName: String)(f: Column => Column): DataFrame =
     collect(df, s)
-      .withColumn("_out", fn(col("xs")))
+      .withColumn("_out", f(col("xs")))
       .withColumn("_z", explode(arrays_zip(col("tss"), col("xs"), col("_out"))))
       .select((s.keyCols :+ col("_z.tss").as(s.ts) :+ col("_z.xs").as(s.value) :+
         round(col(s"_z._out"), 6).as(outName)): _*)
-  }
 
   /** Per-series scalar summary: f(xs) -> fixed-length vector, one row per
     * series with the given output column names.

@@ -91,22 +91,12 @@ object TS {
 
   /** Adjusted exponentially-weighted mean (tsfeatures.py:_ewma, pandas
     * ewm(adjust=True)): y_t = Σ_j (1-α)^j x_{t-j} / Σ_j (1-α)^j.
-    * Computed as a linear per-series scan over the collected series —
-    * O(n) per series, parallel across series.
+    * One O(n) scan per collected series via the native codegen'd
+    * [[graft.expressions.EwmaArray]] — no UDF boundary, parallel across
+    * series.
     */
   def ewma(df: DataFrame, s: TSSchema, alpha: Double): DataFrame =
-    SeriesOps.mapSeries(df, s, "ewma") { xs =>
-      val out = new Array[Double](xs.length)
-      var num = 0.0; var den = 0.0
-      val b = 1.0 - alpha
-      var i = 0
-      while (i < xs.length) {
-        num = num * b + xs(i); den = den * b + 1.0
-        out(i) = num / den
-        i += 1
-      }
-      out
-    }
+    SeriesOps.mapSeriesCol(df, s, "ewma")(xs => graft.expressions.ewma_array(xs, alpha))
 
   /** Calendar feature battery (kats/utils/feature_engineering.py). */
   def timeFeatures(df: DataFrame, s: TSSchema): DataFrame = {

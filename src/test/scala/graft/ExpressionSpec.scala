@@ -1,0 +1,72 @@
+package graft
+
+import graft.expressions.{ewma_array, EwmaArray}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Reference adjusted EWMA (pandas ewm(adjust=True).mean()). */
+  private def refEwma(xs: Array[Double], alpha: Double): Array[Double] = {
+    val b = 1.0 - alpha
+    xs.indices.map { t =>
+      val w = (0 to t).map(j => math.pow(b, j))
+      (0 to t).map(j => w(j) * xs(t - j)).sum / w.sum
+    }.toArray
+  }
+
+  test("EwmaArray interpreted eval matches the reference recursion") {
+    val xs = Array(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val expr = EwmaArray(Literal.create(xs, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)), 0.2)
+    val got = expr.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    val want = refEwma(xs, 0.2)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$g vs $w") }
+  }
+
+  test("ewma_array Column runs through codegen and matches reference") {
+    import spark.implicits._
+    val xs = Array.tabulate(100)(i => math.sin(i * 0.3) * 10 + i * 0.1)
+    val df = Seq(Tuple1(xs.toSeq)).toDF("xs").select(ewma_array(col("xs"), 0.35).as("y"))
+    val got = df.collect()(0).getSeq[Double](0).toArray
+    val want = refEwma(xs, 0.35)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$g vs $w") }
+  }
+
+  test("ewma_array constant series is identity") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq.fill(20)(7.5))).toDF("xs").select(ewma_array(col("xs"), 0.5).as("y"))
+    assert(df.collect()(0).getSeq[Double](0).forall(v => math.abs(v - 7.5) < 1e-12))
+  }
+
+  test("ewma_array is registered as a SQL function via GraftExtensions") {
+    val got = spark.sql("SELECT ewma_array(array(1.0d, 2.0d, 3.0d), 0.5) AS y")
+      .collect()(0).getSeq[Double](0).toArray
+    val want = refEwma(Array(1.0, 2.0, 3.0), 0.5)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("TS.ewma end-to-end with the native expression matches per-point reference") {
+    import spark.implicits._
+    val s = TSSchema(Seq("k"), "ts", "value")
+    val xs = Array(1.0, 5.0, 2.0, 8.0, 3.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", java.sql.Timestamp.valueOf(f"2024-01-01 0$i:00:00"), v) }
+      .toSeq.toDF("k", "ts", "value")
+    val out = TS.ewma(df, s, 0.2).orderBy("ts").collect().map(_.getAs[Double]("ewma"))
+    val want = refEwma(xs, 0.2).map(v => math.rint(v * 1e6) / 1e6)
+    out.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$g vs $w") }
+  }
+}
