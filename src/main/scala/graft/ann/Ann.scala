@@ -49,39 +49,74 @@ object Ann {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** All-pairs cosine near-duplicates above a threshold. One side is
-    * collected and broadcast as plain float arrays (all-pairs requires one
-    * side in memory, exactly like Spark's own BroadcastNestedLoopJoin —
-    * but as primitive arrays deserialized ONCE, not per pair); the corpus
-    * side streams through flatMap. For corpora beyond broadcast size use
-    * the LSH/IVF blocked variants — all-pairs is O(n²) by definition.
+  /** Exact all-pairs cosine near-duplicates above a threshold, fully
+    * distributed — NO driver collect, NO broadcast of the corpus.
+    *
+    * Triangle block join: each vector gets a block id (`vec_id % blocks`);
+    * a tiny broadcast table enumerates the blocks×(blocks+1)/2 unordered
+    * block pairs; vectors route to every block-pair partition that needs
+    * them (shuffle volume = n·blocks rows) and each partition computes its
+    * (n/blocks)² pair slice. Compute is still O(n²) — inherent to EXACT
+    * all-pairs — but it is spread over blocks²/2 reducers with bounded
+    * per-task memory, so the plan survives any corpus that can afford the
+    * quadratic work. For sub-quadratic candidate generation at 100 TB use
+    * [[lshNearDupPairs]] (recall-bounded) and exact-verify its candidates.
     */
-  def allPairsCosine(corpus: DataFrame, threshold: Double,
+  def allPairsCosine(corpus: DataFrame, threshold: Double, blocks: Int = 16,
                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val side = corpus.select(col(id), col(vec)).as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(side)
-    corpus.select(col(id), col(vec)).as[(Long, Array[Float])]
-      .flatMap { case (i, v) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var nv = 0.0
-        var t = 0
-        while (t < v.length) { val x = v(t).toDouble; nv += x * x; t += 1 }
-        val nvs = math.sqrt(nv)
-        for ((j, w) <- bc.value if j > i) {
-          var d = 0.0; var nw = 0.0
-          var p = 0
-          while (p < v.length) {
-            val x = v(p).toDouble; val y = w(p).toDouble
-            d += x * y; nw += y * y
-            p += 1
-          }
-          val c = d / (nvs * math.sqrt(nw))
-          if (c >= threshold) out += ((i, j, c))
-        }
-        out
-      }.toDF("i", "j", "_cos")
+    val blockPairs = spark.createDataFrame(
+      for { a <- 0 until blocks; b <- a until blocks } yield (a, b)).toDF("ba", "bb")
+    val v = corpus.select(col(id), col(vec), pmod(col(id), lit(blocks)).as("blk"))
+    // a vector in block c routes to every pair (c, b≥c) as the a-side and
+    // every pair (a≤c, c) as the b-side — blocks+1 copies total, meeting
+    // each other block exactly once under the composite (ba, bb) join key.
+    val left = v.join(broadcast(blockPairs), col("blk") === col("ba"))
+      .select(col("ba"), col("bb"), col(id).as("_xi"), col(vec).as("va"))
+    val right = v.join(broadcast(blockPairs.withColumnRenamed("ba", "ba2").withColumnRenamed("bb", "bb2")),
+        col("blk") === col("bb2"))
+      .select(col("ba2"), col("bb2"), col(id).as("_yj"), col(vec).as("vb"))
+    // same-block pairs appear once via _xi < _yj; cross-block pairs appear
+    // exactly once (a-side from the lower block) in either id order, so
+    // normalize with least/greatest.
+    left.join(right,
+        col("ba") === col("ba2") && col("bb") === col("bb2") &&
+          (col("ba") < col("bb") || col("_xi") < col("_yj")))
+      .withColumn("_cos", cosineFast(col("va"), col("vb")))
+      .where(col("_cos") >= threshold)
+      .select(least(col("_xi"), col("_yj")).as("i"), greatest(col("_xi"), col("_yj")).as("j"),
+        round(col("_cos"), 6).as("cos"))
+  }
+
+  /** Banded random-hyperplane LSH near-duplicate pairs: `bands` bands of
+    * `rowsPerBand` deterministic LCG hyperplanes each; docs colliding in
+    * ANY band become candidates (key-equality join per band — shuffle
+    * scales with collisions, never n²); candidates are deduped then
+    * EXACT-verified with the full cosine ≥ threshold. Output is therefore
+    * always a subset of the true pair set; recall at the threshold is
+    * 1-(1-p^r)^b with p = 1-θ/π (AnnSpec measures it on the test corpus).
+    * This is the 100 TB path — the oracle replicates the banding exactly.
+    */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
+                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(id), col(vec))
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until rowsPerBand).map { r =>
+        val plane = b * rowsPerBand + r
+        when(planeProjection(col(vec), plane) >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val banded = v.select(col(id), col(vec), explode(array(bandCols: _*)).as("bd"))
+      .select(col(id), col("bd.band"), col("bd.bucket"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .where(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("i"), col(s"b.$id").as("j")).distinct()
+    cand
+      .join(v.select(col(id).as("i"), col(vec).as("va")), "i")
+      .join(v.select(col(id).as("j"), col(vec).as("vb")), "j")
+      .withColumn("_cos", cosineFast(col("va"), col("vb")))
+      .where(col("_cos") >= threshold)
       .select(col("i"), col("j"), round(col("_cos"), 6).as("cos"))
   }
 

@@ -21,7 +21,9 @@ object Dedup {
     */
   def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val w = Window.partitionBy("fp")
-    docs.withColumn("fp", TextFunctions.fingerprint(col(text)))
+    // true byte-exact dedup: md5 of the raw text. Case-insensitive grouping
+    // is the *normalized* fingerprint path (TextFunctions.fingerprint).
+    docs.withColumn("fp", md5(col(text)))
       .withColumn("keep", (col(id) === min(col(id)).over(w)).cast("int"))
       .select(col(id), col("fp"), col("keep"))
   }
@@ -33,9 +35,21 @@ object Dedup {
   /** Candidate pairs by shared shingle + exact Jaccard on shingle sets.
     * The shingle join is the blocking key: only docs sharing at least one
     * shingle ever meet.
+    *
+    * Scale guard: shingles with document frequency > `dfCap` are dropped
+    * BEFORE the self-join (Broder-style stop-shingle removal). A shingle
+    * present in n docs emits n² candidate rows, so without the cap one hot
+    * 3-gram ("of the and") is an n² skewed-shuffle explosion at corpus
+    * scale; capped shingles carry no discriminating signal anyway. Both
+    * the per-doc set sizes and the intersections are computed on the
+    * CAPPED sets, so Jaccard stays a true set similarity of the filtered
+    * universe (the DuckDB oracle applies the identical cap).
     */
-  def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame = {
-    val sh = docShingles(docs, id, text, k).cache()
+  def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
+                        k: Int = 3, dfCap: Int = 50): DataFrame = {
+    val raw = docShingles(docs, id, text, k)
+    val w = Window.partitionBy("shingle")
+    val sh = raw.withColumn("_df", count(lit(1)).over(w)).where(col("_df") <= dfCap).drop("_df").cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("nsh"))
     val common = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .where(col(s"a.$id") < col(s"b.$id"))

@@ -20,9 +20,11 @@ object Metrics {
   def mase(y: Column, f: Column, scale: Column): Column = avg(abs(y - f)) / scale
   def me(y: Column, f: Column): Column   = avg(y - f)
   def mpe(y: Column, f: Column): Column  = avg(when(y =!= 0, (y - f) / y))
-  /** coefficient of determination 1 - SSE/SST. */
+  /** coefficient of determination 1 - SSE/SST, as a plain aggregate
+    * (sums-based SST so it composes into any groupBy without a window).
+    */
   def r2(y: Column, f: Column): Column =
-    lit(1.0) - sum(pow(y - f, 2)) / sum(pow(y - avg(y).over(), 2))
+    lit(1.0) - sum(pow(y - f, 2)) / (sum(pow(y, 2)) - pow(sum(y), 2) / count(lit(1)))
 
   /** All headline metrics as named agg columns (r2 computed from sums to
     * stay a plain aggregate without a window).

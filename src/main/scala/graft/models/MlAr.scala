@@ -48,7 +48,7 @@ object MlAr {
       .agg(
         max(when(col("_rk") === 1, col(s.value))).as("lag1"),
         max(when(col("_rk") === 2, col(s.value))).as("lag2"),
-        max(when(col("_rk") === 23, col(s.value))).as("lag24"), // 24h before t+1
+        max(when(col("_rk") === 24, col(s.value))).as("lag24"), // t+1-24 = t-23 = rank 24 (rank r = t-(r-1))
         max(when(col("_rk") === 1, col(s.ts))).as("_last_ts"))
       .withColumn("_next_hod", (hour(col("_last_ts")) + 1) % 24)
       .withColumn("hs", sin(col("_next_hod") * (2 * math.Pi / 24)))

@@ -2,15 +2,23 @@ package graft.operators
 
 /** Deterministic time-series simulators (kats/utils/simulator.py):
   * ARMA processes, trend-shift and level-shift series for detector
-  * calibration. Innovations come from a seeded xorshift generator with a
-  * Box-Muller transform, so simulated fixtures are reproducible anywhere.
+  * calibration. Innovations come from a seeded Park–Miller LCG
+  * (s' = s·48271 mod 2³¹−1 — every intermediate fits in 63 bits, so an
+  * external SQL engine reproduces the stream bit-exactly with plain
+  * BIGINT arithmetic) pushed through a Box–Muller transform; simulated
+  * fixtures are therefore reproducible anywhere, including the DuckDB
+  * oracle via a recursive CTE.
   */
 object Simulator {
 
+  val LcgMod = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val LcgMul = 48271L
+
   private final class Rng(seed0: Long) {
-    private var s = if (seed0 == 0) 0x9e3779b97f4a7c15L else seed0
-    def nextLong(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
-    def nextUniform(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
+    // scramble the seed so adjacent seeds don't yield shifted streams
+    private var s = ((math.abs(seed0) * 2027L + 1234567L) % LcgMod) max 1L
+    def nextLong(): Long = { s = (s * LcgMul) % LcgMod; s }
+    def nextUniform(): Double = nextLong().toDouble / LcgMod.toDouble
     def nextGaussian(): Double = {
       val u1 = math.max(nextUniform(), 1e-300)
       val u2 = nextUniform()

@@ -138,6 +138,18 @@ object CoreQueries {
          |       THEN round((value - lag(value, 1) OVER w) / (lag(value, 1) OVER w), 6) END AS pct_change
          |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin,
 
+    // adjusted EWMA y_t = Σ_j (1-α)^j x_{t-j} / Σ_j (1-α)^j — the oracle
+    // expands the recurrence as an O(n²) power-weight self-join (fine at
+    // oracle scale; Spark runs the O(n) native EwmaArray recurrence)
+    "q_ewma" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM hourly)
+         |SELECT a.event_type, epoch_us(a.ts)//1000000 AS ts_s, a.value,
+         |  round(sum(b.value * pow(1 - 0.2, a.rn - b.rn)) / sum(pow(1 - 0.2, a.rn - b.rn)), 6) AS ewma
+         |FROM ord a JOIN ord b ON a.event_type = b.event_type AND b.rn <= a.rn
+         |GROUP BY a.event_type, a.ts, a.value""".stripMargin,
+
     "q_rolling_stats" ->
       s"""WITH hourly AS ($H)
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,

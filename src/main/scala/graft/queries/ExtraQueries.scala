@@ -72,6 +72,32 @@ object ExtraQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // replays Simulator.arma exactly: Park-Miller LCG (63-bit-safe BIGINT
+    // arithmetic) + Box-Muller, AR(1) recurrence as a recursive CTE
+    "q_simulate_arima" ->
+      """WITH RECURSIVE grid(phi, seed) AS (SELECT 0.5::DOUBLE, 1::BIGINT UNION ALL SELECT 0.7, 2 UNION ALL SELECT 0.9, 3 UNION ALL SELECT -0.5, 4),
+        |rec AS (
+        |  SELECT phi, seed, 0 AS t, greatest((abs(seed) * 2027 + 1234567) % 2147483647, 1) AS s, 0.0::DOUBLE AS x
+        |  FROM grid
+        |  UNION ALL
+        |  SELECT phi, seed, t + 1, s2,
+        |    phi * x + sqrt(-2 * ln(greatest(s1 / 2147483647.0, 1e-300))) * cos(2 * pi() * (s2 / 2147483647.0))
+        |  FROM (SELECT phi, seed, t, x,
+        |        (s * 48271) % 2147483647 AS s1,
+        |        (((s * 48271) % 2147483647) * 48271) % 2147483647 AS s2
+        |        FROM rec WHERE t < 2000)
+        |),
+        |wl AS (SELECT phi, seed, x, lag(x) OVER (PARTITION BY phi, seed ORDER BY t) AS xp
+        |       FROM rec WHERE t >= 1),
+        |m1 AS (SELECT phi, seed, avg(x) AS mu, count(*) AS n FROM wl GROUP BY 1, 2),
+        |m2 AS (SELECT w.phi, w.seed, max(m.mu) AS mu, max(m.n) AS n,
+        |         sum((w.x - m.mu) * (w.x - m.mu)) / max(m.n) AS v,
+        |         sum(CASE WHEN w.xp IS NOT NULL THEN (w.x - m.mu) * (w.xp - m.mu) END) AS num
+        |       FROM wl w JOIN m1 m ON w.phi = m.phi AND w.seed = m.seed GROUP BY 1, 2)
+        |SELECT phi, seed, round(mu, 6) AS mean, round(v, 6) AS var_pop,
+        |  round(num / (v * n), 6) AS acf1
+        |FROM m2""".stripMargin,
+
     "q_decompose_stl" ->
       s"""WITH hourly AS ($H),
          |${graft.operators.Decompose.additiveSql},

@@ -80,9 +80,12 @@ object FeatureQueries {
         Array(FeatureKernels.hurst(xs))
       }),
 
+    // ARCH-LM with nlags=2: the 2-regressor OLS R² has a closed form in
+    // pairwise correlations, so the statistic is fully oracle-checkable
+    // (the kernel supports general p; the spec exercises p=10 too)
     "q_feat_heterogeneity" -> ((s, dir) =>
       SeriesOps.aggSeries(hourly(s, dir), S, Seq("arch_lm")) { xs =>
-        Array(FeatureKernels.archLm(xs))
+        Array(FeatureKernels.archLm(xs, Some(2)))
       }),
 
     "q_feat_special_ac" -> ((s, dir) =>
@@ -228,6 +231,54 @@ object FeatureQueries {
          |  round(r.a24, 6) AS seas_acf1
          |FROM racf r JOIN eacf e ON r.event_type = e.event_type JOIN facf f ON r.event_type = f.event_type""".stripMargin
     },
+
+    // Hurst: slope of ln(popstd(x_{t+τ}-x_t)) on ln(τ), τ = 2..29
+    "q_feat_hurst" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM hourly),
+         |lags AS (SELECT unnest(range(2, 30)) AS lag),
+         |d AS (SELECT a.event_type, l.lag, b.value - a.value AS diff
+         |      FROM ord a JOIN lags l ON true
+         |      JOIN ord b ON b.event_type = a.event_type AND b.rn = a.rn + l.lag),
+         |v AS (SELECT event_type, lag,
+         |        ln(sqrt(greatest(avg(diff*diff) - avg(diff)*avg(diff), 1e-300))) AS ly,
+         |        ln(lag) AS lx
+         |      FROM d GROUP BY 1, 2)
+         |SELECT event_type, round(regr_slope(ly, lx), 6) AS hurst FROM v GROUP BY 1""".stripMargin,
+
+    // KPSS (trend-stationary, nlags=1): residuals of x on [1, t], partial
+    // sums, eta/nˉ², Bartlett long-run variance γ0 + γ1
+    "q_feat_unitroot_kpss" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM hourly),
+         |fit AS (SELECT event_type, regr_slope(value, rn) AS b, regr_intercept(value, rn) AS a FROM ord GROUP BY 1),
+         |e AS (SELECT o.event_type, rn, value - a - b * rn AS e FROM ord o JOIN fit f ON o.event_type = f.event_type),
+         |c AS (SELECT event_type, e,
+         |        sum(e) OVER (PARTITION BY event_type ORDER BY rn) AS cum,
+         |        lag(e) OVER (PARTITION BY event_type ORDER BY rn) AS ep
+         |      FROM e),
+         |s AS (SELECT event_type, count(*) AS n, sum(cum*cum) AS eta, sum(e*e) AS g0,
+         |        sum(CASE WHEN ep IS NOT NULL THEN e * ep END) AS g1
+         |      FROM c GROUP BY 1)
+         |SELECT event_type,
+         |  round(CASE WHEN (g0/n + g1/n) <= 0 THEN 0.0 ELSE (eta / (n::DOUBLE * n)) / (g0/n + g1/n) END, 6) AS kpss_stat
+         |FROM s""".stripMargin,
+
+    // ARCH-LM(p=2): m·R², R² of y² on [1, y²_{-1}, y²_{-2}] via the
+    // multiple-correlation identity (r1² + r2² − 2·r1·r2·r12)/(1 − r12²)
+    "q_feat_heterogeneity" ->
+      s"""WITH hourly AS ($H),
+         |y2 AS (SELECT event_type, value*value AS y,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM hourly),
+         |l AS (SELECT event_type, y,
+         |        lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2
+         |      FROM y2 WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+         |f AS (SELECT * FROM l WHERE l2 IS NOT NULL),
+         |c AS (SELECT event_type, count(*) AS m, corr(y, l1) AS r1, corr(y, l2) AS r2, corr(l1, l2) AS r12
+         |      FROM f GROUP BY 1)
+         |SELECT event_type,
+         |  round(m * (r1*r1 + r2*r2 - 2*r1*r2*r12) / (1 - r12*r12), 6) AS arch_lm
+         |FROM c""".stripMargin,
 
     "q_feat_stl" ->
       s"""WITH hourly AS ($H),

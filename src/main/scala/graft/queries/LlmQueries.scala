@@ -27,12 +27,21 @@ object LlmQueries {
 
   // ---- shared SQL fragments --------------------------------------------
 
-  /** tokens / distinct 3-shingles per doc. */
+  /** tokens / distinct 3-shingles per doc (docs with < 3 tokens emit no
+    * shingles — mirrors TextFunctions.shingles' guard exactly). */
   private val shSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(
-      |         list_transform(range(1, greatest(len(t) - 1, 2)), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |         CASE WHEN len(t) >= 3
+      |              THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |              ELSE []::VARCHAR[] END
       |       )) AS shingle FROM toks)""".stripMargin
+
+  /** df-capped shingles (stop-shingle removal, Dedup.ngramJaccardPairs). */
+  private val shCapSql =
+    """shc AS (SELECT doc_id, shingle FROM (
+      |  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+      |  WHERE df <= 50)""".stripMargin
 
   private val h31Sql = s"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P)"
 
@@ -109,13 +118,19 @@ object LlmQueries {
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
-      val near = Dedup.simhashPairs(docs(s, dir), maxHamming = 16)
+      // maxHamming = 3 is the 4×16-bit chunk blocking's recall guarantee
+      // (pigeonhole) — pairs beyond it are not promised, so don't emit them
+      val near = Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
       val w = Window.orderBy(col("hamming"), col("i"), col("j"))
       near.withColumn("rk", row_number().over(w)).where(col("rk") <= 20).drop("rk")
     }),
 
     "q_neardup_cosine" -> ((s, dir) =>
       Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
+
+    // r=3, b=16 ⇒ recall ≈ 1-(1-p³)¹⁶ ≈ 0.99 at cos 0.4 (p = 1-θ/π)
+    "q_neardup_lsh" -> ((s, dir) =>
+      Ann.lshNearDupPairs(embs(s, dir), threshold = 0.4, bands = 16, rowsPerBand = 3)),
 
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -186,9 +201,10 @@ object LlmQueries {
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shSql,
-         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         |$shCapSql,
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY 1),
          |common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
-         |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |           FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |           GROUP BY 1, 2),
          |jac AS (SELECT i, j, common, si.nsh AS ni, sj.nsh AS nj,
          |          round(common::DOUBLE / (si.nsh + sj.nsh - common), 6) AS jaccard
@@ -223,6 +239,37 @@ object LlmQueries {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH th AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |hb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM th),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |         FROM hb CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b::INT) ELSE 0 END)::UBIGINT AS sh
+        |        FROM bits GROUP BY 1),
+        |chunks AS (SELECT doc_id, sh, c, (sh >> (c::INT * 16)) & 65535 AS ck
+        |           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.sh AS sa, b.sh AS sb
+        |         FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id),
+        |ham AS (SELECT i, j, bit_count(xor(sa, sb))::INT AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+        |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM ham)
+        |SELECT i, j, hamming FROM r WHERE rk <= 20""".stripMargin,
+
+    "q_neardup_lsh" -> {
+      def projSql(v: String, p: Int) =
+        s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
+           |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
+      def bucketSql(v: String, band: Int, rows: Int) =
+        (0 until rows).map(r => s"(CASE WHEN ${projSql(v, band * rows + r)} >= 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
+      val bandSelects = (0 until 16).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucketSql("embedding", b, 3)} AS bucket FROM embeddings").mkString("\nUNION ALL\n")
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |v AS (SELECT i, j, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |      FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id)
+         |SELECT i, j, round(cos, 6) AS cos FROM v WHERE cos >= 0.4""".stripMargin
+    },
 
     "q_knn_bruteforce" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),

@@ -243,24 +243,64 @@ object ModelQueries {
         Array(fc(0), fc(11), fc(23))
       }),
 
+    /** Keyed multivariate VAR(1): per event_type, the 2-dim series
+      * (value, n) regressed on its own lag via closed-form 3×3 normal
+      * equations — a pure keyed aggregate plan (one shuffle, partial
+      * map-side aggregation, NO collect_list, NO driver work), so the
+      * scale axis is #entities exactly like every other SeriesOps
+      * operator. Shared Cramer SQL keeps Spark and the oracle identical.
+      */
     "q_var" -> ((s, dir) => {
-      val d = dense(s, dir)
-      val types = d.select("event_type").distinct().collect().map(_.getString(0)).sorted
-      val pivoted = d.groupBy("ts").pivot("event_type", types).agg(first("value")).na.drop()
-      val assemble = udf { (rows: Seq[Seq[Double]]) =>
-        val obs = rows.map(_.toArray).toArray
-        val (c, a, fc) = Regressors.var1(obs)
-        types.indices.map(i => (types(i), c(i), fc(i), a(i).toSeq)).toSeq
-      }
-      val one = pivoted
-        .select(sort_array(collect_list(struct(col("ts") +: types.map(col): _*))).as("_rows"))
-        .select(explode(assemble(expr("transform(_rows, r -> array(" + types.map(t => s"r.`$t`").mkString(",") + "))"))).as("_r"))
-      one.select(
-        col("_r._1").as("event_type"), round(col("_r._2"), 6).as("intercept"),
-        round(col("_r._3"), 6).as("yhat_1"),
-        round(element_at(col("_r._4"), 1), 6).as("coef_1"))
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val lagged = Tables.hourlyEvents(s, dir)
+        .withColumn("y1", col("value"))
+        .withColumn("y2", col("n").cast("double"))
+        .withColumn("u", lag("y1", 1).over(w))
+        .withColumn("v", lag("y2", 1).over(w))
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_nn", count(lit(1)).over(wk))
+      val fit = lagged.where(col("u").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("double").as("s0"),
+          sum("u").as("su"), sum("v").as("sv"),
+          sum(col("u") * col("u")).as("suu"), sum(col("v") * col("v")).as("svv"),
+          sum(col("u") * col("v")).as("suv"),
+          sum("y1").as("sy1"), sum(col("y1") * col("u")).as("sy1u"), sum(col("y1") * col("v")).as("sy1v"),
+          sum("y2").as("sy2"), sum(col("y2") * col("u")).as("sy2u"), sum(col("y2") * col("v")).as("sy2v"),
+          max(when(col("_rn") === col("_nn"), col("y1"))).as("last1"),
+          max(when(col("_rn") === col("_nn"), col("y2"))).as("last2"))
+      def equation(varName: String, sy: String): DataFrame =
+        fit.select(col("event_type"), lit(varName).as("var"),
+          expr(VarSql.c(sy)).as("c"), expr(VarSql.a(sy)).as("a"), expr(VarSql.b(sy)).as("b"),
+          col("last1"), col("last2"))
+      equation("value", "sy1").unionByName(equation("n", "sy2"))
+        .select(col("event_type"), col("var"),
+          round(col("c"), 6).as("intercept"),
+          round(col("a"), 6).as("coef_value"),
+          round(col("b"), 6).as("coef_n"),
+          round(col("c") + col("a") * col("last1") + col("b") * col("last2"), 6).as("yhat_1"))
     })
   )
+
+  /** Cramer solutions for the VAR(1) normal equations — regression of a
+    * target y on (1, u, v) from the moment sums. One SQL-string source
+    * used verbatim by BOTH the Spark plan (expr) and the DuckDB oracle,
+    * so the engines' arithmetic is term-for-term identical.
+    * Convention: moment names syN, syNu, syNv for target N.
+    */
+  private[queries] object VarSql {
+    private val det = "(s0*(suu*svv - suv*suv) - su*(su*svv - suv*sv) + sv*(su*suv - suu*sv))"
+    def c(sy: String): String =
+      s"(($sy*(suu*svv - suv*suv) - su*(${sy}u*svv - suv*${sy}v) + sv*(${sy}u*suv - suu*${sy}v)) / $det)"
+    def a(sy: String): String =
+      s"((s0*(${sy}u*svv - suv*${sy}v) - $sy*(su*svv - suv*sv) + sv*(su*${sy}v - ${sy}u*sv)) / $det)"
+    def b(sy: String): String =
+      s"((s0*(suu*${sy}v - ${sy}u*suv) - su*(su*${sy}v - ${sy}u*sv) + $sy*(su*suv - suu*sv)) / $det)"
+    def equationSql(varName: String, sy: String): String =
+      s"SELECT event_type, '$varName' AS var, ${c(sy)} AS c, ${a(sy)} AS a, ${b(sy)} AS b, last1, last2 FROM fit"
+  }
 
   val sql: Map[String, String] = Map(
     "q_linear_trend" ->
@@ -333,6 +373,76 @@ object ModelQueries {
          |       THEN round((value - lag(value, 12) OVER w) / (lag(value, 12) OVER w), 6) END AS roc_12,
          |  round(value - lag(value, 12) OVER w, 6) AS mom_12,
          |  round(avg(value) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 11 PRECEDING AND CURRENT ROW), 6) AS ma_12
-         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin
+         |FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)""".stripMargin,
+
+    // SES level via the closed form of the recurrence:
+    // l_n = (1-α)^{n-1} x_1 + Σ_{i≥2} α(1-α)^{n-i} x_i
+    "q_ses" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM hourly)
+         |SELECT event_type,
+         |  round(sum(CASE WHEN rn = 1 THEN pow(1 - 0.3, n - 1) * value
+         |                 ELSE 0.3 * pow(1 - 0.3, n - rn) * value END), 6) AS level
+         |FROM ord GROUP BY 1""".stripMargin,
+
+    // Holt's recurrence replayed step-by-step as a recursive CTE
+    "q_holt" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |rec AS (
+         |  SELECT o1.event_type, 0 AS i, o1.value AS l, o2.value - o1.value AS b, o1.n
+         |  FROM ord o1 JOIN ord o2 ON o1.event_type = o2.event_type AND o2.rn = 2
+         |  WHERE o1.rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1,
+         |    0.3 * o.value + (1 - 0.3) * (r.l + r.b),
+         |    0.1 * (0.3 * o.value + (1 - 0.3) * (r.l + r.b) - r.l) + (1 - 0.1) * r.b,
+         |    r.n
+         |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.i + 2
+         |  WHERE r.i + 1 <= r.n - 1)
+         |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + b, 6) AS yhat_1, round(l + 24 * b, 6) AS yhat_24
+         |FROM rec WHERE i = n - 1""".stripMargin,
+
+    // theta(θ=2): OLS trend + closed-form SES(α=0.2) of Z_t = 2x_t - (a+b·t)
+    "q_theta" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |        (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1)::DOUBLE AS t,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |fit AS (SELECT event_type, regr_slope(value, t) AS b, regr_intercept(value, t) AS a, max(n) AS n
+         |        FROM ord GROUP BY 1),
+         |z AS (SELECT o.event_type, o.t + 1 AS rn, f.n, f.a, f.b,
+         |        2 * o.value - (f.a + f.b * o.t) AS z
+         |      FROM ord o JOIN fit f ON o.event_type = f.event_type),
+         |s AS (SELECT event_type, max(a) AS a, max(b) AS b, max(n) AS n,
+         |        sum(CASE WHEN rn = 1 THEN pow(1 - 0.2, n - 1) * z
+         |                 ELSE 0.2 * pow(1 - 0.2, n - rn) * z END) AS zf
+         |      FROM z GROUP BY 1)
+         |SELECT event_type, round(0.5 * (zf + a + b * (n - 1 + 1)), 6) AS yhat_1,
+         |  round(0.5 * (zf + a + b * (n - 1 + 24)), 6) AS yhat_24
+         |FROM s""".stripMargin,
+
+    "q_var" ->
+      s"""WITH hourly AS ($H),
+         |l AS (SELECT event_type, value AS y1, n::DOUBLE AS y2,
+         |        lag(value) OVER w AS u, lag(n::DOUBLE) OVER w AS v,
+         |        row_number() OVER w AS rn, count(*) OVER (PARTITION BY event_type) AS nn
+         |      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |fit AS (SELECT event_type, count(*)::DOUBLE AS s0, sum(u) AS su, sum(v) AS sv,
+         |          sum(u*u) AS suu, sum(v*v) AS svv, sum(u*v) AS suv,
+         |          sum(y1) AS sy1, sum(y1*u) AS sy1u, sum(y1*v) AS sy1v,
+         |          sum(y2) AS sy2, sum(y2*u) AS sy2u, sum(y2*v) AS sy2v,
+         |          max(CASE WHEN rn = nn THEN y1 END) AS last1,
+         |          max(CASE WHEN rn = nn THEN y2 END) AS last2
+         |        FROM l WHERE u IS NOT NULL GROUP BY 1),
+         |eqs AS (${VarSql.equationSql("value", "sy1")}
+         |        UNION ALL
+         |        ${VarSql.equationSql("n", "sy2")})
+         |SELECT event_type, var, round(c, 6) AS intercept, round(a, 6) AS coef_value,
+         |  round(b, 6) AS coef_n, round(c + a * last1 + b * last2, 6) AS yhat_1
+         |FROM eqs""".stripMargin
   )
 }

@@ -14,12 +14,17 @@ object TextFunctions {
   /** Space tokenization (the corpus is space-joined). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word k-shingles: "w1 w2 w3" strings (set semantics). */
+  /** Distinct word k-shingles: "w1 w2 w3" strings (set semantics).
+    * Documents shorter than k tokens emit NO shingles (they carry no
+    * k-gram signal) — the DuckDB oracle mirrors this guard exactly.
+    */
   def shingles(text: Column, k: Int = 3): Column = {
     val t = tokens(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - k, lit(0))),
-      i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+    when(size(t) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Portable 60-bit hash: first 15 hex chars of md5 as a long. */
