@@ -14,7 +14,8 @@ object SparkEntry {
     (FeatureQueries.defs, FeatureQueries.sql),
     (ModelQueries.defs, ModelQueries.sql),
     (LlmQueries.defs, LlmQueries.sql),
-    (ExtraQueries.defs, ExtraQueries.sql)
+    (ExtraQueries.defs, ExtraQueries.sql),
+    (AdvancedQueries.defs, AdvancedQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

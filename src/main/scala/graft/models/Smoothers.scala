@@ -59,6 +59,119 @@ object Smoothers {
     (l, b, s)
   }
 
+  /** One-step-ahead SSE of an SES run at the given α. */
+  def sesSse(xs: Array[Double], alpha: Double): Double = {
+    var l = xs(0)
+    var sse = 0.0
+    var i = 1
+    while (i < xs.length) {
+      val err = xs(i) - l
+      sse += err * err
+      l = alpha * xs(i) + (1 - alpha) * l
+      i += 1
+    }
+    sse
+  }
+
+  /** Fitted-α SES (kats/models/holtwinters.py optimizes params via MLE;
+    * here a deterministic grid over α ∈ {0.05..0.95 step 0.05} minimizing
+    * one-step-ahead SSE — engine-reproducible). Returns (α*, level, sse).
+    */
+  def sesOpt(xs: Array[Double]): (Double, Double, Double) = {
+    var bestA = 0.05; var bestSse = Double.MaxValue
+    var k = 1
+    while (k <= 19) {
+      val a = k * 5 / 100.0
+      val sse = sesSse(xs, a)
+      if (sse < bestSse) { bestSse = sse; bestA = a }
+      k += 1
+    }
+    (bestA, ses(xs, bestA), bestSse)
+  }
+
+  private def holtSse(xs: Array[Double], alpha: Double, beta: Double): Double = {
+    var l = xs(0)
+    var b = xs(1) - xs(0)
+    var sse = 0.0
+    var i = 1
+    while (i < xs.length) {
+      val err = xs(i) - (l + b)
+      sse += err * err
+      val lPrev = l
+      l = alpha * xs(i) + (1 - alpha) * (l + b)
+      b = beta * (l - lPrev) + (1 - beta) * b
+      i += 1
+    }
+    sse
+  }
+
+  /** Fitted-(α, β) Holt via the same deterministic grid (step 0.05).
+    * Returns (α*, β*, level, trend, sse).
+    */
+  def holtOpt(xs: Array[Double]): (Double, Double, Double, Double, Double) = {
+    var bestA = 0.05; var bestB = 0.05; var bestSse = Double.MaxValue
+    var i = 1
+    while (i <= 19) {
+      var j = 1
+      while (j <= 19) {
+        val sse = holtSse(xs, i * 5 / 100.0, j * 5 / 100.0)
+        if (sse < bestSse) { bestSse = sse; bestA = i * 5 / 100.0; bestB = j * 5 / 100.0 }
+        j += 1
+      }
+      i += 1
+    }
+    val (l, b) = holt(xs, bestA, bestB)
+    (bestA, bestB, l, b, bestSse)
+  }
+
+  /** One-step-ahead SSE of a Holt-Winters run at the given params. */
+  def hwSse(xs: Array[Double], m: Int, alpha: Double, beta: Double, gamma: Double): Double = {
+    val n = xs.length
+    val mean1 = xs.take(m).sum / m
+    val mean2 = xs.slice(m, 2 * m).sum / m
+    var l = mean1
+    var b = (mean2 - mean1) / m
+    val s = Array.tabulate(m)(i => xs(i) - (mean1 + (i - (m - 1) / 2.0) * b))
+    var sse = 0.0
+    var t = m
+    while (t < n) {
+      val si = t % m
+      val err = xs(t) - (l + b + s(si))
+      sse += err * err
+      val lPrev = l
+      l = alpha * (xs(t) - s(si)) + (1 - alpha) * (l + b)
+      b = beta * (l - lPrev) + (1 - beta) * b
+      s(si) = gamma * (xs(t) - l) + (1 - gamma) * s(si)
+      t += 1
+    }
+    sse
+  }
+
+  /** Fitted-(α, β, γ) additive Holt-Winters via a coarse deterministic
+    * grid (step 0.1 each — 729 O(n) scans per series). Returns
+    * (α*, β*, γ*, level, trend, seasonals, sse).
+    */
+  def holtWintersOpt(xs: Array[Double], m: Int)
+      : (Double, Double, Double, Double, Double, Array[Double], Double) = {
+    var bestA = 0.1; var bestB = 0.1; var bestG = 0.1; var bestSse = Double.MaxValue
+    var i = 1
+    while (i <= 9) {
+      var j = 1
+      while (j <= 9) {
+        var k = 1
+        while (k <= 9) {
+          val sse = hwSse(xs, m, i / 10.0, j / 10.0, k / 10.0)
+          if (sse < bestSse) { bestSse = sse; bestA = i / 10.0; bestB = j / 10.0; bestG = k / 10.0 }
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val (l, b, s) = holtWinters(xs, m, bestA, bestB, bestG)
+    (bestA, bestB, bestG, l, b, s, bestSse)
+  }
+
   /** Theta method (θ=2; kats/models/theta.py re-derived): decompose into
     * the linear-trend theta-0 line and the double-curvature theta-2 line
     * Z_t = 2x_t - (a + b·t); combine SES(Z) with the extrapolated trend.

@@ -74,10 +74,82 @@ object DetectorQueries {
         .select(col("event_type"), epochS("ts"), col("value"), col("cp_prob"))),
 
     "q_seasonality_fft" -> ((s, dir) =>
-      FftSeasonality.detect(dense(s, dir), S))
+      FftSeasonality.detect(dense(s, dir), S)),
+
+    // kats cusum_detection.py semantics: iterative refinement + LLR gate,
+    // one row per (series, direction); fully oracle-replayed (10 unrolled
+    // refinement iterations in SQL)
+    "q_cusum_v2" -> ((s, dir) => {
+      def side(inc: Boolean) =
+        SeriesOps.aggSeries(hourly(s, dir), S,
+          Seq("cp_idx", "mu0", "mu1", "delta", "llr", "p_value", "stable", "detected")) { xs =>
+          CusumV2.detect(xs, increase = inc)
+        }.withColumn("direction", lit(if (inc) "increase" else "decrease"))
+      side(true).unionByName(side(false))
+    })
   )
 
+  /** 10 unrolled refinement iterations of the kats CUSUM update, shared
+    * between nothing else — generated to keep the SQL honest rather than
+    * hand-transcribed.
+    */
+  private val cusumV2Sql: String = {
+    val iters = (1 to CusumV2.MaxIter).map { k =>
+      s"""mu$k AS (SELECT o.event_type, c.direction, c.sgn, max(c.cp) AS prev_cp,
+         |  avg(CASE WHEN o.rn - 1 <= c.cp THEN o.value END) AS m0,
+         |  avg(CASE WHEN o.rn - 1 > c.cp THEN o.value END) AS m1
+         |  FROM ord o JOIN cp${k - 1} c ON o.event_type = c.event_type GROUP BY 1, 2, 3),
+         |cs$k AS (SELECT o.event_type, m.direction, m.sgn, m.prev_cp, o.rn, o.n,
+         |  sum(o.value - (m.m0 + m.m1) / 2) OVER (PARTITION BY o.event_type, m.direction ORDER BY o.rn) AS cs
+         |  FROM ord o JOIN mu$k m ON o.event_type = m.event_type),
+         |cp$k AS (SELECT event_type, direction, sgn, prev_cp, greatest(1, least(pick, n - 2)) AS cp FROM (
+         |  SELECT event_type, direction, sgn, prev_cp, rn - 1 AS pick, n,
+         |    row_number() OVER (PARTITION BY event_type, direction ORDER BY sgn * cs DESC, rn) AS rk
+         |  FROM cs$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hourly AS ($H),
+       |ord AS (SELECT event_type, value, row_number() OVER w AS rn,
+       |  count(*) OVER (PARTITION BY event_type) AS n,
+       |  avg(value) OVER (PARTITION BY event_type) AS mu
+       |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+       |dirs AS (SELECT * FROM (VALUES ('increase', -1.0), ('decrease', 1.0)) t(direction, sgn)),
+       |cs0 AS (SELECT o.event_type, d.direction, d.sgn, o.rn, o.n,
+       |  sum(o.value - o.mu) OVER (PARTITION BY o.event_type, d.direction ORDER BY o.rn) AS cs
+       |  FROM ord o CROSS JOIN dirs d),
+       |cp0 AS (SELECT event_type, direction, sgn, least(pick, n - 2) AS cp, -1 AS prev_cp FROM (
+       |  SELECT event_type, direction, sgn, rn - 1 AS pick, n,
+       |    row_number() OVER (PARTITION BY event_type, direction ORDER BY sgn * cs DESC, rn) AS rk
+       |  FROM cs0) WHERE rk = 1),
+       |$iters,
+       |seg AS (SELECT o.event_type, c.direction, max(c.cp) AS cp,
+       |  max(CASE WHEN c.cp = c.prev_cp THEN 1.0 ELSE 0.0 END) AS stable, max(o.n) AS n,
+       |  avg(CASE WHEN o.rn - 1 <= c.cp THEN o.value END) AS mu0,
+       |  avg(CASE WHEN o.rn - 1 > c.cp THEN o.value END) AS mu1
+       |  FROM ord o JOIN cp${CusumV2.MaxIter} c ON o.event_type = c.event_type GROUP BY 1, 2),
+       |ss AS (SELECT o.event_type, f.direction, max(f.cp) AS cp, max(f.stable) AS stable, max(f.n) AS n,
+       |  max(f.mu0) AS mu0, max(f.mu1) AS mu1,
+       |  sum(CASE WHEN o.rn - 1 <= f.cp THEN (o.value - f.mu0) * (o.value - f.mu0)
+       |           ELSE (o.value - f.mu1) * (o.value - f.mu1) END) AS ssseg,
+       |  sum((o.value - o.mu) * (o.value - o.mu)) AS sst
+       |  FROM ord o JOIN seg f ON o.event_type = f.event_type GROUP BY 1, 2),
+       |fin AS (SELECT *,
+       |  CASE WHEN sqrt(ssseg / (n - 2)) = 0 THEN sqrt(sst / n) * 0.01 ELSE sqrt(ssseg / (n - 2)) END AS scale,
+       |  sqrt(sst / n) AS sigma_tilde
+       |  FROM ss),
+       |llr AS (SELECT *,
+       |  -2 * (n * ln(scale / sigma_tilde) + 0.5 * (ssseg / (scale * scale) - sst / (sigma_tilde * sigma_tilde))) AS llr_v
+       |  FROM fin)
+       |SELECT event_type, direction, round(cp::DOUBLE, 6) AS cp_idx,
+       |  round(mu0, 6) AS mu0, round(mu1, 6) AS mu1, round(mu1 - mu0, 6) AS delta,
+       |  round(llr_v, 6) AS llr, round(least(exp(-llr_v / 2), 1.0), 6) AS p_value,
+       |  round(stable, 6) AS stable,
+       |  round(CASE WHEN llr_v > ${CusumV2.LlrThreshold} THEN 1.0 ELSE 0.0 END, 6) AS detected
+       |FROM llr""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_cusum_v2" -> cusumV2Sql,
+
     "q_decompose_additive" ->
       s"""WITH hourly AS ($H),
          |${Decompose.additiveSql}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import graft.models.{Regressors, Smoothers}
+import graft.models.{Arima, Regressors, Smoothers}
 import graft.operators.Decompose
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -243,6 +243,73 @@ object ModelQueries {
         Array(fc(0), fc(11), fc(23))
       }),
 
+    // ARIMA(2,1,1) via Hannan-Rissanen (kats/models/arima.py) — the
+    // most-reached-for Kats model, now with an actual (deterministic) fit
+    "q_arima" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S,
+        Seq("c", "phi1", "phi2", "theta1", "sigma2", "yhat_1", "yhat_24")) { xs =>
+        val f = Arima.fit(xs, p = 2, d = 1, q = 1)
+        val fc = Arima.forecast(xs, p = 2, d = 1, q = 1, h = 24)
+        Array(f.c, f.phi(0), f.phi(1), f.theta(0), f.sigma2, fc(0), fc(23))
+      }),
+
+    // fitted-parameter smoothing (kats holtwinters.py optimizes α/β/γ;
+    // deterministic SSE-grid here) — also the source of the tsfeatures
+    // get_holt_params / get_hw_params features
+    "q_holt_params" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S,
+        Seq("ses_alpha", "ses_level", "holt_alpha", "holt_beta", "holt_level", "holt_trend")) { xs =>
+        val (sa, sl, _) = Smoothers.sesOpt(xs)
+        val (ha, hb, hl, ht, _) = Smoothers.holtOpt(xs)
+        Array(sa, sl, ha, hb, hl, ht)
+      }),
+
+    "q_holtwinters_opt" -> ((s, dir) =>
+      SeriesOps.aggSeries(dense(s, dir), S,
+        Seq("alpha", "beta", "gamma", "level", "trend", "yhat_1", "yhat_24")) { xs =>
+        val m = 24
+        val (a, b, g, l, tr, seas, _) = Smoothers.holtWintersOpt(xs, m)
+        val n = xs.length
+        def f(h: Int) = l + h * tr + seas((n + h - 1) % m)
+        Array(a, b, g, l, tr, f(1), f(24))
+      }),
+
+    /** Backtester-weighted ensemble (kats/models/ensemble/weighted): the
+      * three closed-form forecasters weighted by inverse in-sample RMSE.
+      * Every piece is the oracle-proven fit, so the whole is oracle-green.
+      */
+    "q_ensemble_weighted" -> ((s, dir) => {
+      val h = hourly(s, dir)
+      val tb = h.withColumn("_t", (row_number().over(S.orderedWindow) - 1).cast("double"))
+      val linR = tb.join(broadcast(linearFit(h)), "event_type")
+        .groupBy("event_type")
+        .agg(sqrt(avg(pow(col("value") - (col("a") + col("b") * col("_t")), 2))).as("rmse_lin"),
+          max(col("a") + col("b") * (col("n") - 1 + 24)).as("f_lin"))
+      val ub = h.withColumn("_rn", row_number().over(S.orderedWindow))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("_u", col("_rn") - 1 - (col("_n") - 1) / 2.0)
+      val quadR = ub.join(broadcast(quadraticFit(h).select("event_type", "qa", "qb", "qc", "s0")), "event_type")
+        .groupBy("event_type")
+        .agg(sqrt(avg(pow(col("value") - (col("qa") + col("qb") * col("_u") + col("qc") * col("_u") * col("_u")), 2))).as("rmse_quad"),
+          max(col("qa") + col("qb") * ((col("s0") - 1) / 2.0 + 24) + col("qc") * pow((col("s0") - 1) / 2.0 + 24, 2)).as("f_quad"))
+      val dstl = Decompose.additive(h, S)
+        .withColumn("_deseason", col("value") - col("seasonal"))
+        .withColumn("_t", (row_number().over(S.orderedWindow) - 1).cast("double"))
+      val stlfR = dstl.join(broadcast(stlfFit(h).select("event_type", "a", "b", "f24")), "event_type")
+        .groupBy("event_type")
+        .agg(sqrt(avg(pow(col("_deseason") - (col("a") + col("b") * col("_t")), 2))).as("rmse_stlf"),
+          max("f24").as("f_stlf"))
+      linR.join(quadR, "event_type").join(stlfR, "event_type")
+        .withColumn("iw", lit(1.0) / col("rmse_lin") + lit(1.0) / col("rmse_quad") + lit(1.0) / col("rmse_stlf"))
+        .withColumn("w_lin", (lit(1.0) / col("rmse_lin")) / col("iw"))
+        .withColumn("w_quad", (lit(1.0) / col("rmse_quad")) / col("iw"))
+        .withColumn("w_stlf", (lit(1.0) / col("rmse_stlf")) / col("iw"))
+        .select(col("event_type"),
+          round(col("w_lin"), 6).as("w_lin"), round(col("w_quad"), 6).as("w_quad"),
+          round(col("w_stlf"), 6).as("w_stlf"),
+          round(col("w_lin") * col("f_lin") + col("w_quad") * col("f_quad") + col("w_stlf") * col("f_stlf"), 6).as("f_weighted"))
+    }),
+
     /** Keyed multivariate VAR(1): per event_type, the 2-dim series
       * (value, n) regressed on its own lag via closed-form 3×3 normal
       * equations — a pure keyed aggregate plan (one shuffle, partial
@@ -424,6 +491,37 @@ object ModelQueries {
          |SELECT event_type, round(0.5 * (zf + a + b * (n - 1 + 1)), 6) AS yhat_1,
          |  round(0.5 * (zf + a + b * (n - 1 + 24)), 6) AS yhat_24
          |FROM s""".stripMargin,
+
+    "q_ensemble_weighted" ->
+      s"""WITH hourly AS ($H),
+         |$linearSqlCte,
+         |$quadSqlCte,
+         |$stlfSqlCte,
+         |tb AS (SELECT event_type, value, (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1)::DOUBLE AS t FROM hourly),
+         |linr AS (SELECT tb.event_type, sqrt(avg((tb.value - (lin.a + lin.b * tb.t))^2)) AS rmse_lin,
+         |           max(lin.a + lin.b * (lin.n - 1 + 24)) AS f_lin
+         |         FROM tb JOIN lin ON tb.event_type = lin.event_type GROUP BY 1),
+         |ub AS (SELECT event_type, value,
+         |         (row_number() OVER (PARTITION BY event_type ORDER BY ts)) - 1 - (count(*) OVER (PARTITION BY event_type) - 1) / 2.0 AS u
+         |       FROM hourly),
+         |quadr AS (SELECT ub.event_type,
+         |            sqrt(avg((ub.value - (quad.qa + quad.qb * ub.u + quad.qc * ub.u * ub.u))^2)) AS rmse_quad,
+         |            max(quad.qa + quad.qb * ((quad.s0 - 1) / 2.0 + 24) + quad.qc * ((quad.s0 - 1) / 2.0 + 24)^2) AS f_quad
+         |          FROM ub JOIN quad ON ub.event_type = quad.event_type GROUP BY 1),
+         |stlfr AS (SELECT ds.event_type,
+         |            sqrt(avg((ds.deseason - (sfit.a + sfit.b * ds.t))^2)) AS rmse_stlf,
+         |            max(stlf.f24) AS f_stlf
+         |          FROM ds JOIN sfit ON ds.event_type = sfit.event_type
+         |          JOIN stlf ON ds.event_type = stlf.event_type GROUP BY 1),
+         |j AS (SELECT l.event_type, l.rmse_lin, l.f_lin, q.rmse_quad, q.f_quad, s.rmse_stlf, s.f_stlf,
+         |        1.0 / l.rmse_lin + 1.0 / q.rmse_quad + 1.0 / s.rmse_stlf AS iw
+         |      FROM linr l JOIN quadr q ON l.event_type = q.event_type JOIN stlfr s ON l.event_type = s.event_type)
+         |SELECT event_type,
+         |  round((1.0 / rmse_lin) / iw, 6) AS w_lin,
+         |  round((1.0 / rmse_quad) / iw, 6) AS w_quad,
+         |  round((1.0 / rmse_stlf) / iw, 6) AS w_stlf,
+         |  round(((1.0 / rmse_lin) / iw) * f_lin + ((1.0 / rmse_quad) / iw) * f_quad + ((1.0 / rmse_stlf) / iw) * f_stlf, 6) AS f_weighted
+         |FROM j""".stripMargin,
 
     "q_var" ->
       s"""WITH hourly AS ($H),
