@@ -76,6 +76,19 @@ object DetectorQueries {
     "q_seasonality_fft" -> ((s, dir) =>
       FftSeasonality.detect(dense(s, dir), S)),
 
+    // BOCPD model family beyond Normal-mean: Bayesian-linear-regression
+    // run model (trend changes) and Gamma-Poisson run model (count rates)
+    "q_bocpd_trend" -> ((s, dir) =>
+      Bocpd.detectTrend(dense(s, dir), S, hazard = 0.01, topK = 3)
+        .select(col("event_type"), epochS("ts"), col("value"), col("cp_prob"))),
+
+    "q_bocpd_poisson" -> ((s, dir) =>
+      Bocpd.detectPoisson(
+        Tables.hourlyEvents(s, dir).drop("value").withColumnRenamed("n", "value")
+          .withColumn("value", col("value").cast("double")),
+        S, hazard = 0.01, topK = 3)
+        .select(col("event_type"), epochS("ts"), col("value").as("count"), col("cp_prob"))),
+
     // kats cusum_detection.py semantics: iterative refinement + LLR gate,
     // one row per (series, direction); fully oracle-replayed (10 unrolled
     // refinement iterations in SQL)

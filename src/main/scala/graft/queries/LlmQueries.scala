@@ -147,6 +147,11 @@ object LlmQueries {
       Ann.knnIvf(e, e.where(col("vec_id") % 50 === 0), cell = "label", k = 3, nprobe = 2)
     }),
 
+    // learned IVF cells: deterministic distributed Lloyd (k=8, 3 rounds),
+    // oracle replays the full clustering
+    "q_kmeans" -> ((s, dir) =>
+      graft.ann.KMeansDet.summary(embs(s, dir), k = 8, iters = 3)),
+
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.withPayload(docs(s, dir)))
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("magic"),
@@ -306,6 +311,30 @@ object LlmQueries {
          |  FROM chosen JOIN embeddings c ON c.label = chosen.label AND c.vec_id <> probe_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
          |SELECT probe_id, label, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 3""".stripMargin,
+
+    "q_kmeans" -> {
+      def d2Sql(v: String, c: String) =
+        s"list_sum(list_transform(list_zip($v::DOUBLE[], $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+      def assignSql(i: Int) =
+        s"""as$i AS (SELECT vec_id, embedding, cell, d2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk FROM (
+           |    SELECT e.vec_id, e.embedding, c.cell, ${d2Sql("e.embedding", "c.centroid")} AS d2
+           |    FROM embeddings e CROSS JOIN cents$i c))
+           |  WHERE rk = 1)""".stripMargin
+      def updateSql(i: Int) =
+        s"""cents${i + 1} AS (
+           |  SELECT cell, list(cx ORDER BY dim) AS centroid FROM (
+           |    SELECT cell, dim, avg(x) AS cx FROM (
+           |      SELECT a.cell, generate_subscripts(a.embedding, 1) - 1 AS dim, unnest(a.embedding)::DOUBLE AS x
+           |      FROM as$i a)
+           |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+      val rounds = (0 until 3).map(i => s"${assignSql(i)},\n${updateSql(i)}").mkString(",\n")
+      s"""WITH cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS centroid
+         |                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |$rounds,
+         |${assignSql(3)}
+         |SELECT cell, count(*) AS n_members, round(sum(d2), 6) AS inertia FROM as3 GROUP BY 1""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,

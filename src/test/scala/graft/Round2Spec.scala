@@ -83,6 +83,22 @@ class Round2Spec extends AnyFunSuite {
     assert(sseOpt <= Smoothers.hwSse(xs, m, 0.3, 0.1, 0.1) + 1e-9)
   }
 
+  test("BOCPD trend model spikes at a slope change") {
+    val xs = Simulator.trendShift(n = 300, cpAt = 150, slope1 = 0.0, slope2 = 1.5, noise = 0.5, seed = 17)
+    val probs = graft.detectors.Bocpd.changeProbTrend(xs, hazard = 0.01)
+    val best = probs.indices.maxBy(probs)
+    assert(math.abs(best - 150) <= 15, s"argmax at $best, expected near 150")
+    assert(probs(best) > 0.5, s"peak prob ${probs(best)}")
+  }
+
+  test("BOCPD Poisson model spikes at a rate change") {
+    val counts = Array.tabulate(300)(t => if (t < 150) 5.0 + (t % 3) else 22.0 + (t % 4))
+    val probs = graft.detectors.Bocpd.changeProbPoisson(counts, hazard = 0.01)
+    val best = probs.indices.maxBy(probs)
+    assert(math.abs(best - 150) <= 10, s"argmax at $best, expected near 150")
+    assert(probs(best) > 0.5, s"peak prob ${probs(best)}")
+  }
+
   test("holtOpt returns parameters on the grid") {
     val xs = Array.tabulate(300)(t => 3.0 + 0.1 * t + math.sin(t * 0.3))
     val (a, b, l, tr, sse) = Smoothers.holtOpt(xs)
