@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.EwmaArray
+import graft.expressions.{CosineSim, EwmaArray}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -36,7 +36,10 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("ewma_array",
       new ExpressionInfo(classOf[EwmaArray].getName, "ewma_array"),
-      (exprs: Seq[Expression]) => EwmaArray(exprs.head, toDouble(exprs(1)))))
+      (exprs: Seq[Expression]) => EwmaArray(exprs.head, toDouble(exprs(1)))),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
 
   /** Register all graft functions on an already-built session. */
   def registerOn(spark: SparkSession): Unit =

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *    in general), probe the nearest cells only.
   *
   * Dot products run in double precision: the native zip_with/aggregate
-  * form for one-shot compares, a tight allocation-free UDF (identical
-  * arithmetic) on pair-heavy paths where the higher-order functions'
-  * per-pair array allocation dominates.
+  * form for one-shot compares, the codegen'd [[graft.expressions.CosineSim]]
+  * expression (identical arithmetic) on pair-heavy paths where the
+  * higher-order functions' per-pair array allocation dominates.
   */
 object Ann {
 
@@ -32,22 +32,12 @@ object Ann {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Same arithmetic as [[cosine]] (left-to-right double accumulation) as
-    * a tight while-loop UDF. On pair-heavy paths (all-pairs near-dup,
-    * top-k scans) this is ~20× faster than the zip_with/aggregate form,
-    * which allocates an intermediate array per pair — here the inner loop
-    * is allocation-free. Results are bit-identical to the native form.
+    * the native codegen'd [[graft.expressions.CosineSim]] expression: no
+    * UDF boxing, no per-pair allocation — on pair-heavy paths (all-pairs
+    * near-dup, LSH verification, top-k scans) the boxing otherwise
+    * dominates the arithmetic. Results are bit-identical to [[cosine]].
     */
-  val cosineFast = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var d = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      d += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    d / (math.sqrt(na) * math.sqrt(nb))
-  }
+  def cosineFast(a: Column, b: Column): Column = graft.expressions.cosine_sim(a, b)
 
   /** Exact all-pairs cosine near-duplicates above a threshold, fully
     * distributed — NO driver collect, NO broadcast of the corpus.
@@ -108,16 +98,17 @@ object Ann {
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
     val banded = v.select(col(id), col(vec), explode(array(bandCols: _*)).as("bd"))
-      .select(col(id), col("bd.band"), col("bd.bucket"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
+      .select(col(id), col(vec), col("bd.band"), col("bd.bucket"))
+    // verify-then-dedup: the codegen'd cosine is cheaper than shuffling
+    // the full candidate multiset through a distinct — a pair colliding in
+    // several bands is verified once per collision, but only the tiny
+    // ≥-threshold survivor set reaches the dedup shuffle.
+    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
       .where(col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("i"), col(s"b.$id").as("j")).distinct()
-    cand
-      .join(v.select(col(id).as("i"), col(vec).as("va")), "i")
-      .join(v.select(col(id).as("j"), col(vec).as("vb")), "j")
-      .withColumn("_cos", cosineFast(col("va"), col("vb")))
+      .withColumn("_cos", cosineFast(col(s"a.$vec"), col(s"b.$vec")))
       .where(col("_cos") >= threshold)
-      .select(col("i"), col("j"), round(col("_cos"), 6).as("cos"))
+      .select(col(s"a.$id").as("i"), col(s"b.$id").as("j"), round(col("_cos"), 6).as("cos"))
+      .distinct()
   }
 
   /** Exact top-k cosine neighbors of each probe row. The probe side is

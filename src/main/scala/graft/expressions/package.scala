@@ -24,4 +24,12 @@ package object expressions {
     ensureRegistered(SparkSession.active)
     call_function("ewma_array", xs, lit(alpha))
   }
+
+  /** Allocation-free cosine similarity of two float vectors (see
+    * [[CosineSim]]); the pair-heavy ANN/dedup hot path.
+    */
+  def cosine_sim(a: Column, b: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("cosine_sim", a, b)
+  }
 }

@@ -99,31 +99,29 @@ object LlmQueries {
 
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(docs(s, dir))
-      val w = Window.orderBy(col("jaccard").desc, col("i"), col("j"))
-      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 20)
-        .select(col("i"), col("j"), col("common"), col("ni"), col("nj"), col("jaccard"))
-    }),
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      // top-20 via orderBy+limit → TakeOrderedAndProject (distributed
+      // per-partition top-k + tiny driver merge), NOT a single-partition
+      // global window sort of every candidate pair
+      Dedup.ngramJaccardPairs(docs(s, dir))
+        .orderBy(col("jaccard").desc, col("i"), col("j")).limit(20)
+        .select(col("i"), col("j"), col("common"), col("ni"), col("nj"), col("jaccard"))),
 
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), NumPerms)
         .select((col("doc_id") +: (0 until 8).map(i => col(s"mh$i"))): _*)),
 
-    "q_dedup_minhash_pairs" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairs(docs(s, dir), NumPerms, Bands)
-      // rank so the output is stable even if no pair clears a threshold
-      val w = Window.orderBy(col("est_jaccard").desc, col("i"), col("j"))
-      pairs.withColumn("rk", row_number().over(w)).where(col("rk") <= 20).drop("rk")
-    }),
+    "q_dedup_minhash_pairs" -> ((s, dir) =>
+      // ranked (not thresholded) so the output is stable even if no pair
+      // clears a similarity bar; distributed top-k, no global window
+      Dedup.minhashLshPairs(docs(s, dir), NumPerms, Bands)
+        .orderBy(col("est_jaccard").desc, col("i"), col("j")).limit(20)),
 
-    "q_dedup_simhash" -> ((s, dir) => {
+    "q_dedup_simhash" -> ((s, dir) =>
       // maxHamming = 3 is the 4×16-bit chunk blocking's recall guarantee
       // (pigeonhole) — pairs beyond it are not promised, so don't emit them
-      val near = Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
-      val w = Window.orderBy(col("hamming"), col("i"), col("j"))
-      near.withColumn("rk", row_number().over(w)).where(col("rk") <= 20).drop("rk")
-    }),
+      Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+        .orderBy(col("hamming"), col("i"), col("j")).limit(20)),
 
     "q_neardup_cosine" -> ((s, dir) =>
       Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
