@@ -163,6 +163,141 @@ object DetectorQueries {
   val sql: Map[String, String] = Map(
     "q_cusum_v2" -> cusumV2Sql,
 
+    // full BOCPD replay: the run-length posterior (prob/mu/var vectors)
+    // is carried as lists through a recursive CTE, one step per point —
+    // the lagged change-prob output and top-3 ranking match the kernel
+    "q_bocpd" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |$DenseSql,
+         |ord AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |stats AS (SELECT event_type, avg(value) AS mu, greatest(var_samp(value), 1e-12) AS v0 FROM dense GROUP BY 1),
+         |dfs AS (SELECT event_type, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS d FROM dense),
+         |sg AS (SELECT event_type,
+         |         greatest((count(*) * var_pop(d)) / (2.0 * greatest(count(*) - 1, 1)), 1e-12) AS sigma2
+         |       FROM dfs WHERE d IS NOT NULL GROUP BY 1),
+         |rec AS (
+         |  SELECT o.event_type, 0 AS t, [1.0::DOUBLE] AS prob,
+         |    [st.mu + (o.value - st.mu) * (st.v0 / (st.v0 + sg.sigma2))] AS mu,
+         |    [1.0 / (1.0 / st.v0 + 1.0 / sg.sigma2)] AS v,
+         |    []::DOUBLE[] AS outl, o.n, st.mu AS mu0, st.v0 AS v0, sg.sigma2 AS sigma2
+         |  FROM ord o JOIN stats st ON o.event_type = st.event_type
+         |  JOIN sg ON o.event_type = sg.event_type WHERE o.t = 0
+         |  UNION ALL
+         |  SELECT event_type, t, nprob, nmu, nv,
+         |    CASE WHEN t >= 10 THEN outl || [nprob[11]] ELSE outl END,
+         |    n, mu0, v0, sigma2
+         |  FROM (
+         |    SELECT event_type, t, outl, n, mu0, v0, sigma2,
+         |      list_concat([cp / total], list_transform(growth, g -> g / total)) AS nprob,
+         |      list_concat([g0 * (mu0 / v0 + x / sigma2)],
+         |        list_transform(mu, (m, i) -> gs[i] * (m / v[i] + x / sigma2))) AS nmu,
+         |      list_concat([g0], gs) AS nv
+         |    FROM (
+         |      SELECT event_type, t, mu, v, outl, n, mu0, v0, sigma2, x, gs, g0, growth,
+         |        list_sum(joint) * 0.01 AS cp,
+         |        CASE WHEN (list_sum(joint) * 0.01 + list_sum(growth)) <= 0
+         |                  OR isnan(list_sum(joint) * 0.01 + list_sum(growth))
+         |             THEN 1e-300 ELSE list_sum(joint) * 0.01 + list_sum(growth) END AS total
+         |      FROM (
+         |        SELECT event_type, t, mu, v, outl, n, mu0, v0, sigma2, x, gs, g0, joint,
+         |          list_transform(joint, jv -> jv * (1 - 0.01)) AS growth
+         |        FROM (
+         |          SELECT r.event_type, r.t + 1 AS t, r.mu, r.v, r.outl, r.n, r.mu0, r.v0, r.sigma2,
+         |            o.value AS x,
+         |            list_transform(r.v, vv -> 1.0 / (1.0 / vv + 1.0 / r.sigma2)) AS gs,
+         |            1.0 / (1.0 / r.v0 + 1.0 / r.sigma2) AS g0,
+         |            list_transform(r.prob, (p, i) ->
+         |              p * exp(-0.5 * (o.value - r.mu[i]) * (o.value - r.mu[i]) / (r.v[i] + r.sigma2))
+         |                / sqrt(2 * pi() * (r.v[i] + r.sigma2))) AS joint
+         |          FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+         |          WHERE r.t + 1 <= r.n - 1))))),
+         |fin AS (SELECT event_type, outl FROM rec WHERE t = n - 1),
+         |probs AS (SELECT o.event_type, o.ts, o.value,
+         |            CASE WHEN o.t = 0 THEN 0.0
+         |                 WHEN o.t + 1 <= len(f.outl) THEN round(f.outl[o.t + 1], 6)
+         |                 ELSE 0.0 END AS cp_prob, o.t
+         |          FROM fin f JOIN ord o ON f.event_type = o.event_type)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, cp_prob
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cp_prob DESC, t) AS rk FROM probs)
+         |WHERE rk <= 3""".stripMargin,
+
+    // Gamma-Poisson BOCPD replay: run-length (prob, α, β) lists through
+    // the recursive CTE; negative-binomial predictive via lgamma
+    "q_bocpd_poisson" ->
+      s"""WITH RECURSIVE hourly0 AS (SELECT event_type, date_trunc('hour', ts) AS ts, count(*)::DOUBLE AS value
+         |  FROM events GROUP BY 1, 2),
+         |ord AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM hourly0),
+         |stats AS (SELECT event_type, greatest(avg(value), 1e-3) AS rate FROM hourly0 GROUP BY 1),
+         |rec AS (
+         |  SELECT o.event_type, 0 AS t, [1.0::DOUBLE] AS prob,
+         |    [st.rate + o.value] AS aa, [2.0::DOUBLE] AS bb,
+         |    []::DOUBLE[] AS outl, o.n, st.rate AS alpha0
+         |  FROM ord o JOIN stats st ON o.event_type = st.event_type WHERE o.t = 0
+         |  UNION ALL
+         |  SELECT event_type, t, nprob, naa, nbb,
+         |    CASE WHEN t >= 10 THEN outl || [nprob[11]] ELSE outl END,
+         |    n, alpha0
+         |  FROM (
+         |    SELECT event_type, t, outl, n, alpha0,
+         |      list_concat([cp / total], list_transform(growth, g -> g / total)) AS nprob,
+         |      list_concat([alpha0 + x], list_transform(aa, av -> av + x)) AS naa,
+         |      list_concat([2.0::DOUBLE], list_transform(bb, bv -> bv + 1.0)) AS nbb
+         |    FROM (
+         |      SELECT event_type, t, aa, bb, outl, n, alpha0, x, growth,
+         |        list_sum(joint) * 0.01 AS cp,
+         |        CASE WHEN (list_sum(joint) * 0.01 + list_sum(growth)) <= 0
+         |                  OR isnan(list_sum(joint) * 0.01 + list_sum(growth))
+         |             THEN 1e-300 ELSE list_sum(joint) * 0.01 + list_sum(growth) END AS total
+         |      FROM (
+         |        SELECT event_type, t, aa, bb, outl, n, alpha0, x, joint,
+         |          list_transform(joint, jv -> jv * (1 - 0.01)) AS growth
+         |        FROM (
+         |          SELECT r.event_type, r.t + 1 AS t, r.aa, r.bb, r.outl, r.n, r.alpha0,
+         |            greatest(round(o.value), 0.0) AS x,
+         |            list_transform(r.prob, (p, i) ->
+         |              p * exp(lgamma(greatest(round(o.value), 0.0) + r.aa[i]) - lgamma(r.aa[i])
+         |                      - lgamma(greatest(round(o.value), 0.0) + 1.0)
+         |                      + r.aa[i] * ln(r.bb[i] / (r.bb[i] + 1.0))
+         |                      + greatest(round(o.value), 0.0) * ln(1.0 / (r.bb[i] + 1.0)))) AS joint
+         |          FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+         |          WHERE r.t + 1 <= r.n - 1))))),
+         |fin AS (SELECT event_type, outl FROM rec WHERE t = n - 1),
+         |probs AS (SELECT o.event_type, o.ts, o.value,
+         |            CASE WHEN o.t = 0 THEN 0.0
+         |                 WHEN o.t + 1 <= len(f.outl) THEN round(f.outl[o.t + 1], 6)
+         |                 ELSE 0.0 END AS cp_prob, o.t
+         |          FROM fin f JOIN ord o ON f.event_type = o.event_type)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value AS count, cp_prob
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cp_prob DESC, t) AS rk FROM probs)
+         |WHERE rk <= 3""".stripMargin,
+
+    // explicit DFT replay: per series, power at Fourier freqs k=1..n/2,
+    // dominant period + its share of total power
+    "q_seasonality_fft" ->
+      s"""WITH hourly AS ($H),
+         |$DenseSql,
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n,
+         |  avg(value) OVER (PARTITION BY event_type) AS mu
+         |  FROM dense),
+         |ks AS (SELECT DISTINCT event_type, unnest(range(1, n // 2 + 1)) AS k FROM ord),
+         |sp AS (SELECT o.event_type, ks.k, max(o.n) AS n,
+         |         sum((o.value - o.mu) * cos((2 * pi() * ks.k / o.n) * o.t)) AS re,
+         |         sum((o.value - o.mu) * sin((2 * pi() * ks.k / o.n) * o.t)) AS im
+         |       FROM ord o JOIN ks ON o.event_type = ks.event_type GROUP BY 1, 2),
+         |p AS (SELECT event_type, k, n, (re * re + im * im) / n AS p FROM sp),
+         |tot AS (SELECT event_type, sum(p) AS total FROM p GROUP BY 1),
+         |best AS (SELECT event_type, k, n, p,
+         |           row_number() OVER (PARTITION BY event_type ORDER BY p DESC, k) AS rk FROM p)
+         |SELECT b.event_type, round(b.n::DOUBLE / b.k, 6) AS period,
+         |  round(CASE WHEN t.total > 0 THEN b.p / t.total ELSE 0.0 END, 6) AS power_share
+         |FROM best b JOIN tot t ON b.event_type = t.event_type WHERE b.rk = 1""".stripMargin,
+
     "q_decompose_additive" ->
       s"""WITH hourly AS ($H),
          |${Decompose.additiveSql}

@@ -18,6 +18,33 @@ object FeatureQueries {
   private def sumsq(cols: Seq[String]) =
     cols.map(c => col(c) * col(c)).reduce(_ + _)
 
+  /** Durbin-Levinson PACF replay for one source CTE: biased ACF to
+    * `maxLag` via the pair join, then the recursion with the φ vector and
+    * the diagonal (the PACF itself) carried as lists in a recursive CTE.
+    */
+  private def pacfCtes(t: String, src: String, maxLag: Int): String =
+    s"""${t}dev AS (SELECT event_type, rn, value - avg(value) OVER (PARTITION BY event_type) AS dev FROM $src),
+       |${t}den AS (SELECT event_type, sum(dev*dev) AS d FROM ${t}dev GROUP BY 1),
+       |${t}ac AS (SELECT a.event_type, b.rn - a.rn AS k, sum(a.dev * b.dev) AS num
+       |           FROM ${t}dev a JOIN ${t}dev b ON a.event_type = b.event_type AND b.rn - a.rn BETWEEN 1 AND $maxLag
+       |           GROUP BY 1, 2),
+       |${t}rho AS (SELECT ac.event_type, list(CASE WHEN dn.d > 0 THEN ac.num / dn.d ELSE 0.0 END ORDER BY ac.k) AS rho
+       |            FROM ${t}ac ac JOIN ${t}den dn ON ac.event_type = dn.event_type GROUP BY 1),
+       |${t}rec AS (
+       |  SELECT event_type, 1 AS k, rho, [rho[1]] AS phi, [rho[1]] AS outl FROM ${t}rho
+       |  UNION ALL
+       |  SELECT event_type, k + 1, rho,
+       |    list_transform(phi, (p, j) -> p - pk * phi[k + 1 - j]) || [pk],
+       |    outl || [pk]
+       |  FROM (
+       |    SELECT event_type, k, rho, phi, outl,
+       |      CASE WHEN abs(1 - list_sum(list_transform(phi, (p, j) -> p * rho[j]))) > 1e-12
+       |           THEN (rho[k + 1] - list_sum(list_transform(phi, (p, j) -> p * rho[k + 1 - j])))
+       |              / (1 - list_sum(list_transform(phi, (p, j) -> p * rho[j])))
+       |           ELSE 0.0 END AS pk
+       |    FROM ${t}rec WHERE k < $maxLag)),
+       |${t}pacf AS (SELECT event_type, outl FROM ${t}rec WHERE k = $maxLag)""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_feat_basic" -> ((s, dir) => TsFeatures.basic(hourly(s, dir), S)
       .withColumnRenamed("min", "vmin").withColumnRenamed("max", "vmax")
@@ -231,6 +258,81 @@ object FeatureQueries {
          |  round(r.a24, 6) AS seas_acf1
          |FROM racf r JOIN eacf e ON r.event_type = e.event_type JOIN facf f ON r.event_type = f.event_type""".stripMargin
     },
+
+    // PACF via Durbin-Levinson replayed over raw (24 lags) + first/second
+    // differences (5 lags each); ss5 = Σ of the first five PACF values²
+    "q_feat_pacf" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |rawsrc AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM hourly),
+         |d1base AS (SELECT event_type, ts, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS value FROM hourly),
+         |d1src AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+         |          FROM d1base WHERE value IS NOT NULL),
+         |d2base AS (SELECT event_type, ts, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS value
+         |           FROM (SELECT event_type, ts, value FROM d1base WHERE value IS NOT NULL)),
+         |d2src AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+         |          FROM d2base WHERE value IS NOT NULL),
+         |${pacfCtes("r", "rawsrc", 24)},
+         |${pacfCtes("e", "d1src", 5)},
+         |${pacfCtes("f", "d2src", 5)}
+         |SELECT r.event_type,
+         |  round(list_sum(list_transform(r.outl[1:5], x -> x * x)), 6) AS y_pacf5,
+         |  round(list_sum(list_transform(e.outl[1:5], x -> x * x)), 6) AS diff1y_pacf5,
+         |  round(list_sum(list_transform(f.outl[1:5], x -> x * x)), 6) AS diff2y_pacf5,
+         |  round(r.outl[24], 6) AS seas_pacf1
+         |FROM rpacf r JOIN epacf e ON r.event_type = e.event_type
+         |JOIN fpacf f ON r.event_type = f.event_type""".stripMargin,
+
+    // normalized Shannon entropy of the one-sided periodogram PSD
+    // (scipy periodogram semantics: k=0 and the Nyquist bin not doubled)
+    "q_feat_entropy" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n,
+         |  avg(value) OVER (PARTITION BY event_type) AS mu
+         |  FROM hourly),
+         |ks AS (SELECT DISTINCT event_type, unnest(range(0, n // 2 + 1)) AS k FROM ord),
+         |sp AS (SELECT o.event_type, ks.k, max(o.n) AS n,
+         |         sum((o.value - o.mu) * cos((2 * pi() * ks.k / o.n) * o.t)) AS re,
+         |         sum((o.value - o.mu) * sin((2 * pi() * ks.k / o.n) * o.t)) AS im
+         |       FROM ord o JOIN ks ON o.event_type = ks.event_type GROUP BY 1, 2),
+         |psd AS (SELECT event_type, k, n,
+         |          (re * re + im * im) / n *
+         |            (CASE WHEN k = 0 OR (n % 2 = 0 AND k = n // 2) THEN 1 ELSE 2 END) AS p
+         |        FROM sp),
+         |tot AS (SELECT event_type, sum(p) AS total, max(n) AS n FROM psd GROUP BY 1)
+         |SELECT psd.event_type,
+         |  round(-sum(CASE WHEN psd.p / t.total > 0
+         |                  THEN (psd.p / t.total) * ln(psd.p / t.total) / ln(2) END)
+         |        / (ln(max(t.n) // 2 + 1) / ln(2)), 6) AS spectral_entropy
+         |FROM psd JOIN tot t ON psd.event_type = t.event_type
+         |GROUP BY 1""".stripMargin,
+
+    // firstmin_ac / firstzero_ac over the full-length biased ACF — the
+    // oracle computes every lag via the O(n²) pair join
+    "q_feat_special_ac" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  avg(value) OVER (PARTITION BY event_type) AS mu
+         |  FROM hourly),
+         |dv AS (SELECT event_type, rn, value - mu AS dev FROM ord),
+         |den AS (SELECT event_type, sum(dev * dev) AS d FROM dv GROUP BY 1),
+         |ac AS (SELECT a.event_type, b.rn - a.rn AS k, sum(a.dev * b.dev) AS num
+         |       FROM dv a JOIN dv b ON a.event_type = b.event_type AND b.rn > a.rn
+         |       GROUP BY 1, 2),
+         |acf AS (SELECT ac.event_type, ac.k, CASE WHEN den.d > 0 THEN ac.num / den.d ELSE 0.0 END AS a
+         |        FROM ac JOIN den ON ac.event_type = den.event_type),
+         |l AS (SELECT event_type, k, a, lead(a) OVER (PARTITION BY event_type ORDER BY k) AS an FROM acf),
+         |mins AS (SELECT event_type,
+         |           min(CASE WHEN an IS NOT NULL AND a <= an THEN k END) AS fm,
+         |           min(CASE WHEN an IS NOT NULL AND a > 0 AND an < 0 THEN k END) AS fz,
+         |           max(k) AS maxk
+         |         FROM l GROUP BY 1)
+         |SELECT event_type,
+         |  round(coalesce(fm, maxk)::DOUBLE, 6) AS firstmin_ac,
+         |  round(coalesce(fz + 1, maxk + 1)::DOUBLE, 6) AS firstzero_ac
+         |FROM mins""".stripMargin,
 
     // Hurst: slope of ln(popstd(x_{t+τ}-x_t)) on ln(τ), τ = 2..29
     "q_feat_hurst" ->

@@ -334,6 +334,22 @@ object LlmQueries {
          |SELECT cell, count(*) AS n_members, round(sum(d2), 6) AS inertia FROM as3 GROUP BY 1""".stripMargin
     },
 
+    // byte-statistics replay of the stubbed decode: the 16 payload bytes
+    // are the md5 digest, so the oracle re-derives them from the hex
+    "q_multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT AS v
+        |           FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+        |st AS (SELECT doc_id, count(*)::DOUBLE AS n, avg(v::DOUBLE) AS mean,
+        |         sqrt(greatest(avg(v::DOUBLE * v) - avg(v::DOUBLE) * avg(v::DOUBLE), 0)) AS std
+        |       FROM b GROUP BY 1),
+        |hist AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |ent AS (SELECT h.doc_id,
+        |          -sum((h.c / s.n) * ln(h.c / s.n) / ln(2)) AS entropy
+        |        FROM hist h JOIN st s ON h.doc_id = s.doc_id GROUP BY 1)
+        |SELECT st.doc_id, round(st.mean, 6) AS byte_mean, round(st.std, 6) AS byte_std,
+        |  round(ent.entropy, 6) AS byte_entropy
+        |FROM st JOIN ent ON st.doc_id = ent.doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,
         |  substr(md5(text), 1, 8) AS magic,

@@ -473,6 +473,82 @@ object ModelQueries {
          |  round(l + b, 6) AS yhat_1, round(l + 24 * b, 6) AS yhat_24
          |FROM rec WHERE i = n - 1""".stripMargin,
 
+    // SSE-grid smoothing-parameter fits: the grid is a cross-join
+    // dimension of the recursive replay, argmin per series mirrors the
+    // kernel's first-strict-improvement tie-breaking
+    "q_holt_params" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |alphas AS (SELECT unnest(range(1, 20)) * 5 / 100.0 AS a),
+         |sesr AS (
+         |  SELECT o.event_type, al.a, 0 AS t, o.value AS l, 0.0::DOUBLE AS sse, o.n
+         |  FROM ord o CROSS JOIN alphas al WHERE o.t = 0
+         |  UNION ALL
+         |  SELECT event_type, a, t, a * x + (1 - a) * l, sse + (x - l) * (x - l), n
+         |  FROM (SELECT r.event_type, r.a, r.t + 1 AS t, r.l, r.sse, r.n, o.value AS x
+         |        FROM sesr r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+         |        WHERE r.t + 1 <= r.n - 1)),
+         |sesbest AS (SELECT event_type, a, l FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY sse, a) AS rk
+         |  FROM sesr WHERE t = n - 1) WHERE rk = 1),
+         |betas AS (SELECT unnest(range(1, 20)) * 5 / 100.0 AS b),
+         |x01 AS (SELECT o0.event_type, o0.value AS x0, o1.value AS x1, o0.n
+         |        FROM ord o0 JOIN ord o1 ON o0.event_type = o1.event_type AND o0.t = 0 AND o1.t = 1),
+         |holtr AS (
+         |  SELECT x.event_type, al.a, be.b AS bt, 0 AS t, x.x0 AS l, x.x1 - x.x0 AS tr, 0.0::DOUBLE AS sse, x.n
+         |  FROM x01 x CROSS JOIN alphas al CROSS JOIN betas be
+         |  UNION ALL
+         |  SELECT event_type, a, bt, t, l2, bt * (l2 - l) + (1 - bt) * tr,
+         |    sse + (x - (l + tr)) * (x - (l + tr)), n
+         |  FROM (SELECT r.event_type, r.a, r.bt, r.t + 1 AS t, r.l, r.tr, r.sse, r.n, o.value AS x,
+         |          r.a * o.value + (1 - r.a) * (r.l + r.tr) AS l2
+         |        FROM holtr r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+         |        WHERE r.t + 1 <= r.n - 1)),
+         |holtbest AS (SELECT event_type, a, bt, l, tr FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY sse, a, bt) AS rk
+         |  FROM holtr WHERE t = n - 1) WHERE rk = 1)
+         |SELECT s.event_type, round(s.a, 6) AS ses_alpha, round(s.l, 6) AS ses_level,
+         |  round(h.a, 6) AS holt_alpha, round(h.bt, 6) AS holt_beta,
+         |  round(h.l, 6) AS holt_level, round(h.tr, 6) AS holt_trend
+         |FROM sesbest s JOIN holtbest h ON s.event_type = h.event_type""".stripMargin,
+
+    // additive Holt-Winters (fixed α=0.3 β=0.05 γ=0.1): the recursive CTE
+    // carries the 24-element seasonal state as a list and replays the
+    // recurrence step-for-step
+    "q_holtwinters" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |b0 AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM b0),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |init AS (SELECT event_type, max(n) AS n,
+         |           avg(CASE WHEN t < 24 THEN value END) AS m1,
+         |           avg(CASE WHEN t >= 24 AND t < 48 THEN value END) AS m2,
+         |           list(value ORDER BY t) FILTER (WHERE t < 24) AS f24
+         |         FROM ord GROUP BY 1),
+         |rec AS (
+         |  SELECT event_type, n, 24 AS t, m1 AS l, (m2 - m1) / 24 AS b,
+         |    list_transform(f24, (x, i) -> x - (m1 + ((i - 1) - 11.5) * ((m2 - m1) / 24))) AS s
+         |  FROM init
+         |  UNION ALL
+         |  SELECT event_type, n, t + 1, l2,
+         |    0.05 * (l2 - l) + (1 - 0.05) * b,
+         |    list_transform(s, (x, i) -> CASE WHEN i = si + 1 THEN 0.1 * (xv - l2) + (1 - 0.1) * x ELSE x END)
+         |  FROM (
+         |    SELECT r.event_type, r.n, r.t, r.l, r.b, r.s, o.value AS xv, r.t % 24 AS si,
+         |      0.3 * (o.value - r.s[(r.t % 24) + 1]) + (1 - 0.3) * (r.l + r.b) AS l2
+         |    FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t
+         |    WHERE r.t < r.n))
+         |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + 1 * b + s[((n + 1 - 1) % 24) + 1], 6) AS yhat_1,
+         |  round(l + 24 * b + s[((n + 24 - 1) % 24) + 1], 6) AS yhat_24
+         |FROM rec WHERE t = n""".stripMargin,
+
     // theta(θ=2): OLS trend + closed-form SES(α=0.2) of Z_t = 2x_t - (a+b·t)
     "q_theta" ->
       s"""WITH hourly AS ($H),
