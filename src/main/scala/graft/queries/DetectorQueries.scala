@@ -223,6 +223,77 @@ object DetectorQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cp_prob DESC, t) AS rk FROM probs)
          |WHERE rk <= 3""".stripMargin,
 
+    // trend-BOCPD replay: run-length Bayesian-linear-regression
+    // sufficient statistics (n, Σt, Σt², Σx, Σtx) as five lists; the
+    // closed-form 2×2 ridge posterior gives the Normal predictive
+    "q_bocpd_trend" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |$DenseSql,
+         |ord AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |stats AS (SELECT event_type, avg(value) AS mu, greatest(var_samp(value), 1e-12) AS v0 FROM dense GROUP BY 1),
+         |dfs AS (SELECT event_type, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS d FROM dense),
+         |sg AS (SELECT event_type,
+         |         greatest((count(*) * var_pop(d)) / (2.0 * greatest(count(*) - 1, 1)), 1e-12) AS sigma2
+         |       FROM dfs WHERE d IS NOT NULL GROUP BY 1),
+         |rec AS (
+         |  SELECT o.event_type, 0 AS t, [1.0::DOUBLE] AS prob,
+         |    [1.0::DOUBLE] AS rn, [0.0::DOUBLE] AS rst, [0.0::DOUBLE] AS rstt,
+         |    [o.value] AS rsx, [0.0::DOUBLE] AS rstx,
+         |    []::DOUBLE[] AS outl, o.n, st.mu AS mu0, st.v0 AS v0, sg.sigma2 AS sigma2
+         |  FROM ord o JOIN stats st ON o.event_type = st.event_type
+         |  JOIN sg ON o.event_type = sg.event_type WHERE o.t = 0
+         |  UNION ALL
+         |  SELECT event_type, t, nprob,
+         |    list_concat([1.0::DOUBLE], list_transform(rn, v -> v + 1)),
+         |    list_concat([0.0::DOUBLE], list_transform(rst, (v, i) -> v + rn[i])),
+         |    list_concat([0.0::DOUBLE], list_transform(rstt, (v, i) -> v + rn[i] * rn[i])),
+         |    list_concat([x], list_transform(rsx, v -> v + x)),
+         |    list_concat([0.0::DOUBLE], list_transform(rstx, (v, i) -> v + rn[i] * x)),
+         |    CASE WHEN t >= 10 THEN outl || [nprob[11]] ELSE outl END,
+         |    n, mu0, v0, sigma2
+         |  FROM (
+         |    SELECT event_type, t, rn, rst, rstt, rsx, rstx, outl, n, mu0, v0, sigma2, x,
+         |      list_concat([cp / total], list_transform(growth, g -> g / total)) AS nprob
+         |    FROM (
+         |      SELECT event_type, t, rn, rst, rstt, rsx, rstx, outl, n, mu0, v0, sigma2, x, growth,
+         |        list_sum(joint) * 0.01 AS cp,
+         |        CASE WHEN (list_sum(joint) * 0.01 + list_sum(growth)) <= 0
+         |                  OR isnan(list_sum(joint) * 0.01 + list_sum(growth))
+         |             THEN 1e-300 ELSE list_sum(joint) * 0.01 + list_sum(growth) END AS total
+         |      FROM (
+         |        SELECT event_type, t, rn, rst, rstt, rsx, rstx, outl, n, mu0, v0, sigma2, x, joint,
+         |          list_transform(joint, jv -> jv * (1 - 0.01)) AS growth
+         |        FROM (
+         |          SELECT r.event_type, r.t + 1 AS t, r.rn, r.rst, r.rstt, r.rsx, r.rstx,
+         |            r.outl, r.n, r.mu0, r.v0, r.sigma2, o.value AS x,
+         |            list_transform(r.prob, (p, i) ->
+         |              p * exp(-0.5
+         |                * (o.value - (((r.rstt[i] + 1) * r.rsx[i] - r.rst[i] * r.rstx[i])
+         |                               / ((r.rn[i] + 1) * (r.rstt[i] + 1) - r.rst[i] * r.rst[i])
+         |                             + ((r.rn[i] + 1) * r.rstx[i] - r.rst[i] * r.rsx[i])
+         |                               / ((r.rn[i] + 1) * (r.rstt[i] + 1) - r.rst[i] * r.rst[i]) * r.rn[i]))
+         |                  * (o.value - (((r.rstt[i] + 1) * r.rsx[i] - r.rst[i] * r.rstx[i])
+         |                               / ((r.rn[i] + 1) * (r.rstt[i] + 1) - r.rst[i] * r.rst[i])
+         |                             + ((r.rn[i] + 1) * r.rstx[i] - r.rst[i] * r.rsx[i])
+         |                               / ((r.rn[i] + 1) * (r.rstt[i] + 1) - r.rst[i] * r.rst[i]) * r.rn[i]))
+         |                  / (r.sigma2 * (1.0 + ((r.rstt[i] + 1) - 2 * r.rn[i] * r.rst[i] + r.rn[i] * r.rn[i] * (r.rn[i] + 1))
+         |                                 / ((r.rn[i] + 1) * (r.rstt[i] + 1) - r.rst[i] * r.rst[i])) + 1e-12))
+         |                / sqrt(2 * pi() * (r.sigma2 * (1.0 + ((r.rstt[i] + 1) - 2 * r.rn[i] * r.rst[i] + r.rn[i] * r.rn[i] * (r.rn[i] + 1))
+         |                                 / ((r.rn[i] + 1) * (r.rstt[i] + 1) - r.rst[i] * r.rst[i])) + 1e-12))) AS joint
+         |          FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1
+         |          WHERE r.t + 1 <= r.n - 1))))),
+         |fin AS (SELECT event_type, outl FROM rec WHERE t = n - 1),
+         |probs AS (SELECT o.event_type, o.ts, o.value,
+         |            CASE WHEN o.t = 0 THEN 0.0
+         |                 WHEN o.t + 1 <= len(f.outl) THEN round(f.outl[o.t + 1], 6)
+         |                 ELSE 0.0 END AS cp_prob, o.t
+         |          FROM fin f JOIN ord o ON f.event_type = o.event_type)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, cp_prob
+         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cp_prob DESC, t) AS rk FROM probs)
+         |WHERE rk <= 3""".stripMargin,
+
     // Gamma-Poisson BOCPD replay: run-length (prob, α, β) lists through
     // the recursive CTE; negative-binomial predictive via lgamma
     "q_bocpd_poisson" ->
