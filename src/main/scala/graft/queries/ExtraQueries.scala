@@ -71,7 +71,63 @@ object ExtraQueries {
     })
   )
 
+  /** Sakoe-Chiba banded DTW replayed cell-by-cell: the 25-element DP rows
+    * travel as lists through a recursion over the flattened (i, j) index;
+    * all (series, boundary) pairs advance in lockstep.
+    */
+  private val dtwCpdSql: String = {
+    val w = 24
+    val inf = Double.MaxValue / 4
+    s"""WITH RECURSIVE hourly AS ($H),
+       |db AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+       |dgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM db),
+       |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+       |          FROM dgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+       |ord AS (SELECT event_type, value,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+       |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+       |bounds AS (SELECT DISTINCT event_type, unnest(range($w, n - $w + 1, $w)) AS bd FROM ord),
+       |win AS (SELECT b.event_type, b.bd,
+       |          list(o.value ORDER BY o.t) FILTER (WHERE o.t >= b.bd - $w AND o.t < b.bd) AS wa,
+       |          list(o.value ORDER BY o.t) FILTER (WHERE o.t >= b.bd AND o.t < b.bd + $w) AS wb
+       |        FROM bounds b JOIN ord o
+       |          ON o.event_type = b.event_type AND o.t >= b.bd - $w AND o.t < b.bd + $w
+       |        GROUP BY 1, 2),
+       |rec AS (
+       |  SELECT event_type, bd, wa, wb, 0 AS k,
+       |    list_concat([0.0::DOUBLE], list_transform(range(1, ${w + 1}), x -> $inf)) AS prev,
+       |    list_transform(range(0, ${w + 1}), x -> $inf) AS cur
+       |  FROM win
+       |  UNION ALL
+  SELECT event_type, bd, wa, wb, kn,
+       |    CASE WHEN j = $w THEN cur2 ELSE prev END,
+       |    CASE WHEN j = $w THEN list_transform(range(0, ${w + 1}), x -> $inf) ELSE cur2 END
+       |  FROM (
+       |    SELECT event_type, bd, wa, wb, kn, j, prev,
+       |      list_transform(cur, (v, li) -> CASE WHEN li = j + 1 THEN
+       |        CASE WHEN j >= greatest(1, i - 4) AND j <= least($w, i + 4)
+       |             THEN abs(wa[i] - wb[j]) + least(prev[j + 1], cur[j], prev[j])
+       |             ELSE v END
+       |        ELSE v END) AS cur2
+       |    FROM (
+       |      SELECT event_type, bd, wa, wb, k + 1 AS kn, prev, cur,
+       |        k // $w + 1 AS i, k % $w + 1 AS j
+       |      FROM rec WHERE k < ${w * w}))),
+       |raws AS (SELECT event_type, bd, prev[${w + 1}] AS raw FROM rec WHERE k = ${w * w}),
+       |ms AS (SELECT event_type, avg(raw) AS mu, count(*) AS c FROM raws GROUP BY 1),
+       |sd AS (SELECT r.event_type, max(m.mu) AS mu,
+       |         sqrt(sum((r.raw - m.mu) * (r.raw - m.mu)) / max(m.c)) AS sd
+       |       FROM raws r JOIN ms m ON r.event_type = m.event_type GROUP BY 1),
+       |z AS (SELECT r.event_type, r.bd,
+       |        CASE WHEN s.sd > 0 THEN (r.raw - s.mu) / s.sd ELSE 0.0 END AS z
+       |      FROM raws r JOIN sd s ON r.event_type = s.event_type)
+       |SELECT event_type, bd::BIGINT AS cp_idx, round(z, 6) AS dtw_z
+       |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY z DESC, bd) AS rk FROM z)
+       |WHERE rk = 1""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_dtw_cpd" -> dtwCpdSql,
     // replays Simulator.arma exactly: Park-Miller LCG (63-bit-safe BIGINT
     // arithmetic) + Box-Muller, AR(1) recurrence as a recursive CTE
     "q_simulate_arima" ->

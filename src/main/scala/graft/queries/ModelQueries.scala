@@ -351,6 +351,32 @@ object ModelQueries {
     })
   )
 
+  /** Generates the recursive-CTE Gauss-Jordan elimination of a p×(p+1)
+    * augmented normal-equations system carried as a flattened list.
+    * Stable without pivoting because X'X + ridge·I is SPD; agrees with
+    * breeze's LAPACK solve to ~1e-12, far inside the 6-dp gate.
+    *
+    * Expects a CTE `mats(event_type, m)` where m is the row-major
+    * p×(p+1) augmented list; emits CTE `beta(event_type, b)` with the
+    * solution as a p-list.
+    */
+  private[queries] def gaussJordanSql(p: Int, pre: String = ""): String = {
+    val cols = p + 1
+    s"""${pre}gj AS (
+       |  SELECT event_type, 0 AS step, m FROM ${pre}mats
+       |  UNION ALL
+       |  SELECT event_type, stepn,
+       |    list_transform(m, (v, li) ->
+       |      CASE WHEN ((li - 1) // $cols + 1) = stepn THEN v / m[(stepn - 1) * $cols + stepn]
+       |           ELSE v - m[((li - 1) // $cols) * $cols + stepn]
+       |                   * (m[(stepn - 1) * $cols + ((li - 1) % $cols + 1)] / m[(stepn - 1) * $cols + stepn])
+       |      END)
+       |  FROM (SELECT event_type, step + 1 AS stepn, m FROM ${pre}gj WHERE step < $p)),
+       |${pre}beta AS (SELECT event_type,
+       |           list_transform(range(1, ${p + 1}), r -> m[(r - 1) * $cols + $cols]) AS b
+       |         FROM ${pre}gj WHERE step = $p)""".stripMargin
+  }
+
   /** Cramer solutions for the VAR(1) normal equations — regression of a
     * target y on (1, u, v) from the moment sums. One SQL-string source
     * used verbatim by BOTH the Spark plan (expr) and the DuckDB oracle,
@@ -473,6 +499,162 @@ object ModelQueries {
          |  round(l + b, 6) AS yhat_1, round(l + 24 * b, 6) AS yhat_24
          |FROM rec WHERE i = n - 1""".stripMargin,
 
+    // ARIMA(2,1,1) Hannan-Rissanen replay: long-AR(8) residuals by one
+    // Gauss-Jordan solve, the ARMA regression by a second, the 24-step
+    // forecast + inverse differencing by a scalar recursion
+    "q_arima" -> {
+      val m = 8
+      val mat1 = {
+        val basis = "1.0" +: (1 to m).map(j => s"l$j")
+        basis.zipWithIndex.flatMap { case (bi, i) =>
+          basis.zipWithIndex.map { case (bj, j) =>
+            val s = s"sum(($bi) * ($bj))"
+            if (i == j) s"$s + 1e-8" else s
+          } :+ s"sum(($bi) * y)"
+        }.mkString(",\n           ")
+      }
+      val mat2 = {
+        val basis = Seq("1.0", "l1", "l2", "e1")
+        basis.zipWithIndex.flatMap { case (bi, i) =>
+          basis.zipWithIndex.map { case (bj, j) =>
+            val s = s"sum(($bi) * ($bj))"
+            if (i == j) s"$s + 1e-8" else s
+          } :+ s"sum(($bi) * y)"
+        }.mkString(",\n           ")
+      }
+      val lagCols = (1 to m).map(j => s"lag(y, $j) OVER w AS l$j").mkString(", ")
+      val fit1 = "be.b[1] + " + (1 to m).map(j => s"be.b[${j + 1}] * lg.l$j").mkString(" + ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |dy AS (SELECT event_type, ts, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS y FROM hourly),
+         |dyf AS (SELECT event_type, ts, y,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dy WHERE y IS NOT NULL),
+         |lg AS (SELECT event_type, ts, y, t, n, $lagCols
+         |       FROM dyf WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |mats AS (SELECT event_type,
+         |         [$mat1] AS m
+         |         FROM lg WHERE l$m IS NOT NULL GROUP BY 1),
+         |${gaussJordanSql(m + 1)},
+         |res AS (SELECT lg.event_type, lg.ts, lg.t, lg.n, lg.y, lg.l1, lg.l2,
+         |          CASE WHEN lg.l$m IS NOT NULL THEN lg.y - ($fit1) ELSE 0.0 END AS e
+         |        FROM lg JOIN beta be ON lg.event_type = be.event_type),
+         |rese AS (SELECT *, lag(e, 1) OVER (PARTITION BY event_type ORDER BY ts) AS e1 FROM res),
+         |s2 AS (SELECT * FROM rese WHERE t >= $m),
+         |g2mats AS (SELECT event_type,
+         |           [$mat2] AS m
+         |           FROM s2 GROUP BY 1),
+         |${gaussJordanSql(4, "g2")},
+         |sig AS (SELECT s.event_type,
+         |          sum((s.y - (be.b[1] + be.b[2] * s.l1 + be.b[3] * s.l2 + be.b[4] * s.e1))
+         |            * (s.y - (be.b[1] + be.b[2] * s.l1 + be.b[3] * s.l2 + be.b[4] * s.e1))) / count(*) AS sigma2
+         |        FROM s2 s JOIN g2beta be ON s.event_type = be.event_type GROUP BY 1),
+         |lastv AS (SELECT r.event_type,
+         |            max(CASE WHEN r.t = r.n - 1 THEN r.y END) AS ylast,
+         |            max(CASE WHEN r.t = r.n - 2 THEN r.y END) AS ylast2,
+         |            max(CASE WHEN r.t = r.n - 1 THEN r.e END) AS elast
+         |          FROM rese r GROUP BY 1),
+         |xlast AS (SELECT event_type, max_by(value, ts) AS xl FROM hourly GROUP BY 1),
+         |fcrec AS (
+         |  SELECT l.event_type, 0 AS h, l.ylast AS yp, l.ylast2 AS yp2, l.elast AS ep, x.xl AS acc, be.b AS b
+         |  FROM lastv l JOIN xlast x ON l.event_type = x.event_type
+         |  JOIN g2beta be ON l.event_type = be.event_type
+         |  UNION ALL
+         |  SELECT event_type, h + 1, ynew, yp, 0.0::DOUBLE, acc + ynew, b
+         |  FROM (SELECT event_type, h, yp, yp2, ep, acc, b,
+         |          b[1] + b[2] * yp + b[3] * yp2 + b[4] * ep AS ynew
+         |        FROM fcrec WHERE h < 24))
+         |SELECT f.event_type,
+         |  round(be.b[1], 6) AS c, round(be.b[2], 6) AS phi1, round(be.b[3], 6) AS phi2,
+         |  round(be.b[4], 6) AS theta1, round(sig.sigma2, 6) AS sigma2,
+         |  round(max(CASE WHEN f.h = 1 THEN f.acc END), 6) AS yhat_1,
+         |  round(max(CASE WHEN f.h = 24 THEN f.acc END), 6) AS yhat_24
+         |FROM fcrec f JOIN g2beta be ON f.event_type = be.event_type
+         |JOIN sig ON f.event_type = sig.event_type
+         |GROUP BY f.event_type, be.b, sig.sigma2""".stripMargin
+    },
+
+    "q_harmonic_regression" -> {
+      val basis = "1.0" +: (1 to 3).flatMap(k =>
+        Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
+      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(", ")
+      val matEntries = (0 until 7).flatMap { i =>
+        (0 until 7).map { j =>
+          val s = s"sum(b${i + 1} * b${j + 1})"
+          if (i == j) s"$s + 1e-8" else s
+        } :+ s"sum(b${i + 1} * y)"
+      }.mkString(",\n           ")
+      def fcExpr(tt: String): String =
+        "be.b[1] + " + (1 to 3).map(k =>
+          s"be.b[${2 * k}] * sin(2 * pi() * $k * $tt / 24) + be.b[${2 * k + 1}] * cos(2 * pi() * $k * $tt / 24)").mkString(" + ")
+      val fitExpr = (1 to 7).map(j => s"bs.b$j * be.b[$j]").mkString(" + ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, value AS y,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |bs AS (SELECT event_type, y, t, n, $bCols FROM ord),
+         |mats AS (SELECT event_type,
+         |         [$matEntries] AS m
+         |         FROM bs GROUP BY 1),
+         |${gaussJordanSql(7)},
+         |mu AS (SELECT event_type, avg(y) AS mu, max(n) AS n FROM bs GROUP BY 1),
+         |fr AS (SELECT bs.event_type,
+         |         sum((bs.y - ($fitExpr)) * (bs.y - ($fitExpr))) AS sse,
+         |         sum((bs.y - m.mu) * (bs.y - m.mu)) AS sst, max(m.n) AS n
+         |       FROM bs JOIN beta be ON bs.event_type = be.event_type
+         |       JOIN mu m ON bs.event_type = m.event_type GROUP BY 1)
+         |SELECT f.event_type,
+         |  round(${fcExpr("f.n")}, 6) AS yhat_1,
+         |  round(${fcExpr("(f.n + 23)")}, 6) AS yhat_24,
+         |  round(CASE WHEN f.sst > 0 THEN 1 - f.sse / f.sst ELSE 0.0 END, 6) AS r2
+         |FROM fr f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+    },
+
+    "q_prophet_lite" -> {
+      // basis order mirrors Regressors.prophetLite: [1, t/n, hinge1..4, s1, c1, s2, c2, s3, c3]
+      val basis = Seq("1.0", "(t::DOUBLE / n)") ++
+        (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
+        (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
+      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
+      val p = 12
+      val matEntries = (0 until p).flatMap { i =>
+        (0 until p).map { j =>
+          val s = s"sum(b${i + 1} * b${j + 1})"
+          if (i == j) s"$s + 1e-4" else s
+        } :+ s"sum(b${i + 1} * y)"
+      }.mkString(",\n           ")
+      def fcExpr(tt: String): String =
+        s"be.b[1] + be.b[2] * ($tt::DOUBLE / f.n) + " +
+          (1 to 4).map(j => s"be.b[${2 + j}] * greatest(0.0, ($tt - ($j * f.n / 5.0)) / f.n)").mkString(" + ") + " + " +
+          (1 to 3).map(k =>
+            s"be.b[${2 * k + 5}] * sin(2 * pi() * $k * $tt / 24) + be.b[${2 * k + 6}] * cos(2 * pi() * $k * $tt / 24)").mkString(" + ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, value AS y,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |bs AS (SELECT event_type, y, t, n,
+         |         $bCols
+         |       FROM ord),
+         |mats AS (SELECT event_type,
+         |         [$matEntries] AS m
+         |         FROM bs GROUP BY 1),
+         |${gaussJordanSql(p)},
+         |f AS (SELECT event_type, max(n) AS n FROM bs GROUP BY 1)
+         |SELECT f.event_type,
+         |  round(${fcExpr("f.n")}, 6) AS yhat_1,
+         |  round(${fcExpr("(f.n + 11)")}, 6) AS yhat_12,
+         |  round(${fcExpr("(f.n + 23)")}, 6) AS yhat_24
+         |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+    },
+
     // SSE-grid smoothing-parameter fits: the grid is a cross-join
     // dimension of the recursive replay, argmin per series mirrors the
     // kernel's first-strict-improvement tie-breaking
@@ -548,6 +730,62 @@ object ModelQueries {
          |  round(l + 1 * b + s[((n + 1 - 1) % 24) + 1], 6) AS yhat_1,
          |  round(l + 24 * b + s[((n + 24 - 1) % 24) + 1], 6) AS yhat_24
          |FROM rec WHERE t = n""".stripMargin,
+
+    // grid-fitted Holt-Winters: all 729 (α,β,γ) combos advance through
+    // ONE recursive replay (grid = extra key columns); the 24 seasonal
+    // states travel as scalar columns (vectorized CASEs, no per-step list
+    // allocation), argmin mirrors the kernel's tie order
+    "q_holtwinters_opt" -> {
+      val sInit = (1 to 24).map(i =>
+        s"i.f24[$i] - (i.m1 + (($i - 1) - 11.5) * ((i.m2 - i.m1) / 24)) AS s$i").mkString(",\n    ")
+      val sPick = "CASE si " + (1 to 24).map(i => s"WHEN ${i - 1} THEN s$i").mkString(" ") + " END"
+      val sUpd = (1 to 24).map(i =>
+        s"CASE WHEN si = ${i - 1} THEN pg * (xv - l2) + (1 - pg) * s$i ELSE s$i END").mkString(",\n    ")
+      val sCarry = (1 to 24).map(i => s"r.s$i").mkString(", ")
+      def sAt(idx: String) = "CASE " + (1 to 24).map(i => s"WHEN ($idx) = ${i - 1} THEN s$i").mkString(" ") + " END"
+      s"""WITH RECURSIVE hourly AS ($H),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |init AS (SELECT event_type, max(n) AS n,
+         |           avg(CASE WHEN t < 24 THEN value END) AS m1,
+         |           avg(CASE WHEN t >= 24 AND t < 48 THEN value END) AS m2,
+         |           list(value ORDER BY t) FILTER (WHERE t < 24) AS f24
+         |         FROM ord GROUP BY 1),
+         |pgrid AS (SELECT a.a / 10.0 AS pa, b.b / 10.0 AS pb, c.c / 10.0 AS pg
+         |          FROM (SELECT unnest(range(1, 10)) AS a) a,
+         |               (SELECT unnest(range(1, 10)) AS b) b,
+         |               (SELECT unnest(range(1, 10)) AS c) c),
+         |rec AS (
+         |  SELECT i.event_type, g.pa, g.pb, g.pg, i.n, 24 AS t,
+         |    i.m1 AS l, (i.m2 - i.m1) / 24 AS b, 0.0::DOUBLE AS sse,
+         |    $sInit
+         |  FROM init i CROSS JOIN pgrid g
+         |  UNION ALL
+         |  SELECT event_type, pa, pb, pg, n, t + 1, l2,
+         |    pb * (l2 - l) + (1 - pb) * b,
+         |    sse + (xv - (l + b + sv)) * (xv - (l + b + sv)),
+         |    $sUpd
+         |  FROM (
+         |    SELECT r.event_type, r.pa, r.pb, r.pg, r.n, r.t, r.l, r.b, r.sse, $sCarry,
+         |      o.value AS xv, r.t % 24 AS si
+         |    FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t
+         |    WHERE r.t < r.n),
+         |  LATERAL (SELECT $sPick AS sv) sp,
+         |  LATERAL (SELECT pa * (xv - sv) + (1 - pa) * (l + b) AS l2) lp),
+         |best AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY sse, pa, pb, pg) AS rk
+         |  FROM rec WHERE t = n) WHERE rk = 1)
+         |SELECT event_type, round(pa, 6) AS alpha, round(pb, 6) AS beta, round(pg, 6) AS gamma,
+         |  round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + 1 * b + ${sAt("n % 24")}, 6) AS yhat_1,
+         |  round(l + 24 * b + ${sAt("(n + 23) % 24")}, 6) AS yhat_24
+         |FROM best""".stripMargin
+    },
 
     // theta(θ=2): OLS trend + closed-form SES(α=0.2) of Z_t = 2x_t - (a+b·t)
     "q_theta" ->
