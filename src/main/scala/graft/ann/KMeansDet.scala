@@ -43,7 +43,9 @@ object KMeansDet {
       .select(col("cell"), expr("transform(cs, s -> s.cx)").as("centroid"))
 
   /** `iters` full Lloyd rounds from the deterministic seed; returns the
-    * final centroid table (cell, centroid).
+    * final centroid table (cell, centroid). The corpus is persisted
+    * (memory-and-disk) for the duration of the iteration — the standard
+    * iterative-ML shape; without it every round re-reads the source.
     */
   def fit(corpus: DataFrame, k: Int, iters: Int,
           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
@@ -63,8 +65,11 @@ object KMeansDet {
     * inertia (Σ d² to the final centroid).
     */
   def summary(corpus: DataFrame, k: Int, iters: Int,
-              id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    assign(corpus, fit(corpus, k, iters, id, vec), id, vec)
+              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val cached = corpus.select(col(id), col(vec)).persist()
+    val out = assign(cached, fit(cached, k, iters, id, vec), id, vec)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_members"), round(sum("d2"), 6).as("inertia"))
+    out
+  }
 }

@@ -338,16 +338,19 @@ object ModelQueries {
           sum("y2").as("sy2"), sum(col("y2") * col("u")).as("sy2u"), sum(col("y2") * col("v")).as("sy2v"),
           max(when(col("_rn") === col("_nn"), col("y1"))).as("last1"),
           max(when(col("_rn") === col("_nn"), col("y2"))).as("last2"))
-      def equation(varName: String, sy: String): DataFrame =
-        fit.select(col("event_type"), lit(varName).as("var"),
-          expr(VarSql.c(sy)).as("c"), expr(VarSql.a(sy)).as("a"), expr(VarSql.b(sy)).as("b"),
-          col("last1"), col("last2"))
-      equation("value", "sy1").unionByName(equation("n", "sy2"))
-        .select(col("event_type"), col("var"),
-          round(col("c"), 6).as("intercept"),
-          round(col("a"), 6).as("coef_value"),
-          round(col("b"), 6).as("coef_n"),
-          round(col("c") + col("a") * col("last1") + col("b") * col("last2"), 6).as("yhat_1"))
+      // both equations explode from ONE aggregated fit row — a union of
+      // two fit.select branches would inline (and re-scan) the whole
+      // aggregation pipeline twice
+      def eqStruct(varName: String, sy: String) =
+        struct(lit(varName).as("var"),
+          expr(VarSql.c(sy)).as("c"), expr(VarSql.a(sy)).as("a"), expr(VarSql.b(sy)).as("b"))
+      fit.select(col("event_type"), col("last1"), col("last2"),
+          explode(array(eqStruct("value", "sy1"), eqStruct("n", "sy2"))).as("eq"))
+        .select(col("event_type"), col("eq.var").as("var"),
+          round(col("eq.c"), 6).as("intercept"),
+          round(col("eq.a"), 6).as("coef_value"),
+          round(col("eq.b"), 6).as("coef_n"),
+          round(col("eq.c") + col("eq.a") * col("last1") + col("eq.b") * col("last2"), 6).as("yhat_1"))
     })
   )
 
