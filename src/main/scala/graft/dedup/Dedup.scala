@@ -48,6 +48,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                         k: Int = 3, dfCap: Int = 50): DataFrame = {
     val raw = docShingles(docs, id, text, k)
+    // df as a count-over-shingle window: the window's hash partitioning on
+    // `shingle` is exactly what the self-join below needs, so Catalyst
+    // reuses the exchange — one shingle shuffle total (an aggregate +
+    // anti-join variant measured slower: extra scan + broadcast)
     val w = Window.partitionBy("shingle")
     val sh = raw.withColumn("_df", count(lit(1)).over(w)).where(col("_df") <= dfCap).drop("_df").cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("nsh"))
@@ -83,13 +87,16 @@ object Dedup {
                       id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame = {
     val rows = numPerms / bands
     val sig = minhashSignatures(docs, numPerms, id, text, k).cache()
+    // band signature as numeric columns (b1..bR) — a multi-column bigint
+    // equality join, not a string-concat key
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("bsig"))
+      struct((lit(b).as("band") +:
+        (0 until rows).map(r => col(s"mh${b * rows + r}").as(s"b$r"))): _*)
     }
+    val bKeys = "band" +: (0 until rows).map(r => s"b$r")
     val banded = sig.select(col(id), explode(array(bandCols: _*)).as("bd"))
-      .select(col(id), col("bd.band"), col("bd.bsig"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "bsig"))
+      .select((col(id) +: bKeys.map(kk => col(s"bd.$kk"))): _*)
+    val cand = banded.as("a").join(banded.as("b"), bKeys)
       .where(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("i"), col(s"b.$id").as("j")).distinct()
     val est = (0 until numPerms).map(p =>

@@ -99,6 +99,13 @@ object LlmQueries {
 
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
+    // winnowing fingerprint summary per doc (the selected-hash SET is
+    // what a real pipeline would explode and join on)
+    "q_winnow" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextFunctions.winnow(col("text")).as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))),
+
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       // top-20 via orderBy+limit → TakeOrderedAndProject (distributed
       // per-partition top-k + tiny driver merge), NOT a single-partition
@@ -196,6 +203,19 @@ object LlmQueries {
     },
 
     "q_fingerprint" -> "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+
+    "q_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |       ELSE []::VARCHAR[] END AS g FROM toks),
+        |hs AS (SELECT doc_id, list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h FROM grams),
+        |fps AS (SELECT doc_id,
+        |  CASE WHEN len(h) >= 4
+        |       THEN list_distinct(list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])))
+        |       ELSE []::BIGINT[] END AS f FROM hs)
+        |SELECT doc_id, len(f)::BIGINT AS n_fps, list_min(f) AS fp_min, list_max(f) AS fp_max FROM fps""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,

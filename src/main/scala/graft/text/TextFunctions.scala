@@ -73,6 +73,25 @@ object TextFunctions {
   /** Normalized-document fingerprint (md5 of lowercased text). */
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 re-derived):
+    * positional word-k-gram hashes, then the minimum hash of every
+    * window of `w` consecutive k-grams, deduplicated. Guarantees a match
+    * for any shared run of ≥ w+k-1 tokens; hashes are md5-derived so an
+    * external engine reproduces the selection exactly.
+    */
+  def winnow(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val t = tokens(text)
+    val grams = when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val hs = transform(grams, g => hash60(g))
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + 1, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** 64-bit SimHash over distinct tokens (bit-vote on md5-derived token
     * hashes). Kernel form — applied to the token array per document.
     */
