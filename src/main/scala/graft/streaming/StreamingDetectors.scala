@@ -38,6 +38,46 @@ object StreamingDetectors {
       .agg(sum("value").as("value"), count(lit(1)).as("n"))
       .select(col("event_type"), col("window.start").as("ts"), col("value"), col("n"))
 
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class EwmaPoint(event_type: String, ts: java.sql.Timestamp, value: Double,
+                       ewma: Double, deviation: Double, flagged: Boolean)
+  case class EwmaState(num: Double, den: Double, n: Long)
+
+  /** Streaming exact dedup — the streaming twin of Dedup.exact: md5
+    * content fingerprint + dropDuplicatesWithinWatermark, so the state
+    * store only retains fingerprints inside the watermark horizon
+    * (bounded state at any ingest rate).
+    */
+  def dedupExact(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream.withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stateful adjusted EWMA per series (streaming twin of TS.ewma):
+    * carries the (num, den) recurrence in keyed state, emits each point
+    * with its smoothed level and flags deviations beyond `k`× the level.
+    */
+  def ewmaTracker(points: Dataset[Point], alpha: Double = 0.2, k: Double = 0.5): Dataset[EwmaPoint] = {
+    import points.sparkSession.implicits._
+    val b = 1.0 - alpha
+    points.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Point], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          it.toSeq.sortBy(_.ts.getTime).foreach { p =>
+            val num = st.num * b + p.value
+            val den = st.den * b + 1.0
+            val level = num / den
+            val dev = if (level != 0) math.abs(p.value - level) / math.abs(level) else 0.0
+            out += EwmaPoint(key, p.ts, p.value, level, dev, st.n >= 5 && dev > k)
+            st = EwmaState(num, den, st.n + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Online CUSUM via flatMapGroupsWithState: per series, maintain running
     * mean/variance (Welford) and the cumulative deviation; emit a
     * changepoint and reset when |cum| exceeds `k`·σ·√n.

@@ -54,6 +54,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming exact dedup keeps one row per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamingDetectors.Doc]
+    val q = StreamingDetectors.dedupExact(mem.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(
+      StreamingDetectors.Doc(1L, ts(0), "hello world"),
+      StreamingDetectors.Doc(2L, ts(0), "hello world"),
+      StreamingDetectors.Doc(3L, ts(1), "something else"))
+    q.processAllAvailable()
+    val texts = spark.sql("select text from dedup").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq === Seq("hello world", "something else"))
+    q.stop()
+  }
+
+  test("streaming EWMA tracker flags a spike and tracks the level") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Point]
+    val q = StreamingDetectors.ewmaTracker(mem.toDS(), alpha = 0.2, k = 0.5)
+      .writeStream.format("memory").queryName("ewmas").outputMode("append").start()
+    val pts = (0 until 20).map(i => Point("click", ts(i), if (i == 15) 100.0 else 10.0))
+    mem.addData(pts: _*)
+    q.processAllAvailable()
+    // the spike is flagged; the points right after may flag too while the
+    // inflated level decays back — but nothing BEFORE the spike may flag
+    val flaggedTs = spark.sql("select ts from ewmas where flagged order by ts").collect()
+      .map(_.getTimestamp(0))
+    assert(flaggedTs.nonEmpty && flaggedTs.head === ts(15), s"flagged=${flaggedTs.toSeq}")
+    val lastLevel = spark.sql("select ewma from ewmas order by ts desc limit 1").collect()(0).getDouble(0)
+    assert(lastLevel > 10.0 && lastLevel < 25.0, s"level=$lastLevel")
+    q.stop()
+  }
+
   test("streaming CUSUM emits a changepoint after a level shift") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
