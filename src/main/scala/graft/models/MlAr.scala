@@ -25,6 +25,55 @@ object MlAr {
       .withColumn("hc", cos(hour(col(s.ts)) * (2 * math.Pi / 24)))
   }
 
+  /** Exact-OLS variant of [[forecast]]: the global fit is computed from
+    * one aggregated moments row (X'X, X'y — a single distributed
+    * aggregate) solved with breeze on the driver (6×6, same
+    * ridge=1e-8 as Regressors.solve), and the coefficients re-enter the
+    * plan as literals. Numerically transparent — the DuckDB oracle
+    * replays the identical normal equations — unlike MLlib's internally
+    * standardized solver. The coefficient transfer is the standard
+    * model-fit shape: the driver holds 6 doubles, never data.
+    */
+  def forecastExact(df: DataFrame, s: TSSchema): DataFrame = {
+    val featCols = Array("lag1", "lag2", "lag24", "hs", "hc")
+    val basis = "one" +: featCols.toSeq
+    val feat = features(df, s).na.drop(featCols.toSeq :+ s.value).withColumn("one", lit(1.0))
+    val momentCols =
+      (for { i <- basis.indices; j <- basis.indices if j >= i }
+        yield sum(col(basis(i)) * col(basis(j))).as(s"m_${i}_$j")) ++
+        basis.indices.map(i => sum(col(basis(i)) * col(s.value)).as(s"v_$i"))
+    val moments = feat.groupBy().agg(momentCols.head, momentCols.tail: _*).head()
+    val p = basis.length
+    val xtx = breeze.linalg.DenseMatrix.tabulate[Double](p, p) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      moments.getAs[Double](s"m_${a}_$b")
+    }
+    val xty = breeze.linalg.DenseVector.tabulate[Double](p)(i => moments.getAs[Double](s"v_$i"))
+    var i = 0
+    while (i < p) { xtx(i, i) += 1e-8; i += 1 }
+    val beta = xtx \ xty
+    val fitExpr = basis.zipWithIndex.map { case (c, bi) => col(c) * lit(beta(bi)) }.reduce(_ + _)
+    val rmse = math.sqrt(
+      feat.select(avg(pow(col(s.value) - fitExpr, 2)).as("mse")).head().getAs[Double]("mse"))
+    val wDesc = Window.partitionBy(s.keyCols: _*).orderBy(col(s.ts).desc)
+    val last = df
+      .withColumn("_rk", row_number().over(wDesc))
+      .where(col("_rk") <= 24)
+      .groupBy(s.keyCols: _*)
+      .agg(
+        max(when(col("_rk") === 1, col(s.value))).as("lag1"),
+        max(when(col("_rk") === 2, col(s.value))).as("lag2"),
+        max(when(col("_rk") === 24, col(s.value))).as("lag24"),
+        max(when(col("_rk") === 1, col(s.ts))).as("_last_ts"))
+      .withColumn("_next_hod", (hour(col("_last_ts")) + 1) % 24)
+      .withColumn("hs", sin(col("_next_hod") * (2 * math.Pi / 24)))
+      .withColumn("hc", cos(col("_next_hod") * (2 * math.Pi / 24)))
+      .withColumn("one", lit(1.0))
+      .na.drop(featCols.toSeq)
+    last.select((s.keyCols :+ round(fitExpr, 6).as("yhat_1") :+
+      round(lit(rmse), 6).as("train_rmse")): _*)
+  }
+
   /** Fit on all complete rows, then 1-step-ahead forecast per series from
     * its last observed lags. Returns (series, yhat_1, global train rmse).
     */

@@ -19,7 +19,9 @@ object ExtraQueries {
   private val Cut = "2024-01-16 00:00:00"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ml_ar" -> ((s, dir) => MlAr.forecast(dense(s, dir), S)),
+    // exact-OLS global AR (oracle-replayable normal equations); the MLlib
+    // LinearRegression variant (MlAr.forecast) is spec-validated against it
+    "q_ml_ar" -> ((s, dir) => MlAr.forecastExact(dense(s, dir), S)),
 
     "q_decompose_stl" -> ((s, dir) =>
       graft.operators.Decompose.stlLite(hourly(s, dir), S)
@@ -126,7 +128,51 @@ object ExtraQueries {
        |WHERE rk = 1""".stripMargin
   }
 
+  private val mlArSql: String = {
+    val basis = Seq("one", "lag1", "lag2", "lag24", "hs", "hc")
+    val matEntries = basis.indices.flatMap { i =>
+      basis.indices.map { j =>
+        val e = s"sum(${basis(i)} * ${basis(j)})"
+        if (i == j) s"$e + 1e-8" else e
+      } :+ s"sum(${basis(i)} * value)"
+    }.mkString(",\n         ")
+    def fitOf(prefix: String): String =
+      basis.zipWithIndex.map { case (c, i) => s"be.b[${i + 1}] * $prefix$c" }.mkString(" + ")
+    s"""WITH RECURSIVE hourly AS ($H),
+       |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+       |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+       |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+       |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+       |f AS (SELECT event_type, ts, value,
+       |  lag(value, 1) OVER w AS lag1, lag(value, 2) OVER w AS lag2, lag(value, 24) OVER w AS lag24,
+       |  sin(hour(ts) * (2 * pi() / 24)) AS hs, cos(hour(ts) * (2 * pi() / 24)) AS hc,
+       |  1.0::DOUBLE AS one
+       |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+       |ft AS (SELECT * FROM f WHERE lag24 IS NOT NULL),
+       |mlmats AS (SELECT 'g' AS event_type,
+       |         [$matEntries] AS m
+       |         FROM ft),
+       |${ModelQueries.gaussJordanSql(6, "ml")},
+       |rmse AS (SELECT sqrt(avg((ft.value - (${fitOf("ft.")})) * (ft.value - (${fitOf("ft.")})))) AS rmse
+       |         FROM ft, mlbeta be),
+       |lastr AS (SELECT event_type, ts, value,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rk FROM dense),
+       |lastf AS (SELECT event_type,
+       |  max(CASE WHEN rk = 1 THEN value END) AS lag1,
+       |  max(CASE WHEN rk = 2 THEN value END) AS lag2,
+       |  max(CASE WHEN rk = 24 THEN value END) AS lag24,
+       |  max(CASE WHEN rk = 1 THEN ts END) AS last_ts
+       |  FROM lastr WHERE rk <= 24 GROUP BY 1),
+       |sc AS (SELECT event_type, 1.0::DOUBLE AS one, lag1, lag2, lag24,
+       |  sin(((hour(last_ts) + 1) % 24) * (2 * pi() / 24)) AS hs,
+       |  cos(((hour(last_ts) + 1) % 24) * (2 * pi() / 24)) AS hc
+       |  FROM lastf WHERE lag1 IS NOT NULL AND lag2 IS NOT NULL AND lag24 IS NOT NULL)
+       |SELECT s.event_type, round(${fitOf("s.")}, 6) AS yhat_1, round(r.rmse, 6) AS train_rmse
+       |FROM sc s, mlbeta be, rmse r""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_ml_ar" -> mlArSql,
     "q_dtw_cpd" -> dtwCpdSql,
     // replays Simulator.arma exactly: Park-Miller LCG (63-bit-safe BIGINT
     // arithmetic) + Box-Muller, AR(1) recurrence as a recursive CTE
