@@ -40,11 +40,12 @@ object AdvancedQueries {
         .withColumn("na", sum("nb").over(w))
         .withColumn("sa", sum("sb").over(w))
         .withColumn("qa", sum("qb").over(w))
-        .where(col("na") >= 2)
+        .where(col("na") >= 2 && col("nb") >= 2) // Welch needs ≥2 points per side
         .withColumn("mb", col("sb") / col("nb"))
         .withColumn("ma", col("sa") / col("na"))
         .withColumn("vb", (col("qb") - col("nb") * col("mb") * col("mb")) / (col("nb") - 1))
         .withColumn("va", (col("qa") - col("na") * col("ma") * col("ma")) / (col("na") - 1))
+        .where(col("va") / col("na") + col("vb") / col("nb") > 0) // constant windows carry no test
         .withColumn("z", (col("mb") - col("ma")) / sqrt(col("va") / col("na") + col("vb") / col("nb")))
         .withColumn("_rn", row_number().over(Window.partitionBy("event_type").orderBy("day")))
       val flagged = z.where(abs(col("z")) > 1.96)
@@ -155,7 +156,9 @@ object AdvancedQueries {
          |  (sb / nb - sa / na) /
          |    sqrt(((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
          |       + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb) AS z
-         |  FROM cum WHERE na >= 2),
+         |  FROM cum WHERE na >= 2 AND nb >= 2
+         |    AND ((qa - na * (sa / na) * (sa / na)) / (na - 1)) / na
+         |      + ((qb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb > 0),
          |fl AS (SELECT *, rn - row_number() OVER (PARTITION BY event_type ORDER BY day) AS grp
          |       FROM z WHERE abs(z) > 1.96)
          |SELECT event_type, epoch_us(min(day))//1000000 AS start_day_s, epoch_us(max(day))//1000000 AS end_day_s,
