@@ -34,6 +34,46 @@ object Multimodal {
       .withColumn("height", lit(64) + conv(substring(md5(col("text")), 3, 2), 16, 10).cast("long") % 192)
       .withColumn("channels", lit(1) + conv(substring(md5(col("text")), 5, 1), 16, 10).cast("long") % 3)
 
+  /** STUB frame sampling: treat the payload as an opaque video and emit
+    * `k` deterministically-sampled frames per document (the frame payload
+    * is an md5 chain off the container bytes, standing in for demuxed
+    * frames). The Spark-side shape is the production one: explode to one
+    * row per (doc, frame), then batched mapPartitions feature extraction
+    * with per-partition decoder init. Swap the chain for an ffmpeg seek +
+    * decode and nothing else changes.
+    */
+  def frameSample(df: DataFrame, k: Int = 4, id: String = "doc_id"): DataFrame = {
+    val frames = df
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("frame_payload", unhex(md5(concat(hex(col("payload")), lit("_"), col("frame_idx")))))
+    val outSchema = StructType(Seq(
+      StructField(id, LongType), StructField("frame_idx", IntegerType),
+      StructField("frame_mean", DoubleType), StructField("frame_std", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    frames.select(col(id), col("frame_idx"), col("frame_payload")).mapPartitions { rows =>
+      // per-partition init happens HERE (demuxer/codec handle)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val n = bytes.length
+        var s = 0.0; var s2 = 0.0
+        bytes.foreach { b => val v = (b & 0xff).toDouble; s += v; s2 += v * v }
+        val mean = s / n
+        Row(r.getLong(0), r.getInt(1), mean, math.sqrt(math.max(s2 / n - mean * mean, 0)))
+      }
+    }(enc)
+  }
+
+  /** STUB resize: aspect-preserving fit of the (stub) decoded dimensions
+    * into a `boxW`×`boxH` box, never upscaling — the geometry every real
+    * resize stage computes — plus the box-filter invariant that the
+    * resampled byte mean equals the source mean.
+    */
+  def resize(df: DataFrame, boxW: Int = 128, boxH: Int = 128): DataFrame =
+    df.withColumn("scale",
+        least(lit(1.0), least(lit(boxW.toDouble) / col("width"), lit(boxH.toDouble) / col("height"))))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("long"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("long"))
+
   /** STUB decode: deterministic byte statistics standing in for decoded
     * pixel features. Real deployments replace the body with a codec call;
     * the mapPartitions batching (one codec init per partition, not per

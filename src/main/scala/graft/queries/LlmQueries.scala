@@ -165,7 +165,17 @@ object LlmQueries {
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
         .select(col("doc_id"), round(col("byte_mean"), 6).as("byte_mean"),
-          round(col("byte_std"), 6).as("byte_std"), round(col("byte_entropy"), 6).as("byte_entropy")))
+          round(col("byte_std"), 6).as("byte_std"), round(col("byte_entropy"), 6).as("byte_entropy"))),
+
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.withPayload(docs(s, dir)), k = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          round(col("frame_mean"), 6).as("frame_mean"), round(col("frame_std"), 6).as("frame_std"))),
+
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.metadata(Multimodal.withPayload(docs(s, dir))), 128, 128)
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("scale"), 6).as("scale"), col("out_w"), col("out_h")))
   )
 
   val sql: Map[String, String] = Map(
@@ -369,6 +379,28 @@ object LlmQueries {
         |SELECT st.doc_id, round(st.mean, 6) AS byte_mean, round(st.std, 6) AS byte_std,
         |  round(ent.entropy, 6) AS byte_entropy
         |FROM st JOIN ent ON st.doc_id = ent.doc_id""".stripMargin,
+
+    // Spark hex() is uppercase, so the frame chain keys on upper(md5)
+    "q_multimodal_frames" ->
+      """WITH fr AS (SELECT doc_id, text, unnest(range(0, 4)) AS frame_idx FROM documents),
+        |fh AS (SELECT doc_id, frame_idx, md5(upper(md5(text)) || '_' || frame_idx) AS h FROM fr),
+        |b AS (SELECT doc_id, frame_idx, ('0x' || substr(h, i * 2 + 1, 2))::BIGINT AS v
+        |      FROM fh CROSS JOIN (SELECT unnest(range(0, 16)) AS i))
+        |SELECT doc_id, frame_idx::INT AS frame_idx,
+        |  round(avg(v::DOUBLE), 6) AS frame_mean,
+        |  round(sqrt(greatest(avg(v::DOUBLE * v) - avg(v::DOUBLE) * avg(v::DOUBLE), 0)), 6) AS frame_std
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |  64 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 192 AS width,
+        |  64 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 192 AS height
+        |  FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |        least(1.0, least(128.0 / width, 128.0 / height)) AS scale FROM m)
+        |SELECT doc_id, width, height, round(scale, 6) AS scale,
+        |  floor(width * scale)::BIGINT AS out_w, floor(height * scale)::BIGINT AS out_h
+        |FROM s""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,
