@@ -184,9 +184,24 @@ object TsFeatures {
     */
   def stlStrength(decomposed: DataFrame, s: TSSchema): DataFrame = {
     def varPop(c: Column) = avg(c * c) - avg(c) * avg(c)
+    // spikiness (tsfeatures get_stl_features): popvar of the leave-one-out
+    // popvars of the residual. v_i = α + β·r_i + γ·r_i² in closed form
+    // (α = ((n-1)S2 - S1²)/(n-1)², β = 2S1/(n-1)², γ = -n/(n-1)²), so the
+    // whole feature is plain moment sums S1..S4 — one aggregate, no loop.
+    val r = col("resid")
+    val n = count(lit(1)).cast("double")
+    val s1 = sum(r); val s2 = sum(r * r); val s3 = sum(r * r * r); val s4 = sum(r * r * r * r)
+    val d = (n - 1) * (n - 1)
+    val alpha = ((n - 1) * s2 - s1 * s1) / d
+    val beta = lit(2.0) * s1 / d
+    val gamma = -n / d
+    val sv = n * alpha + beta * s1 + gamma * s2
+    val sv2 = n * alpha * alpha + beta * beta * s2 + gamma * gamma * s4 +
+      lit(2.0) * alpha * beta * s1 + lit(2.0) * alpha * gamma * s2 + lit(2.0) * beta * gamma * s3
     decomposed.groupBy(s.keyCols: _*)
       .agg(
         round(greatest(lit(0.0), lit(1.0) - varPop(col("resid")) / varPop(col("trend") + col("resid"))), 6).as("trend_strength"),
-        round(greatest(lit(0.0), lit(1.0) - varPop(col("resid")) / varPop(col("seasonal") + col("resid"))), 6).as("seasonal_strength"))
+        round(greatest(lit(0.0), lit(1.0) - varPop(col("resid")) / varPop(col("seasonal") + col("resid"))), 6).as("seasonal_strength"),
+        round(sv2 / n - (sv / n) * (sv / n), 6).as("spikiness"))
   }
 }

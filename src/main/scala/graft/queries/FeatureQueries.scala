@@ -384,12 +384,28 @@ object FeatureQueries {
 
     "q_feat_stl" ->
       s"""WITH hourly AS ($H),
-         |${Decompose.additiveSql}
+         |${Decompose.additiveSql},
+         |mo AS (SELECT event_type, count(*)::DOUBLE AS n,
+         |         sum(resid) AS s1, sum(resid*resid) AS s2,
+         |         sum(resid*resid*resid) AS s3, sum(resid*resid*resid*resid) AS s4,
+         |         avg(resid*resid) - avg(resid)*avg(resid) AS vr,
+         |         avg((trend + resid)*(trend + resid)) - avg(trend + resid)*avg(trend + resid) AS vtr,
+         |         avg((seasonal + resid)*(seasonal + resid)) - avg(seasonal + resid)*avg(seasonal + resid) AS vsr
+         |       FROM decomp GROUP BY 1),
+         |sp AS (SELECT *,
+         |         ((n - 1) * s2 - s1 * s1) / ((n - 1) * (n - 1)) AS alpha,
+         |         2.0 * s1 / ((n - 1) * (n - 1)) AS beta,
+         |         -n / ((n - 1) * (n - 1)) AS gamma
+         |       FROM mo),
+         |sp2 AS (SELECT *,
+         |          n * alpha + beta * s1 + gamma * s2 AS sv,
+         |          n * alpha * alpha + beta * beta * s2 + gamma * gamma * s4
+         |            + 2.0 * alpha * beta * s1 + 2.0 * alpha * gamma * s2 + 2.0 * beta * gamma * s3 AS sv2
+         |        FROM sp)
          |SELECT event_type,
-         |  round(greatest(0.0, 1 - (avg(resid^2) - avg(resid)^2) /
-         |    (avg((trend + resid)^2) - avg(trend + resid)^2)), 6) AS trend_strength,
-         |  round(greatest(0.0, 1 - (avg(resid^2) - avg(resid)^2) /
-         |    (avg((seasonal + resid)^2) - avg(seasonal + resid)^2)), 6) AS seasonal_strength
-         |FROM decomp GROUP BY 1""".stripMargin
+         |  round(greatest(0.0, 1 - vr / vtr), 6) AS trend_strength,
+         |  round(greatest(0.0, 1 - vr / vsr), 6) AS seasonal_strength,
+         |  round(sv2 / n - (sv / n) * (sv / n), 6) AS spikiness
+         |FROM sp2""".stripMargin
   )
 }

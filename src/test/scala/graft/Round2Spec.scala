@@ -99,6 +99,31 @@ class Round2Spec extends AnyFunSuite {
     assert(probs(best) > 0.5, s"peak prob ${probs(best)}")
   }
 
+  test("spikiness closed form equals brute-force leave-one-out variance") {
+    val r = Array(1.0, -2.0, 0.5, 3.0, -1.5, 0.7, 2.2, -0.3)
+    val n = r.length
+    // brute force: popvar of popvars of each deleted array
+    val loo = r.indices.map { i =>
+      val rest = r.indices.filter(_ != i).map(r)
+      val mu = rest.sum / rest.length
+      rest.map(v => (v - mu) * (v - mu)).sum / rest.length
+    }
+    val lm = loo.sum / n
+    val brute = loo.map(v => (v - lm) * (v - lm)).sum / n
+    // closed form via moments (the formula used by TsFeatures.stlStrength)
+    val s1 = r.sum; val s2 = r.map(v => v * v).sum
+    val s3 = r.map(v => v * v * v).sum; val s4 = r.map(v => v * v * v * v).sum
+    val d = (n - 1.0) * (n - 1.0)
+    val alpha = ((n - 1) * s2 - s1 * s1) / d
+    val beta = 2.0 * s1 / d
+    val gamma = -n / d
+    val sv = n * alpha + beta * s1 + gamma * s2
+    val sv2 = n * alpha * alpha + beta * beta * s2 + gamma * gamma * s4 +
+      2 * alpha * beta * s1 + 2 * alpha * gamma * s2 + 2 * beta * gamma * s3
+    val closed = sv2 / n - (sv / n) * (sv / n)
+    assert(math.abs(closed - brute) < 1e-9, s"closed=$closed brute=$brute")
+  }
+
   test("holtOpt returns parameters on the grid") {
     val xs = Array.tabulate(300)(t => 3.0 + 0.1 * t + math.sin(t * 0.3))
     val (a, b, l, tr, sse) = Smoothers.holtOpt(xs)
