@@ -94,6 +94,98 @@ object Regressors {
     }
   }
 
+  /** In-sample fitted values of the prophetLite fit (for the
+    * prophet-residual anomaly detector, kats/detectors/prophet_detector.py
+    * re-derived: residual z-scores against the additive model).
+    */
+  def prophetLiteFitted(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int): Array[Double] = {
+    val n = xs.length
+    val cps = Array.tabulate(nChangepoints)(i => (i + 1).toDouble * n / (nChangepoints + 1))
+    val p = 2 + nChangepoints + 2 * orders
+    def row(t: Double): Array[Double] = {
+      val r = new Array[Double](p)
+      r(0) = 1.0
+      r(1) = t / n
+      var j = 0
+      while (j < nChangepoints) { r(2 + j) = math.max(0.0, (t - cps(j)) / n); j += 1 }
+      var k = 1
+      while (k <= orders) {
+        val w = 2 * math.Pi * k * t / period
+        r(2 + nChangepoints + 2 * (k - 1)) = math.sin(w)
+        r(2 + nChangepoints + 2 * (k - 1) + 1) = math.cos(w)
+        k += 1
+      }
+      r
+    }
+    val X = DenseMatrix.tabulate[Double](n, p)((i, j) => row(i.toDouble)(j))
+    val beta = solve(X, DenseVector(xs), ridge = 1e-4)
+    Array.tabulate(n) { t =>
+      val r = row(t.toDouble)
+      var v = 0.0
+      var j = 0
+      while (j < p) { v += r(j) * beta(j); j += 1 }
+      v
+    }
+  }
+
+  /** SARIMA-lite (1,1,0)(1,1,0)_m, additive AR form (kats/models/sarima.py
+    * re-derived without statsmodels): after one regular and one seasonal
+    * difference, w_t = c + φ·w_{t-1} + Φ·w_{t-m} by ridge OLS. Returns
+    * (c, phi, sphi, sigma2).
+    */
+  def sarimaFit(xs: Array[Double], m: Int): (Double, Double, Double, Double) = {
+    val d = Array.tabulate(xs.length - 1)(i => xs(i + 1) - xs(i))
+    val w = Array.tabulate(d.length - m)(i => d(i + m) - d(i))
+    val L = w.length
+    require(L > m + 4, s"series too short for SARIMA seasonal lag $m: $L")
+    val rows = L - m
+    val X = DenseMatrix.zeros[Double](rows, 3)
+    val y = DenseVector.zeros[Double](rows)
+    var i = 0
+    while (i < rows) {
+      val t = m + i
+      X(i, 0) = 1.0; X(i, 1) = w(t - 1); X(i, 2) = w(t - m)
+      y(i) = w(t)
+      i += 1
+    }
+    val beta = solve(X, y)
+    var sse = 0.0
+    i = 0
+    while (i < rows) {
+      val f = beta(0) + beta(1) * X(i, 1) + beta(2) * X(i, 2)
+      val e = y(i) - f
+      sse += e * e
+      i += 1
+    }
+    (beta(0), beta(1), beta(2), sse / rows)
+  }
+
+  /** SARIMA-lite h-step forecasts of the original series (h ≤ m): the
+    * seasonal lags of both integration stages are still observed inside
+    * one season, so the recursion only carries ŵ_{t-1} and the cumulative
+    * level.
+    */
+  def sarimaForecast(xs: Array[Double], m: Int, h: Int): Array[Double] = {
+    require(h <= m, s"forecast horizon $h beyond one season $m")
+    val (c, phi, sphi, _) = sarimaFit(xs, m)
+    val d = Array.tabulate(xs.length - 1)(i => xs(i + 1) - xs(i))
+    val w = Array.tabulate(d.length - m)(i => d(i + m) - d(i))
+    val L = w.length
+    val out = new Array[Double](h)
+    var wPrev = w(L - 1)
+    var x = xs.last
+    var k = 1
+    while (k <= h) {
+      val wHat = c + phi * wPrev + sphi * w(L + k - 1 - m)
+      val dHat = wHat + d(d.length + k - 1 - m)
+      x += dHat
+      out(k - 1) = x
+      wPrev = wHat
+      k += 1
+    }
+    out
+  }
+
   /** VAR(1) (var.py re-derived): fit X_t = c + A·X_{t-1} per equation by
     * OLS on a k-variate series given as rows of observations (time-major).
     * Returns (c, A) and one-step forecast from the last observation.

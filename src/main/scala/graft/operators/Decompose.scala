@@ -32,6 +32,27 @@ object Decompose {
       .drop("_hod", "_seasonal_raw", "detrended")
   }
 
+  /** Multiplicative decomposition (kats/utils/decomposition.py
+    * decomposition="multiplicative"): x = trend · seasonal · resid, with
+    * the seasonal factor normalized to mean 1 per series. Assumes a
+    * positive-valued series (ratios) — callers on zero-filled grids
+    * should use the raw resampled table.
+    */
+  def multiplicative(df: DataFrame, s: TSSchema, half: Int = 12): DataFrame = {
+    val wTrend = s.orderedWindow.rowsBetween(-half, half)
+    val withTrend = df
+      .withColumn("trend", round(avg(s.value).over(wTrend), 6))
+      .withColumn("_ratio", col(s.value) / col("trend"))
+      .withColumn("_hod", hour(col(s.ts)))
+    val wHod = Window.partitionBy((s.keyCols :+ col("_hod")): _*)
+    val wKey = Window.partitionBy(s.keyCols: _*)
+    withTrend
+      .withColumn("_seasonal_raw", avg("_ratio").over(wHod))
+      .withColumn("seasonal", round(col("_seasonal_raw") / avg("_seasonal_raw").over(wKey), 6))
+      .withColumn("resid", round(col(s.value) / (col("trend") * col("seasonal")), 6))
+      .drop("_hod", "_seasonal_raw", "_ratio")
+  }
+
   /** Iterated decomposition (STL-flavored, loess replaced by the centered
     * MA): re-estimate the trend on the DESEASONALIZED series, then
     * re-estimate seasonality against the refined trend. Two passes remove

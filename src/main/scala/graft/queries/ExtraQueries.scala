@@ -50,6 +50,50 @@ object ExtraQueries {
           round(col("stats")(2), 6).as("acf1"))
     }),
 
+    // multiplicative decomposition (decomposition.py "multiplicative")
+    "q_decompose_multiplicative" -> ((s, dir) =>
+      graft.operators.Decompose.multiplicative(hourly(s, dir), S)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+          col("trend"), col("seasonal"), col("resid"))),
+
+    // simple heuristic forecasts (simple_heuristic_model.py): last value,
+    // seasonal naive, trailing-24h mean
+    "q_naive" -> ((s, dir) => {
+      val w = S.orderedWindow
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      hourly(s, dir)
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(wk))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("_rn") === col("_n"), col("value"))).as("last_value"),
+          max(when(col("_rn") === col("_n") - 23, col("value"))).as("snaive_1"),
+          round(avg(when(col("_rn") > col("_n") - 24, col("value"))), 6).as("ma24"))
+    }),
+
+    // rolling-origin FIXED-window backtest (backtesters.py
+    // BackTesterRollingWindow): each fold trains an hour-of-day-mean
+    // model on the preceding 14 days only and scores the next 7
+    "q_backtest_rolling" -> ((s, dir) => {
+      val h = hourly(s, dir)
+      val folds = Seq(
+        (0, "2024-01-02", "2024-01-16", "2024-01-23"),
+        (1, "2024-01-09", "2024-01-23", "2024-01-30"),
+        (2, "2024-01-16", "2024-01-30", "2024-02-06"))
+      folds.map { case (i, t0, cut, hi) =>
+        val train = h.where(col("ts") >= lit(t0).cast("timestamp") && col("ts") < lit(cut).cast("timestamp"))
+          .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+          .agg(avg("value").as("f"))
+        h.where(col("ts") >= lit(cut).cast("timestamp") && col("ts") < lit(hi).cast("timestamp"))
+          .withColumn("hod", hour(col("ts")))
+          .join(train, Seq("event_type", "hod"))
+          .groupBy("event_type")
+          .agg(round(graft.metrics.Metrics.mape(col("value"), col("f")), 6).as("mape"),
+            round(graft.metrics.Metrics.rmse(col("value"), col("f")), 6).as("rmse"))
+          .withColumn("fold", lit(i))
+      }.reduce(_ unionByName _)
+    }),
+
     "q_distribution_distance" -> ((s, dir) => {
       val wKey = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
       val b = hourly(s, dir)
@@ -199,6 +243,48 @@ object ExtraQueries {
         |SELECT phi, seed, round(mu, 6) AS mean, round(v, 6) AS var_pop,
         |  round(num / (v * n), 6) AS acf1
         |FROM m2""".stripMargin,
+
+    "q_decompose_multiplicative" ->
+      s"""WITH hourly AS ($H),
+         |mt AS (SELECT event_type, ts, value,
+         |  round(avg(value) OVER (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6) AS trend
+         |  FROM hourly),
+         |mr AS (SELECT *, value / trend AS ratio, hour(ts) AS hod FROM mt),
+         |ms AS (SELECT *, avg(ratio) OVER (PARTITION BY event_type, hod) AS sraw FROM mr),
+         |md AS (SELECT event_type, ts, value, trend,
+         |  round(sraw / avg(sraw) OVER (PARTITION BY event_type), 6) AS seasonal FROM ms)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, trend, seasonal,
+         |  round(value / (trend * seasonal), 6) AS resid
+         |FROM md""".stripMargin,
+
+    "q_naive" ->
+      s"""WITH hourly AS ($H),
+         |b AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM hourly)
+         |SELECT event_type,
+         |  max(CASE WHEN rn = n THEN value END) AS last_value,
+         |  max(CASE WHEN rn = n - 23 THEN value END) AS snaive_1,
+         |  round(avg(CASE WHEN rn > n - 24 THEN value END), 6) AS ma24
+         |FROM b GROUP BY 1""".stripMargin,
+
+    "q_backtest_rolling" ->
+      s"""WITH hourly AS ($H),
+         |folds AS (SELECT * FROM (VALUES
+         |  (0, TIMESTAMP '2024-01-02', TIMESTAMP '2024-01-16', TIMESTAMP '2024-01-23'),
+         |  (1, TIMESTAMP '2024-01-09', TIMESTAMP '2024-01-23', TIMESTAMP '2024-01-30'),
+         |  (2, TIMESTAMP '2024-01-16', TIMESTAMP '2024-01-30', TIMESTAMP '2024-02-06')) t(fold, t0, cut, hi)),
+         |train AS (SELECT f.fold, h.event_type, hour(h.ts) AS hod, avg(h.value) AS fc
+         |          FROM hourly h JOIN folds f ON h.ts >= f.t0 AND h.ts < f.cut
+         |          GROUP BY 1, 2, 3),
+         |test AS (SELECT f.fold, h.event_type, hour(h.ts) AS hod, h.value
+         |         FROM hourly h JOIN folds f ON h.ts >= f.cut AND h.ts < f.hi)
+         |SELECT t.event_type,
+         |  round(avg(CASE WHEN t.value <> 0 THEN abs((t.value - tr.fc) / t.value) END), 6) AS mape,
+         |  round(sqrt(avg((t.value - tr.fc) * (t.value - tr.fc))), 6) AS rmse,
+         |  t.fold
+         |FROM test t JOIN train tr ON t.fold = tr.fold AND t.event_type = tr.event_type AND t.hod = tr.hod
+         |GROUP BY t.event_type, t.fold""".stripMargin,
 
     "q_decompose_stl" ->
       s"""WITH hourly AS ($H),

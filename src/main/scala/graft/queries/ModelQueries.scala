@@ -310,6 +310,29 @@ object ModelQueries {
           round(col("w_lin") * col("f_lin") + col("w_quad") * col("f_quad") + col("w_stlf") * col("f_stlf"), 6).as("f_weighted"))
     }),
 
+    // prophet-residual anomaly detector (prophet_detector.py): per-row
+    // fitted values of the prophetLite model, residual z-scores, |z| > 3
+    "q_prophet_detector" -> ((s, dir) => {
+      val fitted = SeriesOps.mapSeries(dense(s, dir), S, "fitted") { xs =>
+        Regressors.prophetLiteFitted(xs, period = 24, orders = 3, nChangepoints = 4)
+      }
+      val wk = Window.partitionBy("event_type")
+      fitted
+        .withColumn("resid", col("value") - col("fitted"))
+        .withColumn("z", (col("resid") - avg("resid").over(wk)) / stddev_samp(col("resid")).over(wk))
+        .where(abs(col("z")) > 3.0)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+          col("fitted"), round(col("z"), 6).as("z"))
+    }),
+
+    // SARIMA-lite (1,1,0)(1,1,0)_24 additive AR (sarima.py re-derived)
+    "q_sarima" -> ((s, dir) =>
+      SeriesOps.aggSeries(dense(s, dir), S, Seq("c", "phi", "sphi", "sigma2", "yhat_1", "yhat_24")) { xs =>
+        val (c, p, sp, s2) = Regressors.sarimaFit(xs, 24)
+        val fc = Regressors.sarimaForecast(xs, 24, 24)
+        Array(c, p, sp, s2, fc(0), fc(23))
+      }),
+
     /** Keyed multivariate VAR(1): per event_type, the 2-dim series
       * (value, n) regressed on its own lag via closed-form 3×3 normal
       * equations — a pure keyed aggregate plan (one shuffle, partial
@@ -501,6 +524,102 @@ object ModelQueries {
          |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
          |  round(l + b, 6) AS yhat_1, round(l + 24 * b, 6) AS yhat_24
          |FROM rec WHERE i = n - 1""".stripMargin,
+
+    "q_prophet_detector" -> {
+      val basis = Seq("1.0", "(t::DOUBLE / n)") ++
+        (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
+        (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
+      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
+      val p = 12
+      val matEntries = (0 until p).flatMap { i =>
+        (0 until p).map { j =>
+          val e = s"sum(b${i + 1} * b${j + 1})"
+          if (i == j) s"$e + 1e-4" else e
+        } :+ s"sum(b${i + 1} * y)"
+      }.mkString(",\n           ")
+      val fitExpr = (1 to p).map(j => s"bs.b$j * be.b[$j]").mkString(" + ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, ts, value AS y,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |bs AS (SELECT event_type, ts, y, t, n,
+         |         $bCols
+         |       FROM ord),
+         |mats AS (SELECT event_type,
+         |         [$matEntries] AS m
+         |         FROM bs GROUP BY 1),
+         |${gaussJordanSql(p)},
+         |ftd AS (SELECT bs.event_type, bs.ts, bs.y, round($fitExpr, 6) AS fitted
+         |        FROM bs JOIN beta be ON bs.event_type = be.event_type),
+         |rz AS (SELECT *, y - fitted AS resid FROM ftd),
+         |z AS (SELECT event_type, ts, y, fitted,
+         |        (resid - avg(resid) OVER (PARTITION BY event_type))
+         |          / stddev_samp(resid) OVER (PARTITION BY event_type) AS z
+         |      FROM rz)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, y AS value, fitted, round(z, 6) AS z
+         |FROM z WHERE abs(z) > 3.0""".stripMargin
+    },
+
+    "q_sarima" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |dd AS (SELECT event_type, t - 1 AS td, n - 1 AS nd,
+         |         value - lag(value) OVER (PARTITION BY event_type ORDER BY t) AS dv
+         |       FROM ord QUALIFY dv IS NOT NULL),
+         |ww AS (SELECT event_type, td - 24 AS tw, nd - 24 AS lw,
+         |         dv - lag(dv, 24) OVER (PARTITION BY event_type ORDER BY td) AS wv
+         |       FROM dd QUALIFY wv IS NOT NULL),
+         |lg AS (SELECT event_type, tw, lw, wv,
+         |         lag(wv, 1) OVER w AS l1, lag(wv, 24) OVER w AS lm
+         |       FROM ww WINDOW w AS (PARTITION BY event_type ORDER BY tw)),
+         |s3mats AS (SELECT event_type, [
+         |    count(*)::DOUBLE + 1e-8, sum(l1), sum(lm), sum(wv),
+         |    sum(l1), sum(l1*l1) + 1e-8, sum(l1*lm), sum(l1*wv),
+         |    sum(lm), sum(lm*l1), sum(lm*lm) + 1e-8, sum(lm*wv)
+         |  ] AS m FROM lg WHERE lm IS NOT NULL GROUP BY 1),
+         |${gaussJordanSql(3, "s3")},
+         |sig AS (SELECT l.event_type,
+         |          sum((l.wv - (be.b[1] + be.b[2] * l.l1 + be.b[3] * l.lm))
+         |            * (l.wv - (be.b[1] + be.b[2] * l.l1 + be.b[3] * l.lm))) / count(*) AS sigma2
+         |        FROM lg l JOIN s3beta be ON l.event_type = be.event_type
+         |        WHERE l.lm IS NOT NULL GROUP BY 1),
+         |lastw AS (SELECT w1.event_type, max(w1.lw) AS lw,
+         |            max(CASE WHEN w1.tw = w1.lw - 1 THEN w1.wv END) AS wlast
+         |          FROM ww w1 GROUP BY 1),
+         |lastx AS (SELECT o.event_type, max(o.n) AS n,
+         |            max(CASE WHEN o.t = o.n - 1 THEN o.value END) AS xlast
+         |          FROM ord o GROUP BY 1),
+         |fcrec AS (
+         |  SELECT l.event_type, 0 AS h, l.wlast AS wprev, x.xlast AS acc, l.lw, x.n, be.b
+         |  FROM lastw l JOIN lastx x ON l.event_type = x.event_type
+         |  JOIN s3beta be ON l.event_type = be.event_type
+         |  UNION ALL
+         |  SELECT event_type, h, what, acc + (what + dobs), lw, n, b
+         |  FROM (
+         |    SELECT r.event_type, r.h + 1 AS h, r.lw, r.n, r.b, r.acc,
+         |      r.b[1] + r.b[2] * r.wprev + r.b[3] * wo.wv AS what, dob.dv AS dobs
+         |    FROM fcrec r
+         |    JOIN ww wo ON wo.event_type = r.event_type AND wo.tw = r.lw + (r.h + 1) - 1 - 24
+         |    JOIN dd dob ON dob.event_type = r.event_type AND dob.td = (r.n - 1) + (r.h + 1) - 1 - 24
+         |    WHERE r.h < 24))
+         |SELECT f.event_type,
+         |  round(be.b[1], 6) AS c, round(be.b[2], 6) AS phi, round(be.b[3], 6) AS sphi,
+         |  round(sig.sigma2, 6) AS sigma2,
+         |  round(max(CASE WHEN f.h = 1 THEN f.acc END), 6) AS yhat_1,
+         |  round(max(CASE WHEN f.h = 24 THEN f.acc END), 6) AS yhat_24
+         |FROM fcrec f JOIN s3beta be ON f.event_type = be.event_type
+         |JOIN sig ON f.event_type = sig.event_type
+         |GROUP BY f.event_type, be.b, sig.sigma2""".stripMargin,
 
     // ARIMA(2,1,1) Hannan-Rissanen replay: long-AR(8) residuals by one
     // Gauss-Jordan solve, the ARMA regression by a second, the 24-step
