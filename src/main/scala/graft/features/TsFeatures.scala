@@ -202,6 +202,9 @@ object TsFeatures {
       .agg(
         round(greatest(lit(0.0), lit(1.0) - varPop(col("resid")) / varPop(col("trend") + col("resid"))), 6).as("trend_strength"),
         round(greatest(lit(0.0), lit(1.0) - varPop(col("resid")) / varPop(col("seasonal") + col("resid"))), 6).as("seasonal_strength"),
-        round(sv2 / n - (sv / n) * (sv / n), 6).as("spikiness"))
+        // 2 dp: the 4th-moment sums behind the closed form carry ~1e-6
+        // absolute float noise at this scale — 6 dp would sit on rounding
+        // boundaries between engines
+        round(sv2 / n - (sv / n) * (sv / n), 2).as("spikiness"))
   }
 }

@@ -405,7 +405,7 @@ object FeatureQueries {
          |SELECT event_type,
          |  round(greatest(0.0, 1 - vr / vtr), 6) AS trend_strength,
          |  round(greatest(0.0, 1 - vr / vsr), 6) AS seasonal_strength,
-         |  round(sv2 / n - (sv / n) * (sv / n), 6) AS spikiness
+         |  round(sv2 / n - (sv / n) * (sv / n), 2) AS spikiness
          |FROM sp2""".stripMargin
   )
 }
