@@ -117,4 +117,37 @@ object TS {
     */
   def dataPartition(df: DataFrame, s: TSSchema, cutoff: String): DataFrame =
     df.withColumn("fold", when(col(s.ts) < lit(cutoff).cast("timestamp"), lit("train")).otherwise(lit("test")))
+
+  /** Backward as-of join: each left row picks up the latest right row with
+    * right.ts ≤ left.ts within the same key — the canonical time-series
+    * alignment (attach latest state/forecast/aggregate to events).
+    *
+    * Implemented as the scalable UNION + WINDOW shape rather than a range
+    * join: tag both sides, sort per key by (ts, side) with right rows
+    * first at ties, and carry the last non-null right values forward.
+    * ONE key shuffle, no join blow-up, no custom plan node — this is the
+    * form that survives a skewed 100 TB event stream (a range join would
+    * re-scan the right side per left row).
+    *
+    * `rightCols` are the right-side value columns to attach; they must
+    * not collide with left column names.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+                       rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == ts)
+    val lTagged = left
+      .withColumn("_side", lit(1))
+      .select((keys.map(col) :+ col(ts) :+ col("_side")) ++
+        leftCols.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .withColumn("_side", lit(0))
+      .select((keys.map(col) :+ col(ts) :+ col("_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1).drop("_side")
+  }
 }

@@ -57,6 +57,17 @@ object CoreQueries {
       TS.dataPartition(hourly(s, dir).drop("n"), S, "2024-01-22 00:00:00")
         .groupBy("event_type", "fold").agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))),
 
+    // as-of join: attach the latest at-or-before hourly aggregate to each
+    // raw event (union+window shape; DuckDB's native ASOF JOIN oracles it)
+    "q_asof_join" -> ((s, dir) => {
+      val left = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      val right = hourly(s, dir).drop("n")
+        .select(col("event_type"), col("ts"), col("value").as("hourly_value"))
+      TS.asofJoinBackward(left, right, Seq("event_type"), "ts", Seq("hourly_value"))
+        .select(col("event_id"), col("event_type"), epochS("ts"), col("value"), col("hourly_value"))
+    }),
+
     "q_metrics" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
       hourly(s, dir)
@@ -179,6 +190,14 @@ object CoreQueries {
          |  CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train' ELSE 'test' END AS fold,
          |  count(*) AS n, round(sum(value), 6) AS total
          |FROM hourly GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH hourly AS ($H)
+         |SELECT e.event_id, e.event_type,
+         |  epoch_us(date_trunc('microsecond', e.ts))//1000000 AS ts_s, e.value,
+         |  h.value AS hourly_value
+         |FROM events e ASOF JOIN hourly h
+         |  ON e.event_type = h.event_type AND e.ts >= h.ts""".stripMargin,
 
     "q_metrics" ->
       s"""WITH hourly AS ($H),
