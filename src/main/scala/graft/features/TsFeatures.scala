@@ -90,7 +90,9 @@ object TsFeatures {
       .agg((avg(x * x) - avg(x) * avg(x)).as("_cvar"), avg(x).as("_cmean"))
       .groupBy(s.keyCols: _*)
       .agg(
-        round(avg(col("_cvar") * col("_cvar")) - avg("_cvar") * avg("_cvar"), 6).as("lumpiness"),
+        // 4 dp: variance-of-variances reaches 1e7+, where 6 dp sits on
+        // float rounding boundaries between engines
+        round(avg(col("_cvar") * col("_cvar")) - avg("_cvar") * avg("_cvar"), 4).as("lumpiness"),
         round(avg(col("_cmean") * col("_cmean")) - avg("_cmean") * avg("_cmean"), 6).as("stability"))
   }
 

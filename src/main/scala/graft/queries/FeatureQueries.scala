@@ -172,7 +172,7 @@ object FeatureQueries {
          |  CASE WHEN rn <= r * (q + 1) THEN (rn - 1) // (q + 1)
          |       ELSE r + (rn - 1 - r * (q + 1)) // q END AS chunk FROM d),
          |f AS (SELECT event_type, chunk, avg(value * value) - avg(value) * avg(value) AS cvar FROM e GROUP BY 1, 2)
-         |SELECT event_type, round(avg(cvar * cvar) - avg(cvar) * avg(cvar), 6) AS lumpiness FROM f GROUP BY 1""".stripMargin,
+         |SELECT event_type, round(avg(cvar * cvar) - avg(cvar) * avg(cvar), 4) AS lumpiness FROM f GROUP BY 1""".stripMargin,
 
     "q_feat_stability" ->
       s"""WITH hourly AS ($H),
