@@ -118,6 +118,34 @@ object AdvancedQueries {
         .drop("_grp")
     }),
 
+    /** Cross-series clustering: embed every series as a SCALE-FREE shape
+      * vector (cv, skew, kurtosis, acf1, linearity — no normalization
+      * needed) and cluster with the deterministic Lloyd k-means. The
+      * "cluster millions of series by shape" meta-operation; one feature
+      * aggregate + k-means rounds, fully oracle-replayed.
+      */
+    "q_series_cluster" -> ((s, dir) => {
+      val h = hourly(s, dir)
+      val wKey = Window.partitionBy("event_type")
+      val wOrd = Window.partitionBy("event_type").orderBy("ts")
+      val base = h
+        .withColumn("_mu", avg("value").over(wKey))
+        .withColumn("_dev", col("value") - col("_mu"))
+        .withColumn("_devk", lag("_dev", 1).over(wOrd))
+        .withColumn("_t", (row_number().over(wOrd) - 1).cast("double"))
+      val fv = base.groupBy("event_type").agg(
+        (sqrt(avg(col("_dev") * col("_dev"))) / avg("value")).as("cv"),
+        (avg(pow(col("_dev"), 3)) / pow(avg(col("_dev") * col("_dev")), 1.5)).as("skw"),
+        (avg(pow(col("_dev"), 4)) / pow(avg(col("_dev") * col("_dev")), 2) - 3.0).as("krt"),
+        (sum(when(col("_devk").isNotNull, col("_dev") * col("_devk"))) / sum(col("_dev") * col("_dev"))).as("acf1"),
+        regr_r2(col("value"), col("_t")).as("lin"))
+        .select(col("event_type"),
+          array(col("cv"), col("skw"), col("krt"), col("acf1"), col("lin")).as("fvec"))
+      val cents = graft.ann.KMeansDet.fit(fv, k = 2, iters = 2, id = "event_type", vec = "fvec")
+      graft.ann.KMeansDet.assign(fv, cents, id = "event_type", vec = "fvec")
+        .select(col("event_type"), col("cell"), round(col("d2"), 6).as("d2"))
+    }),
+
     /** Detector-based TsFeatures: per-series detector summary stats
       * (outlier share, robust-stat share, Mann-Kendall trend, CUSUM
       * statistic, level-shift size) — each building block is the
@@ -142,7 +170,47 @@ object AdvancedQueries {
     })
   )
 
+  private val seriesClusterSql: String = {
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(list_zip($v, $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    def assignSql(i: Int, out: String) =
+      s"""$out AS (SELECT event_type, fvec, cell, d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d2, cell) AS rk FROM (
+         |    SELECT f.event_type, f.fvec, c.cell, ${d2("f.fvec", "c.centroid")} AS d2
+         |    FROM fv f CROSS JOIN cents$i c))
+         |  WHERE rk = 1)""".stripMargin
+    def updateSql(src: String, i: Int) =
+      s"""cents${i + 1} AS (
+         |  SELECT cell, list(cx ORDER BY dim) AS centroid FROM (
+         |    SELECT cell, dim, avg(x) AS cx FROM (
+         |      SELECT a.cell, generate_subscripts(a.fvec, 1) - 1 AS dim, unnest(a.fvec) AS x FROM $src a)
+         |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+    s"""WITH hourly AS ($H),
+       |b AS (SELECT event_type, ts, value, avg(value) OVER (PARTITION BY event_type) AS mu FROM hourly),
+       |b2 AS (SELECT event_type, value, value - mu AS dev,
+       |         lag(value - mu) OVER (PARTITION BY event_type ORDER BY ts) AS devk,
+       |         (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1)::DOUBLE AS t
+       |       FROM b),
+       |fv AS (SELECT event_type, [
+       |    sqrt(avg(dev*dev)) / avg(value),
+       |    avg(dev*dev*dev) / (avg(dev*dev) ^ 1.5),
+       |    avg(dev*dev*dev*dev) / (avg(dev*dev) ^ 2) - 3.0,
+       |    sum(CASE WHEN devk IS NOT NULL THEN dev * devk END) / sum(dev * dev),
+       |    regr_r2(value, t)
+       |  ] AS fvec FROM b2 GROUP BY 1),
+       |cents0 AS (SELECT row_number() OVER (ORDER BY event_type) - 1 AS cell, fvec AS centroid
+       |           FROM (SELECT * FROM fv ORDER BY event_type LIMIT 2)),
+       |${assignSql(0, "as0")},
+       |${updateSql("as0", 0)},
+       |${assignSql(1, "as1")},
+       |${updateSql("as1", 1)},
+       |${assignSql(2, "asf")}
+       |SELECT event_type, cell, round(d2, 6) AS d2 FROM asf""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "q_series_cluster" -> seriesClusterSql,
+
     "q_interval_detector" ->
       s"""WITH hourly AS ($H),
          |day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*)::DOUBLE AS nb,

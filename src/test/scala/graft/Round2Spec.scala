@@ -44,6 +44,27 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("ARIMA d=2 double integration continues a quadratic ramp") {
+    val xs = Array.tabulate(300)(t => 0.5 * t * t)
+    val fc = Arima.forecast(xs, p = 1, d = 2, q = 0, h = 4)
+    fc.zipWithIndex.foreach { case (v, i) =>
+      val t = 300 + i
+      assert(math.abs(v - 0.5 * t * t) < 1e-4, s"fc($i)=$v expected ${0.5 * t * t}")
+    }
+  }
+
+  test("SARIMA-lite recovers a seasonal trend pattern") {
+    val m = 24
+    val xs = Array.tabulate(24 * 30)(t => 0.2 * t + 10 * math.sin(2 * math.Pi * (t % m) / m))
+    val fc = graft.models.Regressors.sarimaForecast(xs, m, 24)
+    // deterministic series: one-season-ahead forecasts continue the pattern
+    fc.zipWithIndex.foreach { case (v, i) =>
+      val t = 24 * 30 + i
+      val expected = 0.2 * t + 10 * math.sin(2 * math.Pi * (t % m) / m)
+      assert(math.abs(v - expected) < 1.0, s"fc($i)=$v expected $expected")
+    }
+  }
+
   test("CusumV2 finds a level shift with a significant llr") {
     val xs = Simulator.levelShift(n = 400, cpAt = 200, shift = 8.0, noise = 1.0, seed = 3)
     val r = CusumV2.detect(xs, increase = true)
