@@ -196,7 +196,7 @@ object CoreQueries {
          |SELECT e.event_id, e.event_type,
          |  epoch_us(date_trunc('microsecond', e.ts))//1000000 AS ts_s, e.value,
          |  h.value AS hourly_value
-         |FROM events e ASOF JOIN hourly h
+         |FROM events e ASOF LEFT JOIN hourly h
          |  ON e.event_type = h.event_type AND e.ts >= h.ts""".stripMargin,
 
     "q_metrics" ->
