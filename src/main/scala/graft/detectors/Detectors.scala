@@ -2,7 +2,7 @@ package graft.detectors
 
 import graft.TSSchema
 import graft.operators.Decompose
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 

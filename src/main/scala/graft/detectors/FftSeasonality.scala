@@ -2,7 +2,6 @@ package graft.detectors
 
 import graft.{SeriesOps, TSSchema}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Periodogram-based seasonality detection (kats/detectors/seasonality.py:
   * FFTDetector). Explicit DFT over the mean-removed series at Fourier

@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Forecast error metrics (kats/metrics/metrics.py) as aggregate Column

@@ -3,7 +3,7 @@ package graft.queries
 import graft._
 import graft.detectors.{Detectors, MannKendall}
 import graft.operators.Decompose
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 

@@ -6,7 +6,6 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.7–§2.10 LLM-pipeline operators over `documents` / `embeddings`.
