@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.TSSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks for tidy time-series relations (the Spark-side
+  * replacement for the reference's pandas CSV ingestion,
+  * kats/consts.py:TimeSeriesData(df)).
+  *
+  * Readers validate the (key…, ts, value) contract up front — a wrong
+  * column name fails at load, not three operators later — and normalize
+  * the time column to TimestampType (epoch seconds/millis integers and
+  * ISO strings all accepted). The sink writes partitioned, sorted
+  * parquet: partition columns give coarse pruning, the within-partition
+  * sort gives parquet min/max row-group pruning on ts — the layout a
+  * 100 TB store needs for time-range scans.
+  */
+object IO {
+
+  /** Validate the schema contract and normalize `ts` to a timestamp. */
+  def timeSeries(df: DataFrame, s: TSSchema): DataFrame = {
+    val missing = (s.keys :+ s.ts :+ s.value).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"time-series relation is missing columns: ${missing.mkString(", ")}")
+    val tsType = df.schema(s.ts).dataType.typeName
+    val normalized = tsType match {
+      case "timestamp" => df
+      case "long" | "integer" => df.withColumn(s.ts, timestamp_seconds(col(s.ts)))
+      case "string" => df.withColumn(s.ts, to_timestamp(col(s.ts)))
+      case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
+    }
+    normalized.withColumn(s.value, col(s.value).cast("double"))
+  }
+
+  def readCsv(spark: SparkSession, path: String, s: TSSchema): DataFrame =
+    timeSeries(spark.read.option("header", "true").option("inferSchema", "true").csv(path), s)
+
+  def readJson(spark: SparkSession, path: String, s: TSSchema): DataFrame =
+    timeSeries(spark.read.json(path), s)
+
+  def readParquet(spark: SparkSession, path: String, s: TSSchema): DataFrame =
+    timeSeries(spark.read.parquet(path), s)
+
+  /** Partitioned + ts-sorted parquet sink (coarse partition pruning +
+    * row-group min/max pruning on ts).
+    */
+  def writePartitioned(df: DataFrame, path: String, s: TSSchema): Unit =
+    df.repartition(s.keyCols: _*)
+      .sortWithinPartitions((s.keyCols :+ col(s.ts)): _*)
+      .write.mode("overwrite").partitionBy(s.keys: _*).parquet(path)
+}
