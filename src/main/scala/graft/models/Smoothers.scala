@@ -1,10 +1,10 @@
 package graft.models
 
 /** Exponential-smoothing family forecasters (kats/models/holtwinters.py,
-  * theta.py re-derived; fixed smoothing parameters rather than the
-  * reference's MLE search, so results are deterministic and
-  * engine-reproducible). Pure per-series kernels: O(n) scans applied to
-  * collected series, parallel across series.
+  * theta.py re-derived). Both fixed-parameter runs and deterministic
+  * SSE-grid parameter fits (the reference's MLE search re-derived as a
+  * grid so results are engine-reproducible). Pure per-series kernels:
+  * O(n) scans applied to collected series, parallel across series.
   */
 object Smoothers {
 

@@ -6,9 +6,11 @@ import graft.operators.Decompose
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** §2.3 TsFeatures battery. SQL-expressible features carry exact DuckDB
-  * oracles; the statsmodels-equivalent kernels (PACF, spectral entropy,
-  * Hurst, ARCH-LM, special AC, KPSS) are spec-tested and rows-only here.
+/** §2.3 TsFeatures battery. Every feature is DuckDB-oracle-checked:
+  * aggregate/window features directly, and the statsmodels-equivalent
+  * kernels (PACF, spectral entropy, Hurst, ARCH-LM, special AC, KPSS)
+  * through oracle REPLAYS — pair-join ACFs, periodogram sums, and a
+  * recursive-CTE Durbin-Levinson with list state.
   */
 object FeatureQueries {
   private val S = TSSchema(keys = Seq("event_type"))

@@ -7,11 +7,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** §2.4 forecasting models. Closed-form fits (linear, quadratic via
-  * centered-Cramer normal equations, AR(2) via Yule-Walker, STL-forecast,
-  * median ensemble, nowcasting features) are DuckDB-oracle-exact; the
-  * smoothing/design-matrix models are deterministic fixed-parameter
-  * kernels with rows-only checks + specs.
+/** §2.4 forecasting models — every one DuckDB-oracle-checked.
+  * Closed-form fits (linear/quadratic via Cramer, AR(2) Yule-Walker,
+  * STLF, ensembles, VAR normal equations) check directly; sequential
+  * kernels (SES/Holt/Holt-Winters incl. SSE-grid fits, theta, ARIMA,
+  * SARIMA, prophet/harmonic ridge fits) are REPLAYED in the oracle via
+  * recursive CTEs and generated Gauss-Jordan eliminations.
   */
 object ModelQueries {
   private val S = TSSchema(keys = Seq("event_type"))

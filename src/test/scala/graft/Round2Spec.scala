@@ -120,6 +120,37 @@ class Round2Spec extends AnyFunSuite {
     assert(probs(best) > 0.5, s"peak prob ${probs(best)}")
   }
 
+  test("PACF of white noise vanishes beyond lag zero-ish") {
+    val xs = Simulator.arma(Array.empty, Array.empty, 5000, seed = 31)
+    val p = graft.features.FeatureKernels.pacf(xs, 10)
+    p.foreach(v => assert(math.abs(v) < 0.05, s"pacf=$v"))
+  }
+
+  test("PACF of an AR(1) process is phi at lag 1 and ~0 after") {
+    val xs = Simulator.arma(Array(0.7), Array.empty, 8000, seed = 33)
+    val p = graft.features.FeatureKernels.pacf(xs, 5)
+    assert(math.abs(p(0) - 0.7) < 0.05, s"pacf1=${p(0)}")
+    p.drop(1).foreach(v => assert(math.abs(v) < 0.05, s"tail pacf=$v"))
+  }
+
+  test("KPSS is small for a trend-stationary series and large for a random walk") {
+    val trendy = Array.tabulate(600)(t => 0.5 * t + math.sin(t * 0.7))
+    val rw = Simulator.arma(Array.empty, Array.empty, 600, seed = 41).scanLeft(0.0)(_ + _).tail
+    val a = graft.features.FeatureKernels.kpss(trendy)
+    val b = graft.features.FeatureKernels.kpss(rw)
+    assert(a < 0.2, s"trend-stationary kpss=$a")
+    assert(b > a * 5, s"random-walk kpss=$b should dwarf $a")
+  }
+
+  test("Hurst exponent orders persistent vs anti-persistent series") {
+    val rw = Simulator.arma(Array.empty, Array.empty, 3000, seed = 51).scanLeft(0.0)(_ + _).tail
+    val noise = Simulator.arma(Array.empty, Array.empty, 3000, seed = 53)
+    val hRw = graft.features.FeatureKernels.hurst(rw)
+    val hNoise = graft.features.FeatureKernels.hurst(noise)
+    assert(hRw > 0.4, s"random walk hurst=$hRw (≈0.5 expected)")
+    assert(hNoise < 0.15, s"white noise hurst=$hNoise (≈0 for iid levels)")
+  }
+
   test("spikiness closed form equals brute-force leave-one-out variance") {
     val r = Array(1.0, -2.0, 0.5, 3.0, -1.5, 0.7, 2.2, -0.3)
     val n = r.length
