@@ -63,7 +63,7 @@ case class EwmaArray(child: Expression, alpha: Double)
          |  $den = $den * $b + 1.0;
          |  $out[$i] = $num / $den;
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
        """.stripMargin
     })
 

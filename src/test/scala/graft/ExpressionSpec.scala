@@ -36,6 +36,21 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12, s"$g vs $w") }
   }
 
+  test("EwmaArray doGenCode compiles (no janino fallback) and matches nullSafeEval") {
+    // GenerateUnsafeProjection has no interpreted fallback: a bad FQCN in the
+    // generated source throws here instead of silently degrading the stage.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val xs = Array.tabulate(64)(i => math.cos(i * 0.7) * 5 + 0.3 * i)
+    val expr = EwmaArray(Literal.create(xs, ArrayType(DoubleType)), 0.35)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    val got = proj(InternalRow.empty).getArray(0).toDoubleArray()
+    val want = expr.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w, s"$g vs $w") }
+  }
+
   test("ewma_array Column runs through codegen and matches reference") {
     import spark.implicits._
     val xs = Array.tabulate(100)(i => math.sin(i * 0.3) * 10 + i * 0.1)
