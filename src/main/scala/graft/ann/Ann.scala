@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   *    corpus — exact, one scan, no shuffle of the corpus side;
   *  - LSH: random-hyperplane bucketing — candidates meet through a
   *    key-equality join on the bucket id;
-  *  - IVF: coarse cells (here the pre-assigned label; k-means centroids
-  *    in general), probe the nearest cells only.
+  *  - IVF: coarse cells learned by [[KMeansDet]] (or any precomputed
+  *    partition), probe the nearest cells only.
   *
   * Dot products run in double precision: the native zip_with/aggregate
   * form for one-shot compares, the codegen'd [[graft.expressions.CosineSim]]
@@ -162,11 +162,25 @@ object Ann {
       .select(col(cell), expr("transform(cs, s -> s.cx)").as("centroid"))
 
   /** IVF search: rank cells by probe→centroid cosine, scan the top
-    * `nprobe` cells only, return top-k per probe.
+    * `nprobe` cells only, return top-k per probe. Centroids are the
+    * per-cell member means of `corpus`.
     */
-  def knnIvf(corpus: DataFrame, probes: DataFrame, cell: String, k: Int, nprobe: Int = 2,
-             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val cents = centroids(corpus, cell, vec)
+  def knnIvf(corpus: DataFrame, probes: DataFrame, cell: String, k: Int, nprobe: Int,
+             id: String, vec: String): DataFrame =
+    knnIvf(corpus, probes, centroids(corpus, cell, vec), cell, k, nprobe, id, vec)
+
+  def knnIvf(corpus: DataFrame, probes: DataFrame, cell: String, k: Int, nprobe: Int = 2): DataFrame =
+    knnIvf(corpus, probes, cell, k, nprobe, "vec_id", "embedding")
+
+  /** IVF search against a precomputed centroid table (`cell`, centroid) —
+    * the learned-cells path: probes rank cells by cosine against the
+    * FITTED centroids (e.g. [[KMeansDet.fit]] output), then scan only the
+    * corpus rows assigned to the top `nprobe` cells. The centroid table is
+    * k rows and broadcasts; the corpus joins on the cell key — shuffle
+    * volume is the probed slice, never all pairs.
+    */
+  def knnIvf(corpus: DataFrame, probes: DataFrame, cents: DataFrame, cell: String,
+             k: Int, nprobe: Int, id: String, vec: String): DataFrame = {
     val probeCells = probes.select(col(id).as("probe_id"), col(vec).as("pvec"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("pvec"), col("centroid")))

@@ -61,6 +61,36 @@ object LlmQueries {
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  // ---- deterministic Lloyd replay (shared by q_kmeans / q_ann_ivf) -----
+
+  private def kmD2Sql(v: String, c: String) =
+    s"list_sum(list_transform(list_zip($v::DOUBLE[], $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+  private def kmAssignSql(i: Int) =
+    s"""as$i AS (SELECT vec_id, embedding, cell, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell, ${kmD2Sql("e.embedding", "c.centroid")} AS d2
+       |    FROM embeddings e CROSS JOIN cents$i c))
+       |  WHERE rk = 1)""".stripMargin
+
+  private def kmUpdateSql(i: Int) =
+    s"""cents${i + 1} AS (
+       |  SELECT cell, list(cx ORDER BY dim) AS centroid FROM (
+       |    SELECT cell, dim, avg(x) AS cx FROM (
+       |      SELECT a.cell, generate_subscripts(a.embedding, 1) - 1 AS dim, unnest(a.embedding)::DOUBLE AS x
+       |      FROM as$i a)
+       |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+
+  /** cents0 → (assign, update)ⁿ → centsN, then a final assignment asN —
+    * exactly [[graft.ann.KMeansDet.fit]] + [[graft.ann.KMeansDet.assign]]. */
+  private def kmChainSql(k: Int, iters: Int): String = {
+    val rounds = (0 until iters).map(i => s"${kmAssignSql(i)},\n${kmUpdateSql(i)}").mkString(",\n")
+    s"""cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS centroid
+       |                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${kmAssignSql(iters)}""".stripMargin
+  }
+
   // ---- queries ----------------------------------------------------------
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -146,9 +176,15 @@ object LlmQueries {
       Ann.knnLsh(e, e.where(col("vec_id") % 50 === 0), k = 5, planes = 8)
     }),
 
+    // full IVF: cells LEARNED by deterministic Lloyd (k=8, 3 rounds), probes
+    // ranked against the fitted centroids, only the top-2 cells scanned
     "q_ann_ivf" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Ann.knnIvf(e, e.where(col("vec_id") % 50 === 0), cell = "label", k = 3, nprobe = 2)
+      val e = embs(s, dir).select(col("vec_id"), col("embedding")).persist()
+      val cents = graft.ann.KMeansDet.fit(e, k = 8, iters = 3)
+      val assigned = graft.ann.KMeansDet.assign(e, cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      Ann.knnIvf(assigned, assigned.where(col("vec_id") % 50 === 0), cents,
+        cell = "cell", k = 3, nprobe = 2, id = "vec_id", vec = "embedding")
     }),
 
     // learned IVF cells: deterministic distributed Lloyd (k=8, 3 rounds),
@@ -326,42 +362,22 @@ object LlmQueries {
          |SELECT probe_id, bucket, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 5""".stripMargin
     },
 
+    // learned-cell IVF: replay the Lloyd chain, rank cells against the
+    // FITTED cents3 (not the member means), scan only the top-2 cells of as3
     "q_ann_ivf" ->
-      s"""WITH flat AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x FROM embeddings),
-         |cd AS (SELECT label, dim, avg(x) AS cx FROM flat GROUP BY 1, 2),
-         |cent AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cd GROUP BY 1),
-         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
-         |pc AS (SELECT probe_id, pvec, cent.label, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cent),
-         |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, label) AS crk FROM pc) WHERE crk <= 2),
-         |scored AS (SELECT probe_id, chosen.label, c.vec_id AS neighbor_id,
+      s"""WITH ${kmChainSql(8, 3)},
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 WHERE vec_id % 50 = 0),
+         |pc AS (SELECT probe_id, pvec, cents3.cell, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cents3),
+         |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS crk FROM pc) WHERE crk <= 2),
+         |scored AS (SELECT probe_id, chosen.cell, c.vec_id AS neighbor_id,
          |  ${cosSql("pvec", "c.embedding")} AS cos
-         |  FROM chosen JOIN embeddings c ON c.label = chosen.label AND c.vec_id <> probe_id),
+         |  FROM chosen JOIN as3 c ON c.cell = chosen.cell AND c.vec_id <> probe_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
-         |SELECT probe_id, label, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 3""".stripMargin,
+         |SELECT probe_id, cell, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 3""".stripMargin,
 
-    "q_kmeans" -> {
-      def d2Sql(v: String, c: String) =
-        s"list_sum(list_transform(list_zip($v::DOUBLE[], $c), p -> (p[1] - p[2]) * (p[1] - p[2])))"
-      def assignSql(i: Int) =
-        s"""as$i AS (SELECT vec_id, embedding, cell, d2 FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk FROM (
-           |    SELECT e.vec_id, e.embedding, c.cell, ${d2Sql("e.embedding", "c.centroid")} AS d2
-           |    FROM embeddings e CROSS JOIN cents$i c))
-           |  WHERE rk = 1)""".stripMargin
-      def updateSql(i: Int) =
-        s"""cents${i + 1} AS (
-           |  SELECT cell, list(cx ORDER BY dim) AS centroid FROM (
-           |    SELECT cell, dim, avg(x) AS cx FROM (
-           |      SELECT a.cell, generate_subscripts(a.embedding, 1) - 1 AS dim, unnest(a.embedding)::DOUBLE AS x
-           |      FROM as$i a)
-           |    GROUP BY 1, 2) GROUP BY 1)""".stripMargin
-      val rounds = (0 until 3).map(i => s"${assignSql(i)},\n${updateSql(i)}").mkString(",\n")
-      s"""WITH cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS centroid
-         |                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
-         |$rounds,
-         |${assignSql(3)}
-         |SELECT cell, count(*) AS n_members, round(sum(d2), 6) AS inertia FROM as3 GROUP BY 1""".stripMargin
-    },
+    "q_kmeans" ->
+      s"""WITH ${kmChainSql(8, 3)}
+         |SELECT cell, count(*) AS n_members, round(sum(d2), 6) AS inertia FROM as3 GROUP BY 1""".stripMargin,
 
     // byte-statistics replay of the stubbed decode: the 16 payload bytes
     // are the md5 digest, so the oracle re-derives them from the hex
