@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * MLlib's KMeans seeds with randomized k-means|| — not reproducible by
   * an external engine — so graft uses the fully deterministic variant:
   * initial centroids are the embeddings of the k smallest ids, and each
-  * of the fixed `iters` Lloyd rounds is (a) a broadcast-join assignment
-  * (map-side, no corpus shuffle; ties broken by lowest cell id) and
-  * (b) a keyed elementwise-mean centroid update (one shuffle of
-  * (cell, dim, x) rows). Every arithmetic step is replayable in SQL, so
-  * the DuckDB oracle checks the whole clustering bit-for-bit at 6 dp.
+  * of the fixed `iters` Lloyd rounds is (a) a truly map-side assignment —
+  * the k×dim centroid table collapses to ONE broadcast row holding the
+  * sorted (cell, centroid) list, and each corpus row takes the argmin via
+  * `array_min` over per-cell squared distances (ties → lowest cell id;
+  * zero corpus shuffle, no per-id aggregation) — and (b) a keyed
+  * elementwise-mean centroid update (one shuffle of (cell, dim, x) rows).
+  * Every arithmetic step is replayable in SQL, so the DuckDB oracle
+  * checks the whole clustering bit-for-bit at 6 dp.
   * Scale: assignment is O(n·k·dim) map-side work; the update shuffle
   * carries n·dim rows — both linear in corpus size, no driver state
   * beyond the k×dim centroid table.
@@ -24,15 +27,18 @@ object KMeansDet {
     aggregate(zip_with(vec, centroid, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Nearest-centroid assignment; output = corpus columns + (cell, d2). */
+  /** Nearest-centroid assignment; output = corpus columns + (cell, d2).
+    * `array_min` over struct(d2, cell) compares lexicographically, so the
+    * argmin and its lowest-cell tie-break happen inside one narrow
+    * projection — the corpus is never expanded to n·k rows or shuffled.
+    */
   def assign(corpus: DataFrame, cents: DataFrame,
              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(id).orderBy(col("_d2"), col("cell"))
-    corpus.crossJoin(broadcast(cents))
-      .withColumn("_d2", d2(col(vec), col("centroid")))
-      .withColumn("_rk", row_number().over(w))
-      .where(col("_rk") === 1)
-      .select(col(id), col(vec), col("cell"), col("_d2").as("d2"))
+    val centsRow = cents.agg(array_sort(collect_list(struct(col("cell"), col("centroid")))).as("_cents"))
+    corpus.crossJoin(broadcast(centsRow))
+      .withColumn("_best", array_min(transform(col("_cents"),
+        c => struct(d2(col(vec), c.getField("centroid")).as("d2"), c.getField("cell").as("cell")))))
+      .select(col(id), col(vec), col("_best.cell").as("cell"), col("_best.d2").as("d2"))
   }
 
   /** Elementwise mean per cell (the Lloyd update). */
@@ -49,10 +55,17 @@ object KMeansDet {
     */
   def fit(corpus: DataFrame, k: Int, iters: Int,
           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val seedW = Window.orderBy(col(id))
-    var cents = corpus.orderBy(col(id)).limit(k)
-      .withColumn("cell", row_number().over(seedW) - 1)
-      .select(col("cell"), expr(s"transform($vec, x -> cast(x as double))").as("centroid"))
+    // The k seed vectors are collected — k×dim doubles of driver state, the
+    // standard iterative-ML shape (MLlib holds its centroids on the driver
+    // too) — which also keeps the k-row seed rank out of WindowExec.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seedRows = corpus.orderBy(col(id)).limit(k)
+      .select(expr(s"transform($vec, x -> cast(x as double))").as("centroid"))
+      .collect()
+    var cents = seedRows.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
+      .toDF("cell", "centroid")
     var i = 0
     while (i < iters) {
       cents = update(assign(corpus, cents, id, vec), vec)
