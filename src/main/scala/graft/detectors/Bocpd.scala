@@ -195,7 +195,9 @@ object Bocpd {
     var rB = Array(beta0 + 1.0)
     var t = 1
     while (t < n) {
-      val x = math.max(math.rint(counts(t)), 0.0)
+      // floor(x + 0.5): half-away-from-zero for the non-negative counts,
+      // matching DuckDB round() in the oracle (rint would tie half-to-even)
+      val x = math.max(math.floor(counts(t) + 0.5), 0.0)
       val k = rProb.length
       val growth = new Array[Double](k)
       var cp = 0.0

@@ -40,6 +40,10 @@ object AdvancedQueries {
         .withColumn("na", sum("nb").over(w))
         .withColumn("sa", sum("sb").over(w))
         .withColumn("qa", sum("qb").over(w))
+        // day rank BEFORE the testability filters (mirrored in the oracle's
+        // `cum` CTE): a day that can't be tested breaks an island rather
+        // than letting an interval silently bridge it
+        .withColumn("_rn", row_number().over(Window.partitionBy("event_type").orderBy("day")))
         .where(col("na") >= 2 && col("nb") >= 2) // Welch needs ≥2 points per side
         .withColumn("mb", col("sb") / col("nb"))
         .withColumn("ma", col("sa") / col("na"))
@@ -47,7 +51,6 @@ object AdvancedQueries {
         .withColumn("va", (col("qa") - col("na") * col("ma") * col("ma")) / (col("na") - 1))
         .where(col("va") / col("na") + col("vb") / col("nb") > 0) // constant windows carry no test
         .withColumn("z", (col("mb") - col("ma")) / sqrt(col("va") / col("na") + col("vb") / col("nb")))
-        .withColumn("_rn", row_number().over(Window.partitionBy("event_type").orderBy("day")))
       val flagged = z.where(abs(col("z")) > 1.96)
       flagged
         .withColumn("_grp", col("_rn") - row_number().over(Window.partitionBy("event_type").orderBy("day")))

@@ -25,7 +25,12 @@ object IO {
     val tsType = df.schema(s.ts).dataType.typeName
     val normalized = tsType match {
       case "timestamp" => df
-      case "long" | "integer" => df.withColumn(s.ts, timestamp_seconds(col(s.ts)))
+      case "long" | "integer" =>
+        // magnitude split: |v| >= 1e11 can only be epoch millis (as seconds
+        // it would mean year 5138+), anything smaller is epoch seconds
+        df.withColumn(s.ts,
+          when(abs(col(s.ts)) >= 100000000000L, timestamp_millis(col(s.ts)))
+            .otherwise(timestamp_seconds(col(s.ts))))
       case "string" => df.withColumn(s.ts, to_timestamp(col(s.ts)))
       case other => throw new IllegalArgumentException(s"unsupported ts type: $other")
     }

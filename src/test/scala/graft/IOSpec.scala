@@ -29,6 +29,13 @@ class IOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromStr.select("value").head.getDouble(0) === 2.0)
   }
 
+  test("epoch-millis integers normalize by magnitude to the same instant") {
+    import spark.implicits._
+    val secs = IO.timeSeries(Seq(("a", 1704067200L, 1.0)).toDF("k", "ts", "value"), s)
+    val millis = IO.timeSeries(Seq(("a", 1704067200000L, 1.0)).toDF("k", "ts", "value"), s)
+    assert(secs.select("ts").head.getTimestamp(0) === millis.select("ts").head.getTimestamp(0))
+  }
+
   test("missing columns fail fast with the offending names") {
     import spark.implicits._
     val e = intercept[IllegalArgumentException] {
@@ -47,8 +54,10 @@ class IOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.count() === 48)
     val pruned = back.where(col("k") === "a")
     assert(pruned.count() === 24)
-    // partition pruning: the scan should read only the k=a directory
+    // partition pruning: the k=a predicate must reach the scan's
+    // PartitionFilters so only the k=a directory is read
     val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(k"), s"no partition filter in plan:\n$scan")
     assert(back.select(sum("value")).head.getDouble(0) === (0 until 48).sum.toDouble)
   }
 }
