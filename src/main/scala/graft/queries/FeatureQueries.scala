@@ -126,6 +126,14 @@ object FeatureQueries {
     "q_feat_unitroot_kpss" -> ((s, dir) =>
       SeriesOps.aggSeries(hourly(s, dir), S, Seq("kpss_stat")) { xs =>
         Array(FeatureKernels.kpss(xs))
+      }),
+
+    // kats get_seasonalities: FFT-peak period of the diffed series (else 7),
+    // period-parametric two-pass MA decomposition, then the 4 features
+    "q_feat_seasonalities" -> ((s, dir) =>
+      SeriesOps.aggSeries(hourly(s, dir), S,
+        Seq("seasonal_period", "trend_mag", "seasonality_mag", "residual_std")) { xs =>
+        graft.features.Seasonalities.features(xs)
       })
   )
 
@@ -408,6 +416,73 @@ object FeatureQueries {
          |  round(greatest(0.0, 1 - vr / vtr), 6) AS trend_strength,
          |  round(greatest(0.0, 1 - vr / vsr), 6) AS seasonal_strength,
          |  round(sv2 / n - (sv / n) * (sv / n), 2) AS spikiness
-         |FROM sp2""".stripMargin
+         |FROM sp2""".stripMargin,
+
+    // get_seasonalities replay: DFT of the first-diff, dB peak gating
+    // (median + 6·MAD), harmonic anti-join (the reference loop consults
+    // removed peaks as removers, so the filter is order-free), then the
+    // period-parametric two-pass MA decomposition via banded self-joins
+    "q_feat_seasonalities" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM hourly),
+         |df AS (SELECT event_type, t - 1 AS td, n - 1 AS m,
+         |         value - lag(value) OVER (PARTITION BY event_type ORDER BY t) AS d
+         |       FROM ord QUALIFY d IS NOT NULL),
+         |ks AS (SELECT DISTINCT event_type, m, unnest(range(1, (m + 1) // 2)) AS k FROM df),
+         |sp AS (SELECT f.event_type, ks.k, max(f.m) AS m,
+         |         sum(f.d * cos(2 * pi() * ks.k / f.m * f.td)) AS re,
+         |         sum(f.d * sin(2 * pi() * ks.k / f.m * f.td)) AS im
+         |       FROM df f JOIN ks ON f.event_type = ks.event_type GROUP BY 1, 2),
+         |amp AS (SELECT event_type, k, m,
+         |          CASE WHEN re * re + im * im > 0 THEN 10 * log10(re * re + im * im) ELSE -1e308 END AS ampl
+         |        FROM sp),
+         |med AS (SELECT event_type, quantile_cont(ampl, 0.5) FILTER (WHERE ampl > 0) AS med FROM amp GROUP BY 1),
+         |abv AS (SELECT a.event_type, a.ampl FROM amp a JOIN med USING (event_type) WHERE a.ampl > med.med),
+         |mu AS (SELECT event_type, avg(ampl) AS mu FROM abv GROUP BY 1),
+         |mad AS (SELECT a.event_type, avg(abs(a.ampl - mu.mu)) AS mad FROM abv a JOIN mu USING (event_type) GROUP BY 1),
+         |thr AS (SELECT med.event_type, med.med + 6.0 * mad.mad AS thr FROM med JOIN mad USING (event_type)),
+         |pk AS (SELECT *, ampl - lag(ampl) OVER w AS dl, ampl - lead(ampl) OVER w AS dr
+         |       FROM amp WINDOW w AS (PARTITION BY event_type ORDER BY k)),
+         |selp AS (SELECT pk.event_type, pk.k, pk.m FROM pk JOIN thr USING (event_type)
+         |         WHERE pk.dl >= 0.1 AND pk.dr >= 0.1 AND pk.ampl > thr.thr),
+         |kept AS (SELECT s1.event_type, s1.k, s1.m FROM selp s1
+         |         WHERE NOT EXISTS (SELECT 1 FROM selp s2
+         |           WHERE s2.event_type = s1.event_type AND s2.k < s1.k
+         |             AND ((s1.k::DOUBLE / s2.k) % 1 < 0.01 OR (s1.k::DOUBLE / s2.k) % 1 > 0.99))),
+         |per AS (SELECT o.event_type, coalesce(kp.p, 7) AS period
+         |        FROM (SELECT DISTINCT event_type FROM ord) o
+         |        LEFT JOIN (SELECT event_type, floor(max(m)::DOUBLE / max(k))::INT AS p FROM kept GROUP BY 1) kp
+         |        USING (event_type)),
+         |base AS (SELECT o.event_type, o.t, o.value, p.period, p.period // 2 AS half
+         |         FROM ord o JOIN per p USING (event_type)),
+         |t1 AS (SELECT a.event_type, a.t, avg(b.value) AS trend1
+         |       FROM base a JOIN base b ON a.event_type = b.event_type AND b.t BETWEEN a.t - a.half AND a.t + a.half
+         |       GROUP BY 1, 2),
+         |d1 AS (SELECT b.*, b.value - t1.trend1 AS detr1, b.t % b.period AS si
+         |       FROM base b JOIN t1 USING (event_type, t)),
+         |s1g AS (SELECT event_type, si, avg(detr1) AS g FROM d1 GROUP BY 1, 2),
+         |s1c AS (SELECT d1.*, s1g.g - avg(s1g.g) OVER (PARTITION BY d1.event_type) AS seasonal1
+         |        FROM d1 JOIN s1g ON d1.event_type = s1g.event_type AND d1.si = s1g.si),
+         |p2 AS (SELECT event_type, t, value, period, half, si, value - seasonal1 AS deseason FROM s1c),
+         |t2 AS (SELECT a.event_type, a.t, avg(b.deseason) AS trend2
+         |       FROM p2 a JOIN p2 b ON a.event_type = b.event_type AND b.t BETWEEN a.t - a.half AND a.t + a.half
+         |       GROUP BY 1, 2),
+         |d2 AS (SELECT p2.*, t2.trend2, p2.value - t2.trend2 AS detr2 FROM p2 JOIN t2 USING (event_type, t)),
+         |s2g AS (SELECT event_type, si, avg(detr2) AS g FROM d2 GROUP BY 1, 2),
+         |s2c AS (SELECT d2.*, s2g.g - avg(s2g.g) OVER (PARTITION BY d2.event_type) AS seasonal2
+         |        FROM d2 JOIN s2g ON d2.event_type = s2g.event_type AND d2.si = s2g.si),
+         |fin AS (SELECT event_type, t, period, trend2, seasonal2,
+         |          value - trend2 - seasonal2 AS resid FROM s2c),
+         |tr0 AS (SELECT event_type, arg_min(trend2, t) AS tr0 FROM fin GROUP BY 1)
+         |SELECT f.event_type,
+         |  round(max(f.period)::DOUBLE, 6) AS seasonal_period,
+         |  round(sum(f.t * (f.trend2 - tr0.tr0)) / sum(f.t::DOUBLE * f.t), 6) AS trend_mag,
+         |  round(floor(quantile_cont(f.seasonal2, 0.95) - quantile_cont(f.seasonal2, 0.05) + 0.5), 6) AS seasonality_mag,
+         |  round(sqrt(greatest(avg(f.resid * f.resid) - avg(f.resid) * avg(f.resid), 0)), 6) AS residual_std
+         |FROM fin f JOIN tr0 USING (event_type)
+         |GROUP BY f.event_type""".stripMargin
   )
 }

@@ -50,4 +50,32 @@ class FeatureKernelsSpec extends AnyFunSuite {
     assert(math.abs(firstMin - 12) <= 1, s"firstmin=$firstMin")
     assert(firstZero >= 6 && firstZero <= 8, s"firstzero=$firstZero")
   }
+
+  test("Seasonalities.fftPeriod detects a clean 24-cycle and falls back to 7 on noise") {
+    import graft.features.Seasonalities
+    val xs = Array.tabulate(241)(i => 10 * math.sin(2 * math.Pi * i / 24.0) + 0.05 * i + 0.3 * rnd.nextGaussian())
+    val d = Array.tabulate(240)(i => xs(i + 1) - xs(i))
+    assert(Seasonalities.fftPeriod(d) === 24)
+    val noise = Array.fill(240)(rnd.nextGaussian())
+    assert(Seasonalities.fftPeriod(noise) === 7)
+  }
+
+  test("Seasonalities harmonic filter keeps the base cycle, not its harmonic") {
+    import graft.features.Seasonalities
+    // strong 24-cycle plus its 12-cycle harmonic: the k=2k0 peak must be
+    // removed, so the reported period is 24 rather than 12
+    val d = Array.tabulate(240)(i =>
+      10 * math.sin(2 * math.Pi * i / 24.0) + 5 * math.sin(2 * math.Pi * i / 12.0) + 0.1 * rnd.nextGaussian())
+    assert(Seasonalities.fftPeriod(d) === 24)
+  }
+
+  test("Seasonalities.features on a seasonal trending series") {
+    import graft.features.Seasonalities
+    val xs = Array.tabulate(241)(i => 20 * math.sin(2 * math.Pi * i / 24.0) + 0.5 * i + 0.2 * rnd.nextGaussian())
+    val Array(period, trendMag, seasMag, residStd) = Seasonalities.features(xs)
+    assert(period === 24.0)
+    assert(math.abs(trendMag - 0.5) < 0.05, s"trendMag=$trendMag")
+    assert(seasMag > 25 && seasMag < 45, s"seasMag=$seasMag") // ~2*q95 of a 20-amp sine
+    assert(residStd < 5.0, s"residStd=$residStd")
+  }
 }
