@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import graft.models.{Arima, Regressors, Smoothers}
+import graft.models.{Arima, GaussJordan, Regressors, Smoothers}
 import graft.operators.Decompose
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -375,6 +375,62 @@ object ModelQueries {
           round(col("eq.a"), 6).as("coef_value"),
           round(col("eq.b"), 6).as("coef_n"),
           round(col("eq.c") + col("eq.a") * col("last1") + col("eq.b") * col("last2"), 6).as("yhat_1"))
+    }),
+
+    /** Minnesota-prior Bayesian VAR(1) (kats/models/bayesian_var.py:73
+      * re-derived): per event_type, the 2-dim series (value, n) with a
+      * scaled-time exogenous regressor, conjugate normal posterior
+      * mean = (V0⁻¹ + Σ⁻¹⊗S)⁻¹ (V0⁻¹μ0 + (Σ⁻¹⊗)Σzy). The plan is a pure
+      * keyed aggregate of 25 moment sums followed by two unrolled
+      * Gauss-Jordan solves (4×6 for Σ_ols, 8×9 for the posterior) as
+      * chained `transform` Projects — no UDF, no collect_list; the scale
+      * axis is #entities. Every arithmetic fragment is ONE shared SQL
+      * string used verbatim by Spark `expr` and the DuckDB oracle, and the
+      * moments are rounded to a shared grid, so downstream algebra is
+      * bit-identical across engines regardless of aggregation order.
+      *
+      * Deviations from the reference, both documented: the exogenous time
+      * index is scaled to t/T (pure reparameterization — keeps the normal
+      * equations well-conditioned so no-pivot elimination is exact); a
+      * 1e-8 ridge on S matches the repo's other OLS fits.
+      */
+    "q_bayes_var" -> ((s, dir) => {
+      import BayesVarSql._
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = Tables.hourlyEvents(s, dir)
+        .withColumn("y1", col("value"))
+        .withColumn("y2", col("n").cast("double"))
+        .withColumn("u1", lag("y1", 1).over(w))
+        .withColumn("u2", lag("y2", 1).over(w))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("tt", count(lit(1)).over(wk))
+        .withColumn("tn", expr("CAST(rn - 1 AS DOUBLE) / tt"))
+      val mom = base.groupBy("event_type")
+        .agg(expr(moments.head._2).as(moments.head._1),
+          moments.tail.map { case (n, e) => expr(e).as(n) }: _*)
+      val solvedS = GaussJordan.eliminate(
+        mom.withColumn("_am", expr(amatEntries.mkString("array(", ", ", ")"))), "_am", 4, 6)
+      val withBx = Seq("bx11" -> 4, "bx12" -> 10, "bx13" -> 16, "bx14" -> 22,
+        "bx21" -> 5, "bx22" -> 11, "bx23" -> 17, "bx24" -> 23)
+        .foldLeft(solvedS) { case (d, (n, i)) => d.withColumn(n, expr(s"_am[$i]")) }
+      val withA = (sigDefs ++ aDefs).foldLeft(withBx) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
+      val solvedM = GaussJordan.eliminate(
+        withA.withColumn("_mm", expr(mmatEntries.mkString("array(", ", ", ")"))), "_mm", 8, 9)
+      val fin = (1 to 8).foldLeft(solvedM) { (d, r) =>
+        d.withColumn(s"mp$r", expr(s"_mm[${(r - 1) * 9 + 8}]"))
+      }
+      fin.select(col("event_type"),
+          explode(array(
+            struct(lit("value").as("var"), expr("round(mp1, 6)").as("coef_own"),
+              expr("round(mp2, 6)").as("coef_cross"), expr("round(mp3, 6)").as("coef_trend"),
+              expr("round(mp4, 6)").as("intercept"), expr(s"round($f1, 6)").as("yhat_1")),
+            struct(lit("n").as("var"), expr("round(mp6, 6)").as("coef_own"),
+              expr("round(mp5, 6)").as("coef_cross"), expr("round(mp7, 6)").as("coef_trend"),
+              expr("round(mp8, 6)").as("intercept"), expr(s"round($f2, 6)").as("yhat_1")))).as("eq"))
+        .select(col("event_type"), col("eq.var").as("var"), col("eq.coef_own").as("coef_own"),
+          col("eq.coef_cross").as("coef_cross"), col("eq.coef_trend").as("coef_trend"),
+          col("eq.intercept").as("intercept"), col("eq.yhat_1").as("yhat_1"))
     })
   )
 
@@ -420,6 +476,90 @@ object ModelQueries {
       s"((s0*(suu*${sy}v - ${sy}u*suv) - su*(su*${sy}v - ${sy}u*sv) + $sy*(su*suv - suu*sv)) / $det)"
     def equationSql(varName: String, sy: String): String =
       s"SELECT event_type, '$varName' AS var, ${c(sy)} AS c, ${a(sy)} AS a, ${b(sy)} AS b, last1, last2 FROM fit"
+  }
+
+  /** Shared Spark/DuckDB fragments for q_bayes_var — Minnesota-prior
+    * Bayesian VAR(1), m=2 variables, p=1 lag, r=1 exogenous regressor
+    * (scaled time), N = m·p+r+1 = 4 coefficients per equation
+    * (kats/models/bayesian_var.py:186 fit / :324 _construct_v_prior).
+    *
+    * Regression vector z_t = [y1_{t-1}, y2_{t-1}, t/T, 1]. Hyperparameters
+    * are the reference defaults φ0=0.02, φ1=0.25, φ2=20 (φ3 is moot at
+    * p=1). Moment sums are rounded to a shared 4-dp grid so cross-engine
+    * float-summation-order noise (~1e-9) cannot leak into the algebra:
+    * after the grid snap, every downstream operation is the same IEEE op
+    * on the same bits in both engines.
+    */
+  private[queries] object BayesVarSql {
+    private val z = Seq("u1", "u2", "tn", "1.0")
+
+    /** name -> aggregate expression, over rows carrying (y1,y2,u1,u2,tn,rn,tt). */
+    val moments: Seq[(String, String)] = {
+      val sP = for { a <- 0 to 3; b <- a to 3 } yield
+        s"s${a + 1}${b + 1}" -> s"round(sum(CASE WHEN u1 IS NOT NULL THEN (${z(a)}) * (${z(b)}) END), 4)"
+      val wP = for { i <- 1 to 2; a <- 0 to 3 } yield
+        s"w$i${a + 1}" -> s"round(sum(CASE WHEN u1 IS NOT NULL THEN y$i * (${z(a)}) END), 4)"
+      val yy = Seq((1, 1), (1, 2), (2, 2)).map { case (i, j) =>
+        s"yy$i$j" -> s"round(sum(CASE WHEN u1 IS NOT NULL THEN y$i * y$j END), 4)"
+      }
+      val ex = Seq(
+        "tt" -> "max(tt)",
+        "var1" -> "round(var_pop(y1), 4)",
+        "var2" -> "round(var_pop(y2), 4)",
+        "last1" -> "max(CASE WHEN rn = tt THEN y1 END)",
+        "last2" -> "max(CASE WHEN rn = tt THEN y2 END)")
+      (sP ++ wP).toSeq ++ yy ++ ex
+    }
+
+    private def sN(a: Int, b: Int) = s"s${math.min(a, b) + 1}${math.max(a, b) + 1}"
+    private def aN(i: Int, j: Int) = if (i == j) s"a${i + 1}${i + 1}" else "a12"
+    private def wN(j: Int, a: Int) = s"w${j + 1}${a + 1}"
+
+    /** 4×6 augmented [S + 1e-8·I | W1ᵀ W2ᵀ], row-major — one elimination
+      * yields S⁻¹W1ᵀ and S⁻¹W2ᵀ (the OLS coefficient rows) together. */
+    val amatEntries: Seq[String] =
+      (0 to 3).flatMap { a =>
+        (0 to 3).map { b => if (a == b) s"${sN(a, b)} + 1e-8" else sN(a, b) } ++
+          Seq(wN(0, a), wN(1, a))
+      }
+
+    /** Σ_ols = (Y'Y − W·S⁻¹Wᵀ)/(T − m·p − 1), elementwise (bayesian_var.py:287). */
+    val sigDefs: Seq[(String, String)] = Seq(
+      "sig11" -> "(yy11 - (w11 * bx11 + w12 * bx12 + w13 * bx13 + w14 * bx14)) / (tt - 3)",
+      "sig12" -> "(yy12 - (w11 * bx21 + w12 * bx22 + w13 * bx23 + w14 * bx24)) / (tt - 3)",
+      "sig22" -> "(yy22 - (w21 * bx21 + w22 * bx22 + w23 * bx23 + w24 * bx24)) / (tt - 3)")
+
+    /** 2×2 inverse of Σ_ols and the Minnesota prior diagonal: own lag φ0,
+      * cross lag φ0·φ1·var_j/var_i, exogenous+constant φ0·φ2. */
+    val aDefs: Seq[(String, String)] = Seq(
+      "deta" -> "sig11 * sig22 - sig12 * sig12",
+      "a11" -> "sig22 / deta", "a12" -> "-(sig12 / deta)", "a22" -> "sig11 / deta",
+      "v01" -> "CAST(0.02 AS DOUBLE)", "v02" -> "0.02 * 0.25 * (var2 / var1)",
+      "v03" -> "CAST(0.02 * 20 AS DOUBLE)", "v04" -> "CAST(0.02 * 20 AS DOUBLE)",
+      "v05" -> "0.02 * 0.25 * (var1 / var2)", "v06" -> "CAST(0.02 AS DOUBLE)",
+      "v07" -> "CAST(0.02 * 20 AS DOUBLE)", "v08" -> "CAST(0.02 * 20 AS DOUBLE)")
+
+    /** 8×9 augmented posterior system [V0⁻¹ + Σ⁻¹⊗S | V0⁻¹μ0 + Σ⁻¹⊗(Σzy)],
+      * row-major in (equation i, coefficient a) order. μ0 is 1 on each
+      * equation's own first lag (rows 0 and 5), the random-walk prior. */
+    val mmatEntries: Seq[String] =
+      (0 to 1).flatMap { i =>
+        (0 to 3).map { a =>
+          val row = i * 4 + a
+          val lhs = (0 to 1).flatMap { j =>
+            (0 to 3).map { b =>
+              val e = s"${aN(i, j)} * ${sN(a, b)}"
+              if (row == j * 4 + b) s"1.0 / v0${row + 1} + $e" else e
+            }
+          }
+          val pull = if (row == 0) "1.0 / v01 + " else if (row == 5) "1.0 / v06 + " else ""
+          lhs :+ s"$pull${aN(i, 0)} * ${wN(0, a)} + ${aN(i, 1)} * ${wN(1, a)}"
+        }.flatten
+      }
+
+    /** One-step-ahead forecast: z_ahead = [last1, last2, T/T = 1.0, 1]. */
+    val f1 = "mp1 * last1 + mp2 * last2 + mp3 * 1.0 + mp4"
+    val f2 = "mp5 * last1 + mp6 * last2 + mp7 * 1.0 + mp8"
   }
 
   val sql: Map[String, String] = Map(
@@ -978,6 +1118,47 @@ object ModelQueries {
          |        ${VarSql.equationSql("n", "sy2")})
          |SELECT event_type, var, round(c, 6) AS intercept, round(a, 6) AS coef_value,
          |  round(b, 6) AS coef_n, round(c + a * last1 + b * last2, 6) AS yhat_1
-         |FROM eqs""".stripMargin
+         |FROM eqs""".stripMargin,
+
+    "q_bayes_var" -> {
+      import BayesVarSql._
+      val momSel = moments.map { case (n, e) => s"$e AS $n" }.mkString(",\n   ")
+      val bxSel = Seq("bx11" -> "b1[1]", "bx12" -> "b1[2]", "bx13" -> "b1[3]", "bx14" -> "b1[4]",
+        "bx21" -> "b2[1]", "bx22" -> "b2[2]", "bx23" -> "b2[3]", "bx24" -> "b2[4]")
+        .map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      val sigSel = sigDefs.map { case (n, e) => s"$e AS $n" }.mkString(",\n   ")
+      val aSel = aDefs.map { case (n, e) => s"$e AS $n" }.mkString(",\n   ")
+      val mpSel = (1 to 8).map(r => s"b[$r] AS mp$r").mkString(", ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |bb AS (SELECT event_type, value AS y1, CAST(n AS DOUBLE) AS y2,
+         |        row_number() OVER w AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS tt,
+         |        lag(value) OVER w AS u1, lag(CAST(n AS DOUBLE)) OVER w AS u2
+         |      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |bz AS (SELECT *, CAST(rn - 1 AS DOUBLE) / tt AS tn FROM bb),
+         |mom AS (SELECT event_type,
+         |   $momSel
+         |   FROM bz GROUP BY 1),
+         |amats AS (SELECT event_type, [${amatEntries.mkString(", ")}] AS m FROM mom),
+         |${GaussJordan.sqlAug(4, 2, "a")},
+         |bx AS (SELECT event_type, $bxSel FROM abeta),
+         |sg AS (SELECT mom.*, bx11, bx12, bx13, bx14, bx21, bx22, bx23, bx24
+         |       FROM mom JOIN bx USING (event_type)),
+         |sig AS (SELECT *,
+         |   $sigSel
+         |   FROM sg),
+         |aa AS (SELECT *,
+         |   $aSel
+         |   FROM sig),
+         |mmats AS (SELECT event_type, [${mmatEntries.mkString(", ")}] AS m FROM aa),
+         |${gaussJordanSql(8, "m")},
+         |fin AS (SELECT aa.event_type, aa.last1, aa.last2, $mpSel
+         |        FROM mbeta JOIN aa USING (event_type))
+         |SELECT event_type, 'value' AS var, round(mp1, 6) AS coef_own, round(mp2, 6) AS coef_cross,
+         |  round(mp3, 6) AS coef_trend, round(mp4, 6) AS intercept, round($f1, 6) AS yhat_1 FROM fin
+         |UNION ALL
+         |SELECT event_type, 'n' AS var, round(mp6, 6) AS coef_own, round(mp5, 6) AS coef_cross,
+         |  round(mp7, 6) AS coef_trend, round(mp8, 6) AS intercept, round($f2, 6) AS yhat_1 FROM fin""".stripMargin
+    }
   )
 }
