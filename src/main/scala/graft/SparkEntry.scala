@@ -15,7 +15,8 @@ object SparkEntry {
     (ModelQueries.defs, ModelQueries.sql),
     (LlmQueries.defs, LlmQueries.sql),
     (ExtraQueries.defs, ExtraQueries.sql),
-    (AdvancedQueries.defs, AdvancedQueries.sql)
+    (AdvancedQueries.defs, AdvancedQueries.sql),
+    (ReconQueries.defs, ReconQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
