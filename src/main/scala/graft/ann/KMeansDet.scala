@@ -49,29 +49,32 @@ object KMeansDet {
       .select(col("cell"), expr("transform(cs, s -> s.cx)").as("centroid"))
 
   /** `iters` full Lloyd rounds from the deterministic seed; returns the
-    * final centroid table (cell, centroid). The corpus is persisted
-    * (memory-and-disk) for the duration of the iteration — the standard
-    * iterative-ML shape; without it every round re-reads the source.
+    * final centroid table (cell, centroid) as a LOCAL k-row DataFrame.
+    *
+    * Each round materializes the k×dim centroids back to the driver — the
+    * standard iterative-ML shape (MLlib holds its centroids on the driver
+    * too). Without the per-round collect the rounds chain into one lazy
+    * lineage and EVERY downstream action replays all `iters` rounds; with
+    * it each round is exactly one job over the (caller-persisted) corpus,
+    * and the result costs nothing to broadcast or reuse.
     */
   def fit(corpus: DataFrame, k: Int, iters: Int,
           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    // The k seed vectors are collected — k×dim doubles of driver state, the
-    // standard iterative-ML shape (MLlib holds its centroids on the driver
-    // too) — which also keeps the k-row seed rank out of WindowExec.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seedRows = corpus.orderBy(col(id)).limit(k)
+    var cents: Seq[(Int, Seq[Double])] = corpus.orderBy(col(id)).limit(k)
       .select(expr(s"transform($vec, x -> cast(x as double))").as("centroid"))
-      .collect()
-    var cents = seedRows.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](0)) }.toSeq
-      .toDF("cell", "centroid")
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
     var i = 0
     while (i < iters) {
-      cents = update(assign(corpus, cents, id, vec), vec)
+      cents = update(assign(corpus, cents.toDF("cell", "centroid"), id, vec), vec)
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
       i += 1
     }
-    cents
+    cents.toDF("cell", "centroid")
   }
 
   /** Cluster summary after `iters` rounds: per cell, member count and
