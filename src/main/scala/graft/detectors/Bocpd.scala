@@ -16,19 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object Bocpd {
 
-  def changeProb(xs: Array[Double], hazard: Double = 0.01, lagN: Int = 10): Array[Double] = {
+  /** Normal-model priors: segment-mean prior (mu0, v0) + observation
+    * noise sigma2. The batch path estimates them from the full series;
+    * the streaming path ([[graft.streaming.StreamingDetectors.bocpd]])
+    * takes them as a trained baseline.
+    */
+  final case class Priors(mu0: Double, v0: Double, sigma2: Double)
+
+  /** The batch prior estimate: overall mean/variance for the segment-mean
+    * prior; observation noise from first differences (Var(x_t - x_{t-1})
+    * = 2σ² for iid noise, insensitive to level shifts — unlike the
+    * overall variance, which a changepoint inflates).
+    */
+  def priorsOf(xs: Array[Double]): Priors = {
     val n = xs.length
-    val out = new Array[Double](n)
-    if (n < 2) return out
     val mean = xs.sum / n
     val variance = {
       var acc = 0.0; var i = 0
       while (i < n) { val d = xs(i) - mean; acc += d * d; i += 1 }
       math.max(acc / math.max(n - 1, 1), 1e-12)
     }
-    // Observation noise from first differences: Var(x_t - x_{t-1}) = 2σ²
-    // for iid noise, and the estimate is insensitive to level shifts —
-    // unlike the overall variance, which a changepoint inflates.
     val sigma2 = {
       var acc = 0.0; var sumD = 0.0; var i = 1
       while (i < n) { sumD += xs(i) - xs(i - 1); i += 1 }
@@ -37,7 +44,24 @@ object Bocpd {
       while (i < n) { val d = xs(i) - xs(i - 1) - md; acc += d * d; i += 1 }
       math.max(acc / (2.0 * math.max(n - 2, 1)), 1e-12)
     }
-    val mu0 = mean; val v0 = variance // prior over segment mean
+    Priors(mean, variance, sigma2)
+  }
+
+  def changeProb(xs: Array[Double], hazard: Double = 0.01, lagN: Int = 10): Array[Double] = {
+    if (xs.length < 2) return new Array[Double](xs.length)
+    changeProbWithPriors(xs, priorsOf(xs), hazard, lagN)
+  }
+
+  /** The recurrence with explicit priors — shared verbatim by the batch
+    * estimate-then-scan path and the streaming replay equivalence spec.
+    */
+  def changeProbWithPriors(xs: Array[Double], priors: Priors,
+                           hazard: Double = 0.01, lagN: Int = 10): Array[Double] = {
+    val n = xs.length
+    val out = new Array[Double](n)
+    if (n < 2) return out
+    val sigma2 = priors.sigma2
+    val mu0 = priors.mu0; val v0 = priors.v0 // prior over segment mean
     // run-length posterior: index = run length in points seen since cp
     var rProb = Array(1.0)
     var rMu = Array(mu0 + (xs(0) - mu0) * (v0 / (v0 + sigma2)))

@@ -78,6 +78,100 @@ object StreamingDetectors {
       }
   }
 
+  case class BocpdState(t: Long, rProb: Seq[Double], rMu: Seq[Double], rV: Seq[Double],
+                        lagTs: Seq[Long])
+  case class ChangeProbPoint(event_type: String, ts: java.sql.Timestamp, change_prob: Double)
+
+  /** Streaming Bayesian Online Changepoint Detection (Normal
+    * unknown-mean model) — the streaming twin of
+    * [[graft.detectors.Bocpd.changeProbWithPriors]], same recurrence
+    * carried point-by-point in keyed state.
+    *
+    * Priors come in as a trained per-series baseline (like
+    * [[zscoreAgainstBaseline]]'s mean/std table): BOCPD's segment-mean
+    * prior and observation noise are series-level scalars the batch path
+    * estimates from history. Emission follows the batch lag convention —
+    * point t's probability P(r_{t+lag} = lag) is emitted once `lagN`
+    * later points have been seen, so the stream output matches the batch
+    * array element-for-element (the not-yet-confirmable tail is simply
+    * not emitted yet).
+    *
+    * State per series is the run-length posterior; `maxRun` bounds it by
+    * collapsing tail mass into the last retained run (the standard
+    * Adams–MacKay pruning), so state is O(maxRun) per key forever —
+    * below `maxRun` points the recurrence is EXACT, which is what the
+    * replay spec checks.
+    */
+  def bocpd(points: Dataset[Point], priors: Map[String, graft.detectors.Bocpd.Priors],
+            hazard: Double = 0.01, lagN: Int = 10, maxRun: Int = 512): Dataset[ChangeProbPoint] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Point], state: GroupState[BocpdState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangeProbPoint]
+          var st = state.getOption.getOrElse(BocpdState(0L, Nil, Nil, Nil, Nil))
+          for (p <- priors.get(key); pt <- it.toSeq.sortBy(_.ts.getTime)) {
+            val x = pt.value
+            if (st.t == 0L) {
+              st = BocpdState(1L,
+                Seq(1.0),
+                Seq(p.mu0 + (x - p.mu0) * (p.v0 / (p.v0 + p.sigma2))),
+                Seq(1.0 / (1.0 / p.v0 + 1.0 / p.sigma2)),
+                Seq(pt.ts.getTime))
+            } else {
+              val k = st.rProb.length
+              val growth = new Array[Double](k)
+              var cp = 0.0
+              var i = 0
+              while (i < k) {
+                val pv = st.rV(i) + p.sigma2
+                val d = x - st.rMu(i)
+                val pred = math.exp(-0.5 * d * d / pv) / math.sqrt(2 * math.Pi * pv)
+                val joint = st.rProb(i) * pred
+                growth(i) = joint * (1 - hazard)
+                cp += joint * hazard
+                i += 1
+              }
+              var total = cp
+              i = 0; while (i < k) { total += growth(i); i += 1 }
+              if (total <= 0 || total.isNaN) total = 1e-300
+              val nProb = new Array[Double](k + 1)
+              val nMu = new Array[Double](k + 1)
+              val nV = new Array[Double](k + 1)
+              val g0 = 1.0 / (1.0 / p.v0 + 1.0 / p.sigma2)
+              nProb(0) = cp / total
+              nV(0) = g0
+              nMu(0) = g0 * (p.mu0 / p.v0 + x / p.sigma2)
+              i = 0
+              while (i < k) {
+                nProb(i + 1) = growth(i) / total
+                val g = 1.0 / (1.0 / st.rV(i) + 1.0 / p.sigma2)
+                nV(i + 1) = g
+                nMu(i + 1) = g * (st.rMu(i) / st.rV(i) + x / p.sigma2)
+                i += 1
+              }
+              val lagTs = st.lagTs :+ pt.ts.getTime
+              if (st.t >= lagN && lagN < nProb.length) {
+                val emitIdx = st.t - lagN // series index whose prob is now confirmed
+                out += ChangeProbPoint(key, new java.sql.Timestamp(lagTs.head),
+                  if (emitIdx == 0L) 0.0 else nProb(lagN)) // first point is never a cp
+              }
+              // Adams–MacKay pruning: collapse tail mass into the last kept run
+              val (pr, mu, v) =
+                if (nProb.length > maxRun + 1) {
+                  val keep = maxRun + 1
+                  val tailMass = nProb.drop(keep).sum
+                  val pp = nProb.take(keep); pp(keep - 1) += tailMass
+                  (pp.toSeq, nMu.take(keep).toSeq, nV.take(keep).toSeq)
+                } else (nProb.toSeq, nMu.toSeq, nV.toSeq)
+              st = BocpdState(st.t + 1, pr, mu, v, lagTs.takeRight(lagN))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Online CUSUM via flatMapGroupsWithState: per series, maintain running
     * mean/variance (Welford) and the cumulative deviation; emit a
     * changepoint and reset when |cum| exceeds `k`·σ·√n.
