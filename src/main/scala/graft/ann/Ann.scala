@@ -88,7 +88,7 @@ object Ann {
     * This is the 100 TB path — the oracle replicates the banding exactly.
     */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
-                      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+                      id: String = "vec_id", vec: String = "embedding", salt: Int = 1): DataFrame = {
     val v = corpus.select(col(id), col(vec))
     val bandCols = (0 until bands).map { b =>
       val bucket = (0 until rowsPerBand).map { r =>
@@ -103,8 +103,7 @@ object Ann {
     // the full candidate multiset through a distinct — a pair colliding in
     // several bands is verified once per collision, but only the tiny
     // ≥-threshold survivor set reaches the dedup shuffle.
-    banded.as("a").join(banded.as("b"), Seq("band", "bucket"))
-      .where(col(s"a.$id") < col(s"b.$id"))
+    graft.dedup.Dedup.saltedPairJoin(banded, Seq("band", "bucket"), id, salt)
       .withColumn("_cos", cosineFast(col(s"a.$vec"), col(s"b.$vec")))
       .where(col("_cos") >= threshold)
       .select(col(s"a.$id").as("i"), col(s"b.$id").as("j"), round(col("_cos"), 6).as("cos"))

@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Self-join for candidate-pair generation on equality `keys`, with
+    * optional skew salting for hot keys (the "salted by appending a
+    * hash-mod suffix" promise above, made real).
+    *
+    * A hot key with m members routes all m² candidate pairs to ONE task.
+    * With `salt` = s, the left side takes salt group hash(id) mod s, the
+    * right side replicates to every salt group, and the join key grows by
+    * the salt column: each unordered pair still meets EXACTLY once (the
+    * pair (x,y) matches only where the replica salt equals x's group, and
+    * the id< filter keeps one orientation), but a hot key's work now
+    * spreads over s tasks of ~m²/s pairs each. Cost: the right side
+    * shuffles s× — worth it only when skew is expected, hence opt-in.
+    * Returns the joined frame with sides aliased `a` and `b`.
+    */
+  private[graft] def saltedPairJoin(banded: DataFrame, keys: Seq[String],
+                                    id: String, salt: Int): DataFrame =
+    if (salt <= 1)
+      banded.as("a").join(banded.as("b"), keys)
+        .where(col(s"a.$id") < col(s"b.$id"))
+    else {
+      val a = banded.withColumn("_sg", pmod(xxhash64(col(id)), lit(salt)))
+      val b = banded.withColumn("_sg", explode(array((0 until salt).map(s => lit(s.toLong)): _*)))
+      a.as("a").join(b.as("b"), keys :+ "_sg")
+        .where(col(s"a.$id") < col(s"b.$id"))
+    }
+
   /** Exact dedup: md5 content hash, keep the lowest id per group.
     * At scale this is one hash-partitioned groupBy — the canonical
     * first pass of any corpus pipeline.
@@ -79,25 +105,34 @@ object Dedup {
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
-    * numPerms), join docs whose band signature collides, verify with the
-    * exact signature-estimated Jaccard (share of matching minhashes).
+  /** Exploded band view of a signature table: one (id, band, b0..bR) row
+    * per band — band signature as numeric columns, a multi-column bigint
+    * equality join key, not a string concat.
     */
-  def minhashLshPairs(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
-                      id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame = {
+  private[graft] def bandedSignatures(sig: DataFrame, numPerms: Int, bands: Int,
+                                      id: String): (DataFrame, Seq[String]) = {
     val rows = numPerms / bands
-    val sig = minhashSignatures(docs, numPerms, id, text, k).cache()
-    // band signature as numeric columns (b1..bR) — a multi-column bigint
-    // equality join, not a string-concat key
     val bandCols = (0 until bands).map { b =>
       struct((lit(b).as("band") +:
         (0 until rows).map(r => col(s"mh${b * rows + r}").as(s"b$r"))): _*)
     }
     val bKeys = "band" +: (0 until rows).map(r => s"b$r")
-    val banded = sig.select(col(id), explode(array(bandCols: _*)).as("bd"))
-      .select((col(id) +: bKeys.map(kk => col(s"bd.$kk"))): _*)
-    val cand = banded.as("a").join(banded.as("b"), bKeys)
-      .where(col(s"a.$id") < col(s"b.$id"))
+    (sig.select(col(id), explode(array(bandCols: _*)).as("bd"))
+      .select((col(id) +: bKeys.map(kk => col(s"bd.$kk"))): _*), bKeys)
+  }
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numPerms), join docs whose band signature collides, verify with the
+    * exact signature-estimated Jaccard (share of matching minhashes).
+    * `salt` > 1 spreads hot-bucket pair generation (see saltedPairJoin).
+    */
+  def minhashLshPairs(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
+                      id: String = "doc_id", text: String = "text", k: Int = 3,
+                      salt: Int = 1): DataFrame = {
+    val rows = numPerms / bands
+    val sig = minhashSignatures(docs, numPerms, id, text, k).cache()
+    val (banded, bKeys) = bandedSignatures(sig, numPerms, bands, id)
+    val cand = saltedPairJoin(banded, bKeys, id, salt)
       .select(col(s"a.$id").as("i"), col(s"b.$id").as("j")).distinct()
     val est = (0 until numPerms).map(p =>
       when(col(s"sa.mh$p") === col(s"sb.mh$p"), 1).otherwise(0)).reduce(_ + _).cast("double") / numPerms
