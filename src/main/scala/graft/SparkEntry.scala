@@ -16,7 +16,8 @@ object SparkEntry {
     (LlmQueries.defs, LlmQueries.sql),
     (ExtraQueries.defs, ExtraQueries.sql),
     (AdvancedQueries.defs, AdvancedQueries.sql),
-    (ReconQueries.defs, ReconQueries.sql)
+    (ReconQueries.defs, ReconQueries.sql),
+    (EvalQueries.defs, EvalQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft._
+import graft.metrics.Metrics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-model evaluation sweep (kats/evaluation/evaluator.py's
+  * run-many-models surface re-derived): fit a battery of base models per
+  * series in ONE keyed aggregate pass, forecast a common holdout, and
+  * score every (series, model) pair.
+  *
+  * Every model in the sweep has a closed-form fit — a handful of
+  * aggregate moments per series — so the whole evaluator is two shuffles
+  * (fit aggregate + metric aggregate) regardless of how many models are
+  * in the battery. That is the 100 TB shape: adding a model adds columns,
+  * not passes.
+  */
+object EvalQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private def dense(s: SparkSession, dir: String) =
+    TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+  private val H = Tables.hourlySql
+
+  private val denseSql =
+    """hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+      |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+      |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+      |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts)""".stripMargin
+
+  /** Holdout length and the model battery as shared (name, forecast-expr)
+    * pairs over the fit columns: a/b (train linear regression on rn),
+    * yfirst/ylast, tail24 (last season of train), sesn/sesd (adjusted-SES
+    * moment sums with beta = 0.5 — exact in binary on both engines), nt
+    * (train length), and h (holdout step 1..HOLDOUT).
+    */
+  private[graft] object EvalSql {
+    val holdout = 48
+    // (name, spark expr, duckdb expr) — identical except array indexing,
+    // where Spark brackets are 0-based (element_at is the 1-based form)
+    // and DuckDB brackets are 1-based
+    val models: Seq[(String, String, String)] = Seq(
+      ("naive", "ylast", "ylast"),
+      ("snaive", "element_at(tail24, cast(((h - 1) % 24) + 1 AS INT))", "tail24[((h - 1) % 24) + 1]"),
+      ("drift", "ylast + h * (ylast - yfirst) / (nt - 1)", "ylast + h * (ylast - yfirst) / (nt - 1)"),
+      ("linear", "a + b * (nt + h)", "a + b * (nt + h)"),
+      ("ses", "sesn / sesd", "sesn / sesd"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_evaluator" -> ((s, dir) => {
+      import EvalSql._
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = dense(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nt", count(lit(1)).over(wk) - holdout)
+      val fit = base.where(col("rn") <= col("nt")).groupBy("event_type").agg(
+        regr_intercept(col("value"), col("rn").cast("double")).as("a"),
+        regr_slope(col("value"), col("rn").cast("double")).as("b"),
+        min_by(col("value"), col("rn")).as("yfirst"),
+        max_by(col("value"), col("rn")).as("ylast"),
+        expr("transform(array_sort(collect_list(CASE WHEN rn > nt - 24 THEN struct(rn, value) END)), s -> s.value)").as("tail24"),
+        sum(col("value") * pow(lit(0.5), col("nt") - col("rn"))).as("sesn"),
+        sum(pow(lit(0.5), col("nt") - col("rn"))).as("sesd"),
+        max("nt").as("nt"))
+      val ho = base.where(col("rn") > col("nt"))
+        .select(col("event_type"), (col("rn") - col("nt")).as("h"), col("value").as("y"))
+      val fc = ho.join(broadcast(fit), Seq("event_type"))
+        .select(col("event_type"), col("y"), explode(array(models.map { case (m, e, _) =>
+          struct(lit(m).as("model"), expr(e).as("f"))
+        }: _*)).as("mf"))
+        .select(col("event_type"), col("mf.model").as("model"), col("y"), col("mf.f").as("f"))
+      fc.groupBy("event_type", "model").agg(
+        round(Metrics.mape(col("y"), col("f")), 6).as("mape"),
+        round(Metrics.smape(col("y"), col("f")), 6).as("smape"),
+        round(Metrics.mae(col("y"), col("f")), 6).as("mae"),
+        round(Metrics.rmse(col("y"), col("f")), 6).as("rmse"),
+        count(lit(1)).as("n"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_evaluator" -> {
+      import EvalSql._
+      val arms = models.map { case (m, _, e) =>
+        s"SELECT event_type, '$m' AS model, y, $e AS f FROM j"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hourly AS ($H),
+         |$denseSql,
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) - $holdout AS nt FROM dense),
+         |fit AS (SELECT event_type,
+         |    regr_intercept(value, rn::DOUBLE) AS a, regr_slope(value, rn::DOUBLE) AS b,
+         |    arg_min(value, rn) AS yfirst, arg_max(value, rn) AS ylast,
+         |    list(value ORDER BY rn) FILTER (rn > nt - 24) AS tail24,
+         |    sum(value * pow(0.5, nt - rn)) AS sesn, sum(pow(0.5, nt - rn)) AS sesd,
+         |    max(nt) AS nt
+         |  FROM ord WHERE rn <= nt GROUP BY 1),
+         |j AS (SELECT o.event_type, o.rn - o.nt AS h, o.value AS y,
+         |        f.a, f.b, f.yfirst, f.ylast, f.tail24, f.sesn, f.sesd, f.nt
+         |      FROM ord o JOIN fit f ON o.event_type = f.event_type WHERE o.rn > o.nt),
+         |fc AS ($arms)
+         |SELECT event_type, model,
+         |  round(avg(CASE WHEN y <> 0 THEN abs((y - f) / y) END), 6) AS mape,
+         |  round(avg(CASE WHEN abs(y) + abs(f) <> 0 THEN abs(y - f) / ((abs(y) + abs(f)) / 2) END), 6) AS smape,
+         |  round(avg(abs(y - f)), 6) AS mae,
+         |  round(sqrt(avg((y - f)^2)), 6) AS rmse,
+         |  count(*) AS n
+         |FROM fc GROUP BY 1, 2""".stripMargin
+    }
+  )
+}
