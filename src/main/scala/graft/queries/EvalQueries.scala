@@ -78,6 +78,16 @@ object EvalQueries {
         round(Metrics.mae(col("y"), col("f")), 6).as("mae"),
         round(Metrics.rmse(col("y"), col("f")), 6).as("rmse"),
         count(lit(1)).as("n"))
+    }),
+
+    "q_model_persist" -> ((s, dir) => {
+      // the full persistence loop: fit → save → load → forecast WITHOUT
+      // refit — the oracle fits directly, so the round trip must be exact
+      import graft.models.ModelStore
+      val path = "/tmp/graft_modelstore"
+      ModelStore.save(ModelStore.fitBattery(Tables.hourlyEvents(s, dir).drop("n"), S), path)
+      ModelStore.forecast(ModelStore.load(s, path), Seq("event_type"), steps = 24)
+        .select(col("event_type"), col("model"), col("h"), round(col("fcst"), 6).as("fcst"))
     })
   )
 
@@ -110,6 +120,24 @@ object EvalQueries {
          |  round(sqrt(avg((y - f)^2)), 6) AS rmse,
          |  count(*) AS n
          |FROM fc GROUP BY 1, 2""".stripMargin
-    }
+    },
+
+    "q_model_persist" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |fit AS (SELECT event_type,
+         |    regr_intercept(value, rn::DOUBLE) AS a, regr_slope(value, rn::DOUBLE) AS b,
+         |    arg_min(value, rn) AS yfirst, arg_max(value, rn) AS ylast,
+         |    sum(value * pow(0.5, n - rn)) / sum(pow(0.5, n - rn)) AS level,
+         |    count(*)::DOUBLE AS nt
+         |  FROM ord GROUP BY 1),
+         |hs AS (SELECT unnest(range(1, 25)) AS h)
+         |SELECT event_type, model, h, round(fcst, 6) AS fcst FROM (
+         |  SELECT event_type, 'linear' AS model, h, a + b * (nt + h) AS fcst FROM fit, hs
+         |  UNION ALL SELECT event_type, 'naive', h, ylast FROM fit, hs
+         |  UNION ALL SELECT event_type, 'drift', h, ylast + h * (ylast - yfirst) / (nt - 1) FROM fit, hs
+         |  UNION ALL SELECT event_type, 'ses', h, level FROM fit, hs)""".stripMargin
   )
 }
