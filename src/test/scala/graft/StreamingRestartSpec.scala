@@ -1,0 +1,111 @@
+package graft
+
+import graft.streaming.StreamingDetectors
+import graft.streaming.StreamingDetectors.{Doc, Point}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Checkpoint durability: kill a stateful streaming query mid-feed and
+  * restart it from its checkpoint — the keyed state (EWMA recurrence,
+  * dedup fingerprints) must survive the restart, so the combined output
+  * still equals the batch operator. This is the part of the streaming
+  * story MemoryStream replay can't cover: state-store persistence and
+  * recovery, which is what makes the operators production-restartable.
+  * (The memory sink refuses checkpoint recovery, so output goes through
+  * the fault-tolerant parquet file sink — the production shape anyway.)
+  */
+class StreamingRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val S = TSSchema(keys = Seq("event_type"))
+
+  private def tmp(prefix: String) = java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("EWMA tracker state survives a query restart from checkpoint") {
+    import spark.implicits._
+    val pts = Tables.hourlyEvents(spark, dir).drop("n").orderBy("ts", "event_type").collect()
+      .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val batch = TS.ewma(Tables.hourlyEvents(spark, dir).drop("n"), S, alpha = 0.2)
+      .select("event_type", "ts", "ewma").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getDouble(2)).toMap
+
+    val srcDir = tmp("restart_src")
+    val outDir = tmp("restart_out")
+    val ckpt = tmp("restart_ckpt")
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def writeChunk(chunk: Seq[Point]): Unit =
+      chunk.toDF().select(col("event_type"), col("ts"), col("value"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    def runToCompletion(): Unit = {
+      val q = StreamingDetectors.ewmaTracker(
+          spark.readStream.schema(schema).parquet(srcDir).as[Point], alpha = 0.2)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    val half = pts.length / 2
+    writeChunk(pts.take(half))
+    runToCompletion() // phase 1, then the query is KILLED
+    val phase1 = spark.read.parquet(outDir).count()
+    writeChunk(pts.drop(half))
+    runToCompletion() // phase 2: fresh query, same checkpoint
+
+    val all = spark.read.parquet(outDir)
+      .select("event_type", "ts", "ewma").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getDouble(2))
+    assert(phase1 > 0 && phase1 < batch.size, "the kill must land mid-feed")
+    // restart must resume the recurrence: every point emitted exactly once,
+    // every level equal to the batch operator's
+    assert(all.length === batch.size, s"combined emissions ${all.length} != batch ${batch.size}")
+    all.foreach { case (k, v) =>
+      assert(math.abs(v - batch(k)) <= 5.001e-7, s"ewma mismatch after restart at $k")
+    }
+  }
+
+  test("dedup fingerprint state survives a restart: duplicates across the boundary are dropped") {
+    import spark.implicits._
+    val srcDir = tmp("dedup_src")
+    val outDir = tmp("dedup_out")
+    val ckpt = tmp("dedup_ckpt")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    def ts(i: Int) = new Timestamp(1704067200000L + i * 60000L)
+    def runToCompletion(): Unit = {
+      val q = StreamingDetectors.dedupExact(spark.readStream.schema(schema).parquet(srcDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    Seq(Doc(1L, ts(0), "alpha"), Doc(2L, ts(1), "beta"), Doc(3L, ts(2), "gamma"))
+      .toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion() // phase 1: originals, then kill
+    // phase 2 after restart: dups of phase-1 docs (inside the watermark
+    // horizon) plus one genuinely new doc
+    Seq(Doc(4L, ts(3), "alpha"), Doc(5L, ts(4), "beta"), Doc(6L, ts(5), "delta"))
+      .toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion()
+
+    val kept = spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 6L),
+      s"restart must remember phase-1 fingerprints and drop cross-boundary dups, kept $kept")
+  }
+}
