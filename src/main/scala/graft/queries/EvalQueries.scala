@@ -88,6 +88,18 @@ object EvalQueries {
       ModelStore.save(ModelStore.fitBattery(Tables.hourlyEvents(s, dir).drop("n"), S), path)
       ModelStore.forecast(ModelStore.load(s, path), Seq("event_type"), steps = 24)
         .select(col("event_type"), col("model"), col("h"), round(col("fcst"), 6).as("fcst"))
+    }),
+
+    "q_detector_persist" -> ((s, dir) => {
+      // detector-baseline persistence: the same save/load loop for the
+      // scalars a serving-time detector needs (z-score mu/sigma, BOCPD
+      // priors), oracle-checked through the parquet round trip
+      import graft.detectors.DetectorStore
+      import graft.models.ModelStore
+      val path = "/tmp/graft_detectorstore"
+      ModelStore.save(DetectorStore.fitBaselines(Tables.hourlyEvents(s, dir).drop("n"), S), path)
+      ModelStore.load(s, path)
+        .select(col("event_type"), col("model"), col("param"), round(col("value"), 6).as("value"))
     })
   )
 
@@ -138,6 +150,23 @@ object EvalQueries {
          |  SELECT event_type, 'linear' AS model, h, a + b * (nt + h) AS fcst FROM fit, hs
          |  UNION ALL SELECT event_type, 'naive', h, ylast FROM fit, hs
          |  UNION ALL SELECT event_type, 'drift', h, ylast + h * (ylast - yfirst) / (nt - 1) FROM fit, hs
-         |  UNION ALL SELECT event_type, 'ses', h, level FROM fit, hs)""".stripMargin
+         |  UNION ALL SELECT event_type, 'ses', h, level FROM fit, hs)""".stripMargin,
+
+    "q_detector_persist" ->
+      s"""WITH hourly AS ($H),
+         |d AS (SELECT event_type, value,
+         |  value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS d FROM hourly),
+         |m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma,
+         |        var_samp(value) AS v0, count(*) AS n,
+         |        sum(pow(d, 2)) AS sd2, sum(d) AS sd1, count(d) AS md
+         |      FROM d GROUP BY 1),
+         |mm AS (SELECT *,
+         |        greatest((sd2 - pow(sd1, 2) / md) / (2.0 * greatest(n - 2, 1)), 1e-12) AS sigma2,
+         |        greatest(v0, 1e-12) AS v0g FROM m)
+         |SELECT event_type, 'zscore' AS model, 'mu' AS param, round(mu, 6) AS value FROM mm
+         |UNION ALL SELECT event_type, 'zscore', 'sigma', round(sigma, 6) FROM mm
+         |UNION ALL SELECT event_type, 'bocpd', 'mu0', round(mu, 6) FROM mm
+         |UNION ALL SELECT event_type, 'bocpd', 'v0', round(v0g, 6) FROM mm
+         |UNION ALL SELECT event_type, 'bocpd', 'sigma2', round(sigma2, 6) FROM mm""".stripMargin
   )
 }
