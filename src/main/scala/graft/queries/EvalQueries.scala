@@ -90,6 +90,37 @@ object EvalQueries {
         .select(col("event_type"), col("model"), col("h"), round(col("fcst"), 6).as("fcst"))
     }),
 
+    "q_evaluator_grid" -> ((s, dir) => {
+      // hyperparameter sweep as a PLAN dimension: the SES alpha grid
+      // cross-joins into the fit aggregate, so 9 candidate models fit in
+      // the same two shuffles as one — the Spark-native form of
+      // parameter tuning (time_series_parameter_tuning.py is Ax-bound
+      // and excluded; this is the grid-search core of it)
+      import EvalSql._
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val alphas = (1 to 9).map(_ / 10.0)
+      val base = dense(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nt", count(lit(1)).over(wk) - holdout)
+      val fit = base.where(col("rn") <= col("nt"))
+        .withColumn("alpha", explode(array(alphas.map(lit): _*)))
+        .groupBy("event_type", "alpha").agg(
+          sum(col("value") * pow(lit(1.0) - col("alpha"), col("nt") - col("rn"))).as("sesn"),
+          sum(pow(lit(1.0) - col("alpha"), col("nt") - col("rn"))).as("sesd"))
+      val ho = base.where(col("rn") > col("nt"))
+        .select(col("event_type"), col("value").as("y"))
+      val scored = ho.join(broadcast(fit), Seq("event_type"))
+        .withColumn("f", col("sesn") / col("sesd"))
+        .groupBy("event_type", "alpha").agg(
+          round(Metrics.smape(col("y"), col("f")), 6).as("smape"),
+          round(Metrics.rmse(col("y"), col("f")), 6).as("rmse"))
+      scored.withColumn("best",
+          (row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("rmse"), col("alpha"))) === 1).cast("int"))
+        .select("event_type", "alpha", "smape", "rmse", "best")
+    }),
+
     "q_detector_persist" -> ((s, dir) => {
       // detector-baseline persistence: the same save/load loop for the
       // scalars a serving-time detector needs (z-score mu/sigma, BOCPD
@@ -151,6 +182,27 @@ object EvalQueries {
          |  UNION ALL SELECT event_type, 'naive', h, ylast FROM fit, hs
          |  UNION ALL SELECT event_type, 'drift', h, ylast + h * (ylast - yfirst) / (nt - 1) FROM fit, hs
          |  UNION ALL SELECT event_type, 'ses', h, level FROM fit, hs)""".stripMargin,
+
+    "q_evaluator_grid" ->
+      s"""WITH hourly AS ($H),
+         |$denseSql,
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) - ${EvalSql.holdout} AS nt FROM dense),
+         |grid AS (SELECT unnest([${(1 to 9).map(i => s"${i / 10.0}::DOUBLE").mkString(", ")}]) AS alpha),
+         |fit AS (SELECT event_type, alpha,
+         |    sum(value * pow(1.0 - alpha, nt - rn)) AS sesn,
+         |    sum(pow(1.0 - alpha, nt - rn)) AS sesd
+         |  FROM ord, grid WHERE rn <= nt GROUP BY 1, 2),
+         |scored AS (SELECT o.event_type, f.alpha,
+         |    round(avg(CASE WHEN abs(o.value) + abs(f.sesn / f.sesd) <> 0
+         |      THEN abs(o.value - f.sesn / f.sesd) / ((abs(o.value) + abs(f.sesn / f.sesd)) / 2) END), 6) AS smape,
+         |    round(sqrt(avg((o.value - f.sesn / f.sesd)^2)), 6) AS rmse
+         |  FROM ord o JOIN fit f ON o.event_type = f.event_type
+         |  WHERE o.rn > o.nt GROUP BY 1, 2)
+         |SELECT event_type, alpha, smape, rmse,
+         |  (row_number() OVER (PARTITION BY event_type ORDER BY rmse, alpha) = 1)::INT AS best
+         |FROM scored""".stripMargin,
 
     "q_detector_persist" ->
       s"""WITH hourly AS ($H),
