@@ -54,6 +54,23 @@ object Dedup {
       .select(col(id), col("fp"), col("keep"))
   }
 
+  /** Incremental exact dedup: dedup a NEW batch against the fingerprint
+    * store of the existing corpus (plus within-batch). The corpus side
+    * enters as fingerprints only — bytes per historical doc, the only
+    * state a 100 TB-corpus ingest pipeline needs to carry forward — and
+    * meets the batch through one fp-key join. Output: every new doc with
+    * its fp and keep flag (1 = first occurrence anywhere).
+    */
+  def incremental(newDocs: DataFrame, corpusFps: DataFrame,
+                  id: String = "doc_id", text: String = "text"): DataFrame = {
+    val w = Window.partitionBy("fp")
+    newDocs.withColumn("fp", md5(col(text)))
+      .join(corpusFps.select(col("fp"), lit(1).as("_seen")).distinct(), Seq("fp"), "left")
+      .withColumn("keep",
+        (col("_seen").isNull && col(id) === min(col(id)).over(w)).cast("int"))
+      .select(col(id), col("fp"), col("keep"))
+  }
+
   /** Distinct word-k-shingles per doc: (id, shingle). */
   def docShingles(docs: DataFrame, id: String = "doc_id", text: String = "text", k: Int = 3): DataFrame =
     docs.select(col(id), explode(TextFunctions.shingles(col(text), k)).as("shingle"))

@@ -128,6 +128,16 @@ object LlmQueries {
 
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
+    // incremental ingest: docs with id >= 300 arrive as the new batch and
+    // dedup against the fingerprint store of the first 300 (the only
+    // corpus state an ingest pipeline carries forward)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incremental(
+        d.where(col("doc_id") >= 300),
+        d.where(col("doc_id") < 300).select(md5(col("text")).as("fp")))
+    }),
+
     // winnowing fingerprint summary per doc (the selected-hash SET is
     // what a real pipeline would explode and join on)
     "q_winnow" -> ((s, dir) =>
@@ -266,6 +276,14 @@ object LlmQueries {
       """SELECT doc_id, md5(text) AS fp,
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep
         |FROM documents""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH store AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 300),
+        |batch AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 300)
+        |SELECT b.doc_id, b.fp,
+        |  CASE WHEN s.fp IS NULL AND b.doc_id = min(b.doc_id) OVER (PARTITION BY b.fp)
+        |       THEN 1 ELSE 0 END AS keep
+        |FROM batch b LEFT JOIN store s ON b.fp = s.fp""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $shSql,
