@@ -17,7 +17,8 @@ object SparkEntry {
     (ExtraQueries.defs, ExtraQueries.sql),
     (AdvancedQueries.defs, AdvancedQueries.sql),
     (ReconQueries.defs, ReconQueries.sql),
-    (EvalQueries.defs, EvalQueries.sql)
+    (EvalQueries.defs, EvalQueries.sql),
+    (PqQueries.defs, PqQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
