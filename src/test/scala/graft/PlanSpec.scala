@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts: the physical-plan properties the 100 TB story rests
+  * on, asserted on the executed plans so a refactor that silently
+  * reintroduces a cartesian product, a lost broadcast, or a global sort
+  * fails CI — not a bench run three rounds later.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Queries whose joins must all be broadcast (small side is a probe /
+    * centroid / band-key table) — a SortMergeJoin here means the small
+    * side stopped broadcasting and the corpus started shuffling. */
+  private val broadcastOnly = Seq("q_knn_bruteforce", "q_ann_ivf", "q_ann_pq", "q_evaluator")
+
+  test("probe/centroid joins stay broadcast — the corpus never shuffles for them") {
+    broadcastOnly.foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin"), s"$q grew a SortMergeJoin:\n$p")
+      assert(p.contains("Broadcast"), s"$q lost its broadcast join:\n$p")
+    }
+  }
+
+  test("no unintended cartesian products anywhere in the suite's plans") {
+    // BroadcastNestedLoopJoin of a broadcast probe/blockpair side is the
+    // intended all-pairs shape; CartesianProduct (both sides shuffled)
+    // never is.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+    }
+  }
+
+  test("top-k queries compile to WindowGroupLimit (rank pushed below the exchange)") {
+    Seq("q_knn_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank", "q_knn_lsh").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("WindowGroupLimit"), s"$q lost its WindowGroupLimit:\n$p")
+    }
+  }
+
+  test("aggregation-heavy queries keep map-side partial aggregation") {
+    Seq("q_evaluator", "q_feat_basic", "q_metrics").foreach { q =>
+      val p = planOf(q)
+      // partial+final pairs show up as >= 2 HashAggregates around the shuffle
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lost partial aggregation:\n$p")
+    }
+  }
+
+  test("scans prune to the needed columns") {
+    // q_text_tokens needs only (doc_id, text) of the 5-column documents table
+    val p = planOf("q_text_tokens")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
+      s"q_text_tokens reads more than it needs: $read")
+  }
+}
