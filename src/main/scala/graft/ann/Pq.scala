@@ -92,10 +92,11 @@ object Pq {
     }: _*)
   }
 
-  /** Encode the corpus: (id, codes). Pure map-side. */
+  /** Encode the corpus: (id, keep…, codes). Pure map-side. */
   def encode(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]],
-             id: String = "vec_id", vec: String = "embedding"): DataFrame =
-    corpus.select(col(id), codesCol(cb, vec).as("codes"))
+             id: String = "vec_id", vec: String = "embedding",
+             keep: Seq[String] = Nil): DataFrame =
+    corpus.select((col(id) +: keep.map(col)) :+ codesCol(cb, vec).as("codes"): _*)
 
   /** ADC top-k: probes carry their per-subspace distance tables; corpus
     * rows pay m array lookups each. Output (probe_id, neighbor_id,
@@ -115,6 +116,48 @@ object Pq {
         lit(0.0), (acc, v) => acc + v))
     val w = Window.partitionBy("probe_id").orderBy(col("adc_d2"), col(id))
     joined.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("probe_id"), col(id).as("neighbor_id"), round(col("adc_d2"), 6).as("adc_d2"), col("rk"))
+  }
+
+  /** IVF residuals: vec − centroid(cell), as a double array — the input
+    * to residual PQ codebooks (IVF-PQ, the Jégou composition: coarse
+    * cells absorb the between-cluster energy, PQ codes the residual).
+    * `cents` is the local centroid table from [[KMeansDet.fit]]. */
+  def residuals(assigned: DataFrame, cents: DataFrame,
+                id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    assigned.join(broadcast(cents), Seq("cell"))
+      .select(col(id), col("cell"),
+        zip_with(col(vec), col("centroid"), (x, c) => x.cast("double") - c).as(vec))
+
+  /** IVF-PQ search: probes rank the coarse cells (nprobe nearest), form
+    * their per-cell RESIDUAL distance tables against the residual
+    * codebooks, and meet the codes through a KEY-EQUALITY join on the
+    * cell — the probed slice is the only corpus that moves, and it moves
+    * as codes. Output (probe_id, neighbor_id, adc_d2, rk). */
+  def adcIvfTopK(encoded: DataFrame, cents: Seq[(Int, Seq[Double])], cb: Seq[Seq[Seq[Double]]],
+                 probes: DataFrame, nprobe: Int, k: Int,
+                 id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val sub = cb.head.head.length
+    // per probe: sort the (d2-to-centroid, cell, centroid) structs and
+    // take nprobe — the centroid rides along for the residual below
+    val ranked = array_sort(array(cents.map { case (cId, cv) =>
+      struct(d2(col(vec), typedlit(cv)).as("d"), lit(cId).as("cell"), typedlit(cv).as("centroid"))
+    }: _*))
+    val probed = probes
+      .select(col(id).as("probe_id"), col(vec).as("pvec"),
+        explode(slice(ranked, 1, nprobe)).as("pc"))
+      .withColumn("rq", zip_with(col("pvec"), col("pc.centroid"), (x, c) => x.cast("double") - c))
+      .select(col("probe_id"), col("pc.cell").as("cell"),
+        array(cb.zipWithIndex.map { case (book, j) =>
+          array(book.map(cent => d2(slice(col("rq"), j * sub + 1, sub), typedlit(cent))): _*)
+        }: _*).as("dtabs"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc_d2"), col(id))
+    encoded.join(broadcast(probed), Seq("cell"))
+      .where(col(id) =!= col("probe_id"))
+      .withColumn("adc_d2", aggregate(
+        zip_with(col("codes"), col("dtabs"), (c, t) => element_at(t, (c + 1).cast("int"))),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("probe_id"), col(id).as("neighbor_id"), round(col("adc_d2"), 6).as("adc_d2"), col("rk"))
   }
 

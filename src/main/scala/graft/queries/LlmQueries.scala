@@ -83,7 +83,7 @@ object LlmQueries {
 
   /** cents0 → (assign, update)ⁿ → centsN, then a final assignment asN —
     * exactly [[graft.ann.KMeansDet.fit]] + [[graft.ann.KMeansDet.assign]]. */
-  private def kmChainSql(k: Int, iters: Int): String = {
+  private[queries] def kmChainSql(k: Int, iters: Int): String = {
     val rounds = (0 until iters).map(i => s"${kmAssignSql(i)},\n${kmUpdateSql(i)}").mkString(",\n")
     s"""cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding::DOUBLE[] AS centroid
        |                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),

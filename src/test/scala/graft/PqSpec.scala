@@ -65,6 +65,20 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mean >= 0.9, s"mean rerank recall $mean")
   }
 
+  test("IVF-PQ (coarse cells + residual codes) keeps the coarse-filter contract") {
+    import graft.ann.KMeansDet
+    val centsDf = KMeansDet.fit(corpus, k = 8, iters = 2)
+    val cents = centsDf.collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val resid = Pq.residuals(KMeansDet.assign(corpus, centsDf), centsDf)
+    val rcb = Pq.fitCodebooks(resid, m = 4, ks = 8, iters = 2)
+    val hits = Pq.adcIvfTopK(Pq.encode(resid, rcb, keep = Seq("cell")), cents, rcb,
+        probes, nprobe = 2, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.nonEmpty)
+    val purity = hits.count { case (p, n) => blobOf(p) == blobOf(n) }.toDouble / hits.length
+    assert(purity >= 0.9, s"IVF-PQ blob purity $purity")
+  }
+
   test("encode is deterministic and the code space is bounded") {
     val a = Pq.encode(corpus, cb).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val b = Pq.encode(corpus, cb).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
