@@ -128,6 +128,78 @@ object Regressors {
     }
   }
 
+  /** SARIMA-lite (p,1,0)(1,1,0)_m, additive AR form (kats/models/sarima.py
+    * re-derived without statsmodels): after one regular and one seasonal
+    * difference, w_t = c + Σφᵢ·w_{t-i} + Φ·w_{t-m} by OLS. Returns
+    * (beta = [c, φ1..φp, Φ], sigma2).
+    */
+  def sarimaFitP(xs: Array[Double], m: Int, p: Int): (Array[Double], Double) = {
+    val d = Array.tabulate(xs.length - 1)(i => xs(i + 1) - xs(i))
+    val w = Array.tabulate(d.length - m)(i => d(i + m) - d(i))
+    val L = w.length
+    require(L > m + p + 4, s"series too short for SARIMA seasonal lag $m, AR($p): $L")
+    val rows = L - m
+    val X = DenseMatrix.zeros[Double](rows, p + 2)
+    val y = DenseVector.zeros[Double](rows)
+    var i = 0
+    while (i < rows) {
+      val t = m + i
+      X(i, 0) = 1.0
+      var j = 1
+      while (j <= p) { X(i, j) = w(t - j); j += 1 }
+      X(i, p + 1) = w(t - m)
+      y(i) = w(t)
+      i += 1
+    }
+    // ridged normal equations (XᵀX + 1e-8·I)β = Xᵀy — term-for-term the
+    // system the DuckDB oracle eliminates, so the engines solve the SAME
+    // matrix and differ only in elimination ulps
+    val g = X.t * X
+    var ri = 0
+    while (ri < p + 2) { g(ri, ri) += 1e-8; ri += 1 }
+    val beta = solve(g, X.t * y)
+    var sse = 0.0
+    i = 0
+    while (i < rows) {
+      var f = beta(0)
+      var j = 1
+      while (j <= p + 1) { f += beta(j) * X(i, j); j += 1 }
+      val e = y(i) - f
+      sse += e * e
+      i += 1
+    }
+    (beta.toArray, sse / rows)
+  }
+
+  /** h-step (h ≤ m) forecast for the (p,1,0)(1,1,0)_m fit: the seasonal
+    * lags of both integration stages stay observed inside one season, so
+    * the recursion carries only the last p ŵ values and the level. */
+  def sarimaForecastP(xs: Array[Double], m: Int, p: Int, h: Int): Array[Double] = {
+    require(h <= m, s"forecast horizon $h beyond one season $m")
+    val (beta, _) = sarimaFitP(xs, m, p)
+    val d = Array.tabulate(xs.length - 1)(i => xs(i + 1) - xs(i))
+    val w = Array.tabulate(d.length - m)(i => d(i + m) - d(i))
+    val L = w.length
+    val out = new Array[Double](h)
+    // ŵ ring: index 0 = most recent (observed tail to start)
+    val wHist = Array.tabulate(p)(j => w(L - 1 - j))
+    var x = xs.last
+    var k = 1
+    while (k <= h) {
+      var wHat = beta(0) + beta(p + 1) * w(L + k - 1 - m)
+      var j = 0
+      while (j < p) { wHat += beta(j + 1) * wHist(j); j += 1 }
+      val dHat = wHat + d(d.length + k - 1 - m)
+      x += dHat
+      out(k - 1) = x
+      var jj = p - 1
+      while (jj > 0) { wHist(jj) = wHist(jj - 1); jj -= 1 }
+      if (p > 0) wHist(0) = wHat
+      k += 1
+    }
+    out
+  }
+
   /** SARIMA-lite (1,1,0)(1,1,0)_m, additive AR form (kats/models/sarima.py
     * re-derived without statsmodels): after one regular and one seasonal
     * difference, w_t = c + φ·w_{t-1} + Φ·w_{t-m} by ridge OLS. Returns

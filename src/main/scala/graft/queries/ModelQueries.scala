@@ -334,6 +334,16 @@ object ModelQueries {
         Array(c, p, sp, s2, fc(0), fc(23))
       }),
 
+    // broader order: SARIMA-lite (2,1,0)(1,1,0)_24 — the generalized
+    // AR(p) kernel, ridged normal equations shared with the oracle
+    "q_sarima2" -> ((s, dir) =>
+      SeriesOps.aggSeries(dense(s, dir), S,
+        Seq("c", "phi1", "phi2", "sphi", "sigma2", "yhat_1", "yhat_24")) { xs =>
+        val (b, s2) = Regressors.sarimaFitP(xs, 24, 2)
+        val fc = Regressors.sarimaForecastP(xs, 24, 2, 24)
+        Array(b(0), b(1), b(2), b(3), s2, fc(0), fc(23))
+      }),
+
     /** Keyed multivariate VAR(1): per event_type, the 2-dim series
       * (value, n) regressed on its own lag via closed-form 3×3 normal
       * equations — a pure keyed aggregate plan (one shuffle, partial
@@ -704,6 +714,66 @@ object ModelQueries {
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, y AS value, fitted, round(z, 6) AS z
          |FROM z WHERE abs(z) > 3.0""".stripMargin
     },
+
+    "q_sarima2" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |dd AS (SELECT event_type, t - 1 AS td, n - 1 AS nd,
+         |         value - lag(value) OVER (PARTITION BY event_type ORDER BY t) AS dv
+         |       FROM ord QUALIFY dv IS NOT NULL),
+         |ww AS (SELECT event_type, td - 24 AS tw, nd - 24 AS lw,
+         |         dv - lag(dv, 24) OVER (PARTITION BY event_type ORDER BY td) AS wv
+         |       FROM dd QUALIFY wv IS NOT NULL),
+         |lg AS (SELECT event_type, tw, lw, wv,
+         |         lag(wv, 1) OVER w AS l1, lag(wv, 2) OVER w AS l2, lag(wv, 24) OVER w AS lm
+         |       FROM ww WINDOW w AS (PARTITION BY event_type ORDER BY tw)),
+         |s4mats AS (SELECT event_type, [
+         |    count(*)::DOUBLE + 1e-8, sum(l1), sum(l2), sum(lm), sum(wv),
+         |    sum(l1), sum(l1*l1) + 1e-8, sum(l1*l2), sum(l1*lm), sum(l1*wv),
+         |    sum(l2), sum(l2*l1), sum(l2*l2) + 1e-8, sum(l2*lm), sum(l2*wv),
+         |    sum(lm), sum(lm*l1), sum(lm*l2), sum(lm*lm) + 1e-8, sum(lm*wv)
+         |  ] AS m FROM lg WHERE lm IS NOT NULL GROUP BY 1),
+         |${gaussJordanSql(4, "s4")},
+         |sig AS (SELECT l.event_type,
+         |          sum((l.wv - (be.b[1] + be.b[2] * l.l1 + be.b[3] * l.l2 + be.b[4] * l.lm))
+         |            * (l.wv - (be.b[1] + be.b[2] * l.l1 + be.b[3] * l.l2 + be.b[4] * l.lm))) / count(*) AS sigma2
+         |        FROM lg l JOIN s4beta be ON l.event_type = be.event_type
+         |        WHERE l.lm IS NOT NULL GROUP BY 1),
+         |lastw AS (SELECT w1.event_type, max(w1.lw) AS lw,
+         |            max(CASE WHEN w1.tw = w1.lw - 1 THEN w1.wv END) AS wlast,
+         |            max(CASE WHEN w1.tw = w1.lw - 2 THEN w1.wv END) AS wlast2
+         |          FROM ww w1 GROUP BY 1),
+         |lastx AS (SELECT o.event_type, max(o.n) AS n,
+         |            max(CASE WHEN o.t = o.n - 1 THEN o.value END) AS xlast
+         |          FROM ord o GROUP BY 1),
+         |fcrec AS (
+         |  SELECT l.event_type, 0 AS h, l.wlast AS wprev, l.wlast2 AS wprev2,
+         |    x.xlast AS acc, l.lw, x.n, be.b
+         |  FROM lastw l JOIN lastx x ON l.event_type = x.event_type
+         |  JOIN s4beta be ON l.event_type = be.event_type
+         |  UNION ALL
+         |  SELECT event_type, h, what, wprev, acc + (what + dobs), lw, n, b
+         |  FROM (
+         |    SELECT r.event_type, r.h + 1 AS h, r.lw, r.n, r.b, r.acc, r.wprev,
+         |      r.b[1] + r.b[2] * r.wprev + r.b[3] * r.wprev2 + r.b[4] * wo.wv AS what, dob.dv AS dobs
+         |    FROM fcrec r
+         |    JOIN ww wo ON wo.event_type = r.event_type AND wo.tw = r.lw + (r.h + 1) - 1 - 24
+         |    JOIN dd dob ON dob.event_type = r.event_type AND dob.td = (r.n - 1) + (r.h + 1) - 1 - 24
+         |    WHERE r.h < 24))
+         |SELECT f.event_type,
+         |  round(be.b[1], 6) AS c, round(be.b[2], 6) AS phi1, round(be.b[3], 6) AS phi2,
+         |  round(be.b[4], 6) AS sphi, round(sig.sigma2, 6) AS sigma2,
+         |  round(max(CASE WHEN f.h = 1 THEN f.acc END), 6) AS yhat_1,
+         |  round(max(CASE WHEN f.h = 24 THEN f.acc END), 6) AS yhat_24
+         |FROM fcrec f JOIN s4beta be ON f.event_type = be.event_type
+         |JOIN sig ON f.event_type = sig.event_type
+         |GROUP BY f.event_type, be.b, sig.sigma2""".stripMargin,
 
     "q_sarima" ->
       s"""WITH RECURSIVE hourly AS ($H),

@@ -41,4 +41,39 @@ class AlgoSpec extends AnyFunSuite {
     assert(math.abs(period - 24.0) < 1e-9)
     assert(share > 0.95)
   }
+
+  test("generalized SARIMA AR(p) kernel reduces to the fixed (1,1,0) kernel at p=1") {
+    import graft.models.Regressors
+    val rnd = new scala.util.Random(3)
+    val xs = Array.tabulate(200)(i =>
+      10.0 + 0.05 * i + 3 * math.sin(2 * math.Pi * i / 24.0) + rnd.nextGaussian())
+    val (c, phi, sphi, s2) = Regressors.sarimaFit(xs, 24)
+    val (b, s2p) = Regressors.sarimaFitP(xs, 24, 1)
+    // the fixed kernel solves by QR, the generalized one by the ridged
+    // normal equations the oracle uses — they agree to the ridge scale
+    assert(math.abs(b(0) - c) < 1e-6 && math.abs(b(1) - phi) < 1e-6 && math.abs(b(2) - sphi) < 1e-6)
+    assert(math.abs(s2p - s2) < 1e-6)
+    val f1 = Regressors.sarimaForecast(xs, 24, 12)
+    val fp = Regressors.sarimaForecastP(xs, 24, 1, 12)
+    f1.zip(fp).foreach { case (a, bb) => assert(math.abs(a - bb) < 1e-5) }
+  }
+
+  test("SARIMA AR(2) fit tracks a genuinely AR(2) differenced process better than AR(1)") {
+    import graft.models.Regressors
+    val rnd = new scala.util.Random(9)
+    // build w as AR(2), then integrate twice (regular + seasonal) so the
+    // (p,1,0)(1,1,0)_24 pipeline recovers it
+    val L = 400
+    val w = new Array[Double](L)
+    for (t <- 2 until L) w(t) = 0.6 * w(t - 1) - 0.3 * w(t - 2) + rnd.nextGaussian()
+    val d = new Array[Double](L + 24)
+    for (t <- 24 until L + 24) d(t) = d(t - 24) + w(t - 24)
+    val xs = new Array[Double](L + 25)
+    for (t <- 1 until L + 25) xs(t) = xs(t - 1) + d(t - 1)
+    val (b2, s22) = Regressors.sarimaFitP(xs, 24, 2)
+    val (_, s21) = Regressors.sarimaFitP(xs, 24, 1)
+    assert(math.abs(b2(1) - 0.6) < 0.15 && math.abs(b2(2) - (-0.3)) < 0.15,
+      s"AR(2) coefficients off: ${b2.toSeq}")
+    assert(s22 < s21, "AR(2) must fit an AR(2) process better than AR(1)")
+  }
 }
