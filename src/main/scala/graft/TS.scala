@@ -150,4 +150,22 @@ object TS {
     }
     filled.where(col("_side") === 1).drop("_side")
   }
+
+  /** Gap-based sessionization: a new session starts at each event whose
+    * inactivity gap from the previous event is ≥ `gapSeconds` (the
+    * convention of Spark's streaming `session_window`, whose windows end
+    * at last-event + gap — so the batch and streaming session sets agree
+    * exactly). Adds a per-key `session` ordinal; one key shuffle, gap
+    * math in exact microseconds. Tied timestamps are safe: either tie
+    * order yields the same session membership.
+    */
+  def sessionize(df: DataFrame, s: TSSchema, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(s.keyCols: _*).orderBy(col(s.ts))
+    val gapUs = gapSeconds * 1000000L
+    df.withColumn("_prev", lag(unix_micros(col(s.ts)), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || unix_micros(col(s.ts)) - col("_prev") >= gapUs, 1).otherwise(0))
+      .withColumn("session", sum("_new").over(w))
+      .drop("_prev", "_new")
+  }
 }

@@ -68,6 +68,18 @@ object CoreQueries {
         .select(col("event_id"), col("event_type"), epochS("ts"), col("value"), col("hourly_value"))
     }),
 
+    // gap-based sessionization over the raw event stream, keyed by user —
+    // the canonical events-pipeline islands operator (30-min inactivity)
+    "q_sessionize" -> ((s, dir) =>
+      TS.sessionize(Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+          TSSchema(keys = Seq("user_id")), gapSeconds = 1800)
+        .groupBy("user_id", "session")
+        .agg(min(unix_timestamp(col("ts"))).as("start_s"),
+          max(unix_timestamp(col("ts"))).as("end_s"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("sum_value"))
+        .withColumn("duration_s", col("end_s") - col("start_s"))),
+
     "q_metrics" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
       hourly(s, dir)
@@ -198,6 +210,19 @@ object CoreQueries {
          |  h.value AS hourly_value
          |FROM events e ASOF LEFT JOIN hourly h
          |  ON e.event_type = h.event_type AND e.ts >= h.ts""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, value,
+        |    epoch_us(date_trunc('microsecond', ts)) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+        |                       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS session FROM g)
+        |SELECT user_id, session,
+        |  min(us // 1000000) AS start_s, max(us // 1000000) AS end_s,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
+        |  max(us // 1000000) - min(us // 1000000) AS duration_s
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_metrics" ->
       s"""WITH hourly AS ($H),

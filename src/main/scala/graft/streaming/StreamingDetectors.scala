@@ -78,6 +78,23 @@ object StreamingDetectors {
       }
   }
 
+  case class UPoint(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Streaming sessionization — the streaming twin of
+    * [[graft.TS.sessionize]]: Spark's native session windows merge events
+    * closer than `gap` and close a session `gap` after its last event, so
+    * the emitted session set equals the batch gap-islands (both split at
+    * inactivity ≥ gap). Watermark bounds session state; output carries
+    * (key, start, end, n_events, sum_value) per CLOSED session.
+    */
+  def sessionWindows(stream: DataFrame, key: String = "user_id", gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col(key), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col(key), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"), col("sum_value"))
+
   case class BocpdState(t: Long, rProb: Seq[Double], rMu: Seq[Double], rV: Seq[Double],
                         lagTs: Seq[Long])
   case class ChangeProbPoint(event_type: String, ts: java.sql.Timestamp, change_prob: Double)

@@ -109,6 +109,33 @@ class StreamingReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunked === oneShot)
   }
 
+  test("streaming session windows replay the batch gap-islands session set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select("user_id", "ts", "value")
+    val batch = TS.sessionize(ev, TSSchema(keys = Seq("user_id")), gapSeconds = 1800)
+      .groupBy("user_id", "session")
+      .agg(min(unix_timestamp(col("ts"))).as("start_s"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+
+    val pts = ev.orderBy("ts", "user_id").collect()
+      .map(r => StreamingDetectors.UPoint(r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val mem = MemoryStream[StreamingDetectors.UPoint]
+    val q = StreamingDetectors.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("rp_sess").outputMode("append").start()
+    chunks(pts, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    // sentinel far past the data advances the watermark so every real
+    // session closes and is emitted
+    mem.addData(StreamingDetectors.UPoint(-1L,
+      new Timestamp(pts.last.ts.getTime + 365L * 24 * 3600 * 1000), 0.0))
+    q.processAllAvailable()
+    val stream = spark.sql("select user_id, start, n_events from rp_sess where user_id >= 0")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getLong(2))).toSet
+    q.stop()
+    assert(stream.nonEmpty && stream === batch,
+      s"stream ${stream.size} sessions vs batch ${batch.size}")
+  }
+
   test("streaming BOCPD replays the batch posterior probabilities across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
