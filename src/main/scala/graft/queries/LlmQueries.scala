@@ -123,6 +123,27 @@ object LlmQueries {
           col("pred_lang") :+ col("is_correct")): _*)
     }),
 
+    // corpus-trained statistical quality: char-bigram cross-entropy (the
+    // perplexity-filter shape of CCNet-style pipelines — train counts in
+    // one aggregate over the corpus, broadcast the model, score per doc;
+    // junk text scores high, natural text low)
+    "q_text_perplexity" -> ((s, dir) => {
+      val bg = docs(s, dir).select(col("doc_id"), explode(expr(
+        """CASE WHEN length(text) >= 2
+          |  THEN transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      val bc = bg.groupBy("bg").agg(count(lit(1)).as("nbg"))
+      val c1 = bc.groupBy(expr("substring(bg, 1, 1)").as("c1")).agg(sum("nbg").as("nc1"))
+      val v = bg.agg(countDistinct(expr("substring(bg, 2, 1)")).as("vv"))
+      bg.join(broadcast(bc), Seq("bg"), "left")
+        .join(broadcast(c1), expr("substring(bg, 1, 1)") === col("c1"), "left")
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((coalesce(col("nbg"), lit(0L)) + lit(1)).cast("double")
+            / (coalesce(col("nc1"), lit(0L)) + col("vv")).cast("double"))), 6).as("xent"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
 
@@ -276,6 +297,22 @@ object LlmQueries {
       """SELECT doc_id, md5(text) AS fp,
         |  CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS keep
         |FROM documents""".stripMargin,
+
+    "q_text_perplexity" ->
+      """WITH bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(text)), i -> text[i:i+1])) AS bg
+        |  FROM documents),
+        |bc AS (SELECT bg, count(*) AS nbg FROM bg GROUP BY 1),
+        |c1 AS (SELECT bg[1:1] AS c1, sum(nbg) AS nc1 FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT bg[2:2]) AS vv FROM bg)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln((coalesce(bc.nbg, 0) + 1)::DOUBLE
+        |    / (coalesce(c1.nc1, 0) + v.vv)::DOUBLE)), 6) AS xent
+        |FROM bg b
+        |LEFT JOIN bc ON b.bg = bc.bg
+        |LEFT JOIN c1 ON b.bg[1:1] = c1.c1
+        |CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH store AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 300),
