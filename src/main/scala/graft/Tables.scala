@@ -45,4 +45,14 @@ object Tables {
     """SELECT event_type, date_trunc('hour', ts) AS ts,
       |       round(sum(value), 6) AS value, count(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Oracle-side twin of `TS.fillGaps(hourlyEvents…, 3600, Some(0.0))`:
+    * the dense zero-filled hourly grid, as CTEs over a `hourly` CTE.
+    * ONE definition — the query packs must not fork their own copies
+    * (a gap-fill semantics change has to hit every oracle at once). */
+  val denseHourlySql: String =
+    """hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+      |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+      |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+      |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts)""".stripMargin
 }

@@ -75,7 +75,11 @@ object Seasonalities {
     else math.floor(m.toDouble / kept.max).toInt // min period = m / largest kept k
   }
 
-  /** (seasonal_period, trend_mag, seasonality_mag, residual_std). */
+  /** (seasonal_period, trend_mag, seasonality_mag, residual_std).
+    * Series shorter than 5 points report NaN — a contract the DuckDB
+    * oracle does not model (it assumes real series; every testdata
+    * series is ≥100 points), so don't point q_feat_seasonalities at
+    * toy series without extending the oracle's guard. */
   def features(xs: Array[Double]): Array[Double] = {
     val n = xs.length
     if (n < 5) return Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)

@@ -23,11 +23,7 @@ object EvalQueries {
     TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
   private val H = Tables.hourlySql
 
-  private val denseSql =
-    """hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
-      |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
-      |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
-      |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts)""".stripMargin
+  private val denseSql = Tables.denseHourlySql
 
   /** Holdout length and the model battery as shared (name, forecast-expr)
     * pairs over the fit columns: a/b (train linear regression on rn),
@@ -84,7 +80,9 @@ object EvalQueries {
       // the full persistence loop: fit → save → load → forecast WITHOUT
       // refit — the oracle fits directly, so the round trip must be exact
       import graft.models.ModelStore
-      val path = "/tmp/graft_modelstore"
+      // per-invocation temp dir: two concurrent runs (verify + bench)
+      // must not overwrite each other's store mid-read
+      val path = java.nio.file.Files.createTempDirectory("graft_modelstore").toString
       ModelStore.save(ModelStore.fitBattery(Tables.hourlyEvents(s, dir).drop("n"), S), path)
       ModelStore.forecast(ModelStore.load(s, path), Seq("event_type"), steps = 24)
         .select(col("event_type"), col("model"), col("h"), round(col("fcst"), 6).as("fcst"))
@@ -127,7 +125,7 @@ object EvalQueries {
       // priors), oracle-checked through the parquet round trip
       import graft.detectors.DetectorStore
       import graft.models.ModelStore
-      val path = "/tmp/graft_detectorstore"
+      val path = java.nio.file.Files.createTempDirectory("graft_detectorstore").toString
       ModelStore.save(DetectorStore.fitBaselines(Tables.hourlyEvents(s, dir).drop("n"), S), path)
       ModelStore.load(s, path)
         .select(col("event_type"), col("model"), col("param"), round(col("value"), 6).as("value"))

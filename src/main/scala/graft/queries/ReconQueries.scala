@@ -19,12 +19,7 @@ object ReconQueries {
     TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
   private val H = Tables.hourlySql
 
-  /** The dense hourly grid as oracle CTEs (same shape q_harmonic_regression uses). */
-  private val denseSql =
-    """hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
-      |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
-      |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
-      |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts)""".stripMargin
+  private val denseSql = Tables.denseHourlySql
 
   /** Shared fragments for q_reconcile: temporal hierarchy over levels
     * {4,2,1} (m = 4), struc-variance weights (thm.py:255 get_W 'struc'),

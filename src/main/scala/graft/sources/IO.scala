@@ -27,7 +27,10 @@ object IO {
       case "timestamp" => df
       case "long" | "integer" =>
         // magnitude split: |v| >= 1e11 can only be epoch millis (as seconds
-        // it would mean year 5138+), anything smaller is epoch seconds
+        // it would mean year 5138+), anything smaller is epoch seconds.
+        // Known ambiguity: millis for dates before 1973-03-03 fall under
+        // the cutoff and parse as seconds — pre-convert such columns
+        // yourself; no heuristic can split that window.
         df.withColumn(s.ts,
           when(abs(col(s.ts)) >= 100000000000L, timestamp_millis(col(s.ts)))
             .otherwise(timestamp_seconds(col(s.ts))))

@@ -118,6 +118,11 @@ object StreamingDetectors {
     * Adams–MacKay pruning), so state is O(maxRun) per key forever —
     * below `maxRun` points the recurrence is EXACT, which is what the
     * replay spec checks.
+    *
+    * Contract: a series whose key has NO entry in `priors` emits nothing
+    * (an untrained series cannot be scored — the batch path derives its
+    * priors from the full history). Fit baselines for new keys and
+    * restart, or pass a catch-all prior under the expected keys.
     */
   def bocpd(points: Dataset[Point], priors: Map[String, graft.detectors.Bocpd.Priors],
             hazard: Double = 0.01, lagN: Int = 10, maxRun: Int = 512): Dataset[ChangeProbPoint] = {
