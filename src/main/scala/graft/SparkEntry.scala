@@ -18,7 +18,8 @@ object SparkEntry {
     (AdvancedQueries.defs, AdvancedQueries.sql),
     (ReconQueries.defs, ReconQueries.sql),
     (EvalQueries.defs, EvalQueries.sql),
-    (PqQueries.defs, PqQueries.sql)
+    (PqQueries.defs, PqQueries.sql),
+    (StatQueries.defs, StatQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
