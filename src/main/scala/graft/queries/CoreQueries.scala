@@ -217,7 +217,7 @@ object CoreQueries {
         |g AS (SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
         |                       OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS session FROM g)
+        |s AS (SELECT *, (sum(new_s) OVER (PARTITION BY user_id ORDER BY us))::BIGINT AS session FROM g)
         |SELECT user_id, session,
         |  min(us // 1000000) AS start_s, max(us // 1000000) AS end_s,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value,

@@ -96,13 +96,15 @@ object StatQueries {
     // ── circular calendar encodings (feature_engineering.circle_encode) ─
     "q_time_features_circular" -> ((s, dir) => {
       val t = col("ts")
+      // `+ 0` canonicalizes IEEE -0.0 to +0.0 so serialized hashes agree
+      // across engines; dow is Monday=0 (pandas/kats dayofweek convention).
       def enc(x: Column, period: Double, name: String): Seq[Column] = Seq(
-        round(sin(x * (2 * math.Pi / period)), 6).as(s"${name}_sin"),
-        round(cos(x * (2 * math.Pi / period)), 6).as(s"${name}_cos"))
+        (round(sin(x * (2 * math.Pi / period)), 6) + 0).as(s"${name}_sin"),
+        (round(cos(x * (2 * math.Pi / period)), 6) + 0).as(s"${name}_cos"))
       Tables.events(s, dir).select(col("event_id"), col("ts"))
         .select(col("event_id") +: unix_timestamp(t).as("ts_s") +:
           (enc(hour(t), 24, "hour") ++
-           enc(dayofweek(t) - 1, 7, "dow") ++
+           enc(pmod(dayofweek(t) + 5, lit(7)), 7, "dow") ++
            enc(month(t) - 1, 12, "month")): _*)
     })
   )
@@ -138,17 +140,17 @@ object StatQueries {
         |cnt AS (SELECT event_type, d_us, count(*) AS c FROM d WHERE d_us IS NOT NULL GROUP BY 1, 2),
         |tot AS (SELECT event_type, d_us, c, sum(c) OVER (PARTITION BY event_type) AS tot,
         |    row_number() OVER (PARTITION BY event_type ORDER BY c DESC, d_us) AS rk FROM cnt)
-        |SELECT event_type, d_us AS freq_us, round(c::DOUBLE / tot, 6) AS share, tot AS n_deltas
+        |SELECT event_type, d_us AS freq_us, round(c::DOUBLE / tot, 6) AS share, tot::BIGINT AS n_deltas
         |FROM tot WHERE rk = 1""".stripMargin,
 
     "q_time_features_circular" ->
       """SELECT event_id, epoch_us(date_trunc('microsecond', ts))//1000000 AS ts_s,
-        |  round(sin(hour(ts) * 2 * pi() / 24), 6) AS hour_sin,
-        |  round(cos(hour(ts) * 2 * pi() / 24), 6) AS hour_cos,
-        |  round(sin(dayofweek(ts) * 2 * pi() / 7), 6) AS dow_sin,
-        |  round(cos(dayofweek(ts) * 2 * pi() / 7), 6) AS dow_cos,
-        |  round(sin((month(ts) - 1) * 2 * pi() / 12), 6) AS month_sin,
-        |  round(cos((month(ts) - 1) * 2 * pi() / 12), 6) AS month_cos
+        |  round(sin(hour(ts) * 2 * pi() / 24), 6) + 0 AS hour_sin,
+        |  round(cos(hour(ts) * 2 * pi() / 24), 6) + 0 AS hour_cos,
+        |  round(sin((isodow(ts) - 1) * 2 * pi() / 7), 6) + 0 AS dow_sin,
+        |  round(cos((isodow(ts) - 1) * 2 * pi() / 7), 6) + 0 AS dow_cos,
+        |  round(sin((month(ts) - 1) * 2 * pi() / 12), 6) + 0 AS month_sin,
+        |  round(cos((month(ts) - 1) * 2 * pi() / 12), 6) + 0 AS month_cos
         |FROM events""".stripMargin
   )
 }
