@@ -19,7 +19,8 @@ object SparkEntry {
     (ReconQueries.defs, ReconQueries.sql),
     (EvalQueries.defs, EvalQueries.sql),
     (PqQueries.defs, PqQueries.sql),
-    (StatQueries.defs, StatQueries.sql)
+    (StatQueries.defs, StatQueries.sql),
+    (SimQueries.defs, SimQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
