@@ -8,18 +8,29 @@ import org.apache.spark.sql.functions._
   * aggregation, no UDFs. `y` = actual, `f` = forecast.
   */
 object Metrics {
+
+  /** kats `_safe_divide` (metrics.py:137): n/d with the division's
+    * singularities clamped — ±n/0 → ±1, 0/0 → 0 — and the row KEPT, not
+    * excluded. `signum` reproduces exactly that (sign of the numerator is
+    * the sign of the infinity numpy would produce for a +0.0 denominator).
+    * SQL mirror: CASE WHEN d = 0 THEN CAST(sign(n) AS DOUBLE) ELSE n/d END.
+    */
+  def safeDiv(n: Column, d: Column): Column = when(d =!= 0, n / d).otherwise(signum(n))
+
   def mae(y: Column, f: Column): Column  = avg(abs(y - f))
   def mse(y: Column, f: Column): Column  = avg(pow(y - f, 2))
   def rmse(y: Column, f: Column): Column = sqrt(mse(y, f))
-  /** mean absolute percentage error; rows with y=0 excluded (kats skips). */
-  def mape(y: Column, f: Column): Column = avg(when(y =!= 0, abs((y - f) / y)))
-  /** symmetric MAPE, kats convention: |y-f| / ((|y|+|f|)/2). */
-  def smape(y: Column, f: Column): Column =
-    avg(when(abs(y) + abs(f) =!= 0, abs(y - f) / ((abs(y) + abs(f)) / 2)))
+  /** mean absolute percentage error (metrics.py:448): mean of
+    * safe_divide(|err|, y) — NOT |err/y|, so y<0 contributes negatively,
+    * and y=0 rows clamp to sign(|err|) ∈ {0, 1} and stay in the mean. */
+  def mape(y: Column, f: Column): Column = avg(safeDiv(abs(y - f), y))
+  /** symmetric MAPE (metrics.py:649) = 2 × scaled sMAPE; 0/0 rows count as 0. */
+  def smape(y: Column, f: Column): Column = lit(2.0) * smapeScaled(y, f)
   /** mean absolute scaled error vs in-sample naive diff scale `d`. */
   def mase(y: Column, f: Column, scale: Column): Column = avg(abs(y - f)) / scale
   def me(y: Column, f: Column): Column   = avg(y - f)
-  def mpe(y: Column, f: Column): Column  = avg(when(y =!= 0, (y - f) / y))
+  /** mean percentage error (metrics.py:507); y=0 rows clamp to sign(err). */
+  def mpe(y: Column, f: Column): Column  = avg(safeDiv(y - f, y))
   /** coefficient of determination 1 - SSE/SST, as a plain aggregate
     * (sums-based SST so it composes into any groupBy without a window).
     */
@@ -29,20 +40,22 @@ object Metrics {
   /** median absolute error (metrics.py:377). Exact interpolated median —
     * Spark `median` and DuckDB `quantile_cont(0.5)` agree. */
   def mdae(y: Column, f: Column): Column = median(abs(y - f))
-  /** median absolute percentage error (metrics.py:393); y=0 rows excluded. */
-  def mdape(y: Column, f: Column): Column = median(when(y =!= 0, abs((y - f) / y)))
+  /** median absolute percentage error (metrics.py:393); y=0 rows clamp. */
+  def mdape(y: Column, f: Column): Column = median(safeDiv(abs(y - f), y))
   /** root mean squared log error (metrics.py:568); needs y, f > -1. */
   def rmsle(y: Column, f: Column): Column = sqrt(avg(pow(log1p(y) - log1p(f), 2)))
-  /** root mean squared percentage error (metrics.py:590); y=0 rows excluded. */
-  def rmspe(y: Column, f: Column): Column = sqrt(avg(when(y =!= 0, pow((y - f) / y, 2))))
+  /** root mean squared percentage error (metrics.py:590); y=0 rows clamp
+    * to sign(err), contributing 1 (or 0 for 0/0) to the mean of squares. */
+  def rmspe(y: Column, f: Column): Column = sqrt(avg(pow(safeDiv(y - f, y), 2)))
   /** tracking signal Σerr / MAE (metrics.py:664). */
   def trackingSignal(y: Column, f: Column): Column = sum(y - f) / avg(abs(y - f))
-  /** symmetric bias -2·mean(err / (|y|+|f|)) (metrics.py:633); 0/0 rows excluded. */
+  /** symmetric bias -2·mean(safe_divide(err, |y|+|f|)) (metrics.py:633);
+    * 0/0 rows count as 0. */
   def sbias(y: Column, f: Column): Column =
-    lit(-2.0) * avg(when(abs(y) + abs(f) =!= 0, (y - f) / (abs(y) + abs(f))))
-  /** scaled sMAPE in [0,1] = sMAPE/2 (metrics.py:614). */
+    lit(-2.0) * avg(safeDiv(y - f, abs(y) + abs(f)))
+  /** scaled sMAPE in [0,1] = sMAPE/2 (metrics.py:614); 0/0 rows count as 0. */
   def smapeScaled(y: Column, f: Column): Column =
-    avg(when(abs(y) + abs(f) =!= 0, abs(y - f) / (abs(y) + abs(f))))
+    avg(safeDiv(abs(y - f), abs(y) + abs(f)))
   /** share of actuals ≥ threshold × forecast (metrics.py:335). */
   def exceedRate(y: Column, f: Column, threshold: Double): Column =
     avg((y >= f * threshold).cast("double"))

@@ -231,8 +231,8 @@ object CoreQueries {
          |  round(avg(abs(value - f)), 6) AS mae,
          |  round(avg((value - f)^2), 6) AS mse,
          |  round(sqrt(avg((value - f)^2)), 6) AS rmse,
-         |  round(avg(CASE WHEN value <> 0 THEN abs((value - f) / value) END), 6) AS mape,
-         |  round(avg(CASE WHEN abs(value) + abs(f) <> 0 THEN abs(value - f) / ((abs(value) + abs(f)) / 2) END), 6) AS smape,
+         |  round(avg(CASE WHEN value = 0 THEN CAST(sign(abs(value - f)) AS DOUBLE) ELSE abs(value - f) / value END), 6) AS mape,
+         |  round(2 * avg(CASE WHEN abs(value) + abs(f) = 0 THEN 0.0 ELSE abs(value - f) / (abs(value) + abs(f)) END), 6) AS smape,
          |  round(avg(value - f), 6) AS me,
          |  round(1.0 - sum((value - f)^2) / (sum(value^2) - sum(value)^2 / count(*)), 6) AS r2,
          |  count(*) AS n
@@ -246,7 +246,7 @@ object CoreQueries {
          |  (1, TIMESTAMP '2024-01-16', TIMESTAMP '2024-01-23'),
          |  (2, TIMESTAMP '2024-01-23', TIMESTAMP '2024-01-30')) t(fold, lo, hi))
          |SELECT event_type,
-         |  round(avg(CASE WHEN value <> 0 THEN abs((value - f) / value) END), 6) AS mape,
+         |  round(avg(CASE WHEN value = 0 THEN CAST(sign(abs(value - f)) AS DOUBLE) ELSE abs(value - f) / value END), 6) AS mape,
          |  round(sqrt(avg((value - f)^2)), 6) AS rmse, fold
          |FROM f JOIN folds ON f.ts >= folds.lo AND f.ts < folds.hi
          |GROUP BY event_type, fold""".stripMargin,

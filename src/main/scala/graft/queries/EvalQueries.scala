@@ -155,8 +155,8 @@ object EvalQueries {
          |      FROM ord o JOIN fit f ON o.event_type = f.event_type WHERE o.rn > o.nt),
          |fc AS ($arms)
          |SELECT event_type, model,
-         |  round(avg(CASE WHEN y <> 0 THEN abs((y - f) / y) END), 6) AS mape,
-         |  round(avg(CASE WHEN abs(y) + abs(f) <> 0 THEN abs(y - f) / ((abs(y) + abs(f)) / 2) END), 6) AS smape,
+         |  round(avg(CASE WHEN y = 0 THEN CAST(sign(abs(y - f)) AS DOUBLE) ELSE abs(y - f) / y END), 6) AS mape,
+         |  round(2 * avg(CASE WHEN abs(y) + abs(f) = 0 THEN 0.0 ELSE abs(y - f) / (abs(y) + abs(f)) END), 6) AS smape,
          |  round(avg(abs(y - f)), 6) AS mae,
          |  round(sqrt(avg((y - f)^2)), 6) AS rmse,
          |  count(*) AS n
@@ -193,8 +193,8 @@ object EvalQueries {
          |    sum(pow(1.0 - alpha, nt - rn)) AS sesd
          |  FROM ord, grid WHERE rn <= nt GROUP BY 1, 2),
          |scored AS (SELECT o.event_type, f.alpha,
-         |    round(avg(CASE WHEN abs(o.value) + abs(f.sesn / f.sesd) <> 0
-         |      THEN abs(o.value - f.sesn / f.sesd) / ((abs(o.value) + abs(f.sesn / f.sesd)) / 2) END), 6) AS smape,
+         |    round(2 * avg(CASE WHEN abs(o.value) + abs(f.sesn / f.sesd) = 0
+         |      THEN 0.0 ELSE abs(o.value - f.sesn / f.sesd) / (abs(o.value) + abs(f.sesn / f.sesd)) END), 6) AS smape,
          |    round(sqrt(avg((o.value - f.sesn / f.sesd)^2)), 6) AS rmse
          |  FROM ord o JOIN fit f ON o.event_type = f.event_type
          |  WHERE o.rn > o.nt GROUP BY 1, 2)

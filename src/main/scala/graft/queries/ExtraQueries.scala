@@ -280,7 +280,7 @@ object ExtraQueries {
          |test AS (SELECT f.fold, h.event_type, hour(h.ts) AS hod, h.value
          |         FROM hourly h JOIN folds f ON h.ts >= f.cut AND h.ts < f.hi)
          |SELECT t.event_type,
-         |  round(avg(CASE WHEN t.value <> 0 THEN abs((t.value - tr.fc) / t.value) END), 6) AS mape,
+         |  round(avg(CASE WHEN t.value = 0 THEN CAST(sign(abs(t.value - tr.fc)) AS DOUBLE) ELSE abs(t.value - tr.fc) / t.value END), 6) AS mape,
          |  round(sqrt(avg((t.value - tr.fc) * (t.value - tr.fc))), 6) AS rmse,
          |  t.fold
          |FROM test t JOIN train tr ON t.fold = tr.fold AND t.event_type = tr.event_type AND t.hod = tr.hod

@@ -110,23 +110,37 @@ object StatQueries {
   )
 
   val sql: Map[String, String] = Map(
+    // ECDF counts via the same union+window shape as the Spark side (one
+    // sort per series, no O(n²) self-join — the oracle stays the mirror,
+    // not a quadratic re-derivation): support rows carry cumulative
+    // counts, probe rows (tag 1) pick up the last support cum at v,
+    // ties counted inclusively because tag 0 sorts first.
     "q_metrics_extended" ->
       s"""WITH hourly AS ($H),
          |fc AS (SELECT event_type, ts, value, lag(value, 24) OVER (PARTITION BY event_type ORDER BY ts) AS f FROM hourly),
          |b AS (SELECT * FROM fc WHERE f IS NOT NULL),
-         |c AS (SELECT a.event_type, a.ts, a.value, a.f,
-         |        sum(CASE WHEN y.value <= a.value THEN 1 ELSE 0 END) AS cy,
-         |        sum(CASE WHEN y.value <= a.f THEN 1 ELSE 0 END) AS cf
-         |      FROM b a JOIN b y ON a.event_type = y.event_type GROUP BY 1, 2, 3, 4)
+         |sup AS (SELECT event_type, value AS v, sum(count(*)) OVER (PARTITION BY event_type ORDER BY value) AS cum
+         |        FROM b GROUP BY 1, 2),
+         |u AS (SELECT event_type, CAST(NULL AS TIMESTAMP) AS ts, v, 0 AS tag, cum FROM sup
+         |      UNION ALL
+         |      SELECT event_type, ts, f AS v, 1 AS tag, NULL FROM b),
+         |cf AS (SELECT event_type, ts, cf FROM (
+         |        SELECT event_type, ts, tag,
+         |          coalesce(last_value(cum IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY v, tag
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cf
+         |        FROM u) WHERE tag = 1),
+         |c AS (SELECT b.event_type, b.ts, b.value, b.f, sup.cum AS cy, cf.cf
+         |      FROM b JOIN sup ON b.event_type = sup.event_type AND b.value = sup.v
+         |             JOIN cf ON b.event_type = cf.event_type AND b.ts = cf.ts)
          |SELECT event_type,
          |  round(median(abs(value - f)), 6) AS mdae,
-         |  round(median(CASE WHEN value <> 0 THEN abs((value - f) / value) END), 6) AS mdape,
+         |  round(median(CASE WHEN value = 0 THEN CAST(sign(abs(value - f)) AS DOUBLE) ELSE abs(value - f) / value END), 6) AS mdape,
          |  round(sqrt(avg((ln(1 + value) - ln(1 + f))^2)), 6) AS rmsle,
-         |  round(sqrt(avg(CASE WHEN value <> 0 THEN ((value - f) / value)^2 END)), 6) AS rmspe,
-         |  round(avg(CASE WHEN value <> 0 THEN (value - f) / value END), 6) AS mpe,
+         |  round(sqrt(avg((CASE WHEN value = 0 THEN CAST(sign(value - f) AS DOUBLE) ELSE (value - f) / value END)^2)), 6) AS rmspe,
+         |  round(avg(CASE WHEN value = 0 THEN CAST(sign(value - f) AS DOUBLE) ELSE (value - f) / value END), 6) AS mpe,
          |  round(sum(value - f) / avg(abs(value - f)), 6) AS tracking_signal,
-         |  round(-2 * avg(CASE WHEN abs(value) + abs(f) <> 0 THEN (value - f) / (abs(value) + abs(f)) END), 6) AS sbias,
-         |  round(avg(CASE WHEN abs(value) + abs(f) <> 0 THEN abs(value - f) / (abs(value) + abs(f)) END), 6) AS smape_scaled,
+         |  round(-2 * avg(CASE WHEN abs(value) + abs(f) = 0 THEN 0.0 ELSE (value - f) / (abs(value) + abs(f)) END), 6) AS sbias,
+         |  round(avg(CASE WHEN abs(value) + abs(f) = 0 THEN 0.0 ELSE abs(value - f) / (abs(value) + abs(f)) END), 6) AS smape_scaled,
          |  round(avg(CASE WHEN value >= f THEN 1.0 ELSE 0.0 END), 6) AS exceed_rate,
          |  round(avg((cf - cy)^2) / count(*)^2, 6) AS crps,
          |  round(avg(abs(cf - cy)) / count(*), 6) AS leps,
