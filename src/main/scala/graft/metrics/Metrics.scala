@@ -60,6 +60,22 @@ object Metrics {
   def exceedRate(y: Column, f: Column, threshold: Double): Column =
     avg((y >= f * threshold).cast("double"))
 
+  /** pinball loss at quantile level t (metrics.py:732):
+    * mean(max(d·t, d·(t−1))) with d = y − f, f the t-quantile forecast.
+    */
+  def pinball(y: Column, f: Column, t: Double): Column =
+    avg(greatest((y - f) * t, (y - f) * (t - 1)))
+
+  /** mult_exceed (metrics.py:682), single-series scalar-threshold form.
+    * Follows the CODE, not the docstring (which states the opposite
+    * mapping): mask = +1 for t > 0.5, −1 for t ≤ 0.5, rate =
+    * mean((y − f)·mask > 0) — i.e. how often the t-quantile forecast
+    * lands on the wrong side of the actual (≈ 1−t for t > 0.5, ≈ t for
+    * t ≤ 0.5 when the quantiles are calibrated).
+    */
+  def multExceed(y: Column, f: Column, t: Double): Column =
+    if (t > 0.5) avg((y > f).cast("double")) else avg((f > y).cast("double"))
+
   /** All headline metrics as named agg columns (r2 computed from sums to
     * stay a plain aggregate without a window).
     */

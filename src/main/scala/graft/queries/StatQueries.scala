@@ -75,6 +75,41 @@ object StatQueries {
         )
     }),
 
+    // ── probabilistic / quantile-forecast metrics (metrics.py:682/:732) ─
+    // Interval forecasts the emp-CI way (utils/emp_confidence_int.py):
+    // per-series error quantiles from the train half shift the
+    // seasonal-naive point forecast into q10/q50/q90 quantile forecasts;
+    // the serve half scores them with pinball loss and mult_exceed.
+    // One window pass + one train aggregate + one broadcast join — the
+    // metric aggregates are plain codegen'd column math.
+    "q_metrics_prob" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val idx = forecastBase(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .withColumn("e", col("value") - col("f"))
+      val qs = idx.where(col("rn") <= expr("nn div 2")).groupBy("event_type").agg(
+        percentile(col("e"), lit(0.1)).as("q10"),
+        percentile(col("e"), lit(0.5)).as("q50"),
+        percentile(col("e"), lit(0.9)).as("q90"))
+      val y = col("value")
+      idx.where(col("rn") > expr("nn div 2"))
+        .join(broadcast(qs), Seq("event_type"))
+        .withColumn("p10", col("f") + col("q10"))
+        .withColumn("p50", col("f") + col("q50"))
+        .withColumn("p90", col("f") + col("q90"))
+        .groupBy("event_type")
+        .agg(
+          round(Metrics.pinball(y, col("p10"), 0.1), 6).as("pinball_10"),
+          round(Metrics.pinball(y, col("p50"), 0.5), 6).as("pinball_50"),
+          round(Metrics.pinball(y, col("p90"), 0.9), 6).as("pinball_90"),
+          round(Metrics.multExceed(y, col("p10"), 0.1), 6).as("exceed_10"),
+          round(Metrics.multExceed(y, col("p90"), 0.9), 6).as("exceed_90"),
+          round(avg((y >= col("p10") && y <= col("p90")).cast("double")), 6).as("coverage_80"),
+          count(lit(1)).as("n"))
+    }),
+
     // ── granularity inference (consts.py infer_freq_robust) ────────────
     // mode of consecutive-timestamp deltas per series + how regular the
     // grid is; top-1 via rank → WindowGroupLimit, no global sort
@@ -146,6 +181,34 @@ object StatQueries {
          |  round(avg(abs(cf - cy)) / count(*), 6) AS leps,
          |  count(*) AS n
          |FROM c GROUP BY 1""".stripMargin,
+
+    // quantile constants interpolated from the same Scala doubles the
+    // Spark side multiplies by (::DOUBLE keeps DuckDB off its DECIMAL
+    // literal path, so both engines scale by bit-identical constants)
+    "q_metrics_prob" -> {
+      def pb(p: String, t: Double) =
+        s"avg(greatest((value - $p) * (${t}::DOUBLE), (value - $p) * (${t - 1}::DOUBLE)))"
+      s"""WITH hourly AS ($H),
+         |fc AS (SELECT event_type, ts, value, lag(value, 24) OVER (PARTITION BY event_type ORDER BY ts) AS f FROM hourly),
+         |b AS (SELECT event_type, ts, value, f, value - f AS e,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nn
+         |      FROM fc WHERE f IS NOT NULL),
+         |q AS (SELECT event_type, quantile_cont(e, 0.1) AS q10, quantile_cont(e, 0.5) AS q50,
+         |        quantile_cont(e, 0.9) AS q90
+         |      FROM b WHERE rn <= nn // 2 GROUP BY 1),
+         |t AS (SELECT b.event_type, b.value, b.f + q.q10 AS p10, b.f + q.q50 AS p50, b.f + q.q90 AS p90
+         |      FROM b JOIN q ON b.event_type = q.event_type WHERE b.rn > b.nn // 2)
+         |SELECT event_type,
+         |  round(${pb("p10", 0.1)}, 6) AS pinball_10,
+         |  round(${pb("p50", 0.5)}, 6) AS pinball_50,
+         |  round(${pb("p90", 0.9)}, 6) AS pinball_90,
+         |  round(avg((p10 > value)::INT::DOUBLE), 6) AS exceed_10,
+         |  round(avg((value > p90)::INT::DOUBLE), 6) AS exceed_90,
+         |  round(avg((value >= p10 AND value <= p90)::INT::DOUBLE), 6) AS coverage_80,
+         |  count(*) AS n
+         |FROM t GROUP BY 1""".stripMargin
+    },
 
     "q_infer_freq" ->
       """WITH d AS (SELECT event_type,
