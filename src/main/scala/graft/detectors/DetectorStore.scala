@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * serving time is a handful of per-series scalars — z-score mean/std,
   * BOCPD priors — fitted on history. They persist in the same long
   * params-table shape as [[graft.models.ModelStore]] (keys…, model,
-  * param, value), reusing its save/load, and rehydrate either as a
-  * broadcastable baseline DataFrame (batch / stream-static joins) or as
-  * the driver-side priors map the streaming BOCPD closure carries.
-  * Fit once on the 100 TB history; serve the stream from kilobytes.
+  * param, value), reusing its save/load, and rehydrate as baseline
+  * DataFrames that reach the detectors through batch or stream-static
+  * joins — never as driver-side closure state, so millions of series
+  * cost the executors a join, not the driver a map.
+  * Fit once on the 100 TB history; serve the stream from the store.
   */
 object DetectorStore {
 
@@ -57,14 +58,14 @@ object DetectorStore {
       .groupBy(keys.map(col): _*)
       .pivot("param", Seq("mu", "sigma")).agg(first("value"))
 
-  /** Rehydrate the per-series priors map the streaming BOCPD closure
-    * carries — k series × 3 doubles of driver state, the legitimate
-    * broadcast-side size. */
-  def bocpdPriors(params: DataFrame, key: String): Map[String, Bocpd.Priors] =
+  /** Rehydrate the per-series BOCPD priors as a (keys…, mu0, v0, sigma2)
+    * DataFrame — the stream-static join side for
+    * [[graft.streaming.StreamingDetectors.bocpd]] and the baseline side
+    * of batch serving. Stays a distributed table (no driver collect), so
+    * priors for millions of series ride executor-side through a join
+    * instead of a closure-captured map. */
+  def bocpdPriorsTable(params: DataFrame, keys: Seq[String]): DataFrame =
     params.where(col("model") === "bocpd")
-      .groupBy(col(key))
+      .groupBy(keys.map(col): _*)
       .pivot("param", Seq("mu0", "v0", "sigma2")).agg(first("value"))
-      .collect()
-      .map(r => r.getString(0) -> Bocpd.Priors(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
-      .toMap
 }

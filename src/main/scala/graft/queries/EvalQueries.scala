@@ -119,6 +119,35 @@ object EvalQueries {
         .select("event_type", "alpha", "smape", "rmse", "best")
     }),
 
+    "q_detector_serve" -> ((s, dir) => {
+      // the DetectorModel serving contract (bocpd_model.py:78 /
+      // cusum_model.py:594 fit_predict(data, historical)): fit baselines
+      // on the historical half, persist, then score the later half
+      // WITHOUT refit — z-score against the stored mu/sigma and a
+      // BOCPD-prior predictive z against mu0/sqrt(v0+sigma2). The oracle
+      // refits directly, so the store round trip must be exact.
+      import graft.detectors.DetectorStore
+      import graft.models.ModelStore
+      val path = java.nio.file.Files.createTempDirectory("graft_detserve").toString
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+      val hist = base.where(col("rn") <= expr("nn div 2")).select("event_type", "ts", "value")
+      val serve = base.where(col("rn") > expr("nn div 2")).select("event_type", "ts", "value")
+      ModelStore.save(DetectorStore.fitBaselines(hist, S), path)
+      val params = ModelStore.load(s, path)
+      serve
+        .join(broadcast(DetectorStore.zscoreBaseline(params, Seq("event_type"))), Seq("event_type"))
+        .join(broadcast(DetectorStore.bocpdPriorsTable(params, Seq("event_type"))), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+        .withColumn("pz", (col("value") - col("mu0")) / sqrt(col("v0") + col("sigma2")))
+        .where(abs(col("z")) > 2.5 || abs(col("pz")) > 2.5)
+        .select(col("event_type"), col("ts"), col("value"),
+          round(col("z"), 6).as("zscore"), round(col("pz"), 6).as("pred_zscore"))
+    }),
+
     "q_detector_persist" -> ((s, dir) => {
       // detector-baseline persistence: the same save/load loop for the
       // scalars a serving-time detector needs (z-score mu/sigma, BOCPD
@@ -201,6 +230,28 @@ object EvalQueries {
          |SELECT event_type, alpha, smape, rmse,
          |  (row_number() OVER (PARTITION BY event_type ORDER BY rmse, alpha) = 1)::INT AS best
          |FROM scored""".stripMargin,
+
+    "q_detector_serve" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS nn FROM hourly),
+         |hist AS (SELECT event_type, ts, value FROM ord WHERE rn <= nn // 2),
+         |d AS (SELECT event_type, value,
+         |  value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS d FROM hist),
+         |m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma,
+         |        greatest(var_samp(value), 1e-12) AS v0, count(*) AS n,
+         |        sum(pow(d, 2)) AS sd2, sum(d) AS sd1, count(d) AS md
+         |      FROM d GROUP BY 1),
+         |mm AS (SELECT event_type, mu, sigma, v0,
+         |        greatest((sd2 - pow(sd1, 2) / md) / (2.0 * greatest(n - 2, 1)), 1e-12) AS sigma2
+         |      FROM m),
+         |serve AS (SELECT o.event_type, o.ts, o.value,
+         |    (o.value - mu) / sigma AS z,
+         |    (o.value - mu) / sqrt(v0 + sigma2) AS pz
+         |  FROM ord o JOIN mm ON o.event_type = mm.event_type WHERE o.rn > o.nn // 2)
+         |SELECT event_type, ts, value, round(z, 6) AS zscore, round(pz, 6) AS pred_zscore
+         |FROM serve WHERE abs(z) > 2.5 OR abs(pz) > 2.5""".stripMargin,
 
     "q_detector_persist" ->
       s"""WITH hourly AS ($H),

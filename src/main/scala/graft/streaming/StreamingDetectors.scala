@@ -98,16 +98,22 @@ object StreamingDetectors {
   case class BocpdState(t: Long, rProb: Seq[Double], rMu: Seq[Double], rV: Seq[Double],
                         lagTs: Seq[Long])
   case class ChangeProbPoint(event_type: String, ts: java.sql.Timestamp, change_prob: Double)
+  case class PointWithPriors(event_type: String, ts: java.sql.Timestamp, value: Double,
+                             mu0: Double, v0: Double, sigma2: Double)
 
   /** Streaming Bayesian Online Changepoint Detection (Normal
     * unknown-mean model) — the streaming twin of
     * [[graft.detectors.Bocpd.changeProbWithPriors]], same recurrence
     * carried point-by-point in keyed state.
     *
-    * Priors come in as a trained per-series baseline (like
-    * [[zscoreAgainstBaseline]]'s mean/std table): BOCPD's segment-mean
-    * prior and observation noise are series-level scalars the batch path
-    * estimates from history. Emission follows the batch lag convention —
+    * Priors come in as a trained per-series baseline TABLE (like
+    * [[zscoreAgainstBaseline]]'s mean/std table) with columns
+    * (event_type, mu0, v0, sigma2) — [[graft.detectors.DetectorStore
+    * .bocpdPriorsTable]] produces exactly this shape. They reach the
+    * stateful operator through a stream-static broadcast join, so priors
+    * state lives executor-side and scales to millions of series without
+    * a driver-side map riding the closure. Emission follows the batch
+    * lag convention —
     * point t's probability P(r_{t+lag} = lag) is emitted once `lagN`
     * later points have been seen, so the stream output matches the batch
     * array element-for-element (the not-yet-confirmable tail is simply
@@ -119,20 +125,23 @@ object StreamingDetectors {
     * below `maxRun` points the recurrence is EXACT, which is what the
     * replay spec checks.
     *
-    * Contract: a series whose key has NO entry in `priors` emits nothing
-    * (an untrained series cannot be scored — the batch path derives its
-    * priors from the full history). Fit baselines for new keys and
-    * restart, or pass a catch-all prior under the expected keys.
+    * Contract: a series whose key has NO row in `priors` emits nothing —
+    * the stream-static inner join drops it (an untrained series cannot
+    * be scored; the batch path derives its priors from the full
+    * history). Fit baselines for new keys and restart, or add a
+    * catch-all prior row under the expected keys.
     */
-  def bocpd(points: Dataset[Point], priors: Map[String, graft.detectors.Bocpd.Priors],
+  def bocpd(points: Dataset[Point], priors: DataFrame,
             hazard: Double = 0.01, lagN: Int = 10, maxRun: Int = 512): Dataset[ChangeProbPoint] = {
     import points.sparkSession.implicits._
-    points.groupByKey(_.event_type)
+    points.join(broadcast(priors), Seq("event_type")).as[PointWithPriors]
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Point], state: GroupState[BocpdState]) =>
+        (key: String, it: Iterator[PointWithPriors], state: GroupState[BocpdState]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[ChangeProbPoint]
           var st = state.getOption.getOrElse(BocpdState(0L, Nil, Nil, Nil, Nil))
-          for (p <- priors.get(key); pt <- it.toSeq.sortBy(_.ts.getTime)) {
+          for (pt <- it.toSeq.sortBy(_.ts.getTime)) {
+            val p = graft.detectors.Bocpd.Priors(pt.mu0, pt.v0, pt.sigma2)
             val x = pt.value
             if (st.t == 0L) {
               st = BocpdState(1L,

@@ -34,7 +34,9 @@ class DetectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("distributed baseline fit agrees with the sequential kernel estimators") {
     val params = DetectorStore.fitBaselines(hourly, S)
-    val fromStore = DetectorStore.bocpdPriors(params, "event_type")
+    val fromStore = DetectorStore.bocpdPriorsTable(params, Seq("event_type")).collect()
+      .map(r => r.getString(0) -> Bocpd.Priors(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     val series = hourly.orderBy("ts").collect()
       .map(r => (r.getString(0), r.getDouble(2))).groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2) }
@@ -53,7 +55,10 @@ class DetectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("detstore").toString
     ModelStore.save(DetectorStore.fitBaselines(hourly, S), path)
-    val priors = DetectorStore.bocpdPriors(ModelStore.load(spark, path), "event_type")
+    val priorsTable = DetectorStore.bocpdPriorsTable(ModelStore.load(spark, path), Seq("event_type"))
+    val priors = priorsTable.collect()
+      .map(r => r.getString(0) -> Bocpd.Priors(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
 
     val pts = hourly.orderBy("ts", "event_type").collect()
       .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
@@ -65,7 +70,7 @@ class DetectorStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
 
     val mem = MemoryStream[Point]
-    val q = StreamingDetectors.bocpd(mem.toDS(), priors, lagN = lagN)
+    val q = StreamingDetectors.bocpd(mem.toDS(), priorsTable, lagN = lagN)
       .writeStream.format("memory").queryName("ds_bocpd").outputMode("append").start()
     mem.addData(pts: _*)
     q.processAllAvailable()

@@ -158,8 +158,10 @@ class StreamingReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until pts.length - lagN).map(i => (k, pts(i).ts.getTime) -> probs(i))
     }
 
+    val priorsDf = priors.toSeq.map { case (k, p) => (k, p.mu0, p.v0, p.sigma2) }
+      .toDF("event_type", "mu0", "v0", "sigma2")
     val mem = MemoryStream[Point]
-    val q = StreamingDetectors.bocpd(mem.toDS(), priors, lagN = lagN)
+    val q = StreamingDetectors.bocpd(mem.toDS(), priorsDf, lagN = lagN)
       .writeStream.format("memory").queryName("rp_bocpd").outputMode("append").start()
     chunks(allPoints, 6).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
     val stream = spark.sql("select event_type, ts, change_prob from rp_bocpd").collect()
