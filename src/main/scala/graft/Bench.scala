@@ -17,6 +17,15 @@ object Bench {
     try SparkEntry.queries.get("q_metrics").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
     val only = args.toSet // optional query-name filter for local iteration
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    if (only.nonEmpty && (only -- unknown).isEmpty) {
+      // a fully-unmatched filter would print a vacuous zero-total JSON
+      System.err.println("[bench] filter matched no queries; exiting")
+      spark.stop()
+      sys.exit(2)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -82,10 +82,14 @@ object KMeansDet {
     */
   def summary(corpus: DataFrame, k: Int, iters: Int,
               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    // the cache exists for fit()'s per-round collect jobs, which run
+    // eagerly here; unpersist before returning so no cached blocks
+    // outlive the call (the returned plan rescans the source once)
     val cached = corpus.select(col(id), col(vec)).persist()
     val out = assign(cached, fit(cached, k, iters, id, vec), id, vec)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_members"), round(sum("d2"), 6).as("inertia"))
+    cached.unpersist()
     out
   }
 }

@@ -210,12 +210,17 @@ object LlmQueries {
     // full IVF: cells LEARNED by deterministic Lloyd (k=8, 3 rounds), probes
     // ranked against the fitted centroids, only the top-2 cells scanned
     "q_ann_ivf" -> ((s, dir) => {
+      // persist covers the fit's per-round jobs only; unpersist before
+      // returning so no cached blocks outlive the query (the final
+      // action rescans the source once — one scan, zero leaked cache)
       val e = embs(s, dir).select(col("vec_id"), col("embedding")).persist()
       val cents = graft.ann.KMeansDet.fit(e, k = 8, iters = 3)
       val assigned = graft.ann.KMeansDet.assign(e, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
-      Ann.knnIvf(assigned, assigned.where(col("vec_id") % 50 === 0), cents,
+      val out = Ann.knnIvf(assigned, assigned.where(col("vec_id") % 50 === 0), cents,
         cell = "cell", k = 3, nprobe = 2, id = "vec_id", vec = "embedding")
+      e.unpersist()
+      out
     }),
 
     // learned IVF cells: deterministic distributed Lloyd (k=8, 3 rounds),

@@ -36,7 +36,8 @@ def norm(rows):
             else:
                 rr.append("o:" + str(v))
         out.append(tuple(rr))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    # every normalized value is a tagged string, so plain tuple sort is total
+    out.sort()
     return out
 
 
