@@ -119,6 +119,79 @@ object EvalQueries {
         .select("event_type", "alpha", "smape", "rmse", "best")
     }),
 
+    "q_backtest_fixed" -> ((s, dir) => {
+      // BackTesterFixedWindow (backtesters.py:1047): train on the first
+      // 50% of rows, skip a 25% gap window, test on the following 25% —
+      // the long-range-forecast backtest. Sizes floor like
+      // _get_absolute_size; the trained model is the hour-of-day mean
+      // (the same convention as q_backtest_rolling).
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .withColumn("tr", floor(col("nn") * 0.5))
+        .withColumn("wi", floor(col("nn") * 0.25))
+        .withColumn("te", floor(col("nn") * 0.25))
+      val model = base.where(col("rn") <= col("tr"))
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(avg("value").as("f"))
+      base.where(col("rn") > col("tr") + col("wi") &&
+          col("rn") <= col("tr") + col("wi") + col("te"))
+        .withColumn("hod", hour(col("ts")))
+        .join(broadcast(model), Seq("event_type", "hod"))
+        .groupBy("event_type")
+        .agg(
+          round(Metrics.mape(col("value"), col("f")), 6).as("mape"),
+          round(Metrics.smape(col("value"), col("f")), 6).as("smape"),
+          round(Metrics.mae(col("value"), col("f")), 6).as("mae"),
+          round(Metrics.mse(col("value"), col("f")), 6).as("mse"),
+          round(Metrics.rmse(col("value"), col("f")), 6).as("rmse"),
+          count(lit(1)).as("n_test"))
+    }),
+
+    "q_crossval" -> ((s, dir) => {
+      // CrossValidation (backtesters.py:1175): expanding rolling-origin
+      // folds (train 50%, test 10%, 3 folds); fold start offsets follow
+      // _return_fold_offsets — [0, ceil(m/2), m] over the free range m.
+      // Per kats calc_error, the CV error is the fold metrics weighted
+      // by relative fold test length. The fold grid is a plan dimension:
+      // explode over 3 folds, one model aggregate, one metric aggregate.
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val folds = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .withColumn("tr", floor(col("nn") * 0.5))
+        .withColumn("te", floor(col("nn") * 0.1))
+        .withColumn("m", col("nn") - col("tr") - col("te"))
+        .withColumn("fold", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("off", when(col("fold") === 0, lit(0L))
+          .when(col("fold") === 1, expr("(m + 1) div 2"))
+          .otherwise(col("m")))
+      val model = folds.where(col("rn") <= col("tr") + col("off"))
+        .groupBy(col("event_type"), col("fold"), hour(col("ts")).as("hod"))
+        .agg(avg("value").as("f"))
+      val perFold = folds.where(col("rn") > col("tr") + col("off") &&
+          col("rn") <= col("tr") + col("off") + col("te"))
+        .withColumn("hod", hour(col("ts")))
+        .join(broadcast(model), Seq("event_type", "fold", "hod"))
+        .groupBy("event_type", "fold")
+        .agg(
+          Metrics.mape(col("value"), col("f")).as("mape_f"),
+          Metrics.smape(col("value"), col("f")).as("smape_f"),
+          Metrics.mae(col("value"), col("f")).as("mae_f"),
+          Metrics.rmse(col("value"), col("f")).as("rmse_f"),
+          count(lit(1)).as("nf"))
+      perFold.groupBy("event_type").agg(
+        round(sum(col("mape_f") * col("nf")) / sum(col("nf")), 6).as("cv_mape"),
+        round(sum(col("smape_f") * col("nf")) / sum(col("nf")), 6).as("cv_smape"),
+        round(sum(col("mae_f") * col("nf")) / sum(col("nf")), 6).as("cv_mae"),
+        round(sum(col("rmse_f") * col("nf")) / sum(col("nf")), 6).as("cv_rmse"),
+        count(lit(1)).as("n_folds"),
+        sum("nf").as("n_test"))
+    }),
+
     "q_detector_serve" -> ((s, dir) => {
       // the DetectorModel serving contract (bocpd_model.py:78 /
       // cusum_model.py:594 fit_predict(data, historical)): fit baselines
@@ -230,6 +303,57 @@ object EvalQueries {
          |SELECT event_type, alpha, smape, rmse,
          |  (row_number() OVER (PARTITION BY event_type ORDER BY rmse, alpha) = 1)::INT AS best
          |FROM scored""".stripMargin,
+
+    "q_backtest_fixed" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS nn FROM hourly),
+         |s AS (SELECT *, floor(nn * 0.5) AS tr, floor(nn * 0.25) AS wi, floor(nn * 0.25) AS te FROM ord),
+         |model AS (SELECT event_type, hour(ts) AS hod, avg(value) AS fc
+         |          FROM s WHERE rn <= tr GROUP BY 1, 2),
+         |t AS (SELECT event_type, hour(ts) AS hod, value
+         |      FROM s WHERE rn > tr + wi AND rn <= tr + wi + te)
+         |SELECT t.event_type,
+         |  round(avg(CASE WHEN value = 0 THEN CAST(sign(abs(value - fc)) AS DOUBLE) ELSE abs(value - fc) / value END), 6) AS mape,
+         |  round(2 * avg(CASE WHEN abs(value) + abs(fc) = 0 THEN 0.0 ELSE abs(value - fc) / (abs(value) + abs(fc)) END), 6) AS smape,
+         |  round(avg(abs(value - fc)), 6) AS mae,
+         |  round(avg((value - fc)^2), 6) AS mse,
+         |  round(sqrt(avg((value - fc)^2)), 6) AS rmse,
+         |  count(*) AS n_test
+         |FROM t JOIN model ON t.event_type = model.event_type AND t.hod = model.hod
+         |GROUP BY 1""".stripMargin,
+
+    "q_crossval" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, ts, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS nn FROM hourly),
+         |sz AS (SELECT *, floor(nn * 0.5) AS tr, floor(nn * 0.1) AS te,
+         |        nn - floor(nn * 0.5) - floor(nn * 0.1) AS m FROM ord),
+         |f AS (SELECT sz.*, fold,
+         |        CASE WHEN fold = 0 THEN 0 WHEN fold = 1 THEN (m + 1) // 2 ELSE m END AS off
+         |      FROM sz, (SELECT unnest([0, 1, 2]) AS fold) fd),
+         |model AS (SELECT event_type, fold, hour(ts) AS hod, avg(value) AS fc
+         |          FROM f WHERE rn <= tr + off GROUP BY 1, 2, 3),
+         |t AS (SELECT event_type, fold, hour(ts) AS hod, value
+         |      FROM f WHERE rn > tr + off AND rn <= tr + off + te),
+         |pf AS (SELECT t.event_type, t.fold,
+         |        avg(CASE WHEN value = 0 THEN CAST(sign(abs(value - fc)) AS DOUBLE) ELSE abs(value - fc) / value END) AS mape_f,
+         |        2 * avg(CASE WHEN abs(value) + abs(fc) = 0 THEN 0.0 ELSE abs(value - fc) / (abs(value) + abs(fc)) END) AS smape_f,
+         |        avg(abs(value - fc)) AS mae_f,
+         |        sqrt(avg((value - fc)^2)) AS rmse_f,
+         |        count(*) AS nf
+         |      FROM t JOIN model ON t.event_type = model.event_type AND t.fold = model.fold AND t.hod = model.hod
+         |      GROUP BY 1, 2)
+         |SELECT event_type,
+         |  round(sum(mape_f * nf) / sum(nf), 6) AS cv_mape,
+         |  round(sum(smape_f * nf) / sum(nf), 6) AS cv_smape,
+         |  round(sum(mae_f * nf) / sum(nf), 6) AS cv_mae,
+         |  round(sum(rmse_f * nf) / sum(nf), 6) AS cv_rmse,
+         |  count(*) AS n_folds,
+         |  sum(nf)::BIGINT AS n_test
+         |FROM pf GROUP BY 1""".stripMargin,
 
     "q_detector_serve" ->
       s"""WITH hourly AS ($H),

@@ -23,6 +23,30 @@ object ExtraQueries {
     // LinearRegression variant (MlAr.forecast) is spec-validated against it
     "q_ml_ar" -> ((s, dir) => MlAr.forecastExact(dense(s, dir), S)),
 
+    // cupik Pipeline (utils/cupik.py): remover → model chained as ONE
+    // composed plan — IQR outlier removal with interpolation (the
+    // remove=True detector step) feeding a linear-trend fit + 5-step
+    // forecast; the oracle replays the whole chain
+    "q_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.Pipeline(
+        "remover" -> graft.operators.Pipeline.iqrRemover(3.0),
+        "model" -> ((d, _) => {
+          val w = Window.partitionBy("event_type").orderBy("ts")
+          val wk = Window.partitionBy("event_type")
+          d.withColumn("rn", row_number().over(w).cast("double"))
+            .withColumn("nn", count(lit(1)).over(wk))
+            .groupBy("event_type")
+            .agg(regr_intercept(col("value"), col("rn")).as("a"),
+              regr_slope(col("value"), col("rn")).as("b"),
+              max("nn").as("nn"))
+            .withColumn("h", explode(sequence(lit(1L), lit(5L))))
+            .select(col("event_type"), col("h"),
+              round(col("a") + col("b") * (col("nn") + col("h")), 6).as("fcst"))
+        })
+      ).fit(hourly(s, dir), S)
+    }),
+
     "q_decompose_stl" -> ((s, dir) =>
       graft.operators.Decompose.stlLite(hourly(s, dir), S)
         .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
@@ -267,6 +291,38 @@ object ExtraQueries {
          |  max(CASE WHEN rn = n - 23 THEN value END) AS snaive_1,
          |  round(avg(CASE WHEN rn > n - 24 THEN value END), 6) AS ma24
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q_pipeline" ->
+      s"""WITH hourly AS ($H),
+         |${graft.operators.Decompose.additiveSql},
+         |q AS (SELECT event_type, quantile_cont(resid, 0.25) q1, quantile_cont(resid, 0.75) q3 FROM decomp GROUP BY 1),
+         |c AS (SELECT d.event_type, d.ts,
+         |        CASE WHEN d.resid < q1 - (q3 - q1) * 3.0 OR d.resid > q3 + (q3 - q1) * 3.0
+         |             THEN NULL ELSE d.value END AS value
+         |      FROM decomp d JOIN q ON d.event_type = q.event_type),
+         |k AS (SELECT event_type, ts, value,
+         |        last_value(value IGNORE NULLS) OVER wp AS pv,
+         |        first_value(value IGNORE NULLS) OVER wf AS nv,
+         |        last_value(CASE WHEN value IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER wp AS pt,
+         |        first_value(CASE WHEN value IS NOT NULL THEN epoch(ts) END IGNORE NULLS) OVER wf AS nt
+         |      FROM c WINDOW
+         |        wp AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |        wf AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |ci AS (SELECT event_type, ts,
+         |        CASE WHEN value IS NOT NULL THEN value
+         |             WHEN pv IS NULL THEN nv
+         |             WHEN nv IS NULL THEN pv
+         |             WHEN nt = pt THEN pv
+         |             ELSE round(pv + (nv - pv) * (epoch(ts) - pt) / (nt - pt), 6) END AS value
+         |      FROM k),
+         |o AS (SELECT event_type, value,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nn FROM ci),
+         |fit AS (SELECT event_type, regr_intercept(value, rn::DOUBLE) AS a,
+         |          regr_slope(value, rn::DOUBLE) AS b, max(nn) AS nn
+         |        FROM o GROUP BY 1)
+         |SELECT event_type, h, round(a + b * (nn + h), 6) AS fcst
+         |FROM fit, (SELECT unnest(range(1, 6)) AS h) hs""".stripMargin,
 
     "q_backtest_rolling" ->
       s"""WITH hourly AS ($H),
