@@ -246,10 +246,71 @@ object LlmQueries {
     "q_multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(Multimodal.metadata(Multimodal.withPayload(docs(s, dir))), 128, 128)
         .select(col("doc_id"), col("width"), col("height"),
-          round(col("scale"), 6).as("scale"), col("out_w"), col("out_h")))
+          round(col("scale"), 6).as("scale"), col("out_w"), col("out_h"))),
+
+    // deterministic stratified sampling for training-data mixing: keep a
+    // doc iff the first 16 hash bits of md5(doc_id) land under the
+    // stratum's rate. No RNG state, reproducible across engines and
+    // re-runs, and the 100 TB mixing pass is ONE map-side filter — no
+    // shuffle, no per-stratum scan.
+    "q_sample_stratified" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "zh", 25).otherwise(100)
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+      docs(s, dir)
+        .withColumn("rate_pct", rate)
+        .withColumn("keep", (h * 100 < col("rate_pct") * 65536).cast("int"))
+        .groupBy("lang")
+        .agg(max("rate_pct").as("rate_pct"),
+          count(lit(1)).as("n_docs"),
+          sum("keep").cast("long").as("n_kept"),
+          round(sum("keep").cast("double") / count(lit(1)), 6).as("realized_pct"))
+    }),
+
+    // benchmark-contamination check: corpus docs sharing word-3-gram
+    // shingles with a held-out probe set (docs standing in for an eval
+    // benchmark). The probe shingle set is tiny → broadcast; the corpus
+    // side is one shingle explode + map-side hash join, no corpus
+    // self-join — the shape that holds when the corpus is 100 TB and the
+    // benchmark is kilobytes.
+    "q_contamination" -> ((s, dir) => {
+      val sh = Dedup.docShingles(docs(s, dir))
+      val bench = sh.where(col("doc_id") % 97 === 0)
+        .select(col("shingle")).distinct().withColumn("hit", lit(1))
+      sh.where(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("shingle"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+        .where(col("n_hit") > 0)
+        .withColumn("contamination", round(col("n_hit").cast("double") / col("n_shingles"), 6))
+    })
   )
 
   val sql: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """WITH r AS (SELECT lang,
+        |    CASE WHEN lang = 'en' THEN 50 WHEN lang = 'zh' THEN 25 ELSE 100 END AS rate_pct,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS h
+        |  FROM documents)
+        |SELECT lang, max(rate_pct) AS rate_pct, count(*) AS n_docs,
+        |  sum(CASE WHEN h * 100 < rate_pct * 65536 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  round(sum(CASE WHEN h * 100 < rate_pct * 65536 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS realized_pct
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         CASE WHEN len(t) >= 3
+         |              THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |              ELSE []::VARCHAR[] END
+         |       )) AS shingle FROM toks),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT corp.doc_id, count(*) AS n_shingles, count(bench.shingle) AS n_hit,
+         |  round(count(bench.shingle)::DOUBLE / count(*), 6) AS contamination
+         |FROM corp LEFT JOIN bench ON corp.shingle = bench.shingle
+         |GROUP BY 1 HAVING count(bench.shingle) > 0""".stripMargin,
+
     "q_text_tokens" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
