@@ -20,7 +20,8 @@ object SparkEntry {
     (EvalQueries.defs, EvalQueries.sql),
     (PqQueries.defs, PqQueries.sql),
     (StatQueries.defs, StatQueries.sql),
-    (SimQueries.defs, SimQueries.sql)
+    (SimQueries.defs, SimQueries.sql),
+    (RobustQueries.defs, RobustQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -144,6 +144,40 @@ object LlmQueries {
             / (coalesce(col("nc1"), lit(0L)) + col("vv")).cast("double"))), 6).as("xent"))
     }),
 
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1, as used by
+    // NeMo-Curator/Dolma): fraction of characters covered by the most
+    // frequent word 2-gram (ties → lexicographically smallest gram) and by
+    // all duplicated word 5-grams (overlap-naive: count·len/total, the
+    // standard open-source approximation). One explode → one (doc, n, gram)
+    // aggregation; shuffle is keyed by (doc, gram) so a 100 TB corpus
+    // spreads by document, never concentrates.
+    "q_text_repetition" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), length(col("text")).as("nc"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 5)
+      def grams(n: Int) = base.select(col("doc_id"), col("nc"), lit(n).as("n"),
+        explode(expr(s"transform(sequence(0, size(ws) - $n), i -> " +
+          s"array_join(slice(ws, i + 1, $n), ' '))")).as("gram"))
+      val counts = grams(2).union(grams(5))
+        .groupBy("doc_id", "nc", "n", "gram").agg(count(lit(1)).as("cnt"))
+      val top2 = counts.where(col("n") === 2)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("cnt").desc, col("gram"))))
+        .where(col("rk") === 1)
+        .select(col("doc_id"),
+          (col("cnt") * length(col("gram")) / col("nc")).as("top2"))
+      val dup5 = counts.where(col("n") === 5 && col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg((sum(col("cnt") * length(col("gram"))) / first(col("nc"))).as("dup5"))
+      base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          round(coalesce(col("top2"), lit(0.0)), 6).as("top2_char_frac"),
+          round(coalesce(least(col("dup5"), lit(1.0)), lit(0.0)), 6).as("dup5_char_frac"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
 
@@ -316,6 +350,29 @@ object LlmQueries {
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
         |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique
         |FROM documents""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH base AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws
+        |              FROM documents WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT doc_id, nc, 2 AS n,
+        |        unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+        |      FROM base
+        |      UNION ALL
+        |      SELECT doc_id, nc, 5 AS n,
+        |        unnest(list_transform(range(1, len(ws) - 3),
+        |          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+        |      FROM base),
+        |counts AS (SELECT doc_id, nc, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3, 4),
+        |top2 AS (SELECT doc_id, cnt * length(gram) / nc AS top2
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rk
+        |               FROM counts WHERE n = 2) WHERE rk = 1),
+        |dup5 AS (SELECT doc_id, sum(cnt * length(gram)) / max(nc) AS dup5
+        |         FROM counts WHERE n = 5 AND cnt > 1 GROUP BY 1)
+        |SELECT b.doc_id, len(b.ws)::BIGINT AS n_words,
+        |  round(coalesce(top2, 0.0), 6) AS top2_char_frac,
+        |  round(coalesce(least(dup5, 1.0), 0.0), 6) AS dup5_char_frac
+        |FROM base b LEFT JOIN top2 ON b.doc_id = top2.doc_id
+        |LEFT JOIN dup5 ON b.doc_id = dup5.doc_id""".stripMargin,
 
     "q_text_quality" -> {
       val stopList = EnStop.map(w => s"'$w'").mkString(", ")
