@@ -159,6 +159,66 @@ object Dedup {
       .select(col("i"), col("j"), round(est, 6).as("est_jaccard"))
   }
 
+  /** Connected components over an undirected edge list `(i, j)` by
+    * min-label propagation: every node's label converges to the smallest
+    * id reachable from it — the canonical "collapse near-dup pairs into
+    * clusters, keep one canonical doc per cluster" final step of a corpus
+    * dedup pipeline (the same role GraphX/GraphFrames CC plays in
+    * production pipelines, re-expressed as pure DataFrame joins).
+    *
+    * Each round is ONE key-equality join (neighbor labels) + ONE keyed
+    * min-aggregation — no driver state beyond the loop counter, no
+    * collect. Rounds needed = graph diameter; dedup graphs are unions of
+    * near-cliques from banded LSH candidates, so a handful of rounds
+    * converges. Intermediates are persisted per round for the convergence
+    * count and unpersisted before returning — the returned frame is a
+    * fixed `rounds`-deep lazy DAG that recomputes deterministically on
+    * its terminal action, leaving no cached blocks behind.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // parquet-checkpoint each round (the production shape for iterative
+    // graph algorithms: truncates lineage, spills no cache, survives a
+    // round's worth of executor loss). The edge derivation — possibly an
+    // expensive LSH pipeline — runs exactly ONCE, at the sym write.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    edges.select(col("i").as("u"), col("j").as("v"))
+      .union(edges.select(col("j").as("u"), col("i").as("v")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/sym")
+    val sym = spark.read.parquet(s"$dir/sym")
+    var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
+    // Convergence by label-sum: labels are node-wise non-increasing, so
+    // the fixpoint is exactly "sum unchanged" — detected from the same
+    // aggregate that materializes the round, no extra diff join.
+    var prevSum: java.math.BigDecimal = null
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // each round: candidates = own label ∪ every neighbor's label,
+      // one keyed min — a join + a groupBy, nothing else
+      val next = sym.join(labels.select(col("u").as("v"), col("label")), "v")
+        .select(col("u"), col("label"))
+        .union(labels)
+        .groupBy("u").agg(min("label").as("label"))
+      // checkpoint every 4th round: keeps lineage ≤4 rounds deep while
+      // amortizing the parquet round-trip (label tables carry only
+      // dup-involved nodes). Alternate paths so round k's write never
+      // clobbers the file round k−4 is still reading.
+      val round =
+        if (it % 4 == 3) {
+          next.write.mode("overwrite").parquet(s"$dir/labels_${(it / 4) % 2}")
+          spark.read.parquet(s"$dir/labels_${(it / 4) % 2}")
+        } else next
+      val s = round.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = round
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, then Hamming-distance
     * blocking on 4×16-bit chunks (pigeonhole: any pair within distance 3
     * shares at least one exact chunk), verified with bit_count.

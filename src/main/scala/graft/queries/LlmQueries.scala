@@ -224,6 +224,27 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .orderBy(col("hamming"), col("i"), col("j")).limit(20)),
 
+    // cluster collapse: exact-dup star edges ∪ thresholded MinHash-LSH
+    // near-dup edges → connected components → (doc, cluster, size). The
+    // cluster id is the smallest doc id in the component — the canonical
+    // doc a pipeline would keep. Oracle computes the same components via
+    // a recursive-CTE transitive closure.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val fp = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+      val gmin = fp.groupBy("fp")
+        .agg(min("doc_id").as("m"), count(lit(1)).as("c")).where(col("c") > 1)
+      // star edges (min-id hub per fingerprint group): same components as
+      // the m² clique, linear edge count — the 100 TB-safe encoding
+      val exactE = fp.join(gmin, "fp").where(col("doc_id") > col("m"))
+        .select(col("m").as("i"), col("doc_id").as("j"))
+      val nearE = Dedup.minhashLshPairs(docs(s, dir), NumPerms, Bands)
+        .where(col("est_jaccard") >= 0.5).select("i", "j")
+      val cc = Dedup.connectedComponents(exactE.union(nearE))
+      val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "label")
+        .select(col("u").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+    }),
+
     "q_neardup_cosine" -> ((s, dir) =>
       Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
 
@@ -478,6 +499,33 @@ object LlmQueries {
          |        FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id),
          |r AS (SELECT *, row_number() OVER (ORDER BY est_jaccard DESC, i, j) AS rk FROM est)
          |SELECT i, j, est_jaccard FROM r WHERE rk <= 20""".stripMargin
+    },
+
+    "q_dedup_clusters" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
+        s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val est = (0 until NumPerms).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE $shSql,
+         |$sigSql,
+         |banded AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |near_e AS (SELECT i, j FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id
+         |           WHERE round(($est)::DOUBLE / $NumPerms, 6) >= 0.5),
+         |fpc AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |gmin AS (SELECT fp, min(doc_id) AS m FROM fpc GROUP BY 1 HAVING count(*) > 1),
+         |exact_e AS (SELECT m AS i, doc_id AS j FROM fpc JOIN gmin USING (fp) WHERE doc_id > m),
+         |edges AS (SELECT i, j FROM exact_e UNION SELECT i, j FROM near_e),
+         |sym AS (SELECT i AS u, j AS v FROM edges UNION SELECT j AS u, i AS v FROM edges),
+         |reach AS (SELECT u, v FROM sym
+         |          UNION
+         |          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+         |labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, sz.cluster_size
+         |FROM labels l JOIN sz ON l.cluster_id = sz.cluster_id""".stripMargin
     },
 
     "q_neardup_cosine" ->

@@ -76,6 +76,18 @@ class RobustSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("connectedComponents: chain + separate clique converge to min-id labels, no leaked caches") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4, needs >1 round) + clique {10,11,12}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("i", "j")
+    val cc = graft.dedup.Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(cc(_) == 1L), s"chain labels: $cc")
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L), s"clique labels: $cc")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty, "connectedComponents leaked cached RDDs")
+  }
+
   test("q_text_repetition: hand-computed fractions on a crafted doc") {
     import spark.implicits._
     // "a b a b c a b": bigram "a b" x3, len 3, text len 13 -> 9/13
