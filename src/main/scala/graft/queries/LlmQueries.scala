@@ -135,13 +135,17 @@ object LlmQueries {
       val bc = bg.groupBy("bg").agg(count(lit(1)).as("nbg"))
       val c1 = bc.groupBy(expr("substring(bg, 1, 1)").as("c1")).agg(sum("nbg").as("nc1"))
       val v = bg.agg(countDistinct(expr("substring(bg, 2, 1)")).as("vv"))
-      bg.join(broadcast(bc), Seq("bg"), "left")
-        .join(broadcast(c1), expr("substring(bg, 1, 1)") === col("c1"), "left")
-        .crossJoin(broadcast(v))
+      // per-bigram score table first: the log/divide runs once per DISTINCT
+      // bigram (vocab-sized), and the corpus pass is a single broadcast
+      // join picking precomputed scores. Model trained on the corpus being
+      // scored, so every instance hits the table — no smoothing fallback row.
+      val sc = bc.join(c1, expr("substring(bg, 1, 1)") === col("c1"))
+        .crossJoin(v)
+        .select(col("bg"), (-log((col("nbg") + lit(1)).cast("double")
+          / (col("nc1") + col("vv")).cast("double"))).as("score"))
+      bg.join(broadcast(sc), Seq("bg"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(-log((coalesce(col("nbg"), lit(0L)) + lit(1)).cast("double")
-            / (coalesce(col("nc1"), lit(0L)) + col("vv")).cast("double"))), 6).as("xent"))
+        .agg(count(lit(1)).as("n_bigrams"), round(avg("score"), 6).as("xent"))
     }),
 
     // Gopher-style repetition filters (Rae et al. 2021 §A1.1, as used by
@@ -282,6 +286,32 @@ object LlmQueries {
     // oracle replays the full clustering
     "q_kmeans" -> ((s, dir) =>
       graft.ann.KMeansDet.summary(embs(s, dir), k = 8, iters = 3)),
+
+    // Johnson-Lindenstrauss random projection 64→16 dims with the same
+    // deterministic hash-derived matrix family as the LSH hyperplanes:
+    // entries uniform(−0.5, 0.5) scaled by sqrt(12/k) so projected norms
+    // are unbiased. Per-label norm-ratio stats certify the embedding —
+    // pure map-side array math, one tiny aggregation, no shuffle of
+    // vectors. The dimensionality-reduction front door for downstream
+    // clustering/ANN at 100 TB (16 floats/vec moves 4× less than 64).
+    "q_embed_rp" -> ((s, dir) => {
+      val K = 16; val D = 64
+      val proj = expr(
+        s"""transform(sequence(0, ${K - 1}), j ->
+           |  aggregate(zip_with(embedding, sequence(0, ${D - 1}), (x, d) ->
+           |    CAST(x AS DOUBLE) * ((((j * $D + d) * 2654435761) % 1000003) / 1000003.0 - 0.5)),
+           |    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * sqrt(12.0 / $K))""".stripMargin)
+      embs(s, dir)
+        .withColumn("proj", proj)
+        .withColumn("n2", expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * x)"))
+        .withColumn("p2", expr("aggregate(proj, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+        .where(col("n2") > 0)
+        .withColumn("ratio", sqrt(col("p2") / col("n2")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("ratio"), 6).as("mean_ratio"),
+          round(stddev_samp(col("ratio")), 6).as("sd_ratio"))
+    }),
 
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.metadata(Multimodal.withPayload(docs(s, dir)))
@@ -604,6 +634,21 @@ object LlmQueries {
     "q_kmeans" ->
       s"""WITH ${kmChainSql(8, 3)}
          |SELECT cell, count(*) AS n_members, round(sum(d2), 6) AS inertia FROM as3 GROUP BY 1""".stripMargin,
+
+    "q_embed_rp" ->
+      """WITH pr AS (SELECT label,
+        |  list_transform(range(0, 16), j ->
+        |    list_sum(list_transform(list_zip(embedding::DOUBLE[], range(0, 64)),
+        |      x -> x[1] * ((((j * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))
+        |    * sqrt(12.0 / 16)) AS proj,
+        |  list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) AS n2
+        |  FROM embeddings),
+        |r AS (SELECT label, sqrt(list_sum(list_transform(proj, x -> x * x)) / n2) AS ratio
+        |      FROM pr WHERE n2 > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(ratio), 6) AS mean_ratio,
+        |  round(stddev_samp(ratio), 6) AS sd_ratio
+        |FROM r GROUP BY 1""".stripMargin,
 
     // byte-statistics replay of the stubbed decode: the 16 payload bytes
     // are the md5 digest, so the oracle re-derives them from the hex
