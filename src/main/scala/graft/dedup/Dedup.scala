@@ -188,28 +188,30 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/sym")
     val sym = spark.read.parquet(s"$dir/sym")
     var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
-    // Convergence by label-sum: labels are node-wise non-increasing, so
-    // the fixpoint is exactly "sum unchanged" — detected from the same
-    // aggregate that materializes the round, no extra diff join.
+    // one propagation round: candidates = own label ∪ every neighbor's
+    // label, one keyed min — a join + a groupBy, nothing else
+    def propagate(l: DataFrame): DataFrame =
+      sym.join(l.select(col("u").as("v"), col("label")), "v")
+        .select(col("u"), col("label"))
+        .union(l)
+        .groupBy("u").agg(min("label").as("label"))
     var prevSum: java.math.BigDecimal = null
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // each round: candidates = own label ∪ every neighbor's label,
-      // one keyed min — a join + a groupBy, nothing else
-      val next = sym.join(labels.select(col("u").as("v"), col("label")), "v")
-        .select(col("u"), col("label"))
-        .union(labels)
-        .groupBy("u").agg(min("label").as("label"))
-      // checkpoint every 4th round: keeps lineage ≤4 rounds deep while
-      // amortizing the parquet round-trip (label tables carry only
-      // dup-involved nodes). Alternate paths so round k's write never
-      // clobbers the file round k−4 is still reading.
+      val next = propagate(labels)
+      // checkpoint every 4th round (measured best locally: parquet
+      // commits cost ~as much as the rounds they truncate): lineage stays
+      // ≤4 rounds deep, label tables carry only dup-involved nodes.
+      // Alternate paths so a write never clobbers the file a prior
+      // round is still reading.
       val round =
         if (it % 4 == 3) {
           next.write.mode("overwrite").parquet(s"$dir/labels_${(it / 4) % 2}")
           spark.read.parquet(s"$dir/labels_${(it / 4) % 2}")
         } else next
+      // convergence via label sum: labels are node-wise non-increasing,
+      // so the fixpoint is exactly "sum unchanged"
       val s = round.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s

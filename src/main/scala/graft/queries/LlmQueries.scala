@@ -182,6 +182,45 @@ object LlmQueries {
           round(coalesce(least(col("dup5"), lit(1.0)), lit(0.0)), 6).as("dup5_char_frac"))
     }),
 
+    // the end-to-end keep/drop decision a training-data pipeline actually
+    // ships: Gopher-inspired rule cascade over the quality signals, with
+    // the FIRST failing rule as the drop reason (auditable filtering).
+    // One doc scan + one (doc, gram) aggregation; every signal is exact
+    // integer-derived arithmetic so the rule outcomes are engine-stable.
+    "q_doc_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"),
+        TextFunctions.nTokens(col("text")).cast("long").as("n_words"),
+        TextFunctions.meanTokenLen(col("text")).as("mtl"),
+        TextFunctions.alphaRatio(col("text")).as("alpha"),
+        TextFunctions.stopwordRatio(col("text"), EnStop).as("stop"),
+        length(col("text")).as("nc"))
+      val top2 = d.select(col("doc_id"), length(col("text")).as("nc"),
+          explode(expr("CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+            "transform(sequence(0, size(split(text, ' ')) - 2), i -> " +
+            "array_join(slice(split(text, ' '), i + 1, 2), ' ')) " +
+            "ELSE array() END")).as("gram"))
+        .groupBy("doc_id", "nc", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg((max(col("cnt") * length(col("gram"))) / first("nc")).as("rep"))
+      base.join(top2, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep"), lit(0.0)))
+        .withColumn("fail_reason",
+          when(col("n_words") < 10, "too_short")
+            .when(col("n_words") > 1000, "too_long")
+            .when(col("mtl") < 2.0 || col("mtl") > 12.0, "token_len")
+            .when(col("alpha") < 0.5, "low_alpha")
+            .when(col("stop") < 0.01, "no_stopwords")
+            .when(col("rep") >= 0.15, "repetitive")
+            .otherwise("ok"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mtl"), 6).as("mean_token_len"),
+          round(col("alpha"), 6).as("alpha_ratio"),
+          round(col("stop"), 6).as("stopword_ratio"),
+          round(col("rep"), 6).as("rep_frac"),
+          (col("fail_reason") === "ok").cast("int").as("keep"),
+          col("fail_reason"))
+    }),
+
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
 
@@ -424,6 +463,37 @@ object LlmQueries {
         |  round(coalesce(least(dup5, 1.0), 0.0), 6) AS dup5_char_frac
         |FROM base b LEFT JOIN top2 ON b.doc_id = top2.doc_id
         |LEFT JOIN dup5 ON b.doc_id = dup5.doc_id""".stripMargin,
+
+    "q_doc_filter" -> {
+      val stopList = EnStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (SELECT doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS n_words,
+         |    length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS mtl,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::DOUBLE / len(string_split(text, ' ')) AS stop,
+         |    length(text) AS nc
+         |  FROM documents),
+         |g AS (SELECT doc_id, length(text) AS nc,
+         |        unnest(list_transform(range(1, len(string_split(text, ' '))),
+         |          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+         |      FROM documents),
+         |counts AS (SELECT doc_id, nc, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+         |top2 AS (SELECT doc_id, max(cnt * length(gram))::DOUBLE / max(nc) AS rep FROM counts GROUP BY 1),
+         |f AS (SELECT b.*, coalesce(rep, 0.0) AS rep FROM base b LEFT JOIN top2 USING (doc_id)),
+         |r AS (SELECT doc_id, n_words, mtl, alpha, stop, rep,
+         |  CASE WHEN n_words < 10 THEN 'too_short'
+         |       WHEN n_words > 1000 THEN 'too_long'
+         |       WHEN mtl < 2.0 OR mtl > 12.0 THEN 'token_len'
+         |       WHEN alpha < 0.5 THEN 'low_alpha'
+         |       WHEN stop < 0.01 THEN 'no_stopwords'
+         |       WHEN rep >= 0.15 THEN 'repetitive'
+         |       ELSE 'ok' END AS fail_reason FROM f)
+         |SELECT doc_id, n_words, round(mtl, 6) AS mean_token_len,
+         |  round(alpha, 6) AS alpha_ratio, round(stop, 6) AS stopword_ratio,
+         |  round(rep, 6) AS rep_frac,
+         |  (fail_reason = 'ok')::INT AS keep, fail_reason
+         |FROM r""".stripMargin
+    },
 
     "q_text_quality" -> {
       val stopList = EnStop.map(w => s"'$w'").mkString(", ")
