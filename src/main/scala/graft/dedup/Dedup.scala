@@ -122,6 +122,29 @@ object Dedup {
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-row MinHash signature columns: identical values to
+    * [[minhashSignatures]] (min over an exploded groupBy == array_min over
+    * the same shingle array) but computed entirely map-side — usable on a
+    * STREAMING frame where a blocking aggregation isn't. Docs with fewer
+    * than k tokens have no shingles and yield null signatures.
+    */
+  def minhashRow(text: org.apache.spark.sql.Column, numPerms: Int, k: Int = 3): Seq[org.apache.spark.sql.Column] = {
+    val sh = TextFunctions.shingles(text, k)
+    TextFunctions.permParams(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(sh, s => (TextFunctions.hash31(s) * a + b) % TextFunctions.MinHashPrime)).as(s"mh$i")
+    }
+  }
+
+  /** Corpus-side band store for stream-static near-dedup: one
+    * (band, b0..bR, corpus_id) row per banded signature — the ONLY corpus
+    * state an ingest pipeline carries, persistable as a bucketed table.
+    */
+  def bandStore(docs: DataFrame, numPerms: Int = 64, bands: Int = 16,
+                id: String = "doc_id", text: String = "text"): DataFrame = {
+    val (banded, _) = bandedSignatures(minhashSignatures(docs, numPerms, id, text), numPerms, bands, id)
+    banded.withColumnRenamed(id, "corpus_id")
+  }
+
   /** Exploded band view of a signature table: one (id, band, b0..bR) row
     * per band — band signature as numeric columns, a multi-column bigint
     * equality join key, not a string concat.

@@ -53,6 +53,33 @@ object StreamingDetectors {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dedup against a static corpus band store — the 100 TB
+    * ingest shape: incoming docs get their MinHash signature map-side
+    * (Dedup.minhashRow, no aggregation), explode to banded keys, and a
+    * stream-static key-equality join against the corpus's
+    * (band, b0..bR, corpus_id) store flags band collisions. Stateless —
+    * corpus state lives in the store table (bucketable by band keys),
+    * never in the stream's state store or driver memory. Emits one row
+    * per (incoming doc, colliding band, corpus doc); downstream either
+    * drops flagged docs or routes them to exact verification.
+    */
+  def nearDedupAgainstStore(stream: DataFrame, store: DataFrame,
+                            numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numPerms / bands
+    val sig = stream.select((col("doc_id") +: col("ts") +:
+      graft.dedup.Dedup.minhashRow(col("text"), numPerms)): _*)
+    val bandCols = (0 until bands).map { b =>
+      struct((lit(b).as("band") +:
+        (0 until rows).map(r => col(s"mh${b * rows + r}").as(s"b$r"))): _*)
+    }
+    val bKeys = "band" +: (0 until rows).map(r => s"b$r")
+    sig.select(col("doc_id"), col("ts"), explode(array(bandCols: _*)).as("bd"))
+      .select((col("doc_id") +: col("ts") +: bKeys.map(kk => col(s"bd.$kk").as(kk))): _*)
+      .join(store, bKeys)
+      .where(col("doc_id") =!= col("corpus_id"))
+      .select(col("doc_id"), col("ts"), col("corpus_id"), col("band"))
+  }
+
   /** Stateful adjusted EWMA per series (streaming twin of TS.ewma):
     * carries the (num, den) recurrence in keyed state, emits each point
     * with its smoothed level and flags deviations beyond `k`× the level.

@@ -70,6 +70,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming near-dedup flags band collisions against the corpus store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely different corpus content with unrelated vocabulary throughout entirely")
+    ).toDF("doc_id", "text")
+    val store = graft.dedup.Dedup.bandStore(corpus, numPerms = 64, bands = 16)
+    val mem = MemoryStream[StreamingDetectors.Doc]
+    val q = StreamingDetectors.nearDedupAgainstStore(mem.toDF(), store)
+      .writeStream.format("memory").queryName("neardedup").outputMode("append").start()
+    mem.addData(
+      // byte-identical to corpus doc 100: identical shingle set -> every band collides
+      StreamingDetectors.Doc(1L, ts(0), "the quick brown fox jumps over the lazy dog again and again today"),
+      // vocabulary disjoint from the corpus: no shingle overlap, no collisions
+      StreamingDetectors.Doc(2L, ts(0), "zebra xylophone quartz vortex jigsaw plumber keynote stadium"))
+    q.processAllAvailable()
+    val hits = spark.sql("select doc_id, corpus_id, band from neardedup").collect()
+    assert(hits.forall(_.getLong(0) == 1L), s"disjoint doc collided: ${hits.mkString(";")}")
+    assert(hits.forall(_.getLong(1) == 100L))
+    assert(hits.map(_.getInt(2)).distinct.length === 16, s"expected all 16 bands, got ${hits.length}")
+    q.stop()
+  }
+
   test("streaming EWMA tracker flags a spike and tracks the level") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
