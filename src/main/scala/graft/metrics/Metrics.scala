@@ -76,6 +76,19 @@ object Metrics {
   def multExceed(y: Column, f: Column, t: Double): Column =
     if (t > 0.5) avg((y > f).cast("double")) else avg((f > y).cast("double"))
 
+  /** coverage (metrics.py:786): share of actuals inside [lo, hi]
+    * (reference compares with ≤ on both ends). */
+  def coverage(y: Column, lo: Column, hi: Column): Column =
+    avg((lo <= y && y <= hi).cast("double"))
+
+  /** interval_score (metrics.py:828) at significance alpha: interval
+    * width plus 2/alpha-weighted penalties for actuals outside it
+    * (strict <,> per the reference). */
+  def intervalScore(y: Column, lo: Column, hi: Column, alpha: Double): Column =
+    avg((hi - lo)
+      + when(y < lo, (lo - y) * 2 / alpha).otherwise(0.0)
+      + when(y > hi, (y - hi) * 2 / alpha).otherwise(0.0))
+
   /** All headline metrics as named agg columns (r2 computed from sums to
     * stay a plain aggregate without a window).
     */

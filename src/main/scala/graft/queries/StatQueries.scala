@@ -110,6 +110,34 @@ object StatQueries {
           count(lit(1)).as("n"))
     }),
 
+    // ── interval-forecast metrics (metrics.py:786 coverage, :828
+    // interval_score): the q_metrics_prob quantile pipeline's (p10, p90)
+    // pair read as an 80% interval (alpha = 0.2), scored with the
+    // reference's coverage and interval-score definitions plus the mean
+    // width for context.
+    "q_metrics_interval" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val idx = forecastBase(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .withColumn("e", col("value") - col("f"))
+      val qs = idx.where(col("rn") <= expr("nn div 2")).groupBy("event_type").agg(
+        percentile(col("e"), lit(0.1)).as("q10"),
+        percentile(col("e"), lit(0.9)).as("q90"))
+      val y = col("value")
+      idx.where(col("rn") > expr("nn div 2"))
+        .join(broadcast(qs), Seq("event_type"))
+        .withColumn("lo", col("f") + col("q10"))
+        .withColumn("hi", col("f") + col("q90"))
+        .groupBy("event_type")
+        .agg(
+          round(Metrics.coverage(y, col("lo"), col("hi")), 6).as("coverage"),
+          round(Metrics.intervalScore(y, col("lo"), col("hi"), 0.2), 6).as("interval_score"),
+          round(avg(col("hi") - col("lo")), 6).as("mean_width"),
+          count(lit(1)).as("n"))
+    }),
+
     // ── granularity inference (consts.py infer_freq_robust) ────────────
     // mode of consecutive-timestamp deltas per series + how regular the
     // grid is; top-1 via rank → WindowGroupLimit, no global sort
@@ -209,6 +237,26 @@ object StatQueries {
          |  count(*) AS n
          |FROM t GROUP BY 1""".stripMargin
     },
+
+    "q_metrics_interval" ->
+      s"""WITH hourly AS ($H),
+         |fc AS (SELECT event_type, ts, value, lag(value, 24) OVER (PARTITION BY event_type ORDER BY ts) AS f FROM hourly),
+         |b AS (SELECT event_type, value, f, value - f AS e,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nn
+         |      FROM fc WHERE f IS NOT NULL),
+         |q AS (SELECT event_type, quantile_cont(e, 0.1) AS q10, quantile_cont(e, 0.9) AS q90
+         |      FROM b WHERE rn <= nn // 2 GROUP BY 1),
+         |t AS (SELECT b.event_type, b.value, b.f + q.q10 AS lo, b.f + q.q90 AS hi
+         |      FROM b JOIN q ON b.event_type = q.event_type WHERE b.rn > b.nn // 2)
+         |SELECT event_type,
+         |  round(avg((lo <= value AND value <= hi)::INT::DOUBLE), 6) AS coverage,
+         |  round(avg((hi - lo)
+         |    + CASE WHEN value < lo THEN (lo - value) * 2 / 0.2 ELSE 0.0 END
+         |    + CASE WHEN value > hi THEN (value - hi) * 2 / 0.2 ELSE 0.0 END), 6) AS interval_score,
+         |  round(avg(hi - lo), 6) AS mean_width,
+         |  count(*) AS n
+         |FROM t GROUP BY 1""".stripMargin,
 
     "q_infer_freq" ->
       """WITH d AS (SELECT event_type,
