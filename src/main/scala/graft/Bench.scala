@@ -32,7 +32,12 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop DataFrame caches a query registered (e.g. MinHash signature
+      // reuse) so timings stay isolated and a 137-query session doesn't
+      // accumulate dead cached blocks
+      spark.sqlContext.clearCache()
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

@@ -99,6 +99,19 @@ object LlmQueries {
         TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"),
         size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_unique"))),
 
+    // the first query a pipeline runs on a new corpus: per-source profile
+    // in ONE aggregation pass — volume, token budget, exact-dup rate
+    // (count vs distinct content hash), language spread, mean quality
+    "q_corpus_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(TextFunctions.nTokens(col("text")).cast("long")).as("n_tokens"),
+        round(avg(TextFunctions.nTokens(col("text")).cast("double")), 6).as("mean_tokens"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        round((count(lit(1)) - countDistinct(md5(col("text")))).cast("double") / count(lit(1)), 6).as("dup_rate"),
+        round(avg(TextFunctions.alphaRatio(col("text"))), 6).as("mean_alpha"))),
+
     "q_text_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_token_len"),
@@ -440,6 +453,17 @@ object LlmQueries {
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
         |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique
         |FROM documents""".stripMargin,
+
+    "q_corpus_stats" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  sum(length(text))::BIGINT AS n_chars,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  round(avg(len(string_split(text, ' '))::DOUBLE), 6) AS mean_tokens,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  round((count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*), 6) AS dup_rate,
+        |  round(avg(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)), 6) AS mean_alpha
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_text_repetition" ->
       """WITH base AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws
