@@ -55,7 +55,7 @@ object StreamingDetectors {
 
   /** Streaming NEAR-dedup against a static corpus band store — the 100 TB
     * ingest shape: incoming docs get their MinHash signature map-side
-    * (Dedup.minhashRow, no aggregation), explode to banded keys, and a
+    * (Dedup.withSignatures, no aggregation), explode to banded keys, and a
     * stream-static key-equality join against the corpus's
     * (band, b0..bR, corpus_id) store flags band collisions. Stateless —
     * corpus state lives in the store table (bucketable by band keys),
@@ -66,8 +66,7 @@ object StreamingDetectors {
   def nearDedupAgainstStore(stream: DataFrame, store: DataFrame,
                             numPerms: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numPerms / bands
-    val sig = stream.select((col("doc_id") +: col("ts") +:
-      graft.dedup.Dedup.minhashRow(col("text"), numPerms)): _*)
+    val sig = graft.dedup.Dedup.withSignatures(stream, Seq("doc_id", "ts"), numPerms)
     val bandCols = (0 until bands).map { b =>
       struct((lit(b).as("band") +:
         (0 until rows).map(r => col(s"mh${b * rows + r}").as(s"b$r"))): _*)

@@ -88,15 +88,15 @@ class RobustSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty, "connectedComponents leaked cached RDDs")
   }
 
-  test("minhashRow per-row signatures equal the batch explode+groupBy signatures") {
+  test("map-side (streaming) minhash signatures equal the batch explode+groupBy signatures") {
     val docs = Tables.documents(spark, sf).limit(50)
     val batch = graft.dedup.Dedup.minhashSignatures(docs, numPerms = 16)
-    val perRow = docs.select((col("doc_id") +: graft.dedup.Dedup.minhashRow(col("text"), 16)): _*)
-    val joined = batch.as("a").join(perRow.as("b"), "doc_id")
+    val mapSide = graft.dedup.Dedup.withSignatures(docs, Seq("doc_id"), numPerms = 16)
+    val joined = batch.as("a").join(mapSide.as("b"), "doc_id")
+    assert(joined.count() === 50, "row sets differ between map-side and groupBy minhash")
     val mismatches = (0 until 16).map(i =>
       joined.where(col(s"a.mh$i") =!= col(s"b.mh$i")).count()).sum
-    assert(mismatches === 0L, s"$mismatches signature mismatches between batch and per-row minhash")
-    assert(batch.count() === 50)
+    assert(mismatches === 0L, s"$mismatches signature mismatches between map-side and groupBy minhash")
   }
 
   test("q_text_repetition: hand-computed fractions on a crafted doc") {
