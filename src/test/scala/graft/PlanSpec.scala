@@ -29,7 +29,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Queries whose joins must all be broadcast (small side is a probe /
     * centroid / band-key table) — a SortMergeJoin here means the small
     * side stopped broadcasting and the corpus started shuffling. */
-  private val broadcastOnly = Seq("q_knn_bruteforce", "q_ann_ivf", "q_ann_pq", "q_evaluator")
+  private val broadcastOnly = Seq("q_knn_bruteforce", "q_ann_ivf", "q_ann_pq", "q_evaluator",
+    "q_doc_filter", "q_residual_prob", "q_metrics_prob", "q_metrics_interval")
 
   test("probe/centroid joins stay broadcast — the corpus never shuffles for them") {
     broadcastOnly.foreach { q =>
