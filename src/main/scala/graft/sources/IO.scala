@@ -56,4 +56,24 @@ object IO {
     df.repartition(s.keyCols: _*)
       .sortWithinPartitions((s.keyCols :+ col(s.ts)): _*)
       .write.mode("overwrite").partitionBy(s.keys: _*).parquet(path)
+
+  /** Bucketed + sorted catalog-table sink: hash-buckets rows by the
+    * series keys and sorts by (keys…, ts) inside each bucket. Two tables
+    * bucketed the same way join or aggregate on the keys WITHOUT a
+    * shuffle (Catalyst recognizes the bucketing as a satisfied hash
+    * distribution) — the co-located-join layout a 100 TB store pays for
+    * once at write time and wins on every subsequent join. BucketSpec
+    * asserts the no-Exchange plan contract.
+    *
+    * Caveat: the shuffle elimination applies when the join/agg keys
+    * match the bucket keys EXACTLY — joining on a superset (keys…, ts)
+    * makes the planner disable the bucketed scan and shuffle both sides,
+    * so bucket by the columns you actually join on.
+    */
+  def writeBucketed(df: DataFrame, table: String, s: TSSchema, buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, s.keys.head, s.keys.tail: _*)
+      .sortBy(s.keys.head, (s.keys.tail :+ s.ts): _*)
+      .format("parquet")
+      .saveAsTable(table)
 }
