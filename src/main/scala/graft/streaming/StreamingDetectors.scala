@@ -79,6 +79,44 @@ object StreamingDetectors {
       .select(col("doc_id"), col("ts"), col("corpus_id"), col("band"))
   }
 
+  /** Stateless streaming quality gate — the q_doc_filter rule cascade as
+    * an ingest-time filter: every signal is per-row column math (no
+    * state, no shuffle, no watermark needed), so the gate composes in
+    * front of [[dedupExact]] / [[nearDedupAgainstStore]] at any ingest
+    * rate. The batch filter's corpus-level top-2-gram coverage needs an
+    * aggregation, so the stream variant uses the map-side equivalent:
+    * the duplicated-2-gram fraction within the document (array HOFs over
+    * the word list). Emits every doc with its signals, keep flag, and
+    * first-failing-rule reason — route on `keep` downstream.
+    */
+  def qualityGate(stream: DataFrame): DataFrame = {
+    import graft.text.TextFunctions
+    val grams = expr("CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+      "transform(sequence(0, size(split(text, ' ')) - 2), i -> " +
+      "array_join(slice(split(text, ' '), i + 1, 2), ' ')) ELSE array() END")
+    stream
+      .withColumn("n_words", TextFunctions.nTokens(col("text")).cast("long"))
+      .withColumn("mtl", TextFunctions.meanTokenLen(col("text")))
+      .withColumn("alpha", TextFunctions.alphaRatio(col("text")))
+      .withColumn("_g", grams)
+      .withColumn("rep",
+        when(size(col("_g")) > 0,
+          lit(1.0) - size(array_distinct(col("_g"))).cast("double") / size(col("_g")))
+          .otherwise(0.0))
+      .withColumn("fail_reason",
+        when(col("n_words") < 10, "too_short")
+          .when(col("n_words") > 1000, "too_long")
+          .when(col("mtl") < 2.0 || col("mtl") > 12.0, "token_len")
+          .when(col("alpha") < 0.5, "low_alpha")
+          .when(col("rep") >= 0.5, "repetitive")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("ts"), col("text"), col("n_words"),
+        round(col("mtl"), 6).as("mean_token_len"),
+        round(col("alpha"), 6).as("alpha_ratio"),
+        round(col("rep"), 6).as("dup2_frac"),
+        (col("fail_reason") === "ok").as("keep"), col("fail_reason"))
+  }
+
   /** Stateful adjusted EWMA per series (streaming twin of TS.ewma):
     * carries the (num, den) recurrence in keyed state, emits each point
     * with its smoothed level and flags deviations beyond `k`× the level.

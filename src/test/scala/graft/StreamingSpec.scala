@@ -94,6 +94,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming quality gate routes docs with the first failing rule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamingDetectors.Doc]
+    val q = StreamingDetectors.qualityGate(mem.toDF())
+      .writeStream.format("memory").queryName("gate").outputMode("append").start()
+    mem.addData(
+      StreamingDetectors.Doc(1L, ts(0), "the quick brown fox jumps over the lazy dog and runs far away home"),
+      StreamingDetectors.Doc(2L, ts(0), "too short"),
+      StreamingDetectors.Doc(3L, ts(0), "spam spam spam spam spam spam spam spam spam spam spam spam"))
+    q.processAllAvailable()
+    val rows = spark.sql("select doc_id, keep, fail_reason from gate order by doc_id").collect()
+    assert(rows(0).getBoolean(1) === true)
+    assert(rows(0).getString(2) === "ok")
+    assert(rows(1).getString(2) === "too_short")
+    assert(rows(2).getBoolean(1) === false)
+    assert(rows(2).getString(2) === "repetitive")
+    q.stop()
+  }
+
   test("streaming EWMA tracker flags a spike and tracks the level") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
