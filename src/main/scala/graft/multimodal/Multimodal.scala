@@ -79,6 +79,36 @@ object Multimodal {
     * the mapPartitions batching (one codec init per partition, not per
     * row) is the part that matters at scale.
     */
+  /** Blockhash-style perceptual fingerprint over the decoded payload:
+    * bit i set iff byte i exceeds the payload's mean byte — the
+    * mean-threshold step every blockhash/aHash variant shares, over the
+    * stub decode's byte stream (a real deployment swaps the md5-chain
+    * payload for decoded pixel blocks; the fingerprint + blocking
+    * plumbing is unchanged). Same mapPartitions shape as
+    * [[decodeFeatures]]: per-partition decoder init, one pass per doc.
+    */
+  def phash(df: DataFrame, id: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType), StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(id), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val idv = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        var s = 0.0
+        bytes.foreach { b => s += (b & 0xff).toDouble }
+        val mean = s / bytes.length
+        var h = 0L
+        var i = 0
+        while (i < bytes.length && i < 64) {
+          if ((bytes(i) & 0xff).toDouble > mean) h |= (1L << i)
+          i += 1
+        }
+        Row(idv, h)
+      }
+    }(enc)
+  }
+
   def decodeFeatures(df: DataFrame, id: String = "doc_id"): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(id, LongType), StructField("byte_mean", DoubleType),

@@ -385,6 +385,19 @@ object LlmQueries {
         .select(col("doc_id"), col("width"), col("height"),
           round(col("scale"), 6).as("scale"), col("out_w"), col("out_h"))),
 
+    // visual near-dup: blockhash-style perceptual fingerprint over the
+    // decoded payload, pairs blocked by EXACT phash equality (the
+    // degenerate band of a hamming-block scheme — see q_dedup_simhash for
+    // the multi-chunk generalization). Byte-identical payloads always
+    // collide; the oracle replays the md5-chain bytes.
+    "q_multimodal_phash" -> ((s, dir) => {
+      val ph = Multimodal.phash(Multimodal.withPayload(docs(s, dir)))
+      ph.as("a").join(ph.as("b"),
+          col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.phash").as("phash"))
+        .orderBy("i", "j").limit(20)
+    }),
+
     // deterministic stratified sampling for training-data mixing: keep a
     // doc iff the first 16 hash bits of md5(doc_id) land under the
     // stratum's rate. No RNG state, reproducible across engines and
@@ -781,6 +794,18 @@ object LlmQueries {
         |SELECT doc_id, width, height, round(scale, 6) AS scale,
         |  floor(width * scale)::BIGINT AS out_w, floor(height * scale)::BIGINT AS out_h
         |FROM s""".stripMargin,
+
+    "q_multimodal_phash" ->
+      """WITH b AS (SELECT doc_id, i, ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT AS v
+        |           FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+        |m AS (SELECT doc_id, avg(v::DOUBLE) AS mean FROM b GROUP BY 1),
+        |ph AS (SELECT b.doc_id,
+        |         sum(CASE WHEN v::DOUBLE > mean THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS phash
+        |       FROM b JOIN m ON b.doc_id = m.doc_id GROUP BY 1),
+        |p AS (SELECT a.doc_id AS i, bb.doc_id AS j, a.phash
+        |      FROM ph a JOIN ph bb ON a.phash = bb.phash AND a.doc_id < bb.doc_id),
+        |r AS (SELECT *, row_number() OVER (ORDER BY i, j) AS rk FROM p)
+        |SELECT i, j, phash FROM r WHERE rk <= 20""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,
