@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object MannKendall {
 
-  /** (S, tau, z, trendCode) — trendCode: 1 increasing, -1 decreasing, 0 none. */
-  def mkStats(xs: Array[Double]): (Long, Double, Double, Int) = {
+  /** (S, VarS) core — exposed separately so the Hirsch-Slack multivariate
+    * test (trend_mk.py:296 multivariate_MKtest, which SUMS per-metric S
+    * and Var before the z) can compose it.
+    */
+  def mkCore(xs: Array[Double]): (Long, Double) = {
     val n = xs.length
     val sorted = xs.clone().distinct.sorted
     val m = sorted.length
@@ -42,10 +45,20 @@ object MannKendall {
       .map(_.length.toLong).filter(_ > 1)
       .map(t => t * (t - 1) * (2 * t + 5)).sum
     val varS = (n.toLong * (n - 1) * (2L * n + 5) - tieSum) / 18.0
-    val z =
-      if (s > 0) (s - 1) / math.sqrt(varS)
-      else if (s < 0) (s + 1) / math.sqrt(varS)
-      else 0.0
+    (s, varS)
+  }
+
+  /** z statistic with the reference's continuity correction. */
+  def mkZ(s: Long, varS: Double): Double =
+    if (s > 0) (s - 1) / math.sqrt(varS)
+    else if (s < 0) (s + 1) / math.sqrt(varS)
+    else 0.0
+
+  /** (S, tau, z, trendCode) — trendCode: 1 increasing, -1 decreasing, 0 none. */
+  def mkStats(xs: Array[Double]): (Long, Double, Double, Int) = {
+    val n = xs.length
+    val (s, varS) = mkCore(xs)
+    val z = mkZ(s, varS)
     val tau = s.toDouble / (n.toLong * (n - 1) / 2.0)
     val trend = if (z > 1.96) 1 else if (z < -1.96) -1 else 0
     (s, tau, z, trend)

@@ -100,6 +100,35 @@ object RobustQueries {
         .withColumn("trend", col("trend").cast("int"))
     }),
 
+    // ── Hirsch-Slack multivariate MK (trend_mk.py:296): per-metric S and
+    // Var summed before the z; metrics = the hourly (value, n) pair ──
+    "q_mk_multivariate" -> ((s, dir) => {
+      def perMetric(valueCol: String, suffix: String) = {
+        val df = Tables.hourlyEvents(s, dir)
+          .select(col("event_type"), col("ts"), col(valueCol).cast("double").as("value"))
+        SeriesOps.aggSeries(df, S, Seq(s"s_$suffix", s"var_$suffix", s"tau_$suffix", s"denom_$suffix")) { xs =>
+          val (sv, varS) = MannKendall.mkCore(xs)
+          val n = xs.length.toLong
+          val denom = n * (n - 1) / 2.0
+          Array(sv.toDouble, varS, sv / denom, denom)
+        }
+      }
+      perMetric("value", "value").join(perMetric("n", "n"), "event_type")
+        .withColumn("s_total", (col("s_value") + col("s_n")).cast("long"))
+        .withColumn("var_total", col("var_value") + col("var_n"))
+        .withColumn("z_overall",
+          when(col("s_total") > 0, (col("s_total") - 1) / sqrt(col("var_total")))
+            .when(col("s_total") < 0, (col("s_total") + 1) / sqrt(col("var_total")))
+            .otherwise(0.0))
+        .select(col("event_type"),
+          col("s_value").cast("long").as("s_value"), col("tau_value"),
+          col("s_n").cast("long").as("s_n"), col("tau_n"),
+          col("s_total"),
+          round((col("s_value") + col("s_n")) / (col("denom_value") + col("denom_n")), 6).as("tau_overall"),
+          round(col("z_overall"), 6).as("z_overall"),
+          when(col("z_overall") > 1.96, 1).when(col("z_overall") < -1.96, -1).otherwise(0).as("trend"))
+    }),
+
     // ── KDE residual translation: density of each 1-step-forecast residual ──
     "q_residual_prob" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
@@ -177,6 +206,41 @@ object RobustQueries {
          |       WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s) WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END) < -1.96 THEN -1
          |       ELSE 0 END AS trend
          |FROM st""".stripMargin,
+
+    "q_mk_multivariate" ->
+      s"""WITH hourly AS ($H),
+         |um AS (SELECT event_type, 'v' AS m, ts, value AS v FROM hourly
+         |       UNION ALL SELECT event_type, 'n' AS m, ts, n::DOUBLE AS v FROM hourly),
+         |p AS (SELECT a.event_type, a.m, sign(b.v - a.v) AS sg
+         |      FROM um a JOIN um b ON a.event_type = b.event_type AND a.m = b.m AND a.ts < b.ts),
+         |sgg AS (SELECT event_type, m, sum(sg)::BIGINT AS s FROM p GROUP BY 1, 2),
+         |nn AS (SELECT event_type, m, count(*)::BIGINT AS cnt FROM um GROUP BY 1, 2),
+         |tie AS (SELECT event_type, m, sum(c * (c - 1) * (2 * c + 5)) AS tie_sum
+         |        FROM (SELECT event_type, m, v, count(*)::BIGINT AS c FROM um GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |st AS (SELECT sgg.event_type, sgg.m, sgg.s,
+         |         round((nn.cnt * (nn.cnt - 1) * (2 * nn.cnt + 5) - coalesce(tie.tie_sum, 0)) / 18.0, 6) AS var_s,
+         |         nn.cnt * (nn.cnt - 1) / 2.0 AS denom
+         |       FROM sgg JOIN nn ON sgg.event_type = nn.event_type AND sgg.m = nn.m
+         |       LEFT JOIN tie ON sgg.event_type = tie.event_type AND sgg.m = tie.m),
+         |w AS (SELECT event_type,
+         |        max(CASE WHEN m = 'v' THEN s END) AS s_value,
+         |        max(CASE WHEN m = 'v' THEN var_s END) AS var_value,
+         |        max(CASE WHEN m = 'v' THEN denom END) AS denom_value,
+         |        max(CASE WHEN m = 'n' THEN s END) AS s_n,
+         |        max(CASE WHEN m = 'n' THEN var_s END) AS var_n,
+         |        max(CASE WHEN m = 'n' THEN denom END) AS denom_n
+         |      FROM st GROUP BY 1),
+         |f AS (SELECT *, s_value + s_n AS s_total, var_value + var_n AS var_total FROM w),
+         |g AS (SELECT *, CASE WHEN s_total > 0 THEN (s_total - 1) / sqrt(var_total)
+         |                     WHEN s_total < 0 THEN (s_total + 1) / sqrt(var_total)
+         |                     ELSE 0.0 END AS z FROM f)
+         |SELECT event_type, s_value, round(s_value / denom_value, 6) AS tau_value,
+         |  s_n, round(s_n / denom_n, 6) AS tau_n,
+         |  s_total::BIGINT AS s_total,
+         |  round((s_value + s_n) / (denom_value + denom_n), 6) AS tau_overall,
+         |  round(z, 6) AS z_overall,
+         |  CASE WHEN z > 1.96 THEN 1 WHEN z < -1.96 THEN -1 ELSE 0 END AS trend
+         |FROM g""".stripMargin,
 
     "q_residual_prob" ->
       s"""WITH hourly AS ($H),
