@@ -52,6 +52,31 @@ object FeatureQueries {
       .withColumnRenamed("min", "vmin").withColumnRenamed("max", "vmax")
       .withColumnRenamed("length", "n_obs")),
 
+    // get_time (tsfeatures.py:1996): calendar coverage of the index —
+    // distinct years/months/weeks/days + day-of-week frequencies, pandas
+    // Monday=0. `time_days` reproduces the reference's '%Y-%d' format
+    // EXACTLY (year + day-of-MONTH, not a full date — a quirk of the
+    // reference code, kept for fidelity). length_days is the pandas
+    // Timedelta.days floor, not a calendar-date diff.
+    "q_feat_time" -> ((s, dir) => {
+      val ts = col("ts")
+      def dowFrac(i: Int) = // pandas Monday=0: Spark dayofweek is Sunday=1
+        round(avg((((dayofweek(ts) + lit(5)) % 7) === i).cast("double")), 6)
+      hourly(s, dir).groupBy("event_type").agg(
+        countDistinct(year(ts)).as("time_years"),
+        countDistinct(date_format(ts, "yyyy-MM")).as("time_months"),
+        countDistinct(month(ts)).as("time_monthsofyear"),
+        countDistinct(concat(expr("extract(YEAROFWEEK FROM ts)"), lit("-"), weekofyear(ts))).as("time_weeks"),
+        countDistinct(weekofyear(ts)).as("time_weeksofyear"),
+        countDistinct(date_format(ts, "yyyy-dd")).as("time_days"),
+        countDistinct(dayofyear(ts)).as("time_daysofyear"),
+        floor((unix_timestamp(max(ts)) - unix_timestamp(min(ts))) / 86400L).as("time_length_days"),
+        dowFrac(0).as("freq_monday"), dowFrac(1).as("freq_tuesday"),
+        dowFrac(2).as("freq_wednesday"), dowFrac(3).as("freq_thursday"),
+        dowFrac(4).as("freq_friday"), dowFrac(5).as("freq_saturday"),
+        dowFrac(6).as("freq_sunday"))
+    }),
+
     "q_feat_crossing_points" -> ((s, dir) => TsFeatures.crossingPoints(hourly(s, dir), S)),
 
     "q_feat_flat_spots" -> ((s, dir) => TsFeatures.flatSpots(hourly(s, dir), S)),
@@ -138,6 +163,25 @@ object FeatureQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_feat_time" -> {
+      def dowFrac(i: Int) = s"round(avg(((isodow(ts) - 1) = $i)::INT::DOUBLE), 6)"
+      s"""WITH hourly AS ($H)
+         |SELECT event_type,
+         |  count(DISTINCT year(ts))::BIGINT AS time_years,
+         |  count(DISTINCT strftime(ts, '%Y-%m'))::BIGINT AS time_months,
+         |  count(DISTINCT month(ts))::BIGINT AS time_monthsofyear,
+         |  count(DISTINCT (isoyear(ts) || '-' || weekofyear(ts)))::BIGINT AS time_weeks,
+         |  count(DISTINCT weekofyear(ts))::BIGINT AS time_weeksofyear,
+         |  count(DISTINCT strftime(ts, '%Y-%d'))::BIGINT AS time_days,
+         |  count(DISTINCT dayofyear(ts))::BIGINT AS time_daysofyear,
+         |  floor((epoch(max(ts)) - epoch(min(ts))) / 86400)::BIGINT AS time_length_days,
+         |  ${dowFrac(0)} AS freq_monday, ${dowFrac(1)} AS freq_tuesday,
+         |  ${dowFrac(2)} AS freq_wednesday, ${dowFrac(3)} AS freq_thursday,
+         |  ${dowFrac(4)} AS freq_friday, ${dowFrac(5)} AS freq_saturday,
+         |  ${dowFrac(6)} AS freq_sunday
+         |FROM hourly GROUP BY 1""".stripMargin
+    },
+
     "q_feat_basic" ->
       s"""WITH hourly AS ($H),
          |m AS (SELECT event_type, avg(value) AS mu FROM hourly GROUP BY 1)
