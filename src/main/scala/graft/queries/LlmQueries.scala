@@ -20,6 +20,27 @@ object LlmQueries {
   private val perms = TextFunctions.permParams(NumPerms)
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Shared near-dup cluster table (doc_id, cluster_id, cluster_size):
+    * exact-dup star edges ∪ thresholded MinHash-LSH pairs collapsed by
+    * connected components. Used by q_dedup_clusters (the cluster view)
+    * and q_dedup_keep (the per-source kept-corpus manifest).
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val fp = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val gmin = fp.groupBy("fp")
+      .agg(min("doc_id").as("m"), count(lit(1)).as("c")).where(col("c") > 1)
+    // star edges (min-id hub per fingerprint group): same components as
+    // the m² clique, linear edge count — the 100 TB-safe encoding
+    val exactE = fp.join(gmin, "fp").where(col("doc_id") > col("m"))
+      .select(col("m").as("i"), col("doc_id").as("j"))
+    val nearE = Dedup.minhashLshPairs(docs(s, dir), NumPerms, Bands)
+      .where(col("est_jaccard") >= 0.5).select("i", "j")
+    val cc = Dedup.connectedComponents(exactE.union(nearE))
+    val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "label")
+      .select(col("u").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
   private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
   private val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "it")
@@ -50,6 +71,35 @@ object LlmQueries {
   private val sigSql =
     s"""hs AS (SELECT doc_id, $h31Sql AS h FROM sh),
        |sig AS (SELECT doc_id, $minhashAggSql FROM hs GROUP BY 1)""".stripMargin
+
+  /** Oracle CTE chain for the near-dup cluster table, ending at
+    * `labels(doc_id, cluster_id)` — transitive closure of exact-dup star
+    * edges ∪ thresholded MinHash-LSH pairs. Shared by the
+    * q_dedup_clusters and q_dedup_keep oracles.
+    */
+  private lazy val clustersCtes: String = {
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
+      s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val est = (0 until NumPerms).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$shSql,
+       |$sigSql,
+       |banded AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |near_e AS (SELECT i, j FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id
+       |           WHERE round(($est)::DOUBLE / $NumPerms, 6) >= 0.5),
+       |fpc AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |gmin AS (SELECT fp, min(doc_id) AS m FROM fpc GROUP BY 1 HAVING count(*) > 1),
+       |exact_e AS (SELECT m AS i, doc_id AS j FROM fpc JOIN gmin USING (fp) WHERE doc_id > m),
+       |edges AS (SELECT i, j FROM exact_e UNION SELECT i, j FROM near_e),
+       |sym AS (SELECT i AS u, j AS v FROM edges UNION SELECT j AS u, i AS v FROM edges),
+       |reach AS (SELECT u, v FROM sym
+       |          UNION
+       |          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+       |labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+  }
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), x -> x[1] * x[2]))"
@@ -280,26 +330,28 @@ object LlmQueries {
       Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
         .orderBy(col("hamming"), col("i"), col("j")).limit(20)),
 
+    // the dedup pipeline's END PRODUCT: per-source manifest of what
+    // survives near-dup collapse — docs whose id is their cluster's
+    // canonical (min) id, plus every unclustered doc. The numbers a
+    // pipeline reports after its dedup pass.
+    "q_dedup_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clustered = dedupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+      d.join(clustered, Seq("doc_id"), "left")
+        .withColumn("keep", col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_in"),
+          sum(col("keep").cast("long")).as("docs_kept"),
+          sum((!col("keep")).cast("long")).as("docs_dropped"),
+          sum(when(!col("keep"), length(col("text"))).otherwise(0)).cast("long").as("chars_dropped"))
+    }),
+
     // cluster collapse: exact-dup star edges ∪ thresholded MinHash-LSH
     // near-dup edges → connected components → (doc, cluster, size). The
     // cluster id is the smallest doc id in the component — the canonical
     // doc a pipeline would keep. Oracle computes the same components via
     // a recursive-CTE transitive closure.
-    "q_dedup_clusters" -> ((s, dir) => {
-      val fp = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
-      val gmin = fp.groupBy("fp")
-        .agg(min("doc_id").as("m"), count(lit(1)).as("c")).where(col("c") > 1)
-      // star edges (min-id hub per fingerprint group): same components as
-      // the m² clique, linear edge count — the 100 TB-safe encoding
-      val exactE = fp.join(gmin, "fp").where(col("doc_id") > col("m"))
-        .select(col("m").as("i"), col("doc_id").as("j"))
-      val nearE = Dedup.minhashLshPairs(docs(s, dir), NumPerms, Bands)
-        .where(col("est_jaccard") >= 0.5).select("i", "j")
-      val cc = Dedup.connectedComponents(exactE.union(nearE))
-      val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, "label")
-        .select(col("u").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-    }),
+    "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
     "q_neardup_cosine" -> ((s, dir) =>
       Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
@@ -638,32 +690,21 @@ object LlmQueries {
          |SELECT i, j, est_jaccard FROM r WHERE rk <= 20""".stripMargin
     },
 
-    "q_dedup_clusters" -> {
-      val bandSelects = (0 until Bands).map { b =>
-        val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
-        s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
-      }.mkString("\nUNION ALL\n")
-      val est = (0 until NumPerms).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH RECURSIVE $shSql,
-         |$sigSql,
-         |banded AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-         |near_e AS (SELECT i, j FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id
-         |           WHERE round(($est)::DOUBLE / $NumPerms, 6) >= 0.5),
-         |fpc AS (SELECT doc_id, md5(text) AS fp FROM documents),
-         |gmin AS (SELECT fp, min(doc_id) AS m FROM fpc GROUP BY 1 HAVING count(*) > 1),
-         |exact_e AS (SELECT m AS i, doc_id AS j FROM fpc JOIN gmin USING (fp) WHERE doc_id > m),
-         |edges AS (SELECT i, j FROM exact_e UNION SELECT i, j FROM near_e),
-         |sym AS (SELECT i AS u, j AS v FROM edges UNION SELECT j AS u, i AS v FROM edges),
-         |reach AS (SELECT u, v FROM sym
-         |          UNION
-         |          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
-         |labels AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY 1),
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $clustersCtes,
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, sz.cluster_size
-         |FROM labels l JOIN sz ON l.cluster_id = sz.cluster_id""".stripMargin
-    },
+         |FROM labels l JOIN sz ON l.cluster_id = sz.cluster_id""".stripMargin,
+
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $clustersCtes
+         |SELECT d.source, count(*) AS docs_in,
+         |  sum((l.cluster_id IS NULL OR l.cluster_id = d.doc_id)::INT)::BIGINT AS docs_kept,
+         |  sum((NOT (l.cluster_id IS NULL OR l.cluster_id = d.doc_id))::INT)::BIGINT AS docs_dropped,
+         |  sum(CASE WHEN NOT (l.cluster_id IS NULL OR l.cluster_id = d.doc_id)
+         |           THEN length(d.text) ELSE 0 END)::BIGINT AS chars_dropped
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+         |GROUP BY 1""".stripMargin,
 
     "q_neardup_cosine" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j,
