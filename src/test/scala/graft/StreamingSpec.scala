@@ -114,6 +114,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming ingest chain: quality gate -> exact dedup composes in one stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamingDetectors.Doc]
+    val chained = StreamingDetectors.dedupExact(
+      StreamingDetectors.qualityGate(mem.toDF()).where(col("keep"))
+        .select(col("doc_id"), col("ts"), col("text")))
+    val q = chained.writeStream.format("memory").queryName("chain").outputMode("append").start()
+    mem.addData(
+      StreamingDetectors.Doc(1L, ts(0), "the quick brown fox jumps over the lazy dog and runs far away home"),
+      StreamingDetectors.Doc(2L, ts(0), "the quick brown fox jumps over the lazy dog and runs far away home"), // dup of 1
+      StreamingDetectors.Doc(3L, ts(0), "too short"), // gated out before dedup
+      StreamingDetectors.Doc(4L, ts(0), "a completely different acceptable document with plenty of distinct words inside it"))
+    q.processAllAvailable()
+    val ids = spark.sql("select doc_id from chain order by doc_id").collect().map(_.getLong(0))
+    assert(ids.length === 2, s"ids=${ids.toSeq}")
+    assert(ids.contains(4L))
+    assert(!ids.contains(3L), "gated doc leaked through")
+    assert(ids.count(i => i == 1L || i == 2L) === 1, "dup survived")
+    q.stop()
+  }
+
   test("streaming EWMA tracker flags a spike and tracks the level") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
