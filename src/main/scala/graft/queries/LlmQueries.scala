@@ -360,6 +360,19 @@ object LlmQueries {
     "q_neardup_lsh" -> ((s, dir) =>
       Ann.lshNearDupPairs(embs(s, dir), threshold = 0.4, bands = 16, rowsPerBand = 3)),
 
+    // embedding-side cluster collapse: the cosine near-dup pair graph
+    // (LSH candidates, exact verify at a high threshold) collapsed by the
+    // same connected-components machinery as the document clusters —
+    // pairs → components → (vec, cluster, size)
+    "q_embed_clusters" -> ((s, dir) => {
+      val pairs = Ann.lshNearDupPairs(embs(s, dir), threshold = 0.35, bands = 16, rowsPerBand = 3)
+        .select(col("i"), col("j"))
+      val cc = Dedup.connectedComponents(pairs)
+      val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "label")
+        .select(col("u").as("vec_id"), col("label").as("cluster_id"), col("cluster_size"))
+    }),
+
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
       Ann.knnBruteForce(e, e.where(col("vec_id") % 50 === 0), k = 5)
@@ -726,6 +739,29 @@ object LlmQueries {
         |ham AS (SELECT i, j, bit_count(xor(sa, sb))::INT AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM ham)
         |SELECT i, j, hamming FROM r WHERE rk <= 20""".stripMargin,
+
+    "q_embed_clusters" -> {
+      def projSql(v: String, p: Int) =
+        s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
+           |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
+      def bucketSql(v: String, band: Int, rows: Int) =
+        (0 until rows).map(r => s"(CASE WHEN ${projSql(v, band * rows + r)} >= 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
+      val bandSelects = (0 until 16).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucketSql("embedding", b, 3)} AS bucket FROM embeddings").mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |e AS (SELECT i, j FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id
+         |      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35),
+         |sym AS (SELECT i AS u, j AS v FROM e UNION SELECT j AS u, i AS v FROM e),
+         |reach AS (SELECT u, v FROM sym
+         |          UNION
+         |          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u),
+         |labels AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+         |SELECT l.vec_id, l.cluster_id, sz.cluster_size
+         |FROM labels l JOIN sz ON l.cluster_id = sz.cluster_id""".stripMargin
+    },
 
     "q_neardup_lsh" -> {
       def projSql(v: String, p: Int) =
