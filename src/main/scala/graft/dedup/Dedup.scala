@@ -212,50 +212,84 @@ object Dedup {
     * fixed `rounds`-deep lazy DAG that recomputes deterministically on
     * its terminal action, leaving no cached blocks behind.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          driverFastPathEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
-    // parquet-checkpoint each round (the production shape for iterative
-    // graph algorithms: truncates lineage, spills no cache, survives a
-    // round's worth of executor loss). The edge derivation — possibly an
-    // expensive LSH pipeline — runs exactly ONCE, at the sym write.
+    import spark.implicits._
+    // The edge derivation — possibly an expensive LSH pipeline — runs
+    // exactly ONCE, at this parquet write; everything after reads the
+    // materialized symmetric edge list.
     val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
     edges.select(col("i").as("u"), col("j").as("v"))
       .union(edges.select(col("j").as("u"), col("i").as("v")))
       .distinct()
       .write.mode("overwrite").parquet(s"$dir/sym")
     val sym = spark.read.parquet(s"$dir/sym")
-    var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
-    // one propagation round: candidates = own label ∪ every neighbor's
-    // label, one keyed min — a join + a groupBy, nothing else
-    def propagate(l: DataFrame): DataFrame =
-      sym.join(l.select(col("u").as("v"), col("label")), "v")
-        .select(col("u"), col("label"))
-        .union(l)
-        .groupBy("u").agg(min("label").as("label"))
-    var prevSum: java.math.BigDecimal = null
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val next = propagate(labels)
-      // checkpoint every 4th round (measured best locally: parquet
-      // commits cost ~as much as the rounds they truncate): lineage stays
-      // ≤4 rounds deep, label tables carry only dup-involved nodes.
-      // Alternate paths so a write never clobbers the file a prior
-      // round is still reading.
-      val round =
-        if (it % 4 == 3) {
-          next.write.mode("overwrite").parquet(s"$dir/labels_${(it / 4) % 2}")
-          spark.read.parquet(s"$dir/labels_${(it / 4) % 2}")
-        } else next
-      // convergence via label sum: labels are node-wise non-increasing,
-      // so the fixpoint is exactly "sum unchanged"
-      val s = round.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = round
-      it += 1
+    val mEdges = sym.count() / 2
+    if (mEdges <= driverFastPathEdges) {
+      // Small-graph fast path: a THRESHOLDED dup-pair graph is orders of
+      // magnitude smaller than its corpus (it holds only near-duplicate
+      // evidence), so under the cap (~16 bytes/edge → ≤ tens of MB) the
+      // exact answer is a driver-side union-find in milliseconds instead
+      // of a multi-job loop. The driver state is explicitly bounded by
+      // `driverFastPathEdges`; bigger graphs take the distributed loop
+      // below. (The same small-graph cutover production CC
+      // implementations make.)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sym.select(col("u"), col("v")).collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // union by min id
+      }
+      val nodes = parent.keysIterator.toSet ++ parent.valuesIterator
+      val labeled = nodes.toSeq.map(u => (u, find(u)))
+      // union-by-min-id + full path compression → root IS the component min
+      labeled.toDF("u", "label")
+    } else {
+      var labels = sym.select(col("u")).distinct().withColumn("label", col("u"))
+      // one round: candidates = own label ∪ every neighbor's label, one
+      // keyed min — then a path-compression join
+      // (label(u) ← min(label(u), label(label(u)))) that halves every
+      // node's distance-to-root, so rounds scale with log(diameter), not
+      // diameter (similarity graphs chain: a~b~c~…).
+      def propagate(l: DataFrame): DataFrame = {
+        val stepped = sym.join(l.select(col("u").as("v"), col("label")), "v")
+          .select(col("u"), col("label"))
+          .union(l)
+          .groupBy("u").agg(min("label").as("label"))
+        stepped.as("a")
+          .join(stepped.select(col("u").as("lu"), col("label").as("ll")).as("b"),
+            col("a.label") === col("lu"), "left")
+          .select(col("a.u").as("u"),
+            least(col("a.label"), coalesce(col("ll"), col("a.label"))).as("label"))
+      }
+      var prevSum: java.math.BigDecimal = null
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        // checkpoint EVERY round: the compression self-join doubles plan
+        // size per round, so unmaterialized lineage would grow
+        // exponentially; a per-round parquet round-trip keeps every round
+        // constant-cost. Alternate paths so a write never clobbers the
+        // file the prior round still reads.
+        propagate(labels).write.mode("overwrite").parquet(s"$dir/labels_${it % 2}")
+        val round = spark.read.parquet(s"$dir/labels_${it % 2}")
+        // convergence via label sum: labels are node-wise non-increasing,
+        // so the fixpoint is exactly "sum unchanged"
+        val s = round.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+        labels = round
+        it += 1
+      }
+      labels
     }
-    labels
   }
 
   /** SimHash near-dup pairs: 64-bit signature, then Hamming-distance

@@ -365,7 +365,7 @@ object LlmQueries {
     // same connected-components machinery as the document clusters —
     // pairs → components → (vec, cluster, size)
     "q_embed_clusters" -> ((s, dir) => {
-      val pairs = Ann.lshNearDupPairs(embs(s, dir), threshold = 0.35, bands = 16, rowsPerBand = 3)
+      val pairs = Ann.lshNearDupPairs(embs(s, dir), threshold = 0.4, bands = 16, rowsPerBand = 3)
         .select(col("i"), col("j"))
       val cc = Dedup.connectedComponents(pairs)
       val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
@@ -752,7 +752,7 @@ object LlmQueries {
          |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |e AS (SELECT i, j FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id
-         |      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.35),
+         |      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4),
          |sym AS (SELECT i AS u, j AS v FROM e UNION SELECT j AS u, i AS v FROM e),
          |reach AS (SELECT u, v FROM sym
          |          UNION

@@ -76,15 +76,18 @@ class RobustSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("connectedComponents: chain + separate clique converge to min-id labels, no leaked caches") {
+  test("connectedComponents: chain + separate clique converge to min-id labels on BOTH paths") {
     import spark.implicits._
     // chain 1-2-3-4-5 (diameter 4, needs >1 round) + clique {10,11,12}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
       (10L, 11L), (10L, 12L), (11L, 12L)).toDF("i", "j")
-    val cc = graft.dedup.Dedup.connectedComponents(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 5L).forall(cc(_) == 1L), s"chain labels: $cc")
-    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L), s"clique labels: $cc")
+    // driver union-find fast path (default) and the forced distributed loop
+    for (cap <- Seq(1000000L, 0L)) {
+      val cc = graft.dedup.Dedup.connectedComponents(edges, driverFastPathEdges = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 5L).forall(cc(_) == 1L), s"cap=$cap chain labels: $cc")
+      assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L), s"cap=$cap clique labels: $cc")
+    }
     assert(spark.sparkContext.getPersistentRDDs.isEmpty, "connectedComponents leaked cached RDDs")
   }
 
