@@ -205,21 +205,40 @@ object Dedup {
     *
     * Each round is ONE key-equality join (neighbor labels) + ONE keyed
     * min-aggregation — no driver state beyond the loop counter, no
-    * collect. Rounds needed = graph diameter; dedup graphs are unions of
-    * near-cliques from banded LSH candidates, so a handful of rounds
-    * converges. Intermediates are persisted per round for the convergence
-    * count and unpersisted before returning — the returned frame is a
-    * fixed `rounds`-deep lazy DAG that recomputes deterministically on
-    * its terminal action, leaving no cached blocks behind.
+    * collect. Rounds needed scale with log(diameter) thanks to the
+    * path-compression join; dedup graphs are unions of near-cliques from
+    * banded LSH candidates, so a handful of rounds converges.
+    *
+    * Materialization contract: the symmetric edge list and each round's
+    * labels are written as parquet under `scratchDir` (caller-supplied) —
+    * falling back to `SparkContext.getCheckpointDir`, then to a
+    * driver-local temp dir that is only correct in local mode, where the
+    * driver and executors share one filesystem. On a multi-node cluster
+    * pass a shared path (or `sc.setCheckpointDir`) — per-round parquet on
+    * a shared store is exactly the GraphFrames-CC checkpointing shape.
+    * The edge-list and stale-round files are deleted before returning;
+    * the FINAL labels parquet is what the returned DataFrame reads, so it
+    * must outlive the caller's terminal action — the whole scratch
+    * subtree is registered for deletion when the filesystem closes at JVM
+    * exit (`FileSystem.deleteOnExit`). Callers wanting eager cleanup can
+    * materialize the result and delete `scratchDir` themselves.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50,
-                          driverFastPathEdges: Long = 1000000L): DataFrame = {
+                          driverFastPathEdges: Long = 1000000L,
+                          scratchDir: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val base = scratchDir
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse("file:" + java.nio.file.Files.createTempDirectory("graft_cc").toString)
+    val dir = base.stripSuffix("/") + "/graft_cc_" + java.util.UUID.randomUUID().toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.deleteOnExit(root)
+    def drop(sub: String): Unit = fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$sub"), true)
     // The edge derivation — possibly an expensive LSH pipeline — runs
     // exactly ONCE, at this parquet write; everything after reads the
     // materialized symmetric edge list.
-    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toString
     edges.select(col("i").as("u"), col("j").as("v"))
       .union(edges.select(col("j").as("u"), col("i").as("v")))
       .distinct()
@@ -229,13 +248,14 @@ object Dedup {
     if (mEdges <= driverFastPathEdges) {
       // Small-graph fast path: a THRESHOLDED dup-pair graph is orders of
       // magnitude smaller than its corpus (it holds only near-duplicate
-      // evidence), so under the cap (~16 bytes/edge → ≤ tens of MB) the
-      // exact answer is a driver-side union-find in milliseconds instead
-      // of a multi-job loop. The driver state is explicitly bounded by
-      // `driverFastPathEdges`; bigger graphs take the distributed loop
-      // below. (The same small-graph cutover production CC
-      // implementations make.)
+      // evidence), so under the cap the exact answer is a driver-side
+      // union-find in milliseconds instead of a multi-job loop. Collected
+      // as specialized (Long, Long) tuples — ~32 bytes/edge, so the 1M
+      // default cap bounds driver heap at ~64 MB for the 2M symmetric
+      // rows; bigger graphs take the distributed loop below. (The same
+      // small-graph cutover production CC implementations make.)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val nodes = scala.collection.mutable.HashSet.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -243,12 +263,16 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      sym.select(col("u"), col("v")).collect().foreach { row =>
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+      sym.select(col("u"), col("v")).as[(Long, Long)].collect().foreach { case (u, v) =>
+        // seed BOTH endpoints before the union test, so a node whose only
+        // edges are self-loops still appears in the output (as the
+        // distributed path labels it)
+        nodes += u; nodes += v
+        val (a, b) = (find(u), find(v))
         if (a != b) { if (a < b) parent(b) = a else parent(a) = b } // union by min id
       }
-      val nodes = parent.keysIterator.toSet ++ parent.valuesIterator
       val labeled = nodes.toSeq.map(u => (u, find(u)))
+      fs.delete(root, true) // driver now owns the result; remove the whole scratch subtree
       // union-by-min-id + full path compression → root IS the component min
       labeled.toDF("u", "label")
     } else {
@@ -281,13 +305,19 @@ object Dedup {
         propagate(labels).write.mode("overwrite").parquet(s"$dir/labels_${it % 2}")
         val round = spark.read.parquet(s"$dir/labels_${it % 2}")
         // convergence via label sum: labels are node-wise non-increasing,
-        // so the fixpoint is exactly "sum unchanged"
-        val s = round.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+        // so the fixpoint is exactly "sum unchanged". Cast BEFORE the
+        // aggregate — hash-derived 64-bit ids would overflow a LongType
+        // sum and could fake convergence on wrapped values.
+        val s = round.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
         converged = prevSum != null && s.compareTo(prevSum) == 0
         prevSum = s
         labels = round
         it += 1
       }
+      // the returned frame reads only the final round's parquet; the edge
+      // list and the stale alternate round are dead weight — drop them now
+      drop("sym")
+      drop(s"labels_${it % 2}")
       labels
     }
   }

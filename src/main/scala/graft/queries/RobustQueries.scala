@@ -143,10 +143,14 @@ object RobustQueries {
         sort_array(collect_list(col("r"))).as("arr"),
         ((percentile(col("r"), lit(0.95)) - percentile(col("r"), lit(0.05))) / 10.0).as("h"))
       res.join(broadcast(par), "event_type")
+        // h = 0 (constant residuals, e.g. a perfectly periodic series
+        // under the lag forecast) makes the kernel degenerate — emit 0
+        // rather than divide by zero, identically to the oracle
         .withColumn("dens",
-          aggregate(col("arr"), lit(0.0),
-            (acc, v) => acc + exp(lit(-0.5) * pow((col("r") - v) / col("h"), 2)))
-            / (col("n") * col("h") * math.sqrt(2 * math.Pi)))
+          when(col("h") === 0, lit(0.0)).otherwise(
+            aggregate(col("arr"), lit(0.0),
+              (acc, v) => acc + exp(lit(-0.5) * pow((col("r") - v) / col("h"), 2)))
+              / (col("n") * col("h") * math.sqrt(2 * math.Pi))))
         .select(col("event_type"), epochS("ts"), col("r").as("resid"),
           round(col("dens"), 6).as("proba"))
     })
@@ -252,7 +256,9 @@ object RobustQueries {
          |          (quantile_cont(r, 0.95) - quantile_cont(r, 0.05)) / 10.0 AS h
          |        FROM res GROUP BY 1)
          |SELECT a.event_type, epoch_us(a.ts)//1000000 AS ts_s, a.r AS resid,
-         |  round(sum(exp(-0.5 * ((a.r - b.r) / h)^2)) / (n * h * sqrt(2 * pi())), 6) AS proba
+         |  round(CASE WHEN h = 0 THEN 0.0
+         |             ELSE sum(exp(-0.5 * ((a.r - b.r) / h)^2)) / (n * h * sqrt(2 * pi()))
+         |        END, 6) AS proba
          |FROM res a JOIN res b ON a.event_type = b.event_type
          |JOIN par ON a.event_type = par.event_type
          |GROUP BY 1, 2, 3, n, h""".stripMargin

@@ -91,6 +91,16 @@ class RobustSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty, "connectedComponents leaked cached RDDs")
   }
 
+  test("connectedComponents: a node with only a self-loop is labeled on BOTH paths") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (7L, 7L)).toDF("i", "j")
+    for (cap <- Seq(1000000L, 0L)) {
+      val cc = graft.dedup.Dedup.connectedComponents(edges, driverFastPathEdges = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 7L -> 7L), s"cap=$cap labels: $cc")
+    }
+  }
+
   test("map-side (streaming) minhash signatures equal the batch explode+groupBy signatures") {
     val docs = Tables.documents(spark, sf).limit(50)
     val batch = graft.dedup.Dedup.minhashSignatures(docs, numPerms = 16)
