@@ -39,7 +39,26 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => EwmaArray(exprs.head, toDouble(exprs(1)))),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))),
+    // Spark ships BloomFilterMightContain for its own runtime join
+    // filtering but does not expose it in the FunctionRegistry (the
+    // bloom_filter_agg side IS registered). Registering the probe side
+    // makes the classic bloom pre-filter pattern — aggregate a corpus
+    // key-set into a few MB of bits, broadcast, prune a stream/batch
+    // map-side before the exact join — writable as plain codegen'd SQL.
+    ("bloom_might_contain",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))),
+    ("bloom_filter_build",
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_build"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2))))
 
   /** Register all graft functions on an already-built session. */
   def registerOn(spark: SparkSession): Unit =

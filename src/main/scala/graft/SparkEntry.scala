@@ -21,7 +21,8 @@ object SparkEntry {
     (PqQueries.defs, PqQueries.sql),
     (StatQueries.defs, StatQueries.sql),
     (SimQueries.defs, SimQueries.sql),
-    (RobustQueries.defs, RobustQueries.sql)
+    (RobustQueries.defs, RobustQueries.sql),
+    (PipeQueries.defs, PipeQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

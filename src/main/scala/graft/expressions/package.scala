@@ -32,4 +32,21 @@ package object expressions {
     ensureRegistered(SparkSession.active)
     call_function("cosine_sim", a, b)
   }
+
+  /** Build side of Spark's bloom-filter pair: aggregates xxhash64 values
+    * into a serialized bloom filter sized for `expectedItems` / `numBits`.
+    */
+  def bloom_filter_build(xxhash64Value: Column, expectedItems: Long, numBits: Long): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("bloom_filter_build", xxhash64Value, lit(expectedItems), lit(numBits))
+  }
+
+  /** Probe side of Spark's bloom-filter pair (tests membership of an
+    * xxhash64 value). Codegen'd — no UDF boxing on the per-row
+    * pre-filter path.
+    */
+  def bloom_might_contain(bloom: Column, xxhash64Value: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("bloom_might_contain", bloom, xxhash64Value)
+  }
 }

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft._
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 LLM-pipeline additions: training-sequence packing, PII
+  * scrubbing, and bloom-prefiltered incremental dedup — the ingest-side
+  * operators a pretraining data pipeline runs between "corpus cleaned"
+  * and "tokens on the trainer".
+  */
+object PipeQueries {
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Tokens per training sequence for q_pack_sequences. */
+  private val SeqLen = 512L
+
+  // PII patterns shared verbatim by both engines. Kept inside the
+  // RE2 ∩ java.util.regex common subset (char classes, bounded repeats,
+  // non-capturing groups, \b) so Spark and DuckDB match identically.
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhonePat = "\\+\\d(?:[ -]?\\d){7,14}"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Training-sequence packing (concat-then-chunk): documents are
+    // concatenated per source in deterministic doc_id order and cut into
+    // fixed SeqLen-token training sequences — the standard GPT-style
+    // packing that wastes zero tokens on padding. Pure window cumsum: one
+    // shuffle keyed by the pack stream. At 100 TB the pack stream key is
+    // (source, shard) with a hash-derived shard, which this plan supports
+    // by adding the column to the partition key — parallelism then scales
+    // with shard count, not source count. ──
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_before"),
+          expr(s"cum_before DIV $SeqLen").as("seq_id"),
+          expr(s"cum_before % $SeqLen").as("seq_off"),
+          expr(s"((cum_before + n_tokens - 1) DIV $SeqLen) - (cum_before DIV $SeqLen) + 1")
+            .as("n_seqs_spanned"))
+    }),
+
+    // ── PII scrub: redact emails / IPv4s / phone numbers, report match
+    // counts and the scrubbed-text fingerprint. The synthetic corpus
+    // carries no PII, so deterministic markers derived from doc_id are
+    // appended first — both engines build the identical augmented text,
+    // making the oracle exercise the actual regex + replacement parity
+    // rather than a vacuous all-zeros pass. One map-side scan: at 100 TB
+    // this is a zero-shuffle rewrite. ──
+    "q_text_scrub" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact"), col("doc_id").cast("string"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 200).cast("string"), lit(".25 up")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("t"))
+      // email → ip → phone: the marker grammars are disjoint (only phones
+      // carry '+', only ips dotted digit quads), so order only matters for
+      // determinism, not semantics
+      val scrubbed = regexp_replace(
+        regexp_replace(
+          regexp_replace(col("t"), lit(EmailPat), lit("<EMAIL>")),
+          lit(Ipv4Pat), lit("<IP>")),
+        lit(PhonePat), lit("<PHONE>"))
+      aug.select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count(col("t"), lit(Ipv4Pat)).cast("long").as("n_ips"),
+        regexp_count(col("t"), lit(PhonePat)).cast("long").as("n_phones"),
+        (length(col("t")) - length(scrubbed)).cast("long").as("chars_removed"),
+        md5(scrubbed).as("scrub_fp"))
+    }),
+
+    // ── Bloom-prefiltered incremental dedup: the corpus fingerprint set
+    // is aggregated into a bloom filter (bloom_filter_agg — a few MB of
+    // bits standing in for billions of fingerprints), broadcast, and the
+    // ingest batch probes it MAP-SIDE. Definitely-new docs (bloom
+    // negative — no false negatives possible) skip the exact join
+    // entirely; only bloom-positive candidates shuffle to the fingerprint
+    // store to confirm, which squeezes false positives out of the final
+    // answer. Result is EXACT (oracle is the plain semi-join); the bloom
+    // only prunes. At 100 TB the confirm join shrinks from |batch| to
+    // |batch ∩ corpus| + ε rows — the standard ingest-dedup accelerator. ──
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hist = d.where(col("doc_id") < 300).select(md5(col("text")).as("fp"))
+      val batch = d.where(col("doc_id") >= 300)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      // ONE distributed pass builds the filter (map-side partial bloom
+      // merge), and only the finished bits — KBs here, MBs for a billion
+      // fingerprints — come to the driver. In production the bloom is
+      // persisted alongside the fingerprint store and re-enters each
+      // ingest run as a constant, exactly as it does here via lit();
+      // might_contain requires a constant/scalar-subquery build side.
+      val bfBytes = hist
+        .agg(graft.expressions.bloom_filter_build(xxhash64(col("fp")), 1000L, 8192L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val probed = batch.withColumn("maybe",
+        graft.expressions.bloom_might_contain(lit(bfBytes), xxhash64(col("fp"))))
+      val seen = hist.distinct().withColumn("_seen", lit(1))
+      val confirmed = probed.where(col("maybe")).join(seen, Seq("fp"), "left")
+      val fresh = probed.where(!col("maybe")).withColumn("_seen", lit(null).cast("int"))
+      confirmed.unionByName(fresh)
+        .select(col("doc_id"), col("source"),
+          col("_seen").isNotNull.cast("int").as("dup_vs_corpus"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT source, doc_id,
+         |             len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before FROM d)
+         |SELECT source, doc_id, n_tokens, cum_before,
+         |  (cum_before // $SeqLen)::BIGINT AS seq_id,
+         |  (cum_before % $SeqLen)::BIGINT AS seq_off,
+         |  (((cum_before + n_tokens - 1) // $SeqLen) - (cum_before // $SeqLen) + 1)::BIGINT AS n_seqs_spanned
+         |FROM c""".stripMargin,
+
+    "q_text_scrub" ->
+      s"""WITH aug AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' contact' || doc_id || '@mail.example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.' || (doc_id % 200) || '.25 up' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         |    AS t FROM documents),
+         |sc AS (SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$EmailPat', '<EMAIL>', 'g'),
+         |      '$Ipv4Pat', '<IP>', 'g'),
+         |      '$PhonePat', '<PHONE>', 'g') AS s FROM aug)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$EmailPat'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t, '$Ipv4Pat'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(t, '$PhonePat'))::BIGINT AS n_phones,
+         |  (length(t) - length(s))::BIGINT AS chars_removed,
+         |  md5(s) AS scrub_fp
+         |FROM sc""".stripMargin,
+
+    "q_dedup_bloom" ->
+      """WITH hist AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 300),
+        |b AS (SELECT doc_id, source, md5(text) AS fp FROM documents WHERE doc_id >= 300)
+        |SELECT b.doc_id, b.source,
+        |  CASE WHEN hist.fp IS NULL THEN 0 ELSE 1 END AS dup_vs_corpus
+        |FROM b LEFT JOIN hist ON b.fp = hist.fp""".stripMargin
+  )
+}
