@@ -22,7 +22,8 @@ object SparkEntry {
     (StatQueries.defs, StatQueries.sql),
     (SimQueries.defs, SimQueries.sql),
     (RobustQueries.defs, RobustQueries.sql),
-    (PipeQueries.defs, PipeQueries.sql)
+    (PipeQueries.defs, PipeQueries.sql),
+    (ServeQueries.defs, ServeQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
