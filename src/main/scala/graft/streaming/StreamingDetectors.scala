@@ -79,6 +79,34 @@ object StreamingDetectors {
       .select(col("doc_id"), col("ts"), col("corpus_id"), col("band"))
   }
 
+  /** Build the corpus-fingerprint bloom filter for [[bloomGate]]: ONE
+    * distributed pass over the fingerprint store (map-side partial bloom
+    * merge via bloom_filter_build); only the finished bits come back —
+    * KBs here, MBs for a billion fingerprints. Rebuild it whenever the
+    * corpus store is compacted; between rebuilds it serves every
+    * microbatch as a constant.
+    */
+  def corpusBloom(corpusFps: DataFrame, expectedItems: Long, numBits: Long): Array[Byte] =
+    corpusFps
+      .agg(graft.expressions.bloom_filter_build(xxhash64(col("fp")), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+  /** Streaming bloom pre-filter — the streaming twin of q_dedup_bloom:
+    * each incoming doc probes the corpus-fingerprint bloom MAP-SIDE
+    * (stateless, zero shuffle, nothing in the state store; the bits ride
+    * the task binary as a constant). `maybe_dup` = false is definitive
+    * (blooms have no false negatives) — those docs skip the exact confirm
+    * join entirely; positives route to an exact fingerprint join or
+    * [[nearDedupAgainstStore]]. This is the shape that holds when the
+    * corpus is 100 TB and the stream is fast: per-doc cost is one hash +
+    * k bit probes, and the only corpus state in the hot path is the
+    * filter itself.
+    */
+  def bloomGate(stream: DataFrame, bloomBits: Array[Byte]): DataFrame =
+    stream.withColumn("fp", md5(col("text")))
+      .withColumn("maybe_dup",
+        graft.expressions.bloom_might_contain(lit(bloomBits), xxhash64(col("fp"))))
+
   /** Stateless streaming quality gate — the q_doc_filter rule cascade as
     * an ingest-time filter: every signal is per-row column math (no
     * state, no shuffle, no watermark needed), so the gate composes in

@@ -72,4 +72,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
       s"q_text_tokens reads more than it needs: $read")
   }
+
+  test("ingest-pipeline plans keep their scale shape") {
+    // q_text_scrub is a pure map-side rewrite: zero shuffles
+    val scrub = planOf("q_text_scrub")
+    assert(!scrub.contains("Exchange"), s"q_text_scrub grew a shuffle:\n$scrub")
+    // q_pack_sequences is ONE window shuffle keyed by the pack stream
+    val pack = planOf("q_pack_sequences")
+    assert("Exchange".r.findAllIn(pack).size == 1, s"q_pack_sequences should shuffle exactly once:\n$pack")
+    // q_dedup_bloom keeps the bloom probe as a pre-join Filter so
+    // bloom-negative rows never reach the exchange
+    val bloom = planOf("q_dedup_bloom")
+    assert(bloom.contains("might_contain"), s"q_dedup_bloom lost its bloom probe:\n$bloom")
+    assert(!bloom.contains("SortMergeJoin") || bloom.contains("Filter"),
+      s"q_dedup_bloom should filter on the bloom before joining:\n$bloom")
+  }
 }

@@ -94,6 +94,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming bloom gate: true dups always flagged, fresh docs mostly pass map-side") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq.tabulate(200)(i => s"corpus document number $i with some shared words")
+      .toDF("text").select(md5(col("text")).as("fp"))
+    val bloom = StreamingDetectors.corpusBloom(corpus, expectedItems = 1000L, numBits = 8192L)
+    val mem = MemoryStream[StreamingDetectors.Doc]
+    val q = StreamingDetectors.bloomGate(mem.toDF(), bloom)
+      .writeStream.format("memory").queryName("bloomgate").outputMode("append").start()
+    mem.addData(
+      // byte-identical to corpus doc 7 -> MUST be flagged (no false negatives)
+      StreamingDetectors.Doc(1L, ts(0), "corpus document number 7 with some shared words"),
+      StreamingDetectors.Doc(2L, ts(0), "corpus document number 42 with some shared words"),
+      StreamingDetectors.Doc(3L, ts(0), "entirely novel text never seen in the corpus at all"))
+    q.processAllAvailable()
+    val rows = spark.sql("select doc_id, maybe_dup from bloomgate").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(rows(1L) && rows(2L), "true duplicates must probe positive")
+    // doc 3 is bloom-negative with overwhelming probability at this sizing;
+    // a positive would only mean an unlucky false positive, so don't assert
+    assert(rows.size === 3)
+    q.stop()
+  }
+
   test("streaming quality gate routes docs with the first failing rule") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
