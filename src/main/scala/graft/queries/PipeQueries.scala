@@ -82,6 +82,30 @@ object PipeQueries {
         md5(scrubbed).as("scrub_fp"))
     }),
 
+    // ── Cross-source overlap matrix: for every source pair, how many
+    // distinct word-3-gram shingles they share, and what fraction of each
+    // side's shingle vocabulary that is — the diagnostic a pipeline runs
+    // to quantify cross-source contamination before choosing mixing
+    // weights. One (source, shingle) distinct + one key-equality
+    // self-join on shingle: a shingle present in k sources contributes
+    // C(k,2) ≤ C(#sources,2) pair rows, so the join is bounded by the
+    // source count, never by corpus size. ──
+    "q_source_overlap" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val cnt = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .join(broadcast(cnt.select(col("source").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+        .join(broadcast(cnt.select(col("source").as("src_b"), col("n_sh").as("n_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_shingles"),
+          round(col("shared_shingles") / col("n_a"), 6).as("share_a"),
+          round(col("shared_shingles") / col("n_b"), 6).as("share_b"))
+    }),
+
     // ── Bloom-prefiltered incremental dedup: the corpus fingerprint set
     // is aggregated into a bloom filter (bloom_filter_agg — a few MB of
     // bits standing in for billions of fingerprints), broadcast, and the
@@ -147,6 +171,23 @@ object PipeQueries {
          |  (length(t) - length(s))::BIGINT AS chars_removed,
          |  md5(s) AS scrub_fp
          |FROM sc""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (SELECT doc_id, source, unnest(list_distinct(
+        |          CASE WHEN len(t) >= 3
+        |               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |               ELSE []::VARCHAR[] END
+        |        )) AS shingle FROM toks),
+        |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+        |cnt AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_shingles
+        |      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.shared_shingles,
+        |  round(p.shared_shingles / ca.n_sh, 6) AS share_a,
+        |  round(p.shared_shingles / cb.n_sh, 6) AS share_b
+        |FROM p JOIN cnt ca ON p.src_a = ca.source JOIN cnt cb ON p.src_b = cb.source""".stripMargin,
 
     "q_dedup_bloom" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 300),
