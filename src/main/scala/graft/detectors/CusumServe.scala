@@ -17,13 +17,15 @@ package graft.detectors
   *    points at or before the changepoint; after it, z-score against the
   *    frozen baselines plus the absolute change.
   *
-  * Declared simplification: the inner detector is the SINGLE-PASS CUSUM
-  * mean-split (argmin/argmax of cumsum(x−μ), both directions, earliest
-  * significant wins) with the same Gaussian LLR gate as [[CusumV2]] —
-  * not the 10-iteration refinement — and no seasonality removal or
-  * pre-smoothing (remove_seasonality=False is the reference default).
-  * Prefix sums are recomputed per index (not accumulated) so the DuckDB
-  * oracle's list_sum-over-prefix-slice arithmetic is replayed exactly.
+  * The inner detector is the dual-direction iterative CUSUM mean-split
+  * (the [[CusumV2]] refinement convention, `MaxIter` steps per
+  * direction, earliest significant candidate wins) with the CusumV2
+  * Gaussian LLR gate plus the reference's delta_std_ratio gate.
+  * Declared simplifications: no seasonality removal or pre-smoothing
+  * (remove_seasonality=False is the reference default) and no magnitude
+  * comparison (magnitude_quantile=None is the default). Prefix sums are
+  * recomputed per index (not accumulated) so the DuckDB oracle's
+  * list_sum-over-prefix-slice arithmetic is replayed exactly.
   */
 object CusumServe {
 
@@ -48,11 +50,20 @@ object CusumServe {
     math.sqrt(ss / (hiExcl - lo))
   }
 
-  /** Single-pass dual-direction CUSUM over `w`: candidate = argmin (increase)
-    * and argmax (decrease) of cumsum(w−μ) clamped to [1, m−2]; each gated by
-    * the CusumV2 LLR + direction consistency; earliest significant candidate
-    * wins (kats sorts changepoints by start time), ties broken by LLR.
-    * Returns (cpOff, dir) with dir ∈ {1 (increase), −1 (decrease)}, or null.
+  /** Dual-direction CUSUM over `w` with the reference's iterative
+    * refinement (cusum_detection.py:_get_change_point, same convention as
+    * [[CusumV2.detect]]): per direction, start from the arg extreme of
+    * cumsum(w−μ) clamped to m−2, then run exactly `CusumV2.MaxIter`
+    * refinement steps — each re-estimates the segment means, recomputes
+    * cusum against their midpoint and re-picks the clamped extreme. Each
+    * final candidate is gated by the CusumV2 LLR + direction consistency +
+    * the delta_std_ratio gate; the earliest significant candidate wins
+    * (kats sorts changepoints by start time), ties broken by LLR.
+    * Returns (cpOff, dir) with dir ∈ {1 (increase), −1 (decrease)}.
+    *
+    * Cumulative sums are prefix-slice sums recomputed per index (not an
+    * accumulator) so the oracle's list_sum(w[1:j]) arithmetic is replayed
+    * bit-for-bit.
     */
   private[detectors] def detectOnce(w: Array[Double]): Option[(Int, Int)] = {
     val m = w.length
@@ -66,14 +77,29 @@ object CusumServe {
     // evidence, but its ~1e-15 prefix-sum noise would otherwise feed the
     // LLR a ratio of garbage variances and fire spuriously
     if (sigt <= math.max(math.abs(mu) * 1e-12, 1e-12)) return None
-    // cs(j) as prefix-slice sums (mirrors list_sum(w[1:j+1]) − (j+1)·μ)
-    def cs(j: Int): Double = sumRange(w, 0, j + 1) - (j + 1) * mu
-    var argMin = 0; var argMax = 0
-    var j = 1
-    while (j < m) {
-      if (cs(j) < cs(argMin)) argMin = j
-      if (cs(j) > cs(argMax)) argMax = j
-      j += 1
+    // cs(j) against mean `mm`, as prefix-slice sums
+    // (mirrors list_sum(w[1:j+1]) − (j+1)·mm)
+    def cs(j: Int, mm: Double): Double = sumRange(w, 0, j + 1) - (j + 1) * mm
+    def argPick(mm: Double, increase: Boolean): Int = {
+      var best = 0
+      var j = 1
+      while (j < m) {
+        val better = if (increase) cs(j, mm) < cs(best, mm) else cs(j, mm) > cs(best, mm)
+        if (better) best = j
+        j += 1
+      }
+      best
+    }
+    def refine(increase: Boolean): Int = {
+      var cp = math.min(argPick(mu, increase), m - 2)
+      var it = 0
+      while (it < CusumV2.MaxIter) {
+        val m0 = meanRange(w, 0, cp + 1)
+        val m1 = meanRange(w, cp + 1, m)
+        cp = math.max(1, math.min(argPick((m0 + m1) / 2, increase), m - 2))
+        it += 1
+      }
+      cp
     }
     def clamp(i: Int): Int = math.max(1, math.min(i, m - 2))
     def llrAt(cp: Int): (Double, Double, Double) = {
@@ -92,8 +118,8 @@ object CusumServe {
         + 0.5 * ((ss0 + ss1) / (scale * scale) - ssT / (sigt * sigt)))
       (llr, mu0, mu1)
     }
-    val cpInc = clamp(argMin)
-    val cpDec = clamp(argMax)
+    val cpInc = clamp(refine(increase = true))
+    val cpDec = clamp(refine(increase = false))
     val (llrI, i0, i1) = llrAt(cpInc)
     val (llrD, d0, d1) = llrAt(cpDec)
     // the reference's delta_std_ratio gate (cusum_detection.py:645): the

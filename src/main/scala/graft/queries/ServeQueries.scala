@@ -40,6 +40,119 @@ object ServeQueries {
     })
   )
 
+  // ---- oracle: the serving loop as ONE recursive CTE -------------------
+  //
+  // State per recursion round (one round per step window): alert flag,
+  // frozen baselines, direction, last-changepoint ts, normal-scan count,
+  // plus the accumulated scored points as a struct list. Intermediates
+  // (window slices, cusum lists, the per-direction refinement iterates,
+  // LLR pieces, state-machine updates) are computed in nested derived
+  // tables generated below — DuckDB allows the recursive reference at
+  // arbitrary derived-table depth, but NOT extra SELECT-list aliases in
+  // the recursive arm (positional column matching), hence the layering.
+
+  private def layer(cols: String, inner: String): String =
+    s"SELECT *,\n  $cols\nFROM (\n$inner\n)"
+
+  /** Innermost layer: step geometry over the carried state. */
+  private val baseLayer =
+    "SELECT *, least(s + 12, n) AS e, greatest(s - 48, 0) AS h0 FROM rec WHERE s < n"
+
+  /** Window slice, overall mean/variance, and the UNREFINED per-direction
+    * starting changepoints (min-clamped only, mirroring CusumV2's init).
+    */
+  private val windowLayers = Seq(
+    "(e - h0)::BIGINT AS m",
+    "greatest(0, m - 1 - 24) AS sso",
+    "xs[(h0 + sso + 1):e] AS w, (m - sso)::BIGINT AS mw",
+    "list_sum(w) / mw AS mu",
+    """list_transform(range(1, mw + 1), j -> list_sum(w[1:j]) - j * mu) AS cs,
+      |  list_sum(list_transform(w, v -> (v - mu) * (v - mu))) AS sst""".stripMargin,
+    """least(list_position(cs, list_min(cs))::BIGINT, mw - 1) AS cpi0,
+      |  least(list_position(cs, list_max(cs))::BIGINT, mw - 1) AS cpd0,
+      |  sqrt(sst / mw) AS sigt""".stripMargin)
+
+  /** The CusumV2 refinement, unrolled: per iteration and direction,
+    * segment-mean midpoint -> fresh cusum -> re-picked clamped extreme.
+    * Three generated layers per iteration (midpoints, cusum lists, picks)
+    * because lambda bodies must reference columns from an inner layer.
+    */
+  private val refineLayers: Seq[String] =
+    (1 to graft.detectors.CusumV2.MaxIter).flatMap { k =>
+      val pI = s"cpi${k - 1}"
+      val pD = s"cpd${k - 1}"
+      val nI = if (k == graft.detectors.CusumV2.MaxIter) "cpi" else s"cpi$k"
+      val nD = if (k == graft.detectors.CusumV2.MaxIter) "cpd" else s"cpd$k"
+      Seq(
+        s"""(list_sum(w[1:$pI]) / $pI + list_sum(w[($pI+1):mw]) / (mw - $pI)) / 2 AS midi$k,
+           |  (list_sum(w[1:$pD]) / $pD + list_sum(w[($pD+1):mw]) / (mw - $pD)) / 2 AS midd$k""".stripMargin,
+        s"""list_transform(range(1, mw + 1), j -> list_sum(w[1:j]) - j * midi$k) AS csi$k,
+           |  list_transform(range(1, mw + 1), j -> list_sum(w[1:j]) - j * midd$k) AS csd$k""".stripMargin,
+        s"""greatest(2, least(list_position(csi$k, list_min(csi$k))::BIGINT, mw - 1)) AS $nI,
+           |  greatest(2, least(list_position(csd$k, list_max(csd$k))::BIGINT, mw - 1)) AS $nD""".stripMargin)
+    }
+
+  /** LLR + gates on the refined candidates, then the alert state machine
+    * (detection branch + normal-band/retention branch) and the merged
+    * next-round state.
+    */
+  private def stateLayers(thr: Double): Seq[String] = Seq(
+    """list_sum(w[1:cpi]) / cpi AS imu0, list_sum(w[(cpi+1):mw]) / (mw - cpi) AS imu1,
+      |  list_sum(w[1:cpd]) / cpd AS dmu0, list_sum(w[(cpd+1):mw]) / (mw - cpd) AS dmu1,
+      |  list_sum(w[1:cpi-1]) / (cpi - 1) AS mprei, list_sum(w[1:cpd-1]) / (cpd - 1) AS mpred""".stripMargin,
+    """list_sum(list_transform(w[1:cpi], v -> (v - imu0) * (v - imu0))) AS iss0,
+      |  list_sum(list_transform(w[(cpi+1):mw], v -> (v - imu1) * (v - imu1))) AS iss1,
+      |  list_sum(list_transform(w[1:cpd], v -> (v - dmu0) * (v - dmu0))) AS dss0,
+      |  list_sum(list_transform(w[(cpd+1):mw], v -> (v - dmu1) * (v - dmu1))) AS dss1,
+      |  sqrt(list_sum(list_transform(w[1:cpi-1], v -> (v - mprei) * (v - mprei))) / (cpi - 1)) AS sdprei,
+      |  sqrt(list_sum(list_transform(w[1:cpd-1], v -> (v - mpred) * (v - mpred))) / (cpd - 1)) AS sdpred""".stripMargin,
+    """CASE WHEN sqrt((iss0 + iss1) / (mw - 2)) = 0 THEN sigt * 0.01
+      |       ELSE sqrt((iss0 + iss1) / (mw - 2)) END AS iscale,
+      |  CASE WHEN sqrt((dss0 + dss1) / (mw - 2)) = 0 THEN sigt * 0.01
+      |       ELSE sqrt((dss0 + dss1) / (mw - 2)) END AS dscale""".stripMargin,
+    """CASE WHEN sigt = 0 THEN 0.0 ELSE
+      |    -2 * (mw * ln(iscale / sigt)
+      |      + 0.5 * ((iss0 + iss1) / (iscale * iscale) - sst / (sigt * sigt))) END AS illr,
+      |  CASE WHEN sigt = 0 THEN 0.0 ELSE
+      |    -2 * (mw * ln(dscale / sigt)
+      |      + 0.5 * ((dss0 + dss1) / (dscale * dscale) - sst / (sigt * sigt))) END AS dllr""".stripMargin,
+    s"""(sigt > greatest(abs(mu) * 1e-12, 1e-12) AND illr > $thr
+       |    AND imu1 > imu0 AND abs(imu1 - imu0) > sdprei) AS incok,
+       |  (sigt > greatest(abs(mu) * 1e-12, 1e-12) AND dllr > $thr
+       |    AND dmu1 < dmu0 AND abs(dmu1 - dmu0) > sdpred) AS decok""".stripMargin,
+    """(NOT alert AND mw >= 4 AND (incok OR decok)) AS fired,
+      |  CASE WHEN NOT (incok OR decok) THEN 0::BIGINT
+      |       WHEN incok AND NOT decok THEN cpi
+      |       WHEN decok AND NOT incok THEN cpd
+      |       WHEN cpi <= cpd THEN cpi ELSE cpd END AS cp1,
+      |  CASE WHEN NOT (incok OR decok) THEN 0
+      |       WHEN incok AND NOT decok THEN 1
+      |       WHEN decok AND NOT incok THEN -1
+      |       WHEN cpi < cpd THEN 1
+      |       WHEN cpd < cpi THEN -1
+      |       WHEN illr >= dllr THEN 1 ELSE -1 END AS dirn""".stripMargin,
+    "(h0 + sso + cp1)::BIGINT AS cpa1",
+    """CASE WHEN fired THEN list_sum(xs[(h0+1):cpa1]) / (cpa1 - h0)
+      |       ELSE pre_mean END AS pmN""".stripMargin,
+    """CASE WHEN fired THEN
+      |    sqrt(list_sum(list_transform(xs[(h0+1):cpa1], v -> (v - pmN) * (v - pmN)))
+      |         / (cpa1 - h0))
+      |  ELSE pre_std END AS ps3, pmN AS pm3""".stripMargin,
+    """(alert AND ((dir = 1 AND pre_mean - pre_std <= mu AND mu <= pre_mean)
+      |         OR (dir = -1 AND pre_mean <= mu AND mu <= pre_mean + pre_std))) AS normal""".stripMargin,
+    "CASE WHEN NOT alert THEN 0 WHEN normal THEN n_normal + 1 ELSE 0 END AS nnA",
+    """CASE WHEN NOT alert THEN false
+      |       WHEN normal AND nnA >= 1 THEN false ELSE alert END AS alertA""".stripMargin,
+    "CASE WHEN alertA AND tss[e] - last_cp > 604800 THEN false ELSE alertA END AS alertB",
+    """CASE WHEN alert THEN alertB ELSE fired END AS alert3,
+      |  CASE WHEN fired THEN dirn ELSE dir END AS dir3,
+      |  CASE WHEN fired THEN tss[cpa1] ELSE last_cp END AS cp3,
+      |  CASE WHEN NOT alert THEN (CASE WHEN fired THEN 0 ELSE n_normal END)
+      |       WHEN alertB THEN nnA ELSE 0 END AS nn3""".stripMargin)
+
+  private lazy val recursiveArmInner: String =
+    (windowLayers ++ refineLayers ++ stateLayers(Thr)).foldLeft(baseLayer)((inner, cols) => layer(cols, inner))
+
   val sql: Map[String, String] = Map(
     "q_cusum_serve" ->
       s"""WITH RECURSIVE hourly AS ($H),
@@ -63,103 +176,8 @@ object ServeQueries {
          |                 THEN (xs[i] - pm3) / ps3 ELSE 0.0 END,
          |      'ch': CASE WHEN alert3 AND tss[i] > cp3 THEN xs[i] - pm3 ELSE 0.0 END})
          |  FROM (
-         |   SELECT *,
-         |     CASE WHEN alert THEN alertB ELSE fired END AS alert3,
-         |     CASE WHEN fired THEN dirn ELSE dir END AS dir3,
-         |     CASE WHEN fired THEN tss[cpa1] ELSE last_cp END AS cp3,
-         |     CASE WHEN NOT alert THEN (CASE WHEN fired THEN 0 ELSE n_normal END)
-         |          WHEN alertB THEN nnA ELSE 0 END AS nn3
-         |   FROM (
-         |    SELECT *, CASE WHEN alertA AND tss[e] - last_cp > 604800 THEN false ELSE alertA END AS alertB
-         |    FROM (
-         |     SELECT *, CASE WHEN NOT alert THEN false
-         |                    WHEN normal AND nnA >= 1 THEN false ELSE alert END AS alertA
-         |     FROM (
-         |      SELECT *, CASE WHEN NOT alert THEN 0
-         |                     WHEN normal THEN n_normal + 1 ELSE 0 END AS nnA
-         |      FROM (
-         |       SELECT *, (alert AND ((dir = 1 AND pre_mean - pre_std <= mu AND mu <= pre_mean)
-         |                          OR (dir = -1 AND pre_mean <= mu AND mu <= pre_mean + pre_std))) AS normal
-         |       FROM (
-         |        SELECT *, CASE WHEN fired THEN
-         |            sqrt(list_sum(list_transform(xs[(h0+1):cpa1], v -> (v - pmN) * (v - pmN)))
-         |                 / (cpa1 - h0))
-         |          ELSE pre_std END AS ps3, pmN AS pm3
-         |        FROM (
-         |         SELECT *, CASE WHEN fired THEN list_sum(xs[(h0+1):cpa1]) / (cpa1 - h0)
-         |                        ELSE pre_mean END AS pmN
-         |         FROM (
-         |          SELECT *, (h0 + sso + cp1)::BIGINT AS cpa1
-         |          FROM (
-         |           SELECT *,
-         |             (NOT alert AND mw >= 4 AND (incok OR decok)) AS fired,
-         |             CASE WHEN NOT (incok OR decok) THEN 0::BIGINT
-         |                  WHEN incok AND NOT decok THEN cpi
-         |                  WHEN decok AND NOT incok THEN cpd
-         |                  WHEN cpi <= cpd THEN cpi ELSE cpd END AS cp1,
-         |             CASE WHEN NOT (incok OR decok) THEN 0
-         |                  WHEN incok AND NOT decok THEN 1
-         |                  WHEN decok AND NOT incok THEN -1
-         |                  WHEN cpi < cpd THEN 1
-         |                  WHEN cpd < cpi THEN -1
-         |                  WHEN illr >= dllr THEN 1 ELSE -1 END AS dirn
-         |           FROM (
-         |            SELECT *,
-         |              (sigt > greatest(abs(mu) * 1e-12, 1e-12) AND illr > $Thr
-         |                AND imu1 > imu0 AND abs(imu1 - imu0) > sdprei) AS incok,
-         |              (sigt > greatest(abs(mu) * 1e-12, 1e-12) AND dllr > $Thr
-         |                AND dmu1 < dmu0 AND abs(dmu1 - dmu0) > sdpred) AS decok
-         |            FROM (
-         |             SELECT *,
-         |               CASE WHEN sigt = 0 THEN 0.0 ELSE
-         |                 -2 * (mw * ln(iscale / sigt)
-         |                   + 0.5 * ((iss0 + iss1) / (iscale * iscale) - sst / (sigt * sigt))) END AS illr,
-         |               CASE WHEN sigt = 0 THEN 0.0 ELSE
-         |                 -2 * (mw * ln(dscale / sigt)
-         |                   + 0.5 * ((dss0 + dss1) / (dscale * dscale) - sst / (sigt * sigt))) END AS dllr
-         |             FROM (
-         |              SELECT *,
-         |                CASE WHEN sqrt((iss0 + iss1) / (mw - 2)) = 0 THEN sigt * 0.01
-         |                     ELSE sqrt((iss0 + iss1) / (mw - 2)) END AS iscale,
-         |                CASE WHEN sqrt((dss0 + dss1) / (mw - 2)) = 0 THEN sigt * 0.01
-         |                     ELSE sqrt((dss0 + dss1) / (mw - 2)) END AS dscale
-         |              FROM (
-         |               SELECT *,
-         |                 list_sum(list_transform(w[1:cpi], v -> (v - imu0) * (v - imu0))) AS iss0,
-         |                 list_sum(list_transform(w[(cpi+1):mw], v -> (v - imu1) * (v - imu1))) AS iss1,
-         |                 list_sum(list_transform(w[1:cpd], v -> (v - dmu0) * (v - dmu0))) AS dss0,
-         |                 list_sum(list_transform(w[(cpd+1):mw], v -> (v - dmu1) * (v - dmu1))) AS dss1,
-         |                 sqrt(list_sum(list_transform(w[1:cpi-1], v -> (v - mprei) * (v - mprei))) / (cpi - 1)) AS sdprei,
-         |                 sqrt(list_sum(list_transform(w[1:cpd-1], v -> (v - mpred) * (v - mpred))) / (cpd - 1)) AS sdpred
-         |               FROM (
-         |                SELECT *,
-         |                  list_sum(w[1:cpi]) / cpi AS imu0,
-         |                  list_sum(w[(cpi+1):mw]) / (mw - cpi) AS imu1,
-         |                  list_sum(w[1:cpd]) / cpd AS dmu0,
-         |                  list_sum(w[(cpd+1):mw]) / (mw - cpd) AS dmu1,
-         |                  list_sum(w[1:cpi-1]) / (cpi - 1) AS mprei,
-         |                  list_sum(w[1:cpd-1]) / (cpd - 1) AS mpred,
-         |                  sqrt(sst / mw) AS sigt
-         |                FROM (
-         |                 SELECT *,
-         |                   greatest(2, least(list_position(cs, list_min(cs))::BIGINT, mw - 1)) AS cpi,
-         |                   greatest(2, least(list_position(cs, list_max(cs))::BIGINT, mw - 1)) AS cpd
-         |                 FROM (
-         |                  SELECT *,
-         |                    list_transform(range(1, mw + 1), j -> list_sum(w[1:j]) - j * mu) AS cs,
-         |                    list_sum(list_transform(w, v -> (v - mu) * (v - mu))) AS sst
-         |                  FROM (
-         |                   SELECT *, list_sum(w) / mw AS mu
-         |                   FROM (
-         |                    SELECT *, xs[(h0 + sso + 1):e] AS w, (m - sso)::BIGINT AS mw
-         |                    FROM (
-         |                     SELECT *, greatest(0, m - 1 - 24) AS sso
-         |                     FROM (
-         |                      SELECT *, (e - h0)::BIGINT AS m
-         |                      FROM (
-         |                       SELECT *, least(s + 12, n) AS e, greatest(s - 48, 0) AS h0
-         |                       FROM rec WHERE s < n
-         |                      ) z1 ) z2 ) z3 ) z4 ) z5 ) z6 ) z7 ) z8 ) z9 ) z10 ) z11 ) z12 ) z13 ) z14 ) z15 ) z16 ) z17 ) z18 ) z19 ) z20 ) z21
+         |$recursiveArmInner
+         |  )
          |)
          |SELECT event_type, o.ts AS ts_s, o.x AS value,
          |  round(o.sc, 6) AS score, round(o.ch, 6) AS change
