@@ -50,15 +50,24 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))),
+      (exprs: Seq[Expression]) => {
+        arity("bloom_might_contain", exprs, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))
+      }),
     ("bloom_filter_build",
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_filter_build"),
-      (exprs: Seq[Expression]) =>
+      (exprs: Seq[Expression]) => {
+        arity("bloom_filter_build", exprs, 3)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs.head, exprs(1), exprs(2))))
+          exprs.head, exprs(1), exprs(2))
+      }))
+
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
 
   /** Register all graft functions on an already-built session. */
   def registerOn(spark: SparkSession): Unit =

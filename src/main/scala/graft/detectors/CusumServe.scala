@@ -30,7 +30,10 @@ package graft.detectors
 object CusumServe {
 
   val Hist = 48 // historical window, points
-  val Scan = 24 // scan window, points
+  // scan REACH in points back from a step's last point: the scan slice is
+  // Scan+1 = 25 points (ts >= t_end − Scan·granularity, INCLUSIVE — the
+  // reference's time-based bound keeps both endpoints)
+  val Scan = 24
   val Step = 12 // step window, points
   val NormalTolerance = 1
   val RetentionSec: Long = 7L * 24 * 3600

@@ -17,12 +17,14 @@ object PipeQueries {
   /** Tokens per training sequence for q_pack_sequences. */
   private val SeqLen = 512L
 
-  // PII patterns shared verbatim by both engines. Kept inside the
-  // RE2 ∩ java.util.regex common subset (char classes, bounded repeats,
-  // non-capturing groups, \b) so Spark and DuckDB match identically.
-  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-  private val PhonePat = "\\+\\d(?:[ -]?\\d){7,14}"
+  // PII patterns shared verbatim by both engines AND by PipeSpec's
+  // crafted-PII cases (private[graft] so the spec cannot drift from the
+  // product patterns). Kept inside the RE2 ∩ java.util.regex common
+  // subset (char classes, bounded repeats, non-capturing groups, \b) so
+  // Spark and DuckDB match identically.
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val PhonePat = "\\+\\d(?:[ -]?\\d){7,14}"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -130,8 +132,14 @@ object PipeQueries {
       val bfBytes = hist
         .agg(graft.expressions.bloom_filter_build(xxhash64(col("fp")), 1000L, 8192L).as("bf"))
         .head().getAs[Array[Byte]]("bf")
-      val probed = batch.withColumn("maybe",
-        graft.expressions.bloom_might_contain(lit(bfBytes), xxhash64(col("fp"))))
+      // bloom_filter_agg over ZERO rows is NULL, and a NULL filter would
+      // make might_contain NULL — dropping every batch row from both the
+      // maybe and !maybe branches. An empty corpus means nothing can be a
+      // duplicate: probe constant-false.
+      val probe =
+        if (bfBytes == null) lit(false)
+        else graft.expressions.bloom_might_contain(lit(bfBytes), xxhash64(col("fp")))
+      val probed = batch.withColumn("maybe", probe)
       val seen = hist.distinct().withColumn("_seen", lit(1))
       val confirmed = probed.where(col("maybe")).join(seen, Seq("fp"), "left")
       val fresh = probed.where(!col("maybe")).withColumn("_seen", lit(null).cast("int"))

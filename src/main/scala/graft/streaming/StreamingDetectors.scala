@@ -102,10 +102,17 @@ object StreamingDetectors {
     * k bit probes, and the only corpus state in the hot path is the
     * filter itself.
     */
-  def bloomGate(stream: DataFrame, bloomBits: Array[Byte]): DataFrame =
+  def bloomGate(stream: DataFrame, bloomBits: Array[Byte]): DataFrame = {
+    // corpusBloom over an EMPTY fingerprint store returns null
+    // (bloom_filter_agg of zero rows is NULL); a null filter would probe
+    // NULL and silently drop every doc from both routing branches. An
+    // empty corpus means nothing can be a duplicate: probe constant-false.
+    val probe =
+      if (bloomBits == null) lit(false)
+      else graft.expressions.bloom_might_contain(lit(bloomBits), xxhash64(col("fp")))
     stream.withColumn("fp", md5(col("text")))
-      .withColumn("maybe_dup",
-        graft.expressions.bloom_might_contain(lit(bloomBits), xxhash64(col("fp"))))
+      .withColumn("maybe_dup", probe)
+  }
 
   /** Stateless streaming quality gate — the q_doc_filter rule cascade as
     * an ingest-time filter: every signal is per-row column math (no

@@ -50,9 +50,11 @@ class PipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "no pii here at all")
     ).toDF("doc_id", "text")
     crafted.createOrReplaceTempView("_scrub_in")
-    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipPat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-    val phonePat = "\\+\\d(?:[ -]?\\d){7,14}"
+    // the PRODUCT patterns — referencing them directly means this test
+    // fails (not silently passes) if the patterns regress
+    val emailPat = PipeQueries.EmailPat
+    val ipPat = PipeQueries.Ipv4Pat
+    val phonePat = PipeQueries.PhonePat
     val scrubbed = crafted.select(col("doc_id"),
       regexp_count(col("text"), lit(emailPat)).as("ne"),
       regexp_count(col("text"), lit(ipPat)).as("ni"),

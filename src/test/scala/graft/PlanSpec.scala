@@ -81,10 +81,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pack = planOf("q_pack_sequences")
     assert("Exchange".r.findAllIn(pack).size == 1, s"q_pack_sequences should shuffle exactly once:\n$pack")
     // q_dedup_bloom keeps the bloom probe as a pre-join Filter so
-    // bloom-negative rows never reach the exchange
+    // bloom-negative rows never reach the exchange. In the printed plan
+    // tree children render BELOW their parent, so a probe that is a join
+    // INPUT prints after the join node; a probe applied to the join
+    // OUTPUT would print before it.
     val bloom = planOf("q_dedup_bloom")
-    assert(bloom.contains("might_contain"), s"q_dedup_bloom lost its bloom probe:\n$bloom")
-    assert(!bloom.contains("SortMergeJoin") || bloom.contains("Filter"),
-      s"q_dedup_bloom should filter on the bloom before joining:\n$bloom")
+    val probeAt = bloom.indexOf("might_contain")
+    val joinAt = bloom.indexOf("HashJoin")
+    assert(probeAt >= 0, s"q_dedup_bloom lost its bloom probe:\n$bloom")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"q_dedup_bloom's bloom probe must sit BELOW the confirm join (filter the join input):\n$bloom")
   }
 }

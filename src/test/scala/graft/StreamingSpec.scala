@@ -118,6 +118,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming bloom gate: empty corpus probes constant-false, not NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emptyBloom = StreamingDetectors.corpusBloom(
+      Seq.empty[String].toDF("fp"), expectedItems = 100L, numBits = 1024L)
+    assert(emptyBloom == null, "bloom_filter_agg over zero rows should be NULL")
+    val mem = MemoryStream[StreamingDetectors.Doc]
+    val q = StreamingDetectors.bloomGate(mem.toDF(), emptyBloom)
+      .writeStream.format("memory").queryName("bloomempty").outputMode("append").start()
+    mem.addData(StreamingDetectors.Doc(1L, ts(0), "first ever document"))
+    q.processAllAvailable()
+    val rows = spark.sql("select maybe_dup from bloomempty").collect()
+    assert(rows.length === 1 && !rows.head.getBoolean(0),
+      "empty-corpus gate must emit false (doc routes to the fresh path), never NULL")
+    q.stop()
+  }
+
   test("streaming quality gate routes docs with the first failing rule") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
