@@ -264,6 +264,12 @@ object Bocpd {
   def detect(df: DataFrame, s: TSSchema, hazard: Double = 0.01, topK: Int = 3): DataFrame =
     detectWith(df, s, topK)(changeProb(_, hazard))
 
+  /** Per-point change probabilities without the top-k cut — the input to
+    * threshold-style consumers (tsfeatures get_bocp_detector).
+    */
+  def scores(df: DataFrame, s: TSSchema, hazard: Double = 0.01): DataFrame =
+    SeriesOps.mapSeries(df, s, "cp_prob")(changeProb(_, hazard))
+
   def detectTrend(df: DataFrame, s: TSSchema, hazard: Double = 0.01, topK: Int = 3): DataFrame =
     detectWith(df, s, topK)(changeProbTrend(_, hazard))
 

@@ -73,6 +73,23 @@ object DetectorQueries {
       Bocpd.detect(dense(s, dir), S, hazard = 0.01, topK = 3)
         .select(col("event_type"), epochS("ts"), col("value"), col("cp_prob"))),
 
+    // tsfeatures get_bocp_detector (tsfeatures.py:1569): changepoint
+    // count + max/mean confidence over the detector's 0.5 posterior
+    // threshold (bocpd.py default) — the same posterior kernel as
+    // q_bocpd, aggregated per series
+    "q_feat_bocp" -> ((s, dir) =>
+      Bocpd.scores(dense(s, dir), S, hazard = 0.01)
+        .groupBy("event_type").agg(
+          sum(when(col("cp_prob") >= 0.5, 1).otherwise(0)).cast("long").as("bocp_num"),
+          round(coalesce(max(when(col("cp_prob") >= 0.5, col("cp_prob"))), lit(0.0)), 6)
+            .as("bocp_conf_max"),
+          round(coalesce(avg(when(col("cp_prob") >= 0.5, col("cp_prob"))), lit(0.0)), 6)
+            .as("bocp_conf_mean"),
+          // threshold-free peak posterior: keeps the feature informative
+          // (and the oracle non-vacuous) on series where nothing clears
+          // the detection threshold
+          round(max(col("cp_prob")), 6).as("bocp_prob_peak"))),
+
     "q_seasonality_fft" -> ((s, dir) =>
       FftSeasonality.detect(dense(s, dir), S)),
 
@@ -160,14 +177,11 @@ object DetectorQueries {
        |FROM llr""".stripMargin
   }
 
-  val sql: Map[String, String] = Map(
-    "q_cusum_v2" -> cusumV2Sql,
-
-    // full BOCPD replay: the run-length posterior (prob/mu/var vectors)
-    // is carried as lists through a recursive CTE, one step per point —
-    // the lagged change-prob output and top-3 ranking match the kernel
-    "q_bocpd" ->
-      s"""WITH RECURSIVE hourly AS ($H),
+  /** Shared BOCPD posterior replay, ending at `probs(event_type, ts,
+    * value, cp_prob, t)` — consumed by q_bocpd (top-3 ranking) and
+    * q_feat_bocp (thresholded per-series feature aggregate). */
+  private lazy val bocpdProbsSql: String =
+    s"""WITH RECURSIVE hourly AS ($H),
          |$DenseSql,
          |ord AS (SELECT event_type, ts, value,
          |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
@@ -218,10 +232,32 @@ object DetectorQueries {
          |            CASE WHEN o.t = 0 THEN 0.0
          |                 WHEN o.t + 1 <= len(f.outl) THEN round(f.outl[o.t + 1], 6)
          |                 ELSE 0.0 END AS cp_prob, o.t
-         |          FROM fin f JOIN ord o ON f.event_type = o.event_type)
+         |          FROM fin f JOIN ord o ON f.event_type = o.event_type)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q_cusum_v2" -> cusumV2Sql,
+
+    // full BOCPD replay: the run-length posterior (prob/mu/var vectors)
+    // is carried as lists through a recursive CTE, one step per point —
+    // the lagged change-prob output and top-3 ranking match the kernel
+    "q_bocpd" ->
+      s"""$bocpdProbsSql
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, cp_prob
          |FROM (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cp_prob DESC, t) AS rk FROM probs)
          |WHERE rk <= 3""".stripMargin,
+
+    // tsfeatures get_bocp_detector (tsfeatures.py:1569): count/max/mean
+    // confidence of BOCPD changepoints over the 0.5 posterior threshold
+    // (bocpd.py:detector threshold default); same posterior replay as
+    // q_bocpd, aggregated per series instead of top-3 ranked
+    "q_feat_bocp" ->
+      s"""$bocpdProbsSql
+         |SELECT event_type,
+         |  sum(CASE WHEN cp_prob >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS bocp_num,
+         |  round(coalesce(max(CASE WHEN cp_prob >= 0.5 THEN cp_prob END), 0.0), 6) AS bocp_conf_max,
+         |  round(coalesce(avg(CASE WHEN cp_prob >= 0.5 THEN cp_prob END), 0.0), 6) AS bocp_conf_mean,
+         |  round(max(cp_prob), 6) AS bocp_prob_peak
+         |FROM probs GROUP BY 1""".stripMargin,
 
     // trend-BOCPD replay: run-length Bayesian-linear-regression
     // sufficient statistics (n, Σt, Σt², Σx, Σtx) as five lists; the
