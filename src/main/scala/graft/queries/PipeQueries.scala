@@ -84,6 +84,44 @@ object PipeQueries {
         md5(scrubbed).as("scrub_fp"))
     }),
 
+    // ── The whole ingest chain as ONE composed Catalyst plan: stateless
+    // quality cascade (the streaming qualityGate rules) → within-batch
+    // exact dedup (min-doc_id per fingerprint) → sequence packing of the
+    // surviving docs. Declarative end to end, so Catalyst fuses the
+    // quality filters into the scan, the dedup is one fingerprint
+    // shuffle, and packing is one window shuffle — three logical stages,
+    // two exchanges, zero materialization barriers. The oracle replays
+    // the identical chain. ──
+    "q_ingest_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams2 = expr("CASE WHEN size(split(text, ' ')) >= 2 THEN " +
+        "transform(sequence(0, size(split(text, ' ')) - 2), i -> " +
+        "array_join(slice(split(text, ' '), i + 1, 2), ' ')) ELSE array() END")
+      val kept = docs(s, dir)
+        .withColumn("n_tokens", TextFunctions.nTokens(col("text")).cast("long"))
+        .withColumn("mtl", TextFunctions.meanTokenLen(col("text")))
+        .withColumn("alpha", TextFunctions.alphaRatio(col("text")))
+        .withColumn("_g", grams2)
+        .withColumn("rep", when(size(col("_g")) > 0,
+          lit(1.0) - size(array_distinct(col("_g"))).cast("double") / size(col("_g")))
+          .otherwise(0.0))
+        .where(col("n_tokens") >= 10 && col("n_tokens") <= 1000 &&
+          col("mtl") >= 2.0 && col("mtl") <= 12.0 &&
+          col("alpha") >= 0.5 && col("rep") < 0.5)
+      val unique = kept
+        .withColumn("fp", md5(col("text")))
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .where(col("_rk") === 1)
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      unique
+        .withColumn("cum_before",
+          coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_before"),
+          expr(s"cum_before DIV $SeqLen").as("seq_id"),
+          expr(s"cum_before % $SeqLen").as("seq_off"))
+    }),
+
     // ── Cross-source overlap matrix: for every source pair, how many
     // distinct word-3-gram shingles they share, and what fraction of each
     // side's shingle vocabulary that is — the diagnostic a pipeline runs
@@ -179,6 +217,33 @@ object PipeQueries {
          |  (length(t) - length(s))::BIGINT AS chars_removed,
          |  md5(s) AS scrub_fp
          |FROM sc""".stripMargin,
+
+    "q_ingest_e2e" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, text,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS mtl,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha,
+         |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+         |      1.0 - len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+         |            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])))::DOUBLE
+         |          / len(list_transform(range(1, len(string_split(text, ' '))), i -> i))
+         |    ELSE 0.0 END AS rep
+         |  FROM documents),
+         |kept AS (SELECT * FROM scored
+         |         WHERE n_tokens >= 10 AND n_tokens <= 1000
+         |           AND mtl >= 2.0 AND mtl <= 12.0 AND alpha >= 0.5 AND rep < 0.5),
+         |uniq AS (SELECT *, md5(text) AS fp,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         |         FROM kept QUALIFY rk = 1),
+         |packed AS (SELECT source, doc_id, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |  FROM uniq)
+         |SELECT source, doc_id, n_tokens, cum_before,
+         |  (cum_before // $SeqLen)::BIGINT AS seq_id,
+         |  (cum_before % $SeqLen)::BIGINT AS seq_off
+         |FROM packed""".stripMargin,
 
     "q_source_overlap" ->
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

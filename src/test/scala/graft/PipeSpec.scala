@@ -76,6 +76,21 @@ class PipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("doc_id") % 11 =!= 0 && col("chars_removed") =!= 0).count() === 0)
   }
 
+  test("q_ingest_e2e: output is deduped, quality-gated, and packed gaplessly") {
+    val out = PipeQueries.defs("q_ingest_e2e")(spark, sf).cache()
+    // no doc survives twice, offsets inside the budget
+    assert(out.select("doc_id").distinct().count() === out.count())
+    assert(out.where(col("seq_off") < 0 || col("seq_off") >= 512).count() === 0)
+    // gapless packing within each source over the SURVIVING docs
+    val bad = out.groupBy("source")
+      .agg(sum("n_tokens").as("total"), max(col("cum_before") + col("n_tokens")).as("hi"))
+      .where(col("total") =!= col("hi")).count()
+    assert(bad === 0)
+    // the quality gate's floor holds on everything that survived
+    assert(out.where(col("n_tokens") < 10 || col("n_tokens") > 1000).count() === 0)
+    out.unpersist()
+  }
+
   test("q_dedup_bloom: exact result (no false negatives), bloom prunes the confirm join") {
     val out = PipeQueries.defs("q_dedup_bloom")(spark, sf)
     // ground truth: plain exact semi-join, no bloom anywhere
