@@ -36,6 +36,35 @@ object DetectorQueries {
       Detectors.outlierZscore(hourly(s, dir), S, 2.5)
         .select(col("event_type"), epochS("ts"), col("value"), col("z"))),
 
+    // OutlierDetectorModel serving (outlier_detector.py:66 fit /
+    // :95 predict): fit the decomposition + IQR limits on the FULL
+    // series (history ++ data, as the reference concatenates), remove
+    // seasonality only when its strength 1 − var(resid)/var(detrended)
+    // ≥ 0.6 (outlier.py:108), then emit the reference's normalized
+    // score (resid − lo)/(hi − lo) for the served half only
+    "q_outlier_serve" -> ((s, dir) => {
+      val d = operators.Decompose.additive(hourly(s, dir), S)
+      val st = d.groupBy("event_type").agg(
+        (lit(1.0) - var_pop(col("resid"))
+          / greatest(var_pop(col("value") - col("trend")), lit(1e-12))).as("strength"))
+      val r = d.join(broadcast(st), "event_type")
+        .withColumn("rr", when(col("strength") >= 0.6, col("resid"))
+          .otherwise(col("value") - col("trend")))
+      val q = r.groupBy("event_type").agg(
+        expr("percentile(rr, 0.25)").as("q1"), expr("percentile(rr, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 3.0)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 3.0)
+      val w = S.orderedWindow
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      r.join(broadcast(q), "event_type")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .where(col("rn") > expr("nn div 2"))
+        .select(col("event_type"), epochS("ts"), col("value"),
+          round((col("rr") - col("lo")) / (col("hi") - col("lo")), 6).as("score"),
+          when(col("rr") < col("lo") || col("rr") > col("hi"), 1).otherwise(0).as("is_outlier"))
+    }),
+
     "q_stat_sig" -> ((s, dir) =>
       Detectors.statSig(hourly(s, dir), S, "2024-01-22 00:00:00")),
 
@@ -424,6 +453,27 @@ object DetectorQueries {
          |  round((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
          |  FROM hourly)
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, z FROM z WHERE abs(z) > 2.5""".stripMargin,
+
+    "q_outlier_serve" ->
+      s"""WITH hourly AS ($H),
+         |${operators.Decompose.additiveSql},
+         |st AS (SELECT event_type,
+         |         1 - var_pop(resid) / greatest(var_pop(value - trend), 1e-12) AS strength
+         |       FROM decomp GROUP BY 1),
+         |r AS (SELECT d.*, CASE WHEN st.strength >= 0.6 THEN d.resid
+         |                       ELSE d.value - d.trend END AS rr
+         |      FROM decomp d JOIN st ON d.event_type = st.event_type),
+         |q AS (SELECT event_type, quantile_cont(rr, 0.25) AS q1, quantile_cont(rr, 0.75) AS q3
+         |      FROM r GROUP BY 1),
+         |lim AS (SELECT event_type, q1 - 3.0 * (q3 - q1) AS lo, q3 + 3.0 * (q3 - q1) AS hi FROM q),
+         |o AS (SELECT r.event_type, r.ts, r.value, r.rr, lim.lo, lim.hi,
+         |        row_number() OVER (PARTITION BY r.event_type ORDER BY r.ts) AS rn,
+         |        count(*) OVER (PARTITION BY r.event_type) AS n
+         |      FROM r JOIN lim ON r.event_type = lim.event_type)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |  round((rr - lo) / (hi - lo), 6) AS score,
+         |  CASE WHEN rr < lo OR rr > hi THEN 1 ELSE 0 END AS is_outlier
+         |FROM o WHERE rn > n // 2""".stripMargin,
 
     "q_stat_sig" ->
       s"""WITH hourly AS ($H)
