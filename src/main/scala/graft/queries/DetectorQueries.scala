@@ -68,6 +68,32 @@ object DetectorQueries {
     "q_stat_sig" -> ((s, dir) =>
       Detectors.statSig(hourly(s, dir), S, "2024-01-22 00:00:00")),
 
+    // StatSigDetectorModel serving (stat_sig_detector.py:44): the rolling
+    // fit_predict — per served point, a trailing n_test window is
+    // t-tested against the n_control window right before it, emitting
+    // the t-statistic as the severity score. Pure window frames: ONE
+    // series shuffle, no recursion, codegen throughout.
+    "q_stat_sig_serve" -> ((s, dir) => {
+      val nC = 48
+      val nT = 12
+      val w = S.orderedWindow
+      val wT = w.rowsBetween(-(nT - 1), 0)
+      val wC = w.rowsBetween(-(nT + nC - 1), -nT)
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val denom = sqrt(col("v_t") / nT + col("v_c") / nC)
+      hourly(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .withColumn("mu_t", avg("value").over(wT))
+        .withColumn("v_t", var_samp("value").over(wT))
+        .withColumn("mu_c", avg("value").over(wC))
+        .withColumn("v_c", var_samp("value").over(wC))
+        .where(col("rn") > expr("nn div 2") && col("rn") > nT + nC)
+        .select(col("event_type"), epochS("ts"), col("value"),
+          round(when(denom === 0, 0.0).otherwise((col("mu_t") - col("mu_c")) / denom), 6)
+            .as("score"))
+    }),
+
     "q_cusum" -> ((s, dir) =>
       Detectors.cusum(hourly(s, dir), S)
         .select(col("event_type"), epochS("cp_ts", "cp_ts_s"), col("cusum"), col("direction"))),
@@ -453,6 +479,21 @@ object DetectorQueries {
          |  round((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
          |  FROM hourly)
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, z FROM z WHERE abs(z) > 2.5""".stripMargin,
+
+    "q_stat_sig_serve" ->
+      s"""WITH hourly AS ($H),
+         |win AS (SELECT event_type, ts, value,
+         |  row_number() OVER w AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS nn,
+         |  avg(value) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS mu_t,
+         |  var_samp(value) OVER (w ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS v_t,
+         |  avg(value) OVER (w ROWS BETWEEN 59 PRECEDING AND 12 PRECEDING) AS mu_c,
+         |  var_samp(value) OVER (w ROWS BETWEEN 59 PRECEDING AND 12 PRECEDING) AS v_c
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts))
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |  round(CASE WHEN sqrt(v_t / 12 + v_c / 48) = 0 THEN 0.0
+         |             ELSE (mu_t - mu_c) / sqrt(v_t / 12 + v_c / 48) END, 6) AS score
+         |FROM win WHERE rn > nn // 2 AND rn > 60""".stripMargin,
 
     "q_outlier_serve" ->
       s"""WITH hourly AS ($H),
