@@ -36,6 +36,45 @@ object DetectorQueries {
       Detectors.outlierZscore(hourly(s, dir), S, 2.5)
         .select(col("event_type"), epochS("ts"), col("value"), col("z"))),
 
+    // DistributionDistanceModel serving (distribution_distance_model.py:147):
+    // per served point, the Jensen-Shannon divergence (base 2) between the
+    // trailing-24h value distribution and the same window one day earlier —
+    // Distance(current, current − window_size_sec) with the reference's
+    // percentile-vector input re-derived as an 8-bin histogram over the
+    // series' fitted range (our input is a univariate stream, not
+    // precomputed deciles; declared). Pure window math: 8 frame sums +
+    // 8 lags per point, one series shuffle, no recursion.
+    "q_dist_distance_serve" -> ((s, dir) => {
+      val bins = 8
+      val w = S.orderedWindow
+      val wk = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val wH = w.rowsBetween(-23, 0)
+      def plog(c: org.apache.spark.sql.Column) =
+        when(c > 0, c * log2(c)).otherwise(lit(0.0))
+      val base = hourly(s, dir)
+        .withColumn("mn", min("value").over(wk))
+        .withColumn("mx", max("value").over(wk))
+        .withColumn("bin",
+          when(col("mx") === col("mn"), lit(0)).otherwise(
+            least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / bins)),
+              lit(bins - 1)).cast("int")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+      val withHists = (0 until bins).foldLeft(base) { (df, k) =>
+        df.withColumn(s"p$k",
+            sum(when(col("bin") === k, 1).otherwise(0)).over(wH).cast("double") / 24.0)
+          .withColumn(s"q$k", lag(s"p$k", 24).over(w))
+      }
+      val jsd = (0 until bins).map { k =>
+        (plog(col(s"p$k")) + plog(col(s"q$k"))) / 2 -
+          plog((col(s"p$k") + col(s"q$k")) / 2)
+      }.reduce(_ + _)
+      withHists
+        .where(col("rn") > expr("nn div 2") && col("rn") >= 48)
+        .select(col("event_type"), epochS("ts"), col("value"),
+          round(jsd, 6).as("score"))
+    }),
+
     // OutlierDetectorModel serving (outlier_detector.py:66 fit /
     // :95 predict): fit the decomposition + IQR limits on the FULL
     // series (history ++ data, as the reference concatenates), remove
@@ -479,6 +518,35 @@ object DetectorQueries {
          |  round((value - avg(value) OVER (PARTITION BY event_type)) / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
          |  FROM hourly)
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, z FROM z WHERE abs(z) > 2.5""".stripMargin,
+
+    "q_dist_distance_serve" -> {
+      val bins = 8
+      def plog(x: String) = s"CASE WHEN $x > 0 THEN $x * log2($x) ELSE 0.0 END"
+      val pCols = (0 until bins).map(k =>
+        s"sum(CASE WHEN bin = $k THEN 1 ELSE 0 END) OVER (w ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)::DOUBLE / 24.0 AS p$k").mkString(",\n  ")
+      val qCols = (0 until bins).map(k => s"lag(p$k, 24) OVER w2 AS q$k").mkString(",\n  ")
+      val jsd = (0 until bins).map(k =>
+        s"(${plog(s"p$k")} + ${plog(s"q$k")}) / 2 - ${plog(s"(p$k + q$k) / 2")}").mkString("\n    + ")
+      s"""WITH hourly AS ($H),
+         |st AS (SELECT event_type, ts, value,
+         |  min(value) OVER (PARTITION BY event_type) AS mn,
+         |  max(value) OVER (PARTITION BY event_type) AS mx,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |  count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |b AS (SELECT *, CASE WHEN mx = mn THEN 0
+         |        ELSE least(floor((value - mn) / ((mx - mn) / $bins)), ${bins - 1})::INT END AS bin
+         |      FROM st),
+         |h AS (SELECT *,
+         |  $pCols
+         |  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |hq AS (SELECT *,
+         |  $qCols
+         |  FROM h WINDOW w2 AS (PARTITION BY event_type ORDER BY ts))
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |  round($jsd, 6) AS score
+         |FROM hq WHERE rn > nn // 2 AND rn >= 48""".stripMargin
+    },
 
     "q_stat_sig_serve" ->
       s"""WITH hourly AS ($H),
