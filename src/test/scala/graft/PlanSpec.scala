@@ -73,6 +73,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q_text_tokens reads more than it needs: $read")
   }
 
+  test("serving operators stay within their shuffle budget") {
+    // windowed/collected serving plans: everything hangs off the series
+    // key, so at most two shuffle exchanges (hourly reduce + series
+    // window/collect) regardless of data size
+    Seq("q_stat_sig_serve", "q_dist_distance_serve", "q_cusum_serve", "q_ingest_e2e").foreach { q =>
+      val p = planOf(q)
+      val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+      assert(shuffles <= 2, s"$q grew to $shuffles shuffle exchanges:\n$p")
+    }
+  }
+
   test("ingest-pipeline plans keep their scale shape") {
     // q_text_scrub is a pure map-side rewrite: zero shuffles
     val scrub = planOf("q_text_scrub")
