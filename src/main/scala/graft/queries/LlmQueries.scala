@@ -147,7 +147,12 @@ object LlmQueries {
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"),
-        size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_unique"))),
+        size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_unique"),
+        // BPE-style pre-tokenizer count: alpha runs, digit runs, and
+        // single punctuation marks each count as a token (the GPT-2
+        // pre-tokenization flavor, RE2 ∩ java.regex safe)
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+          .as("n_tokens_bpe"))),
 
     // the first query a pipeline runs on a new corpus: per-source profile
     // in ONE aggregation pass — volume, token budget, exact-dup rate
@@ -529,7 +534,8 @@ object LlmQueries {
     "q_text_tokens" ->
       """SELECT doc_id, length(text)::BIGINT AS n_chars,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique
+        |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_bpe
         |FROM documents""".stripMargin,
 
     "q_corpus_stats" ->
