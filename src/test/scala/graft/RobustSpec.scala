@@ -91,6 +91,23 @@ class RobustSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty, "connectedComponents leaked cached RDDs")
   }
 
+  test("connectedComponents: fast path == distributed path on a seeded random graph") {
+    import spark.implicits._
+    // deterministic LCG edge soup: 120 edges over ~60 nodes, with chains,
+    // self-loops, and duplicate edges all likely present
+    var st = 42L
+    def nxt(): Long = { st = (st * 48271) % 2147483647L; st }
+    val edges = Seq.fill(120)((nxt() % 60, nxt() % 60)).toDF("i", "j")
+    def labels(cap: Long): Map[Long, Long] =
+      graft.dedup.Dedup.connectedComponents(edges, driverFastPathEdges = cap).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labels(1000000L)
+    val dist = labels(0L)
+    assert(fast === dist, s"paths disagree: fast=$fast dist=$dist")
+    // labels are component minima: every label labels itself
+    fast.values.toSet.foreach((l: Long) => assert(fast(l) === l))
+  }
+
   test("connectedComponents: a node with only a self-loop is labeled on BOTH paths") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (7L, 7L)).toDF("i", "j")
