@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSim, EwmaArray}
+import graft.expressions.{CosineSim, DupBigramFrac, EwmaArray}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -40,6 +40,12 @@ object GraftExtensions {
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))),
+    ("dup_bigram_frac",
+      new ExpressionInfo(classOf[DupBigramFrac].getName, "dup_bigram_frac"),
+      (exprs: Seq[Expression]) => {
+        arity("dup_bigram_frac", exprs, 1)
+        DupBigramFrac(exprs.head)
+      }),
     // Spark ships BloomFilterMightContain for its own runtime join
     // filtering but does not expose it in the FunctionRegistry (the
     // bloom_filter_agg side IS registered). Registering the probe side

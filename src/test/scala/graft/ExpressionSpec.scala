@@ -84,4 +84,31 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = refEwma(xs, 0.2).map(v => math.rint(v * 1e6) / 1e6)
     out.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$g vs $w") }
   }
+
+  test("dup_bigram_frac equals the HOF gram composition and handles edge cases") {
+    import spark.implicits._
+    val docs = Seq(
+      "a b a b a b",            // grams: ab ba ab ba ab -> 3 dups / 5
+      "x",                      // < 2 words -> 0.0
+      "w1 w2 w3 w4",            // all distinct -> 0.0
+      "r r r r r"               // all identical -> 4 grams, 3 dups -> 0.75
+    ).toDF("text").withColumn("_ws", split(col("text"), " "))
+    val hof = expr("CASE WHEN size(_ws) >= 2 THEN " +
+      "1.0 - size(array_distinct(transform(sequence(0, size(_ws) - 2), i -> " +
+      "array_join(slice(_ws, i + 1, 2), ' ')))) / CAST(size(_ws) - 1 AS DOUBLE) ELSE 0.0 END")
+    val rows = docs
+      .withColumn("fast", graft.expressions.dup_bigram_frac(col("_ws")))
+      .withColumn("ref", hof)
+      .collect()
+    rows.foreach(r => assert(r.getAs[Double]("fast") === r.getAs[Double]("ref"),
+      s"mismatch on '${r.getAs[String]("text")}'"))
+    assert(rows.map(_.getAs[Double]("fast")).toSeq === Seq(0.6, 0.0, 0.0, 0.75))
+  }
+
+  test("dup_bigram_frac is registered as a SQL function") {
+    import spark.implicits._
+    val out = Seq("p q p q").toDF("text")
+      .selectExpr("dup_bigram_frac(split(text, ' ')) AS f").head().getDouble(0)
+    assert(math.abs(out - 1.0 / 3.0) < 1e-15)
+  }
 }
