@@ -50,6 +50,26 @@ object PipeQueries {
             .as("n_seqs_spanned"))
     }),
 
+    // ── Sharded packing: the 100 TB form of q_pack_sequences. The pack
+    // stream key gains a deterministic md5-derived shard (the
+    // q_sample_stratified hash trick, reproducible across engines), so
+    // window parallelism scales with #sources × #shards instead of
+    // #sources, at the cost of per-(source, shard) instead of per-source
+    // contiguity — exactly the trade production packing makes. ──
+    "q_pack_sequences_sharded" -> ((s, dir) => {
+      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 4).as("shard")
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      docs(s, dir)
+        .select(col("source"), shard, col("doc_id"),
+          TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_before",
+          coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("shard"), col("doc_id"), col("n_tokens"), col("cum_before"),
+          expr(s"cum_before DIV $SeqLen").as("seq_id"),
+          expr(s"cum_before % $SeqLen").as("seq_off"))
+    }),
+
     // ── PII scrub: redact emails / IPv4s / phone numbers, report match
     // counts and the scrubbed-text fingerprint. The synthetic corpus
     // carries no PII, so deterministic markers derived from doc_id are
@@ -195,6 +215,18 @@ object PipeQueries {
          |  (cum_before // $SeqLen)::BIGINT AS seq_id,
          |  (cum_before % $SeqLen)::BIGINT AS seq_off,
          |  (((cum_before + n_tokens - 1) // $SeqLen) - (cum_before // $SeqLen) + 1)::BIGINT AS n_seqs_spanned
+         |FROM c""".stripMargin,
+
+    "q_pack_sequences_sharded" ->
+      s"""WITH d AS (SELECT source,
+         |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 4 AS shard,
+         |             doc_id,
+         |             len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before FROM d)
+         |SELECT source, shard, doc_id, n_tokens, cum_before,
+         |  (cum_before // $SeqLen)::BIGINT AS seq_id,
+         |  (cum_before % $SeqLen)::BIGINT AS seq_off
          |FROM c""".stripMargin,
 
     "q_text_scrub" ->
