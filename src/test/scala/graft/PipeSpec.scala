@@ -76,6 +76,17 @@ class PipeSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("doc_id") % 11 =!= 0 && col("chars_removed") =!= 0).count() === 0)
   }
 
+  test("q_pack_sequences_sharded: gapless per (source, shard), shards genuinely split the work") {
+    val out = PipeQueries.defs("q_pack_sequences_sharded")(spark, sf).cache()
+    val bad = out.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("total"), max(col("cum_before") + col("n_tokens")).as("hi"))
+      .where(col("total") =!= col("hi")).count()
+    assert(bad === 0)
+    // the md5 shard must actually spread documents (not collapse to one)
+    assert(out.select("shard").distinct().count() === 4)
+    out.unpersist()
+  }
+
   test("q_ingest_e2e: output is deduped, quality-gated, and packed gaplessly") {
     val out = PipeQueries.defs("q_ingest_e2e")(spark, sf).cache()
     // no doc survives twice, offsets inside the budget
