@@ -23,7 +23,8 @@ object SparkEntry {
     (SimQueries.defs, SimQueries.sql),
     (RobustQueries.defs, RobustQueries.sql),
     (PipeQueries.defs, PipeQueries.sql),
-    (ServeQueries.defs, ServeQueries.sql)
+    (ServeQueries.defs, ServeQueries.sql),
+    (TokenQueries.defs, TokenQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -140,6 +140,53 @@ object ModelQueries {
       |      (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS qc
       |  FROM qsum)""".stripMargin
 
+  // Source-parameterized twins of linearSqlCte / quadSqlCte / the q_theta
+  // replay, for queries that fit on a derived series (q_kats_ensemble fits
+  // on the deseasonalized CTE, not on `hourly`).
+  private def linearSqlCteOn(src: String, name: String): String =
+    s"""$name AS (
+       |  SELECT event_type, regr_intercept(value, t) AS a, regr_slope(value, t) AS b, count(*) AS n
+       |  FROM (SELECT event_type, value,
+       |        (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1)::DOUBLE AS t FROM $src)
+       |  GROUP BY 1)""".stripMargin
+
+  private def quadSqlCteOn(src: String, name: String): String =
+    s"""${name}_sum AS (
+       |  SELECT event_type, count(*)::DOUBLE AS s0,
+       |    sum(u) AS s1, sum(u*u) AS s2, sum(u*u*u) AS s3, sum(u*u*u*u) AS s4,
+       |    sum(value) AS t0, sum(u*value) AS t1, sum(u*u*value) AS t2
+       |  FROM (SELECT event_type, value,
+       |        (row_number() OVER (PARTITION BY event_type ORDER BY ts)) - 1
+       |          - (count(*) OVER (PARTITION BY event_type) - 1) / 2.0 AS u
+       |        FROM $src)
+       |  GROUP BY 1),
+       |$name AS (
+       |  SELECT *,
+       |    (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) /
+       |      (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS qa,
+       |    (s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)) /
+       |      (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS qb,
+       |    (s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)) /
+       |      (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS qc
+       |  FROM ${name}_sum)""".stripMargin
+
+  /** Theta(0.2) state at the end of series `src`, as CTE `name` with
+    * (event_type, a, b, n, zf) — forecast h ahead is 0.5*(zf + a + b*(n-1+h)).
+    * Same closed-form power-sum replay as the q_theta oracle. */
+  private def thetaSqlCteOn(src: String, name: String): String =
+    s"""${name}_ord AS (SELECT event_type, value,
+       |        (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1)::DOUBLE AS t,
+       |        count(*) OVER (PARTITION BY event_type) AS n FROM $src),
+       |${name}_fit AS (SELECT event_type, regr_slope(value, t) AS b, regr_intercept(value, t) AS a, max(n) AS n
+       |        FROM ${name}_ord GROUP BY 1),
+       |${name}_z AS (SELECT o.event_type, o.t + 1 AS rn, f.n, f.a, f.b,
+       |        2 * o.value - (f.a + f.b * o.t) AS z
+       |      FROM ${name}_ord o JOIN ${name}_fit f ON o.event_type = f.event_type),
+       |$name AS (SELECT event_type, max(a) AS a, max(b) AS b, max(n) AS n,
+       |        sum(CASE WHEN rn = 1 THEN pow(1 - 0.2, n - 1) * z
+       |                 ELSE 0.2 * pow(1 - 0.2, n - rn) * z END) AS zf
+       |      FROM ${name}_z GROUP BY 1)""".stripMargin
+
   private val stlfSqlCte =
     s"""${Decompose.additiveSql},
        |ds AS (SELECT event_type, ts, value - seasonal AS deseason, seasonal, hour(ts) AS hod,
@@ -193,6 +240,50 @@ object ModelQueries {
             - least(col("f_lin"), col("f_quad"), col("f_stlf")))
         .select(col("event_type"), round(col("f_lin"), 6).as("f_lin"), round(col("f_quad"), 6).as("f_quad"),
           round(col("f_stlf"), 6).as("f_stlf"), round(col("ens_median"), 6).as("ens_median"))
+    }),
+
+    /** KatsEnsemble (kats/models/ensemble/kats_ensemble.py:80): the
+      * decomposition-based holistic ensemble. ACF seasonality gate
+      * (seasonality_detector, :149) decides per series whether to
+      * deseasonalize; base models (linear / quadratic / theta) fit on the
+      * deseasonalized series; forecasts are re-seasonalized by tiling the
+      * seasonal unit at the target hour (reseasonalize, :193 — for h=24
+      * and period 24 that is the last observation's hour) and median-
+      * aggregated. Every stage is a proven oracle kernel, composed into
+      * one declarative plan: two series-keyed window shuffles (gate +
+      * decompose) feeding three per-series aggregates — no new shuffle
+      * shape vs q_ensemble at 100 TB.
+      */
+    "q_kats_ensemble" -> ((s, dir) => {
+      val h = hourly(s, dir)
+      val gate = graft.detectors.Detectors.seasonalityAcf(h, S, Seq(24))
+        .select(col("event_type"), col("seasonal").as("is_seasonal"))
+      val dec = Decompose.additive(h, S)
+      val dsv = dec.join(broadcast(gate), "event_type")
+        .select(col("event_type"), col("ts"),
+          (col("value") - col("seasonal") * col("is_seasonal")).as("value"))
+      val lin = linearFit(dsv).select(col("event_type"),
+        (col("a") + col("b") * (col("n") - 1 + 24)).as("d_lin"))
+      val quad = quadraticFit(dsv).select(col("event_type"), quadF(24).as("d_quad"))
+      val th = SeriesOps.aggSeries(dsv, S, Seq("d_theta")) { xs =>
+        Array(Smoothers.theta(xs, 24))
+      }
+      val seas = dec.select(col("event_type"), hour(col("ts")).as("hod"), col("seasonal")).distinct()
+      val starget = h.groupBy("event_type").agg(hour(max("ts")).as("last_hod"))
+        .withColumn("hod", (col("last_hod") + 24) % 24)
+        .join(seas, Seq("event_type", "hod"))
+        .select(col("event_type"), col("seasonal").as("s24"))
+      lin.join(quad, "event_type").join(th, "event_type")
+        .join(broadcast(starget), "event_type").join(broadcast(gate), "event_type")
+        .withColumn("f_lin", col("d_lin") + col("s24") * col("is_seasonal"))
+        .withColumn("f_quad", col("d_quad") + col("s24") * col("is_seasonal"))
+        .withColumn("f_theta", col("d_theta") + col("s24") * col("is_seasonal"))
+        .select(col("event_type"), col("is_seasonal"),
+          round(col("f_lin"), 6).as("f_lin"), round(col("f_quad"), 6).as("f_quad"),
+          round(col("f_theta"), 6).as("f_theta"),
+          round(col("f_lin") + col("f_quad") + col("f_theta")
+            - greatest(col("f_lin"), col("f_quad"), col("f_theta"))
+            - least(col("f_lin"), col("f_quad"), col("f_theta")), 6).as("ens_median"))
     }),
 
     "q_nowcasting" -> ((s, dir) => {
@@ -633,6 +724,46 @@ object ModelQueries {
          |  JOIN stlf s ON l.event_type = s.event_type)
          |SELECT event_type, round(f_lin, 6) AS f_lin, round(f_quad, 6) AS f_quad, round(f_stlf, 6) AS f_stlf,
          |  round(f_lin + f_quad + f_stlf - greatest(f_lin, f_quad, f_stlf) - least(f_lin, f_quad, f_stlf), 6) AS ens_median
+         |FROM j""".stripMargin,
+
+    // mirrors the Spark composition kernel-for-kernel; theta's forecast is
+    // rounded to 6 BEFORE re-seasonalizing because aggSeries rounds its
+    // output column, while lin/quad stay raw until the final round
+    "q_kats_ensemble" ->
+      s"""WITH hourly AS ($H),
+         |gb AS (SELECT event_type, ts, value,
+         |        value - avg(value) OVER (PARTITION BY event_type) AS dev,
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |gl AS (SELECT event_type, n, dev,
+         |        lag(dev, 24) OVER (PARTITION BY event_type ORDER BY ts) AS devk FROM gb),
+         |gate AS (SELECT event_type,
+         |        CASE WHEN sum(dev * devk) / sum(dev * dev) > 2.0 / sqrt(max(n)) THEN 1 ELSE 0 END AS is_seasonal
+         |        FROM gl GROUP BY 1),
+         |${Decompose.additiveSql},
+         |dse AS (SELECT d.event_type, d.ts, d.value - d.seasonal * g.is_seasonal AS value
+         |        FROM decomp d JOIN gate g USING (event_type)),
+         |${linearSqlCteOn("dse", "elin")},
+         |${quadSqlCteOn("dse", "equad")},
+         |${thetaSqlCteOn("dse", "eth")},
+         |lasth AS (SELECT event_type, hour(max(ts)) AS last_hod FROM hourly GROUP BY 1),
+         |seas AS (SELECT DISTINCT event_type, hour(ts) AS hod, seasonal FROM decomp),
+         |st AS (SELECT l.event_type, s.seasonal AS s24
+         |       FROM lasth l JOIN seas s ON s.event_type = l.event_type
+         |        AND s.hod = (l.last_hod + 24) % 24),
+         |j AS (SELECT g.event_type, g.is_seasonal,
+         |        l.a + l.b * (l.n - 1 + 24) + st.s24 * g.is_seasonal AS f_lin,
+         |        q.qa + q.qb * ((q.s0 - 1) / 2.0 + 24) + q.qc * ((q.s0 - 1) / 2.0 + 24)^2
+         |          + st.s24 * g.is_seasonal AS f_quad,
+         |        round(0.5 * (t.zf + t.a + t.b * (t.n - 1 + 24)), 6)
+         |          + st.s24 * g.is_seasonal AS f_theta
+         |      FROM gate g JOIN elin l ON g.event_type = l.event_type
+         |        JOIN equad q ON g.event_type = q.event_type
+         |        JOIN eth t ON g.event_type = t.event_type
+         |        JOIN st ON g.event_type = st.event_type)
+         |SELECT event_type, is_seasonal,
+         |  round(f_lin, 6) AS f_lin, round(f_quad, 6) AS f_quad, round(f_theta, 6) AS f_theta,
+         |  round(f_lin + f_quad + f_theta
+         |    - greatest(f_lin, f_quad, f_theta) - least(f_lin, f_quad, f_theta), 6) AS ens_median
          |FROM j""".stripMargin,
 
     "q_nowcasting" ->

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft._
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-side training-data operators: source-mixture planning,
+  * cross-document duplicated-span detection, and distributed BPE merge
+  * learning — the steps between "corpus deduped" and "tokenizer + mixture
+  * fixed" in a pretraining pipeline.
+  */
+object TokenQueries {
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** Duplicated-span gram width (tokens) for q_substring_dedup. */
+  private val SpanK = 8
+
+  /** Merge rounds learned by q_bpe_learn. */
+  private val BpeRounds = 8
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Training-mixture planning: per-source token counts → temperature
+    // sampling weights p_i ∝ share_i^(1/T) with T = 2 (the multilingual
+    // upsampling rule of XLM-R / mBERT), a token budget of half the
+    // corpus, and the per-source sampling rate + epoch count that budget
+    // implies. ONE corpus aggregation (map-side partial sums); everything
+    // after runs on a #sources-row frame, so the tiny normalization
+    // cross-joins broadcast and cost nothing at 100 TB. ──
+    "q_mix_weights" -> ((s, dir) => {
+      val per = docs(s, dir).groupBy("source")
+        .agg(sum(TextFunctions.nTokens(col("text")).cast("long")).as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("tot"))
+      val j = per.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_tokens").cast("double") / col("tot"))
+        .withColumn("sq", sqrt(col("share")))
+      val ssq = j.agg(sum("sq").as("ssq"))
+      val rate = floor(col("tot") * 0.5) * col("sq") / col("ssq") / col("n_tokens")
+      j.crossJoin(broadcast(ssq)).select(
+        col("source"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("sq") / col("ssq"), 6).as("mix_weight"),
+        round(floor(col("tot") * 0.5) * col("sq") / col("ssq"), 6).as("target_tokens"),
+        round(rate, 6).as("sample_rate"),
+        // ceil of the ROUNDED rate so the integer is decided on the
+        // 6-digit value both engines agree on, not the raw double
+        ceil(round(rate, 6)).cast("int").as("epochs"))
+    }),
+
+    // ── Cross-document duplicated spans: the Spark shape of exact
+    // substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better" — suffix-array substring dedup
+    // re-expressed as positioned k-gram blocking). Every SpanK-token
+    // window is keyed by its text; windows whose text occurs in ≥ 2
+    // distinct docs are duplicate hits, and overlapping hits merge into
+    // maximal spans per doc (cummax island windows). One (gram) shuffle
+    // bounded by corpus token count + one doc-keyed window — no
+    // self-join, no suffix array, same answer for fixed k. In production
+    // the gram key is xxhash64(text); the oracle needs the raw string so
+    // both engines join on it directly. ──
+    "q_substring_dedup" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n_tokens", size(col("ws")).cast("long"))
+      val grams = base.where(col("n_tokens") >= SpanK)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, int(n_tokens) - $SpanK), i -> array_join(slice(ws, i + 1, $SpanK), ' '))"))
+          .as(Seq("pos", "gram")))
+      val dup = grams.groupBy("gram")
+        .agg(countDistinct("doc_id").as("nd")).where(col("nd") >= 2)
+      val hits = grams.join(dup.select("gram"), "gram").select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = hits
+        .withColumn("prev_end",
+          max(col("pos") + (SpanK - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk", when(col("prev_end").isNull || col("pos") > col("prev_end"), 1).otherwise(0))
+        .withColumn("isl", sum("brk").over(w))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("sp_start"), (max("pos") + (SpanK - 1)).as("sp_end"))
+      val perDoc = spans.groupBy("doc_id").agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(col("sp_end") - col("sp_start") + 1).as("dup_tokens"))
+      base.select("doc_id", "n_tokens").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6).as("dup_frac"))
+    }),
+
+    // ── Distributed BPE merge learning (Sennrich et al. 2016): the
+    // corpus collapses to a (word, count) histogram in ONE shuffle —
+    // everything after runs on vocabulary scale, which is why tokenizer
+    // training is feasible at 100 TB. Words start as space-delimited
+    // character symbols; each round counts adjacent symbol pairs
+    // (explode + weighted sum), picks the argmax (count desc, pair asc —
+    // an exact integer decision, so both engines agree), and applies the
+    // merge as a space-anchored leftmost replace (' a b ' → ' ab ', a
+    // deterministic variant of the reference's greedy application). Only
+    // the R merge strings ever reach the driver; each round is one small
+    // aggregate job over the histogram. Output = the learned merge
+    // table, i.e. the tokenizer. ──
+    "q_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      val words = docs(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .where(col("word").rlike("^[a-z]{2,20}$"))
+        .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+        .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("cnt"))
+        .persist()
+      words.count() // materialize once; rounds below re-read the cache
+      var cur: DataFrame = words
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 0 until BpeRounds) {
+        val top = cur.where(size(split(col("sym"), " ")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(split(sym, ' ')) - 2), " +
+              "i -> concat(element_at(split(sym, ' '), i + 1), ' ', element_at(split(sym, ' '), i + 2)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+        top.headOption.foreach { row =>
+          val pair = row.getString(0)
+          val merged = pair.replace(" ", "")
+          merges += ((r + 1, pair, merged, row.getLong(1)))
+          cur = cur.select(
+            expr(s"trim(replace(concat(' ', sym, ' '), ' $pair ', ' $merged '))").as("sym"),
+            col("cnt"))
+        }
+      }
+      words.unpersist()
+      merges.toSeq.toDF("merge_rank", "pair", "merged", "pair_count")
+    })
+  )
+
+  // Unrolled WITH-chain replay of the BPE rounds (the kmChainSql pattern):
+  // p_r = weighted pair counts over w_r, m_r = the argmax merge, w_{r+1} =
+  // the space-anchored replace. Exact-integer argmax keeps engines aligned.
+  // Every w/m layer is AS MATERIALIZED and w_{r+1} consumes m_r via a
+  // 1-row cross join — without this DuckDB inlines the chain and the
+  // replay blows up exponentially in the round count.
+  private def bpeChainSql(rounds: Int): String = {
+    val base =
+      """words AS (
+        |  SELECT word, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]{2,20}$') GROUP BY 1),
+        |w0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym, cnt FROM words)""".stripMargin
+    val layers = (0 until rounds).map { r =>
+      s"""p$r AS (SELECT pair, sum(cnt)::BIGINT AS c FROM (
+         |  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])) AS pair, cnt
+         |  FROM (SELECT string_split(sym, ' ') AS a, cnt FROM w$r)) GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT ${r + 1} AS merge_rank, pair, replace(pair, ' ', '') AS merged, c
+         |        FROM p$r ORDER BY c DESC, pair LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',
+         |                 ' ' || m$r.pair || ' ', ' ' || m$r.merged || ' ')) AS sym, cnt
+         |               FROM w$r CROSS JOIN m$r)""".stripMargin
+    }
+    (base +: layers).mkString(",\n")
+  }
+
+  val sql: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH per AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |             FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM per),
+        |j AS (SELECT source, n_tokens, n_tokens::DOUBLE / tot AS share,
+        |        sqrt(n_tokens::DOUBLE / tot) AS sq, tot FROM per, t),
+        |s2 AS (SELECT sum(sq) AS ssq FROM j)
+        |SELECT source, n_tokens,
+        |  round(share, 6) AS share,
+        |  round(sq / ssq, 6) AS mix_weight,
+        |  round(floor(tot * 0.5) * sq / ssq, 6) AS target_tokens,
+        |  round(floor(tot * 0.5) * sq / ssq / n_tokens, 6) AS sample_rate,
+        |  ceil(round(floor(tot * 0.5) * sq / ssq / n_tokens, 6))::INT AS epochs
+        |FROM j, s2""".stripMargin,
+
+    "q_substring_dedup" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |                len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+         |grams AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i + ${SpanK - 1}], ' ') AS gram
+         |          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - ${SpanK - 2})) AS i
+         |                FROM base WHERE n_tokens >= $SpanK)),
+         |dup AS (SELECT gram FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+         |m AS (SELECT doc_id, pos,
+         |        max(pos + ${SpanK - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |      FROM hits),
+         |b AS (SELECT doc_id, pos,
+         |        CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS brk FROM m),
+         |isl AS (SELECT doc_id, pos,
+         |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)::BIGINT AS isl FROM b),
+         |spans AS (SELECT doc_id, isl, min(pos) AS sp_start, max(pos) + ${SpanK - 1} AS sp_end
+         |          FROM isl GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+         |         sum(sp_end - sp_start + 1)::BIGINT AS dup_tokens FROM spans GROUP BY 1)
+         |SELECT base.doc_id, base.n_tokens,
+         |  coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |  coalesce(pd.dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  round(coalesce(pd.dup_tokens, 0) / base.n_tokens, 6) AS dup_frac
+         |FROM base LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q_bpe_learn" ->
+      s"""WITH ${bpeChainSql(BpeRounds)}
+         |SELECT merge_rank, pair, merged, c AS pair_count
+         |FROM (${(0 until BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})""".stripMargin
+  )
+}
