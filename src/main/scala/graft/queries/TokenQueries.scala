@@ -89,6 +89,34 @@ object TokenQueries {
           round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6).as("dup_frac"))
     }),
 
+    // ── Corpus encoding under the learned BPE merges: the merges are
+    // re-learned (deterministically, same loop as q_bpe_learn) and then
+    // applied as PLAN LITERALS — encoding is one zero-shuffle map pass
+    // with the whole merge cascade nested inside a codegen'd transform
+    // lambda, followed by one per-source aggregate. Reports the metric a
+    // tokenizer pipeline actually tracks: tokens under the vocabulary vs
+    // whitespace tokens vs chars (compression). Words outside the
+    // trained [a-z]{2,20} alphabet count as 1 symbol. ──
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = learnMerges(s, dir).map { case (_, p, m, _) => (p, m) }
+      // x0 = char-split word; x_{r+1} = space-anchored replace of merge r
+      val applied = merges.foldLeft("trim(regexp_replace(w, '(.)', '$1 '))") {
+        case (x, (p, m)) => s"trim(replace(concat(' ', $x, ' '), ' $p ', ' $m '))"
+      }
+      val perWord = s"CASE WHEN w RLIKE '^[a-z]{2,20}$$' THEN size(split($applied, ' ')) ELSE 1 END"
+      docs(s, dir)
+        .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+          TextFunctions.nTokens(col("text")).cast("long").as("ws_tokens"),
+          expr(s"aggregate(transform(split(lower(text), ' '), w -> $perWord), 0L, (acc, x) -> acc + x)")
+            .as("bpe_tokens"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("ws_tokens"),
+          sum("bpe_tokens").as("bpe_tokens"),
+          round(sum("bpe_tokens") / sum("ws_tokens").cast("double"), 6).as("bpe_per_word"),
+          round(sum("n_chars") / sum("bpe_tokens").cast("double"), 6).as("chars_per_token"))
+    }),
+
     // ── Distributed BPE merge learning (Sennrich et al. 2016): the
     // corpus collapses to a (word, count) histogram in ONE shuffle —
     // everything after runs on vocabulary scale, which is why tokenizer
@@ -103,36 +131,44 @@ object TokenQueries {
     // table, i.e. the tokenizer. ──
     "q_bpe_learn" -> ((s, dir) => {
       import s.implicits._
-      val words = docs(s, dir)
-        .select(explode(split(lower(col("text")), " ")).as("word"))
-        .where(col("word").rlike("^[a-z]{2,20}$"))
-        .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
-        .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("cnt"))
-        .persist()
-      words.count() // materialize once; rounds below re-read the cache
-      var cur: DataFrame = words
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (r <- 0 until BpeRounds) {
-        val top = cur.where(size(split(col("sym"), " ")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(0, size(split(sym, ' ')) - 2), " +
-              "i -> concat(element_at(split(sym, ' '), i + 1), ' ', element_at(split(sym, ' '), i + 2)))"))
-            .as("pair"))
-          .groupBy("pair").agg(sum("cnt").as("c"))
-          .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
-        top.headOption.foreach { row =>
-          val pair = row.getString(0)
-          val merged = pair.replace(" ", "")
-          merges += ((r + 1, pair, merged, row.getLong(1)))
-          cur = cur.select(
-            expr(s"trim(replace(concat(' ', sym, ' '), ' $pair ', ' $merged '))").as("sym"),
-            col("cnt"))
-        }
-      }
-      words.unpersist()
-      merges.toSeq.toDF("merge_rank", "pair", "merged", "pair_count")
+      learnMerges(s, dir).toDF("merge_rank", "pair", "merged", "pair_count")
     })
   )
+
+  /** The BPE learning loop shared by q_bpe_learn / q_bpe_encode:
+    * (merge_rank, pair, merged, pair_count) for BpeRounds rounds.
+    * Deterministic — exact-integer argmax with a lexicographic tie-break.
+    */
+  private def learnMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    val words = docs(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]{2,20}$"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("cnt"))
+      .persist()
+    words.count() // materialize once; rounds below re-read the cache
+    var cur: DataFrame = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 0 until BpeRounds) {
+      val top = cur.where(size(split(col("sym"), " ")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(split(sym, ' ')) - 2), " +
+            "i -> concat(element_at(split(sym, ' '), i + 1), ' ', element_at(split(sym, ' '), i + 2)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+      top.headOption.foreach { row =>
+        val pair = row.getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((r + 1, pair, merged, row.getLong(1)))
+        cur = cur.select(
+          expr(s"trim(replace(concat(' ', sym, ' '), ' $pair ', ' $merged '))").as("sym"),
+          col("cnt"))
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
 
   // Unrolled WITH-chain replay of the BPE rounds (the kmChainSql pattern):
   // p_r = weighted pair counts over w_r, m_r = the argmax merge, w_{r+1} =
@@ -205,6 +241,32 @@ object TokenQueries {
     "q_bpe_learn" ->
       s"""WITH ${bpeChainSql(BpeRounds)}
          |SELECT merge_rank, pair, merged, c AS pair_count
-         |FROM (${(0 until BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})""".stripMargin
+         |FROM (${(0 until BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})""".stripMargin,
+
+    // re-learns the merges via the same chain, pivots them into one row
+    // (mg), and applies the cascade inside a list lambda per word —
+    // mirroring the literal-nested expression the Spark side builds
+    "q_bpe_encode" -> {
+      val mgCols = (0 until BpeRounds)
+        .map(r => s"m$r.pair AS p$r, m$r.merged AS g$r").mkString(", ")
+      val mgFrom = (0 until BpeRounds).map(r => s"m$r").mkString(", ")
+      val applied = (0 until BpeRounds).foldLeft("trim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
+        case (x, r) => s"trim(replace(' ' || $x || ' ', ' ' || p$r || ' ', ' ' || g$r || ' '))"
+      }
+      s"""WITH ${bpeChainSql(BpeRounds)},
+         |mg AS (SELECT $mgCols FROM $mgFrom),
+         |enc AS (SELECT d.source, length(d.text)::BIGINT AS n_chars,
+         |         len(string_split(d.text, ' '))::BIGINT AS ws_tokens,
+         |         list_sum(list_transform(string_split(lower(d.text), ' '),
+         |           w -> CASE WHEN regexp_matches(w, '^[a-z]{2,20}$$')
+         |                     THEN len(string_split($applied, ' '))
+         |                     ELSE 1 END))::BIGINT AS bpe_tokens
+         |        FROM documents d CROSS JOIN mg)
+         |SELECT source, count(*)::BIGINT AS n_docs, sum(ws_tokens)::BIGINT AS ws_tokens,
+         |  sum(bpe_tokens)::BIGINT AS bpe_tokens,
+         |  round(sum(bpe_tokens) / sum(ws_tokens)::DOUBLE, 6) AS bpe_per_word,
+         |  round(sum(n_chars) / sum(bpe_tokens)::DOUBLE, 6) AS chars_per_token
+         |FROM enc GROUP BY 1""".stripMargin
+    }
   )
 }

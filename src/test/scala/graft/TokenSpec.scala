@@ -70,6 +70,20 @@ class TokenSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("q_bpe_encode: symbol counts bounded by chars below and words above") {
+    val out = TokenQueries.defs("q_bpe_encode")(spark, sf).cache()
+    // every word is at least one symbol; merges can only shrink the
+    // char-split, so bpe tokens sit between word count and char count
+    assert(out.where(col("bpe_tokens") < col("ws_tokens")).count() === 0)
+    assert(out.where(col("bpe_per_word") < 1.0 || col("chars_per_token") < 1.0).count() === 0)
+    // the learned merges actually fire: strictly fewer symbols than the
+    // raw char-split of the in-alphabet words would give (chars_per_token
+    // > 1 means at least one multi-char symbol survived somewhere)
+    assert(out.where(col("chars_per_token") <= 1.0).count() === 0)
+    out.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("q_bpe_learn: ranks complete, merges well-formed, argmax counts non-increasing") {
     val rows = TokenQueries.defs("q_bpe_learn")(spark, sf)
       .orderBy("merge_rank").collect()
