@@ -39,6 +39,24 @@ object StreamingDetectors {
       .select(col("event_type"), col("window.start").as("ts"), col("value"), col("n"))
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class SourcedDoc(doc_id: Long, ts: java.sql.Timestamp, source: String, text: String)
+
+  /** Streaming ingest telemetry: per-(source, window) doc/token/byte
+    * accounting — the rate meter a pretraining ingest runs alongside the
+    * quality gate (budget tracking for q_mix_weights-style mixture
+    * planning). Watermarked tumbling windows with map-side partial
+    * aggregation; state is one row per open (source, window), closed
+    * windows emit exactly once in append mode.
+    */
+  def tokenMeter(stream: DataFrame, every: String = "1 hour",
+                 watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col("source"), window(col("ts"), every))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .select(col("source"), col("window.start").as("ts"),
+        col("n_docs"), col("n_tokens"), col("n_chars"))
   case class EwmaPoint(event_type: String, ts: java.sql.Timestamp, value: Double,
                        ewma: Double, deviation: Double, flagged: Boolean)
   case class EwmaState(num: Double, den: Double, n: Long)

@@ -155,6 +155,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming token meter: per-(source, window) accounting matches the batch sums") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamingDetectors.SourcedDoc]
+    val q = StreamingDetectors.tokenMeter(mem.toDF(), every = "1 hour")
+      .writeStream.format("memory").queryName("meter").outputMode("append").start()
+    val docs = Seq(
+      StreamingDetectors.SourcedDoc(1L, ts(0), "web", "one two three"),
+      StreamingDetectors.SourcedDoc(2L, ts(0), "web", "four five"),
+      StreamingDetectors.SourcedDoc(3L, ts(0), "books", "a b c d"),
+      StreamingDetectors.SourcedDoc(4L, ts(1), "web", "six"))
+    mem.addData(docs: _*)
+    mem.addData(StreamingDetectors.SourcedDoc(9L, ts(10), "web", "late")) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select * from meter where ts < timestamp'2024-01-01 02:00:00' order by source, ts").collect()
+    assert(rows.length === 3)
+    // streamed sums must equal the batch aggregate over the same docs
+    val batch = docs.toDF()
+      .groupBy(col("source"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .select(col("source"), col("window.start").as("ts"), col("n_docs"), col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows.map(r => (r.getString(0), r.getTimestamp(1),
+      r.getLong(2), r.getLong(3))).toSet === batch)
+    q.stop()
+  }
+
   test("streaming ingest chain: quality gate -> exact dedup composes in one stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
