@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSim, DupBigramFrac, EwmaArray}
+import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("dup_bigram_frac", exprs, 1)
         DupBigramFrac(exprs.head)
+      }),
+    ("bpe_token_count",
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => {
+        arity("bpe_token_count", exprs, 2)
+        BpeTokenCount(exprs.head, exprs(1))
       }),
     // Spark ships BloomFilterMightContain for its own runtime join
     // filtering but does not expose it in the FunctionRegistry (the

@@ -41,6 +41,15 @@ package object expressions {
     call_function("dup_bigram_frac", words)
   }
 
+  /** Token count of a word array under an ordered BPE merge cascade
+    * (tab-separated pairs; see [[BpeTokenCount]]) — the map-side encode
+    * hot path of q_bpe_encode.
+    */
+  def bpe_token_count(words: Column, mergePairs: Seq[String]): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("bpe_token_count", words, lit(mergePairs.mkString("\t")))
+  }
+
   /** Build side of Spark's bloom-filter pair: aggregates xxhash64 values
     * into a serialized bloom filter sized for `expectedItems` / `numBits`.
     */

@@ -91,23 +91,19 @@ object TokenQueries {
 
     // ── Corpus encoding under the learned BPE merges: the merges are
     // re-learned (deterministically, same loop as q_bpe_learn) and then
-    // applied as PLAN LITERALS — encoding is one zero-shuffle map pass
-    // with the whole merge cascade nested inside a codegen'd transform
-    // lambda, followed by one per-source aggregate. Reports the metric a
-    // tokenizer pipeline actually tracks: tokens under the vocabulary vs
-    // whitespace tokens vs chars (compression). Words outside the
-    // trained [a-z]{2,20} alphabet count as 1 symbol. ──
+    // applied as PLAN LITERALS through the codegen'd bpe_token_count
+    // expression — encoding is one zero-shuffle compiled map pass (the
+    // cascade is parsed once per query, not per row; no per-word lambda
+    // machinery), followed by one per-source aggregate. Reports the
+    // metric a tokenizer pipeline actually tracks: tokens under the
+    // vocabulary vs whitespace tokens vs chars (compression). Words
+    // outside the trained [a-z]{2,20} alphabet count as 1 symbol. ──
     "q_bpe_encode" -> ((s, dir) => {
-      val merges = learnMerges(s, dir).map { case (_, p, m, _) => (p, m) }
-      // x0 = char-split word; x_{r+1} = space-anchored replace of merge r
-      val applied = merges.foldLeft("trim(regexp_replace(w, '(.)', '$1 '))") {
-        case (x, (p, m)) => s"trim(replace(concat(' ', $x, ' '), ' $p ', ' $m '))"
-      }
-      val perWord = s"CASE WHEN w RLIKE '^[a-z]{2,20}$$' THEN size(split($applied, ' ')) ELSE 1 END"
+      val merges = learnMerges(s, dir).map { case (_, p, _, _) => p }
       docs(s, dir)
         .select(col("source"), length(col("text")).cast("long").as("n_chars"),
           TextFunctions.nTokens(col("text")).cast("long").as("ws_tokens"),
-          expr(s"aggregate(transform(split(lower(text), ' '), w -> $perWord), 0L, (acc, x) -> acc + x)")
+          graft.expressions.bpe_token_count(split(lower(col("text")), " "), merges)
             .as("bpe_tokens"))
         .groupBy("source").agg(
           count(lit(1)).as("n_docs"),
