@@ -6,6 +6,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.7–§2.10 LLM-pipeline operators over `documents` / `embeddings`.
@@ -176,6 +177,32 @@ object LlmQueries {
           TextFunctions.alphaRatio(col("text")) * 0.5
             + least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)) * 0.3
             + TextFunctions.stopwordRatio(col("text"), EnStop) * 0.2, 6).as("quality_score"))),
+
+    // quality-decile binning (the DCLM/FineWeb-style data-selection step):
+    // the q_text_quality composite score deciles each source's docs via
+    // ntile; downstream mixing samples by bin (keep the top deciles,
+    // down-weight the rest). One source-keyed window shuffle + one
+    // aggregate; bin populations are corpus-size/10 regardless of scale.
+    "q_quality_bins" -> ((s, dir) => {
+      val score = round(
+        TextFunctions.alphaRatio(col("text")) * 0.5
+          + least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)) * 0.3
+          + TextFunctions.stopwordRatio(col("text"), EnStop) * 0.2, 6)
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"), score.as("score"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("source", "bin").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          // sum, not mean: the mean of round-6 scores lands exactly on a
+          // .5e-6 rounding boundary whenever the sum's last digit is odd,
+          // where Spark (decimal HALF_UP) and DuckDB (binary) disagree;
+          // sums of 1e-6 multiples never sit on a boundary
+          round(sum("score"), 6).as("sum_score"),
+          min("score").as("min_score"), max("score").as("max_score"))
+    }),
 
     "q_text_langid" -> ((s, dir) => {
       val scored = TextFunctions.LangProfiles.foldLeft(docs(s, dir)) { case (d, (lang, words)) =>
@@ -616,6 +643,21 @@ object LlmQueries {
          |    + least(len(string_split(text, ' '))::DOUBLE / 100, 1.0) * 0.3
          |    + len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::DOUBLE / len(string_split(text, ' ')) * 0.2, 6) AS quality_score
          |FROM documents""".stripMargin
+    },
+
+    "q_quality_bins" -> {
+      val stopList = EnStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH sc AS (SELECT source, doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) * 0.5
+         |    + least(len(string_split(text, ' '))::DOUBLE / 100, 1.0) * 0.3
+         |    + len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::DOUBLE
+         |        / len(string_split(text, ' ')) * 0.2, 6) AS score
+         |  FROM documents),
+         |b AS (SELECT *, ntile(10) OVER (PARTITION BY source ORDER BY score DESC, doc_id)::INT AS bin FROM sc)
+         |SELECT source, bin, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+         |  round(sum(score), 6) AS sum_score, min(score) AS min_score, max(score) AS max_score
+         |FROM b GROUP BY 1, 2""".stripMargin
     },
 
     "q_text_langid" -> {

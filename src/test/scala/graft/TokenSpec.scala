@@ -62,11 +62,70 @@ class TokenSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("q_substring_dedup: randomized equivalence against a brute-force span scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee") // tiny vocab forces collisions
+    val runs = Vector.fill(4)(Vector.fill(10)(vocab(rnd.nextInt(vocab.size))))
+    val docs = (0 until 40).map { id =>
+      val base = Vector.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      // plant a shared run into some docs at a random offset
+      val words =
+        if (rnd.nextBoolean()) {
+          val r = runs(rnd.nextInt(runs.size))
+          val at = rnd.nextInt(base.size + 1)
+          base.take(at) ++ r ++ base.drop(at)
+        } else base
+      (id.toLong, words.mkString(" "), "en", "s0", 0L)
+    }
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("tokenspec-rand").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TokenQueries.defs("q_substring_dedup")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("dup_tokens")))).toMap
+    // brute force: an 8-gram at position i is a hit iff the same text
+    // occurs in any OTHER doc; overlapping hits merge into maximal spans
+    val words = docs.map { case (id, t, _, _, _) => id -> t.split(" ").toVector }.toMap
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, ws) <- words; i <- 0 to ws.size - 8)
+      gramDocs.updateWith(ws.slice(i, i + 8).mkString(" "))(s => Some(s.getOrElse(Set.empty) + id))
+    for ((id, ws) <- words) {
+      val hits = (0 to ws.size - 8).filter(i => gramDocs(ws.slice(i, i + 8).mkString(" ")).size >= 2)
+      var spans = List.empty[(Int, Int)]
+      // merge iff the new window still overlaps the running span (the
+      // query breaks when pos > cummax(prev_end)); touching-but-disjoint
+      // windows start a new span
+      for (p <- hits) spans = spans match {
+        case (s0, e0) :: rest if p <= e0 => (s0, math.max(e0, p + 7)) :: rest
+        case _ => (p, p + 7) :: spans
+      }
+      val expTokens = spans.map { case (s0, e0) => e0 - s0 + 1 }.sum.toLong
+      assert(out(id) === ((spans.size.toLong, expTokens)),
+        s"doc $id: got ${out(id)}, brute force says (${spans.size}, $expTokens)")
+    }
+  }
+
   test("q_substring_dedup: real corpus — every doc present, spans within bounds") {
     val out = TokenQueries.defs("q_substring_dedup")(spark, sf).cache()
     assert(out.count() === Tables.documents(spark, sf).count())
     assert(out.where(col("dup_tokens") > col("n_tokens") || col("dup_frac") > 1.0).count() === 0)
     assert(out.where(col("n_dup_spans") > 0 && col("dup_tokens") < 8).count() === 0)
+    out.unpersist()
+  }
+
+  test("q_quality_bins: deciles complete, balanced, and score-ordered") {
+    import graft.queries.LlmQueries
+    val out = LlmQueries.defs("q_quality_bins")(spark, sf).cache()
+    // all 10 bins present per source, populations differ by at most 1
+    val bySrc = out.groupBy("source").agg(
+      countDistinct("bin").as("nb"), max("n_docs").as("mx"), min("n_docs").as("mn"))
+    assert(bySrc.where(col("nb") =!= 10 || col("mx") - col("mn") > 1).count() === 0)
+    // deciles are ordered: bin k's floor is at or above bin k+1's ceiling
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("bin")
+    val bad = out.withColumn("next_max", lead("max_score", 1).over(w))
+      .where(col("next_max").isNotNull && col("min_score") < col("next_max")).count()
+    assert(bad === 0)
     out.unpersist()
   }
 
