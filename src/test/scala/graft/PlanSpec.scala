@@ -103,4 +103,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joinAt >= 0 && probeAt > joinAt,
       s"q_dedup_bloom's bloom probe must sit BELOW the confirm join (filter the join input):\n$bloom")
   }
+
+  test("tokenizer-pack plans keep their scale shape") {
+    // q_bpe_encode: encoding is a compiled map pass — the ONLY exchange
+    // is the per-source aggregate, and the cascade is a literal argument
+    // to bpe_token_count (no lambda machinery in the plan)
+    val enc = planOf("q_bpe_encode")
+    assert("Exchange (hash|range)partitioning".r.findAllIn(enc).size == 1,
+      s"q_bpe_encode should shuffle exactly once (the source aggregate):\n$enc")
+    assert(enc.contains("bpe_token_count"), s"q_bpe_encode lost the native expression:\n$enc")
+    assert(!enc.contains("LambdaFunction"), s"q_bpe_encode reintroduced HOF lambdas:\n$enc")
+    // q_quality_bins: everything hangs off the source key — the ntile
+    // window and the (source, bin) aggregate, nothing more
+    val qb = planOf("q_quality_bins")
+    assert("Exchange (hash|range)partitioning".r.findAllIn(qb).size <= 2,
+      s"q_quality_bins grew beyond window + aggregate:\n$qb")
+    // q_mix_weights: the only real shuffle is the per-source token
+    // aggregate; the #sources-row normalization joins must all broadcast
+    val mw = planOf("q_mix_weights")
+    assert(!mw.contains("SortMergeJoin"),
+      s"q_mix_weights normalization joins must broadcast, not sort-merge:\n$mw")
+  }
 }
