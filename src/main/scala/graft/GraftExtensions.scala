@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray}
+import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray, LshBandBuckets}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("dup_bigram_frac", exprs, 1)
         DupBigramFrac(exprs.head)
+      }),
+    ("lsh_band_buckets",
+      new ExpressionInfo(classOf[LshBandBuckets].getName, "lsh_band_buckets"),
+      (exprs: Seq[Expression]) => {
+        arity("lsh_band_buckets", exprs, 3)
+        LshBandBuckets(exprs.head,
+          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
       }),
     ("bpe_token_count",
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -90,15 +90,11 @@ object Ann {
   def lshNearDupPairs(corpus: DataFrame, threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
                       id: String = "vec_id", vec: String = "embedding", salt: Int = 1): DataFrame = {
     val v = corpus.select(col(id), col(vec))
-    val bandCols = (0 until bands).map { b =>
-      val bucket = (0 until rowsPerBand).map { r =>
-        val plane = b * rowsPerBand + r
-        when(planeProjection(col(vec), plane) >= 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    val banded = v.select(col(id), col(vec), explode(array(bandCols: _*)).as("bd"))
-      .select(col(id), col(vec), col("bd.band"), col("bd.bucket"))
+    // all band buckets in one compiled pass over the vector (bit-identical
+    // to the per-plane HOF projections — see LshBandBuckets)
+    val banded = v.select(col(id), col(vec),
+        posexplode(graft.expressions.lsh_band_buckets(col(vec), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
     // verify-then-dedup: the codegen'd cosine is cheaper than shuffling
     // the full candidate multiset through a distinct — a pair colliding in
     // several bands is verified once per collision, but only the tiny
@@ -135,10 +131,10 @@ object Ann {
           ((((lit(plane.toLong) * 64 + d.cast("long")) * lit(2654435761L)) % 1000003).cast("double") / 1000003.0 - 0.5)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Random-hyperplane LSH bucket id from `planes` sign bits. */
+  /** Random-hyperplane LSH bucket id from `planes` sign bits (one band of
+    * `planes` rows through the compiled single-pass expression). */
   def lshBucket(vec: Column, planes: Int): Column =
-    (0 until planes).map(p =>
-      when(planeProjection(vec, p) >= 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    element_at(graft.expressions.lsh_band_buckets(vec, 1, planes), 1)
 
   /** Top-k within LSH buckets: probes only compare against their bucket. */
   def knnLsh(corpus: DataFrame, probes: DataFrame, k: Int, planes: Int = 8,

@@ -41,6 +41,15 @@ package object expressions {
     call_function("dup_bigram_frac", words)
   }
 
+  /** All random-hyperplane LSH band buckets of a vector in one compiled
+    * pass (see [[LshBandBuckets]]); bit-identical to the per-plane HOF
+    * projections — the signature hot path of the near-dup/KNN family.
+    */
+  def lsh_band_buckets(vec: Column, bands: Int, rowsPerBand: Int): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("lsh_band_buckets", vec, lit(bands), lit(rowsPerBand))
+  }
+
   /** Token count of a word array under an ordered BPE merge cascade
     * (tab-separated pairs; see [[BpeTokenCount]]) — the map-side encode
     * hot path of q_bpe_encode.
