@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray, LshBandBuckets}
+import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray, LshBandBuckets, MinhashSignature}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("dup_bigram_frac", exprs, 1)
         DupBigramFrac(exprs.head)
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        arity("minhash_signature", exprs, 2)
+        MinhashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])
       }),
     ("lsh_band_buckets",
       new ExpressionInfo(classOf[LshBandBuckets].getName, "lsh_band_buckets"),

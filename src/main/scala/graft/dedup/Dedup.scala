@@ -140,13 +140,17 @@ object Dedup {
     */
   def withSignatures(df: DataFrame, keep: Seq[String], numPerms: Int,
                      text: String = "text", k: Int = 3): DataFrame = {
-    val mins = TextFunctions.permParams(numPerms).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("_hs"), h => (h * a + b) % TextFunctions.MinHashPrime)).as(s"mh$i")
-    }
+    // all perm minima in one compiled pass (MinhashSignature) — the HOF
+    // form paid numPerms array_min(transform(...)) walks per doc; `_sig`
+    // stays in its own projection (like `_hs`) so CollapseProject won't
+    // duplicate the expensive expression into all numPerms consumers
     df.select(keep.map(col) :+
         transform(TextFunctions.shingles(col(text), k), s => TextFunctions.hash31(s)).as("_hs"): _*)
       .where(size(col("_hs")) > 0)
-      .select(keep.map(col) ++ mins: _*)
+      .select(keep.map(col) :+
+        graft.expressions.minhash_signature(col("_hs"), numPerms).as("_sig"): _*)
+      .select(keep.map(col) ++
+        (0 until numPerms).map(i => element_at(col("_sig"), i + 1).as(s"mh$i")): _*)
   }
 
   /** Corpus-side band store for stream-static near-dedup: one

@@ -41,6 +41,15 @@ package object expressions {
     call_function("dup_bigram_frac", words)
   }
 
+  /** Full MinHash signature (all perm minima) of a shingle-hash array in
+    * one compiled pass (see [[MinhashSignature]]); the per-row signature
+    * cost of the streaming ingest path.
+    */
+  def minhash_signature(shingleHashes: Column, numPerms: Int): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("minhash_signature", shingleHashes, lit(numPerms))
+  }
+
   /** All random-hyperplane LSH band buckets of a vector in one compiled
     * pass (see [[LshBandBuckets]]); bit-identical to the per-plane HOF
     * projections — the signature hot path of the near-dup/KNN family.
