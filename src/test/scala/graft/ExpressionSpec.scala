@@ -111,4 +111,74 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr("dup_bigram_frac(split(text, ' ')) AS f").head().getDouble(0)
     assert(math.abs(out - 1.0 / 3.0) < 1e-15)
   }
+
+  test("lsh_band_buckets is bit-identical to the per-plane HOF projections") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val vecs = Seq.fill(50)(Array.fill(64)(rnd.nextFloat() * 2 - 1)).map(_.toSeq)
+    val df = vecs.toDF("embedding")
+    val bands = 8; val rows = 4
+    // reference: the original per-plane fold (Ann.planeProjection signs)
+    val refCols = (0 until bands).map { b =>
+      (0 until rows).map { r =>
+        val plane = b * rows + r
+        when(graft.ann.Ann.planeProjection(col("embedding"), plane) >= 0, lit(1L << r))
+          .otherwise(lit(0L))
+      }.reduce(_ + _).as(s"ref$b")
+    }
+    val got = df
+      .withColumn("fast", graft.expressions.lsh_band_buckets(col("embedding"), bands, rows))
+      .select((col("fast") +: refCols): _*)
+      .collect()
+    got.foreach { row =>
+      val fast = row.getSeq[Long](0)
+      (0 until bands).foreach(b => assert(fast(b) === row.getLong(1 + b)))
+    }
+  }
+
+  test("minhash_signature is identical to the per-perm HOF minima") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three four five six seven",
+      "a b c" // exactly one 3-shingle
+    ).toDF("text")
+      .withColumn("_hs", transform(TextFunctions.shingles(col("text"), 3),
+        s => TextFunctions.hash31(s)))
+    val numPerms = 16
+    val refCols = TextFunctions.permParams(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("_hs"), h => (h * a + b) % TextFunctions.MinHashPrime)).as(s"ref$i")
+    }
+    val got = docs
+      .withColumn("fast", graft.expressions.minhash_signature(col("_hs"), numPerms))
+      .select((col("fast") +: refCols): _*)
+      .collect()
+    got.foreach { row =>
+      val fast = row.getSeq[Long](0)
+      (0 until numPerms).foreach(i => assert(fast(i) === row.getLong(1 + i)))
+    }
+    // empty shingle array -> NULL signature (callers filter size > 0)
+    val empty = Seq(Seq.empty[Long]).toDF("_hs")
+      .select(graft.expressions.minhash_signature(col("_hs"), numPerms).as("sig"))
+      .head()
+    assert(empty.isNullAt(0))
+  }
+
+  test("bpe_token_count applies the cascade exactly like the SQL replace chain") {
+    import spark.implicits._
+    val merges = Seq("l l", "ll o") // ll then llo
+    val rows = Seq(
+      "hello yellow llll x zz9 ok", // hello->h e llo (3), yellow->y e llo w (4);
+                                    // llll-> "l l l l" merges ONCE to "ll l l" (3):
+                                    // replace never rescans emitted text, and the
+                                    // remainder "l l " has no leading anchor space;
+                                    // x->1 (short), zz9->1 (digit), ok->o k (2)
+      "" // empty text -> split gives [""] -> 1
+    ).toDF("text")
+      .select(graft.expressions.bpe_token_count(split(lower(col("text")), " "), merges).as("n"))
+      .collect()
+    assert(rows(0).getLong(0) === (3 + 4 + 3 + 1 + 1 + 2))
+    assert(rows(1).getLong(0) === 1L)
+  }
 }
