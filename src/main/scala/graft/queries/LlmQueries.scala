@@ -223,24 +223,32 @@ object LlmQueries {
     // one aggregate over the corpus, broadcast the model, score per doc;
     // junk text scores high, natural text low)
     "q_text_perplexity" -> ((s, dir) => {
-      val bg = docs(s, dir).select(col("doc_id"), explode(expr(
+      // per-doc bigram COUNTS first: one explosion + one (doc, bg)
+      // aggregate, then training, vocab, and scoring all run on the
+      // count table — the corpus chars are walked twice total instead of
+      // four times (the previous shape branched train/vocab/score off the
+      // raw instance explode). Scoring weights by cnt, mathematically the
+      // instance average; the oracle mirrors the same weighted shape.
+      val dbg = docs(s, dir).select(col("doc_id"), explode(expr(
         """CASE WHEN length(text) >= 2
           |  THEN transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
           |  ELSE array() END""".stripMargin)).as("bg"))
-      val bc = bg.groupBy("bg").agg(count(lit(1)).as("nbg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      val bc = dbg.groupBy("bg").agg(sum("cnt").as("nbg"))
       val c1 = bc.groupBy(expr("substring(bg, 1, 1)").as("c1")).agg(sum("nbg").as("nc1"))
-      val v = bg.agg(countDistinct(expr("substring(bg, 2, 1)")).as("vv"))
-      // per-bigram score table first: the log/divide runs once per DISTINCT
-      // bigram (vocab-sized), and the corpus pass is a single broadcast
-      // join picking precomputed scores. Model trained on the corpus being
-      // scored, so every instance hits the table — no smoothing fallback row.
+      val v = bc.agg(countDistinct(expr("substring(bg, 2, 1)")).as("vv"))
+      // per-bigram score table: the log/divide runs once per DISTINCT
+      // bigram (vocab-sized), and the scoring pass is a broadcast join
+      // picking precomputed scores. Model trained on the corpus being
+      // scored, so every bigram hits the table — no smoothing fallback row.
       val sc = bc.join(c1, expr("substring(bg, 1, 1)") === col("c1"))
         .crossJoin(v)
         .select(col("bg"), (-log((col("nbg") + lit(1)).cast("double")
           / (col("nc1") + col("vv")).cast("double"))).as("score"))
-      bg.join(broadcast(sc), Seq("bg"))
+      dbg.join(broadcast(sc), Seq("bg"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), round(avg("score"), 6).as("xent"))
+        .agg(sum("cnt").as("n_bigrams"),
+          round(sum(col("cnt") * col("score")) / sum("cnt"), 6).as("xent"))
     }),
 
     // Gopher-style repetition filters (Rae et al. 2021 §A1.1, as used by
@@ -696,19 +704,17 @@ object LlmQueries {
         |FROM documents""".stripMargin,
 
     "q_text_perplexity" ->
-      """WITH bg AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(text)), i -> text[i:i+1])) AS bg
-        |  FROM documents),
-        |bc AS (SELECT bg, count(*) AS nbg FROM bg GROUP BY 1),
-        |c1 AS (SELECT bg[1:1] AS c1, sum(nbg) AS nc1 FROM bc GROUP BY 1),
-        |v AS (SELECT count(DISTINCT bg[2:2]) AS vv FROM bg)
-        |SELECT b.doc_id, count(*) AS n_bigrams,
-        |  round(avg(-ln((coalesce(bc.nbg, 0) + 1)::DOUBLE
-        |    / (coalesce(c1.nc1, 0) + v.vv)::DOUBLE)), 6) AS xent
-        |FROM bg b
-        |LEFT JOIN bc ON b.bg = bc.bg
-        |LEFT JOIN c1 ON b.bg[1:1] = c1.c1
-        |CROSS JOIN v
+      """WITH dbg AS (SELECT doc_id, bg, count(*)::BIGINT AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(text)), i -> text[i:i+1])) AS bg
+        |    FROM documents) GROUP BY 1, 2),
+        |bc AS (SELECT bg, sum(cnt)::BIGINT AS nbg FROM dbg GROUP BY 1),
+        |c1 AS (SELECT bg[1:1] AS c1, sum(nbg)::BIGINT AS nc1 FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT bg[2:2]) AS vv FROM bc),
+        |sc AS (SELECT bg, -ln((nbg + 1)::DOUBLE / (nc1 + vv)::DOUBLE) AS score
+        |       FROM bc JOIN c1 ON bc.bg[1:1] = c1.c1 CROSS JOIN v)
+        |SELECT d.doc_id, sum(d.cnt)::BIGINT AS n_bigrams,
+        |  round(sum(d.cnt * sc.score) / sum(d.cnt), 6) AS xent
+        |FROM dbg d JOIN sc ON d.bg = sc.bg
         |GROUP BY 1""".stripMargin,
 
     "q_dedup_incremental" ->
