@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray, LshBandBuckets, MinhashSignature}
+import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray, Hash60, LshBandBuckets, MinhashSignature}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("dup_bigram_frac", exprs, 1)
         DupBigramFrac(exprs.head)
+      }),
+    ("hash60",
+      new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+      (exprs: Seq[Expression]) => {
+        arity("hash60", exprs, 1)
+        Hash60(exprs.head)
       }),
     ("minhash_signature",
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),

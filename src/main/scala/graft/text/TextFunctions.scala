@@ -27,9 +27,15 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Portable 60-bit hash: first 15 hex chars of md5 as a long. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a long — computed
+    * digest-bytes→long by the native Hash60 expression (VALUE-identical
+    * to `conv(substring(md5(c), 1, 15), 16, 10)`, which the oracles use;
+    * ExpressionSpec proves the equivalence). Per-shingle hot path.
+    */
+  def hash60(c: Column): Column = {
+    graft.expressions.ensureRegistered(org.apache.spark.sql.SparkSession.active)
+    call_function("hash60", c)
+  }
 
   /** hash60 reduced into the Mersenne-ish prime field used by MinHash. */
   val MinHashPrime = 2147483647L

@@ -112,6 +112,19 @@ class ExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(out - 1.0 / 3.0) < 1e-15)
   }
 
+  test("hash60 equals the md5-hex/conv SQL composition on arbitrary strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val strs = Seq("", "a", "the quick brown fox", "naïve café — 中文 テスト",
+      "w1 w2 w3") ++ Seq.fill(200)(rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+    val rows = strs.toDF("s")
+      .select(col("s"),
+        expr("hash60(s)").as("fast"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS LONG)").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"mismatch on '${r.getString(0)}'"))
+  }
+
   test("lsh_band_buckets is bit-identical to the per-plane HOF projections") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)
