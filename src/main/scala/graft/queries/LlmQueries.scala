@@ -426,6 +426,27 @@ object LlmQueries {
       Ann.knnLsh(e, e.where(col("vec_id") % 50 === 0), k = 5, planes = 8)
     }),
 
+    // the recall eval every ANN deployment ships: approximate (LSH) top-k
+    // joined against exact brute-force top-k on a probe SAMPLE, recall@k
+    // per probe. Composes the two proven kNN kernels; the exact side runs
+    // only on the sampled probes (broadcast join, corpus never shuffles),
+    // which is how offline recall harnesses stay feasible at 100 TB.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+      val ex = Ann.knnBruteForce(e, probes, k = 5).select(col("probe_id"), col("neighbor_id"))
+      val ap = Ann.knnLsh(e, probes, k = 5, planes = 8).select(col("probe_id"), col("neighbor_id"))
+      val ln = ap.groupBy("probe_id").agg(count(lit(1)).as("n_lsh"))
+      ex.join(ap.withColumn("hit", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id").agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .join(broadcast(ln), Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hit"),
+          round(col("n_hit") / col("n_exact"), 6).as("recall"))
+    }),
+
     // full IVF: cells LEARNED by deterministic Lloyd (k=8, 3 rounds), probes
     // ranked against the fitted centroids, only the top-2 cells scanned
     "q_ann_ivf" -> ((s, dir) => {
@@ -857,6 +878,35 @@ object LlmQueries {
          |  FROM probes JOIN be c ON c.bucket = probes.bucket AND c.vec_id <> probe_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
          |SELECT probe_id, bucket, neighbor_id, round(cos, 6) AS cos, rk::INT AS rk FROM r WHERE rk <= 5""".stripMargin
+    },
+
+    "q_ann_recall" -> {
+      def projSql(v: String, p: Int) =
+        s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
+           |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
+      def bucketSql(v: String) =
+        (0 until 8).map(p => s"(CASE WHEN ${projSql(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+         |ex0 AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosSql("pvec", "c.embedding")} AS cos
+         |        FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
+         |ex AS (SELECT probe_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+         |         FROM ex0) WHERE rk <= 5),
+         |be AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |lp AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be WHERE vec_id % 50 = 0),
+         |ls0 AS (SELECT lp.probe_id, c.vec_id AS neighbor_id, ${cosSql("pvec", "c.embedding")} AS cos
+         |        FROM lp JOIN be c ON c.bucket = lp.bucket AND c.vec_id <> lp.probe_id),
+         |ls AS (SELECT probe_id, neighbor_id FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+         |         FROM ls0) WHERE rk <= 5),
+         |ln AS (SELECT probe_id, count(*)::BIGINT AS n_lsh FROM ls GROUP BY 1),
+         |j AS (SELECT ex.probe_id, count(*)::BIGINT AS n_exact,
+         |        sum(CASE WHEN ls.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+         |      FROM ex LEFT JOIN ls ON ex.probe_id = ls.probe_id AND ex.neighbor_id = ls.neighbor_id
+         |      GROUP BY 1)
+         |SELECT j.probe_id, j.n_exact, coalesce(ln.n_lsh, 0)::BIGINT AS n_lsh, j.n_hit,
+         |  round(j.n_hit / j.n_exact, 6) AS recall
+         |FROM j LEFT JOIN ln ON j.probe_id = ln.probe_id""".stripMargin
     },
 
     // learned-cell IVF: replay the Lloyd chain, rank cells against the
