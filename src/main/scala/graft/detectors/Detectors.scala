@@ -144,7 +144,11 @@ object Detectors {
           (sum(when(col("_devk").isNotNull, col("_dev") * col("_devk"))) / sum(col("_dev") * col("_dev"))).as("_acf"),
           max("_n").as("_nn"))
         .select((s.keyCols ++ Seq(lit(k).as("lag"), round(col("_acf"), 6).as("acf"),
-          (col("_acf") > lit(2.0) / sqrt(col("_nn"))).cast("int").as("seasonal"))): _*)
+          // coalesce: a constant series has acf = 0/0 = NULL, and the
+          // oracle's CASE WHEN ... THEN 1 ELSE 0 lands in ELSE — mirror
+          // that 0 instead of letting the NULL comparison leak through
+          coalesce((col("_acf") > lit(2.0) / sqrt(col("_nn"))).cast("int"), lit(0))
+            .as("seasonal"))): _*)
     }.reduce(_ unionByName _)
   }
 
