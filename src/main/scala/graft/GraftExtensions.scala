@@ -32,6 +32,14 @@ object GraftExtensions {
     case other      => throw new IllegalArgumentException(s"expected numeric literal, got $other")
   }
 
+  private def toInt(e: Expression): Int = e.eval() match {
+    case i: Int   => i
+    case l: Long  => l.toInt
+    case s: Short => s.toInt
+    case b: Byte  => b.toInt
+    case other    => throw new IllegalArgumentException(s"expected integer literal, got $other")
+  }
+
   /** (name, info, builder) for every graft-native SQL function. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("ewma_array",
@@ -56,14 +64,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
       (exprs: Seq[Expression]) => {
         arity("minhash_signature", exprs, 2)
-        MinhashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])
+        MinhashSignature(exprs.head, toInt(exprs(1)))
       }),
     ("lsh_band_buckets",
       new ExpressionInfo(classOf[LshBandBuckets].getName, "lsh_band_buckets"),
       (exprs: Seq[Expression]) => {
         arity("lsh_band_buckets", exprs, 3)
-        LshBandBuckets(exprs.head,
-          exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])
+        LshBandBuckets(exprs.head, toInt(exprs(1)), toInt(exprs(2)))
       }),
     ("bpe_token_count",
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

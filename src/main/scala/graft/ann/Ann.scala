@@ -91,9 +91,13 @@ object Ann {
                       id: String = "vec_id", vec: String = "embedding", salt: Int = 1): DataFrame = {
     val v = corpus.select(col(id), col(vec))
     // all band buckets in one compiled pass over the vector (bit-identical
-    // to the per-plane HOF projections — see LshBandBuckets)
+    // to the per-plane HOF projections — see LshBandBuckets). coalesce: a
+    // NULL vector bucketed as 0 by the old when/otherwise form (and by the
+    // oracle's CASE) must not become a NULL array that posexplode drops.
+    val zeroBuckets = array((0 until bands).map(_ => lit(0L)): _*)
     val banded = v.select(col(id), col(vec),
-        posexplode(graft.expressions.lsh_band_buckets(col(vec), bands, rowsPerBand))
+        posexplode(coalesce(
+          graft.expressions.lsh_band_buckets(col(vec), bands, rowsPerBand), zeroBuckets))
           .as(Seq("band", "bucket")))
     // verify-then-dedup: the codegen'd cosine is cheaper than shuffling
     // the full candidate multiset through a distinct — a pair colliding in
@@ -132,9 +136,10 @@ object Ann {
       lit(0.0), (acc, v) => acc + v)
 
   /** Random-hyperplane LSH bucket id from `planes` sign bits (one band of
-    * `planes` rows through the compiled single-pass expression). */
+    * `planes` rows through the compiled single-pass expression); NULL
+    * vectors bucket as 0 like the old when/otherwise form. */
   def lshBucket(vec: Column, planes: Int): Column =
-    element_at(graft.expressions.lsh_band_buckets(vec, 1, planes), 1)
+    coalesce(element_at(graft.expressions.lsh_band_buckets(vec, 1, planes), 1), lit(0L))
 
   /** Top-k within LSH buckets: probes only compare against their bucket. */
   def knnLsh(corpus: DataFrame, probes: DataFrame, k: Int, planes: Int = 8,

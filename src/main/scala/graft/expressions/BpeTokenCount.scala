@@ -27,34 +27,41 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeTokenCount(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StringType, _), StringType) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(StringType, _), StringType) =>
+      if (right.foldable) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "bpe_token_count requires a foldable merge list (the cascade is parsed once per plan)")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"bpe_token_count requires (array<string>, string), got (${l.simpleString}, ${r.simpleString})")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "bpe_token_count"
 
-  override def nullSafeEval(words: Any, merges: Any): Any =
-    BpeTokenCount.compute(words.asInstanceOf[ArrayData], merges.asInstanceOf[UTF8String])
+  // the merge list is foldable — parse it ONCE per expression instance;
+  // rows then pay zero lookup cost (the parsed array rides the codegen
+  // references, not a per-row map probe on the literal's bytes)
+  @transient private lazy val cascadeArr: Array[Array[String]] =
+    BpeTokenCount.parse(String.valueOf(right.eval().asInstanceOf[UTF8String]))
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (w, m) => s"graft.expressions.BpeTokenCount.compute($w, $m)")
+  override def nullSafeEval(words: Any, merges: Any): Any =
+    BpeTokenCount.compute(words.asInstanceOf[ArrayData], cascadeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCascade", cascadeArr, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, (w, _) => s"graft.expressions.BpeTokenCount.compute($w, $ref)")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): BpeTokenCount =
     copy(left = newLeft, right = newRight)
 }
 
 object BpeTokenCount {
-  // (padded search, padded replacement) per merge, parsed once per distinct
-  // merge-list literal (one per query) — never per row
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[String]]]()
-
-  private def cascade(merges: String): Array[Array[String]] =
-    cache.computeIfAbsent(merges, m =>
-      m.split('\t').filter(_.nonEmpty).map { pair =>
-        Array(" " + pair + " ", " " + pair.replace(" ", "") + " ")
-      })
+  /** (padded search, padded replacement) per merge — called once per
+    * expression instance at resolution, never per row. */
+  private[expressions] def parse(merges: String): Array[Array[String]] =
+    merges.split('\t').filter(_.nonEmpty).map { pair =>
+      Array(" " + pair + " ", " " + pair.replace(" ", "") + " ")
+    }
 
   private def inAlphabet(w: String): Boolean = {
     val n = w.length
@@ -64,8 +71,7 @@ object BpeTokenCount {
     true
   }
 
-  def compute(arr: ArrayData, merges: UTF8String): Long = {
-    val cas = cascade(merges.toString)
+  def compute(arr: ArrayData, cas: Array[Array[String]]): Long = {
     val n = arr.numElements()
     var total = 0L
     var i = 0

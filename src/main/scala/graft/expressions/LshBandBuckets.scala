@@ -50,13 +50,16 @@ case class LshBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
 object LshBandBuckets {
   /** One pass over the vector: per dim, update every plane accumulator
     * (per-accumulator addition order is still dim order — bit-identical
-    * to the per-plane fold). A null element poisons every projection to
-    * NULL in the HOF form, whose sign test then yields bit 0 — mirrored
-    * here by returning all-zero buckets.
+    * to the per-plane fold). A null element — or an EMPTY vector, whose
+    * zip_with/fold projection is also NULL in the HOF form — poisons every
+    * projection to NULL there, whose sign test then yields bit 0; mirrored
+    * here by returning all-zero buckets (NOT by letting the 0.0
+    * accumulators pass the >= 0 test, which would set every bit).
     */
   def compute(arr: ArrayData, bands: Int, rowsPerBand: Int, isFloat: Boolean): ArrayData = {
     val planes = bands * rowsPerBand
     val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Long](bands))
     val acc = new Array[Double](planes)
     var nullSeen = false
     var d = 0

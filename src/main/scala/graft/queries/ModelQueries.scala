@@ -256,7 +256,10 @@ object ModelQueries {
       */
     "q_kats_ensemble" -> ((s, dir) => {
       val h = hourly(s, dir)
-      val gate = graft.detectors.Detectors.seasonalityAcf(h, S, Seq(24))
+      // the gate runs on the GAP-FREE grid: seasonalityAcf lags rows, so
+      // lag 24 only means "24 hours" on a dense series (q_seasonality_acf
+      // makes the same choice); decompose/fits stay on hourly like q_stlf
+      val gate = graft.detectors.Detectors.seasonalityAcf(dense(s, dir), S, Seq(24))
         .select(col("event_type"), col("seasonal").as("is_seasonal"))
       val dec = Decompose.additive(h, S)
       val dsv = dec.join(broadcast(gate), "event_type")
@@ -731,9 +734,10 @@ object ModelQueries {
     // output column, while lin/quad stay raw until the final round
     "q_kats_ensemble" ->
       s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
          |gb AS (SELECT event_type, ts, value,
          |        value - avg(value) OVER (PARTITION BY event_type) AS dev,
-         |        count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |        count(*) OVER (PARTITION BY event_type) AS n FROM dense),
          |gl AS (SELECT event_type, n, dev,
          |        lag(dev, 24) OVER (PARTITION BY event_type ORDER BY ts) AS devk FROM gb),
          |gate AS (SELECT event_type,

@@ -145,33 +145,37 @@ object TokenQueries {
     words.count() // materialize once; rounds below re-read the cache
     var cur: DataFrame = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (r <- 0 until BpeRounds) {
-      val top = cur.where(size(split(col("sym"), " ")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(0, size(split(sym, ' ')) - 2), " +
-            "i -> concat(element_at(split(sym, ' '), i + 1), ' ', element_at(split(sym, ' '), i + 2)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
-      top.headOption.foreach { row =>
-        val pair = row.getString(0)
-        val merged = pair.replace(" ", "")
-        merges += ((r + 1, pair, merged, row.getLong(1)))
-        cur = cur.select(
-          expr(s"trim(replace(concat(' ', sym, ' '), ' $pair ', ' $merged '))").as("sym"),
-          col("cnt"))
+    try {
+      for (r <- 0 until BpeRounds) {
+        val top = cur.where(size(split(col("sym"), " ")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(split(sym, ' ')) - 2), " +
+              "i -> concat(element_at(split(sym, ' '), i + 1), ' ', element_at(split(sym, ' '), i + 2)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+        top.headOption.foreach { row =>
+          val pair = row.getString(0)
+          val merged = pair.replace(" ", "")
+          merges += ((r + 1, pair, merged, row.getLong(1)))
+          cur = cur.select(
+            expr(s"trim(replace(concat(' ', sym, ' '), ' $pair ', ' $merged '))").as("sym"),
+            col("cnt"))
+        }
       }
-    }
-    words.unpersist()
+    } finally words.unpersist() // a failed round must not leak the cached histogram
     merges.toSeq
   }
 
   // Unrolled WITH-chain replay of the BPE rounds (the kmChainSql pattern):
   // p_r = weighted pair counts over w_r, m_r = the argmax merge, w_{r+1} =
   // the space-anchored replace. Exact-integer argmax keeps engines aligned.
-  // Every w/m layer is AS MATERIALIZED and w_{r+1} consumes m_r via a
-  // 1-row cross join — without this DuckDB inlines the chain and the
-  // replay blows up exponentially in the round count.
+  // Every w/m layer is AS MATERIALIZED — without the hint DuckDB inlines
+  // the chain and the replay blows up exponentially in the round count.
+  // w_{r+1} takes m_r via LEFT JOIN ON TRUE with a chr(1) sentinel: a
+  // round that runs dry (empty m_r on a tiny corpus) must be a no-op
+  // replace, matching the Spark loop's skipped round — a cross join would
+  // collapse the whole chain to zero rows instead.
   private def bpeChainSql(rounds: Int): String = {
     val base =
       """words AS (
@@ -186,8 +190,9 @@ object TokenQueries {
          |m$r AS MATERIALIZED (SELECT ${r + 1} AS merge_rank, pair, replace(pair, ' ', '') AS merged, c
          |        FROM p$r ORDER BY c DESC, pair LIMIT 1),
          |w${r + 1} AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',
-         |                 ' ' || m$r.pair || ' ', ' ' || m$r.merged || ' ')) AS sym, cnt
-         |               FROM w$r CROSS JOIN m$r)""".stripMargin
+         |                 ' ' || coalesce(m$r.pair, chr(1)) || ' ',
+         |                 ' ' || coalesce(m$r.merged, '') || ' ')) AS sym, cnt
+         |               FROM w$r LEFT JOIN m$r ON TRUE)""".stripMargin
     }
     (base +: layers).mkString(",\n")
   }
@@ -240,17 +245,19 @@ object TokenQueries {
          |FROM (${(0 until BpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")})""".stripMargin,
 
     // re-learns the merges via the same chain, pivots them into one row
-    // (mg), and applies the cascade inside a list lambda per word —
-    // mirroring the literal-nested expression the Spark side builds
+    // (mg — scalar subqueries, so a dry round contributes NULL and its
+    // replace level no-ops via the chr(1) sentinel, exactly like the Spark
+    // side's shorter cascade), and applies the cascade inside a list
+    // lambda per word — mirroring the literal-nested expression
     "q_bpe_encode" -> {
       val mgCols = (0 until BpeRounds)
-        .map(r => s"m$r.pair AS p$r, m$r.merged AS g$r").mkString(", ")
-      val mgFrom = (0 until BpeRounds).map(r => s"m$r").mkString(", ")
+        .map(r => s"(SELECT pair FROM m$r) AS p$r, (SELECT merged FROM m$r) AS g$r").mkString(", ")
       val applied = (0 until BpeRounds).foldLeft("trim(regexp_replace(w, '(.)', '\\1 ', 'g'))") {
-        case (x, r) => s"trim(replace(' ' || $x || ' ', ' ' || p$r || ' ', ' ' || g$r || ' '))"
+        case (x, r) => s"trim(replace(' ' || $x || ' ', " +
+          s"' ' || coalesce(p$r, chr(1)) || ' ', ' ' || coalesce(g$r, '') || ' '))"
       }
       s"""WITH ${bpeChainSql(BpeRounds)},
-         |mg AS (SELECT $mgCols FROM $mgFrom),
+         |mg AS (SELECT $mgCols),
          |enc AS (SELECT d.source, length(d.text)::BIGINT AS n_chars,
          |         len(string_split(d.text, ' '))::BIGINT AS ws_tokens,
          |         list_sum(list_transform(string_split(lower(d.text), ' '),
