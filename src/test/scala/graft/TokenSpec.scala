@@ -143,6 +143,23 @@ class TokenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("BPE runs dry gracefully: a tiny corpus yields fewer merges and a working cascade") {
+    import spark.implicits._
+    // one mergeable word: round 1 learns 'a b' -> 'ab', then no pairs remain
+    val docs = Seq((1L, "ab ab zz9 ab", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("tokenspec-dry").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TokenQueries.defs("q_bpe_learn")(spark, dir).collect()
+    assert(merges.length < 8 && merges.nonEmpty) // dry rounds skipped, no crash
+    assert(merges.head.getAs[String]("pair") === "a b")
+    // encode under the short cascade: 'ab' is one symbol, 'zz9' stays 1
+    val enc = TokenQueries.defs("q_bpe_encode")(spark, dir).head()
+    assert(enc.getAs[Long]("ws_tokens") === 4L)
+    assert(enc.getAs[Long]("bpe_tokens") === 4L) // 3x 'ab' fully merged + 'zz9'
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("q_bpe_learn: ranks complete, merges well-formed, argmax counts non-increasing") {
     val rows = TokenQueries.defs("q_bpe_learn")(spark, sf)
       .orderBy("merge_rank").collect()
