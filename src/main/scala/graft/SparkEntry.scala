@@ -24,7 +24,8 @@ object SparkEntry {
     (RobustQueries.defs, RobustQueries.sql),
     (PipeQueries.defs, PipeQueries.sql),
     (ServeQueries.defs, ServeQueries.sql),
-    (TokenQueries.defs, TokenQueries.sql)
+    (TokenQueries.defs, TokenQueries.sql),
+    (MiningQueries.defs, MiningQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -106,7 +106,7 @@ object LlmQueries {
     s"list_sum(list_transform(list_zip($a::DOUBLE[], $b::DOUBLE[]), x -> x[1] * x[2]))"
   private def normSql(v: String) =
     s"sqrt(list_sum(list_transform($v::DOUBLE[], x -> x * x)))"
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
   private def langScoreSql(words: Seq[String]): String =
