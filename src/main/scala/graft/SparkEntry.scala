@@ -25,7 +25,8 @@ object SparkEntry {
     (PipeQueries.defs, PipeQueries.sql),
     (ServeQueries.defs, ServeQueries.sql),
     (TokenQueries.defs, TokenQueries.sql),
-    (MiningQueries.defs, MiningQueries.sql)
+    (MiningQueries.defs, MiningQueries.sql),
+    (SelectQueries.defs, SelectQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

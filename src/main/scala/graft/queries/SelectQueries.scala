@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft._
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-selection and embedding-evaluation operators:
+  *
+  *  - DSIR importance weights (Xie et al. 2023, "Data Selection for
+  *    Language Models via Importance Resampling"): hashed-unigram bag
+  *    models for a target vs the raw corpus, per-doc log importance
+  *    weight Σ c_b·(ln p_t[b] − ln p_r[b]);
+  *  - smoothed unigram KL drift per source vs the corpus-wide
+  *    distribution — the distribution-shift monitor a mixture pipeline
+  *    tracks per ingest source;
+  *  - kNN label classification over the embedding corpus — the standard
+  *    embedding-quality probe (majority vote of the 5 exact nearest
+  *    neighbors vs the held-out label).
+  */
+object SelectQueries {
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** DSIR hashed-feature bucket count. */
+  private val DsirB = 64
+
+  /** The n-gram alphabet every text operator in the suite tokenizes to. */
+  private val WordRe = "^[a-z]{2,20}$"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── DSIR: target = English docs, raw = whole corpus. Unigrams hash
+    // into B=64 buckets (the portable md5-derived hash60, so the oracle
+    // reproduces buckets exactly); bucket models get add-1 smoothing; the
+    // per-doc log weight is Σ_b c_db·λ_b with λ broadcast as a 64-row
+    // table. One token shuffle + one broadcast join — the q_text_perplexity
+    // shape, linear in corpus tokens at any scale. keep = logw > 0 (doc
+    // looks more target-like than raw-like) stays map-side; no global
+    // sort or quantile is needed to act on the weights. ──
+    "q_dsir_weights" -> ((s, dir) => {
+      // ONE corpus tokenize pass: the per-(doc,bucket) counts feed both
+      // the bucket models (re-aggregated to 64 rows) and the per-doc
+      // scoring join — the corpus is never read twice for the model
+      val cdb = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+        .where(col("term").rlike(WordRe))
+        .withColumn("bucket", TextFunctions.hash60(col("term")) % DsirB)
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("c_db"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_db_t"))
+      val bk = cdb.groupBy("bucket").agg(sum("c_db").as("c_r"), sum("c_db_t").as("c_t"))
+      val tots = bk.agg(sum("c_r").as("n_r"), sum("c_t").as("n_t"))
+      val lam = bk.crossJoin(broadcast(tots))
+        .select(col("bucket"),
+          (log((col("c_t") + 1.0) / (col("n_t") + DsirB))
+            - log((col("c_r") + 1.0) / (col("n_r") + DsirB))).as("lam"))
+      val perDoc = cdb.join(broadcast(lam), "bucket")
+        .groupBy("doc_id").agg(
+          sum("c_db").as("n_tokens"),
+          round(sum(col("c_db") * col("lam")), 6).as("logw"))
+      docs(s, dir).select(col("doc_id"), when(col("lang") === "en", 1).otherwise(0).as("is_target"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_target"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("logw"), lit(0.0)).as("logw"),
+          when(coalesce(col("logw"), lit(0.0)) > 0, 1).otherwise(0).as("keep"))
+    }),
+
+    // ── Per-source smoothed unigram KL vs the corpus distribution,
+    // computed EXACTLY over the full vocabulary without a source×vocab
+    // cross join: the absent-term mass folds into closed form
+    // p₀·((V−V_s)·ln p₀ − (Lq_all − Lq_s)) using one global scalar
+    // (Lq_all = Σ_t ln q_t) — so the plan is one (source,term) shuffle,
+    // one vocabulary aggregate, a key-equality join on term, and
+    // broadcast scalars. ──
+    "q_source_kl" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+        .where(col("term").rlike(WordRe))
+      val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+      val gt = st.groupBy("term").agg(sum("c_st").as("c_t"))
+      val tot = gt.agg(sum("c_t").as("n"), count(lit(1)).as("v"))
+      val qt = gt.crossJoin(broadcast(tot))
+        .select(col("term"), ((col("c_t") + 1.0) / (col("n") + col("v"))).as("q_t"))
+      val lqAll = qt.agg(sum(log(col("q_t"))).as("lq_all"))
+      val ns = st.groupBy("source").agg(sum("c_st").as("n_s"), count(lit(1)).as("v_s"))
+      val per = st.join(qt, "term").join(ns, "source").crossJoin(broadcast(tot))
+        .withColumn("p_st", (col("c_st") + 1.0) / (col("n_s") + col("v")))
+        .groupBy("source").agg(
+          sum(col("p_st") * (log(col("p_st")) - log(col("q_t")))).as("part1"),
+          sum(log(col("q_t"))).as("lq_s"))
+      per.join(ns, "source").crossJoin(broadcast(tot)).crossJoin(broadcast(lqAll))
+        .withColumn("p0", lit(1.0) / (col("n_s") + col("v")))
+        .select(col("source"), col("n_s").as("n_tokens"), col("v_s").as("n_terms"),
+          round(col("part1")
+            + col("p0") * ((col("v") - col("v_s")) * log(col("p0")) - (col("lq_all") - col("lq_s"))), 6)
+            .as("kl"))
+    }),
+
+    // ── kNN label classification: exact 5-NN majority vote (vote-count
+    // desc, label asc — an integer decision) on the % 50 probe sample.
+    // Composes the proven broadcast-probe kNN kernel: the corpus never
+    // shuffles, votes aggregate 5 rows per probe. ──
+    "q_knn_classify" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+      val nn = graft.ann.Ann.knnBruteForce(e, probes, k = 5).select("probe_id", "neighbor_id")
+      val votes = nn
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("pred_label")), "neighbor_id")
+        .groupBy("probe_id", "pred_label").agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy("probe_id").orderBy(col("n_votes").desc, col("pred_label").asc)
+      votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1).drop("rk")
+        .join(probes.select(col("vec_id").as("probe_id"), col("label").as("true_label")), "probe_id")
+        .select(col("probe_id"), col("true_label"), col("pred_label"), col("n_votes"),
+          when(col("true_label") === col("pred_label"), 1).otherwise(0).as("correct"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+    "q_dsir_weights" ->
+      s"""WITH cdb AS (SELECT doc_id, bucket, count(*)::BIGINT AS c_db,
+         |               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_db_t
+         |             FROM (SELECT doc_id, lang,
+         |                     ('0x' || substr(md5(term), 1, 15))::BIGINT % $DsirB AS bucket
+         |                   FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+         |                         FROM documents)
+         |                   WHERE regexp_matches(term, '$WordRe'))
+         |             GROUP BY 1, 2),
+         |bk AS (SELECT bucket, sum(c_db)::BIGINT AS c_r, sum(c_db_t)::BIGINT AS c_t
+         |       FROM cdb GROUP BY 1),
+         |tots AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t FROM bk),
+         |lam AS (SELECT bucket,
+         |          ln((c_t + 1.0) / (n_t + $DsirB)) - ln((c_r + 1.0) / (n_r + $DsirB)) AS lam
+         |        FROM bk CROSS JOIN tots),
+         |pd AS (SELECT doc_id, sum(c_db)::BIGINT AS n_tokens,
+         |         round(sum(c_db * lam), 6) AS logw
+         |       FROM cdb JOIN lam USING (bucket) GROUP BY 1)
+         |SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_target,
+         |  coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(pd.logw, 0.0) AS logw,
+         |  CASE WHEN coalesce(pd.logw, 0.0) > 0 THEN 1 ELSE 0 END AS keep
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q_source_kl" ->
+      s"""WITH toks AS (SELECT source, term
+         |              FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS term
+         |                    FROM documents)
+         |              WHERE regexp_matches(term, '$WordRe')),
+         |st AS (SELECT source, term, count(*)::BIGINT AS c_st FROM toks GROUP BY 1, 2),
+         |gt AS (SELECT term, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+         |tot AS (SELECT sum(c_t)::BIGINT AS n, count(*)::BIGINT AS v FROM gt),
+         |qt AS (SELECT term, (c_t + 1.0) / (n + v) AS q_t FROM gt CROSS JOIN tot),
+         |lq AS (SELECT sum(ln(q_t)) AS lq_all FROM qt),
+         |ns AS (SELECT source, sum(c_st)::BIGINT AS n_s, count(*)::BIGINT AS v_s FROM st GROUP BY 1),
+         |per AS (SELECT st.source,
+         |          sum(((st.c_st + 1.0) / (ns.n_s + tot.v))
+         |              * (ln((st.c_st + 1.0) / (ns.n_s + tot.v)) - ln(qt.q_t))) AS part1,
+         |          sum(ln(qt.q_t)) AS lq_s
+         |        FROM st JOIN qt USING (term) JOIN ns USING (source) CROSS JOIN tot
+         |        GROUP BY 1)
+         |SELECT per.source, ns.n_s AS n_tokens, ns.v_s AS n_terms,
+         |  round(per.part1 + (1.0 / (ns.n_s + tot.v))
+         |        * ((tot.v - ns.v_s) * ln(1.0 / (ns.n_s + tot.v)) - (lq.lq_all - per.lq_s)), 6) AS kl
+         |FROM per JOIN ns USING (source) CROSS JOIN tot CROSS JOIN lq""".stripMargin,
+
+    "q_knn_classify" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS true_label
+         |                FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT probe_id, c.vec_id AS neighbor_id, c.label AS pred_label,
+         |  ${LlmQueries.cosSql("pvec", "c.embedding")} AS cos
+         |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+         |      FROM scored),
+         |votes AS (SELECT probe_id, pred_label, count(*)::BIGINT AS n_votes
+         |          FROM r WHERE rk <= 5 GROUP BY 1, 2),
+         |win AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, pred_label) AS vr
+         |        FROM votes)
+         |SELECT w.probe_id, p.true_label, w.pred_label, w.n_votes,
+         |  CASE WHEN p.true_label = w.pred_label THEN 1 ELSE 0 END AS correct
+         |FROM win w JOIN probes p ON w.probe_id = p.probe_id WHERE w.vr = 1""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent validation of the selection pack (SelectQueries): DSIR
+  * weights re-derived with a local md5 hasher, the smoothed KL re-derived
+  * including the absent-term mass (the query folds it into closed form),
+  * and kNN-classify votes re-counted brute-force.
+  */
+class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+  private val WordRe = "^[a-z]{2,20}$".r
+
+  private def tokens(text: String): Seq[String] =
+    text.toLowerCase.split(" ").toSeq.filter(t => WordRe.findFirstIn(t).isDefined)
+
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("q_dsir_weights: per-doc log weights match a local re-derivation") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 64
+    val cr = new Array[Long](B); val ct = new Array[Long](B)
+    docs.foreach { case (_, lang, text) =>
+      tokens(text).foreach { t =>
+        val b = (hash60(t) % B).toInt
+        cr(b) += 1
+        if (lang == "en") ct(b) += 1
+      }
+    }
+    val nr = cr.sum; val nt = ct.sum
+    val lam = (0 until B).map(b =>
+      math.log((ct(b) + 1.0) / (nt + B)) - math.log((cr(b) + 1.0) / (nr + B)))
+    val out = SparkEntry.queries("q_dsir_weights")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(out.size == docs.length)
+    docs.foreach { case (id, _, text) =>
+      val ts = tokens(text)
+      val want = ts.map(t => lam((hash60(t) % B).toInt)).sum
+      val (n, logw, keep) = out(id)
+      assert(n == ts.length, s"doc $id token count $n != ${ts.length}")
+      assert(math.abs(logw - want) < 1e-4, s"doc $id logw $logw != $want")
+      assert(keep == (if (logw > 0) 1 else 0))
+    }
+  }
+
+  test("q_source_kl: non-negative everywhere and matches a full-vocabulary re-derivation") {
+    val docs = Tables.documents(spark, dir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val global = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val perSrc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (src, text) =>
+      tokens(text).foreach { t => global(t) += 1; perSrc((src, t)) += 1 }
+    }
+    val n = global.values.sum; val v = global.size.toLong
+    val out = SparkEntry.queries("q_source_kl")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (_, kl) => assert(kl >= 0, s"KL must be non-negative, got $kl") }
+    out.keys.take(3).foreach { src =>
+      val cs = perSrc.collect { case ((s, t), c) if s == src => t -> c }.toMap
+      val ns = cs.values.sum
+      val kl = global.keys.map { t =>
+        val p = (cs.getOrElse(t, 0L) + 1.0) / (ns + v)
+        val q = (global(t) + 1.0) / (n + v)
+        p * (math.log(p) - math.log(q))
+      }.sum
+      assert(math.abs(out(src) - kl) < 1e-4, s"$src: query kl ${out(src)} != direct $kl")
+    }
+  }
+
+  test("q_knn_classify: predictions match brute-force cosine majority votes") {
+    val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val out = SparkEntry.queries("q_knn_classify")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(4)))
+    assert(out.length == vecs.count(_._1 % 50 == 0))
+    out.foreach { case (pid, trueL, predL, correct) =>
+      val (_, pv, pl) = vecs.find(_._1 == pid).get
+      val top5 = vecs.filter(_._1 != pid)
+        .map { case (id, v, l) => (id, cos(pv, v), l) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(5)
+      val want = top5.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head._1
+      assert(trueL == pl)
+      assert(predL == want, s"probe $pid: pred $predL != brute-force $want")
+      assert(correct == (if (trueL == predL) 1 else 0))
+    }
+  }
+}
