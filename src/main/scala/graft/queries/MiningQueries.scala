@@ -141,7 +141,11 @@ object MiningQueries {
             }
             i += 1
           }
-          (0 until nw).map(i => (i, round6(math.sqrt(bestD(i))), bestJ(i)))
+          // windows with no admissible neighbor (possible when
+          // excl < nw < 2*excl) are dropped, matching the oracle's pair
+          // join which never generates them
+          (0 until nw).filter(bestJ(_) >= 0)
+            .map(i => (i, round6(math.sqrt(bestD(i))), bestJ(i)))
         }
       }
       SeriesOps.collect(dense(s, dir), S)

@@ -87,7 +87,14 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
         }.sum)
       }
       (0 until nw).foreach { i =>
+        // windows with no admissible neighbor (possible only when
+        // nw <= 2*excl) are absent from the output by contract
+        val hasNeighbor = i >= excl || i + excl < nw
+        if (!hasNeighbor) {
+          assert(!out.contains((key, i)), s"$key idx $i: emitted despite no admissible neighbor")
+        } else {
         val (mp, nn) = out((key, i))
+        assert(nn >= 0 && nn < nw, s"$key idx $i: neighbor index $nn out of range [0, $nw)")
         assert(math.abs(i - nn) >= excl, s"$key idx $i: trivial-match neighbor $nn inside exclusion zone")
         if (stats(i)._2 > 1e-9 && stats(nn)._2 > 1e-9) {
           assert(math.abs(zdist(i, nn) - mp) < 1e-3,
@@ -97,6 +104,7 @@ class MiningSpec extends AnyFunSuite with BeforeAndAfterAll {
           val best = (0 until nw).filter(j => math.abs(i - j) >= excl && stats(j)._2 > 1e-9)
             .map(zdist(i, _)).min
           assert(mp <= best + 1e-3, s"$key idx $i: mp=$mp misses a closer neighbor at distance $best")
+        }
         }
       }
     }
