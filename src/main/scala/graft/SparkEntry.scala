@@ -26,7 +26,9 @@ object SparkEntry {
     (ServeQueries.defs, ServeQueries.sql),
     (TokenQueries.defs, TokenQueries.sql),
     (MiningQueries.defs, MiningQueries.sql),
-    (SelectQueries.defs, SelectQueries.sql)
+    (SelectQueries.defs, SelectQueries.sql),
+    (RetrievalQueries.defs, RetrievalQueries.sql),
+    (GrangerQueries.defs, GrangerQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

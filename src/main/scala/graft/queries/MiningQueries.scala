@@ -103,8 +103,39 @@ object MiningQueries {
     // emitted distance is recomputed from the rounded d² — fully
     // engine-stable. ──
     "q_matrix_profile" -> ((s, dir) => {
+      SeriesOps.collect(dense(s, dir), S)
+        .withColumn("_w", explode(mpUdf(col("xs"))))
+        .select(col("event_type"), col("_w._1").as("idx"),
+          col("_w._2").as("mp_dist"), col("_w._3").as("nn_idx"))
+    }),
+
+    // ── Discord extraction over the matrix profile: the top-3 LARGEST
+    // nearest-neighbor distances per series are its most anomalous
+    // subsequences (Yeh et al. 2016 §4 — the discord reading of the MP).
+    // Same one-shuffle kernel; the ranking window compiles to
+    // WindowGroupLimit so only k rows survive per series. Ranking compares
+    // the already-6-dp-rounded distance (idx-asc tie-break), engine-stable
+    // by the same discipline as the profile itself. ──
+    "q_mp_discords" -> ((s, dir) => {
+      val prof = SeriesOps.collect(dense(s, dir), S)
+        .withColumn("_w", explode(mpUdf(col("xs"))))
+        .select(col("event_type"), col("_w._1").as("idx"),
+          col("_w._2").as("mp_dist"), col("_w._3").as("nn_idx"))
+      val w = Window.partitionBy("event_type").orderBy(col("mp_dist").desc, col("idx").asc)
+      prof.withColumn("rk", row_number().over(w)).where(col("rk") <= DiscordK)
+        .select(col("event_type"), col("rk"), col("idx"), col("mp_dist"), col("nn_idx"))
+    })
+  )
+
+  /** Top-k discords kept per series. */
+  private val DiscordK = 3
+
+  /** The STOMP kernel: per length-m window, (idx, z-norm distance to the
+    * nearest non-trivial neighbor, neighbor idx). Shared by
+    * q_matrix_profile / q_mp_discords. */
+  private val mpUdf = {
       val m = MpM; val excl = MpExcl
-      val mpUdf = udf { xs: Seq[Double] =>
+      udf { xs: Seq[Double] =>
         def round6(x: Double): Double =
           BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         val v = xs.toArray
@@ -148,15 +179,35 @@ object MiningQueries {
             .map(i => (i, round6(math.sqrt(bestD(i))), bestJ(i)))
         }
       }
-      SeriesOps.collect(dense(s, dir), S)
-        .withColumn("_w", explode(mpUdf(col("xs"))))
-        .select(col("event_type"), col("_w._1").as("idx"),
-          col("_w._2").as("mp_dist"), col("_w._3").as("nn_idx"))
-    })
-  )
+  }
 
   private val H = Tables.hourlySql
   private val DenseSql = Tables.denseHourlySql
+
+  /** The matrix-profile CTE chain (through `best`), shared by
+    * q_matrix_profile and q_mp_discords. */
+  private lazy val MpCtes =
+    s"""hourly AS ($H),
+       |$DenseSql,
+       |arr AS (SELECT event_type, list(value ORDER BY ts) AS v, count(*)::INT AS n
+       |        FROM dense GROUP BY 1),
+       |st AS (SELECT event_type, i AS idx, w,
+       |         list_sum(w) / $MpM AS mu,
+       |         sqrt(greatest(list_sum(list_transform(w, x -> x * x)) / $MpM
+       |                       - (list_sum(w) / $MpM) * (list_sum(w) / $MpM), 0.0)) AS sig
+       |       FROM (SELECT event_type, v[i + 1 : i + $MpM] AS w, i
+       |             FROM (SELECT event_type, v, unnest(range(0, n - $MpM + 1))::INT AS i FROM arr))),
+       |pr AS (SELECT a.event_type, a.idx AS i, b.idx AS j,
+       |         round(greatest(2.0 * $MpM * (1.0 -
+       |           CASE WHEN a.sig <= 1e-9 OR b.sig <= 1e-9 THEN 0.0
+       |                ELSE (list_sum(list_transform(list_zip(a.w, b.w), p -> p[1] * p[2])) / $MpM
+       |                      - a.mu * b.mu) / (a.sig * b.sig) END), 0.0), 6) AS d2r
+       |       FROM st a JOIN st b ON a.event_type = b.event_type AND b.idx - a.idx >= $MpExcl),
+       |bi AS (SELECT event_type, i AS idx, j AS nn, d2r FROM pr
+       |       UNION ALL
+       |       SELECT event_type, j AS idx, i AS nn, d2r FROM pr),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY event_type, idx ORDER BY d2r, nn) AS r
+       |         FROM bi)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "q_tfidf_terms" ->
@@ -188,28 +239,17 @@ object MiningQueries {
     // clamped to ≥ 0 then rounded to 6 dp, the neighbor is the row_number-1
     // row under ORDER BY (d2r, nn), and mp_dist = round(sqrt(d2r), 6)
     "q_matrix_profile" ->
-      s"""WITH hourly AS ($H),
-         |$DenseSql,
-         |arr AS (SELECT event_type, list(value ORDER BY ts) AS v, count(*)::INT AS n
-         |        FROM dense GROUP BY 1),
-         |st AS (SELECT event_type, i AS idx, w,
-         |         list_sum(w) / $MpM AS mu,
-         |         sqrt(greatest(list_sum(list_transform(w, x -> x * x)) / $MpM
-         |                       - (list_sum(w) / $MpM) * (list_sum(w) / $MpM), 0.0)) AS sig
-         |       FROM (SELECT event_type, v[i + 1 : i + $MpM] AS w, i
-         |             FROM (SELECT event_type, v, unnest(range(0, n - $MpM + 1))::INT AS i FROM arr))),
-         |pr AS (SELECT a.event_type, a.idx AS i, b.idx AS j,
-         |         round(greatest(2.0 * $MpM * (1.0 -
-         |           CASE WHEN a.sig <= 1e-9 OR b.sig <= 1e-9 THEN 0.0
-         |                ELSE (list_sum(list_transform(list_zip(a.w, b.w), p -> p[1] * p[2])) / $MpM
-         |                      - a.mu * b.mu) / (a.sig * b.sig) END), 0.0), 6) AS d2r
-         |       FROM st a JOIN st b ON a.event_type = b.event_type AND b.idx - a.idx >= $MpExcl),
-         |bi AS (SELECT event_type, i AS idx, j AS nn, d2r FROM pr
-         |       UNION ALL
-         |       SELECT event_type, j AS idx, i AS nn, d2r FROM pr),
-         |best AS (SELECT *, row_number() OVER (PARTITION BY event_type, idx ORDER BY d2r, nn) AS r
-         |         FROM bi)
+      s"""WITH $MpCtes
          |SELECT event_type, idx, round(sqrt(d2r), 6) AS mp_dist, nn AS nn_idx
-         |FROM best WHERE r = 1""".stripMargin
+         |FROM best WHERE r = 1""".stripMargin,
+
+    "q_mp_discords" ->
+      s"""WITH $MpCtes,
+         |prof AS (SELECT event_type, idx, round(sqrt(d2r), 6) AS mp_dist, nn AS nn_idx
+         |         FROM best WHERE r = 1),
+         |dk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY mp_dist DESC, idx) AS rk
+         |       FROM prof)
+         |SELECT event_type, rk::INT AS rk, idx, mp_dist, nn_idx
+         |FROM dk WHERE rk <= $DiscordK""".stripMargin
   )
 }

@@ -1,0 +1,371 @@
+package graft.queries
+
+import graft._
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval + corpus-modeling operators a training-data pipeline runs next
+  * to its dedup/quality stages:
+  *
+  *  - BM25 retrieval (Robertson & Zaragoza 2009, the Lucene idf variant) —
+  *    the lexical-search baseline every RAG/decontamination harness needs;
+  *  - Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+  *    Language Models in Machine Translation") — THE distributed n-gram LM:
+  *    counts shard by n-gram key, scoring is pure key-equality joins, no
+  *    normalization pass; used here as a CCNet-style per-doc quality signal
+  *    (train on the English slice, score everything);
+  *  - Naive Bayes language classification over hashed unigram buckets —
+  *    train and serve in ONE plan: the model is a (lang × bucket) log-prob
+  *    table small enough to broadcast at any corpus size;
+  *  - int8 scalar quantization of the embedding corpus (the FAISS SQ8
+  *    storage format): per-dimension affine codes + reconstruction
+  *    error/cosine certification;
+  *  - per-source Zipf rank-frequency slope — the corpus-health profile that
+  *    flags template/boilerplate-heavy sources (slope far from −1).
+  */
+object RetrievalQueries {
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** The n-gram alphabet every text operator in the suite tokenizes to. */
+  private val WordRe = "^[a-z]{2,20}$"
+  private val WordReSql = "^[a-z]{2,20}$$"
+
+  /** BM25 shape parameters (the Robertson defaults) + probe-set geometry. */
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+  private val BmTopK = 5
+  private val BmQTerms = 3
+  private val BmProbeMod = 97
+
+  /** Stupid Backoff discount (the Brants et al. constant). */
+  private val SbAlpha = 0.4
+
+  /** Naive-Bayes hashed-feature bucket count. */
+  private val NbB = 64
+
+  /** Zipf fit depth: the head ranks the log-log line is fitted on. */
+  private val ZipfK = 100
+
+  /** int8 quantization levels. */
+  private val SqLevels = 255
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── BM25 self-retrieval eval: probe docs (doc_id % 97) contribute
+    // their top-3 terms (tf desc, term asc — the q_tfidf_terms ranking
+    // discipline) as queries; every doc is scored by Σ_t idf·tf·(k1+1) /
+    // (tf + k1·(1−b+b·dl/avgdl)) and the top-5 per query are emitted with
+    // whether the probe found itself. Plan: one (doc,term) tf shuffle
+    // reused for df/dl/query-terms, a key-equality join on term (query
+    // side broadcast — it is #probes×3 rows), one (qid,doc) aggregate and
+    // a WindowGroupLimit top-k. Nothing is quadratic: the scoring join
+    // fans out only to docs CONTAINING a query term, the inverted-index
+    // access pattern a search engine has. Scores are rounded to 6 dp
+    // BEFORE ranking (doc_id tie-break) so both engines pick identical
+    // rows. ──
+    "q_bm25" -> ((s, dir) => {
+      // tf feeds FOUR downstream aggregations (df, dl, avgdl, query
+      // terms) plus the scoring join — materialize it once instead of
+      // paying five tokenize+aggregate corpus passes
+      val tf = Scratch.materialize(
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .where(col("term").rlike(WordRe))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+        "bm25_tf")
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val nAvg = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      val qw = Window.partitionBy("qid").orderBy(col("tf").desc, col("term").asc)
+      val qterms = tf.where(col("doc_id") % BmProbeMod === 0)
+        .select(col("doc_id").as("qid"), col("term"), col("tf"))
+        .withColumn("qrk", row_number().over(qw)).where(col("qrk") <= BmQTerms)
+        .select("qid", "term")
+      val scored = tf.join(broadcast(qterms), "term")
+        .join(dft, "term").join(dl, "doc_id").crossJoin(broadcast(nAvg))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5))
+            * col("tf") * (BmK1 + 1.0)
+            / (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+        .groupBy("qid", "doc_id").agg(round(sum("contrib"), 6).as("score"))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= BmTopK)
+        .select(col("qid"), col("rk"), col("doc_id"), col("score"),
+          when(col("doc_id") === col("qid"), 1).otherwise(0).as("is_self"))
+    }),
+
+    // ── Stupid Backoff trigram scoring. Train slice = English docs; the
+    // model IS three count relations (tri/bi/uni) — no normalization job,
+    // which is the whole point of the Brants design: counts shard by
+    // n-gram key and stay sharded. Scoring: each doc's trigram INSTANCES
+    // collapse to per-doc trigram TYPES with multiplicities (one map-side
+    // explode + one (doc,gram) aggregate), then five key-equality hash
+    // joins pick up c3/c2/c1 numerators and denominators — join input is
+    // types, not tokens. S = c3/c2ctx, else α·c2/c1ctx, else α²·(c1+1)/
+    // (N+V) (the add-1 unigram floor makes OOV scoreable; a train trigram
+    // hit implies its context bigram exists, so the cascade needs no
+    // null-denominator guards). Per-doc mean log S is the quality
+    // signal. ──
+    "q_lm_backoff" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("lang"),
+        expr(s"filter(split(lower(text), ' '), t -> t rlike '$WordRe')").as("t"))
+      val triOf = (src: DataFrame) => src
+        .select(col("doc_id"), explode(when(size(col("t")) >= 3, expr(
+          "transform(sequence(2, size(t) - 1), i -> struct(t[i-2] AS w2, t[i-1] AS w1, t[i] AS w))"))
+          .otherwise(expr("array()").cast("array<struct<w2:string,w1:string,w:string>>"))).as("g"))
+        .select(col("doc_id"), col("g.w2"), col("g.w1"), col("g.w"))
+      val train = toks.where(col("lang") === "en")
+      val trainTri = triOf(train)
+      val c3 = trainTri.groupBy("w2", "w1", "w").agg(count(lit(1)).as("c3"))
+      // TRUE bigram/unigram counts from the token stream (not trigram
+      // marginals — those would miss doc-edge positions)
+      val biT = train.select(explode(when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w))"))
+        .otherwise(expr("array()").cast("array<struct<w1:string,w:string>>"))).as("g"))
+        .select(col("g.w1"), col("g.w"))
+      val bi = biT.groupBy("w1", "w").agg(count(lit(1)).as("cb"))
+      val c2 = bi.select(col("w1"), col("w"), col("cb").as("c2"))
+      val c2ctx = bi.select(col("w1").as("d2"), col("w").as("d1"), col("cb").as("c2ctx"))
+      val uni = train.select(explode(col("t")).as("w")).groupBy("w").agg(count(lit(1)).as("c1"))
+      val c1ctx = uni.select(col("w").as("d1w"), col("c1").as("c1ctx"))
+      val nv = uni.agg(sum("c1").as("n_train"), count(lit(1)).as("v_train"))
+      val dt = triOf(toks).groupBy("doc_id", "w2", "w1", "w").agg(count(lit(1)).as("cnt"))
+      val scoredTypes = dt
+        .join(c3, Seq("w2", "w1", "w"), "left")
+        .join(c2, Seq("w1", "w"), "left")
+        .join(c2ctx, dt("w2") === c2ctx("d2") && dt("w1") === c2ctx("d1"), "left")
+        .join(uni.withColumnRenamed("w", "uw"), dt("w") === col("uw"), "left")
+        .join(c1ctx, dt("w1") === c1ctx("d1w"), "left")
+        .crossJoin(broadcast(nv))
+        .withColumn("s",
+          when(col("c3").isNotNull, col("c3") / col("c2ctx"))
+            .when(col("c2").isNotNull, lit(SbAlpha) * col("c2") / col("c1ctx"))
+            .otherwise(lit(SbAlpha * SbAlpha) * (coalesce(col("c1"), lit(0L)) + 1.0)
+              / (col("n_train") + col("v_train"))))
+      val perDoc = scoredTypes.groupBy("doc_id").agg(
+        sum("cnt").as("n_grams"),
+        round(sum(col("cnt") * log(col("s"))) / sum("cnt"), 6).as("avg_logs"))
+      docs(s, dir).select("doc_id", "lang").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("avg_logs"), lit(0.0)).as("avg_logs"))
+    }),
+
+    // ── Naive Bayes language ID, trained and served in one plan. Features
+    // are hash60(term) % 64 buckets (portable to the oracle bit-for-bit);
+    // train split = even doc_ids. The model — per-(lang,bucket) add-1
+    // log-likelihoods + log priors — is #langs×64 rows, broadcast however
+    // big the corpus gets. Serving joins each odd doc's bucket counts to
+    // the model and argmaxes over langs on the 6-dp-rounded posterior
+    // (lang-asc tie-break). One token shuffle + one broadcast join + one
+    // WindowGroupLimit — the linear fastText-style serving shape. ──
+    "q_nb_classify" -> ((s, dir) => {
+      val db = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+        .where(col("term").rlike(WordRe))
+        .withColumn("bucket", TextFunctions.hash60(col("term")) % NbB)
+        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("c_db"))
+      val trainB = db.where(col("doc_id") % 2 === 0)
+      val cl = trainB.groupBy(col("lang").as("mlang"), col("bucket"))
+        .agg(sum("c_db").as("c_lb"))
+      val clTot = cl.groupBy("mlang").agg(sum("c_lb").as("n_l"))
+      val prior = docs(s, dir).where(col("doc_id") % 2 === 0)
+        .groupBy(col("lang").as("mlang")).agg(count(lit(1)).as("n_docs_l"))
+      val nTrain = prior.agg(sum("n_docs_l").as("n_train_docs"))
+      // dense (lang × bucket) grid so zero-count buckets still contribute
+      // their smoothed log-prob — exactly multinomial NB
+      val grid = clTot.crossJoin(broadcast(spark_bucket_range(s)))
+      val model = grid.join(cl, Seq("mlang", "bucket"), "left")
+        .join(prior, "mlang").crossJoin(broadcast(nTrain))
+        .select(col("mlang"), col("bucket"),
+          log((coalesce(col("c_lb"), lit(0L)) + 1.0) / (col("n_l") + NbB)).as("llh"),
+          log(col("n_docs_l") / col("n_train_docs").cast("double")).as("lprior"))
+      val serve = db.where(col("doc_id") % 2 === 1)
+      val post = serve.join(broadcast(model), Seq("bucket"))
+        .groupBy(col("doc_id"), col("lang"), col("mlang"), col("lprior"))
+        .agg(sum(col("c_db") * col("llh")).as("lsum"))
+        .withColumn("logpost", round(col("lprior") + col("lsum"), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("logpost").desc, col("mlang").asc)
+      post.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("lang").as("true_lang"), col("mlang").as("pred_lang"),
+          col("logpost"),
+          when(col("lang") === col("mlang"), 1).otherwise(0).as("correct"))
+    }),
+
+    // ── int8 scalar quantization (SQ8): per-dimension global [min,max]
+    // from ONE stats aggregate (dim-count rows, broadcast back), affine
+    // codes c = round((x−min)/Δ) ∈ [0,255], and the certification a
+    // storage pipeline wants: per-vector reconstruction MSE + cosine
+    // between the vector and its dequantized self. The vector table is
+    // touched twice map-side (encode, certify) with no shuffle beyond the
+    // per-vector re-aggregate; at 100 TB the dim-stats table is dims
+    // rows, the codes are 1/4 the float32 footprint, and everything is
+    // native column math. ──
+    "q_embed_sq8" -> ((s, dir) => {
+      val dims = embs(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("x", col("x").cast("double"))
+      val stats = dims.groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+        .withColumn("delta", when(col("hi") > col("lo"), (col("hi") - col("lo")) / SqLevels)
+          .otherwise(lit(1.0)))
+      val coded = dims.join(broadcast(stats), "dim")
+        .withColumn("code", round((col("x") - col("lo")) / col("delta"), 0).cast("int"))
+        .withColumn("recon", col("lo") + col("code") * col("delta"))
+      coded.groupBy("vec_id").agg(
+        round(avg(pow(col("x") - col("recon"), 2)), 6).as("mse"),
+        round(sum(col("x") * col("recon"))
+          / (sqrt(sum(col("x") * col("x"))) * sqrt(sum(col("recon") * col("recon")))), 6)
+          .as("cos_recon"),
+        max(abs(col("code") * 2 - SqLevels)).as("max_code_dev"))
+    }),
+
+    // ── Zipf rank-frequency slope per source: term histogram → head-100
+    // ranks (count desc, term asc) → OLS slope/intercept of ln(count) on
+    // ln(rank). One (source,term) shuffle, a WindowGroupLimit head, and a
+    // 100-row-per-source regression — corpus-size-free output. Healthy
+    // natural text sits near slope −1; template-heavy sources flatten. ──
+    "q_corpus_zipf" -> ((s, dir) => {
+      val st = docs(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("term"))
+        .where(col("term").rlike(WordRe))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy(col("c").desc, col("term").asc)
+      st.withColumn("rnk", row_number().over(w)).where(col("rnk") <= ZipfK)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_ranks"),
+          round(regr_slope(log(col("c")), log(col("rnk"))), 6).as("zipf_slope"),
+          round(regr_intercept(log(col("c")), log(col("rnk"))), 6).as("zipf_intercept"))
+    })
+  )
+
+  /** The dense bucket spine 0..NbB-1 as a one-column DataFrame. */
+  private def spark_bucket_range(s: SparkSession): DataFrame =
+    s.range(NbB).select(col("id").cast("long").as("bucket"))
+
+  private val TokSql =
+    s"SELECT doc_id, lang, source, list_filter(string_split(lower(text), ' '), t -> regexp_matches(t, '$WordReSql')) AS t FROM documents"
+
+  val sql: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+         |            WHERE regexp_matches(term, '$WordReSql') GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |na AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY 1),
+         |qt AS (SELECT doc_id AS qid, term
+         |       FROM (SELECT doc_id, term,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qrk
+         |             FROM tf WHERE doc_id % $BmProbeMod = 0)
+         |       WHERE qrk <= $BmQTerms),
+         |sc AS (SELECT qt.qid, tf.doc_id,
+         |         round(sum(ln(1.0 + (na.n_docs - df.doc_freq + 0.5) / (df.doc_freq + 0.5))
+         |           * tf.tf * ($BmK1 + 1.0)
+         |           / (tf.tf + $BmK1 * (1.0 - $BmB + $BmB * dl.dl / na.avgdl))), 6) AS score
+         |       FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN na
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk FROM sc)
+         |SELECT qid, rk::INT AS rk, doc_id, score,
+         |  CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS is_self
+         |FROM rk WHERE rk <= $BmTopK""".stripMargin,
+
+    "q_lm_backoff" ->
+      s"""WITH toks AS ($TokSql),
+         |tri AS (SELECT doc_id, t[i-2] AS w2, t[i-1] AS w1, t[i] AS w
+         |        FROM (SELECT doc_id, t, unnest(range(3, len(t) + 1))::INT AS i FROM toks)),
+         |tr_tri AS (SELECT tri.* FROM tri JOIN toks USING (doc_id) WHERE toks.lang = 'en'),
+         |c3 AS (SELECT w2, w1, w, count(*)::BIGINT AS c3 FROM tr_tri GROUP BY 1, 2, 3),
+         |bi AS (SELECT t[i-1] AS wa, t[i] AS wb, count(*)::BIGINT AS cb
+         |       FROM (SELECT t, unnest(range(2, len(t) + 1))::INT AS i FROM toks WHERE lang = 'en')
+         |       GROUP BY 1, 2),
+         |c2 AS (SELECT wa AS w1, wb AS w, cb AS c2 FROM bi),
+         |c2ctx AS (SELECT wa AS w2, wb AS w1, cb AS c2ctx FROM bi),
+         |uni AS (SELECT w, count(*)::BIGINT AS c1
+         |        FROM (SELECT unnest(t) AS w FROM toks WHERE lang = 'en') GROUP BY 1),
+         |nv AS (SELECT sum(c1)::BIGINT AS n_train, count(*)::BIGINT AS v_train FROM uni),
+         |dt AS (SELECT doc_id, w2, w1, w, count(*)::BIGINT AS cnt FROM tri GROUP BY 1, 2, 3, 4),
+         |st AS (SELECT dt.doc_id, dt.cnt,
+         |         CASE WHEN c3.c3 IS NOT NULL THEN c3.c3 / c2ctx.c2ctx::DOUBLE
+         |              WHEN c2.c2 IS NOT NULL THEN $SbAlpha * c2.c2 / u1.c1::DOUBLE
+         |              ELSE $SbAlpha * $SbAlpha * (coalesce(u0.c1, 0) + 1.0) / (nv.n_train + nv.v_train)
+         |         END AS s
+         |       FROM dt
+         |       LEFT JOIN c3 ON dt.w2 = c3.w2 AND dt.w1 = c3.w1 AND dt.w = c3.w
+         |       LEFT JOIN c2 ON dt.w1 = c2.w1 AND dt.w = c2.w
+         |       LEFT JOIN c2ctx ON dt.w2 = c2ctx.w2 AND dt.w1 = c2ctx.w1
+         |       LEFT JOIN uni u0 ON dt.w = u0.w
+         |       LEFT JOIN uni u1 ON dt.w1 = u1.w
+         |       CROSS JOIN nv),
+         |pd AS (SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+         |         round(sum(cnt * ln(s)) / sum(cnt), 6) AS avg_logs
+         |       FROM st GROUP BY 1)
+         |SELECT d.doc_id, d.lang,
+         |  coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(pd.avg_logs, 0.0) AS avg_logs
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    "q_nb_classify" ->
+      s"""WITH db AS (SELECT doc_id, lang, bucket, count(*)::BIGINT AS c_db
+         |            FROM (SELECT doc_id, lang,
+         |                    ('0x' || substr(md5(term), 1, 15))::BIGINT % $NbB AS bucket
+         |                  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+         |                        FROM documents)
+         |                  WHERE regexp_matches(term, '$WordReSql'))
+         |            GROUP BY 1, 2, 3),
+         |cl AS (SELECT lang AS mlang, bucket, sum(c_db)::BIGINT AS c_lb
+         |       FROM db WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |clt AS (SELECT mlang, sum(c_lb)::BIGINT AS n_l FROM cl GROUP BY 1),
+         |pri AS (SELECT lang AS mlang, count(*)::BIGINT AS n_docs_l
+         |        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |nt AS (SELECT sum(n_docs_l)::BIGINT AS n_train_docs FROM pri),
+         |model AS (SELECT clt.mlang, b.bucket,
+         |            ln((coalesce(cl.c_lb, 0) + 1.0) / (clt.n_l + $NbB)) AS llh,
+         |            ln(pri.n_docs_l / nt.n_train_docs::DOUBLE) AS lprior
+         |          FROM clt CROSS JOIN (SELECT unnest(range(0, $NbB)) AS bucket) b
+         |          LEFT JOIN cl ON cl.mlang = clt.mlang AND cl.bucket = b.bucket
+         |          JOIN pri ON pri.mlang = clt.mlang CROSS JOIN nt),
+         |post AS (SELECT db.doc_id, db.lang, m.mlang,
+         |           round(any_value(m.lprior) + sum(db.c_db * m.llh), 6) AS logpost
+         |         FROM db JOIN model m USING (bucket)
+         |         WHERE db.doc_id % 2 = 1
+         |         GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY logpost DESC, mlang) AS rk
+         |       FROM post)
+         |SELECT doc_id, lang AS true_lang, mlang AS pred_lang, logpost,
+         |  CASE WHEN lang = mlang THEN 1 ELSE 0 END AS correct
+         |FROM rk WHERE rk = 1""".stripMargin,
+
+    "q_embed_sq8" ->
+      s"""WITH dims AS (SELECT vec_id, dim - 1 AS dim, x::DOUBLE AS x
+         |              FROM (SELECT vec_id, unnest(embedding) AS x,
+         |                      generate_subscripts(embedding, 1) AS dim
+         |                    FROM embeddings)),
+         |st AS (SELECT dim, min(x) AS lo, max(x) AS hi,
+         |         CASE WHEN max(x) > min(x) THEN (max(x) - min(x)) / $SqLevels ELSE 1.0 END AS delta
+         |       FROM dims GROUP BY 1),
+         |coded AS (SELECT vec_id, x,
+         |            lo + round((x - lo) / delta, 0)::INT * delta AS recon,
+         |            round((x - lo) / delta, 0)::INT AS code
+         |          FROM dims JOIN st USING (dim))
+         |SELECT vec_id,
+         |  round(avg((x - recon) * (x - recon)), 6) AS mse,
+         |  round(sum(x * recon) / (sqrt(sum(x * x)) * sqrt(sum(recon * recon))), 6) AS cos_recon,
+         |  max(abs(code * 2 - $SqLevels))::INT AS max_code_dev
+         |FROM coded GROUP BY 1""".stripMargin,
+
+    "q_corpus_zipf" ->
+      s"""WITH st AS (SELECT source, term, count(*)::BIGINT AS c
+         |            FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+         |            WHERE regexp_matches(term, '$WordReSql') GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rnk
+         |       FROM st)
+         |SELECT source, count(*)::BIGINT AS n_ranks,
+         |  round(regr_slope(ln(c), ln(rnk)), 6) AS zipf_slope,
+         |  round(regr_intercept(ln(c), ln(rnk)), 6) AS zipf_intercept
+         |FROM rk WHERE rnk <= $ZipfK GROUP BY 1""".stripMargin
+  )
+}

@@ -77,7 +77,9 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.keys.take(3).foreach { src =>
       val cs = perSrc.collect { case ((s, t), c) if s == src => t -> c }.toMap
       val ns = cs.values.sum
-      val kl = global.keys.map { t =>
+      // NB: .toSeq before .map — mapping a key SET to contributions would
+      // deduplicate bit-identical Double values and silently drop terms
+      val kl = global.keys.toSeq.map { t =>
         val p = (cs.getOrElse(t, 0L) + 1.0) / (ns + v)
         val q = (global(t) + 1.0) / (n + v)
         p * (math.log(p) - math.log(q))
