@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4 refuses
-  * to read natively; we read it as a long (nanosAsLong) and truncate to
-  * microseconds, matching DuckDB's cast-to-TIMESTAMP semantics.
+  * `events.ts` has been written two ways across driver generations:
+  * TIMESTAMP(NANOS) (which Spark 4 refuses to read natively — we read it as
+  * a long via nanosAsLong and truncate to microseconds, matching DuckDB's
+  * cast-to-TIMESTAMP semantics) and plain TIMESTAMP(MICROS) without a UTC
+  * marker (which Spark reads as TIMESTAMP_NTZ). Both normalize to the same
+  * session-UTC TimestampType column here so every downstream operator and
+  * oracle sees one schema.
   */
 object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -15,8 +19,12 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = read(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", ts)
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
