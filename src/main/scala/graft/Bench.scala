@@ -34,16 +34,32 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop DataFrame caches a query registered (e.g. MinHash signature
-      // reuse) so timings stay isolated and a 137-query session doesn't
+      // reuse) so timings stay isolated and a 174-query session doesn't
       // accumulate dead cached blocks
       spark.sqlContext.clearCache()
       (name, dt, ok)
     }
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def qjson(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else -1.0) }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false) => k }
+    val errors = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"errors":$errors,"sf":"$sfDir"}"""
+    // Full per-query map: one line on stdout + a repo file. The driver's
+    // log capture keeps only the LAST ~2000 characters of output, so this
+    // line scrolls off for a 174-query suite — the file is the durable
+    // copy a reader can diff round over round.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    println(full)
+    // Compact line LAST so it lands inside the capture window and parses:
+    // headline total, error count (first few names), and the slowest
+    // queries — the part of the per-query map worth reading in a tail.
+    val slow = results.filter(_._3).sortBy(-_._2).take(20)
+    val errHead = errs.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"errors_head":$errHead,"slowest":${qjson(slow)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

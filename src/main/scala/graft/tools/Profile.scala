@@ -28,23 +28,19 @@ object Profile {
     val gmin = fp.groupBy("fp").agg(min("doc_id").as("m"), count(lit(1)).as("c")).where(col("c") > 1)
     val exactE = fp.join(gmin, "fp").where(col("doc_id") > col("m"))
       .select(col("m").as("i"), col("doc_id").as("j"))
-    t("exactE.count")(exactE.count())
-    val nearE = Dedup.minhashLshPairs(docs, 64, 16).where(col("est_jaccard") >= 0.5).select("i", "j")
-    t("nearE.count")(nearE.count())
-    t("nearE.count again")(nearE.count())
+    println("[profile] exactE = " + t("exactE.count")(exactE.count()))
+    val sig = Dedup.minhashSignatures(docs, 64)
+    t("signatures.count")(sig.count())
+    val nearAll = Dedup.minhashLshPairs(docs, 64, 16)
+    println("[profile] cand pairs = " + t("lshPairs.count")(nearAll.count()))
+    spark.sqlContext.clearCache()
+    val nearE = nearAll.where(col("est_jaccard") >= 0.5).select("i", "j")
+    println("[profile] nearE = " + t("nearE.count")(nearE.count()))
     spark.sqlContext.clearCache()
     val edges = exactE.union(nearE)
-    t("union.distinct.count 1")(edges.distinct().count())
-    spark.sqlContext.clearCache()
-    t("union.distinct.count 2")(edges.distinct().count())
-    spark.sqlContext.clearCache()
-    t("union.distinct.count 3")(edges.distinct().count())
-    spark.sqlContext.clearCache()
-    t("full connectedComponents")(Dedup.connectedComponents(exactE.union(nearE)).count())
+    t("cc")(Dedup.connectedComponents(edges).count())
     spark.sqlContext.clearCache()
     t("full q_dedup_clusters")(graft.SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count())
-    spark.sqlContext.clearCache()
-    t("full q_dedup_clusters 2")(graft.SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count())
     spark.stop()
   }
 }
