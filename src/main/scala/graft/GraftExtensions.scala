@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CosineSim, DupBigramFrac, EwmaArray, Hash60, LshBandBuckets, MinhashSignature}
+import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmaArray, Hash60, HllSketchAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -100,6 +100,24 @@ object GraftExtensions {
         arity("bloom_filter_build", exprs, 3)
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           exprs.head, exprs(1), exprs(2))
+      }),
+    ("kmv_sketch",
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => {
+        arity("kmv_sketch", exprs, 2)
+        KmvSketchAgg(exprs.head, toInt(exprs(1)))
+      }),
+    ("hll_sketch",
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (exprs: Seq[Expression]) => {
+        arity("hll_sketch", exprs, 1)
+        HllSketchAgg(exprs.head)
+      }),
+    ("cms_sketch",
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => {
+        arity("cms_sketch", exprs, 3)
+        CmsSketchAgg(exprs.head, toInt(exprs(1)), toInt(exprs(2)))
       }))
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =

@@ -28,7 +28,8 @@ object SparkEntry {
     (MiningQueries.defs, MiningQueries.sql),
     (SelectQueries.defs, SelectQueries.sql),
     (RetrievalQueries.defs, RetrievalQueries.sql),
-    (GrangerQueries.defs, GrangerQueries.sql)
+    (GrangerQueries.defs, GrangerQueries.sql),
+    (SketchQueries.defs, SketchQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

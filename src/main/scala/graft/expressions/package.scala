@@ -84,4 +84,29 @@ package object expressions {
     ensureRegistered(SparkSession.active)
     call_function("bloom_might_contain", bloom, xxhash64Value)
   }
+
+  /** KMV (bottom-k) distinct-count estimate of a hash60 column — a
+    * mergeable ≤ k-long sketch state per group (see [[KmvSketchAgg]]).
+    */
+  def kmv_sketch(hash60Value: Column, k: Int): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("kmv_sketch", hash60Value, lit(k))
+  }
+
+  /** HyperLogLog (m = 64) distinct-count estimate of a hash60 column —
+    * 64 bytes of mergeable state per group (see [[HllSketchAgg]]).
+    */
+  def hll_sketch(hash60Value: Column): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("hll_sketch", hash60Value)
+  }
+
+  /** Count-Min frequency sketch of a hash31 column: depth×width counter
+    * array, mergeable by elementwise add (see [[CmsSketchAgg]]); probe
+    * with `element_at(sketch, j*width + cms_pos(j, h) + 1)` minima.
+    */
+  def cms_sketch(hash31Value: Column, depth: Int, width: Int): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("cms_sketch", hash31Value, lit(depth), lit(width))
+  }
 }

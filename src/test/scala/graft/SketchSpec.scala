@@ -1,0 +1,96 @@
+package graft
+
+import graft.expressions.{cms_sketch, hll_sketch, kmv_sketch, Sketches}
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of the mergeable sketch aggregates that the oracle equality
+  * check can't see: estimates are INVARIANT under repartitioning (the
+  * merge path is exercised and associative), accuracy lands inside the
+  * published error bounds, KMV is exact below k, CMS never undercounts,
+  * and the oracle-side HLL constant literal matches the Scala fold.
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hv(c: org.apache.spark.sql.Column) = TextFunctions.hash60(c.cast("string"))
+
+  test("KMV is exact below k; KMV and HLL land within published error bounds at 5000 distinct") {
+    import spark.implicits._
+    val small = (1 to 40).map(i => s"u$i").toDF("v")
+    val smallEst = small.agg(kmv_sketch(hv(col("v")), 64)).head.getDouble(0)
+    assert(smallEst == 40.0, s"KMV below k must be exact, got $smallEst")
+
+    val big = (1 to 5000).map(i => s"user_$i").toDF("v")
+    val row = big.agg(
+      kmv_sketch(hv(col("v")), 64).as("kmv"),
+      hll_sketch(hv(col("v"))).as("hll")).head
+    // std errors: KMV ~ 1/sqrt(k-2) ≈ 12.7%, HLL ~ 1.04/sqrt(64) = 13%;
+    // 4 sigma keeps the deterministic check far from flakiness
+    assert(math.abs(row.getDouble(0) - 5000) / 5000 < 0.5, s"kmv=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 5000) / 5000 < 0.5, s"hll=${row.getDouble(1)}")
+  }
+
+  test("estimates are invariant under repartitioning (merge path is associative)") {
+    import spark.implicits._
+    // duplicates spread across partitions so merge must dedup (KMV/HLL)
+    // and sum (CMS) correctly
+    val vals = (1 to 3000).map(i => s"k${i % 700}").toDF("v")
+    def run(parts: Int): (Double, Double, Seq[Long]) = {
+      val d = vals.repartition(parts)
+      val r = d.agg(
+        kmv_sketch(hv(col("v")), 64).as("kmv"),
+        hll_sketch(hv(col("v"))).as("hll"),
+        cms_sketch(TextFunctions.hash31(col("v")), 4, 64).as("cms")).head
+      (r.getDouble(0), r.getDouble(1), r.getSeq[Long](2))
+    }
+    val (k1, h1, c1) = run(1)
+    val (k13, h13, c13) = run(13)
+    assert(k1 == k13, s"KMV not merge-invariant: $k1 vs $k13")
+    assert(h1 == h13, s"HLL not merge-invariant: $h1 vs $h13")
+    assert(c1 == c13, "CMS not merge-invariant")
+    assert(c1.sum == 3000L * 4, s"CMS total mass must be rows×depth, got ${c1.sum}")
+  }
+
+  test("CMS never undercounts, and is exact when width clears the collision load") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => s"t${i % 50}").toDF("v") // 50 tokens × 40
+    val withH = rows.withColumn("h", TextFunctions.hash31(col("v")))
+    val sk = withH.agg(cms_sketch(col("h"), 4, 4096).as("cms"))
+    val P = TextFunctions.MinHashPrime
+    val est = TextFunctions.permParams(4).zipWithIndex.map { case ((a, b), j) =>
+      element_at(col("cms"), (lit(j * 4096) + ((lit(a) * col("h") + lit(b)) % P) % 4096 + 1).cast("int"))
+    }.reduce(least(_, _))
+    val checked = withH.groupBy("v", "h").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sk)).select(col("exact"), est.as("est"))
+      .collect()
+    assert(checked.length == 50)
+    checked.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(0), s"CMS undercounted: $r")
+    }
+    // 50 distinct hashes into 4×4096 buckets: collisions are essentially
+    // impossible, so the min over rows is exact
+    assert(checked.forall(r => r.getLong(1) == r.getLong(0)), "expected exact at this width")
+  }
+
+  test("HLL internals: rank convention and the oracle constant literal") {
+    assert(Sketches.hllRank(0L) == 55)
+    assert(Sketches.hllRank(1L) == 54)            // 53 leading zeros in 54-bit field
+    assert(Sketches.hllRank(1L << 53) == 1)       // top bit of the field
+    assert(Sketches.hllRank(3L) == 53)
+    // the e-notation literal inlined in SketchQueries' oracle SQL must be
+    // the bit-exact double of the Scala fold
+    assert("1.0462993238608057e+20".toDouble == Sketches.HllAm2)
+  }
+}
