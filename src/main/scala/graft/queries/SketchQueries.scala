@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import graft.expressions.{cms_sketch, hll_sketch, kmv_sketch}
+import graft.expressions.{cms_sketch, hll_sketch, kmv_sketch, Sketches}
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,6 +26,7 @@ object SketchQueries {
   private val KmvK = 64
   private val CmsDepth = 4
   private val CmsWidth = 256
+  private val HistB = 512
   private val P = TextFunctions.MinHashPrime
   /** exact double repr of 0.709·64²·2^55 (= expressions.Sketches.HllAm2);
     * e-notation so DuckDB parses it as DOUBLE, not DECIMAL. */
@@ -64,6 +65,48 @@ object SketchQueries {
       exact.crossJoin(broadcast(sketch))
         .withColumn("h", h31) // hash31 of tok again, same md5 derivation
         .select(col("tok"), col("n_exact"), est.as("cms_est"))
+    }),
+
+    // Two-pass equi-width histogram quantiles per key: pass 1 aggregates
+    // (lo, hi, n) — a #keys-row broadcast — pass 2 buckets every value
+    // map-side and aggregates B counters per key. Error ≤ range/B by
+    // construction, state B longs per key: the quantile shape that never
+    // sorts the data (an exact distributed quantile is a full sort at
+    // 100 TB). Midpoint estimator keeps the float-op sequence short and
+    // identical across engines.
+    "q_sketch_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val rng = ev.groupBy("event_type").agg(
+        min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+      val bucketed = ev.join(broadcast(rng), "event_type")
+        .withColumn("bucket",
+          least(floor((col("value") - col("lo")) * HistB.toDouble / (col("hi") - col("lo"))), lit(HistB - 1.0))
+            .cast("long"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bucket")
+      val cum = bucketed.withColumn("cum", sum("c").over(w)).join(rng, "event_type")
+      def qBucket(q: Double) = min(when(col("cum") >= lit(q) * col("n"), col("bucket")))
+      def est(b: org.apache.spark.sql.Column) =
+        round(col("lo") + (b + 0.5) * ((col("hi") - col("lo")) / HistB.toDouble), 6)
+      cum.groupBy("event_type")
+        .agg(first("n").as("n"), first("lo").as("lo"), first("hi").as("hi"),
+          qBucket(0.5).as("b50"), qBucket(0.9).as("b90"), qBucket(0.99).as("b99"))
+        .select(col("event_type"), col("n"),
+          est(col("b50")).as("p50_est"), est(col("b90")).as("p90_est"), est(col("b99")).as("p99_est"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // key = u^(1/w) with u md5-derived, winners = global top-k by key —
+    // which Spark executes as TakeOrderedAndProject (per-partition top-k
+    // + a k-row driver merge), so a 100 TB corpus is one map pass. Here
+    // w = n_chars: char-budget-proportional document sampling.
+    "q_sample_weighted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val u = (hv(col("doc_id")).cast("double") + 0.5) / Sketches.HashSpace
+      d.withColumn("samp_key", pow(u, lit(1.0) / col("n_chars").cast("double")))
+        .orderBy(col("samp_key").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("source"), col("n_chars"), round(col("samp_key"), 6).as("samp_key"))
     })
   )
 
@@ -119,6 +162,41 @@ object SketchQueries {
          |  least(${(0 until CmsDepth).map(j => s"b$j.c").mkString(", ")}) AS cms_est
          |FROM ex
          |${joins.mkString("\n")}""".stripMargin
-    }
+    },
+
+    // 0.5/0.9/0.99 are forced ::DOUBLE so the cum >= q*n comparison runs
+    // the same IEEE arithmetic Spark does (DuckDB would otherwise compute
+    // q*n in exact DECIMAL, which can disagree at integral q*n).
+    "q_sketch_quantiles" ->
+      s"""WITH rng AS (SELECT event_type, min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
+         |            FROM events GROUP BY 1),
+         |bk AS (SELECT e.event_type,
+         |         least(floor((e.value - lo) * ${HistB}.0 / (hi - lo)), ${HistB - 1}.0::DOUBLE)::BIGINT AS bucket
+         |       FROM events e JOIN rng USING (event_type)),
+         |bc AS (SELECT event_type, bucket, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2),
+         |cm AS (SELECT event_type, bucket,
+         |         (sum(c) OVER (PARTITION BY event_type ORDER BY bucket))::BIGINT AS cum
+         |       FROM bc),
+         |qb AS (SELECT c.event_type, max(r.n) AS n, max(r.lo) AS lo, max(r.hi) AS hi,
+         |         min(CASE WHEN cum >= 0.5::DOUBLE * r.n THEN bucket END) AS b50,
+         |         min(CASE WHEN cum >= 0.9::DOUBLE * r.n THEN bucket END) AS b90,
+         |         min(CASE WHEN cum >= 0.99::DOUBLE * r.n THEN bucket END) AS b99
+         |       FROM cm c JOIN rng r USING (event_type) GROUP BY 1)
+         |SELECT event_type, n,
+         |  round(lo + (b50 + 0.5::DOUBLE) * ((hi - lo) / ${HistB}.0), 6) AS p50_est,
+         |  round(lo + (b90 + 0.5::DOUBLE) * ((hi - lo) / ${HistB}.0), 6) AS p90_est,
+         |  round(lo + (b99 + 0.5::DOUBLE) * ((hi - lo) / ${HistB}.0), 6) AS p99_est
+         |FROM qb""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |             ${h60Sql("doc_id::VARCHAR")} AS h
+         |           FROM documents),
+         |k AS (SELECT doc_id, source, n_chars,
+         |        pow((h::DOUBLE + 0.5) / 1152921504606846976.0::DOUBLE,
+         |            1.0::DOUBLE / n_chars::DOUBLE) AS samp_key
+         |      FROM d)
+         |SELECT doc_id, source, n_chars, round(samp_key, 6) AS samp_key
+         |FROM (SELECT * FROM k ORDER BY samp_key DESC, doc_id LIMIT 10) t""".stripMargin
   )
 }

@@ -57,6 +57,27 @@ object StreamingDetectors {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .select(col("source"), col("window.start").as("ts"),
         col("n_docs"), col("n_tokens"), col("n_chars"))
+  case class UserEvent(event_type: String, ts: java.sql.Timestamp, user_id: Long)
+
+  /** Streaming distinct-user meter: per-(event_type, window) HyperLogLog
+    * cardinality plus the exact event count — the "unique users per hour"
+    * monitor where exact streaming distinct would hold every id in the
+    * state store. The HLL aggregate (expressions/Sketches.scala) keeps 64
+    * BYTES of state per open (key, window) regardless of cardinality, and
+    * its estimates are identical to the batch q_sketch_distinct math, so
+    * a closed window's streamed value equals the batch aggregate exactly
+    * (StreamingSpec proves it).
+    */
+  def distinctMeter(stream: DataFrame, every: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), every))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.expressions.hll_sketch(
+          graft.text.TextFunctions.hash60(col("user_id").cast("string"))), 6).as("approx_users"))
+      .select(col("event_type"), col("window.start").as("ts"),
+        col("n_events"), col("approx_users"))
+
   case class EwmaPoint(event_type: String, ts: java.sql.Timestamp, value: Double,
                        ewma: Double, deviation: Double, flagged: Boolean)
   case class EwmaState(num: Double, den: Double, n: Long)

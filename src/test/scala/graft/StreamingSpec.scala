@@ -183,6 +183,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming distinct meter: closed-window HLL estimates equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[StreamingDetectors.UserEvent]
+    val q = StreamingDetectors.distinctMeter(mem.toDF(), every = "1 hour")
+      .writeStream.format("memory").queryName("dmeter").outputMode("append").start()
+    // 120 events from 40 distinct users in hour 0, split across batches so
+    // the state-store serialize/merge path of the sketch buffer runs
+    val evs = (0 until 120).map(i =>
+      StreamingDetectors.UserEvent("click", ts(0), (i % 40).toLong))
+    mem.addData(evs.take(50): _*)
+    mem.addData(evs.drop(50): _*)
+    mem.addData(StreamingDetectors.UserEvent("click", ts(10), 999L)) // close hour 0
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select * from dmeter where ts < timestamp'2024-01-01 01:00:00'").collect()
+    assert(rows.length === 1, rows.mkString(";"))
+    assert(rows.head.getAs[Long]("n_events") === 120L)
+    val batch = evs.toDF()
+      .agg(round(graft.expressions.hll_sketch(
+        graft.text.TextFunctions.hash60(col("user_id").cast("string"))), 6))
+      .head.getDouble(0)
+    assert(rows.head.getAs[Double]("approx_users") === batch,
+      "streamed closed-window estimate must equal the batch sketch exactly")
+    // 40 distinct: HLL m=64 linear-counting regime is near-exact
+    assert(math.abs(batch - 40.0) / 40.0 < 0.25, s"estimate $batch far from 40")
+    q.stop()
+  }
+
   test("streaming ingest chain: quality gate -> exact dedup composes in one stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
