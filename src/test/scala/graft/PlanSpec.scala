@@ -124,4 +124,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!mw.contains("SortMergeJoin"),
       s"q_mix_weights normalization joins must broadcast, not sort-merge:\n$mw")
   }
+
+  test("sketch-pack plans keep their scale shape") {
+    // q_sketch_distinct: the sketch aggregation must partial-aggregate
+    // (sketch states merge across the shuffle, the events don't move raw)
+    val sd = planOf("q_sketch_distinct")
+    assert(sd.contains("partial_kmv_sketch") || sd.contains("partial kmv_sketch")
+      || sd.toLowerCase.contains("partial_kmv"),
+      s"q_sketch_distinct lost partial sketch aggregation:\n$sd")
+    // q_sketch_quantiles: the range relation joins by broadcast — a
+    // sort-merge here would shuffle the full events table twice
+    val sq = planOf("q_sketch_quantiles")
+    assert(!sq.contains("SortMergeJoin"),
+      s"q_sketch_quantiles range join must broadcast:\n$sq")
+    // q_sample_weighted: global top-k compiles to TakeOrderedAndProject
+    // (per-partition top-k + k-row driver merge), never a global sort
+    val sw = planOf("q_sample_weighted")
+    assert(sw.contains("TakeOrderedAndProject"),
+      s"q_sample_weighted must plan a distributed top-k:\n$sw")
+  }
 }
