@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmaArray, Hash60, HllSketchAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature}
+import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmaArray, Hash60, HllSketchAgg, KmvHashesAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -106,6 +106,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("kmv_sketch", exprs, 2)
         KmvSketchAgg(exprs.head, toInt(exprs(1)))
+      }),
+    ("kmv_hashes",
+      new ExpressionInfo(classOf[KmvHashesAgg].getName, "kmv_hashes"),
+      (exprs: Seq[Expression]) => {
+        arity("kmv_hashes", exprs, 2)
+        KmvHashesAgg(exprs.head, toInt(exprs(1)))
       }),
     ("hll_sketch",
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),

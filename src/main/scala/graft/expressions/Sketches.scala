@@ -127,6 +127,82 @@ case class KmvSketchAgg(
     copy(child = newChildren.head)
 }
 
+/** The k smallest DISTINCT hash60 values themselves (ascending array) —
+  * [[KmvSketchAgg]]'s state exposed as a value, which is what makes KMV
+  * sketches an ALGEBRA: the bottom-k of a union is computable from two
+  * bottom-k arrays alone (k smallest distinct of their concat), so
+  * per-partition sketches compose into union/intersection/Jaccard
+  * estimates without ever revisiting the data (Beyer et al. 2007).
+  */
+case class KmvHashesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  require(k >= 2, s"kmv_hashes needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_hashes requires a long hash column, got ${other.simpleString}")
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmv_hashes"
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long]()
+
+  private def add(buf: java.util.TreeSet[Long], h: Long): Unit = {
+    buf.add(h)
+    if (buf.size > k) buf.pollLast()
+  }
+
+  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    val it = b.iterator()
+    while (it.hasNext) add(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val xs = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { xs(i) = it.next(); i += 1 } // TreeSet iterates ascending
+    new GenericArrayData(xs)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val xs = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { xs(i) = it.next(); i += 1 }
+    Sketches.serializeLongs(xs)
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val buf = createAggregationBuffer()
+    Sketches.deserializeLongs(bytes).foreach(buf.add)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvHashesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvHashesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvHashesAgg =
+    copy(child = newChildren.head)
+}
+
 /** HyperLogLog distinct-count estimate of a LONG hash column (hash60
   * output): m = 64 byte registers, register = low 6 hash bits, rank =
   * leftmost-1 position of the remaining 54 bits. State: 64 bytes, merge =

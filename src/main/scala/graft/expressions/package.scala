@@ -93,6 +93,16 @@ package object expressions {
     call_function("kmv_sketch", hash60Value, lit(k))
   }
 
+  /** The k smallest distinct hash60 values (ascending array) — the
+    * composable form of the KMV sketch (see [[KmvHashesAgg]]): union =
+    * bottom-k of the concat, so set-overlap estimates need only the
+    * sketches.
+    */
+  def kmv_hashes(hash60Value: Column, k: Int): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("kmv_hashes", hash60Value, lit(k))
+  }
+
   /** HyperLogLog (m = 64) distinct-count estimate of a hash60 column —
     * 64 bytes of mergeable state per group (see [[HllSketchAgg]]).
     */

@@ -27,6 +27,7 @@ object SketchQueries {
   private val CmsDepth = 4
   private val CmsWidth = 256
   private val HistB = 512
+  private val SetK = 256
   private val P = TextFunctions.MinHashPrime
   /** exact double repr of 0.709·64²·2^55 (= expressions.Sketches.HllAm2);
     * e-notation so DuckDB parses it as DOUBLE, not DECIMAL. */
@@ -94,6 +95,33 @@ object SketchQueries {
           qBucket(0.5).as("b50"), qBucket(0.9).as("b90"), qBucket(0.99).as("b99"))
         .select(col("event_type"), col("n"),
           est(col("b50")).as("p50_est"), est(col("b90")).as("p90_est"), est(col("b99")).as("p99_est"))
+    }),
+
+    // KMV set algebra (Beyer et al. 2007): per-source bottom-k shingle
+    // sketches compose into union/Jaccard/intersection estimates with
+    // array math on the ≤ k-long sketches alone — the 100 TB path for
+    // the exact q_source_overlap pair join (the corpus is aggregated once
+    // per source; the pair stage touches only #sources² tiny arrays).
+    // union sketch = k smallest distinct of the two arrays' concat;
+    // ρ = |union-sketch ∩ A_k ∩ B_k| / |union-sketch| estimates Jaccard.
+    "q_sketch_setops" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      val sk = sh.groupBy("source")
+        .agg(graft.expressions.kmv_hashes(TextFunctions.hash60(col("shingle")), SetK).as("kh"))
+      sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+        .withColumn("u", slice(array_sort(array_union(col("a.kh"), col("b.kh"))), 1, SetK))
+        .withColumn("l", size(col("u")))
+        .withColumn("est_union", when(col("l") >= SetK,
+            lit((SetK - 1).toDouble) * Sketches.HashSpace / element_at(col("u"), SetK).cast("double"))
+          .otherwise(col("l").cast("double")))
+        .withColumn("n_both", size(filter(col("u"),
+          h => array_contains(col("a.kh"), h) && array_contains(col("b.kh"), h))).cast("long"))
+        .withColumn("jac", col("n_both").cast("double") / col("l").cast("double"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"), col("n_both"),
+          round(col("est_union"), 6).as("est_union"),
+          round(col("jac"), 6).as("est_jaccard"),
+          round(col("jac") * col("est_union"), 6).as("est_shared"))
     }),
 
     // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
@@ -187,6 +215,46 @@ object SketchQueries {
          |  round(lo + (b90 + 0.5::DOUBLE) * ((hi - lo) / ${HistB}.0), 6) AS p90_est,
          |  round(lo + (b99 + 0.5::DOUBLE) * ((hi - lo) / ${HistB}.0), 6) AS p99_est
          |FROM qb""".stripMargin,
+
+    "q_sketch_setops" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         |sh0 AS (SELECT doc_id, source, unnest(list_distinct(
+         |          CASE WHEN len(t) >= 3
+         |               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |               ELSE []::VARCHAR[] END
+         |        )) AS shingle FROM toks),
+         |shh AS (SELECT DISTINCT source, ${h60Sql("shingle")} AS h FROM sh0),
+         |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM shh),
+         |sk AS (SELECT source, h FROM rk WHERE rn <= $SetK),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b
+         |       FROM srcs a JOIN srcs b ON a.source < b.source),
+         |uni0 AS (SELECT pr.src_a, pr.src_b, sk.h FROM pr JOIN sk ON sk.source = pr.src_a
+         |         UNION
+         |         SELECT pr.src_a, pr.src_b, sk.h FROM pr JOIN sk ON sk.source = pr.src_b),
+         |urk AS (SELECT src_a, src_b, h,
+         |          row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+         |        FROM uni0),
+         |u AS (SELECT src_a, src_b, h, rn FROM urk WHERE rn <= $SetK),
+         |flags AS (SELECT u.src_a, u.src_b, u.h, u.rn,
+         |            CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 ELSE 0 END AS inboth
+         |          FROM u
+         |          LEFT JOIN sk sa ON sa.source = u.src_a AND sa.h = u.h
+         |          LEFT JOIN sk sb ON sb.source = u.src_b AND sb.h = u.h),
+         |agg AS (SELECT src_a, src_b, count(*)::BIGINT AS l,
+         |          max(CASE WHEN rn = $SetK THEN h END) AS hk,
+         |          sum(inboth)::BIGINT AS n_both
+         |        FROM flags GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_both,
+         |  round(CASE WHEN l >= $SetK
+         |             THEN ${SetK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE / hk::DOUBLE
+         |             ELSE l::DOUBLE END, 6) AS est_union,
+         |  round(n_both::DOUBLE / l::DOUBLE, 6) AS est_jaccard,
+         |  round((n_both::DOUBLE / l::DOUBLE)
+         |        * (CASE WHEN l >= $SetK
+         |                THEN ${SetK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE / hk::DOUBLE
+         |                ELSE l::DOUBLE END), 6) AS est_shared
+         |FROM agg""".stripMargin,
 
     "q_sample_weighted" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,

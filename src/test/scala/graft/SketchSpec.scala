@@ -84,6 +84,32 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked.forall(r => r.getLong(1) == r.getLong(0)), "expected exact at this width")
   }
 
+  test("KMV set algebra recovers a known Jaccard from sketches alone") {
+    import spark.implicits._
+    // two sets of 2000 with exactly 1000 shared → |A∪B| = 3000, J = 1/3
+    val a = (0 until 2000).map(i => ("a", s"item_$i"))
+    val b = (1000 until 3000).map(i => ("b", s"item_$i"))
+    val df = (a ++ b).toDF("side", "v")
+    val k = 256
+    val sk = df.groupBy("side")
+      .agg(graft.expressions.kmv_hashes(TextFunctions.hash60(col("v")), k).as("kh"))
+    val pair = sk.as("x").join(sk.as("y"), col("x.side") < col("y.side"))
+      .withColumn("u", slice(array_sort(array_union(col("x.kh"), col("y.kh"))), 1, k))
+      .withColumn("l", size(col("u")))
+      .withColumn("est_union",
+        lit((k - 1).toDouble) * graft.expressions.Sketches.HashSpace
+          / element_at(col("u"), k).cast("double"))
+      .withColumn("n_both", size(filter(col("u"),
+        h => array_contains(col("x.kh"), h) && array_contains(col("y.kh"), h))))
+      .select(col("est_union"), (col("n_both") / col("l")).as("est_jac"))
+      .head
+    // k=256 → ~6% std error on the union; Jaccard estimator ~ ±2σ of
+    // sqrt(J(1-J)/k) ≈ 0.03. Loose 4σ-ish bounds keep this deterministic
+    // test meaningful without flaking on the fixed hash draw.
+    assert(math.abs(pair.getDouble(0) - 3000.0) / 3000.0 < 0.25, s"union=${pair.getDouble(0)}")
+    assert(math.abs(pair.getDouble(1) - 1.0 / 3.0) < 0.12, s"jaccard=${pair.getDouble(1)}")
+  }
+
   test("HLL internals: rank convention and the oracle constant literal") {
     assert(Sketches.hllRank(0L) == 55)
     assert(Sketches.hllRank(1L) == 54)            // 53 leading zeros in 54-bit field
