@@ -124,6 +124,33 @@ object SketchQueries {
           round(col("jac") * col("est_union"), 6).as("est_shared"))
     }),
 
+    // CMS inner products estimate JOIN SIZE (Cormode & Muthukrishnan §4.3):
+    // |R ⋈_key S| ≈ min_j Σ_b R_j[b]·S_j[b] — two 8 KB sketches stand in
+    // for the join itself, pure integer math (bit-exact across engines).
+    // The "should I even run this join / how to size it" planning probe:
+    // at 100 TB each side folds into its sketch in one pass, the estimate
+    // costs d·w multiplications. Exact count rides along as ground truth
+    // (Σ_u cnt_R(u)·cnt_S(u), one group-count join — cheap at test SF).
+    "q_sketch_joinsize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val h = TextFunctions.hash31(col("user_id").cast("string"))
+      val r = ev
+      val sSide = ev.where(col("event_type") === "purchase")
+      val cmsR = r.agg(cms_sketch(h, CmsDepth, CmsWidth).as("cr"))
+      val cmsS = sSide.agg(cms_sketch(h, CmsDepth, CmsWidth).as("cs"))
+      val prod = zip_with(col("cr"), col("cs"), (x, y) => x * y)
+      val rowDots = (0 until CmsDepth).map(j =>
+        aggregate(slice(prod, j * CmsWidth + 1, CmsWidth), lit(0L), (acc, x) => acc + x))
+      val exact = r.groupBy("user_id").agg(count(lit(1)).as("cr_n"))
+        .join(sSide.groupBy("user_id").agg(count(lit(1)).as("cs_n")), "user_id")
+        .agg(sum(col("cr_n") * col("cs_n")).as("exact_pairs"))
+      cmsR.crossJoin(cmsS).crossJoin(exact)
+        .select(col("exact_pairs"),
+          rowDots.reduce(least(_, _)).as("est_pairs"))
+        .withColumn("over_ratio",
+          round(col("est_pairs").cast("double") / col("exact_pairs").cast("double"), 6))
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
     // key = u^(1/w) with u md5-derived, winners = global top-k by key —
     // which Spark executes as TakeOrderedAndProject (per-partition top-k
@@ -255,6 +282,31 @@ object SketchQueries {
          |                THEN ${SetK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE / hk::DOUBLE
          |                ELSE l::DOUBLE END), 6) AS est_shared
          |FROM agg""".stripMargin,
+
+    "q_sketch_joinsize" -> {
+      val rowEsts = TextFunctions.permParams(CmsDepth).zipWithIndex.map { case ((a, b), j) =>
+        s"""d$j AS (SELECT coalesce(sum(r.c * s.c), 0)::BIGINT AS dot
+           |  FROM (SELECT (($a * h31 + $b) % $P) % $CmsWidth AS pos, count(*)::BIGINT AS c
+           |        FROM h GROUP BY 1) r
+           |  JOIN (SELECT (($a * h31 + $b) % $P) % $CmsWidth AS pos, count(*)::BIGINT AS c
+           |        FROM h WHERE event_type = 'purchase' GROUP BY 1) s
+           |  ON r.pos = s.pos)""".stripMargin
+      }
+      s"""WITH h AS (SELECT event_type,
+         |             ${h60Sql("user_id::VARCHAR")} % $P AS h31
+         |           FROM events),
+         |${rowEsts.mkString(",\n")},
+         |ex AS (SELECT sum(r.n * s.n)::BIGINT AS exact_pairs
+         |       FROM (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY 1) r
+         |       JOIN (SELECT user_id, count(*)::BIGINT AS n FROM events
+         |             WHERE event_type = 'purchase' GROUP BY 1) s
+         |       ON r.user_id = s.user_id)
+         |SELECT ex.exact_pairs,
+         |  least(${(0 until CmsDepth).map(j => s"(SELECT dot FROM d$j)").mkString(", ")}) AS est_pairs,
+         |  round(least(${(0 until CmsDepth).map(j => s"(SELECT dot FROM d$j)").mkString(", ")})::DOUBLE
+         |        / ex.exact_pairs::DOUBLE, 6) AS over_ratio
+         |FROM ex""".stripMargin
+    },
 
     "q_sample_weighted" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,

@@ -110,6 +110,15 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(pair.getDouble(1) - 1.0 / 3.0) < 0.12, s"jaccard=${pair.getDouble(1)}")
   }
 
+  test("CMS join-size estimate never undercounts the true join cardinality") {
+    val row = SparkEntry.queries("q_sketch_joinsize")(spark, "/root/testdata/sf0.001").head
+    val exact = row.getAs[Long]("exact_pairs")
+    val est = row.getAs[Long]("est_pairs")
+    assert(exact > 0)
+    assert(est >= exact, s"CMS inner product must overestimate: est=$est exact=$exact")
+    assert(est < exact * 10, s"estimate uselessly loose: est=$est exact=$exact")
+  }
+
   test("HLL internals: rank convention and the oracle constant literal") {
     assert(Sketches.hllRank(0L) == 55)
     assert(Sketches.hllRank(1L) == 54)            // 53 leading zeros in 54-bit field
