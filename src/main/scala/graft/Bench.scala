@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.warnOnSchemaDrift(spark, sfDir)
     // untimed warmup: JIT/codegen/parquet-footer costs land here, not on
     // whichever query happens to run first
     try SparkEntry.queries.get("q_metrics").foreach(_(spark, sfDir).count())

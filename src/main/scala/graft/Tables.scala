@@ -37,6 +37,42 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
 
+  /** Log (stderr) any drift between the driver-generated tables and the
+    * schema this engine was built against. The round-7 breakage — the
+    * driver silently regenerated events.ts as TIMESTAMP(MICROS) where all
+    * prior rounds had TIMESTAMP(NANOS) — cost a full round of correctness
+    * signal; this canary turns the next such change into one obvious log
+    * line instead of 110 cryptic per-query failures. Purely advisory:
+    * never throws, costs one footer read per table.
+    */
+  def warnOnSchemaDrift(spark: SparkSession, dir: String): Unit = {
+    val expected = Map(
+      "events" -> Map("event_id" -> "bigint", "ts" -> "timestamp|timestamp_ntz|bigint",
+        "user_id" -> "bigint", "event_type" -> "string", "value" -> "double"),
+      "documents" -> Map("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint|int"),
+      "embeddings" -> Map("vec_id" -> "bigint", "embedding" -> "array<float>|array<double>",
+        "label" -> "int|bigint|string"))
+    expected.foreach { case (table, cols) =>
+      try {
+        val actual = read(spark, dir, table).schema
+          .map(f => f.name -> f.dataType.simpleString).toMap
+        cols.foreach { case (name, accepted) =>
+          actual.get(name) match {
+            case None =>
+              System.err.println(s"[graft][SCHEMA DRIFT] $table.$name is MISSING (have: ${actual.keys.mkString(", ")})")
+            case Some(t) if !accepted.split('|').contains(t) =>
+              System.err.println(s"[graft][SCHEMA DRIFT] $table.$name is $t, engine built against $accepted")
+            case _ => ()
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[graft][SCHEMA DRIFT] cannot read $table from $dir: ${e.getMessage}")
+      }
+    }
+  }
+
   /** Canonical hourly-resampled event series: one series per `event_type`.
     *
     * Rounds the aggregated value to 6 dp so every downstream operator (here
