@@ -124,6 +124,38 @@ object SketchQueries {
           round(col("jac") * col("est_union"), 6).as("est_shared"))
     }),
 
+    // Incremental sketch maintenance — the store-family shape (ModelStore,
+    // fingerprint store, band store) applied to profiling: the HISTORY's
+    // per-source KMV sketch is the only state carried forward (≤ k longs
+    // per source, a persistable table); a new ingest BATCH folds in via
+    // the same bottom-k union composition, giving the updated corpus
+    // distinct-shingle estimate without rescanning history. Certified
+    // against the exact distinct over the full corpus.
+    "q_sketch_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      def sketchOf(part: DataFrame) = part
+        .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+        .groupBy("source")
+        .agg(graft.expressions.kmv_hashes(TextFunctions.hash60(col("shingle")), SetK).as("kh"))
+      val store = sketchOf(d.where(col("doc_id") < 300))   // persisted profile
+      val batch = sketchOf(d.where(col("doc_id") >= 300))  // new ingest
+      val merged = store.as("a").join(batch.as("b"), Seq("source"), "full")
+        .select(col("source"),
+          slice(array_sort(array_union(
+            coalesce(col("a.kh"), array().cast("array<long>")),
+            coalesce(col("b.kh"), array().cast("array<long>")))), 1, SetK).as("u"))
+        .withColumn("l", size(col("u")))
+        .withColumn("est_distinct", when(col("l") >= SetK,
+            lit((SetK - 1).toDouble) * Sketches.HashSpace / element_at(col("u"), SetK).cast("double"))
+          .otherwise(col("l").cast("double")))
+      val exact = d
+        .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+        .groupBy("source").agg(countDistinct("shingle").as("n_exact"))
+      exact.join(merged, "source")
+        .select(col("source"), col("n_exact"), round(col("est_distinct"), 6).as("est_distinct"),
+          round(col("est_distinct") / col("n_exact").cast("double"), 6).as("ratio"))
+    }),
+
     // CMS inner products estimate JOIN SIZE (Cormode & Muthukrishnan §4.3):
     // |R ⋈_key S| ≈ min_j Σ_b R_j[b]·S_j[b] — two 8 KB sketches stand in
     // for the join itself, pure integer math (bit-exact across engines).
@@ -282,6 +314,38 @@ object SketchQueries {
          |                THEN ${SetK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE / hk::DOUBLE
          |                ELSE l::DOUBLE END), 6) AS est_shared
          |FROM agg""".stripMargin,
+
+    "q_sketch_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         |sh0 AS (SELECT doc_id, source, unnest(list_distinct(
+         |          CASE WHEN len(t) >= 3
+         |               THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |               ELSE []::VARCHAR[] END
+         |        )) AS shingle FROM toks),
+         |hh AS (SELECT DISTINCT source, ${h60Sql("shingle")} AS h FROM sh0 WHERE doc_id < 300),
+         |hb AS (SELECT DISTINCT source, ${h60Sql("shingle")} AS h FROM sh0 WHERE doc_id >= 300),
+         |ka AS (SELECT source, h FROM (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh) t
+         |       WHERE rn <= $SetK),
+         |kb AS (SELECT source, h FROM (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hb) t
+         |       WHERE rn <= $SetK),
+         |unn AS (SELECT source, h FROM ka UNION SELECT source, h FROM kb),
+         |u AS (SELECT source, h, rn FROM (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM unn) t
+         |      WHERE rn <= $SetK),
+         |agg AS (SELECT source, count(*)::BIGINT AS l,
+         |          max(CASE WHEN rn = $SetK THEN h END) AS hk
+         |        FROM u GROUP BY 1),
+         |ex AS (SELECT source, count(DISTINCT shingle)::BIGINT AS n_exact FROM sh0 GROUP BY 1)
+         |SELECT ex.source, ex.n_exact,
+         |  round(CASE WHEN l >= $SetK
+         |             THEN ${SetK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE / hk::DOUBLE
+         |             ELSE l::DOUBLE END, 6) AS est_distinct,
+         |  round((CASE WHEN l >= $SetK
+         |              THEN ${SetK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE / hk::DOUBLE
+         |              ELSE l::DOUBLE END) / ex.n_exact::DOUBLE, 6) AS ratio
+         |FROM ex JOIN agg ON ex.source = agg.source""".stripMargin,
 
     "q_sketch_joinsize" -> {
       val rowEsts = TextFunctions.permParams(CmsDepth).zipWithIndex.map { case ((a, b), j) =>
