@@ -527,6 +527,28 @@ object LlmQueries {
         .orderBy("i", "j").limit(20)
     }),
 
+    // visual near-dup: Hamming ≤ 1 over the 16-bit perceptual hash via
+    // 2×8-bit pigeonhole chunk blocking (the q_dedup_simhash machinery on
+    // the multimodal axis) — a pair differing in ≤ 1 bit must agree on one
+    // full chunk, so candidates come from a chunk-equality join, never an
+    // all-pairs scan; bit_count(xor) verifies exactly.
+    "q_multimodal_neardup" -> ((s, dir) => {
+      val ph = Multimodal.phash(Multimodal.withPayload(docs(s, dir)))
+      val chunks = ph.select(col("doc_id"), col("phash"),
+        explode(array((0 until 2).map(c =>
+          struct(lit(c).as("c"), shiftright(col("phash"), c * 8).bitwiseAND(lit(255L)).as("v"))): _*)).as("ck"))
+        .select(col("doc_id"), col("phash"), col("ck.c"), col("ck.v"))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.c") === col("b.c") && col("a.v") === col("b.v")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.phash").as("ph_i"), col("b.phash").as("ph_j"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("ph_i").bitwiseXOR(col("ph_j"))).cast("long"))
+        .where(col("hamming") <= 1)
+        .orderBy("hamming", "i", "j").limit(20)
+    }),
+
     // deterministic stratified sampling for training-data mixing: keep a
     // doc iff the first 16 hash bits of md5(doc_id) land under the
     // stratum's rate. No RNG state, reproducible across engines and
@@ -990,6 +1012,24 @@ object LlmQueries {
         |      FROM ph a JOIN ph bb ON a.phash = bb.phash AND a.doc_id < bb.doc_id),
         |r AS (SELECT *, row_number() OVER (ORDER BY i, j) AS rk FROM p)
         |SELECT i, j, phash FROM r WHERE rk <= 20""".stripMargin,
+
+    "q_multimodal_neardup" ->
+      """WITH b AS (SELECT doc_id, i, ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT AS v
+        |           FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+        |m AS (SELECT doc_id, avg(v::DOUBLE) AS mean FROM b GROUP BY 1),
+        |ph AS (SELECT b.doc_id,
+        |         sum(CASE WHEN v::DOUBLE > mean THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS phash
+        |       FROM b JOIN m ON b.doc_id = m.doc_id GROUP BY 1),
+        |ck AS (SELECT doc_id, phash, c, (phash >> (c * 8)) & 255 AS v
+        |       FROM ph CROSS JOIN (SELECT unnest(range(0, 2)) AS c)),
+        |p AS (SELECT DISTINCT a.doc_id AS i, bb.doc_id AS j,
+        |        a.phash AS ph_i, bb.phash AS ph_j
+        |      FROM ck a JOIN ck bb
+        |        ON a.c = bb.c AND a.v = bb.v AND a.doc_id < bb.doc_id),
+        |h AS (SELECT i, j, ph_i, ph_j, bit_count(xor(ph_i, ph_j))::BIGINT AS hamming
+        |      FROM p WHERE bit_count(xor(ph_i, ph_j)) <= 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM h)
+        |SELECT i, j, ph_i, ph_j, hamming FROM r WHERE rk <= 20""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,
