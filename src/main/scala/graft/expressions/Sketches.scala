@@ -264,8 +264,11 @@ case class HllSketchAgg(
     else raw
   }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // defensive copies: the contract doesn't promise the returned bytes are
+  // written before the buffer mutates again (or that storage bytes won't
+  // be reused), and 64 B makes the copy free
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
