@@ -81,8 +81,11 @@ object SketchQueries {
         min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
       val bucketed = ev.join(broadcast(rng), "event_type")
         .withColumn("bucket",
-          least(floor((col("value") - col("lo")) * HistB.toDouble / (col("hi") - col("lo"))), lit(HistB - 1.0))
-            .cast("long"))
+          // constant series (hi = lo) would divide 0/0 → NaN (and DuckDB
+          // errors casting NaN) — all mass lands in bucket 0 by definition
+          when(col("hi") === col("lo"), lit(0L)).otherwise(
+            least(floor((col("value") - col("lo")) * HistB.toDouble / (col("hi") - col("lo"))), lit(HistB - 1.0))
+              .cast("long")))
         .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy("bucket")
@@ -258,7 +261,9 @@ object SketchQueries {
       s"""WITH rng AS (SELECT event_type, min(value) AS lo, max(value) AS hi, count(*)::BIGINT AS n
          |            FROM events GROUP BY 1),
          |bk AS (SELECT e.event_type,
-         |         least(floor((e.value - lo) * ${HistB}.0 / (hi - lo)), ${HistB - 1}.0::DOUBLE)::BIGINT AS bucket
+         |         CASE WHEN hi = lo THEN 0
+         |              ELSE least(floor((e.value - lo) * ${HistB}.0 / (hi - lo)), ${HistB - 1}.0::DOUBLE)::BIGINT
+         |         END AS bucket
          |       FROM events e JOIN rng USING (event_type)),
          |bc AS (SELECT event_type, bucket, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2),
          |cm AS (SELECT event_type, bucket,

@@ -119,6 +119,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est < exact * 10, s"estimate uselessly loose: est=$est exact=$exact")
   }
 
+  test("histogram quantiles survive a constant-valued series (hi = lo)") {
+    import spark.implicits._
+    // mirror the query's math on a local frame: constant series must land
+    // all mass in bucket 0 and report the constant as every percentile
+    val df = Seq.fill(100)(("flat", 7.5)).toDF("event_type", "value")
+    val rng = df.groupBy("event_type").agg(
+      min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+    val bucketed = df.join(broadcast(rng), "event_type")
+      .withColumn("bucket", when(col("hi") === col("lo"), lit(0L)).otherwise(
+        least(floor((col("value") - col("lo")) * 512.0 / (col("hi") - col("lo"))), lit(511.0)).cast("long")))
+    val row = bucketed.groupBy("event_type", "bucket").count().collect()
+    assert(row.length == 1 && row.head.getLong(1) == 0L && row.head.getLong(2) == 100L)
+    val est = rng.select(col("lo") + (lit(0L) + 0.5) * ((col("hi") - col("lo")) / 512.0)).head.getDouble(0)
+    assert(est == 7.5, s"constant series must report the constant, got $est")
+  }
+
   test("HLL internals: rank convention and the oracle constant literal") {
     assert(Sketches.hllRank(0L) == 55)
     assert(Sketches.hllRank(1L) == 54)            // 53 leading zeros in 54-bit field
