@@ -50,9 +50,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"errors":$errors,"sf":"$sfDir"}"""
     // Full per-query map: one line on stdout + a repo file. The driver's
     // log capture keeps only the LAST ~2000 characters of output, so this
-    // line scrolls off for a 174-query suite — the file is the durable
-    // copy a reader can diff round over round.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    // line scrolls off for a 182-query suite — the file is the durable
+    // copy a reader can diff round over round. Full runs only (a filtered
+    // iteration run must not clobber the full-suite record), and never
+    // fatal: the stdout lines below are the primary channel.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}") }
+    }
     println(full)
     // Compact line LAST so it lands inside the capture window and parses:
     // headline total, error count (first few names), and the slowest

@@ -53,6 +53,28 @@ object Sketches {
     val bb = ByteBuffer.wrap(bytes)
     Array.fill(bytes.length / 8)(bb.getLong)
   }
+
+  /** Shared bottom-k state machinery for the two KMV aggregates (estimate
+    * and hashes forms differ only in eval/dataType). */
+  def bottomKAdd(buf: java.util.TreeSet[Long], h: Long, k: Int): Unit = {
+    buf.add(h)
+    if (buf.size > k) buf.pollLast() // drop the largest; keeps k smallest
+  }
+
+  def bottomKMerge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long], k: Int): java.util.TreeSet[Long] = {
+    val it = b.iterator()
+    while (it.hasNext) bottomKAdd(a, it.next(), k)
+    a
+  }
+
+  /** Ascending array copy (TreeSet iterates in sorted order). */
+  def treeSetToArray(buf: java.util.TreeSet[Long]): Array[Long] = {
+    val xs = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { xs(i) = it.next(); i += 1 }
+    xs
+  }
 }
 
 /** KMV (k-minimum-values / bottom-k) distinct-count estimate of a LONG
@@ -84,34 +106,21 @@ case class KmvSketchAgg(
   override def createAggregationBuffer(): java.util.TreeSet[Long] =
     new java.util.TreeSet[Long]()
 
-  private def add(buf: java.util.TreeSet[Long], h: Long): Unit = {
-    buf.add(h)
-    if (buf.size > k) buf.pollLast() // drop the largest; keeps k smallest
-  }
-
   override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[Long])
+    if (v != null) Sketches.bottomKAdd(buf, v.asInstanceOf[Long], k)
     buf
   }
 
-  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
-    val it = b.iterator()
-    while (it.hasNext) add(a, it.next())
-    a
-  }
+  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] =
+    Sketches.bottomKMerge(a, b, k)
 
   override def eval(buf: java.util.TreeSet[Long]): Any =
     if (buf.size < k) buf.size.toDouble
     else (k - 1).toDouble * Sketches.HashSpace / buf.last().toDouble
 
-  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
-    val xs = new Array[Long](buf.size)
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { xs(i) = it.next(); i += 1 }
-    Sketches.serializeLongs(xs)
-  }
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] =
+    Sketches.serializeLongs(Sketches.treeSetToArray(buf))
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
     val buf = createAggregationBuffer()
@@ -156,38 +165,20 @@ case class KmvHashesAgg(
   override def createAggregationBuffer(): java.util.TreeSet[Long] =
     new java.util.TreeSet[Long]()
 
-  private def add(buf: java.util.TreeSet[Long], h: Long): Unit = {
-    buf.add(h)
-    if (buf.size > k) buf.pollLast()
-  }
-
   override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[Long])
+    if (v != null) Sketches.bottomKAdd(buf, v.asInstanceOf[Long], k)
     buf
   }
 
-  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
-    val it = b.iterator()
-    while (it.hasNext) add(a, it.next())
-    a
-  }
+  override def merge(a: java.util.TreeSet[Long], b: java.util.TreeSet[Long]): java.util.TreeSet[Long] =
+    Sketches.bottomKMerge(a, b, k)
 
-  override def eval(buf: java.util.TreeSet[Long]): Any = {
-    val xs = new Array[Long](buf.size)
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { xs(i) = it.next(); i += 1 } // TreeSet iterates ascending
-    new GenericArrayData(xs)
-  }
+  override def eval(buf: java.util.TreeSet[Long]): Any =
+    new GenericArrayData(Sketches.treeSetToArray(buf))
 
-  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
-    val xs = new Array[Long](buf.size)
-    var i = 0
-    val it = buf.iterator()
-    while (it.hasNext) { xs(i) = it.next(); i += 1 }
-    Sketches.serializeLongs(xs)
-  }
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] =
+    Sketches.serializeLongs(Sketches.treeSetToArray(buf))
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
     val buf = createAggregationBuffer()

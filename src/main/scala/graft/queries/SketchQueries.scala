@@ -290,7 +290,7 @@ object SketchQueries {
          |shh AS (SELECT DISTINCT source, ${h60Sql("shingle")} AS h FROM sh0),
          |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM shh),
          |sk AS (SELECT source, h FROM rk WHERE rn <= $SetK),
-         |srcs AS (SELECT DISTINCT source FROM documents),
+         |srcs AS (SELECT DISTINCT source FROM sk),
          |pr AS (SELECT a.source AS src_a, b.source AS src_b
          |       FROM srcs a JOIN srcs b ON a.source < b.source),
          |uni0 AS (SELECT pr.src_a, pr.src_b, sk.h FROM pr JOIN sk ON sk.source = pr.src_a

@@ -129,8 +129,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q_sketch_distinct: the sketch aggregation must partial-aggregate
     // (sketch states merge across the shuffle, the events don't move raw)
     val sd = planOf("q_sketch_distinct")
-    assert(sd.contains("partial_kmv_sketch") || sd.contains("partial kmv_sketch")
-      || sd.toLowerCase.contains("partial_kmv"),
+    assert(sd.toLowerCase.contains("partial_kmv"),
       s"q_sketch_distinct lost partial sketch aggregation:\n$sd")
     // q_sketch_quantiles: the range relation joins by broadcast — a
     // sort-merge here would shuffle the full events table twice
