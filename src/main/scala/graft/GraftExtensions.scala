@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmaArray, Hash60, HllSketchAgg, KmvHashesAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature}
+import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmArray, EwmaArray, Hash60, HllSketchAgg, KmvHashesAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,6 +32,11 @@ object GraftExtensions {
     case other      => throw new IllegalArgumentException(s"expected numeric literal, got $other")
   }
 
+  private def toBoolean(e: Expression): Boolean = e.eval() match {
+    case b: Boolean => b
+    case other      => throw new IllegalArgumentException(s"expected boolean literal, got $other")
+  }
+
   private def toInt(e: Expression): Int = e.eval() match {
     case i: Int   => i
     case l: Long  => l.toInt
@@ -45,6 +50,12 @@ object GraftExtensions {
     ("ewma_array",
       new ExpressionInfo(classOf[EwmaArray].getName, "ewma_array"),
       (exprs: Seq[Expression]) => EwmaArray(exprs.head, toDouble(exprs(1)))),
+    ("ewm_array",
+      new ExpressionInfo(classOf[EwmArray].getName, "ewm_array"),
+      (exprs: Seq[Expression]) => {
+        arity("ewm_array", exprs, 4)
+        EwmArray(exprs.head, toDouble(exprs(1)), toInt(exprs(2)), toBoolean(exprs(3)))
+      }),
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))),

@@ -29,7 +29,8 @@ object SparkEntry {
     (SelectQueries.defs, SelectQueries.sql),
     (RetrievalQueries.defs, RetrievalQueries.sql),
     (GrangerQueries.defs, GrangerQueries.sql),
-    (SketchQueries.defs, SketchQueries.sql)
+    (SketchQueries.defs, SketchQueries.sql),
+    (TechQueries.defs, TechQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -25,6 +25,15 @@ package object expressions {
     call_function("ewma_array", xs, lit(alpha))
   }
 
+  /** Generalized pandas-ewm over an ordered array: alpha, min_periods mask,
+    * adjusted/recursive form, NaN-skip (see [[EwmArray]]); the building
+    * block of the nowcasting technical-indicator chains (MACD/TRIX/TSI/RSI).
+    */
+  def ewm_array(xs: Column, alpha: Double, minPeriods: Int, adjust: Boolean): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("ewm_array", xs, lit(alpha), lit(minPeriods), lit(adjust))
+  }
+
   /** Allocation-free cosine similarity of two float vectors (see
     * [[CosineSim]]); the pair-heavy ANN/dedup hot path.
     */

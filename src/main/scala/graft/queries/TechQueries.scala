@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft._
+import graft.expressions.ewm_array
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nowcasting technical-indicator battery
+  * (kats/models/nowcasting/feature_extraction.py): MACD (:117), BBANDS
+  * (:308), TRIX (:341), EMA (:375), TSI (:402), RSI (:432). These complete
+  * the nowcasting surface beyond the ROC/MOM/MA/LAG columns q_nowcasting
+  * already emits.
+  *
+  * All the EWMA chains ride the one-series-per-row reduction
+  * ([[SeriesOps.collect]]) with the native [[graft.expressions.EwmArray]]
+  * kernel — one O(n) compiled pass per smoothing stage, the scale axis is
+  * the number of series. BBANDS is pure window frames (no collect at all).
+  * min_periods masks surface as NULL rows exactly where pandas emits NaN.
+  *
+  * Oracle side: each adjusted EWMA stage is replayed as a power-weight pair
+  * join (Σ x·(1−α)^Δ / Σ (1−α)^Δ over the valid prefix), chained through
+  * CTEs at full precision; the recursive RSI form uses its closed-form
+  * weights (first-obs weight (1−α)^Δ, later α·(1−α)^Δ). Decay bases are
+  * written as the same IEEE expression (`1 - 2.0/span`) on both engines.
+  */
+object TechQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private def hourly(s: SparkSession, dir: String) = Tables.hourlyEvents(s, dir)
+  private val H = Tables.hourlySql
+
+  /** NaN (the expression-level missing marker) → NULL, rounded — the tidy
+    * output convention shared with the oracle's CASE masks. */
+  private def nn(c: Column): Column = round(when(isnan(c), lit(null).cast("double")).otherwise(c), 6)
+
+  /** diff array: [NaN, x2−x1, x3−x2, …] (pandas Series.diff(1)). */
+  private def diffArr(xs: Column): Column =
+    concat(array(lit(Double.NaN)),
+      zip_with(slice(xs, lit(2), size(xs) - 1), slice(xs, lit(1), size(xs) - 1), _ - _))
+
+  /** Shift-by-one array: [NaN, a1, a2, …] — array-level lag, no extra sort. */
+  private def lag1(a: Column): Column =
+    concat(array(lit(Double.NaN)), slice(a, lit(1), size(a) - 1))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MACD(n_fast=12, n_slow=21): EMA12/EMA21 both masked at min_periods
+    // n_slow−1=20; signal line = EWMA(span 9, mp 8) over the valid MACD
+    // subsequence (feature_extraction.py:117).
+    "q_tech_macd" -> ((s, dir) => {
+      val base = SeriesOps.collect(hourly(s, dir).drop("n"), S)
+        .withColumn("fast", ewm_array(col("xs"), 2.0 / 13, 20, adjust = true))
+        .withColumn("slow", ewm_array(col("xs"), 2.0 / 22, 20, adjust = true))
+        .withColumn("macd", zip_with(col("fast"), col("slow"), _ - _))
+        .withColumn("sign", ewm_array(col("macd"), 2.0 / 10, 8, adjust = true))
+      base.select(col("event_type"),
+          posexplode(arrays_zip(col("tss"), col("xs"), col("fast"), col("slow"), col("macd"), col("sign"))))
+        .select(col("event_type"), unix_timestamp(col("col.tss")).as("ts_s"), col("col.xs").as("value"),
+          nn(col("col.fast")).as("ema_fast"), nn(col("col.slow")).as("ema_slow"),
+          nn(col("col.macd")).as("macd"), nn(col("col.sign")).as("macd_sign"),
+          nn(col("col.macd") - col("col.sign")).as("macd_diff"))
+    }),
+
+    // Bollinger bands over a 24-point rolling window (feature_extraction
+    // .py:308): b1 = 4·σ/μ, b2 = (x−μ+2σ)/(4σ); pandas rolling(24) masks
+    // the first 23 rows. Pure window frames — stays in whole-stage codegen.
+    "q_tech_bbands" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-23, 0)
+      hourly(s, dir).drop("n")
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("ma", avg("value").over(w))
+        .withColumn("msd", stddev_samp("value").over(w))
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+          round(when(col("cnt") === 24 && col("ma") =!= 0, lit(4) * col("msd") / col("ma")), 6).as("bb1"),
+          round(when(col("cnt") === 24 && col("msd") =!= 0,
+            (col("value") - col("ma") + lit(2) * col("msd")) / (lit(4) * col("msd"))), 6).as("bb2"))
+    }),
+
+    // TRIX(n=24): triple EWMA (span 24, mp 23 each stage, chained over the
+    // surviving subsequence), then 1-step rate of change; the reference
+    // seeds the output with a literal 0 at the first row
+    // (feature_extraction.py:341 `ROC_l = [0]`), reproduced here. EX1 is
+    // also the reference's EMA(24) column (:375), emitted as ema_24.
+    "q_tech_trix" -> ((s, dir) => {
+      val base = SeriesOps.collect(hourly(s, dir).drop("n"), S)
+        .withColumn("ex1", ewm_array(col("xs"), 2.0 / 25, 23, adjust = true))
+        .withColumn("ex2", ewm_array(col("ex1"), 2.0 / 25, 23, adjust = true))
+        .withColumn("ex3", ewm_array(col("ex2"), 2.0 / 25, 23, adjust = true))
+        .withColumn("ex3l", lag1(col("ex3")))
+      base.select(col("event_type"),
+          posexplode(arrays_zip(col("tss"), col("xs"), col("ex1"), col("ex3"), col("ex3l"))))
+        .select(col("event_type"), unix_timestamp(col("col.tss")).as("ts_s"), col("col.xs").as("value"),
+          nn(col("col.ex1")).as("ema_24"),
+          when(col("pos") === 0, lit(0.0))
+            .otherwise(nn(when(col("col.ex3l") =!= 0, (col("col.ex3") - col("col.ex3l")) / col("col.ex3l"))))
+            .as("trix"))
+    }),
+
+    // RSI(14) (feature_extraction.py:432): up/down gain series (pandas
+    // `where` maps the leading diff-NaN to 0, so the series is dense from
+    // the first row), UNadjusted EWMA α=1/14 masked at 14 obs, and the
+    // emadn=0 → 100 clamp.
+    "q_tech_rsi" -> ((s, dir) => {
+      val base = SeriesOps.collect(hourly(s, dir).drop("n"), S)
+        .withColumn("d", diffArr(col("xs")))
+        .withColumn("up", transform(col("d"), x => when(isnan(x), lit(0.0)).otherwise(when(x > 0, x).otherwise(lit(0.0)))))
+        .withColumn("dn", transform(col("d"), x => when(isnan(x), lit(0.0)).otherwise(when(x < 0, -x).otherwise(lit(0.0)))))
+        .withColumn("eu", ewm_array(col("up"), 1.0 / 14, 14, adjust = false))
+        .withColumn("ed", ewm_array(col("dn"), 1.0 / 14, 14, adjust = false))
+      base.select(col("event_type"), posexplode(arrays_zip(col("tss"), col("xs"), col("eu"), col("ed"))))
+        .select(col("event_type"), unix_timestamp(col("col.tss")).as("ts_s"), col("col.xs").as("value"),
+          when(isnan(col("col.eu")) || isnan(col("col.ed")), lit(null).cast("double"))
+            .otherwise(round(when(col("col.ed") === 0, lit(100.0))
+              .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("col.eu") / col("col.ed"))), 6))
+            .as("rsi_14"))
+    }),
+
+    // TSI(r=25, s=13) (feature_extraction.py:402): double-smoothed momentum
+    // EMA(EMA(diff, 25), 13) / EMA(EMA(|diff|, 25), 13); each stage masked
+    // at span−1 obs of its (already masked) input, aEMA2=0 → NULL guard.
+    "q_tech_tsi" -> ((s, dir) => {
+      val base = SeriesOps.collect(hourly(s, dir).drop("n"), S)
+        .withColumn("d", diffArr(col("xs")))
+        .withColumn("ad", transform(col("d"), x => abs(x)))
+        .withColumn("e1", ewm_array(col("d"), 2.0 / 26, 24, adjust = true))
+        .withColumn("a1", ewm_array(col("ad"), 2.0 / 26, 24, adjust = true))
+        .withColumn("e2", ewm_array(col("e1"), 2.0 / 14, 12, adjust = true))
+        .withColumn("a2", ewm_array(col("a1"), 2.0 / 14, 12, adjust = true))
+      base.select(col("event_type"), posexplode(arrays_zip(col("tss"), col("xs"), col("e2"), col("a2"))))
+        .select(col("event_type"), unix_timestamp(col("col.tss")).as("ts_s"), col("col.xs").as("value"),
+          nn(when(col("col.a2") =!= 0, col("col.e2") / col("col.a2"))).as("tsi"))
+    })
+  )
+
+  private val ORD =
+    s"""ord AS (SELECT event_type, ts, value,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM hourly)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+
+    "q_tech_macd" ->
+      s"""WITH hourly AS ($H), $ORD,
+         |ew AS (SELECT a.event_type, a.rn,
+         |  sum(b.value * pow(1 - 2.0/13, a.rn - b.rn)) / sum(pow(1 - 2.0/13, a.rn - b.rn)) AS fast,
+         |  sum(b.value * pow(1 - 2.0/22, a.rn - b.rn)) / sum(pow(1 - 2.0/22, a.rn - b.rn)) AS slow
+         |  FROM ord a JOIN ord b ON b.event_type = a.event_type AND b.rn <= a.rn
+         |  WHERE a.rn >= 20 GROUP BY 1, 2),
+         |macd AS (SELECT event_type, rn, fast, slow, fast - slow AS macd FROM ew),
+         |sgn AS (SELECT a.event_type, a.rn,
+         |  sum(b.macd * pow(1 - 2.0/10, a.rn - b.rn)) / sum(pow(1 - 2.0/10, a.rn - b.rn)) AS sign
+         |  FROM macd a JOIN macd b ON b.event_type = a.event_type AND b.rn <= a.rn
+         |  WHERE a.rn >= 27 GROUP BY 1, 2)
+         |SELECT o.event_type, epoch_us(o.ts)//1000000 AS ts_s, o.value,
+         |  round(m.fast, 6) AS ema_fast, round(m.slow, 6) AS ema_slow,
+         |  round(m.macd, 6) AS macd, round(g.sign, 6) AS macd_sign,
+         |  round(m.macd - g.sign, 6) AS macd_diff
+         |FROM ord o
+         |LEFT JOIN macd m ON m.event_type = o.event_type AND m.rn = o.rn
+         |LEFT JOIN sgn g ON g.event_type = o.event_type AND g.rn = o.rn""".stripMargin,
+
+    "q_tech_bbands" ->
+      s"""WITH hourly AS ($H)
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |  round(CASE WHEN cnt = 24 AND ma <> 0 THEN 4 * msd / ma END, 6) AS bb1,
+         |  round(CASE WHEN cnt = 24 AND msd <> 0 THEN (value - ma + 2 * msd) / (4 * msd) END, 6) AS bb2
+         |FROM (SELECT event_type, ts, value, count(*) OVER w AS cnt,
+         |        avg(value) OVER w AS ma, stddev_samp(value) OVER w AS msd
+         |      FROM hourly
+         |      WINDOW w AS (PARTITION BY event_type ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))""".stripMargin,
+
+    "q_tech_trix" ->
+      s"""WITH hourly AS ($H), $ORD,
+         |x1 AS (SELECT a.event_type, a.rn,
+         |  sum(b.value * pow(1 - 2.0/25, a.rn - b.rn)) / sum(pow(1 - 2.0/25, a.rn - b.rn)) AS ex1
+         |  FROM ord a JOIN ord b ON b.event_type = a.event_type AND b.rn <= a.rn
+         |  WHERE a.rn >= 23 GROUP BY 1, 2),
+         |x2 AS (SELECT a.event_type, a.rn,
+         |  sum(b.ex1 * pow(1 - 2.0/25, a.rn - b.rn)) / sum(pow(1 - 2.0/25, a.rn - b.rn)) AS ex2
+         |  FROM x1 a JOIN x1 b ON b.event_type = a.event_type AND b.rn <= a.rn
+         |  WHERE a.rn >= 45 GROUP BY 1, 2),
+         |x3 AS (SELECT a.event_type, a.rn,
+         |  sum(b.ex2 * pow(1 - 2.0/25, a.rn - b.rn)) / sum(pow(1 - 2.0/25, a.rn - b.rn)) AS ex3
+         |  FROM x2 a JOIN x2 b ON b.event_type = a.event_type AND b.rn <= a.rn
+         |  WHERE a.rn >= 67 GROUP BY 1, 2)
+         |SELECT o.event_type, epoch_us(o.ts)//1000000 AS ts_s, o.value,
+         |  round(e.ex1, 6) AS ema_24,
+         |  round(CASE WHEN o.rn = 1 THEN 0.0
+         |             WHEN p.ex3 IS NOT NULL AND c.ex3 IS NOT NULL AND p.ex3 <> 0
+         |             THEN (c.ex3 - p.ex3) / p.ex3 END, 6) AS trix
+         |FROM ord o
+         |LEFT JOIN x1 e ON e.event_type = o.event_type AND e.rn = o.rn
+         |LEFT JOIN x3 c ON c.event_type = o.event_type AND c.rn = o.rn
+         |LEFT JOIN x3 p ON p.event_type = o.event_type AND p.rn = o.rn - 1""".stripMargin,
+
+    "q_tech_rsi" ->
+      s"""WITH hourly AS ($H), $ORD,
+         |m AS (SELECT event_type, ts, value, rn,
+         |  value - lag(value) OVER (PARTITION BY event_type ORDER BY rn) AS d FROM ord),
+         |ew AS (SELECT a.event_type, a.rn,
+         |  sum((CASE WHEN b.d > 0 THEN b.d ELSE 0 END) *
+         |      (CASE WHEN b.rn = 1 THEN pow(1 - 1.0/14, a.rn - b.rn)
+         |            ELSE pow(1 - 1.0/14, a.rn - b.rn) / 14 END)) AS eu,
+         |  sum((CASE WHEN b.d < 0 THEN -b.d ELSE 0 END) *
+         |      (CASE WHEN b.rn = 1 THEN pow(1 - 1.0/14, a.rn - b.rn)
+         |            ELSE pow(1 - 1.0/14, a.rn - b.rn) / 14 END)) AS ed
+         |  FROM m a JOIN m b ON b.event_type = a.event_type AND b.rn <= a.rn
+         |  WHERE a.rn >= 14 GROUP BY 1, 2)
+         |SELECT o.event_type, epoch_us(o.ts)//1000000 AS ts_s, o.value,
+         |  round(CASE WHEN e.rn IS NULL THEN NULL
+         |             WHEN e.ed = 0 THEN 100.0
+         |             ELSE 100.0 - 100.0 / (1.0 + e.eu / e.ed) END, 6) AS rsi_14
+         |FROM ord o LEFT JOIN ew e ON e.event_type = o.event_type AND e.rn = o.rn""".stripMargin,
+
+    "q_tech_tsi" ->
+      s"""WITH hourly AS ($H), $ORD,
+         |m AS (SELECT event_type, rn,
+         |  value - lag(value) OVER (PARTITION BY event_type ORDER BY rn) AS d FROM ord),
+         |e1 AS (SELECT a.event_type, a.rn,
+         |  sum(b.d * pow(1 - 2.0/26, a.rn - b.rn)) / sum(pow(1 - 2.0/26, a.rn - b.rn)) AS e1,
+         |  sum(abs(b.d) * pow(1 - 2.0/26, a.rn - b.rn)) / sum(pow(1 - 2.0/26, a.rn - b.rn)) AS a1
+         |  FROM m a JOIN m b ON b.event_type = a.event_type AND b.rn BETWEEN 2 AND a.rn
+         |  WHERE a.rn >= 25 GROUP BY 1, 2),
+         |e2 AS (SELECT a.event_type, a.rn,
+         |  sum(b.e1 * pow(1 - 2.0/14, a.rn - b.rn)) / sum(pow(1 - 2.0/14, a.rn - b.rn)) AS e2,
+         |  sum(b.a1 * pow(1 - 2.0/14, a.rn - b.rn)) / sum(pow(1 - 2.0/14, a.rn - b.rn)) AS a2
+         |  FROM e1 a JOIN e1 b ON b.event_type = a.event_type AND b.rn <= a.rn
+         |  WHERE a.rn >= 36 GROUP BY 1, 2)
+         |SELECT o.event_type, epoch_us(o.ts)//1000000 AS ts_s, o.value,
+         |  round(CASE WHEN e.a2 <> 0 THEN e.e2 / e.a2 END, 6) AS tsi
+         |FROM ord o LEFT JOIN e2 e ON e.event_type = o.event_type AND e.rn = o.rn""".stripMargin
+  )
+}
