@@ -2,6 +2,7 @@ package graft.queries
 
 import graft._
 import graft.expressions.ewm_array
+import graft.models.GaussJordan
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -129,6 +130,48 @@ object TechQueries {
       base.select(col("event_type"), posexplode(arrays_zip(col("tss"), col("xs"), col("e2"), col("a2"))))
         .select(col("event_type"), unix_timestamp(col("col.tss")).as("ts_s"), col("col.xs").as("value"),
           nn(when(col("col.a2") =!= 0, col("col.e2") / col("col.a2"))).as("tsi"))
+    }),
+
+    // Dynamic nowcasting's polynomial seasonal model
+    // (nowcasting/dynamic_nowcasting.py:40 poly / :163 LinearRegression on
+    // poly_0..poly_5 of x = hour·60+minute): per-series degree-5 OLS on
+    // CENTERED minute-of-day u = (x − 719.5)/719.5 ∈ [−1, 1] — raw minute
+    // powers reach 6e15 and destroy double-precision normal equations; the
+    // affine map is a pure reparameterization (identical fitted values in
+    // exact arithmetic) AND keeps κ(XᵀX) ≈ 1e4, so cross-engine
+    // sum-order noise (~1e-15 rel) stays ~1e-10 in the coefficients — far
+    // inside the 6-dp gate with NO moment snapping. (A 4-dp snap is
+    // actively unsafe here: u is rational on a 6-dp-value grid, so moment
+    // sums land EXACTLY on half-way rounding points and the engines flip
+    // them differently.) poly_0 doubles as the intercept (the reference's
+    // sklearn intercept is collinear with poly_0 and adds nothing to the
+    // prediction space). Both engines run the SAME Gauss-Jordan
+    // elimination.
+    "q_nowcast_poly" -> ((s, dir) => {
+      val h = hourly(s, dir).drop("n")
+        .withColumn("u", ((hour(col("ts")) * 60 + minute(col("ts"))) - lit(719.5)) / lit(719.5))
+      val ms: Seq[Column] =
+        (0 to 10).map(k => sum(pow(col("u"), k)).as(s"s$k")) ++
+        (0 to 5).map(k => sum(pow(col("u"), k) * col("value")).as(s"t$k"))
+      val mats = h.groupBy("event_type").agg(ms.head, ms.tail: _*)
+        .withColumn("m", array((for (i <- 0 to 5; j <- 0 to 6) yield
+          if (j < 6) col(s"s${i + j}") else col(s"t$i")): _*))
+      val beta = GaussJordan.eliminate(mats, "m", 6, 7)
+        .select(col("event_type") +: (0 to 5).map(i => col("m")(i * 7 + 6).as(s"b$i")): _*)
+      val yhat = (0 to 5).map(j => col(s"b$j") * pow(col("u"), j)).reduce(_ + _)
+      val mu = h.groupBy("event_type").agg(avg("value").as("mu"))
+      def profile(u: Double) = (0 to 5).map(j => col(s"b$j") * lit(math.pow(u, j))).reduce(_ + _)
+      val stats = h.join(broadcast(beta), "event_type").join(broadcast(mu), "event_type")
+        .withColumn("res2", (col("value") - yhat) * (col("value") - yhat))
+        .withColumn("dev2", (col("value") - col("mu")) * (col("value") - col("mu")))
+        .groupBy("event_type")
+        .agg(first(col("b0")).as("b0"), (1 to 5).map(i => first(col(s"b$i")).as(s"b$i")) ++ Seq(
+          round(lit(1) - sum("res2") / sum("dev2"), 6).as("r2")): _*)
+      stats.select(col("event_type") +: (0 to 5).map(i => round(col(s"b$i"), 6).as(s"b$i")) :+ col("r2") :+
+        round(profile(TechQueries.uOfHour(0)), 6).as("season_h0") :+
+        round(profile(TechQueries.uOfHour(6)), 6).as("season_h6") :+
+        round(profile(TechQueries.uOfHour(12)), 6).as("season_h12") :+
+        round(profile(TechQueries.uOfHour(18)), 6).as("season_h18"): _*)
     })
   )
 
@@ -136,7 +179,44 @@ object TechQueries {
     s"""ord AS (SELECT event_type, ts, value,
        |  row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn FROM hourly)""".stripMargin
 
+  /** Centered minute-of-day basis point for hour h (both engines share the
+    * exact double: shortest-repr literals round-trip). */
+  private[queries] def uOfHour(h: Int): Double = (h * 60 - 719.5) / 719.5
+
+  /** q_nowcast_poly oracle, assembled programmatically so the moment
+    * layout, fit polynomial, and profile constants are term-for-term the
+    * Spark plan's arithmetic. */
+  private val nowcastPolySql: String = {
+    val moms = ((0 to 10).map(k => s"sum(pow(u, $k)) AS s$k") ++
+      (0 to 5).map(k => s"sum(pow(u, $k) * value) AS t$k")).mkString(", ")
+    val matEntries = (for (i <- 0 to 5; j <- 0 to 6) yield
+      if (j < 6) s"s${i + j}" else s"t$i").mkString(", ")
+    val fit = (0 to 5).map(j => s"be.b[${j + 1}] * pow(h.u, $j)").mkString(" + ")
+    def profile(u: Double) = (0 to 5).map(j => s"be.b[${j + 1}] * ${math.pow(u, j)}").mkString(" + ")
+    s"""WITH RECURSIVE hourly AS ($H),
+       |hb AS (SELECT event_type, ts, value, ((hour(ts) * 60 + minute(ts)) - 719.5) / 719.5 AS u FROM hourly),
+       |moms AS (SELECT event_type, $moms FROM hb GROUP BY 1),
+       |mats AS (SELECT event_type, [$matEntries] AS m FROM moms),
+       |${ModelQueries.gaussJordanSql(6)},
+       |mu AS (SELECT event_type, avg(value) AS mu FROM hb GROUP BY 1),
+       |fr AS (SELECT h.event_type,
+       |         sum((h.value - ($fit)) * (h.value - ($fit))) AS sse,
+       |         sum((h.value - m.mu) * (h.value - m.mu)) AS sst
+       |       FROM hb h JOIN beta be ON h.event_type = be.event_type
+       |       JOIN mu m ON h.event_type = m.event_type GROUP BY 1)
+       |SELECT f.event_type,
+       |  ${(0 to 5).map(j => s"round(be.b[${j + 1}], 6) AS b$j").mkString(", ")},
+       |  round(1 - f.sse / f.sst, 6) AS r2,
+       |  round(${profile(uOfHour(0))}, 6) AS season_h0,
+       |  round(${profile(uOfHour(6))}, 6) AS season_h6,
+       |  round(${profile(uOfHour(12))}, 6) AS season_h12,
+       |  round(${profile(uOfHour(18))}, 6) AS season_h18
+       |FROM fr f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+
+    "q_nowcast_poly" -> nowcastPolySql,
 
     "q_tech_macd" ->
       s"""WITH hourly AS ($H), $ORD,
