@@ -43,6 +43,10 @@ object RetrievalQueries {
   /** Stupid Backoff discount (the Brants et al. constant). */
   private val SbAlpha = 0.4
 
+  /** RRF fusion: the canonical k=60 damping and per-arm list depth. */
+  private val RrfK = 60
+  private val RrfArmN = 10
+
   /** Naive-Bayes hashed-feature bucket count. */
   private val NbB = 64
 
@@ -95,6 +99,58 @@ object RetrievalQueries {
       scored.withColumn("rk", row_number().over(w)).where(col("rk") <= BmTopK)
         .select(col("qid"), col("rk"), col("doc_id"), col("score"),
           when(col("doc_id") === col("qid"), 1).otherwise(0).as("is_self"))
+    }),
+
+    // Hybrid retrieval: BM25 lexical arm + exact-cosine vector arm over the
+    // SAME probe set (doc_id ≡ vec_id in the corpus), fused with reciprocal
+    // rank fusion score Σ 1/(60 + rank) (Cormack, Clarke & Büttcher 2009) —
+    // the standard lexical+vector blend of a modern RAG stack. Each arm
+    // contributes its top-10; fused top-5 per query. Scale: the lexical arm
+    // is the proven q_bm25 shape; the vector arm broadcast-joins only the
+    // probe slice against the corpus (corpus never shuffles); fusion itself
+    // joins two rank lists of ≤10·|probes| rows — negligible.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val tf = Scratch.materialize(
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .where(col("term").rlike(WordRe))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+        "rrf_tf")
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val nAvg = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      val qw = Window.partitionBy("qid").orderBy(col("tf").desc, col("term").asc)
+      val qterms = tf.where(col("doc_id") % BmProbeMod === 0)
+        .select(col("doc_id").as("qid"), col("term"), col("tf"))
+        .withColumn("qrk", row_number().over(qw)).where(col("qrk") <= BmQTerms)
+        .select("qid", "term")
+      val bmW = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+      val bmRk = tf.join(broadcast(qterms), "term")
+        .join(dft, "term").join(dl, "doc_id").crossJoin(broadcast(nAvg))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5))
+            * col("tf") * (BmK1 + 1.0)
+            / (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+        .groupBy("qid", "doc_id").agg(round(sum("contrib"), 6).as("score"))
+        .withColumn("bm_rk", row_number().over(bmW)).where(col("bm_rk") <= RrfArmN)
+        .select("qid", "doc_id", "bm_rk")
+      val e = embs(s, dir)
+      val knnW = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id").asc)
+      val knnRk = e.as("c")
+        .join(broadcast(e.where(col("vec_id") % BmProbeMod === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("pvec"))))
+        .withColumn("cos", graft.expressions.cosine_sim(col("pvec"), col("c.embedding")))
+        .select(col("qid"), col("c.vec_id").as("doc_id"), col("cos"))
+        .withColumn("knn_rk", row_number().over(knnW)).where(col("knn_rk") <= RrfArmN)
+        .select("qid", "doc_id", "knn_rk")
+      val fuseW = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id").asc)
+      bmRk.join(knnRk, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfK) + col("bm_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("knn_rk")), lit(0.0)))
+        .withColumn("rk", row_number().over(fuseW)).where(col("rk") <= BmTopK)
+        .select(col("qid"), col("rk"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("bm_rk"), col("knn_rk"))
     }),
 
     // ── Stupid Backoff trigram scoring. Train slice = English docs; the
@@ -272,6 +328,46 @@ object RetrievalQueries {
          |SELECT qid, rk::INT AS rk, doc_id, score,
          |  CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS is_self
          |FROM rk WHERE rk <= $BmTopK""".stripMargin,
+
+    "q_rrf_fusion" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+         |            WHERE regexp_matches(term, '$WordReSql') GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |na AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY 1),
+         |qt AS (SELECT doc_id AS qid, term
+         |       FROM (SELECT doc_id, term,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qrk
+         |             FROM tf WHERE doc_id % $BmProbeMod = 0)
+         |       WHERE qrk <= $BmQTerms),
+         |sc AS (SELECT qt.qid, tf.doc_id,
+         |         round(sum(ln(1.0 + (na.n_docs - df.doc_freq + 0.5) / (df.doc_freq + 0.5))
+         |           * tf.tf * ($BmK1 + 1.0)
+         |           / (tf.tf + $BmK1 * (1.0 - $BmB + $BmB * dl.dl / na.avgdl))), 6) AS score
+         |       FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN na
+         |       GROUP BY 1, 2),
+         |bm AS (SELECT qid, doc_id, bm_rk FROM (
+         |         SELECT qid, doc_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS bm_rk
+         |         FROM sc) WHERE bm_rk <= $RrfArmN),
+         |pr AS (SELECT vec_id AS qid, embedding AS pvec FROM embeddings WHERE vec_id % $BmProbeMod = 0),
+         |kn0 AS (SELECT pr.qid, c.vec_id AS doc_id,
+         |          ${LlmQueries.cosSql("pr.pvec", "c.embedding")} AS cos
+         |        FROM pr, embeddings c),
+         |knn AS (SELECT qid, doc_id, knn_rk FROM (
+         |          SELECT qid, doc_id,
+         |            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS knn_rk
+         |          FROM kn0) WHERE knn_rk <= $RrfArmN),
+         |fused AS (SELECT qid, doc_id, bm_rk, knn_rk,
+         |            coalesce(1.0 / ($RrfK + bm_rk), 0.0) + coalesce(1.0 / ($RrfK + knn_rk), 0.0) AS rrf
+         |          FROM bm FULL JOIN knn USING (qid, doc_id))
+         |SELECT qid, rk::INT AS rk, doc_id, round(rrf, 6) AS rrf,
+         |  bm_rk::INT AS bm_rk, knn_rk::INT AS knn_rk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rk
+         |      FROM fused)
+         |WHERE rk <= $BmTopK""".stripMargin,
 
     "q_lm_backoff" ->
       s"""WITH toks AS ($TokSql),
