@@ -156,12 +156,13 @@ object TechQueries {
       val mats = h.groupBy("event_type").agg(ms.head, ms.tail: _*)
         .withColumn("m", array((for (i <- 0 to 5; j <- 0 to 6) yield
           if (j < 6) col(s"s${i + j}") else col(s"t$i")): _*))
+      // μ rides the moment pass (t0/s0) — no separate mean scan of the corpus
       val beta = GaussJordan.eliminate(mats, "m", 6, 7)
-        .select(col("event_type") +: (0 to 5).map(i => col("m")(i * 7 + 6).as(s"b$i")): _*)
+        .select(col("event_type") +: (col("t0") / col("s0")).as("mu") +:
+          (0 to 5).map(i => col("m")(i * 7 + 6).as(s"b$i")): _*)
       val yhat = (0 to 5).map(j => col(s"b$j") * pow(col("u"), j)).reduce(_ + _)
-      val mu = h.groupBy("event_type").agg(avg("value").as("mu"))
       def profile(u: Double) = (0 to 5).map(j => col(s"b$j") * lit(math.pow(u, j))).reduce(_ + _)
-      val stats = h.join(broadcast(beta), "event_type").join(broadcast(mu), "event_type")
+      val stats = h.join(broadcast(beta), "event_type")
         .withColumn("res2", (col("value") - yhat) * (col("value") - yhat))
         .withColumn("dev2", (col("value") - col("mu")) * (col("value") - col("mu")))
         .groupBy("event_type")
@@ -198,7 +199,7 @@ object TechQueries {
        |moms AS (SELECT event_type, $moms FROM hb GROUP BY 1),
        |mats AS (SELECT event_type, [$matEntries] AS m FROM moms),
        |${ModelQueries.gaussJordanSql(6)},
-       |mu AS (SELECT event_type, avg(value) AS mu FROM hb GROUP BY 1),
+       |mu AS (SELECT event_type, t0 / s0 AS mu FROM moms),
        |fr AS (SELECT h.event_type,
        |         sum((h.value - ($fit)) * (h.value - ($fit))) AS sse,
        |         sum((h.value - m.mu) * (h.value - m.mu)) AS sst
