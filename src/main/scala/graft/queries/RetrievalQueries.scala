@@ -101,6 +101,33 @@ object RetrievalQueries {
           when(col("doc_id") === col("qid"), 1).otherwise(0).as("is_self"))
     }),
 
+    // Matryoshka truncation certification (Kusupati et al. 2022 MRL; the
+    // FAISS/storage question "how much recall does a prefix-dim index
+    // lose?"): exact cosine top-5 under 8- and 16-dim PREFIXES of the
+    // 64-dim embeddings vs the full-dim top-5, recall@5 per probe.
+    // Truncated cosine needs no explicit renorm (dot/norms of the slice).
+    // Scale: three broadcast-probe arms over an unshuffled corpus, each
+    // compiling to the WindowGroupLimit top-k; the recall joins touch
+    // 5·|probes| rows.
+    "q_embed_matryoshka" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      def arm(dim: Option[Int]): DataFrame = {
+        def cut(c: org.apache.spark.sql.Column) = dim.map(d => slice(c, 1, d)).getOrElse(c)
+        val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("c.vec_id"))
+        e.as("c").join(broadcast(probes), col("c.vec_id") =!= col("probe_id"))
+          .withColumn("cos", graft.expressions.cosine_sim(cut(col("pvec")), cut(col("c.embedding"))))
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+          .select(col("probe_id"), col("c.vec_id").as("neighbor_id"))
+      }
+      val full = arm(None)
+      def recallOf(dim: Int, name: String) =
+        full.join(arm(Some(dim)).withColumn("hit", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+          .groupBy("probe_id").agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 6).as(name))
+      recallOf(8, "recall_d8").join(recallOf(16, "recall_d16"), "probe_id")
+    }),
+
     // Hybrid retrieval: BM25 lexical arm + exact-cosine vector arm over the
     // SAME probe set (doc_id ≡ vec_id in the corpus), fused with reciprocal
     // rank fusion score Σ 1/(60 + rank) (Cormack, Clarke & Büttcher 2009) —
@@ -328,6 +355,27 @@ object RetrievalQueries {
          |SELECT qid, rk::INT AS rk, doc_id, score,
          |  CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS is_self
          |FROM rk WHERE rk <= $BmTopK""".stripMargin,
+
+    "q_embed_matryoshka" -> {
+      def armSql(name: String, vec: String) =
+        s"""$name AS (SELECT probe_id, neighbor_id FROM (
+           |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY p.probe_id
+           |      ORDER BY ${LlmQueries.cosSql(s"p.pvec$vec", s"c.embedding$vec")} DESC, c.vec_id) AS rk
+           |  FROM pr p JOIN embeddings c ON c.vec_id <> p.probe_id) WHERE rk <= 5)""".stripMargin
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+         |${armSql("full5", "")},
+         |${armSql("d8", "[1:8]")},
+         |${armSql("d16", "[1:16]")},
+         |r8 AS (SELECT f.probe_id,
+         |         round(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall_d8
+         |       FROM full5 f LEFT JOIN d8 t USING (probe_id, neighbor_id) GROUP BY 1),
+         |r16 AS (SELECT f.probe_id,
+         |         round(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall_d16
+         |       FROM full5 f LEFT JOIN d16 t USING (probe_id, neighbor_id) GROUP BY 1)
+         |SELECT r8.probe_id, r8.recall_d8, r16.recall_d16
+         |FROM r8 JOIN r16 USING (probe_id)""".stripMargin
+    },
 
     "q_rrf_fusion" ->
       s"""WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
