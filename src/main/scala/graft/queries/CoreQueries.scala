@@ -68,6 +68,31 @@ object CoreQueries {
         .select(col("event_id"), col("event_type"), epochS("ts"), col("value"), col("hourly_value"))
     }),
 
+    // Point-in-time training-set assembly (the feature-store join): label
+    // rows (purchases) pick up, per user, the latest CLOSED hourly click
+    // and error aggregates. Features carry an AVAILABILITY timestamp
+    // (bucket end = hour + 1h) and the as-of join keys on it — the bucket
+    // containing the label is never visible, so no same-bucket future
+    // leakage. Two backward as-of joins via the UNION+WINDOW kernel: one
+    // user-key shuffle each, no range-join blow-up, scale axis = users.
+    "q_pit_features" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val labels = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("label"))
+      def hourlyFeat(et: String, p: String) = ev.where(col("event_type") === et)
+        .groupBy(col("user_id"), (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")).as("ts"))
+        .agg(count(lit(1)).as(s"${p}_n"), round(sum("value"), 6).as(s"${p}_sum"))
+        .withColumn(s"${p}_avail_s", unix_timestamp(col("ts")))
+      val j1 = TS.asofJoinBackward(labels, hourlyFeat("click", "clk"),
+        Seq("user_id"), "ts", Seq("clk_n", "clk_sum", "clk_avail_s"))
+      val j2 = TS.asofJoinBackward(j1, hourlyFeat("error", "err"),
+        Seq("user_id"), "ts", Seq("err_n", "err_sum", "err_avail_s"))
+      j2.select(col("user_id"), epochS("ts"), col("label"),
+        col("clk_n"), col("clk_sum"),
+        (unix_timestamp(col("ts")) - col("clk_avail_s")).as("clk_age_s"),
+        col("err_n"), col("err_sum"))
+    }),
+
     // gap-based sessionization over the raw event stream, keyed by user —
     // the canonical events-pipeline islands operator (30-min inactivity)
     "q_sessionize" -> ((s, dir) =>
@@ -210,6 +235,25 @@ object CoreQueries {
          |  h.value AS hourly_value
          |FROM events e ASOF LEFT JOIN hourly h
          |  ON e.event_type = h.event_type AND e.ts >= h.ts""".stripMargin,
+
+    "q_pit_features" ->
+      """WITH labels AS (SELECT user_id, ts, value AS label FROM events WHERE event_type = 'purchase'),
+        |clk AS (SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ats,
+        |          count(*) AS clk_n, round(sum(value), 6) AS clk_sum
+        |        FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |err AS (SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ats,
+        |          count(*) AS err_n, round(sum(value), 6) AS err_sum
+        |        FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+        |j1 AS (SELECT l.user_id, l.ts, l.label, c.clk_n, c.clk_sum,
+        |         epoch_us(c.ats)//1000000 AS clk_avail_s
+        |       FROM labels l ASOF LEFT JOIN clk c ON l.user_id = c.user_id AND l.ts >= c.ats),
+        |j2 AS (SELECT j1.*, e.err_n, e.err_sum
+        |       FROM j1 ASOF LEFT JOIN err e ON j1.user_id = e.user_id AND j1.ts >= e.ats)
+        |SELECT user_id, epoch_us(date_trunc('microsecond', ts))//1000000 AS ts_s, label,
+        |  clk_n, clk_sum,
+        |  epoch_us(date_trunc('microsecond', ts))//1000000 - clk_avail_s AS clk_age_s,
+        |  err_n, err_sum
+        |FROM j2""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, value,
