@@ -367,6 +367,36 @@ object LlmQueries {
       Dedup.minhashLshPairs(docs(s, dir), NumPerms, Bands)
         .orderBy(col("est_jaccard").desc, col("i"), col("j")).limit(20)),
 
+    // MinHash estimator calibration: for every LSH candidate pair, the
+    // 64-perm Jaccard ESTIMATE against the EXACT shingle-set Jaccard —
+    // the measurement a dedup deployment runs before trusting a
+    // signature-only threshold at corpus scale. The exact side restricts
+    // the (uncapped) shingle self-join to candidate docs FIRST, so the
+    // expensive exact computation touches only the LSH survivors — never
+    // the full corpus pair space.
+    "q_minhash_calibration" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.minhashLshPairs(d, NumPerms, Bands)
+      val sh = Dedup.docShingles(d)
+      val candDocs = cand.select(col("i").as("doc_id"))
+        .union(cand.select(col("j").as("doc_id"))).distinct()
+      val shc = sh.join(broadcast(candDocs), "doc_id")
+      // full per-doc set sizes, but computed on the candidate slice only
+      val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val common = shc.as("a").join(shc.as("b"), Seq("shingle"))
+        .where(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("common"))
+      cand.join(common, Seq("i", "j"), "left")
+        .join(broadcast(sizes.select(col("doc_id").as("i"), col("nsh").as("ni"))), "i")
+        .join(broadcast(sizes.select(col("doc_id").as("j"), col("nsh").as("nj"))), "j")
+        .withColumn("c0", coalesce(col("common"), lit(0L)))
+        .withColumn("exact_jaccard", round(col("c0") / (col("ni") + col("nj") - col("c0")), 6))
+        .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+        .orderBy(col("est_jaccard").desc, col("i"), col("j")).limit(20)
+        .select(col("i"), col("j"), col("est_jaccard"), col("exact_jaccard"), col("abs_err"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       // maxHamming = 3 is the 4×16-bit chunk blocking's recall guarantee
       // (pigeonhole) — pairs beyond it are not promised, so don't emit them
@@ -801,6 +831,34 @@ object LlmQueries {
          |        FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id),
          |r AS (SELECT *, row_number() OVER (ORDER BY est_jaccard DESC, i, j) AS rk FROM est)
          |SELECT i, j, est_jaccard FROM r WHERE rk <= 20""".stripMargin
+    },
+
+    "q_minhash_calibration" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
+        s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val est = (0 until NumPerms).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $shSql,
+         |$sigSql,
+         |banded AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |est AS (SELECT i, j, round(($est)::DOUBLE / $NumPerms, 6) AS est_jaccard
+         |        FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id),
+         |cd AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cd USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY 1),
+         |cm AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+         |       FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |x AS (SELECT e.i, e.j, e.est_jaccard,
+         |        round(coalesce(cm.common, 0) / (si.nsh + sj.nsh - coalesce(cm.common, 0)), 6) AS exact_jaccard
+         |      FROM est e LEFT JOIN cm ON e.i = cm.i AND e.j = cm.j
+         |      JOIN sz si ON e.i = si.doc_id JOIN sz sj ON e.j = sj.doc_id),
+         |r AS (SELECT *, round(abs(est_jaccard - exact_jaccard), 6) AS abs_err,
+         |        row_number() OVER (ORDER BY est_jaccard DESC, i, j) AS rk FROM x)
+         |SELECT i, j, est_jaccard, exact_jaccard, abs_err FROM r WHERE rk <= 20""".stripMargin
     },
 
     "q_dedup_clusters" ->
