@@ -99,6 +99,22 @@ object SelectQueries {
             .as("kl"))
     }),
 
+    // Deterministic stratified eval-split carving: per language stratum,
+    // the 25 docs with the smallest salted-md5 rank — a balanced,
+    // run-reproducible, engine-reproducible held-out set (no RNG state,
+    // the hash IS the randomness; the convention of every corpus split
+    // that must survive re-runs and backfills). One stratum-keyed window,
+    // no shuffle beyond it; scale axis = corpus rows.
+    "q_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":evalsplit"))), col("doc_id"))
+      docs(s, dir)
+        .withColumn("docs_in", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("samp_rk", row_number().over(w))
+        .where(col("samp_rk") <= 25)
+        .select(col("doc_id"), col("source"), col("lang"), col("samp_rk"), col("docs_in"))
+    }),
+
     // ── kNN label classification: exact 5-NN majority vote (vote-count
     // desc, label asc — an integer decision) on the % 50 probe sample.
     // Composes the proven broadcast-probe kNN kernel: the corpus never
@@ -164,6 +180,15 @@ object SelectQueries {
          |  round(per.part1 + (1.0 / (ns.n_s + tot.v))
          |        * ((tot.v - ns.v_s) * ln(1.0 / (ns.n_s + tot.v)) - (lq.lq_all - per.lq_s)), 6) AS kl
          |FROM per JOIN ns USING (source) CROSS JOIN tot CROSS JOIN lq""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, source, lang, samp_rk::INT AS samp_rk, docs_in
+        |FROM (SELECT doc_id, source, lang,
+        |        count(*) OVER (PARTITION BY lang) AS docs_in,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(doc_id::VARCHAR || ':evalsplit'), doc_id) AS samp_rk
+        |      FROM documents)
+        |WHERE samp_rk <= 25""".stripMargin,
 
     "q_knn_classify" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS true_label
