@@ -105,7 +105,7 @@ object SelectQueries {
     // the hash IS the randomness; the convention of every corpus split
     // that must survive re-runs and backfills). One stratum-keyed window,
     // no shuffle beyond it; scale axis = corpus rows.
-    "q_sample_stratified" -> ((s, dir) => {
+    "q_sample_eval" -> ((s, dir) => {
       val w = Window.partitionBy("lang")
         .orderBy(md5(concat(col("doc_id").cast("string"), lit(":evalsplit"))), col("doc_id"))
       docs(s, dir)
@@ -181,7 +181,7 @@ object SelectQueries {
          |        * ((tot.v - ns.v_s) * ln(1.0 / (ns.n_s + tot.v)) - (lq.lq_all - per.lq_s)), 6) AS kl
          |FROM per JOIN ns USING (source) CROSS JOIN tot CROSS JOIN lq""".stripMargin,
 
-    "q_sample_stratified" ->
+    "q_sample_eval" ->
       """SELECT doc_id, source, lang, samp_rk::INT AS samp_rk, docs_in
         |FROM (SELECT doc_id, source, lang,
         |        count(*) OVER (PARTITION BY lang) AS docs_in,
