@@ -38,8 +38,14 @@ object SparkEntry {
     Tables.hourlyEvents(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // fail fast on cross-pack name shadowing: `++` would silently drop the
+    // earlier definition and the suite would under-count without a trace
+    val all = packs.iterator.map(_._1.keys.toSeq).reduce(_ ++ _)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query names across packs: ${dups.mkString(", ")}")
     packs.iterator.map(_._1).reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
