@@ -446,6 +446,26 @@ object LlmQueries {
         .select(col("u").as("vec_id"), col("label").as("cluster_id"), col("cluster_size"))
     }),
 
+    // Hard-negative mining for contrastive training (the DPR/SimCSE
+    // negatives shape): per anchor, the 3 most-similar corpus vectors
+    // with a DIFFERENT label — the near-miss examples a retrieval or
+    // embedding trainer wants in the batch. Same broadcast-probe kernel
+    // as kNN (corpus never shuffles, WindowGroupLimit top-k); the label
+    // inequality rides the join condition, so wrong-label filtering is
+    // map-side.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("label").as("anchor_label"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("c.vec_id"))
+      e.as("c").join(broadcast(probes),
+          col("c.vec_id") =!= col("probe_id") && col("c.label") =!= col("anchor_label"))
+        .withColumn("cos", graft.expressions.cosine_sim(col("pvec"), col("c.embedding")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("probe_id"), col("anchor_label"), col("c.vec_id").as("neg_id"),
+          col("c.label").as("neg_label"), round(col("cos"), 6).as("cos"), col("rk"))
+    }),
+
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
       Ann.knnBruteForce(e, e.where(col("vec_id") % 50 === 0), k = 5)
@@ -936,6 +956,16 @@ object LlmQueries {
          |      FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id)
          |SELECT i, j, round(cos, 6) AS cos FROM v WHERE cos >= 0.4""".stripMargin
     },
+
+    "q_hard_negatives" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS anchor_label
+         |               FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT probe_id, anchor_label, c.vec_id AS neg_id, c.label AS neg_label,
+         |  ${cosSql("pvec", "c.embedding")} AS cos
+         |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id AND c.label <> anchor_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neg_id) AS rk FROM scored)
+         |SELECT probe_id, anchor_label, neg_id, neg_label, round(cos, 6) AS cos, rk::INT AS rk
+         |FROM r WHERE rk <= 3""".stripMargin,
 
     "q_knn_bruteforce" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
