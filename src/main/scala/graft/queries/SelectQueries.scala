@@ -115,6 +115,38 @@ object SelectQueries {
         .select(col("doc_id"), col("source"), col("lang"), col("samp_rk"), col("docs_in"))
     }),
 
+    // ── Nearest-centroid (Rocchio) label classification with exact
+    // leave-one-out: per label, the elementwise embedding SUM + count is
+    // the only model state (k×dim values — broadcastable at any corpus
+    // size, unlike kNN's full-corpus scan per probe: THE scale path for
+    // embedding-quality probes); each probe scores against
+    // (sum − own·x)/(n − own), so its own vector never inflates its class
+    // centroid. One dim-explode aggregation + a broadcast of k rows. ──
+    "q_centroid_classify" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim").agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("sx")))).as("cs"),
+          first("n").as("n"))
+        .select(col("label").as("c_label"), expr("transform(cs, s -> s.sx)").as("sumvec"), col("n"))
+      val probes = e.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+          expr("transform(embedding, x -> cast(x as double))").as("pv"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("c_label").asc)
+      probes.crossJoin(broadcast(cents))
+        .withColumn("own", when(col("c_label") === col("true_label"), 1.0).otherwise(0.0))
+        .withColumn("cent", zip_with(col("sumvec"), col("pv"),
+          (sx, x) => (sx - col("own") * x) / (col("n") - col("own"))))
+        .withColumn("dot", aggregate(zip_with(col("pv"), col("cent"), _ * _), lit(0.0), _ + _))
+        .withColumn("na", sqrt(aggregate(transform(col("pv"), x => x * x), lit(0.0), _ + _)))
+        .withColumn("nb", sqrt(aggregate(transform(col("cent"), x => x * x), lit(0.0), _ + _)))
+        .withColumn("cos", col("dot") / (col("na") * col("nb")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("probe_id"), col("true_label"), col("c_label").as("pred_label"),
+          round(col("cos"), 6).as("cos"),
+          when(col("true_label") === col("c_label"), 1).otherwise(0).as("correct"))
+    }),
+
     // ── kNN label classification: exact 5-NN majority vote (vote-count
     // desc, label asc — an integer decision) on the % 50 probe sample.
     // Composes the proven broadcast-probe kNN kernel: the corpus never
@@ -189,6 +221,30 @@ object SelectQueries {
         |          ORDER BY md5(doc_id::VARCHAR || ':evalsplit'), doc_id) AS samp_rk
         |      FROM documents)
         |WHERE samp_rk <= 25""".stripMargin,
+
+    "q_centroid_classify" ->
+      """WITH sums AS (
+        |  SELECT label, dim, sum(x) AS sx, count(*) AS n FROM (
+        |    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x
+        |    FROM embeddings) GROUP BY 1, 2),
+        |cents AS (SELECT label AS c_label, list(sx ORDER BY dim) AS sumvec, max(n) AS n FROM sums GROUP BY 1),
+        |pr AS (SELECT vec_id AS probe_id, label AS true_label, embedding::DOUBLE[] AS pv
+        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT probe_id, true_label, c_label, sumvec, pv, n,
+        |         CASE WHEN c_label = true_label THEN 1.0 ELSE 0.0 END AS own
+        |       FROM pr CROSS JOIN cents),
+        |sc2 AS (SELECT probe_id, true_label, c_label, pv,
+        |          list_transform(list_zip(sumvec, pv), p -> (p[1] - own * p[2]) / (n - own)) AS cent
+        |        FROM sc),
+        |sc3 AS (SELECT probe_id, true_label, c_label,
+        |          list_sum(list_transform(list_zip(pv, cent), p -> p[1] * p[2]))
+        |            / (sqrt(list_sum(list_transform(pv, x -> x * x)))
+        |               * sqrt(list_sum(list_transform(cent, x -> x * x)))) AS cos
+        |        FROM sc2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, c_label) AS rk FROM sc3)
+        |SELECT probe_id, true_label, c_label AS pred_label, round(cos, 6) AS cos,
+        |  CASE WHEN true_label = c_label THEN 1 ELSE 0 END AS correct
+        |FROM r WHERE rk = 1""".stripMargin,
 
     "q_knn_classify" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS true_label
