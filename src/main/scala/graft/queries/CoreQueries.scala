@@ -68,6 +68,50 @@ object CoreQueries {
         .select(col("event_id"), col("event_type"), epochS("ts"), col("value"), col("hourly_value"))
     }),
 
+    // Ordered funnel analysis (view → click → purchase within 7 days of
+    // the first step) — the classic product-analytics query at events
+    // scale. Each stage is a keyed conditional-min aggregation + one
+    // user-key join; no sequence explosion, no window over the raw event
+    // stream; scale axis = users.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def stageMin(et: String, name: String) =
+        ev.where(col("event_type") === et).groupBy("user_id").agg(min("ts").as(name))
+      val v = stageMin("view", "v_ts")
+      val c = ev.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"), first("v_ts").as("v_ts"))
+      val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"), first("v_ts").as("v_ts"))
+      val week = 7L * 86400
+      val f1 = v.select(col("user_id"))
+      val f2 = c.where(unix_timestamp(col("c_ts")) - unix_timestamp(col("v_ts")) <= week).select(col("user_id"))
+      val f3 = p.where(unix_timestamp(col("p_ts")) - unix_timestamp(col("v_ts")) <= week).select(col("user_id"))
+      val n1 = f1.agg(count(lit(1)).as("users_view"))
+      val n2 = f2.agg(count(lit(1)).as("users_click"))
+      val n3 = f3.agg(count(lit(1)).as("users_purchase"))
+      n1.crossJoin(n2).crossJoin(n3)
+        .select(col("users_view"), col("users_click"), col("users_purchase"),
+          round(col("users_click") / col("users_view"), 6).as("conv_click"),
+          round(col("users_purchase") / col("users_view"), 6).as("conv_purchase"))
+    }),
+
+    // Cohort retention triangle: users grouped by first-seen week, counted
+    // in each later activity week (offset in whole weeks) — the standard
+    // growth-analytics matrix. One min-aggregation + one distinct-week
+    // aggregation + a user-key join; output is cohorts × offsets rows.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy("user_id").agg(date_trunc("week", min("ts")).as("cohort_w"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("act_w")).distinct()
+      active.join(first, "user_id")
+        .withColumn("offset_w",
+          ((unix_timestamp(col("act_w")) - unix_timestamp(col("cohort_w"))) / (7L * 86400)).cast("long"))
+        .groupBy(unix_timestamp(col("cohort_w")).as("cohort_w_s"), col("offset_w"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Point-in-time training-set assembly (the feature-store join): label
     // rows (purchases) pick up, per user, the latest CLOSED hourly click
     // and error aggregates. Features carry an AVAILABILITY timestamp
@@ -235,6 +279,32 @@ object CoreQueries {
          |  h.value AS hourly_value
          |FROM events e ASOF LEFT JOIN hourly h
          |  ON e.event_type = h.event_type AND e.ts >= h.ts""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts, min(c.v_ts) AS v_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1),
+        |n1 AS (SELECT count(*) AS users_view FROM v),
+        |n2 AS (SELECT count(*) AS users_click FROM c
+        |       WHERE epoch_us(c_ts)//1000000 - epoch_us(v_ts)//1000000 <= 604800),
+        |n3 AS (SELECT count(*) AS users_purchase FROM p
+        |       WHERE epoch_us(p_ts)//1000000 - epoch_us(v_ts)//1000000 <= 604800)
+        |SELECT users_view, users_click, users_purchase,
+        |  round(users_click / users_view, 6) AS conv_click,
+        |  round(users_purchase / users_view, 6) AS conv_purchase
+        |FROM n1 CROSS JOIN n2 CROSS JOIN n3""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_w FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS act_w FROM events)
+        |SELECT epoch_us(cohort_w)//1000000 AS cohort_w_s,
+        |  (epoch_us(act_w)//1000000 - epoch_us(cohort_w)//1000000)//604800 AS offset_w,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
 
     "q_pit_features" ->
       """WITH labels AS (SELECT user_id, ts, value AS label FROM events WHERE event_type = 'purchase'),
