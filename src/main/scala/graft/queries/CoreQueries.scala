@@ -97,6 +97,23 @@ object CoreQueries {
           round(col("users_purchase") / col("users_view"), 6).as("conv_purchase"))
     }),
 
+    // First-order Markov transition matrix over per-user event streams:
+    // P(next = b | current = a) — the path-analysis primitive behind
+    // next-action models and anomaly-of-behavior monitors. One user-key
+    // window (deterministic (ts, event_id) order), one pair aggregation;
+    // scale axis = events.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("cur").agg(sum("n").as("n_cur"))
+      pairs.join(tot, "cur")
+        .select(col("cur"), col("nxt"), col("n"), round(col("n") / col("n_cur"), 6).as("p"))
+    }),
+
     // Cohort retention triangle: users grouped by first-seen week, counted
     // in each later activity week (offset in whole weeks) — the standard
     // growth-analytics matrix. One min-aggregation + one distinct-week
@@ -297,6 +314,15 @@ object CoreQueries {
         |  round(users_click / users_view, 6) AS conv_click,
         |  round(users_purchase / users_view, 6) AS conv_purchase
         |FROM n1 CROSS JOIN n2 CROSS JOIN n3""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH p AS (SELECT event_type AS cur,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |           FROM events),
+        |pairs AS (SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, sum(n) AS n_cur FROM pairs GROUP BY 1)
+        |SELECT pairs.cur, pairs.nxt, pairs.n, round(pairs.n / tot.n_cur, 6) AS p
+        |FROM pairs JOIN tot ON pairs.cur = tot.cur""".stripMargin,
 
     "q_retention" ->
       """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_w FROM events GROUP BY 1),
