@@ -97,6 +97,31 @@ object CoreQueries {
           round(col("users_purchase") / col("users_view"), 6).as("conv_purchase"))
     }),
 
+    // A/B experiment readout: users hash-split into two arms (first md5
+    // nibble parity — deterministic, engine-portable, no assignment table
+    // to store), per-user total purchase value as the metric, Welch
+    // z-statistic between arms with the |z| ≥ 1.96 call. Two user-level
+    // aggregations; everything after is scalar math. The readout every
+    // growth team runs at events scale.
+    "q_ab_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val users = ev.groupBy("user_id")
+        .agg(round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6).as("metric"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+      val arms = users.groupBy("arm").agg(count(lit(1)).as("n"),
+        avg("metric").as("m"), var_samp("metric").as("v"))
+      val a = arms.where(col("arm") === 0)
+        .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+      val b = arms.where(col("arm") === 1)
+        .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+      a.crossJoin(b)
+        .withColumn("z", (col("m_a") - col("m_b")) / sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+        .select(col("n_a"), col("n_b"), round(col("m_a"), 6).as("mean_a"), round(col("m_b"), 6).as("mean_b"),
+          round(col("z"), 6).as("z"), (abs(col("z")) >= 1.96).cast("int").as("significant"))
+    }),
+
     // First-order Markov transition matrix over per-user event streams:
     // P(next = b | current = a) — the path-analysis primitive behind
     // next-action models and anomaly-of-behavior monitors. One user-key
@@ -314,6 +339,19 @@ object CoreQueries {
         |  round(users_click / users_view, 6) AS conv_click,
         |  round(users_purchase / users_view, 6) AS conv_purchase
         |FROM n1 CROSS JOIN n2 CROSS JOIN n3""".stripMargin,
+
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |             round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS metric
+        |           FROM events GROUP BY 1),
+        |ua AS (SELECT *, ('0x' || substr(md5(user_id::VARCHAR || ':ab1'), 1, 1))::BIGINT % 2 AS arm FROM u),
+        |arms AS (SELECT arm, count(*) AS n, avg(metric) AS m, var_samp(metric) AS v FROM ua GROUP BY 1),
+        |a AS (SELECT n AS n_a, m AS m_a, v AS v_a FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM arms WHERE arm = 1)
+        |SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+        |  round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 6) AS z,
+        |  CASE WHEN abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) >= 1.96 THEN 1 ELSE 0 END AS significant
+        |FROM a CROSS JOIN b""".stripMargin,
 
     "q_event_transitions" ->
       """WITH p AS (SELECT event_type AS cur,
