@@ -216,6 +216,37 @@ object StreamingDetectors {
 
   case class UPoint(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
+  /** Point-in-time feature index for streaming enrichment: per user, the
+    * CLOSED hourly feature history as ONE sorted array row
+    * (avail_s = bucket end, n, sum). The whole as-of lookup problem
+    * becomes a broadcastable (or bucketed) key-value table whose row size
+    * is bounded by the history window — the serving-store shape of a
+    * feature platform.
+    */
+  def pitFeatureIndex(staticEvents: DataFrame, eventType: String = "click"): DataFrame =
+    staticEvents.where(col("event_type") === eventType)
+      .groupBy(col("user_id"),
+        (date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR")).as("avail"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(
+        unix_timestamp(col("avail")).as("avail_s"), col("n"), col("sum")))).as("feats"))
+
+  /** Streaming point-in-time enrichment — the streaming twin of the batch
+    * q_pit_features as-of join: each arriving event picks up the LATEST
+    * closed feature bucket with avail_s ≤ event time via an array
+    * filter + tail lookup on the joined index row. Stateless (plain
+    * stream-static join + per-row column math), no watermark-bounded
+    * state, no per-event aggregation — the leakage guarantee (only CLOSED
+    * buckets visible) is carried by the index's availability stamps.
+    */
+  def pitEnrich(stream: DataFrame, featIndex: DataFrame): DataFrame =
+    stream.join(broadcast(featIndex), Seq("user_id"), "left")
+      .withColumn("_elig", filter(col("feats"), f => f.getField("avail_s") <= unix_timestamp(col("ts"))))
+      .withColumn("_f", when(size(col("_elig")) > 0, element_at(col("_elig"), -1)))
+      .select(col("user_id"), col("ts"), col("value"),
+        col("_f.avail_s").as("feat_avail_s"), col("_f.n").as("feat_n"), col("_f.sum").as("feat_sum"))
+
   /** Streaming sessionization — the streaming twin of
     * [[graft.TS.sessionize]]: Spark's native session windows merge events
     * closer than `gap` and close a session `gap` after its last event, so

@@ -234,6 +234,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming PIT enrichment serves only CLOSED feature buckets, matching the batch as-of") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // static history: user 1 clicks at hours 0 and 2 (buckets close at
+    // hours 1 and 3); user 2 has no clicks
+    val static = Seq(
+      (1L, "click", ts(0), 2.0), (1L, "click", ts(0), 3.0), (1L, "click", ts(2), 7.0),
+      (2L, "view", ts(0), 1.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val idx = StreamingDetectors.pitFeatureIndex(static, "click")
+    val mem = MemoryStream[StreamingDetectors.UPoint]
+    val q = StreamingDetectors.pitEnrich(mem.toDF(), idx)
+      .writeStream.format("memory").queryName("pit").outputMode("append").start()
+    mem.addData(
+      StreamingDetectors.UPoint(1L, ts(0), 9.0),  // hour-0 bucket NOT closed yet -> null
+      StreamingDetectors.UPoint(1L, ts(1), 9.0),  // hour-0 bucket closed: n=2, sum=5
+      StreamingDetectors.UPoint(1L, ts(5), 9.0),  // hour-2 bucket closed: n=1, sum=7
+      StreamingDetectors.UPoint(2L, ts(1), 9.0))  // no click history at all
+    q.processAllAvailable()
+    val rows = spark.sql("select user_id, ts, feat_n, feat_sum from pit order by user_id, ts").collect()
+    assert(rows.length === 4)
+    assert(rows(0).isNullAt(2), "same-bucket future leaked into the first event")
+    assert(rows(1).getLong(2) === 2 && rows(1).getDouble(3) === 5.0)
+    assert(rows(2).getLong(2) === 1 && rows(2).getDouble(3) === 7.0)
+    assert(rows(3).isNullAt(2))
+    q.stop()
+  }
+
   test("streaming EWMA tracker flags a spike and tracks the level") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
