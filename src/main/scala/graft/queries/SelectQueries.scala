@@ -99,6 +99,24 @@ object SelectQueries {
             .as("kl"))
     }),
 
+    // Deterministic training-shard planning: docs fill fixed token-budget
+    // shards in doc_id order WITHIN each source (shard_id = exclusive
+    // prefix-sum ÷ budget), then per-shard manifests. Per-source running
+    // sums keep the plan embarrassingly parallel — no global ordering or
+    // single-reducer prefix sum at 100 TB; the doc_id order makes every
+    // backfill reproduce the identical shard map.
+    "q_shard_plan" -> ((s, dir) => {
+      val budget = 2000L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum", sum("toks").over(w))
+        .withColumn("shard_id", ((col("cum") - col("toks")) / budget).cast("long"))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
     // Deterministic stratified eval-split carving: per language stratum,
     // the 25 docs with the smallest salted-md5 rank — a balanced,
     // run-reproducible, engine-reproducible held-out set (no RNG state,
@@ -145,6 +163,34 @@ object SelectQueries {
         .select(col("probe_id"), col("true_label"), col("c_label").as("pred_label"),
           round(col("cos"), 6).as("cos"),
           when(col("true_label") === col("c_label"), 1).otherwise(0).as("correct"))
+    }),
+
+    // ── Embedding-space data cleaning: per vector, cosine distance to its
+    // own label's leave-one-out centroid; vectors beyond mean + 2σ of
+    // their label's distance distribution are flagged (the
+    // mislabeled/noise sweep run before contrastive training). Same k×dim
+    // sums as q_centroid_classify, joined BY LABEL (broadcast, k rows) —
+    // map-side math, one label-keyed stats aggregation, no sort. ──
+    "q_embed_outliers" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim").agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("sx")))).as("cs"),
+          first("n").as("n"))
+        .select(col("label"), expr("transform(cs, s -> s.sx)").as("sumvec"), col("n"))
+      val scored = e.select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("pv"))
+        .join(broadcast(cents), "label")
+        .withColumn("cent", zip_with(col("sumvec"), col("pv"), (sx, x) => (sx - x) / (col("n") - 1)))
+        .withColumn("dot", aggregate(zip_with(col("pv"), col("cent"), _ * _), lit(0.0), _ + _))
+        .withColumn("na", sqrt(aggregate(transform(col("pv"), x => x * x), lit(0.0), _ + _)))
+        .withColumn("nb", sqrt(aggregate(transform(col("cent"), x => x * x), lit(0.0), _ + _)))
+        .withColumn("dist", lit(1.0) - col("dot") / (col("na") * col("nb")))
+      val stats = scored.groupBy("label")
+        .agg(avg("dist").as("mu_d"), stddev_samp("dist").as("sd_d"))
+      scored.join(broadcast(stats), "label")
+        .select(col("vec_id"), col("label"), round(col("dist"), 6).as("dist"),
+          (col("dist") > col("mu_d") + lit(2.0) * col("sd_d")).cast("int").as("is_outlier"))
     }),
 
     // ── kNN label classification: exact 5-NN majority vote (vote-count
@@ -213,6 +259,14 @@ object SelectQueries {
          |        * ((tot.v - ns.v_s) * ln(1.0 / (ns.n_s + tot.v)) - (lq.lq_all - per.lq_s)), 6) AS kl
          |FROM per JOIN ns USING (source) CROSS JOIN tot CROSS JOIN lq""".stripMargin,
 
+    "q_shard_plan" ->
+      """WITH d AS (SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS toks FROM documents),
+        |c AS (SELECT *, sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT source, ((cum - toks) // 2000)::BIGINT AS shard_id, count(*) AS n_docs,
+        |  sum(toks)::BIGINT AS tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
     "q_sample_eval" ->
       """SELECT doc_id, source, lang, samp_rk::INT AS samp_rk, docs_in
         |FROM (SELECT doc_id, source, lang,
@@ -221,6 +275,27 @@ object SelectQueries {
         |          ORDER BY md5(doc_id::VARCHAR || ':evalsplit'), doc_id) AS samp_rk
         |      FROM documents)
         |WHERE samp_rk <= 25""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH sums AS (
+        |  SELECT label, dim, sum(x) AS sx, count(*) AS n FROM (
+        |    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x
+        |    FROM embeddings) GROUP BY 1, 2),
+        |cents AS (SELECT label, list(sx ORDER BY dim) AS sumvec, max(n) AS n FROM sums GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS pv, c.sumvec, c.n
+        |       FROM embeddings e JOIN cents c ON e.label = c.label),
+        |sc2 AS (SELECT vec_id, label, pv,
+        |          list_transform(list_zip(sumvec, pv), p -> (p[1] - p[2]) / (n - 1)) AS cent
+        |        FROM sc),
+        |sc3 AS (SELECT vec_id, label,
+        |          1.0 - list_sum(list_transform(list_zip(pv, cent), p -> p[1] * p[2]))
+        |            / (sqrt(list_sum(list_transform(pv, x -> x * x)))
+        |               * sqrt(list_sum(list_transform(cent, x -> x * x)))) AS dist
+        |        FROM sc2),
+        |st AS (SELECT label, avg(dist) AS mu_d, stddev_samp(dist) AS sd_d FROM sc3 GROUP BY 1)
+        |SELECT s.vec_id, s.label, round(s.dist, 6) AS dist,
+        |  CASE WHEN s.dist > st.mu_d + 2.0 * st.sd_d THEN 1 ELSE 0 END AS is_outlier
+        |FROM sc3 s JOIN st ON s.label = st.label""".stripMargin,
 
     "q_centroid_classify" ->
       """WITH sums AS (
