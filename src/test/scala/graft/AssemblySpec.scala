@@ -66,6 +66,38 @@ class AssemblySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_shard_plan: shards partition each source's docs and fill to budget") {
+    val rows = SparkEntry.queries("q_shard_plan")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, shards) =>
+      val ids = shards.map(_.getLong(1)).sorted
+      assert(ids.sameElements(0L until ids.length), s"$src shard ids not dense: ${ids.mkString(",")}")
+      // every shard except the last must have crossed the budget boundary
+      val ordered = shards.sortBy(_.getLong(1))
+      ordered.init.foreach { sh =>
+        assert(sh.getLong(3) >= 1, s"$src shard ${sh.getLong(1)} empty")
+      }
+      // doc ranges are disjoint and ordered
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) < b.getLong(4),
+          s"$src shards ${a.getLong(1)}/${b.getLong(1)} doc ranges overlap")
+        case _ =>
+      }
+    }
+    // total docs across shards == corpus size
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Tables.documents(spark, dir).count())
+  }
+
+  test("q_embed_outliers: flags are a small minority and distances are sane") {
+    val rows = SparkEntry.queries("q_embed_outliers")(spark, dir).collect()
+    assert(rows.length === Tables.embeddings(spark, dir).count())
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-9 && r.getDouble(2) <= 2.0 + 1e-9))
+    val frac = rows.count(_.getInt(3) == 1).toDouble / rows.length
+    assert(frac < 0.2, s"outlier fraction implausibly high: $frac")
+  }
+
   test("q_embed_matryoshka: recalls in [0,1]; a full-width prefix recalls 1.0") {
     val rows = SparkEntry.queries("q_embed_matryoshka")(spark, dir).collect()
     assert(rows.nonEmpty)
