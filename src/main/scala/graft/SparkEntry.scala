@@ -30,7 +30,8 @@ object SparkEntry {
     (RetrievalQueries.defs, RetrievalQueries.sql),
     (GrangerQueries.defs, GrangerQueries.sql),
     (SketchQueries.defs, SketchQueries.sql),
-    (TechQueries.defs, TechQueries.sql)
+    (TechQueries.defs, TechQueries.sql),
+    (AnalysisQueries.defs, AnalysisQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

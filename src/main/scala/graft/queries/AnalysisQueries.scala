@@ -1,0 +1,457 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: the last uncovered Kats detector surface plus two
+  * corpus/embedding analysis operators.
+  *
+  * - `q_stat_sig_multi` — MultiStatSigDetectorModel
+  *   (kats/detectors/stat_sig_detector.py:934): per-metric equal-variance
+  *   two-sample t-test between the trailing n_test window and the
+  *   n_control window before it, then Benjamini-Hochberg FDR adjustment
+  *   across metrics (detector_consts.py:477 multipletests(method='fdr_bh')).
+  *   The t CDF is evaluated through the closed-form finite sum for EVEN
+  *   degrees of freedom — F(t) = 1/2 + (x/2)·Σ c_j (1−x²)^j with
+  *   x = t/√(ν+t²), c_j = c_{j−1}(2j−1)/(2j) — so n_control=26 and
+  *   n_test=8 pin ν = 32 and both engines run the identical 16-term
+  *   Horner polynomial (no scipy, no incomplete beta). Deviation noted:
+  *   the reference converts adjusted p back into a t-score via t.ppf
+  *   (an inverse CDF with no SQL form); we emit the adjusted p and the
+  *   significance call instead. Scale: one series-keyed window + one
+  *   aggregation; the FDR stage is #metrics-sized by construction (a
+  *   multivariate detector run spans one metric family).
+  *
+  * - `q_date_features` — the date_features battery
+  *   (kats/utils/feature_engineering.py:85): quarter/season/ISO week/
+  *   week-of-month/leap flags/month-end, incl. the reference's literal
+  *   `is_month_end & (month % 4 == 3)` quarter-end quirk (so March, July
+  *   and November ends are flagged, exactly as the reference computes it).
+  *   Zero-shuffle map-side row math.
+  *
+  * - `q_pmi_collocations` — PMI-ranked word-bigram collocations (the
+  *   phrase-mining / vocabulary-construction step of a tokenizer
+  *   pipeline): pmi = ln(p(xy)/(p(x)p(y))) over corpus bigram and unigram
+  *   frequencies, min support 5, global top-20 via TakeOrderedAndProject.
+  *   Scale: one (gram) aggregation shuffle + two vocabulary-keyed joins;
+  *   never a doc×doc or vocab×vocab product.
+  *
+  * - `q_embed_pca` — top-2 principal components of the embedding prefix
+  *   (dims 1..8) by fixed-40-step power iteration with deflation: the
+  *   covariance moments are ONE distributed aggregation (the Gram-matrix
+  *   pass — the only stage that touches data), the 8×8 eigen-iteration is
+  *   driver-side scalar math (the k×dim-state discipline of KMeansDet),
+  *   and the oracle replays the identical iteration as two recursive CTEs
+  *   over the same 4-dp-snapped moments. Emits eigenvalue, explained
+  *   variance share and loadings per component.
+  */
+object AnalysisQueries {
+  private def hourly(s: SparkSession, dir: String) = Tables.hourlyEvents(s, dir)
+  private val H = Tables.hourlySql
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  // ── q_stat_sig_multi shared fragments ────────────────────────────────
+  private val NC = 26 // n_control
+  private val NT = 8 // n_test
+  private val DF = NC + NT - 2 // 32, even — required by the closed-form CDF
+
+  /** Horner form of Σ_{j=0}^{ν/2−1} c_j u^j, c_0=1, c_j=c_{j−1}(2j−1)/(2j).
+    * Literals via Double.toString (shortest round-trip repr) so Spark and
+    * DuckDB parse bit-identical coefficients.
+    */
+  private val tPoly: String = {
+    val coefs = Array.iterate((1.0, 0), DF / 2) { case (c, j) => (c * (2 * (j + 1) - 1) / (2.0 * (j + 1)), j + 1) }.map(_._1)
+    coefs.reverse.tail.foldLeft(coefs.last.toString)((acc, c) => s"($c + u * $acc)")
+  }
+
+  /** (name, fragment) chain from snapped moments to the raw p-value; both
+    * engines evaluate these strings verbatim so every float op sequence is
+    * identical.
+    */
+  private val sigChain: Seq[(String, String)] = Seq(
+    "m_c" -> s"(s_c / $NC.0)",
+    "m_t" -> s"(s_t / $NT.0)",
+    "var_c" -> s"greatest((ss_c - s_c * s_c / $NC.0) / ${NC - 1}.0, 0.0)",
+    "var_t" -> s"greatest((ss_t - s_t * s_t / $NT.0) / ${NT - 1}.0, 0.0)",
+    "sp" -> s"sqrt((${NC - 1}.0 * var_c + ${NT - 1}.0 * var_t) / $DF.0)",
+    // E-notation literals: Spark parses plain `1.0 / 26.0` as DECIMAL
+    // division (scale-truncated to 0.038462) while DuckDB folds it in
+    // double — 1.0E0 forces IEEE double on both engines.
+    "t_raw" -> s"(CASE WHEN sp <= 0.0 THEN 0.0 ELSE (m_t - m_c) / (sp * sqrt(1.0E0 / $NT.0E0 + 1.0E0 / $NC.0E0)) END)",
+    "x" -> s"(abs(t_raw) / sqrt($DF.0 + t_raw * t_raw))",
+    "u" -> "(1.0 - x * x)",
+    "p_raw" -> s"(1.0 - x * $tPoly)")
+
+  // ── q_pmi_collocations shared fragment ───────────────────────────────
+  private val pmiFrag = "ln((cxy * nu * nu) / (nb * cx * cy))"
+
+  // ── q_embed_pca machinery ────────────────────────────────────────────
+  private val PD = 8 // prefix dims
+  // 120 steps: convergence error decays as (λ2/λ1)^k; the synthetic
+  // embeddings' eigengap (~0.92 ratio) needs >100 steps for loadings
+  // orthogonal to 1e-3. Both engines run the identical fixed count.
+  private val ITERS = 120
+
+  /** Moment column names: s$i, ss${i}_$j (i<=j), n. */
+  private def covFrag(i: Int, j: Int): String = {
+    val (a, b) = if (i <= j) (i, j) else (j, i)
+    s"(ss${a}_$b - s$a * s$b / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+  }
+
+  /** Scala twin of the oracle's recursive replay: identical op order
+    * (row-major dot products, left-to-right square sums).
+    */
+  private def powerIter(c: Array[Array[Double]]): (Array[Double], Double) = {
+    var v = Array.fill(PD)(1.0 / math.sqrt(8.0))
+    def mul(vv: Array[Double]): Array[Double] = Array.tabulate(PD) { i =>
+      var acc = 0.0; var j = 0
+      while (j < PD) { acc = acc + c(i)(j) * vv(j); j += 1 }
+      acc
+    }
+    var k = 0
+    while (k < ITERS) {
+      val w = mul(v)
+      var n2 = 0.0; var i = 0
+      while (i < PD) { n2 = n2 + w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(n2)
+      v = w.map(_ / nrm)
+      k += 1
+    }
+    val w = mul(v)
+    var lam = 0.0; var i = 0
+    while (i < PD) { lam = lam + v(i) * w(i); i += 1 }
+    (v, lam)
+  }
+
+  /** One recursive power-iteration CTE (DuckDB side). `cov` must expose
+    * c${i}_${j} columns for ALL (i, j) pairs.
+    */
+  private def iterCte(name: String, cov: String): String = {
+    def wExpr(i: Int) = (0 until PD).map(j => s"c${i}_$j * v$j").mkString("(", " + ", ")")
+    val nrm = "sqrt(" + (0 until PD).map(i => s"${wExpr(i)} * ${wExpr(i)}").mkString(" + ") + ")"
+    val init = (0 until PD).map(i => s"1.0/sqrt(8.0) AS v$i").mkString(", ")
+    val step = (0 until PD).map(i => s"${wExpr(i)} / $nrm AS v$i").mkString(", ")
+    s"""$name AS (
+       |  SELECT 0 AS step, $init
+       |  UNION ALL
+       |  SELECT step + 1, $step FROM $name, $cov WHERE step < $ITERS)""".stripMargin
+  }
+
+  /** lam = Σ v_i·(C·v)_i at the final iterate. */
+  private def lamExpr: String = {
+    def wExpr(i: Int) = (0 until PD).map(j => s"c${i}_$j * v$j").mkString("(", " + ", ")")
+    (0 until PD).map(i => s"v$i * ${wExpr(i)}").mkString("(", " + ", ")")
+  }
+
+  // ── q_cusum_multi oracle machinery ───────────────────────────────────
+  /** Q((x,y) − (mx,my)) under Σ=[[aa,bb],[bb,cc]] via the 2×2 Cramer
+    * inverse — the exact float-op order of MultiCusum.q.
+    */
+  private def qForm(mx: String, my: String): String =
+    s"(g.cc * (o.x - $mx) * (o.x - $mx) - 2.0 * g.bb * (o.x - $mx) * (o.y - $my) + g.aa * (o.y - $my) * (o.y - $my)) / g.det"
+
+  private def cusumMultiSql: String = {
+    val iters = (1 to graft.detectors.MultiCusum.MaxIter).map { k =>
+      s"""mu$k AS (SELECT o.event_type, max(c.cp) AS prev_cp,
+         |    round(avg(CASE WHEN o.rn - 1 <= c.cp THEN o.x END), 6) AS m0x,
+         |    round(avg(CASE WHEN o.rn - 1 <= c.cp THEN o.y END), 6) AS m0y,
+         |    round(avg(CASE WHEN o.rn - 1 > c.cp THEN o.x END), 6) AS m1x,
+         |    round(avg(CASE WHEN o.rn - 1 > c.cp THEN o.y END), 6) AS m1y
+         |  FROM ord o JOIN cp${k - 1} c USING (event_type) GROUP BY 1),
+         |cs$k AS (SELECT o.event_type, m.prev_cp, o.rn, o.n,
+         |    sum(${qForm("m.m0x", "m.m0y")} - ${qForm("m.m1x", "m.m1y")})
+         |      OVER (PARTITION BY o.event_type ORDER BY o.rn) AS cs
+         |  FROM ord o JOIN mu$k m USING (event_type) JOIN sig g USING (event_type)),
+         |cp$k AS (SELECT event_type, prev_cp, greatest(1, least(pick, n - 2)) AS cp FROM (
+         |    SELECT event_type, prev_cp, rn - 1 AS pick, n,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY cs, rn) AS rk
+         |    FROM cs$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val last = s"cp${graft.detectors.MultiCusum.MaxIter}"
+    s"""WITH hourly AS ($H),
+       |ord AS (SELECT event_type, value AS x, n::DOUBLE AS y,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+       |    count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM hourly),
+       |mt AS (SELECT event_type, round(avg(x), 6) AS mtx, round(avg(y), 6) AS mty,
+       |    count(*) AS nn FROM ord GROUP BY 1),
+       |sig AS (SELECT o.event_type,
+       |    round(sum((o.x - t.mtx) * (o.x - t.mtx)) / (t.nn - 1), 6) AS aa,
+       |    round(sum((o.x - t.mtx) * (o.y - t.mty)) / (t.nn - 1), 6) AS bb,
+       |    round(sum((o.y - t.mty) * (o.y - t.mty)) / (t.nn - 1), 6) AS cc,
+       |    greatest(round(round(sum((o.x - t.mtx) * (o.x - t.mtx)) / (t.nn - 1), 6)
+       |        * round(sum((o.y - t.mty) * (o.y - t.mty)) / (t.nn - 1), 6)
+       |      - round(sum((o.x - t.mtx) * (o.y - t.mty)) / (t.nn - 1), 6)
+       |        * round(sum((o.x - t.mtx) * (o.y - t.mty)) / (t.nn - 1), 6), 6), 1e-12) AS det
+       |  FROM ord o JOIN mt t USING (event_type) GROUP BY 1, t.nn),
+       |cp0 AS (SELECT event_type, nn // 2 AS cp, -1 AS prev_cp FROM mt),
+       |$iters,
+       |seg AS (SELECT o.event_type, max(c.cp) AS cp,
+       |    max(CASE WHEN c.cp = c.prev_cp THEN 1.0 ELSE 0.0 END) AS stable,
+       |    round(avg(CASE WHEN o.rn - 1 <= c.cp THEN o.x END), 6) AS m0x,
+       |    round(avg(CASE WHEN o.rn - 1 <= c.cp THEN o.y END), 6) AS m0y,
+       |    round(avg(CASE WHEN o.rn - 1 > c.cp THEN o.x END), 6) AS m1x,
+       |    round(avg(CASE WHEN o.rn - 1 > c.cp THEN o.y END), 6) AS m1y
+       |  FROM ord o JOIN $last c USING (event_type) GROUP BY 1),
+       |llr AS (SELECT o.event_type, max(f.cp) AS cp, max(f.stable) AS stable,
+       |    max(f.m0x) AS m0x, max(f.m0y) AS m0y, max(f.m1x) AS m1x, max(f.m1y) AS m1y,
+       |    sum(CASE WHEN o.rn - 1 <= f.cp
+       |          THEN ${qForm("t.mtx", "t.mty")} - ${qForm("f.m0x", "f.m0y")} END) AS suma,
+       |    sum(CASE WHEN o.rn - 1 > f.cp
+       |          THEN ${qForm("t.mtx", "t.mty")} - ${qForm("f.m1x", "f.m1y")} END) AS sumb
+       |  FROM ord o JOIN seg f USING (event_type) JOIN sig g USING (event_type)
+       |    JOIN mt t USING (event_type) GROUP BY 1)
+       |SELECT event_type, round(cp::DOUBLE, 6) AS cp_idx,
+       |  round(m0x, 6) AS m0x, round(m0y, 6) AS m0y,
+       |  round(m1x, 6) AS m1x, round(m1y, 6) AS m1y,
+       |  round(m1x - m0x, 6) AS delta_x, round(m1y - m0y, 6) AS delta_y,
+       |  round(-2.0 * (suma - sumb), 6) AS llr, round(stable, 6) AS stable,
+       |  round(CASE WHEN -2.0 * (suma - sumb) > ${graft.detectors.MultiCusum.Chi2Crit3}
+       |        THEN 1.0 ELSE 0.0 END, 6) AS detected
+       |FROM llr""".stripMargin
+  }
+
+  // ── q_date_features shared column set (Spark expr strings) ───────────
+  // dow is pandas Monday=0 throughout; season is the reference's month
+  // map {12,1→0 | 2..5→1 | 6..8→2 | 9..11→3} (feature_engineering.py:20).
+  private val seasonCase =
+    "(CASE WHEN month IN (12, 1) THEN 0 WHEN month <= 5 THEN 1 WHEN month <= 8 THEN 2 ELSE 3 END)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stat_sig_multi" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts").desc)
+      val mo = hourly(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= NC + NT)
+        .groupBy("event_type")
+        .agg(
+          round(sum(when(col("rn") <= NT, col("value"))), 4).as("s_t"),
+          round(sum(when(col("rn") <= NT, col("value") * col("value"))), 4).as("ss_t"),
+          round(sum(when(col("rn") > NT, col("value"))), 4).as("s_c"),
+          round(sum(when(col("rn") > NT, col("value") * col("value"))), 4).as("ss_c"),
+          count(lit(1)).as("nn"))
+        .where(col("nn") === NC + NT)
+      val scored = sigChain.foldLeft(mo) { case (df, (n, frag)) => df.withColumn(n, expr(frag)) }
+      // BH across the metric family: ranks ascending by p, adjusted
+      // q_(i) = min_{j≥i} m·p_(j)/j clamped to 1 — a running min from the
+      // largest rank down. The family is #metrics-sized, so the lit(1)
+      // partition is a constant-cardinality stage, not a global shuffle.
+      val wAsc = Window.partitionBy(lit(1)).orderBy(col("p_raw"), col("event_type"))
+      val wDesc = Window.partitionBy(lit(1)).orderBy(col("p_raw").desc, col("event_type").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("m_cnt", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .withColumn("rnk", row_number().over(wAsc))
+        .withColumn("raw_adj", expr("CAST(m_cnt AS DOUBLE) * p_raw / CAST(rnk AS DOUBLE)"))
+        .withColumn("p_adj", least(min(col("raw_adj")).over(wDesc), lit(1.0)))
+        .select(col("event_type"), lit(NC).as("n_control"), lit(NT).as("n_test"),
+          round(col("m_c"), 6).as("m_control"), round(col("m_t"), 6).as("m_test"),
+          round(col("t_raw"), 6).as("t_score"), round(col("p_raw"), 6).as("p_value"),
+          round(col("p_adj"), 6).as("p_adj"),
+          when(col("p_adj") < 0.05, 1).otherwise(0).as("significant"),
+          signum(col("t_raw")).cast("int").as("direction"))
+    }),
+
+    "q_cusum_multi" -> ((s, dir) => {
+      val coll = hourly(s, dir)
+        .select(col("event_type"), col("ts"), col("value").cast("double").as("x"),
+          col("n").cast("double").as("y"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("ts"), col("x"), col("y")))).as("p"))
+        .select(col("event_type"), col("p.x").as("xs"), col("p.y").as("ys"))
+      val fn = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+        graft.detectors.MultiCusum.detect(xs.toArray, ys.toArray).toSeq
+      }
+      val names = Seq("cp_idx", "m0x", "m0y", "m1x", "m1y", "delta_x", "delta_y",
+        "llr", "stable", "detected")
+      coll.withColumn("_o", fn(col("xs"), col("ys")))
+        .select(col("event_type") +:
+          names.zipWithIndex.map { case (nm, i) => round(col("_o")(i), 6).as(nm) }: _*)
+    }),
+
+    "q_date_features" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"), dayofmonth(col("ts")).as("day"),
+          ((dayofweek(col("ts")) + 5) % 7).as("dow"),
+          dayofyear(col("ts")).as("doy"), quarter(col("ts")).as("quarter"),
+          weekofyear(col("ts")).as("weekofyear"),
+          ((dayofweek(trunc(col("ts"), "MM")) + lit(5)) % 7).as("dow1"),
+          last_day(col("ts")).as("ld"))
+        .withColumn("season", expr(seasonCase))
+        .withColumn("weekofmonth", ceil((col("dow1") + col("day")) / 7.0).cast("int"))
+        .withColumn("is_weekend", when(col("dow") >= 5, 1).otherwise(0))
+        .withColumn("is_leap_year",
+          when(col("year") % 4 === 0 && (col("year") % 100 =!= 0 || col("year") % 400 === 0), 1).otherwise(0))
+        .withColumn("is_leap_day", when(col("month") === 2 && col("day") === 29, 1).otherwise(0))
+        .withColumn("is_month_end", when(col("day") === dayofmonth(col("ld")), 1).otherwise(0))
+        // the reference's literal quirk: month % 4 == 3 (Mar/Jul/Nov ends)
+        .withColumn("is_quarter_end",
+          when(col("is_month_end") === 1 && col("month") % 4 === 3, 1).otherwise(0))
+        .select("event_id", "ts_s", "year", "month", "day", "dow", "doy", "quarter", "season",
+          "weekofyear", "weekofmonth", "is_weekend", "is_leap_year", "is_leap_day",
+          "is_month_end", "is_quarter_end")),
+
+    "q_pmi_collocations" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 2)
+      val uni = base.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bi = base.select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> array_join(slice(ws, i + 1, 2), ' '))")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cxy_l"))
+        .withColumn("w1", expr("split_part(gram, ' ', 1)"))
+        .withColumn("w2", expr("split_part(gram, ' ', 2)"))
+      val nu = uni.agg(sum("c").as("nu_l"))
+      val nb = bi.agg(sum("cxy_l").as("nb_l"))
+      bi.where(col("cxy_l") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("cx_l")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("cy_l")), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .withColumn("cxy", col("cxy_l").cast("double"))
+        .withColumn("cx", col("cx_l").cast("double"))
+        .withColumn("cy", col("cy_l").cast("double"))
+        .withColumn("nu", col("nu_l").cast("double"))
+        .withColumn("nb", col("nb_l").cast("double"))
+        .withColumn("pmi", round(expr(pmiFrag), 6))
+        .select(col("gram"), col("cxy_l").as("c_pair"), col("cx_l").as("c_left"),
+          col("cy_l").as("c_right"), col("pmi"))
+        .orderBy(col("pmi").desc, col("gram"))
+        .limit(20)
+    }),
+
+    "q_embed_pca" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select((0 until PD).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+      val aggs =
+        (0 until PD).map(i => round(sum(col(s"x$i")), 4).as(s"s$i")) ++
+          (for { i <- 0 until PD; j <- i until PD }
+            yield round(sum(col(s"x$i") * col(s"x$j")), 4).as(s"ss${i}_$j")) :+
+          count(lit(1)).as("n")
+      val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getAs[Long]("n").toDouble
+      val sv = (0 until PD).map(i => row.getAs[Double](s"s$i")).toArray
+      val c = Array.tabulate(PD, PD) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        (row.getAs[Double](s"ss${a}_$b") - sv(a) * sv(b) / n) / (n - 1.0)
+      }
+      var trace = 0.0
+      (0 until PD).foreach(i => trace = trace + c(i)(i))
+      val (v1, lam1) = powerIter(c)
+      val d = Array.tabulate(PD, PD)((i, j) => c(i)(j) - lam1 * v1(i) * v1(j))
+      val (v2, lam2) = powerIter(d)
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((1, r6(lam1), r6(lam1 / trace), v1.map(r6).toSeq), (2, r6(lam2), r6(lam2 / trace), v2.map(r6).toSeq))
+        .map { case (comp, lam, ex, l) => (comp, lam, ex, l(0), l(1), l(2), l(3), l(4), l(5), l(6), l(7)) }
+        .toDF("component", "eigenvalue", "explained", "l0", "l1", "l2", "l3", "l4", "l5", "l6", "l7")
+    }))
+
+  private val sigChainSql = sigChain.map { case (n, f) => s"$f AS $n" }
+
+  val sql: Map[String, String] = Map(
+    "q_cusum_multi" -> cusumMultiSql,
+
+    "q_stat_sig_multi" ->
+      s"""WITH hourly AS ($H),
+         |rk AS (SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
+         |       FROM hourly),
+         |mo AS (SELECT event_type,
+         |         round(sum(value) FILTER (WHERE rn <= $NT), 4) AS s_t,
+         |         round(sum(value * value) FILTER (WHERE rn <= $NT), 4) AS ss_t,
+         |         round(sum(value) FILTER (WHERE rn > $NT), 4) AS s_c,
+         |         round(sum(value * value) FILTER (WHERE rn > $NT), 4) AS ss_c
+         |       FROM rk WHERE rn <= ${NC + NT} GROUP BY 1 HAVING count(*) = ${NC + NT}),
+         |s1 AS (SELECT event_type, ${sigChainSql.take(5).mkString(", ")} FROM mo),
+         |s2 AS (SELECT event_type, m_c, m_t, ${sigChainSql(5)} FROM s1),
+         |s3 AS (SELECT event_type, m_c, m_t, t_raw, ${sigChainSql(6)} FROM s2),
+         |s4 AS (SELECT event_type, m_c, m_t, t_raw, x, ${sigChainSql(7)} FROM s3),
+         |s5 AS (SELECT event_type, m_c, m_t, t_raw, ${sigChainSql(8)} FROM s4),
+         |bh AS (SELECT *, count(*) OVER (PARTITION BY 1) AS m_cnt,
+         |         row_number() OVER (PARTITION BY 1 ORDER BY p_raw, event_type) AS rnk
+         |       FROM s5),
+         |adj AS (SELECT *, CAST(m_cnt AS DOUBLE) * p_raw / CAST(rnk AS DOUBLE) AS raw_adj FROM bh),
+         |fin AS (SELECT *, least(min(raw_adj) OVER (PARTITION BY 1 ORDER BY p_raw DESC, event_type DESC
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS p_adj
+         |        FROM adj)
+         |SELECT event_type, $NC AS n_control, $NT AS n_test,
+         |  round(m_c, 6) AS m_control, round(m_t, 6) AS m_test,
+         |  round(t_raw, 6) AS t_score, round(p_raw, 6) AS p_value,
+         |  round(p_adj, 6) AS p_adj,
+         |  CASE WHEN p_adj < 0.05 THEN 1 ELSE 0 END AS significant,
+         |  CASE WHEN t_raw > 0 THEN 1 WHEN t_raw < 0 THEN -1 ELSE 0 END AS direction
+         |FROM fin""".stripMargin,
+
+    "q_date_features" ->
+      s"""SELECT event_id, epoch_us(date_trunc('microsecond', ts))//1000000 AS ts_s,
+         |  year(ts)::INT AS year, month(ts)::INT AS month, day(ts)::INT AS day,
+         |  (isodow(ts) - 1)::INT AS dow, dayofyear(ts)::INT AS doy,
+         |  quarter(ts)::INT AS quarter,
+         |  (CASE WHEN month(ts) IN (12, 1) THEN 0 WHEN month(ts) <= 5 THEN 1
+         |        WHEN month(ts) <= 8 THEN 2 ELSE 3 END)::INT AS season,
+         |  weekofyear(ts)::INT AS weekofyear,
+         |  ceil(((isodow(date_trunc('month', ts)) - 1) + day(ts)) / 7.0)::INT AS weekofmonth,
+         |  (CASE WHEN isodow(ts) - 1 >= 5 THEN 1 ELSE 0 END)::INT AS is_weekend,
+         |  (CASE WHEN year(ts) % 4 = 0 AND (year(ts) % 100 <> 0 OR year(ts) % 400 = 0)
+         |        THEN 1 ELSE 0 END)::INT AS is_leap_year,
+         |  (CASE WHEN month(ts) = 2 AND day(ts) = 29 THEN 1 ELSE 0 END)::INT AS is_leap_day,
+         |  (CASE WHEN day(ts) = day(last_day(ts)) THEN 1 ELSE 0 END)::INT AS is_month_end,
+         |  (CASE WHEN day(ts) = day(last_day(ts)) AND month(ts) % 4 = 3
+         |        THEN 1 ELSE 0 END)::INT AS is_quarter_end
+         |FROM events""".stripMargin,
+
+    "q_pmi_collocations" ->
+      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |              WHERE len(string_split(text, ' ')) >= 2),
+         |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM base) GROUP BY 1),
+         |bi AS (SELECT gram, count(*) AS cxy_l,
+         |         split_part(gram, ' ', 1) AS w1, split_part(gram, ' ', 2) AS w2
+         |       FROM (SELECT unnest(list_transform(range(1, len(ws)),
+         |                      i -> ws[i] || ' ' || ws[i + 1])) AS gram FROM base)
+         |       GROUP BY 1),
+         |nu_t AS (SELECT sum(c) AS nu_l FROM uni),
+         |nb_t AS (SELECT sum(cxy_l) AS nb_l FROM bi),
+         |j AS (SELECT bi.gram, bi.cxy_l, u1.c AS cx_l, u2.c AS cy_l,
+         |        CAST(bi.cxy_l AS DOUBLE) AS cxy, CAST(u1.c AS DOUBLE) AS cx,
+         |        CAST(u2.c AS DOUBLE) AS cy, CAST(nu_l AS DOUBLE) AS nu, CAST(nb_l AS DOUBLE) AS nb
+         |      FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, nu_t, nb_t
+         |      WHERE bi.cxy_l >= 5)
+         |SELECT gram, cxy_l AS c_pair, cx_l AS c_left, cy_l AS c_right,
+         |  round($pmiFrag, 6) AS pmi
+         |FROM j ORDER BY pmi DESC, gram LIMIT 20""".stripMargin,
+
+    "q_embed_pca" -> {
+      val moments =
+        ((0 until PD).map(i => s"round(sum(embedding[${i + 1}]::DOUBLE), 4) AS s$i") ++
+          (for { i <- 0 until PD; j <- i until PD }
+            yield s"round(sum(embedding[${i + 1}]::DOUBLE * embedding[${j + 1}]::DOUBLE), 4) AS ss${i}_$j") :+
+          "count(*) AS n").mkString(", ")
+      val covCols = (for { i <- 0 until PD; j <- 0 until PD }
+        yield s"${covFrag(i, j)} AS c${i}_$j").mkString(", ")
+      val trace = (0 until PD).map(i => s"c${i}_$i").mkString("(", " + ", ")")
+      val defl = (for { i <- 0 until PD; j <- 0 until PD }
+        yield s"c${i}_$j - lam1 * v$i * v$j AS c${i}_$j").mkString(", ")
+      val loads1 = (0 until PD).map(i => s"round(p.v$i, 6) AS l$i").mkString(", ")
+      val loads2 = (0 until PD).map(i => s"round(p.v$i, 6) AS l$i").mkString(", ")
+      s"""WITH RECURSIVE
+         |mo AS (SELECT $moments FROM embeddings),
+         |cov AS (SELECT $covCols FROM mo),
+         |${iterCte("it1", "cov")},
+         |pc1 AS (SELECT v0, v1, v2, v3, v4, v5, v6, v7, $lamExpr AS lam1
+         |        FROM it1, cov WHERE step = $ITERS),
+         |cov2 AS (SELECT $defl FROM cov, pc1),
+         |${iterCte("it2", "cov2")},
+         |pc2 AS (SELECT v0, v1, v2, v3, v4, v5, v6, v7, $lamExpr AS lam2
+         |        FROM it2, cov2 WHERE step = $ITERS)
+         |SELECT 1 AS component, round(p.lam1, 6) AS eigenvalue,
+         |  round(p.lam1 / $trace, 6) AS explained, $loads1
+         |FROM pc1 p, cov
+         |UNION ALL
+         |SELECT 2, round(p.lam2, 6), round(p.lam2 / $trace, 6), $loads2
+         |FROM pc2 p, cov""".stripMargin
+    })
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-8 analysis pack — the oracle proves
+  * engine agreement; these prove the operators MEAN what they claim.
+  */
+class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q_stat_sig_multi: BH adjustment is monotone, clamped, and >= raw p") {
+    val rows = SparkEntry.queries("q_stat_sig_multi")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_value"); val q = r.getAs[Double]("p_adj")
+      assert(q <= 1.0 + 1e-9 && q >= 0.0)
+      // BH never decreases a p-value (q_(i) = min_{j>=i} m p_(j)/j >= p_(i))
+      assert(q >= p - 1e-9, s"${r.getAs[String]("event_type")}: p_adj $q < p $p")
+      assert(r.getAs[Int]("significant") == (if (q < 0.05) 1 else 0))
+    }
+    // adjusted p-values keep the raw p ordering (BH is rank-monotone)
+    val sorted = rows.sortBy(_.getAs[Double]("p_value"))
+    val adj = sorted.map(_.getAs[Double]("p_adj"))
+    assert(adj.zip(adj.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
+
+  test("q_stat_sig_multi: closed-form t CDF matches the known normal-ish tail") {
+    // spot values of the even-df finite-sum CDF: at t=0 p must be 1,
+    // and a |t| of 2.04 at df=32 is the two-sided 5% boundary (t-table)
+    val rows = SparkEntry.queries("q_stat_sig_multi")(spark, dir).collect()
+    rows.foreach { r =>
+      val t = r.getAs[Double]("t_score"); val p = r.getAs[Double]("p_value")
+      if (math.abs(t) < 1e-9) assert(math.abs(p - 1.0) < 1e-6)
+      if (math.abs(t) > 2.04) assert(p < 0.05)
+      if (math.abs(t) < 2.03) assert(p > 0.05)
+    }
+  }
+
+  test("q_date_features: flags agree with java.time ground truth") {
+    val rows = SparkEntry.queries("q_date_features")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.take(2000).foreach { r =>
+      val d = java.time.Instant.ofEpochSecond(r.getAs[Long]("ts_s"))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      assert(r.getAs[Int]("year") == d.getYear)
+      assert(r.getAs[Int]("dow") == d.getDayOfWeek.getValue - 1, "pandas Monday=0")
+      assert(r.getAs[Int]("is_leap_year") == (if (d.isLeapYear) 1 else 0))
+      assert(r.getAs[Int]("is_month_end") == (if (d.getDayOfMonth == d.lengthOfMonth) 1 else 0))
+      assert(r.getAs[Int]("weekofyear") == d.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear))
+      val wom = math.ceil((d.withDayOfMonth(1).getDayOfWeek.getValue - 1 + d.getDayOfMonth) / 7.0).toInt
+      assert(r.getAs[Int]("weekofmonth") == wom)
+    }
+  }
+
+  test("q_pmi_collocations: PMI is symmetric-consistent and support-filtered") {
+    val rows = SparkEntry.queries("q_pmi_collocations")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_pair") >= 5)
+      assert(r.getAs[Long]("c_left") >= r.getAs[Long]("c_pair"))
+      // a pair can't outnumber either of its member words
+    }
+    // the top collocations must beat independence (positive PMI); the
+    // synthetic corpus has weak phrase structure, so no wide-margin claim
+    assert(rows.map(_.getAs[Double]("pmi")).max > 0.0)
+  }
+
+  test("q_cusum_multi: recovers a planted bivariate mean shift") {
+    // 200 points, both metrics shift at index 120 — the detector must put
+    // the changepoint there and flag it significant
+    val xs = Array.tabulate(200)(i => if (i < 120) 10.0 + 0.01 * (i % 7) else 14.0 + 0.01 * (i % 7))
+    val ys = Array.tabulate(200)(i => if (i < 120) 5.0 + 0.02 * (i % 5) else 7.5 + 0.02 * (i % 5))
+    val out = detectors.MultiCusum.detect(xs, ys)
+    assert(math.abs(out(0) - 119.0) <= 1.0, s"cp at ${out(0)}, expected ~119")
+    assert(out(9) == 1.0, "planted shift not detected")
+    assert(out(5) > 3.5 && out(5) < 4.5, s"delta_x ${out(5)} should be ~4")
+    assert(out(6) > 2.0 && out(6) < 3.0, s"delta_y ${out(6)} should be ~2.5")
+    // a no-change series must NOT be flagged
+    val flat = detectors.MultiCusum.detect(
+      Array.tabulate(200)(i => 10.0 + 0.01 * (i % 7)),
+      Array.tabulate(200)(i => 5.0 + 0.02 * (i % 5)))
+    assert(flat(9) == 0.0, s"flat series flagged, llr=${flat(7)}")
+  }
+
+  test("q_cusum_multi: query emits one decided row per event_type") {
+    val rows = SparkEntry.queries("q_cusum_multi")(spark, dir).collect()
+    assert(rows.length >= 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cp_idx") >= 1.0)
+      assert(Set(0.0, 1.0).contains(r.getAs[Double]("detected")))
+      assert(math.abs(r.getAs[Double]("delta_x") -
+        (r.getAs[Double]("m1x") - r.getAs[Double]("m0x"))) < 1e-5)
+    }
+  }
+
+  test("q_embed_pca: components are orthonormal and explained shares are sane") {
+    val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
+    assert(rows.length == 2)
+    val l = rows.sortBy(_.getAs[Int]("component")).map(r => (0 until 8).map(i => r.getAs[Double](s"l$i")).toArray)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(l(0), l(0)) - 1.0) < 1e-4, "pc1 not unit norm")
+    assert(math.abs(dot(l(1), l(1)) - 1.0) < 1e-4, "pc2 not unit norm")
+    assert(math.abs(dot(l(0), l(1))) < 1e-3, s"pc1/pc2 not orthogonal: ${dot(l(0), l(1))}")
+    val ev = rows.sortBy(_.getAs[Int]("component")).map(_.getAs[Double]("eigenvalue"))
+    assert(ev(0) >= ev(1) && ev(1) > 0, "eigenvalues not ordered positive")
+    val ex = rows.map(_.getAs[Double]("explained"))
+    assert(ex.forall(e => e > 0 && e <= 1.0) && ex.sum <= 1.0 + 1e-6)
+  }
+}
