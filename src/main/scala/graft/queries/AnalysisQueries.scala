@@ -213,6 +213,22 @@ object AnalysisQueries {
        |FROM llr""".stripMargin
   }
 
+  // ── q_interval_ab shared fragments ───────────────────────────────────
+  // TwoSampleProportionIntervalDetectorModel (interval_detector.py:1725):
+  // per time index, z = (p_b − p_a − effect)/√(p_a(1−p_a)/n_a + p_b(1−p_b)/n_b)
+  // (normal approximation to the binomial), ONE_SIDED_UPPER rejection at
+  // |norm.ppf(α=0.05)|; explicit duration=3 (the user-supplied override of
+  // the reference's automatic run-length sizing). Degenerate hours
+  // (se = 0) clamp z to 0 — the same fail-to-reject decision the
+  // reference's NaN propagation produces.
+  private val NormCrit05 = "1.6448536269514722" // |norm.ppf(0.05)|
+  private val AbDuration = 3
+  private val abChain: Seq[(String, String)] = Seq(
+    "p_a" -> "(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))",
+    "p_b" -> "(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))",
+    "se" -> "sqrt(p_a * (1.0 - p_a) / CAST(n_a AS DOUBLE) + p_b * (1.0 - p_b) / CAST(n_b AS DOUBLE))",
+    "z" -> "(CASE WHEN se <= 0.0 THEN 0.0 ELSE (p_b - p_a) / se END)")
+
   // ── q_date_features shared column set (Spark expr strings) ───────────
   // dow is pandas Monday=0 throughout; season is the reference's month
   // map {12,1→0 | 2..5→1 | 6..8→2 | 9..11→3} (feature_engineering.py:20).
@@ -269,6 +285,35 @@ object AnalysisQueries {
       coll.withColumn("_o", fn(col("xs"), col("ys")))
         .select(col("event_type") +:
           names.zipWithIndex.map { case (nm, i) => round(col("_o")(i), 6).as(nm) }: _*)
+    }),
+
+    "q_interval_ab" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+        .withColumn("h", date_trunc("hour", col("ts")))
+      // per (hour, arm): trials = active users, successes = purchasing users
+      val ph = ev.groupBy("h", "arm").agg(
+        countDistinct(col("user_id")).as("n"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("ss"))
+      val a = ph.where(col("arm") === 0).select(col("h"), col("n").as("n_a"), col("ss").as("s_a"))
+      val b = ph.where(col("arm") === 1).select(col("h"), col("n").as("n_b"), col("ss").as("s_b"))
+      val scored = abChain.foldLeft(a.join(b, "h")) { case (df, (n, f)) => df.withColumn(n, expr(f)) }
+        .withColumn("reject", (col("z") > expr(NormCrit05)).cast("int"))
+      // consecutive rejected hours → islands; the hour axis is weeks of
+      // data (constant cardinality), so the lit(1) window is not a
+      // data-sized shuffle
+      val wAll = Window.partitionBy(lit(1)).orderBy("h")
+      val runs = scored
+        .withColumn("rn", row_number().over(wAll))
+        .where(col("reject") === 1)
+        .withColumn("grp", col("rn") - row_number().over(wAll))
+      runs.groupBy("grp")
+        .agg(unix_timestamp(min("h")).as("start_s"), unix_timestamp(max("h")).as("end_s"),
+          count(lit(1)).as("n_hours"), round(max("z"), 6).as("max_z"))
+        .withColumn("kind", when(col("n_hours") >= AbDuration, "anomaly").otherwise("caution"))
+        .select("start_s", "end_s", "n_hours", "max_z", "kind")
     }),
 
     "q_date_features" -> ((s, dir) =>
@@ -354,6 +399,27 @@ object AnalysisQueries {
 
   val sql: Map[String, String] = Map(
     "q_cusum_multi" -> cusumMultiSql,
+
+    "q_interval_ab" -> {
+      val chain = abChain
+      s"""WITH ev AS (SELECT user_id, event_type, date_trunc('hour', ts) AS h,
+         |              ('0x' || substr(md5(user_id::VARCHAR || ':ab1'), 1, 1))::BIGINT % 2 AS arm
+         |            FROM events),
+         |ph AS (SELECT h, arm, count(DISTINCT user_id) AS n,
+         |         count(DISTINCT user_id) FILTER (WHERE event_type = 'purchase') AS ss
+         |       FROM ev GROUP BY 1, 2),
+         |j AS (SELECT a.h, a.n AS n_a, a.ss AS s_a, b.n AS n_b, b.ss AS s_b
+         |      FROM ph a JOIN ph b ON a.h = b.h WHERE a.arm = 0 AND b.arm = 1),
+         |z1 AS (SELECT h, n_a, n_b, ${chain.map { case (n, f) => s"$f AS $n" }.mkString(", ")} FROM j),
+         |z2 AS (SELECT *, CASE WHEN z > $NormCrit05 THEN 1 ELSE 0 END AS reject,
+         |         row_number() OVER (ORDER BY h) AS rn
+         |       FROM z1),
+         |g AS (SELECT *, rn - row_number() OVER (ORDER BY h) AS grp FROM z2 WHERE reject = 1)
+         |SELECT epoch_us(min(h))//1000000 AS start_s, epoch_us(max(h))//1000000 AS end_s,
+         |  count(*) AS n_hours, round(max(z), 6) AS max_z,
+         |  CASE WHEN count(*) >= $AbDuration THEN 'anomaly' ELSE 'caution' END AS kind
+         |FROM g GROUP BY grp""".stripMargin
+    },
 
     "q_stat_sig_multi" ->
       s"""WITH hourly AS ($H),

@@ -106,6 +106,24 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_interval_ab: intervals are disjoint significant runs with the duration split") {
+    val rows = SparkEntry.queries("q_interval_ab")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hours") >= 1)
+      assert(r.getAs[Long]("end_s") >= r.getAs[Long]("start_s"))
+      // every interval's peak z must actually clear the rejection bar
+      assert(r.getAs[Double]("max_z") > 1.644853)
+      val expected = if (r.getAs[Long]("n_hours") >= 3) "anomaly" else "caution"
+      assert(r.getAs[String]("kind") == expected)
+    }
+    // intervals never overlap (they are maximal runs)
+    val sorted = rows.sortBy(_.getAs[Long]("start_s"))
+    sorted.zip(sorted.tail).foreach { case (x, y) =>
+      assert(x.getAs[Long]("end_s") < y.getAs[Long]("start_s"))
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
