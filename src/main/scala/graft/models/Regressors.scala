@@ -59,6 +59,39 @@ object Regressors {
     (out, r2)
   }
 
+  /** Trend-changepoint magnitudes of the prophetLite fit — the
+    * deterministic MAP reading of ProphetTrendDetectorModel
+    * (kats/detectors/prophet_detector.py:779, which scores each prophet
+    * changepoint with |mean delta|). Here the deltas ARE the hinge
+    * coefficients of the same ridge fit prophetLite/prophetLiteFitted
+    * use (ridge = the Gaussian analog of changepoint_prior_scale; the
+    * reference's Laplace prior has no closed-form normal-equations MAP).
+    * Returns the nChangepoints hinge betas in knot order.
+    */
+  def prophetLiteDeltas(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int): Array[Double] = {
+    val n = xs.length
+    val cps = Array.tabulate(nChangepoints)(i => (i + 1).toDouble * n / (nChangepoints + 1))
+    val p = 2 + nChangepoints + 2 * orders
+    def row(t: Double): Array[Double] = {
+      val r = new Array[Double](p)
+      r(0) = 1.0
+      r(1) = t / n
+      var j = 0
+      while (j < nChangepoints) { r(2 + j) = math.max(0.0, (t - cps(j)) / n); j += 1 }
+      var k = 1
+      while (k <= orders) {
+        val w = 2 * math.Pi * k * t / period
+        r(2 + nChangepoints + 2 * (k - 1)) = math.sin(w)
+        r(2 + nChangepoints + 2 * (k - 1) + 1) = math.cos(w)
+        k += 1
+      }
+      r
+    }
+    val X = DenseMatrix.tabulate[Double](n, p)((i, j) => row(i.toDouble)(j))
+    val beta = solve(X, DenseVector(xs), ridge = 1e-4)
+    Array.tabulate(nChangepoints)(j => beta(2 + j))
+  }
+
   /** Prophet-style additive model (prophet.py re-derived, not a port):
     * piecewise-linear trend with `nChangepoints` evenly spaced hinge
     * knots + daily Fourier seasonality, ridge-fit. Returns forecasts for
