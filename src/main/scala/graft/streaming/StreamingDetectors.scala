@@ -78,6 +78,44 @@ object StreamingDetectors {
       .select(col("event_type"), col("window.start").as("ts"),
         col("n_events"), col("approx_users"))
 
+  /** Streaming A/B experiment health monitor — the streaming twin of
+    * q_interval_ab (TwoSampleProportionIntervalDetectorModel semantics):
+    * per tumbling window, each arm's active and purchasing user counts
+    * are HyperLogLog estimates (4 × 64 B of state per open window — exact
+    * distinct would hold every user id), the purchase-proportion z is the
+    * binomial normal approximation, and ONE_SIDED_UPPER rejection fires
+    * at |norm.ppf(0.05)|. Arms come from the same deterministic md5
+    * parity as q_ab_test, so batch and stream agree on assignment.
+    * Degenerate windows (empty arm, se = 0, or HLL estimates putting
+    * p outside [0,1]) clamp to a fail-to-reject z of 0.
+    */
+  def abMonitor(stream: DataFrame, every: String = "1 hour",
+                watermark: String = "2 hours"): DataFrame = {
+    val idh = graft.text.TextFunctions.hash60(col("user_id").cast("string"))
+    def users(armV: Int, onlyPurchase: Boolean) = {
+      val gate = if (onlyPurchase) col("arm") === armV && col("event_type") === "purchase"
+                 else col("arm") === armV
+      round(graft.expressions.hll_sketch(when(gate, idh)), 6)
+    }
+    stream
+      .withColumn("arm",
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))), 1, 1), 16, 10)
+          .cast("int") % 2)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), every))
+      .agg(users(0, onlyPurchase = false).as("n_a"), users(0, onlyPurchase = true).as("s_a"),
+        users(1, onlyPurchase = false).as("n_b"), users(1, onlyPurchase = true).as("s_b"))
+      .withColumn("p_a", expr("CASE WHEN n_a <= 0.0 THEN 0.0 ELSE least(greatest(s_a / n_a, 0.0), 1.0) END"))
+      .withColumn("p_b", expr("CASE WHEN n_b <= 0.0 THEN 0.0 ELSE least(greatest(s_b / n_b, 0.0), 1.0) END"))
+      .withColumn("se", expr(
+        "CASE WHEN n_a <= 0.0 OR n_b <= 0.0 THEN 0.0 ELSE sqrt(p_a * (1.0 - p_a) / n_a + p_b * (1.0 - p_b) / n_b) END"))
+      .withColumn("z", expr("CASE WHEN se <= 0.0 THEN 0.0 ELSE (p_b - p_a) / se END"))
+      .withColumn("reject", (col("z") > 1.6448536269514722).cast("int"))
+      .select(col("window.start").as("ts"), col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("z"), 6).as("z"), col("reject"))
+  }
+
   case class EwmaPoint(event_type: String, ts: java.sql.Timestamp, value: Double,
                        ewma: Double, deviation: Double, flagged: Boolean)
   case class EwmaState(num: Double, den: Double, n: Long)

@@ -212,6 +212,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming A/B monitor: closed-window z equals the batch sketch math, planted effect fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // deterministic arms: recover each user's md5-parity arm first, then
+    // plant a purchase-rate difference ONLY in arm 1
+    val armOf = spark.range(0, 200).toDF("user_id")
+      .withColumn("arm",
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))), 1, 1), 16, 10)
+          .cast("int") % 2)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("arm")).toMap
+    val evs = (0L until 200L).flatMap { u =>
+      val base = Seq(StreamingDetectors.UserEvent("view", ts(0), u))
+      if (armOf(u) == 1 && u % 2 == 0) base :+ StreamingDetectors.UserEvent("purchase", ts(0), u)
+      else base
+    }
+    val mem = MemoryStream[StreamingDetectors.UserEvent]
+    val q = StreamingDetectors.abMonitor(mem.toDF(), every = "1 hour")
+      .writeStream.format("memory").queryName("abmon").outputMode("append").start()
+    mem.addData(evs.take(150): _*)
+    mem.addData(evs.drop(150): _*)
+    mem.addData(StreamingDetectors.UserEvent("view", ts(10), 9999L)) // close hour 0
+    q.processAllAvailable()
+    val rows = spark.sql("select * from abmon where ts < timestamp'2024-01-01 01:00:00'").collect()
+    assert(rows.length === 1, rows.mkString(";"))
+    val r = rows.head
+    // ~50% of arm-1 users purchase vs 0% of arm 0: the monitor must fire
+    assert(r.getAs[Int]("reject") === 1, s"z=${r.getAs[Double]("z")}")
+    assert(r.getAs[Double]("p_a") < 0.1 && r.getAs[Double]("p_b") > 0.2)
+    // the streamed closed-window estimates equal the batch sketch math
+    val idh = graft.text.TextFunctions.hash60(col("user_id").cast("string"))
+    val batch = evs.toDF()
+      .withColumn("arm",
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))), 1, 1), 16, 10)
+          .cast("int") % 2)
+      .agg(
+        round(graft.expressions.hll_sketch(when(col("arm") === 0, idh)), 6).as("n_a"),
+        round(graft.expressions.hll_sketch(
+          when(col("arm") === 1 && col("event_type") === "purchase", idh)), 6).as("s_b"))
+      .head
+    assert(r.getAs[Double]("n_a") === batch.getAs[Double]("n_a"))
+    assert(r.getAs[Double]("s_b") === batch.getAs[Double]("s_b"))
+    q.stop()
+  }
+
   test("streaming ingest chain: quality gate -> exact dedup composes in one stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
