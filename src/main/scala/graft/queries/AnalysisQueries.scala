@@ -343,6 +343,55 @@ object AnalysisQueries {
         .withColumn("top_t", floor(col("top_cp") * col("n") / lit(5.0)).cast("long"))
     }),
 
+    // Split-conformal prediction intervals (Vovk; Lei et al. 2018) — the
+    // distribution-free guarantee the reference's Gaussian/empirical CIs
+    // (q_emp_ci / q_ensemble_ci) don't give: train the hour-of-day-mean
+    // model on the first 50%, take the ceil((n_cal+1)(1−α))-th order
+    // statistic of |y−ŷ| on the next 25% as the radius q, certify
+    // coverage on the last 25%. Finite-sample coverage ≥ 1−α holds by
+    // exchangeability regardless of the model. One series shuffle + one
+    // (series, hour) join; order statistic via row_number, no sort of
+    // anything but the calibration slice.
+    "q_conformal" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = hourly(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .withColumn("hod", hour(col("ts")))
+        .withColumn("n_train", floor(col("nn") * 0.5))
+        .withColumn("n_cal", floor(col("nn") * 0.25))
+        .withColumn("fold",
+          when(col("rn") <= col("n_train"), "train")
+            .when(col("rn") <= col("n_train") + col("n_cal"), "cal")
+            .otherwise("test"))
+      val model = base.where(col("fold") === "train")
+        .groupBy("event_type", "hod").agg(round(avg("value"), 6).as("yhat"))
+      val fallback = base.where(col("fold") === "train")
+        .groupBy("event_type").agg(round(avg("value"), 6).as("yhat_g"))
+      val scored = base.where(col("fold") =!= "train")
+        .join(model, Seq("event_type", "hod"), "left")
+        .join(fallback, Seq("event_type"))
+        .withColumn("score", abs(col("value") - coalesce(col("yhat"), col("yhat_g"))))
+      val wc = Window.partitionBy("event_type").orderBy("score")
+      val cal = scored.where(col("fold") === "cal")
+        .withColumn("rk", row_number().over(wc))
+        .withColumn("m", count(lit(1)).over(wk))
+        // k = ceil((m+1)·9/10) in EXACT integer math (double 0.9·(m+1)
+        // lands at 9.000000000000002 for m+1=10 — a ceil off-by-one vs
+        // DuckDB's decimal fold), clamped to the max score when k > m
+        .withColumn("k", least(expr("((m + 1) * 9 + 9) div 10"), col("m")))
+        .where(col("rk") === col("k"))
+        .select(col("event_type"), round(col("score"), 6).as("q_radius"), col("m").as("n_cal_rows"))
+      scored.where(col("fold") === "test")
+        .join(cal, "event_type")
+        .groupBy("event_type")
+        .agg(first(col("n_cal_rows")).as("n_cal"), count(lit(1)).as("n_test"),
+          first(col("q_radius")).as("q_radius"),
+          round(avg(when(col("score") <= col("q_radius"), 1.0).otherwise(0.0)), 6).as("coverage"),
+          round(first(col("q_radius")) * 2, 6).as("width"))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -469,6 +518,39 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_conformal" ->
+      s"""WITH hourly AS ($H),
+         |base AS (SELECT event_type, ts, value, hour(ts) AS hod,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |split AS (SELECT *, floor(nn * 0.5) AS n_train, floor(nn * 0.25) AS n_cal,
+         |    CASE WHEN rn <= floor(nn * 0.5) THEN 'train'
+         |         WHEN rn <= floor(nn * 0.5) + floor(nn * 0.25) THEN 'cal'
+         |         ELSE 'test' END AS fold
+         |  FROM base),
+         |model AS (SELECT event_type, hod, round(avg(value), 6) AS yhat
+         |          FROM split WHERE fold = 'train' GROUP BY 1, 2),
+         |fb AS (SELECT event_type, round(avg(value), 6) AS yhat_g
+         |       FROM split WHERE fold = 'train' GROUP BY 1),
+         |scored AS (SELECT s.event_type, s.fold, s.ts,
+         |    abs(s.value - coalesce(m.yhat, fb.yhat_g)) AS score
+         |  FROM split s LEFT JOIN model m ON s.event_type = m.event_type AND s.hod = m.hod
+         |    JOIN fb ON s.event_type = fb.event_type
+         |  WHERE s.fold <> 'train'),
+         |cal AS (SELECT event_type, round(score, 6) AS q_radius, m AS n_cal_rows FROM (
+         |    SELECT event_type, score,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY score) AS rk,
+         |      count(*) OVER (PARTITION BY event_type) AS m
+         |    FROM scored WHERE fold = 'cal')
+         |  WHERE rk = least(((m + 1) * 9 + 9) // 10, m))
+         |SELECT s.event_type, max(c.n_cal_rows) AS n_cal, count(*) AS n_test,
+         |  max(c.q_radius) AS q_radius,
+         |  round(avg(CASE WHEN s.score <= c.q_radius THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+         |  round(max(c.q_radius) * 2, 6) AS width
+         |FROM scored s JOIN cal c ON s.event_type = c.event_type
+         |WHERE s.fold = 'test' GROUP BY 1""".stripMargin,
 
     "q_interval_ab" -> {
       val chain = abChain

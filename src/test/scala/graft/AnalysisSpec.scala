@@ -141,6 +141,20 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_conformal: coverage honors the finite-sample guarantee band") {
+    val rows = SparkEntry.queries("q_conformal")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("coverage")
+      // split conformal guarantees E[coverage] >= 0.9; on one split allow
+      // sampling slack but catch gross miscalibration both ways
+      assert(cov >= 0.8 && cov <= 1.0, s"${r.getAs[String]("event_type")}: coverage $cov")
+      assert(r.getAs[Double]("q_radius") > 0)
+      assert(math.abs(r.getAs[Double]("width") - 2 * r.getAs[Double]("q_radius")) < 1e-6)
+      assert(r.getAs[Long]("n_test") > 0 && r.getAs[Long]("n_cal") > 0)
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
