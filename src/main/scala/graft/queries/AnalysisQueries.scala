@@ -229,6 +229,16 @@ object AnalysisQueries {
     "se" -> "sqrt(p_a * (1.0 - p_a) / CAST(n_a AS DOUBLE) + p_b * (1.0 - p_b) / CAST(n_b AS DOUBLE))",
     "z" -> "(CASE WHEN se <= 0.0 THEN 0.0 ELSE (p_b - p_a) / se END)")
 
+  // ── q_drift_psi tiny literal dimensions ──────────────────────────────
+  private def spark_k(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (1 to 9).toDF("k")
+  }
+  private def spark_bins(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 to 9).toDF("bin")
+  }
+
   // ── q_date_features shared column set (Spark expr strings) ───────────
   // dow is pandas Monday=0 throughout; season is the reference's month
   // map {12,1→0 | 2..5→1 | 6..8→2 | 9..11→3} (feature_engineering.py:20).
@@ -392,6 +402,49 @@ object AnalysisQueries {
           round(first(col("q_radius")) * 2, 6).as("width"))
     }),
 
+    // Population Stability Index (the standard ML-monitoring drift
+    // metric; complements q_distribution_distance's JS divergence and
+    // q_source_kl): per series, decile edges come from the BASELINE half
+    // (order statistics at exact integer ranks), both halves histogram
+    // against those edges, PSI = Σ (p−q)·ln(p/q) with +0.5 Laplace
+    // smoothing so empty bins stay finite; drift flag at the industry
+    // 0.2 rule. Scale: one series shuffle for ranks + a 9-rows-per-series
+    // edge join — never a distribution-wide sort of the current data.
+    "q_drift_psi" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = hourly(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+        .withColumn("half", when(col("rn") <= expr("nn div 2"), "base").otherwise("cur"))
+      val wv = Window.partitionBy("event_type").orderBy("value")
+      val edges = base.where(col("half") === "base")
+        .withColumn("vr", row_number().over(wv))
+        .withColumn("nb", count(lit(1)).over(wk))
+        .crossJoin(broadcast(spark_k(s)))
+        .where(col("vr") === greatest(expr("(k * nb) div 10"), lit(1)))
+        .select(col("event_type"), col("k"), col("value").as("edge"))
+        .groupBy("event_type", "k").agg(min("edge").as("edge")) // ties on vr impossible; min = identity
+      val binned = base
+        .join(edges.groupBy("event_type").agg(collect_list(struct(col("k"), col("edge"))).as("es")), "event_type")
+        .withColumn("bin", expr("aggregate(es, 0, (acc, e) -> acc + CASE WHEN value > e.edge THEN 1 ELSE 0 END)"))
+      val counts = binned.groupBy("event_type", "half", "bin").agg(count(lit(1)).as("c"))
+      val tot = binned.groupBy("event_type", "half").agg(count(lit(1)).as("n"))
+      // dense (series × half × bin 0..9) grid so empty bins smooth, not vanish
+      val grid = tot.crossJoin(broadcast(spark_bins(s)))
+        .join(counts, Seq("event_type", "half", "bin"), "left")
+        .withColumn("share", expr("(coalesce(c, 0) + 0.5) / (CAST(n AS DOUBLE) + 5.0)"))
+      val p = grid.where(col("half") === "base")
+        .select(col("event_type"), col("bin"), col("share").as("p"), col("n").as("n_base"))
+      val q = grid.where(col("half") === "cur")
+        .select(col("event_type"), col("bin"), col("share").as("q"), col("n").as("n_cur"))
+      p.join(q, Seq("event_type", "bin"))
+        .groupBy("event_type")
+        .agg(first("n_base").as("n_base"), first("n_cur").as("n_cur"),
+          round(sum(expr("(p - q) * ln(p / q)")), 6).as("psi"))
+        .withColumn("drift", (col("psi") > 0.2).cast("int"))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -518,6 +571,37 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_drift_psi" ->
+      s"""WITH hourly AS ($H),
+         |base AS (SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |halves AS (SELECT *, CASE WHEN rn <= nn // 2 THEN 'base' ELSE 'cur' END AS half FROM base),
+         |bv AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+         |    count(*) OVER (PARTITION BY event_type) AS nb
+         |  FROM halves WHERE half = 'base'),
+         |edges AS (SELECT event_type, k, min(value) AS edge
+         |  FROM bv CROSS JOIN (SELECT unnest(range(1, 10)) AS k) ks
+         |  WHERE vr = greatest((k * nb) // 10, 1) GROUP BY 1, 2),
+         |binned AS (SELECT h.event_type, h.half, h.rn,
+         |    sum(CASE WHEN h.value > e.edge THEN 1 ELSE 0 END) AS bin
+         |  FROM halves h JOIN edges e USING (event_type) GROUP BY 1, 2, 3),
+         |counts AS (SELECT event_type, half, bin, count(*) AS c FROM binned GROUP BY 1, 2, 3),
+         |tot AS (SELECT event_type, half, count(*) AS n FROM binned GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type, t.half, b.bin, t.n,
+         |    (coalesce(c.c, 0) + 0.5) / (CAST(t.n AS DOUBLE) + 5.0) AS share
+         |  FROM tot t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+         |    LEFT JOIN counts c ON t.event_type = c.event_type AND t.half = c.half AND b.bin = c.bin),
+         |pp AS (SELECT event_type, bin, share AS p, n AS n_base FROM grid WHERE half = 'base'),
+         |qq AS (SELECT event_type, bin, share AS q, n AS n_cur FROM grid WHERE half = 'cur')
+         |SELECT pp.event_type, max(pp.n_base) AS n_base, max(qq.n_cur) AS n_cur,
+         |  round(sum((p - q) * ln(p / q)), 6) AS psi,
+         |  CASE WHEN round(sum((p - q) * ln(p / q)), 6) > 0.2 THEN 1 ELSE 0 END AS drift
+         |FROM pp JOIN qq ON pp.event_type = qq.event_type AND pp.bin = qq.bin
+         |GROUP BY 1""".stripMargin,
 
     "q_conformal" ->
       s"""WITH hourly AS ($H),

@@ -155,6 +155,39 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_drift_psi: PSI is near zero on identical halves and large under a planted shift") {
+    import spark.implicits._
+    // identical distributions → PSI ≈ 0; a big mean shift → PSI > 0.2
+    def psiOf(vals: Seq[Double]): Double = {
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        ("s", new java.sql.Timestamp(1700000000000L + i * 3600000L), v)
+      }.toDF("event_type", "ts", "value")
+      val nB = vals.length / 2
+      val baseVals = vals.take(nB).sorted
+      val edges = (1 to 9).map(k => baseVals(math.max(k * nB / 10, 1) - 1))
+      def shares(half: Seq[Double]) = {
+        val c = Array.fill(10)(0)
+        half.foreach(v => c(edges.count(v > _)) += 1)
+        c.map(x => (x + 0.5) / (half.length + 5.0))
+      }
+      val (p, q) = (shares(vals.take(nB)), shares(vals.drop(nB)))
+      val _ = df // spark-side equality is covered by the oracle gate
+      p.zip(q).map { case (a, b) => (a - b) * math.log(a / b) }.sum
+    }
+    val rnd = new scala.util.Random(7)
+    val stable = Seq.fill(400)(rnd.nextGaussian() * 2 + 10)
+    val shifted = Seq.fill(200)(rnd.nextGaussian() * 2 + 10) ++ Seq.fill(200)(rnd.nextGaussian() * 2 + 16)
+    assert(psiOf(stable) < 0.2, s"stable PSI ${psiOf(stable)} crosses the drift rule")
+    assert(psiOf(shifted) > 0.5, s"shifted PSI ${psiOf(shifted)}")
+    // and the real query emits a decided flag per series
+    val rows = SparkEntry.queries("q_drift_psi")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi") >= 0.0 - 1e-9)
+      assert(r.getAs[Int]("drift") == (if (r.getAs[Double]("psi") > 0.2) 1 else 0))
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
