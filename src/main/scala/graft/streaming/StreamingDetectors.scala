@@ -116,6 +116,34 @@ object StreamingDetectors {
         round(col("z"), 6).as("z"), col("reject"))
   }
 
+  /** Streaming PSI drift monitor — the streaming twin of q_drift_psi:
+    * a trained baseline (Drift.fitEdges: per-series decile edges +
+    * smoothed shares, a #series-row store) broadcast-joins the stream
+    * STATELESSLY; each closed tumbling window aggregates 10 bin counters
+    * per series (80 B of state per open (series, window)) and emits the
+    * window's PSI against the baseline shares with the industry 0.2
+    * drift flag. Binning is the same codegen'd array fold on both the
+    * batch fit and the stream, so stream PSI equals the batch PSI of the
+    * same window's rows exactly (StreamingSpec proves it).
+    */
+  def psiMonitor(stream: DataFrame, edges: DataFrame, every: String = "1 hour",
+                 watermark: String = "2 hours"): DataFrame = {
+    val cAggs = (0 to 9).map(b => sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")) :+
+      first(col("p")).as("p")
+    stream.withWatermark("ts", watermark)
+      .join(broadcast(edges), Seq("event_type"))
+      .withColumn("bin", graft.detectors.Drift.binOf("value"))
+      .groupBy(col("event_type"), window(col("ts"), every))
+      .agg(cAggs.head, cAggs.tail: _*)
+      .withColumn("n", (0 to 9).map(b => col(s"c$b")).reduce(_ + _))
+      .withColumn("qs", array((0 to 9).map(b =>
+        (col(s"c$b") + 0.5) / (col("n").cast("double") + 5.0)): _*))
+      .withColumn("psi", round(expr(
+        "aggregate(zip_with(p, qs, (a, b) -> (a - b) * ln(a / b)), 0.0D, (acc, x) -> acc + x)"), 6))
+      .select(col("event_type"), col("window.start").as("ts"), col("n"),
+        col("psi"), (col("psi") > 0.2).cast("int").as("drift"))
+  }
+
   case class EwmaPoint(event_type: String, ts: java.sql.Timestamp, value: Double,
                        ewma: Double, deviation: Double, flagged: Boolean)
   case class EwmaState(num: Double, den: Double, n: Long)

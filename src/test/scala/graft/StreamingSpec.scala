@@ -256,6 +256,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming PSI monitor: closed-window PSI equals the batch math, planted shift drifts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // baseline around 10; the streamed window is shifted to ~16 -> drift
+    val rnd = new scala.util.Random(11)
+    val baseline = (0 until 400).map(i =>
+      Point("click", ts(-500 + i), 10.0 + rnd.nextGaussian() * 2)).toDF()
+    val edges = graft.detectors.Drift.fitEdges(
+      baseline.select(col("event_type"), col("value")), TSSchema(keys = Seq("event_type")))
+    assert(edges.count() === 1)
+    val es = edges.select("es").head.getSeq[Double](0)
+    assert(es.length === 9 && es.zip(es.tail).forall { case (a, b) => a <= b })
+
+    val cur = (0 until 120).map(i => Point("click", ts(0), 16.0 + rnd.nextGaussian() * 2))
+    val mem = MemoryStream[Point]
+    val q = StreamingDetectors.psiMonitor(mem.toDF(), edges, every = "1 hour")
+      .writeStream.format("memory").queryName("psimon").outputMode("append").start()
+    mem.addData(cur.take(60): _*)
+    mem.addData(cur.drop(60): _*)
+    mem.addData(Point("click", ts(10), 0.0)) // close hour 0
+    q.processAllAvailable()
+    val rows = spark.sql("select * from psimon where ts < timestamp'2024-01-01 01:00:00'").collect()
+    assert(rows.length === 1, rows.mkString(";"))
+    val r = rows.head
+    assert(r.getAs[Long]("n") === 120L)
+    assert(r.getAs[Int]("drift") === 1, s"psi=${r.getAs[Double]("psi")}")
+    // batch replica of the same window through the same fold + share math
+    val batchPsi = cur.toDF().join(edges, Seq("event_type"))
+      .withColumn("bin", graft.detectors.Drift.binOf("value"))
+      .groupBy("event_type")
+      .agg((0 to 9).map(b => sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")).head,
+        (0 to 9).map(b => sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")).tail :+ first(col("p")).as("p"): _*)
+      .withColumn("n", (0 to 9).map(b => col(s"c$b")).reduce(_ + _))
+      .withColumn("qs", array((0 to 9).map(b => (col(s"c$b") + 0.5) / (col("n").cast("double") + 5.0)): _*))
+      .withColumn("psi", round(expr(
+        "aggregate(zip_with(p, qs, (a, b) -> (a - b) * ln(a / b)), 0.0D, (acc, x) -> acc + x)"), 6))
+      .select("psi").head.getDouble(0)
+    assert(r.getAs[Double]("psi") === batchPsi,
+      "streamed closed-window PSI must equal the batch computation exactly")
+    q.stop()
+  }
+
   test("streaming ingest chain: quality gate -> exact dedup composes in one stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
