@@ -445,6 +445,54 @@ object AnalysisQueries {
         .withColumn("drift", (col("psi") > 0.2).cast("int"))
     }),
 
+    // A/B experiment power analysis — the design-side complement of
+    // q_ab_test/q_interval_ab: per week, given the observed arm sizes and
+    // pooled baseline purchase rate, the minimum detectable effect at
+    // α=0.05 two-sided / power 0.8 is (z_{α/2}+z_β)·√(p(1−p)(1/n_a+1/n_b)).
+    // Pure per-week scalar math after one user-week aggregation; the
+    // "powered" flag asks whether a 10% relative lift is detectable.
+    "q_power_mde" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":ab1"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+        .withColumn("wk", date_trunc("week", col("ts")))
+      val pw = ev.groupBy("wk").agg(
+        countDistinct(when(col("arm") === 0, col("user_id"))).as("n_a"),
+        countDistinct(when(col("arm") === 1, col("user_id"))).as("n_b"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("s_all"),
+        countDistinct(col("user_id")).as("n_all"))
+      pw.withColumn("p", expr("CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)"))
+        .withColumn("mde_abs", expr(
+          "(1.9599639845400545 + 0.8416212335729143) * sqrt(p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"))
+        .withColumn("mde_rel", expr("CASE WHEN p <= 0.0 THEN NULL ELSE mde_abs / p END"))
+        .select(unix_timestamp(col("wk")).as("week_s"), col("n_a"), col("n_b"),
+          round(col("p"), 6).as("p_base"), round(col("mde_abs"), 6).as("mde_abs"),
+          round(col("mde_rel"), 6).as("mde_rel"),
+          when(col("mde_rel") <= 0.1, 1).otherwise(0).as("powered_10pct"))
+    }),
+
+    // Vocabulary Gini concentration per source (corpus-health profile
+    // beside q_corpus_zipf): counts sorted ascending per source,
+    // G = Σ(2i−n−1)·c_i / (n·Σc). Tied counts make the coefficient sum
+    // order-free, so row_number tie order can't change the result; the
+    // weighted sum stays integer until one final division.
+    "q_gini_vocab" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val wv = Window.partitionBy("source").orderBy(col("c"), col("w"))
+      val wk = Window.partitionBy("source")
+      counts
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("nv", count(lit(1)).over(wk))
+        .withColumn("tot", sum("c").over(wk))
+        .groupBy("source")
+        .agg(first("nv").as("n_vocab"), first("tot").as("n_tokens"),
+          round(sum((lit(2) * col("rn") - col("nv") - 1) * col("c")) /
+            (first("nv") * first("tot")), 6).as("gini"))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -571,6 +619,39 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_power_mde" ->
+      """WITH ev AS (SELECT user_id, event_type, date_trunc('week', ts) AS wk,
+        |              ('0x' || substr(md5(user_id::VARCHAR || ':ab1'), 1, 1))::BIGINT % 2 AS arm
+        |            FROM events),
+        |pw AS (SELECT wk,
+        |         count(DISTINCT user_id) FILTER (WHERE arm = 0) AS n_a,
+        |         count(DISTINCT user_id) FILTER (WHERE arm = 1) AS n_b,
+        |         count(DISTINCT user_id) FILTER (WHERE event_type = 'purchase') AS s_all,
+        |         count(DISTINCT user_id) AS n_all
+        |       FROM ev GROUP BY 1),
+        |m AS (SELECT *, CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE) AS p FROM pw),
+        |m2 AS (SELECT *,
+        |         (1.9599639845400545 + 0.8416212335729143) * sqrt(p * (1.0 - p) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS mde_abs
+        |       FROM m),
+        |m3 AS (SELECT *, CASE WHEN p <= 0.0 THEN NULL ELSE mde_abs / p END AS mde_rel FROM m2)
+        |SELECT epoch_us(wk)//1000000 AS week_s, n_a, n_b,
+        |  round(p, 6) AS p_base, round(mde_abs, 6) AS mde_abs, round(mde_rel, 6) AS mde_rel,
+        |  CASE WHEN mde_rel <= 0.1 THEN 1 ELSE 0 END AS powered_10pct
+        |FROM m3""".stripMargin,
+
+    "q_gini_vocab" ->
+      """WITH counts AS (SELECT source, w, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c, w) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS nv,
+        |    sum(c) OVER (PARTITION BY source) AS tot
+        |  FROM counts)
+        |SELECT source, max(nv) AS n_vocab, max(tot)::BIGINT AS n_tokens,
+        |  round(sum((2 * rn - nv - 1) * c) / (max(nv) * max(tot)), 6) AS gini
+        |FROM rk GROUP BY 1""".stripMargin,
 
     "q_drift_psi" ->
       s"""WITH hourly AS ($H),

@@ -188,6 +188,37 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_power_mde: MDE shrinks with arm size and matches the closed form") {
+    val rows = SparkEntry.queries("q_power_mde")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_base"); val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+      val expected = (1.9599639845400545 + 0.8416212335729143) *
+        math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
+      assert(math.abs(r.getAs[Double]("mde_abs") - expected) < 1e-4)
+      assert(r.getAs[Double]("mde_abs") > 0)
+    }
+    // bigger pooled samples must never need a LARGER absolute effect
+    // (same p): verified per-row against the closed form above
+  }
+
+  test("q_gini_vocab: gini is in [0,1), uniform counts give ~0, skewed give more") {
+    // local ground truth for the estimator itself
+    def gini(cs: Seq[Long]): Double = {
+      val x = cs.sorted; val n = x.length.toLong; val tot = x.sum
+      x.zipWithIndex.map { case (c, i) => (2L * (i + 1) - n - 1) * c }.sum.toDouble / (n.toDouble * tot)
+    }
+    assert(math.abs(gini(Seq.fill(100)(5L))) < 1e-9, "uniform counts must give 0")
+    assert(gini(Seq.fill(99)(1L) :+ 1000L) > 0.8, "one dominant token must concentrate")
+    val rows = SparkEntry.queries("q_gini_vocab")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"${r.getAs[String]("source")}: gini $g")
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_vocab"))
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
