@@ -493,6 +493,24 @@ object AnalysisQueries {
             (first("nv") * first("tot")), 6).as("gini"))
     }),
 
+    // Optimal-partitioning multi-changepoint segmentation (PELT objective,
+    // Killick et al. 2012) — the globally optimal mean-change segment set
+    // the single-changepoint CUSUM family can't produce. Kernel in
+    // detectors/Pelt.scala; the oracle replays the ENTIRE DP as one
+    // recursive CTE carrying the F and pointer lists, then backtracks the
+    // pointers in a second recursion.
+    "q_pelt" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      val coll = SeriesOps.collect(hourly(s, dir).drop("n"), S)
+      val fn = udf { xs: Seq[Double] => graft.detectors.Pelt.segment(xs.toArray) }
+      coll.withColumn("segs", fn(col("xs")))
+        .select(col("event_type"), posexplode(col("segs")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("seg_no"),
+          col("col._1").as("start_idx"), col("col._2").as("end_idx"),
+          round(col("col._3"), 6).as("seg_mean"))
+        .withColumn("n_segments", count(lit(1)).over(Window.partitionBy("event_type")))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -618,6 +636,50 @@ object AnalysisQueries {
          |        WHEN abs(${d(2)}) >= abs(${d(3)}) AND abs(${d(2)}) >= abs(${d(4)}) THEN 2
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+    },
+
+    "q_pelt" -> {
+      val vals = "list_transform(range(0, d.t + 1), s -> " +
+        "d.f[s + 1] + ((p.s2[d.t + 2] - p.s2[s + 1]) - " +
+        "(p.sx[d.t + 2] - p.sx[s + 1]) * (p.sx[d.t + 2] - p.sx[s + 1]) / (d.t + 1 - s)) + p.beta)"
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM hourly),
+         |pre AS (SELECT event_type, rn, n,
+         |    sum(value) OVER (PARTITION BY event_type ORDER BY rn) AS sx,
+         |    sum(value * value) OVER (PARTITION BY event_type ORDER BY rn) AS s2
+         |  FROM ord),
+         |arr AS (SELECT event_type, max(n) AS n,
+         |    list_prepend(0.0::DOUBLE, list(sx ORDER BY rn)) AS sx,
+         |    list_prepend(0.0::DOUBLE, list(s2 ORDER BY rn)) AS s2
+         |  FROM pre GROUP BY 1),
+         |par AS (SELECT *,
+         |    2.0 * greatest((s2[n + 1] - sx[n + 1] * sx[n + 1] / n) / n, 0.0)
+         |      * ln(CAST(n AS DOUBLE)) AS beta
+         |  FROM arr),
+         |dp AS (
+         |  SELECT p.event_type, 0 AS t, [CAST(-p.beta AS DOUBLE)] AS f, [0] AS cp FROM par p
+         |  UNION ALL
+         |  SELECT d.event_type, d.t + 1,
+         |    list_append(d.f, list_min($vals)),
+         |    list_append(d.cp, CAST(list_position($vals, list_min($vals)) - 1 AS INTEGER))
+         |  FROM dp d JOIN par p USING (event_type) WHERE d.t < p.n),
+         |fin AS (SELECT d.event_type, d.cp, p.sx, CAST(p.n AS INTEGER) AS n
+         |        FROM dp d JOIN par p USING (event_type) WHERE d.t = p.n),
+         |bt AS (
+         |  SELECT event_type, cp, sx, n AS e FROM fin
+         |  UNION ALL
+         |  SELECT event_type, cp, sx, cp[e + 1] FROM bt WHERE e > 0),
+         |segs AS (SELECT event_type, cp[e + 1] AS start_idx, e AS end_idx,
+         |    (sx[e + 1] - sx[cp[e + 1] + 1]) / (e - cp[e + 1]) AS seg_mean
+         |  FROM bt WHERE e > 0)
+         |SELECT event_type,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY start_idx) AS seg_no,
+         |  start_idx, end_idx, round(seg_mean, 6) AS seg_mean,
+         |  count(*) OVER (PARTITION BY event_type) AS n_segments
+         |FROM segs""".stripMargin
     },
 
     "q_power_mde" ->

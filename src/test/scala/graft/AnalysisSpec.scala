@@ -219,6 +219,32 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_pelt: recovers planted multi-segment means and partitions exactly") {
+    val rnd = new scala.util.Random(3)
+    // three segments: 10 | 20 | 5 with mild noise
+    val xs = Array.tabulate(300) { i =>
+      val mu = if (i < 100) 10.0 else if (i < 200) 20.0 else 5.0
+      mu + rnd.nextGaussian() * 0.5
+    }
+    val segs = detectors.Pelt.segment(xs)
+    assert(segs.length == 3, s"expected 3 segments, got ${segs.map(s => (s._1, s._2))}")
+    assert(math.abs(segs(0)._2 - 100) <= 2 && math.abs(segs(1)._2 - 200) <= 2,
+      s"breaks at ${segs.map(_._2)}")
+    assert(math.abs(segs(0)._3 - 10.0) < 0.3 && math.abs(segs(1)._3 - 20.0) < 0.3 &&
+      math.abs(segs(2)._3 - 5.0) < 0.3)
+    // a constant series must stay one segment (sigma clamp)
+    assert(detectors.Pelt.segment(Array.fill(50)(7.0)).length == 1)
+    // segments tile [0, n) exactly for the real data too
+    val rows = SparkEntry.queries("q_pelt")(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("seg_no"))
+      assert(sorted.head.getAs[Int]("start_idx") == 0, et)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Int]("end_idx") == b.getAs[Int]("start_idx"), s"$et gap")
+      }
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
