@@ -511,6 +511,23 @@ object AnalysisQueries {
         .withColumn("n_segments", count(lit(1)).over(Window.partitionBy("event_type")))
     }),
 
+    // Two-state Gaussian HMM regimes via Viterbi (detectors/HmmRegimes):
+    // the regime-switching complement of q_pelt — regimes are LABELED and
+    // can recur under the sticky-transition prior. Oracle replays the
+    // Viterbi DP as a recursive CTE with backpointer lists + a
+    // pointer-walk backtrack, islands from the decoded state path.
+    "q_hmm_regimes" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      val coll = SeriesOps.collect(hourly(s, dir).drop("n"), S)
+      val fn = udf { xs: Seq[Double] => graft.detectors.HmmRegimes.segment(xs.toArray) }
+      coll.withColumn("segs", fn(col("xs")))
+        .select(col("event_type"), posexplode(col("segs")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("seg_no"),
+          col("col._1").as("state"), col("col._2").as("start_idx"), col("col._3").as("end_idx"),
+          (col("col._3") - col("col._2")).cast("long").as("n_points"),
+          round(col("col._4"), 6).as("mu_state"))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -636,6 +653,62 @@ object AnalysisQueries {
          |        WHEN abs(${d(2)}) >= abs(${d(3)}) AND abs(${d(2)}) >= abs(${d(4)}) THEN 2
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+    },
+
+    "q_hmm_regimes" -> {
+      val lnS = graft.detectors.HmmRegimes.LnStay.toString
+      val lnW = graft.detectors.HmmRegimes.LnSwitch.toString
+      def em(mu: String) =
+        s"(-0.5 * (((o.value - p.$mu) / p.sigma) * ((o.value - p.$mu) / p.sigma)))"
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM hourly),
+         |med AS (SELECT event_type, value AS med FROM (
+         |    SELECT event_type, value,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+         |      count(*) OVER (PARTITION BY event_type) AS nn
+         |    FROM ord) WHERE vr = (nn + 1) // 2),
+         |par AS (SELECT o.event_type,
+         |    round(avg(o.value) FILTER (WHERE o.value <= m.med), 6) AS mu0,
+         |    coalesce(round(avg(o.value) FILTER (WHERE o.value > m.med), 6),
+         |             round(avg(o.value) FILTER (WHERE o.value <= m.med), 6)) AS mu1,
+         |    round(greatest(sqrt(greatest((sum(o.value * o.value) - sum(o.value) * sum(o.value) / max(o.n)) / max(o.n), 0.0)), 1e-6), 6) AS sigma
+         |  FROM ord o JOIN med m USING (event_type) GROUP BY 1),
+         |dp AS (
+         |  SELECT p.event_type, 1 AS t, ${em("mu0")} AS v0, ${em("mu1")} AS v1,
+         |    [0] AS b0, [0] AS b1, o.n AS n
+         |  FROM par p JOIN ord o ON p.event_type = o.event_type AND o.rn = 1
+         |  UNION ALL
+         |  SELECT d.event_type, d.t + 1,
+         |    (CASE WHEN d.v0 + $lnS >= d.v1 + $lnW THEN d.v0 + $lnS ELSE d.v1 + $lnW END) + ${em("mu0")},
+         |    (CASE WHEN d.v0 + $lnW >= d.v1 + $lnS THEN d.v0 + $lnW ELSE d.v1 + $lnS END) + ${em("mu1")},
+         |    list_append(d.b0, CASE WHEN d.v0 + $lnS >= d.v1 + $lnW THEN 0 ELSE 1 END),
+         |    list_append(d.b1, CASE WHEN d.v0 + $lnW >= d.v1 + $lnS THEN 0 ELSE 1 END),
+         |    d.n
+         |  FROM dp d JOIN par p USING (event_type)
+         |    JOIN ord o ON o.event_type = d.event_type AND o.rn = d.t + 1
+         |  WHERE d.t < d.n),
+         |fin AS (SELECT event_type, CASE WHEN v0 >= v1 THEN 0 ELSE 1 END AS st, b0, b1,
+         |          CAST(n AS INTEGER) AS n
+         |        FROM dp WHERE t = n),
+         |bt AS (
+         |  SELECT event_type, n AS t, st, b0, b1 FROM fin
+         |  UNION ALL
+         |  SELECT event_type, t - 1, CASE WHEN st = 0 THEN b0[t] ELSE b1[t] END, b0, b1
+         |  FROM bt WHERE t > 1),
+         |isl AS (SELECT event_type, t, st,
+         |    t - row_number() OVER (PARTITION BY event_type, st ORDER BY t) AS grp
+         |  FROM bt),
+         |segs AS (SELECT event_type, st AS state, min(t) - 1 AS start_idx, max(t) AS end_idx,
+         |    count(*) AS n_points
+         |  FROM isl GROUP BY event_type, st, grp)
+         |SELECT s.event_type,
+         |  row_number() OVER (PARTITION BY s.event_type ORDER BY s.start_idx) AS seg_no,
+         |  s.state, s.start_idx, s.end_idx, s.n_points,
+         |  round(CASE WHEN s.state = 0 THEN p.mu0 ELSE p.mu1 END, 6) AS mu_state
+         |FROM segs s JOIN par p USING (event_type)""".stripMargin
     },
 
     "q_pelt" -> {

@@ -245,6 +245,33 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_hmm_regimes: Viterbi decodes recurring planted regimes") {
+    val rnd = new scala.util.Random(5)
+    // low-high-low-high: PELT would need 4 segments; the HMM labels the
+    // two recurring regimes with the SAME state
+    val xs = Array.tabulate(400) { i =>
+      val mu = if ((i / 100) % 2 == 0) 5.0 else 15.0
+      mu + rnd.nextGaussian() * 0.8
+    }
+    val segs = detectors.HmmRegimes.segment(xs)
+    assert(segs.length == 4, s"expected 4 regime islands, got ${segs.map(x => (x._1, x._2, x._3))}")
+    assert(segs.map(_._1) == Seq(0, 1, 0, 1), "low/high states must alternate and RECUR")
+    segs.foreach { case (st, a, b, mu) =>
+      assert(math.abs((if (st == 0) 5.0 else 15.0) - mu) < 1.0)
+      assert(b - a > 90 && b - a < 110, s"island [$a,$b) off the planted 100 width")
+    }
+    // decoded segments tile the series on real data
+    val rows = SparkEntry.queries("q_hmm_regimes")(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("seg_no"))
+      assert(sorted.head.getAs[Int]("start_idx") == 0, et)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Int]("end_idx") == b.getAs[Int]("start_idx"), s"$et gap")
+        assert(a.getAs[Int]("state") != b.getAs[Int]("state"), s"$et unmerged islands")
+      }
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
