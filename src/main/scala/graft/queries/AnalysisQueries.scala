@@ -262,13 +262,16 @@ object AnalysisQueries {
       val scored = sigChain.foldLeft(mo) { case (df, (n, frag)) => df.withColumn(n, expr(frag)) }
       // BH across the metric family: ranks ascending by p, adjusted
       // q_(i) = min_{j≥i} m·p_(j)/j clamped to 1 — a running min from the
-      // largest rank down. The family is #metrics-sized, so the lit(1)
-      // partition is a constant-cardinality stage, not a global shuffle.
-      val wAsc = Window.partitionBy(lit(1)).orderBy(col("p_raw"), col("event_type"))
-      val wDesc = Window.partitionBy(lit(1)).orderBy(col("p_raw").desc, col("event_type").desc)
+      // largest rank down. The family is #metrics-sized by construction,
+      // so one partition is the intended shape; the zero-length substring
+      // is a NON-FOLDABLE constant key (a foldable lit(1) gets optimized
+      // to an empty partition spec and WindowExec warns).
+      val one = substring(col("event_type"), 1, 0)
+      val wAsc = Window.partitionBy(one).orderBy(col("p_raw"), col("event_type"))
+      val wDesc = Window.partitionBy(one).orderBy(col("p_raw").desc, col("event_type").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       scored
-        .withColumn("m_cnt", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .withColumn("m_cnt", count(lit(1)).over(Window.partitionBy(one)))
         .withColumn("rnk", row_number().over(wAsc))
         .withColumn("raw_adj", expr("CAST(m_cnt AS DOUBLE) * p_raw / CAST(rnk AS DOUBLE)"))
         .withColumn("p_adj", least(min(col("raw_adj")).over(wDesc), lit(1.0)))
@@ -312,9 +315,12 @@ object AnalysisQueries {
       val scored = abChain.foldLeft(a.join(b, "h")) { case (df, (n, f)) => df.withColumn(n, expr(f)) }
         .withColumn("reject", (col("z") > expr(NormCrit05)).cast("int"))
       // consecutive rejected hours → islands; the hour axis is weeks of
-      // data (constant cardinality), so the lit(1) window is not a
-      // data-sized shuffle
-      val wAll = Window.partitionBy(lit(1)).orderBy("h")
+      // data (constant cardinality), so one partition is the intended
+      // shape — keyed by a non-foldable constant so WindowExec doesn't
+      // see an empty (warned) partition spec (n_a * 0 WOULD fold: count
+      // is non-nullable, so Catalyst simplifies it to literal 0)
+      val one = substring(col("h").cast("string"), 1, 0)
+      val wAll = Window.partitionBy(one).orderBy("h")
       val runs = scored
         .withColumn("rn", row_number().over(wAll))
         .where(col("reject") === 1)
@@ -528,6 +534,47 @@ object AnalysisQueries {
           round(col("col._4"), 6).as("mu_state"))
     }),
 
+    // Croston intermittent-demand forecasting + SBA correction
+    // (models/Croston.scala) over the dense zero-filled grid — the
+    // sparse-series forecaster the reference's smoothing family lacks.
+    "q_croston" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      val dense = TS.fillGaps(hourly(s, dir).drop("n"), S, 3600L, Some(0.0))
+      SeriesOps.aggSeries(dense, S,
+        Seq("n_nonzero", "z_hat", "y_hat", "croston", "sba")) { xs =>
+        graft.models.Croston.fit(xs)
+      }
+    }),
+
+    // GARCH(1,1) volatility with variance targeting (models/Garch.scala):
+    // the volatility-clustering regime the ARCH-LM feature only tests for.
+    "q_garch_vol" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      SeriesOps.aggSeries(hourly(s, dir).drop("n"), S,
+        Seq("n_returns", "omega", "sigma_last", "sigma_mean", "vol_ratio", "clustered")) { xs =>
+        graft.models.Garch.fit(xs)
+      }
+    }),
+
+    // First-order Markov entropy rate of the event-type process (extends
+    // q_event_transitions): H = −Σ_ab (c_ab/N)·ln(c_ab/c_a), perplexity
+    // e^H — the predictability health metric of an event stream. One
+    // user-key window + vocabulary-scale aggregations.
+    "q_entropy_rate" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+      val curTot = pairs.groupBy("cur").agg(sum("c").as("ca"))
+      val nTot = pairs.agg(sum("c").as("nn"))
+      pairs.join(curTot, "cur").crossJoin(broadcast(nTot))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("cur")).as("n_states"),
+          expr("round(-sum((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(ca AS DOUBLE))), 6)")
+            .as("entropy_rate"))
+        .withColumn("perplexity", round(exp(col("entropy_rate")), 6))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -654,6 +701,70 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_garch_vol" -> {
+      val omegaMul = (1.0 - graft.models.Garch.Alpha - graft.models.Garch.Beta).toString
+      val invThresh = (1.0 / 1.5).toString
+      val step = "d.omega + 0.1 * (t.r * t.r) + 0.85 * d.s2"
+      s"""WITH RECURSIVE hourly AS ($H),
+         |rets AS (SELECT event_type,
+         |    value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS r,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS rn
+         |  FROM hourly),
+         |par AS (SELECT event_type, count(*) AS m,
+         |    round(greatest((sum(r * r) - sum(r) * sum(r) / count(*)) / count(*), 1e-12), 6) AS vt
+         |  FROM rets WHERE r IS NOT NULL GROUP BY 1),
+         |par2 AS (SELECT *, vt * $omegaMul AS omega FROM par),
+         |dp AS (
+         |  SELECT event_type, 1 AS k, vt AS s2, sqrt(vt) AS sumsig, m, omega FROM par2
+         |  UNION ALL
+         |  SELECT d.event_type, d.k + 1, $step, d.sumsig + sqrt($step), d.m, d.omega
+         |  FROM dp d JOIN rets t ON t.event_type = d.event_type AND t.rn = d.k
+         |  WHERE d.k < d.m)
+         |SELECT d.event_type, round(CAST(d.m AS DOUBLE), 6) AS n_returns,
+         |  round(d.omega, 6) AS omega, round(sqrt(d.s2), 6) AS sigma_last,
+         |  round(d.sumsig / d.m, 6) AS sigma_mean,
+         |  round(sqrt(d.s2) / sqrt(p.vt), 6) AS vol_ratio,
+         |  round(CASE WHEN sqrt(d.s2) / sqrt(p.vt) > 1.5
+         |               OR sqrt(d.s2) / sqrt(p.vt) < $invThresh
+         |        THEN 1.0 ELSE 0.0 END, 6) AS clustered
+         |FROM dp d JOIN par2 p USING (event_type) WHERE d.k = d.m""".stripMargin
+    },
+
+    "q_entropy_rate" ->
+      """WITH p AS (SELECT event_type AS cur,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |           FROM events),
+        |pairs AS (SELECT cur, nxt, count(*) AS c FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |ct AS (SELECT cur, sum(c) AS ca FROM pairs GROUP BY 1),
+        |nt AS (SELECT sum(c) AS nn FROM pairs),
+        |h AS (SELECT count(*) AS n_pairs, count(DISTINCT pairs.cur) AS n_states,
+        |        round(-sum((CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(ca AS DOUBLE))), 6) AS entropy_rate
+        |      FROM pairs JOIN ct USING (cur), nt)
+        |SELECT n_pairs, n_states, entropy_rate, round(exp(entropy_rate), 6) AS perplexity FROM h""".stripMargin,
+
+    "q_croston" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |ord AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+         |  FROM dense),
+         |nz AS (SELECT event_type, value AS z, rn,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY rn) AS k,
+         |    rn - coalesce(lag(rn) OVER (PARTITION BY event_type ORDER BY rn), 0) AS gap
+         |  FROM ord WHERE value > 0),
+         |kk AS (SELECT event_type, max(k) AS kmax FROM nz GROUP BY 1),
+         |sm AS (SELECT n.event_type,
+         |    sum(CASE WHEN n.k = 1 THEN power(0.9, c.kmax - 1) * n.z
+         |             ELSE 0.1 * power(0.9, c.kmax - n.k) * n.z END) AS z_hat,
+         |    sum(CASE WHEN n.k = 1 THEN power(0.9, c.kmax - 1) * n.gap
+         |             ELSE 0.1 * power(0.9, c.kmax - n.k) * n.gap END) AS y_hat
+         |  FROM nz n JOIN kk c USING (event_type) GROUP BY 1)
+         |SELECT s.event_type, round(CAST(c.kmax AS DOUBLE), 6) AS n_nonzero,
+         |  round(s.z_hat, 6) AS z_hat, round(s.y_hat, 6) AS y_hat,
+         |  round(s.z_hat / s.y_hat, 6) AS croston,
+         |  round((1 - 0.1 / 2) * (s.z_hat / s.y_hat), 6) AS sba
+         |FROM sm s JOIN kk c USING (event_type)""".stripMargin,
 
     "q_hmm_regimes" -> {
       val lnS = graft.detectors.HmmRegimes.LnStay.toString

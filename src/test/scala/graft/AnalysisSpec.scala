@@ -272,6 +272,53 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_croston: recovers rate and spacing of planted intermittent demand") {
+    // demand of ~6 every 4th period: z_hat ~ 6, y_hat ~ 4, forecast ~ 1.5
+    val xs = Array.tabulate(200)(i => if (i % 4 == 3) 6.0 else 0.0)
+    val out = models.Croston.fit(xs)
+    assert(out(0) == 50.0)
+    assert(math.abs(out(1) - 6.0) < 1e-9, s"z_hat ${out(1)}")
+    assert(math.abs(out(2) - 4.0) < 1e-9, s"y_hat ${out(2)}")
+    assert(math.abs(out(3) - 1.5) < 1e-9)
+    assert(math.abs(out(4) - 0.95 * 1.5) < 1e-9, "SBA bias correction")
+    assert(models.Croston.fit(Array.fill(10)(0.0)).sameElements(Array(0.0, 0.0, 0.0, 0.0, 0.0)))
+    val rows = SparkEntry.queries("q_croston")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("y_hat") >= 1.0 - 1e-9, "intervals are >= 1 period")
+      assert(math.abs(r.getAs[Double]("sba") - 0.95 * r.getAs[Double]("croston")) < 1e-5)
+    }
+  }
+
+  test("q_garch_vol: volatility tracks a planted variance burst") {
+    val rnd = new scala.util.Random(9)
+    // calm (sd 1) then a final burst (sd 8): sigma_last must sit far above
+    // the long-run level and flag clustering
+    var level = 100.0
+    val xs = Array.tabulate(300) { i =>
+      level += rnd.nextGaussian() * (if (i < 260) 1.0 else 8.0); level
+    }
+    val out = models.Garch.fit(xs)
+    assert(out(4) > 1.5, s"vol_ratio ${out(4)} should exceed 1.5 after the burst")
+    assert(out(5) == 1.0)
+    // calm-throughout series must not flag
+    var l2 = 100.0
+    val calm = Array.tabulate(300) { _ => l2 += rnd.nextGaussian(); l2 }
+    val c = models.Garch.fit(calm)
+    assert(c(5) == 0.0, s"calm series flagged, ratio ${c(4)}")
+    assert(c(1) > 0, "omega positive")
+  }
+
+  test("q_entropy_rate: bounded by log of state count, perplexity consistent") {
+    val rows = SparkEntry.queries("q_entropy_rate")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val h = r.getAs[Double]("entropy_rate")
+    assert(h > 0 && h <= math.log(r.getAs[Long]("n_states").toDouble) + 1e-9,
+      s"H=$h outside (0, ln(states)]")
+    assert(math.abs(r.getAs[Double]("perplexity") - math.exp(h)) < 1e-4)
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
