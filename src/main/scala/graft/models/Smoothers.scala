@@ -31,6 +31,56 @@ object Smoothers {
     (l, b)
   }
 
+  /** Damped-trend Holt (the `damped=True` branch of holtwinters.py:42,
+    * statsmodels semantics re-derived): the trend contribution is
+    * discounted by φ each step, so long-horizon forecasts flatten toward
+    * l + φ/(1−φ)·b instead of extrapolating linearly.
+    * forecast_h = l + (Σ_{j=1..h} φ^j)·b.
+    */
+  def holtDamped(xs: Array[Double], alpha: Double, beta: Double, phi: Double): (Double, Double) = {
+    if (xs.length < 2) return (xs.headOption.getOrElse(0.0), 0.0)
+    var l = xs(0)
+    var b = xs(1) - xs(0)
+    var i = 1
+    while (i < xs.length) {
+      val lPrev = l
+      l = alpha * xs(i) + (1 - alpha) * (l + phi * b)
+      b = beta * (l - lPrev) + (1 - beta) * (phi * b)
+      i += 1
+    }
+    (l, b)
+  }
+
+  /** Multiplicative-seasonal Holt-Winters (the `seasonal='mul'` branch of
+    * holtwinters.py:43): seasonal components are RATIOS, so the seasonal
+    * swing scales with the level. Initialization mirrors the additive
+    * form with trend-adjusted ratios; levels and seasonals clamp at 1e-6
+    * (identically in the oracle) so zero buckets can't divide by zero.
+    * forecast_h = (l + h·b) · s[(n+h−1) mod m].
+    */
+  def holtWintersMul(xs: Array[Double], m: Int, alpha: Double, beta: Double, gamma: Double)
+      : (Double, Double, Array[Double]) = {
+    val n = xs.length
+    require(n >= 2 * m, s"need two full seasons, got $n < ${2 * m}")
+    val mean1 = xs.take(m).sum / m
+    val mean2 = xs.slice(m, 2 * m).sum / m
+    var l = mean1
+    var b = (mean2 - mean1) / m
+    val s = Array.tabulate(m) { i =>
+      math.max(xs(i) / math.max(mean1 + (i - (m - 1) / 2.0) * b, 1e-6), 1e-6)
+    }
+    var t = m
+    while (t < n) {
+      val si = t % m
+      val lPrev = l
+      l = math.max(alpha * (xs(t) / s(si)) + (1 - alpha) * (l + b), 1e-6)
+      b = beta * (l - lPrev) + (1 - beta) * b
+      s(si) = math.max(gamma * (xs(t) / l) + (1 - gamma) * s(si), 1e-6)
+      t += 1
+    }
+    (l, b, s)
+  }
+
   /** Additive Holt-Winters with period m; classical initialization
     * (first-season mean level, cross-season trend, first-season seasonal
     * offsets). Returns (level, trend, seasonals) after the full scan;

@@ -575,6 +575,33 @@ object AnalysisQueries {
         .withColumn("perplexity", round(exp(col("entropy_rate")), 6))
     }),
 
+    // Damped-trend Holt (holtwinters.py damped=True) — long-horizon
+    // forecasts flatten toward l + φ/(1−φ)·b instead of extrapolating.
+    "q_holt_damped" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      SeriesOps.aggSeries(hourly(s, dir).drop("n"), S,
+        Seq("level", "trend", "yhat_1", "yhat_24")) { xs =>
+        val (l, b) = graft.models.Smoothers.holtDamped(xs, 0.3, 0.1, 0.9)
+        def ds(h: Int) = 0.9 * (1.0 - math.pow(0.9, h)) / (1.0 - 0.9)
+        Array(l, b, l + ds(1) * b, l + ds(24) * b)
+      }
+    }),
+
+    // Multiplicative-seasonal Holt-Winters (holtwinters.py seasonal='mul')
+    // — the seasonal swing scales with the level; clamps shared with the
+    // oracle keep zero buckets finite.
+    "q_holtwinters_mul" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      val dense = TS.fillGaps(hourly(s, dir).drop("n"), S, 3600L, Some(0.0))
+      SeriesOps.aggSeries(dense, S, Seq("level", "trend", "yhat_1", "yhat_24")) { xs =>
+        val m = 24
+        val (l, b, seas) = graft.models.Smoothers.holtWintersMul(xs, m, 0.3, 0.05, 0.1)
+        val n = xs.length
+        def f(h: Int) = (l + h * b) * seas((n + h - 1) % m)
+        Array(l, b, f(1), f(24))
+      }
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -701,6 +728,62 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_holt_damped" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM hourly),
+         |rec AS (
+         |  SELECT o1.event_type, 0 AS i, o1.value AS l, o2.value - o1.value AS b, o1.n
+         |  FROM ord o1 JOIN ord o2 ON o1.event_type = o2.event_type AND o2.rn = 2
+         |  WHERE o1.rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1,
+         |    0.3 * o.value + (1 - 0.3) * (r.l + 0.9 * r.b),
+         |    0.1 * (0.3 * o.value + (1 - 0.3) * (r.l + 0.9 * r.b) - r.l) + (1 - 0.1) * (0.9 * r.b),
+         |    r.n
+         |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.i + 2
+         |  WHERE r.i + 1 <= r.n - 1)
+         |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
+         |  round(l + (0.9 * (1 - power(0.9, 1)) / (1 - 0.9E0)) * b, 6) AS yhat_1,
+         |  round(l + (0.9 * (1 - power(0.9, 24)) / (1 - 0.9E0)) * b, 6) AS yhat_24
+         |FROM rec WHERE i = n - 1""".stripMargin,
+
+    "q_holtwinters_mul" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |b0 AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |grid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM b0),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord AS (SELECT event_type, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |init AS (SELECT event_type, max(n) AS n,
+         |           avg(CASE WHEN t < 24 THEN value END) AS m1,
+         |           avg(CASE WHEN t >= 24 AND t < 48 THEN value END) AS m2,
+         |           list(value ORDER BY t) FILTER (WHERE t < 24) AS f24
+         |         FROM ord GROUP BY 1),
+         |rec AS (
+         |  SELECT event_type, n, 24 AS t, m1 AS l, (m2 - m1) / 24 AS b,
+         |    list_transform(f24, (x, i) ->
+         |      greatest(x / greatest(m1 + ((i - 1) - 11.5) * ((m2 - m1) / 24), 1e-6), 1e-6)) AS s
+         |  FROM init
+         |  UNION ALL
+         |  SELECT event_type, n, t + 1, l2,
+         |    0.05 * (l2 - l) + (1 - 0.05) * b,
+         |    list_transform(s, (x, i) -> CASE WHEN i = si + 1
+         |      THEN greatest(0.1 * (xv / l2) + (1 - 0.1) * x, 1e-6) ELSE x END)
+         |  FROM (
+         |    SELECT r.event_type, r.n, r.t, r.l, r.b, r.s, o.value AS xv, r.t % 24 AS si,
+         |      greatest(0.3 * (o.value / r.s[(r.t % 24) + 1]) + (1 - 0.3) * (r.l + r.b), 1e-6) AS l2
+         |    FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t
+         |    WHERE r.t < r.n))
+         |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
+         |  round((l + 1 * b) * s[((n + 1 - 1) % 24) + 1], 6) AS yhat_1,
+         |  round((l + 24 * b) * s[((n + 24 - 1) % 24) + 1], 6) AS yhat_24
+         |FROM rec WHERE t = n""".stripMargin,
 
     "q_garch_vol" -> {
       val omegaMul = (1.0 - graft.models.Garch.Alpha - graft.models.Garch.Beta).toString

@@ -319,6 +319,37 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getAs[Double]("perplexity") - math.exp(h)) < 1e-4)
   }
 
+  test("q_holt_damped: damping flattens the long horizon vs plain Holt") {
+    // strong linear trend: plain Holt extrapolates it, damped must forecast
+    // strictly less at h=24 and converge toward l + phi/(1-phi) b
+    val xs = Array.tabulate(200)(i => 10.0 + 0.5 * i)
+    val (l, b) = models.Smoothers.holt(xs, 0.3, 0.1)
+    val (ld, bd) = models.Smoothers.holtDamped(xs, 0.3, 0.1, 0.9)
+    def ds(h: Int) = 0.9 * (1.0 - math.pow(0.9, h)) / (1.0 - 0.9)
+    val plain24 = l + 24 * b
+    val damped24 = ld + ds(24) * bd
+    assert(damped24 < plain24, s"damped $damped24 !< plain $plain24")
+    assert(ds(1000) < 9.0 + 1e-9, "damp sum bounded by phi/(1-phi)=9")
+    val rows = SparkEntry.queries("q_holt_damped")(spark, dir).collect()
+    assert(rows.length >= 4)
+  }
+
+  test("q_holtwinters_mul: seasonal ratios reconstruct a multiplicative series") {
+    // level * hourly profile: multiplicative HW must forecast within a few
+    // percent while recovering ratio-shaped seasonals around 1
+    val prof = Array.tabulate(24)(h => 1.0 + 0.5 * math.sin(2 * math.Pi * h / 24))
+    val xs = Array.tabulate(240)(i => (100.0 + 0.1 * i) * prof(i % 24))
+    val (l, b, seas) = models.Smoothers.holtWintersMul(xs, 24, 0.3, 0.05, 0.1)
+    assert(seas.forall(s => s > 0.3 && s < 1.8), s"ratios ${seas.mkString(",")}")
+    assert(math.abs(seas.sum / 24 - 1.0) < 0.1, "mean ratio near 1")
+    val f1 = (l + 1 * b) * seas(240 % 24)
+    val truth = (100.0 + 0.1 * 240) * prof(0)
+    assert(math.abs(f1 - truth) / truth < 0.05, s"f1 $f1 vs $truth")
+    val rows = SparkEntry.queries("q_holtwinters_mul")(spark, dir).collect()
+    assert(rows.length >= 4)
+    rows.foreach(r => assert(r.getAs[Double]("level") > 0))
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
