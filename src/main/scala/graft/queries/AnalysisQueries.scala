@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -602,6 +602,42 @@ object AnalysisQueries {
       }
     }),
 
+    // Western Electric control-chart run rules (the SPC classic; beyond
+    // the point-wise z detectors): baseline μ/σ from the first half,
+    // the serve half is tested with the four run rules — 1 beyond 3σ,
+    // 2-of-3 beyond 2σ same side, 4-of-5 beyond 1σ same side, 8
+    // consecutive same side. Pure window frames over the serve sequence;
+    // one series shuffle; emits only alarming points.
+    "q_spc_rules" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = hourly(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+      val mo = base.where(col("rn") <= expr("nn div 2"))
+        .groupBy("event_type")
+        .agg(round(avg("value"), 6).as("mu"),
+          round(greatest(stddev_pop(col("value")), lit(1e-6)), 6).as("sigma"))
+      val serve = base.where(col("rn") > expr("nn div 2"))
+        .join(mo, "event_type")
+        .withColumn("z", expr("(value - mu) / sigma"))
+      val ws = Window.partitionBy("event_type").orderBy("rn")
+      def cnt(cond: Column, frame: Int) =
+        sum(when(cond, 1).otherwise(0)).over(ws.rowsBetween(-(frame - 1), 0))
+      serve
+        .withColumn("r1", (abs(col("z")) > 3.0).cast("int"))
+        .withColumn("r2", ((cnt(col("z") > 2.0, 3) >= 2 && col("z") > 2.0) ||
+          (cnt(col("z") < -2.0, 3) >= 2 && col("z") < -2.0)).cast("int"))
+        .withColumn("r3", ((cnt(col("z") > 1.0, 5) >= 4 && col("z") > 1.0) ||
+          (cnt(col("z") < -1.0, 5) >= 4 && col("z") < -1.0)).cast("int"))
+        .withColumn("r4", ((cnt(col("z") > 0.0, 8) === 8) ||
+          (cnt(col("z") < 0.0, 8) === 8)).cast("int"))
+        .where(col("r1") + col("r2") + col("r3") + col("r4") > 0)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+          col("value"), round(col("z"), 6).as("z"),
+          col("r1"), col("r2"), col("r3"), col("r4"))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -728,6 +764,35 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_spc_rules" ->
+      s"""WITH hourly AS ($H),
+         |base AS (SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |mo AS (SELECT event_type, round(avg(value), 6) AS mu,
+         |    round(greatest(stddev_pop(value), 1e-6), 6) AS sigma
+         |  FROM base WHERE rn <= nn // 2 GROUP BY 1),
+         |serve AS (SELECT b.event_type, b.ts, b.value, b.rn, (b.value - m.mu) / m.sigma AS z
+         |  FROM base b JOIN mo m USING (event_type) WHERE b.rn > b.nn // 2),
+         |r AS (SELECT *,
+         |    CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS r1,
+         |    CASE WHEN (sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 AND z > 2.0)
+         |           OR (sum(CASE WHEN z < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 AND z < -2.0)
+         |         THEN 1 ELSE 0 END AS r2,
+         |    CASE WHEN (sum(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 AND z > 1.0)
+         |           OR (sum(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 AND z < -1.0)
+         |         THEN 1 ELSE 0 END AS r3,
+         |    CASE WHEN sum(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) OVER w8 = 8
+         |           OR sum(CASE WHEN z < 0.0 THEN 1 ELSE 0 END) OVER w8 = 8
+         |         THEN 1 ELSE 0 END AS r4
+         |  FROM serve
+         |  WINDOW w3 AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |         w5 AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |         w8 AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, round(z, 6) AS z, r1, r2, r3, r4
+         |FROM r WHERE r1 + r2 + r3 + r4 > 0""".stripMargin,
 
     "q_holt_damped" ->
       s"""WITH RECURSIVE hourly AS ($H),

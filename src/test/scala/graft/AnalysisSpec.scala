@@ -350,6 +350,19 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(r.getAs[Double]("level") > 0))
   }
 
+  test("q_spc_rules: emitted alarms actually satisfy their run rules") {
+    val rows = SparkEntry.queries("q_spc_rules")(spark, dir).collect()
+    assert(rows.nonEmpty, "the events data should trip at least one run rule")
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      val fired = Seq("r1", "r2", "r3", "r4").map(c => r.getAs[Int](c))
+      assert(fired.sum >= 1)
+      if (r.getAs[Int]("r1") == 1) assert(math.abs(z) > 3.0 - 1e-9)
+      if (r.getAs[Int]("r2") == 1) assert(math.abs(z) > 2.0 - 1e-9, "rule 2 requires the current point beyond 2 sigma")
+      if (r.getAs[Int]("r3") == 1) assert(math.abs(z) > 1.0 - 1e-9)
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
