@@ -638,6 +638,57 @@ object AnalysisQueries {
           col("r1"), col("r2"), col("r3"), col("r4"))
     }),
 
+    // Benford first-significant-digit audit over lineitem prices — the
+    // classic fabricated-data / data-quality screen: observed digit
+    // shares vs log10(1+1/d), per-digit deviation + the overall MAD
+    // (Nigrini's conformity statistic). One scan + a 9-row aggregate.
+    "q_benford" -> ((s, dir) => {
+      val digits = Tables.lineitem(s, dir)
+        .where(col("l_extendedprice") > 0)
+        .withColumn("digit", expr(
+          "CAST(floor(l_extendedprice * power(10.0, -floor(log10(l_extendedprice)))) AS INT)"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").as("nn"))
+      val base = digits.crossJoin(broadcast(tot))
+        .withColumn("share", expr("CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)"))
+        .withColumn("expected", expr("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"))
+        .withColumn("dev", expr("abs(share - expected)"))
+      val mad = base.agg(round(avg("dev"), 6).as("mad"))
+      base.crossJoin(broadcast(mad))
+        .select(col("digit"), col("n"), round(col("share"), 6).as("share"),
+          round(col("expected"), 6).as("expected"), round(col("dev"), 6).as("dev"),
+          col("mad"))
+    }),
+
+    // RFM customer segmentation over the orders table (the standard
+    // marketing-analytics scoring): recency/frequency/monetary quintiles
+    // by deterministic ntile (custkey tiebreak), classic segment rules.
+    // Customer-keyed aggregation; the quintile stage is #customers-sized
+    // and partitions on a non-foldable constant (see q_stat_sig_multi).
+    "q_rfm" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val maxD = orders.agg(max("o_orderdate").as("mx"))
+      val cust = orders.crossJoin(broadcast(maxD))
+        .groupBy("o_custkey")
+        .agg(expr("datediff(max(mx), max(o_orderdate))").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          round(sum("o_totalprice"), 6).as("monetary"))
+      val one = substring(col("o_custkey").cast("string"), 1, 0)
+      val scored = cust
+        .withColumn("r_score", ntile(5).over(
+          Window.partitionBy(one).orderBy(col("recency_days").desc, col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(
+          Window.partitionBy(one).orderBy(col("frequency"), col("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(
+          Window.partitionBy(one).orderBy(col("monetary"), col("o_custkey"))))
+      scored.withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("r_score") >= 4, "recent")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
+          .otherwise("regular"))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -764,6 +815,36 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(floor(l_extendedprice * power(10.0, -floor(log10(l_extendedprice)))) AS INT) AS digit
+        |           FROM lineitem WHERE l_extendedprice > 0),
+        |counts AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM counts),
+        |base AS (SELECT digit, n, CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
+        |           log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected
+        |         FROM counts, tot),
+        |b2 AS (SELECT *, abs(share - expected) AS dev FROM base),
+        |mad AS (SELECT round(avg(dev), 6) AS mad FROM b2)
+        |SELECT digit, n, round(share, 6) AS share, round(expected, 6) AS expected,
+        |  round(dev, 6) AS dev, mad
+        |FROM b2, mad""".stripMargin,
+
+    "q_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |cust AS (SELECT o_custkey,
+        |           date_diff('day', max(o_orderdate)::DATE, max(mx)::DATE)::INT AS recency_days,
+        |           count(*) AS frequency, round(sum(o_totalprice), 6) AS monetary
+        |         FROM orders, mx GROUP BY 1),
+        |sc AS (SELECT *, ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+        |         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+        |         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score FROM cust)
+        |SELECT *, CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+        |               WHEN r_score >= 4 THEN 'recent'
+        |               WHEN f_score >= 4 THEN 'loyal'
+        |               WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+        |               ELSE 'regular' END AS segment
+        |FROM sc""".stripMargin,
 
     "q_spc_rules" ->
       s"""WITH hourly AS ($H),

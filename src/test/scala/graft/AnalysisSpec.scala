@@ -363,6 +363,38 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_benford: digit shares are a distribution and expectations are Benford") {
+    val rows = SparkEntry.queries("q_benford")(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("digit")).sorted.sameElements(1 to 9))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(math.abs(r.getAs[Double]("expected") - math.log10(1.0 + 1.0 / d)) < 1e-5)
+    }
+    // expected shares themselves sum to 1 (sanity of the law's table)
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - 1.0) < 1e-4)
+  }
+
+  test("q_rfm: quintiles are balanced and segments follow their rules") {
+    val rows = SparkEntry.queries("q_rfm")(spark, dir).collect()
+    assert(rows.length >= 100)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val byScore = rows.groupBy(_.getAs[Int](c)).view.mapValues(_.length)
+      assert(byScore.keys.toSeq.sorted == (1 to 5), s"$c buckets")
+      val sizes = byScore.values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$c ntile imbalance: $byScore")
+    }
+    rows.foreach { r =>
+      val (rs, fs) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"))
+      val seg = r.getAs[String]("segment")
+      if (rs >= 4 && fs >= 4) assert(seg == "champion")
+      else if (rs >= 4) assert(seg == "recent")
+      else if (fs >= 4) assert(seg == "loyal")
+      else if (rs <= 2 && fs <= 2) assert(seg == "at_risk")
+      else assert(seg == "regular")
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
