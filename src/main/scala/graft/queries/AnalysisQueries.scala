@@ -689,6 +689,38 @@ object AnalysisQueries {
           .otherwise("regular"))
     }),
 
+    // Trending / receding terms between corpus halves (the heavy-changer
+    // monitor a crawl pipeline runs between snapshots): per-token share
+    // in the early vs late half (doc_id order as ingest order, the
+    // q_dedup_incremental convention), top-20 by |Δshare| at min support
+    // 10. One (half, token) aggregation + a token-keyed outer join +
+    // TakeOrderedAndProject — never a vocab sort of the corpus.
+    "q_trending_terms" -> ((s, dir) => {
+      val mid = docs(s, dir).agg(expr("(min(doc_id) + max(doc_id)) div 2").as("mid"))
+      val toks = docs(s, dir).crossJoin(broadcast(mid))
+        .withColumn("half", when(col("doc_id") <= col("mid"), "old").otherwise("new"))
+        .select(col("half"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("half", "w").agg(count(lit(1)).as("c"))
+      val tot = toks.groupBy("half").agg(sum("c").as("n"))
+      val wide = toks.join(tot, "half")
+        .groupBy("w")
+        .agg(sum(when(col("half") === "old", col("c")).otherwise(0L)).as("c_old"),
+          sum(when(col("half") === "new", col("c")).otherwise(0L)).as("c_new"),
+          max(when(col("half") === "old", col("n"))).as("n_old_m"),
+          max(when(col("half") === "new", col("n"))).as("n_new_m"))
+      val tots = wide.agg(max("n_old_m").as("n_old"), max("n_new_m").as("n_new"))
+      wide.crossJoin(broadcast(tots))
+        .where(col("c_old") + col("c_new") >= 10)
+        .withColumn("share_old", expr("CAST(c_old AS DOUBLE) / CAST(n_old AS DOUBLE)"))
+        .withColumn("share_new", expr("CAST(c_new AS DOUBLE) / CAST(n_new AS DOUBLE)"))
+        .withColumn("delta", expr("share_new - share_old"))
+        .select(col("w").as("token"), col("c_old"), col("c_new"),
+          round(col("share_old"), 6).as("share_old"), round(col("share_new"), 6).as("share_new"),
+          round(col("delta"), 6).as("delta"))
+        .orderBy(abs(col("delta")).desc, col("token"))
+        .limit(20)
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -815,6 +847,27 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_trending_terms" ->
+      """WITH mid AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS mid FROM documents),
+        |toks AS (SELECT CASE WHEN doc_id <= mid THEN 'old' ELSE 'new' END AS half, w, count(*) AS c
+        |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), mid
+        |         GROUP BY 1, 2),
+        |tot AS (SELECT half, sum(c) AS n FROM toks GROUP BY 1),
+        |wide AS (SELECT w,
+        |           sum(CASE WHEN half = 'old' THEN c ELSE 0 END)::BIGINT AS c_old,
+        |           sum(CASE WHEN half = 'new' THEN c ELSE 0 END)::BIGINT AS c_new
+        |         FROM toks GROUP BY 1),
+        |tots AS (SELECT max(CASE WHEN half = 'old' THEN n END) AS n_old,
+        |           max(CASE WHEN half = 'new' THEN n END) AS n_new FROM tot),
+        |sc AS (SELECT w, c_old, c_new,
+        |         CAST(c_old AS DOUBLE) / CAST(n_old AS DOUBLE) AS share_old,
+        |         CAST(c_new AS DOUBLE) / CAST(n_new AS DOUBLE) AS share_new
+        |       FROM wide, tots WHERE c_old + c_new >= 10),
+        |dd AS (SELECT *, share_new - share_old AS delta FROM sc)
+        |SELECT w AS token, c_old, c_new, round(share_old, 6) AS share_old,
+        |  round(share_new, 6) AS share_new, round(delta, 6) AS delta
+        |FROM dd ORDER BY abs(delta) DESC, token LIMIT 20""".stripMargin,
 
     "q_benford" ->
       """WITH d AS (SELECT CAST(floor(l_extendedprice * power(10.0, -floor(log10(l_extendedprice)))) AS INT) AS digit

@@ -395,6 +395,20 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_trending_terms: deltas are consistent and ranked by magnitude") {
+    val rows = SparkEntry.queries("q_trending_terms")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_old") + r.getAs[Long]("c_new") >= 10)
+      assert(math.abs(r.getAs[Double]("delta") -
+        (r.getAs[Double]("share_new") - r.getAs[Double]("share_old"))) < 1e-5)
+    }
+    // emitted set is the magnitude head: every kept |delta| should be
+    // non-trivial relative to the smallest kept one
+    val mags = rows.map(r => math.abs(r.getAs[Double]("delta")))
+    assert(mags.max > 0)
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
