@@ -721,6 +721,40 @@ object AnalysisQueries {
         .limit(20)
     }),
 
+    // Interrupted time-series analysis — the deterministic skeleton of
+    // CausalImpact (Brodersen et al. 2015): fit the trend+seasonality
+    // counterfactual on the pre-period (the proven prophet-lite ridge
+    // basis), project it over the post-period, and read the cumulative
+    // actual-vs-counterfactual effect with a z-test against the
+    // pre-period residual scale. Per-series kernel after the one-row
+    // reduction; the oracle refits the same 12-param Gauss-Jordan on the
+    // pre rows and aggregates the same projections.
+    "q_causal_impact" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      val dense = TS.fillGaps(hourly(s, dir).drop("n"), S, 3600L, Some(0.0))
+      SeriesOps.aggSeries(dense, S,
+        Seq("n_pre", "n_post", "cum_actual", "cum_pred", "abs_effect", "rel_effect", "z", "significant")) { xs =>
+        val n = xs.length
+        val nPre = 3 * n / 4
+        val pre = xs.take(nPre)
+        val fitted = graft.models.Regressors.prophetLiteFitted(pre, period = 24, orders = 3, nChangepoints = 4)
+        var ss = 0.0
+        var i = 0
+        while (i < nPre) { val e = pre(i) - fitted(i); ss += e * e; i += 1 }
+        val sigma = BigDecimal(math.max(math.sqrt(ss / nPre), 1e-6))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val fc = graft.models.Regressors.prophetLite(pre, period = 24, orders = 3, nChangepoints = 4, h = n - nPre)
+        var ca = 0.0; var cp = 0.0
+        i = nPre
+        while (i < n) { ca += xs(i); cp += fc(i - nPre); i += 1 }
+        val nPost = (n - nPre).toDouble
+        val eff = ca - cp
+        val z = eff / (sigma * math.sqrt(nPost))
+        Array(nPre.toDouble, nPost, ca, cp, eff,
+          if (cp == 0.0) 0.0 else eff / cp, z, if (math.abs(z) > 1.96) 1.0 else 0.0)
+      }
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -846,6 +880,60 @@ object AnalysisQueries {
          |        WHEN abs(${d(2)}) >= abs(${d(3)}) AND abs(${d(2)}) >= abs(${d(4)}) THEN 2
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+    },
+
+    "q_causal_impact" -> {
+      // the q_prophet_lite basis/solve chain refit on the PRE rows only
+      // (np = 3n//4 plays the basis n), then projected over the post rows
+      val basis = Seq("1.0", "(t::DOUBLE / n)") ++
+        (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
+        (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
+      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
+      val p = 12
+      val matEntries = (0 until p).flatMap { i =>
+        (0 until p).map { j =>
+          val e = s"sum(b${i + 1} * b${j + 1})"
+          if (i == j) s"$e + 1e-4" else e
+        } :+ s"sum(b${i + 1} * y)"
+      }.mkString(",\n           ")
+      def fc(tt: String, nn: String): String =
+        s"be.b[1] + be.b[2] * ($tt::DOUBLE / $nn) + " +
+          (1 to 4).map(j => s"be.b[${2 + j}] * greatest(0.0, ($tt - ($j * $nn / 5.0)) / $nn)").mkString(" + ") + " + " +
+          (1 to 3).map(k =>
+            s"be.b[${2 * k + 5}] * sin(2 * pi() * $k * $tt / 24) + be.b[${2 * k + 6}] * cos(2 * pi() * $k * $tt / 24)").mkString(" + ")
+      val fcPre = fc("o.t", "o.n")
+      val fcPost = fc("q.t", "q.np")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |ord AS (SELECT event_type, value AS y,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |ord2 AS (SELECT event_type, y, t, n, (3 * n) // 4 AS np FROM ord),
+         |bs AS (SELECT event_type, y, t, np AS n,
+         |         $bCols
+         |       FROM (SELECT event_type, y, t, np, np AS n FROM ord2 WHERE t < np)),
+         |mats AS (SELECT event_type,
+         |         [$matEntries] AS m
+         |         FROM bs GROUP BY 1),
+         |${ModelQueries.gaussJordanSql(p)},
+         |sig AS (SELECT o.event_type,
+         |          round(greatest(sqrt(sum((o.y - ($fcPre)) * (o.y - ($fcPre))) / max(o.n)), 1e-6), 6) AS sigma,
+         |          max(o.n) AS np
+         |        FROM bs o JOIN beta be USING (event_type) GROUP BY 1),
+         |proj AS (SELECT q.event_type, sum(q.y) AS ca, sum($fcPost) AS cp,
+         |           count(*) AS n_post
+         |         FROM (SELECT event_type, y, t, np FROM ord2 WHERE t >= np) q
+         |           JOIN beta be USING (event_type) GROUP BY 1)
+         |SELECT s.event_type,
+         |  round(CAST(s.np AS DOUBLE), 6) AS n_pre,
+         |  round(CAST(p2.n_post AS DOUBLE), 6) AS n_post,
+         |  round(p2.ca, 6) AS cum_actual, round(p2.cp, 6) AS cum_pred,
+         |  round(p2.ca - p2.cp, 6) AS abs_effect,
+         |  round(CASE WHEN p2.cp = 0.0 THEN 0.0 ELSE (p2.ca - p2.cp) / p2.cp END, 6) AS rel_effect,
+         |  round((p2.ca - p2.cp) / (s.sigma * sqrt(CAST(p2.n_post AS DOUBLE))), 6) AS z,
+         |  round(CASE WHEN abs((p2.ca - p2.cp) / (s.sigma * sqrt(CAST(p2.n_post AS DOUBLE)))) > 1.96
+         |        THEN 1.0 ELSE 0.0 END, 6) AS significant
+         |FROM sig s JOIN proj p2 USING (event_type)""".stripMargin
     },
 
     "q_trending_terms" ->

@@ -409,6 +409,38 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mags.max > 0)
   }
 
+  test("q_causal_impact: a planted post-period lift is detected, an unchanged series is not") {
+    // build a seasonal series, then LIFT the last quarter by +30 per point:
+    // the counterfactual projection must attribute roughly that much
+    def series(lift: Double): Array[Double] = Array.tabulate(400) { i =>
+      val base = 100.0 + 0.05 * i + 10.0 * math.sin(2 * math.Pi * i / 24)
+      if (i >= 300) base + lift else base
+    }
+    def run(xs: Array[Double]): (Double, Double, Double) = {
+      val n = xs.length; val nPre = 3 * n / 4
+      val pre = xs.take(nPre)
+      val fitted = models.Regressors.prophetLiteFitted(pre, 24, 3, 4)
+      val ss = pre.indices.map(i => math.pow(pre(i) - fitted(i), 2)).sum
+      val sigma = math.max(math.sqrt(ss / nPre), 1e-6)
+      val fc = models.Regressors.prophetLite(pre, 24, 3, 4, n - nPre)
+      val ca = (nPre until n).map(xs).sum
+      val cp = fc.sum
+      (ca - cp, (ca - cp) / cp, (ca - cp) / (sigma * math.sqrt((n - nPre).toDouble)))
+    }
+    val (effL, relL, zL) = run(series(30.0))
+    assert(effL > 2000 && effL < 4000, s"lift effect $effL, expected ~3000")
+    assert(relL > 0.15 && relL < 0.4, s"relative $relL")
+    assert(math.abs(zL) > 1.96, "planted lift must be significant")
+    val (_, relN, zN) = run(series(0.0))
+    assert(math.abs(relN) < 0.05 && math.abs(zN) < 1.96, s"null case rel=$relN z=$zN")
+    val rows = SparkEntry.queries("q_causal_impact")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("abs_effect") -
+        (r.getAs[Double]("cum_actual") - r.getAs[Double]("cum_pred"))) < 1e-4)
+    }
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
