@@ -755,6 +755,59 @@ object AnalysisQueries {
       }
     }),
 
+    // Augmented Dickey-Fuller unit-root test, constant-only, 2 lagged
+    // diffs — the standard complement of q_feat_unitroot_kpss (ADF's H0
+    // is a unit root, KPSS's H0 is stationarity; production practice
+    // reads them as a pair). Δx_t = α + ρ·x_{t−1} + φ1Δx_{t−1} + φ2Δx_{t−2};
+    // t(ρ) needs the (ρ,ρ) entry of (XᵀX)⁻¹, so the normal equations are
+    // solved with TWO right-hand sides ([Xᵀy | e_ρ]) through the shared
+    // no-pivot Gauss-Jordan (identical float sequence on both engines);
+    // moments snap to the 4-dp grid (the Granger discipline). Reject the
+    // unit root at the MacKinnon 5% constant-only critical value −2.86.
+    "q_adf" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val lagged = hourly(s, dir).drop("n")
+        .withColumn("l1", lag("value", 1).over(w))
+        .withColumn("l2", lag("value", 2).over(w))
+        .withColumn("l3", lag("value", 3).over(w))
+        .where(col("l3").isNotNull)
+        .withColumn("dy", col("value") - col("l1"))
+        .withColumn("xl", col("l1"))
+        .withColumn("d1", col("l1") - col("l2"))
+        .withColumn("d2", col("l2") - col("l3"))
+      val moments = Seq(
+        "s0" -> "count(*)", "sxl" -> "round(sum(xl), 4)", "sd1" -> "round(sum(d1), 4)",
+        "sd2" -> "round(sum(d2), 4)", "sdy" -> "round(sum(dy), 4)",
+        "sxlxl" -> "round(sum(xl*xl), 4)", "sxld1" -> "round(sum(xl*d1), 4)",
+        "sxld2" -> "round(sum(xl*d2), 4)", "sxldy" -> "round(sum(xl*dy), 4)",
+        "sd1d1" -> "round(sum(d1*d1), 4)", "sd1d2" -> "round(sum(d1*d2), 4)",
+        "sd1dy" -> "round(sum(d1*dy), 4)", "sd2d2" -> "round(sum(d2*d2), 4)",
+        "sd2dy" -> "round(sum(d2*dy), 4)", "sdydy" -> "round(sum(dy*dy), 4)")
+      val mom = lagged.groupBy("event_type")
+        .agg(expr(moments.head._2).as(moments.head._1),
+          moments.tail.map { case (nm, e) => expr(e).as(nm) }: _*)
+        .withColumn("n0", col("s0").cast("double"))
+      val aug = Seq(
+        "n0", "sxl", "sd1", "sd2", "sdy", "0.0D",
+        "sxl", "sxlxl", "sxld1", "sxld2", "sxldy", "1.0D",
+        "sd1", "sxld1", "sd1d1", "sd1d2", "sd1dy", "0.0D",
+        "sd2", "sxld2", "sd1d2", "sd2d2", "sd2dy", "0.0D")
+      val solved = graft.models.GaussJordan.eliminate(
+        mom.withColumn("_m", expr(aug.mkString("array(", ", ", ")"))), "_m", 4, 6)
+      solved
+        .withColumn("alpha", expr("_m[4]"))
+        .withColumn("rho", expr("_m[10]"))
+        .withColumn("phi1", expr("_m[16]"))
+        .withColumn("phi2", expr("_m[22]"))
+        .withColumn("v_rho", expr("_m[11]"))
+        .withColumn("rss", expr("sdydy - (alpha * sdy + rho * sxldy + phi1 * sd1dy + phi2 * sd2dy)"))
+        .withColumn("s2", expr("rss / (n0 - 4.0)"))
+        .withColumn("t_adf", expr("rho / sqrt(s2 * v_rho)"))
+        .select(col("event_type"), col("s0").as("n_obs"),
+          round(col("rho"), 6).as("rho"), round(col("t_adf"), 6).as("t_adf"),
+          when(col("t_adf") < -2.86, 1).otherwise(0).as("stationary"))
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -880,6 +933,37 @@ object AnalysisQueries {
          |        WHEN abs(${d(2)}) >= abs(${d(3)}) AND abs(${d(2)}) >= abs(${d(4)}) THEN 2
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+    },
+
+    "q_adf" -> {
+      val rss = "(m.sdydy - (be.b1[1] * m.sdy + be.b1[2] * m.sxldy + be.b1[3] * m.sd1dy + be.b1[4] * m.sd2dy))"
+      val t = s"be.b1[2] / sqrt(($rss / (CAST(m.s0 AS DOUBLE) - 4.0)) * be.b2[2])"
+      s"""WITH RECURSIVE hourly AS ($H),
+         |lg AS (SELECT event_type, value,
+         |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2, lag(value, 3) OVER w AS l3
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |rows_ AS (SELECT event_type, value - l1 AS dy, l1 AS xl, l1 - l2 AS d1, l2 - l3 AS d2
+         |  FROM lg WHERE l3 IS NOT NULL),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS s0,
+         |    round(sum(xl), 4) AS sxl, round(sum(d1), 4) AS sd1, round(sum(d2), 4) AS sd2,
+         |    round(sum(dy), 4) AS sdy, round(sum(xl*xl), 4) AS sxlxl, round(sum(xl*d1), 4) AS sxld1,
+         |    round(sum(xl*d2), 4) AS sxld2, round(sum(xl*dy), 4) AS sxldy,
+         |    round(sum(d1*d1), 4) AS sd1d1, round(sum(d1*d2), 4) AS sd1d2,
+         |    round(sum(d1*dy), 4) AS sd1dy, round(sum(d2*d2), 4) AS sd2d2,
+         |    round(sum(d2*dy), 4) AS sd2dy, round(sum(dy*dy), 4) AS sdydy
+         |  FROM rows_ GROUP BY 1),
+         |mats AS (SELECT event_type,
+         |    [CAST(s0 AS DOUBLE), sxl, sd1, sd2, sdy, 0.0,
+         |     sxl, sxlxl, sxld1, sxld2, sxldy, 1.0,
+         |     sd1, sxld1, sd1d1, sd1d2, sd1dy, 0.0,
+         |     sd2, sxld2, sd1d2, sd2d2, sd2dy, 0.0] AS m
+         |  FROM mom),
+         |${graft.models.GaussJordan.sqlAug(4, 2)}
+         |SELECT m.event_type, m.s0 AS n_obs,
+         |  round(be.b1[2], 6) AS rho,
+         |  round($t, 6) AS t_adf,
+         |  CASE WHEN $t < -2.86 THEN 1 ELSE 0 END AS stationary
+         |FROM mom m JOIN beta be USING (event_type)""".stripMargin
     },
 
     "q_causal_impact" -> {
