@@ -808,6 +808,45 @@ object AnalysisQueries {
           when(col("t_adf") < -2.86, 1).otherwise(0).as("stationary"))
     }),
 
+    // Stationary distribution of the event-type Markov chain (closes the
+    // q_event_transitions / q_entropy_rate family): π = πP by 40 fixed
+    // power-iteration steps from uniform; rows without outgoing
+    // transitions fall back to the uniform row (the standard teleport
+    // fix). The matrix is #states² (tiny by construction) — driver-side
+    // iteration is the k×dim-state discipline; the oracle replays the
+    // identical iteration on a flat row-major list.
+    "q_stationary_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("nxt")).agg(count(lit(1)).as("c"))
+        .collect()
+      val states = pairs.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+      val k = states.length
+      val si = states.zipWithIndex.toMap
+      val cnt = Array.ofDim[Long](k, k)
+      pairs.foreach(r => cnt(si(r.getString(0)))(si(r.getString(1))) = r.getLong(2))
+      val rowTot = cnt.map(_.sum)
+      val pm = Array.tabulate(k, k) { (i, j) =>
+        if (rowTot(i) == 0L) 1.0 / k.toDouble else cnt(i)(j).toDouble / rowTot(i).toDouble
+      }
+      var pi = Array.fill(k)(1.0 / k.toDouble)
+      var it = 0
+      while (it < 40) {
+        pi = Array.tabulate(k) { j =>
+          var acc = 0.0; var i = 0
+          while (i < k) { acc = acc + pi(i) * pm(i)(j); i += 1 }
+          acc
+        }
+        it += 1
+      }
+      import s.implicits._
+      states.zip(pi).toSeq
+        .map { case (st, p) => (st, BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .toDF("state", "pi")
+    }),
+
     "q_date_features" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
@@ -934,6 +973,34 @@ object AnalysisQueries {
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
+
+    "q_stationary_dist" ->
+      """WITH RECURSIVE p0 AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (SELECT cur, nxt, count(*) AS c FROM p0 WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |states AS (SELECT DISTINCT st FROM
+        |  (SELECT cur AS st FROM pairs UNION ALL SELECT nxt FROM pairs)),
+        |idx AS (SELECT st, row_number() OVER (ORDER BY st) AS i, count(*) OVER () AS k FROM states),
+        |tot AS (SELECT cur, sum(c) AS ca FROM pairs GROUP BY 1),
+        |grid AS (SELECT a.i AS i, b.i AS j,
+        |    CASE WHEN t.ca IS NULL THEN 1.0 / CAST(a.k AS DOUBLE)
+        |         ELSE coalesce(CAST(p.c AS DOUBLE) / CAST(t.ca AS DOUBLE), 0.0) END AS pr
+        |  FROM idx a CROSS JOIN idx b
+        |    LEFT JOIN pairs p ON p.cur = a.st AND p.nxt = b.st
+        |    LEFT JOIN tot t ON t.cur = a.st),
+        |mat AS (SELECT max(i) AS k, list(pr ORDER BY i, j) AS pm FROM grid),
+        |rec AS (
+        |  SELECT 0 AS it, list_transform(range(1, k + 1), x -> 1.0 / CAST(k AS DOUBLE)) AS pi, k, pm
+        |  FROM mat
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    list_transform(range(1, k + 1), j ->
+        |      list_sum(list_transform(range(1, k + 1), i -> pi[i] * pm[(i - 1) * k + j]))),
+        |    k, pm
+        |  FROM rec WHERE it < 40)
+        |SELECT s.st AS state, round(r.pi[s.i], 6) AS pi
+        |FROM rec r, idx s WHERE r.it = 40""".stripMargin,
 
     "q_adf" -> {
       val rss = "(m.sdydy - (be.b1[1] * m.sdy + be.b1[2] * m.sxldy + be.b1[3] * m.sd1dy + be.b1[4] * m.sd2dy))"

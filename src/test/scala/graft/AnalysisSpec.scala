@@ -484,6 +484,14 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_stationary_dist: pi is a fixed-point distribution") {
+    val rows = SparkEntry.queries("q_stationary_dist")(spark, dir).collect()
+    assert(rows.length >= 4)
+    val total = rows.map(_.getAs[Double]("pi")).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"pi sums to $total")
+    rows.foreach(r => assert(r.getAs[Double]("pi") > 0))
+  }
+
   test("q_embed_pca: components are orthonormal and explained shares are sane") {
     val rows = SparkEntry.queries("q_embed_pca")(spark, dir).collect()
     assert(rows.length == 2)
