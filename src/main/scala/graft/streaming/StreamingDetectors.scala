@@ -440,6 +440,46 @@ object StreamingDetectors {
     * mean/variance (Welford) and the cumulative deviation; emit a
     * changepoint and reset when |cum| exceeds `k`·σ·√n.
     */
+  case class SpcAlarm(event_type: String, ts: java.sql.Timestamp, value: Double,
+                      z: Double, r1: Int, r2: Int, r3: Int, r4: Int)
+  case class SpcState(recent: List[Double])
+
+  /** Streaming Western Electric run rules — the streaming twin of
+    * q_spc_rules: baselines (per-series mu/sigma, the DetectorStore
+    * shape) join STATELESSLY; the only keyed state is the trailing
+    * EIGHT z-scores per series (a ring buffer — the longest rule
+    * lookback), so state is 64 bytes/series at any rate. Rules match
+    * the batch operator exactly: 1>3σ, 2-of-3>2σ same side, 4-of-5>1σ
+    * same side, 8 consecutive same side; only alarms are emitted.
+    */
+  def spcRules(stream: DataFrame, baseline: DataFrame): Dataset[SpcAlarm] = {
+    import stream.sparkSession.implicits._
+    val scored = stream.join(broadcast(baseline), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .select(col("event_type"), col("ts"), col("value"), col("z"))
+      .as[(String, java.sql.Timestamp, Double, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, java.sql.Timestamp, Double, Double)],
+         state: GroupState[SpcState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil) // newest first
+          val out = scala.collection.mutable.ArrayBuffer.empty[SpcAlarm]
+          it.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v, z) =>
+            recent = (z :: recent).take(8)
+            def cnt(w: Int, f: Double => Boolean) = recent.take(w).count(f)
+            val r1 = if (math.abs(z) > 3.0) 1 else 0
+            val r2 = if ((cnt(3, _ > 2.0) >= 2 && z > 2.0) ||
+              (cnt(3, _ < -2.0) >= 2 && z < -2.0)) 1 else 0
+            val r3 = if ((cnt(5, _ > 1.0) >= 4 && z > 1.0) ||
+              (cnt(5, _ < -1.0) >= 4 && z < -1.0)) 1 else 0
+            val r4 = if (cnt(8, _ > 0.0) == 8 || cnt(8, _ < 0.0) == 8) 1 else 0
+            if (r1 + r2 + r3 + r4 > 0) out += SpcAlarm(key, ts, v, z, r1, r2, r3, r4)
+          }
+          state.update(SpcState(recent))
+          out.iterator
+      }
+  }
+
   def cusum(points: Dataset[Point], k: Double = 3.0): Dataset[Changepoint] = {
     import points.sparkSession.implicits._
     points.groupByKey(_.event_type)

@@ -298,6 +298,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("streaming SPC rules: run-rule state survives microbatch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val baseline = Seq(("m", 10.0, 1.0)).toDF("event_type", "mu", "sigma")
+    // 7 mildly-positive points then an 8th: rule 4 (8 same side) must fire
+    // exactly at the 8th even though the run is split across batches;
+    // a 14.0 point (z=4) fires rule 1 immediately
+    val pts = (0 until 7).map(i => StreamingDetectors.Point("m", ts(i), 10.5)) ++
+      Seq(StreamingDetectors.Point("m", ts(7), 10.5),
+          StreamingDetectors.Point("m", ts(8), 14.0))
+    val mem = MemoryStream[StreamingDetectors.Point]
+    val q = StreamingDetectors.spcRules(mem.toDF(), baseline)
+      .writeStream.format("memory").queryName("spcmon").outputMode("append").start()
+    mem.addData(pts.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(pts.drop(5): _*)
+    q.processAllAvailable()
+    val rows = spark.sql("select * from spcmon order by ts").collect()
+    // the 8th same-side point fires r4; the 9th fires r1 (and keeps r4: 8
+    // of the last 8 including z=4 are positive)
+    assert(rows.length === 2, rows.mkString(";"))
+    assert(rows(0).getAs[Int]("r4") === 1 && rows(0).getAs[Int]("r1") === 0)
+    assert(rows(0).getAs[java.sql.Timestamp]("ts") === ts(7))
+    assert(rows(1).getAs[Int]("r1") === 1)
+    assert(math.abs(rows(1).getAs[Double]("z") - 4.0) < 1e-9)
+    q.stop()
+  }
+
   test("streaming ingest chain: quality gate -> exact dedup composes in one stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
