@@ -31,7 +31,10 @@ object SparkEntry {
     (GrangerQueries.defs, GrangerQueries.sql),
     (SketchQueries.defs, SketchQueries.sql),
     (TechQueries.defs, TechQueries.sql),
-    (AnalysisQueries.defs, AnalysisQueries.sql)
+    (AnalysisQueries.defs, AnalysisQueries.sql),
+    (PatternQueries.defs, PatternQueries.sql),
+    (CiQueries.defs, CiQueries.sql),
+    (DensityQueries.defs, DensityQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

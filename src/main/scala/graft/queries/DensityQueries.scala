@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Density-based embedding-space operators (beyond the reference — the
+  * two classic neighborhood-density algorithms a data-cleaning /
+  * clustering pipeline reaches for):
+  *
+  *  - DBSCAN (Ester et al. 1996) over cosine similarity: core points have
+  *    ≥ minPts neighbors within eps (cos ≥ τ); clusters are connected
+  *    components of the core-core graph; border points attach to their
+  *    best core neighbor's cluster; the rest is noise.
+  *  - Local Outlier Factor (Breunig et al. 2000): the k-NN
+  *    reachability-density ratio on a probe slice — LOF ≈ 1 means the
+  *    probe sits at its neighbors' density, ≫ 1 means outlier.
+  *
+  * Scale shapes: the eps-neighbor graph comes from the exact triangle
+  * block join ([[Ann.allPairsCosine]] — n·blocks shuffle rows, no driver
+  * state; swap in [[Ann.lshNearDupPairs]] for the sub-quadratic path at
+  * 100 TB); components reuse the dedup CC machinery (driver fast path /
+  * compressed label propagation); LOF is probe-bounded — three broadcast
+  * kNN passes discover probes → neighbors → 2-hop neighbors, the corpus
+  * streams map-side and never shuffles.
+  *
+  * Engine agreement: every downstream quantity (degree, core flag,
+  * component label, reach distance, lrd, LOF) derives from the 6-dp
+  * ROUNDED cosine, so both engines compute on bit-identical inputs;
+  * component labels are min-id (total order), ranks tie-break on vec_id.
+  */
+object DensityQueries {
+  private def embs(s: SparkSession, dir: String) =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
+  /** DBSCAN: eps as a cosine floor (the near-dup family's 0.4), minPts
+    * counts the point itself (the classic convention). */
+  private val Eps = 0.4
+  private val MinPts = 3
+
+  /** LOF neighborhood size and the probe rule shared with the kNN family. */
+  private val LofK = 5
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── DBSCAN. Edges once via the exact block join; degree + core flag
+    // from the symmetric view; clusters = CC over core-core edges (min-id
+    // labels — deterministic), singleton cores label themselves; border
+    // points take the smallest cluster id among their core neighbors (a
+    // deterministic tiebreak of DBSCAN's order-dependent border
+    // assignment); everything else is noise. cluster_id = -1 for noise. ──
+    "q_dbscan" -> ((s, dir) => {
+      val e = embs(s, dir)
+      // the eps graph feeds FOUR consumers (degree, core-core edges,
+      // border, via sym twice) — scratch-materialize it once
+      val edges = Scratch.materialize(Ann.allPairsCosine(e, Eps).select("i", "j"), "dbscan_edges")
+      val sym = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
+      val deg = sym.groupBy("i").agg(count(lit(1)).as("deg"))
+      val core = deg.where(col("deg") + 1 >= MinPts).select(col("i").as("node"))
+      val coreEdges = edges
+        .join(core.withColumnRenamed("node", "i"), Seq("i"))
+        .join(core.withColumnRenamed("node", "j"), Seq("j"))
+        .select("i", "j")
+      val cc = Dedup.connectedComponents(coreEdges)
+        .select(col("u").as("node"), col("label").as("cluster_id"))
+      val coreClusters = core.join(cc, Seq("node"), "left")
+        .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+      val border = sym
+        .join(coreClusters.withColumnRenamed("node", "j"), Seq("j"))
+        .join(core.withColumnRenamed("node", "i"), Seq("i"), "left_anti")
+        .groupBy(col("i").as("node")).agg(min("cluster_id").as("cluster_id"))
+      val assigned = coreClusters.withColumn("role", lit("core"))
+        .union(border.withColumn("role", lit("border")))
+      e.select(col("vec_id")).join(assigned.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"),
+          coalesce(col("role"), lit("noise")).as("role"))
+    }),
+
+    // ── LOF on the probe slice. One broadcast kNN kernel reused three
+    // times: probes → their neighbors (N1) → 2-hop neighbors (N2); the
+    // final kNN table over probes ∪ N1 ∪ N2 yields k-distances,
+    // reachability distances reach(p,o) = max(kdist(o), d(p,o)), local
+    // reachability densities lrd = k/Σreach, and LOF(p) = mean_o lrd(o) /
+    // lrd(p). Distances are 1 − cos on the ROUNDED cosine. ──
+    "q_lof" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+      val knn1 = Ann.knnBruteForce(e, probes, LofK)
+      val n1 = knn1.select(col("neighbor_id").as("vec_id")).distinct()
+      val u1 = probes.select("vec_id").union(n1).distinct()
+      val knn2 = Ann.knnBruteForce(e, e.join(u1, Seq("vec_id")), LofK)
+      val n2 = knn2.select(col("neighbor_id").as("vec_id")).distinct()
+      val u2 = u1.union(n2).distinct()
+      val knn = Scratch.materialize(
+        Ann.knnBruteForce(e, e.join(u2, Seq("vec_id")), LofK)
+          .select(col("probe_id").as("pid"), col("neighbor_id").as("nid"),
+            (lit(1.0) - col("cos")).as("dist"), col("rk")), "lof_knn")
+      val kdist = knn.where(col("rk") === LofK).select(col("pid").as("id"), col("dist").as("kdist"))
+      val reach = knn
+        .join(kdist.withColumnRenamed("id", "nid"), Seq("nid"))
+        .select(col("pid"), col("nid"), greatest(col("kdist"), col("dist")).as("reach"))
+      val lrd = reach.groupBy("pid").agg((lit(LofK) / sum("reach")).as("lrd"))
+      knn.select("pid", "nid")
+        .join(probes.select(col("vec_id").as("pid")), Seq("pid"))
+        .join(lrd.select(col("pid").as("nid"), col("lrd").as("lrd_n")), Seq("nid"))
+        .join(lrd, Seq("pid"))
+        .groupBy("pid", "lrd")
+        .agg(sum("lrd_n").as("sum_lrd_n"))
+        .select(col("pid").as("probe_id"), round(col("lrd"), 6).as("lrd"),
+          round(col("sum_lrd_n") / (lit(LofK) * col("lrd")), 6).as("lof"))
+    })
+  )
+
+  private val cosSql = LlmQueries.cosSql _
+
+  val sql: Map[String, String] = Map(
+
+    "q_dbscan" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $Eps),
+         |sym AS (SELECT i, j FROM e UNION ALL SELECT j AS i, i AS j FROM e),
+         |deg AS (SELECT i, count(*) AS deg FROM sym GROUP BY 1),
+         |core AS (SELECT i AS node FROM deg WHERE deg + 1 >= $MinPts),
+         |ce AS (SELECT e.i, e.j FROM e
+         |       JOIN core ca ON e.i = ca.node JOIN core cb ON e.j = cb.node),
+         |symc AS (SELECT i AS u, j AS v FROM ce UNION SELECT j AS u, i AS v FROM ce),
+         |reach AS (SELECT u, v FROM symc
+         |          UNION
+         |          SELECT r.u, s.v FROM reach r JOIN symc s ON r.v = s.u WHERE s.v <> r.u),
+         |cc AS (SELECT u AS node, least(u, min(v)) AS cluster_id FROM reach GROUP BY 1),
+         |corec AS (SELECT c.node, coalesce(cc.cluster_id, c.node) AS cluster_id
+         |          FROM core c LEFT JOIN cc ON c.node = cc.node),
+         |border AS (SELECT s.i AS node, min(k.cluster_id) AS cluster_id
+         |           FROM sym s JOIN corec k ON s.j = k.node
+         |           WHERE s.i NOT IN (SELECT node FROM core) GROUP BY 1),
+         |assigned AS (SELECT node, cluster_id, 'core' AS role FROM corec
+         |             UNION ALL SELECT node, cluster_id, 'border' AS role FROM border)
+         |SELECT v.vec_id, coalesce(a.cluster_id, -1) AS cluster_id,
+         |       coalesce(a.role, 'noise') AS role
+         |FROM embeddings v LEFT JOIN assigned a ON v.vec_id = a.node""".stripMargin,
+
+    "q_lof" -> {
+      // one reusable kNN-over-a-probe-set SQL block (1-indexed rank)
+      def knnSql(probeSet: String, out: String) =
+        s"""$out AS (
+           |  SELECT * FROM (
+           |    SELECT p.vec_id AS pid, c.vec_id AS nid,
+           |      1.0 - round(${cosSql("p.embedding", "c.embedding")}, 6) AS dist,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rk
+           |    FROM $probeSet p JOIN embeddings c ON c.vec_id <> p.vec_id)
+           |  WHERE rk <= $LofK)""".stripMargin
+      s"""WITH p0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         |${knnSql("p0", "knn1")},
+         |u1 AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE vec_id IN (SELECT pid FROM knn1 UNION SELECT nid FROM knn1)),
+         |${knnSql("u1", "knn2")},
+         |u2 AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE vec_id IN (SELECT pid FROM knn2 UNION SELECT nid FROM knn2)),
+         |${knnSql("u2", "knn")},
+         |kd AS (SELECT pid AS id, dist AS kdist FROM knn WHERE rk = $LofK),
+         |reach AS (SELECT k.pid, k.nid, greatest(kd.kdist, k.dist) AS reach
+         |          FROM knn k JOIN kd ON k.nid = kd.id),
+         |lrd AS (SELECT pid, $LofK / sum(reach) AS lrd FROM reach GROUP BY 1)
+         |SELECT k.pid AS probe_id, round(l.lrd, 6) AS lrd,
+         |  round(sum(ln.lrd) / ($LofK * l.lrd), 6) AS lof
+         |FROM knn k
+         |JOIN p0 ON k.pid = p0.vec_id
+         |JOIN lrd ln ON k.nid = ln.pid
+         |JOIN lrd l ON k.pid = l.pid
+         |GROUP BY 1, l.lrd""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent validation of the density pack (DensityQueries) and the
+  * theta prediction intervals (CiQueries): DBSCAN roles re-derived
+  * brute-force from the raw cosine graph, LOF recomputed point-by-point
+  * from the Breunig et al. definitions, and the theta CI checked for the
+  * reference's structural properties (centering, monotone width).
+  */
+class DensitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private lazy val vecs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("q_dbscan: roles and cluster co-membership match a brute-force eps-graph") {
+    val ids = vecs.keys.toSeq.sorted
+    val nbrs = ids.map { i =>
+      i -> ids.filter(j => j != i && cos(vecs(i), vecs(j)) >= 0.4).toSet
+    }.toMap
+    val core = ids.filter(i => nbrs(i).size + 1 >= 3).toSet
+    val out = SparkEntry.queries("q_dbscan")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out.size == ids.size)
+    out.foreach { case (id, cl, role) =>
+      role match {
+        case "core" => assert(core(id), s"$id flagged core but is not")
+        case "border" =>
+          assert(!core(id) && nbrs(id).exists(core), s"$id flagged border wrongly")
+        case "noise" =>
+          assert(!core(id) && !nbrs(id).exists(core), s"$id flagged noise wrongly")
+          assert(cl == -1L)
+      }
+    }
+    // cluster co-membership: two CORE points share a cluster id iff they
+    // are connected through core-core eps edges (brute-force closure)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    core.foreach(i => nbrs(i).filter(core).foreach { j =>
+      val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    })
+    val byId = out.map(r => r._1 -> r._2).toMap
+    for (i <- core; j <- core if i < j)
+      assert((find(i) == find(j)) == (byId(i) == byId(j)), s"core pair $i,$j co-membership wrong")
+  }
+
+  test("q_lof: scores match a brute-force reachability-density recompute") {
+    val k = 5
+    val ids = vecs.keys.toSeq.sorted
+    def knn(p: Long): Seq[(Long, Double)] = ids.filter(_ != p)
+      .map(j => j -> (BigDecimal(cos(vecs(p), vecs(j))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (j, c) => (-c, j) }.take(k).map { case (j, c) => (j, 1.0 - c) }
+    def kdist(p: Long): Double = knn(p).last._2
+    def lrd(p: Long): Double = {
+      val rs = knn(p).map { case (o, d) => math.max(kdist(o), d) }
+      k / rs.sum
+    }
+    val out = SparkEntry.queries("q_lof")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (p, lrdOut, lofOut) =>
+      val lofBf = knn(p).map { case (o, _) => lrd(o) }.sum / (k * lrd(p))
+      assert(math.abs(lrdOut - lrd(p)) < 1e-5, s"probe $p lrd")
+      assert(math.abs(lofOut - lofBf) < 1e-5, s"probe $p lof")
+    }
+  }
+
+  test("q_theta_ci: intervals are centered on the forecast and widen with horizon") {
+    val out = SparkEntry.queries("q_theta_ci")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val Seq(y1, lo1, hi1, y24, lo24, hi24) = (1 to 6).map(r.getDouble)
+      assert(lo1 < y1 && y1 < hi1 && lo24 < y24 && y24 < hi24)
+      assert(math.abs((hi1 + lo1) / 2 - y1) < 1e-5 && math.abs((hi24 + lo24) / 2 - y24) < 1e-5)
+      assert(hi24 - lo24 > hi1 - lo1, "width must grow with horizon")
+    }
+  }
+}
