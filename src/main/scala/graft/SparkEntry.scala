@@ -34,7 +34,8 @@ object SparkEntry {
     (AnalysisQueries.defs, AnalysisQueries.sql),
     (PatternQueries.defs, PatternQueries.sql),
     (CiQueries.defs, CiQueries.sql),
-    (DensityQueries.defs, DensityQueries.sql)
+    (DensityQueries.defs, DensityQueries.sql),
+    (EsdQueries.defs, EsdQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
