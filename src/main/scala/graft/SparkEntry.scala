@@ -35,7 +35,8 @@ object SparkEntry {
     (PatternQueries.defs, PatternQueries.sql),
     (CiQueries.defs, CiQueries.sql),
     (DensityQueries.defs, DensityQueries.sql),
-    (EsdQueries.defs, EsdQueries.sql)
+    (EsdQueries.defs, EsdQueries.sql),
+    (DriftQueries.defs, DriftQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
