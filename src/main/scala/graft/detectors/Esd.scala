@@ -97,4 +97,54 @@ object Esd {
     }
     cands.map(c => (c._1, c._2, c._3, c._4, c._5, c._6, if (c._1 <= nOut) 1 else 0)).toArray
   }
+
+  /** Exact median of an unsorted buffer (odd: middle; even: mean of the
+    * two middles) — order statistics only, no float accumulation. */
+  private def median(v: Seq[Double]): Double = {
+    val s = v.sorted
+    val n = s.length
+    (s((n + 1) / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Hybrid (median/MAD) generalized ESD — the robust statistic the
+    * seasonal-hybrid ESD production detectors substitute for mean/sd
+    * (median and 1.4826·MAD are exact order statistics, so the whole
+    * removal loop is float-summation-free and trivially engine-exact).
+    * Critical values are Rosner's λ_i unchanged, evaluated in CDF space
+    * like [[run]].
+    */
+  def runHybrid(ts: Seq[Long], xs: Seq[Double], r: Int = 10, alpha: Double = 0.05)
+      : Array[(Int, Long, Double, Double, Double, Int, Int)] = {
+    val n = xs.length
+    val remT = scala.collection.mutable.ArrayBuffer(ts: _*)
+    val remX = scala.collection.mutable.ArrayBuffer(xs: _*)
+    val cands = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double, Double, Int)]
+    var i = 1
+    while (i <= r && remX.length >= 4) {
+      val med = median(remX.toSeq)
+      val devs = remX.map(x => math.abs(x - med))
+      val sdH = 1.4826 * median(devs.toSeq)
+      var idx = 0; var mx = -1.0
+      var k = 0
+      while (k < remX.length) { if (devs(k) > mx) { mx = devs(k); idx = k }; k += 1 }
+      val q = n - i
+      val nu = q - 1
+      val (f, rStat) =
+        if (sdH <= 1e-12) (0.5, 0.0)
+        else {
+          val rs = mx / sdH
+          val den = q.toDouble * q - rs * rs * (q + 1)
+          if (den <= 0) (1.0, rs) else (tCdf(rs * math.sqrt(nu * (q + 1) / den), nu), rs)
+        }
+      val sig = if (f > 1.0 - alpha / (2.0 * (q + 1))) 1 else 0
+      cands += ((i, remT(idx), remX(idx), rStat, f, sig))
+      remT.remove(idx); remX.remove(idx)
+      i += 1
+    }
+    val nOut = cands.collect { case c if c._6 == 1 => c._1 } match {
+      case s if s.isEmpty => 0
+      case s => s.max
+    }
+    cands.map(c => (c._1, c._2, c._3, c._4, c._5, c._6, if (c._1 <= nOut) 1 else 0)).toArray
+  }
 }

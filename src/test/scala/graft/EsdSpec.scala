@@ -55,4 +55,16 @@ class EsdSpec extends AnyFunSuite {
     val flagged = out.filter(_._7 == 1).map(_._2).toSet
     assert(flagged.contains(30L) && flagged.contains(31L), s"flagged $flagged")
   }
+
+  test("hybrid (median/MAD) variant: immune to a heavy spike inflating the scale") {
+    val ts = Array.tabulate(120)(i => i.toLong)
+    val xs = Array.tabulate(120)(i => math.sin(i / 5.0))
+    xs(60) += 50.0 // one enormous spike
+    xs(90) += 5.0  // one modest spike: classic sd would be inflated by the big one
+    val out = Esd.runHybrid(ts, xs.toSeq)
+    val flagged = out.filter(_._7 == 1).map(_._2).toSet
+    assert(flagged.contains(60L) && flagged.contains(90L), s"flagged $flagged")
+    // removal order: biggest deviation first
+    assert(out.head._2 == 60L)
+  }
 }
