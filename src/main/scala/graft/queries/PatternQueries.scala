@@ -143,6 +143,24 @@ object PatternQueries {
       best.withColumn("rk", row_number().over(rk)).where(col("rk") === 1)
         .select(col("doc_id"), col("phrase"), col("plen"),
           round(col("pscore") / 1e6, 6).as("score"))
+    }),
+
+    // ── Kleinberg burst detection (detectors/Burst.scala) over the RAW
+    // per-type event stream (microsecond gaps, not the hourly resample):
+    // the minimum-cost 2-state automaton path marks bursty stretches.
+    // Rides the one-series-per-row reduction — one keyed shuffle, the
+    // O(n) Viterbi runs once per collected series; the oracle replays
+    // the DP with backpointer lists and a pointer-walk backtrack (the
+    // q_hmm_regimes machinery on inter-arrival gaps). ──
+    "q_burst_kleinberg" -> ((s, dir) => {
+      val fn = udf { tus: Seq[Long] => graft.detectors.Burst.detect(tus) }
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list("tus")).as("tuss"))
+        .withColumn("_b", explode(fn(col("tuss"))))
+        .select(col("event_type"), col("_b._1").as("burst_no"), col("_b._2").as("start_ts"),
+          col("_b._3").as("end_ts"), col("_b._4").as("n_gaps"))
     })
   )
 
@@ -214,6 +232,58 @@ object PatternQueries {
          |           row_number() OVER (PARTITION BY p.doc_id ORDER BY s.pscore DESC, p.phrase ASC) AS rk
          |         FROM phrases p JOIN scored s ON p.doc_id = s.doc_id AND p.island = s.island)
          |SELECT doc_id, phrase, plen, round(pscore / 1e6, 6) AS score
-         |FROM best WHERE rk = 1""".stripMargin
+         |FROM best WHERE rk = 1""".stripMargin,
+
+    "q_burst_kleinberg" -> {
+      val s2 = graft.detectors.Burst.S
+      val g = graft.detectors.Burst.Gamma
+      s"""WITH RECURSIVE
+         |ord AS (SELECT event_type, epoch_us(ts) AS tus,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS ne
+         |        FROM events),
+         |gaps AS (SELECT event_type, rn - 1 AS t,
+         |           (tus - lag(tus) OVER (PARTITION BY event_type ORDER BY rn)) / 1e6 AS x
+         |         FROM ord),
+         |par AS (SELECT event_type, max(ne) - 1 AS n,
+         |          (max(ne) - 1) / ((max(tus) - min(tus)) / 1e6) AS a0,
+         |          $s2 * ((max(ne) - 1) / ((max(tus) - min(tus)) / 1e6)) AS a1,
+         |          round($g * ln((max(ne) - 1)::DOUBLE), 6) AS tau
+         |        FROM ord GROUP BY 1 HAVING max(ne) - 1 >= 2),
+         |dp AS (
+         |  SELECT p.event_type, 1 AS t,
+         |    round(p.a0 * g.x - ln(p.a0), 6) AS v0,
+         |    p.tau + round(p.a1 * g.x - ln(p.a1), 6) AS v1,
+         |    [0] AS b0, [1] AS b1, p.n, p.a0, p.a1, p.tau
+         |  FROM par p JOIN gaps g ON g.event_type = p.event_type AND g.t = 1
+         |  UNION ALL
+         |  SELECT d.event_type, d.t + 1,
+         |    (CASE WHEN d.v0 <= d.v1 THEN d.v0 ELSE d.v1 END) + round(d.a0 * g.x - ln(d.a0), 6),
+         |    (CASE WHEN d.v1 <= d.v0 + d.tau THEN d.v1 ELSE d.v0 + d.tau END) + round(d.a1 * g.x - ln(d.a1), 6),
+         |    list_append(d.b0, CASE WHEN d.v0 <= d.v1 THEN 0 ELSE 1 END),
+         |    list_append(d.b1, CASE WHEN d.v1 <= d.v0 + d.tau THEN 1 ELSE 0 END),
+         |    d.n, d.a0, d.a1, d.tau
+         |  FROM dp d JOIN gaps g ON g.event_type = d.event_type AND g.t = d.t + 1
+         |  WHERE d.t < d.n),
+         |fin AS (SELECT event_type, CASE WHEN v0 <= v1 THEN 0 ELSE 1 END AS st, b0, b1,
+         |          CAST(n AS INTEGER) AS n
+         |        FROM dp WHERE t = n),
+         |bt AS (
+         |  SELECT event_type, n AS t, st, b0, b1 FROM fin
+         |  UNION ALL
+         |  SELECT event_type, t - 1, CASE WHEN st = 0 THEN b0[t] ELSE b1[t] END, b0, b1
+         |  FROM bt WHERE t > 1),
+         |isl AS (SELECT event_type, t,
+         |          t - row_number() OVER (PARTITION BY event_type ORDER BY t) AS grp
+         |        FROM bt WHERE st = 1),
+         |segs AS (SELECT event_type, min(t) AS t0, max(t) AS t1, count(*)::INT AS n_gaps
+         |         FROM isl GROUP BY event_type, grp)
+         |SELECT s.event_type,
+         |  row_number() OVER (PARTITION BY s.event_type ORDER BY s.t0)::INT AS burst_no,
+         |  oa.tus // 1000000 AS start_ts, ob.tus // 1000000 AS end_ts, s.n_gaps
+         |FROM segs s
+         |JOIN ord oa ON oa.event_type = s.event_type AND oa.rn = s.t0
+         |JOIN ord ob ON ob.event_type = s.event_type AND ob.rn = s.t1 + 1""".stripMargin
+    }
   )
 }

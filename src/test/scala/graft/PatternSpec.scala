@@ -93,4 +93,23 @@ class PatternSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc $doc emitted score != brute-force best")
     }
   }
+
+  test("Burst.detect: a planted dense stretch inside a uniform stream is the burst") {
+    // uniform arrivals every 60 s, with a 50-event stretch at 2 s spacing
+    val tus = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var t = 0L
+    for (_ <- 1 to 200) { tus += t; t += 60000000L }
+    for (_ <- 1 to 50) { tus += t; t += 2000000L }
+    for (_ <- 1 to 200) { tus += t; t += 60000000L }
+    val bursts = graft.detectors.Burst.detect(tus.toSeq)
+    assert(bursts.nonEmpty, "no burst found")
+    val main = bursts.maxBy(_._4)
+    val burstStart = tus(200) / 1000000L
+    val burstEnd = tus(250) / 1000000L
+    assert(math.abs(main._2 - burstStart) <= 120 && math.abs(main._3 - burstEnd) <= 120,
+      s"burst [${main._2}, ${main._3}] vs planted [$burstStart, $burstEnd]")
+    // a perfectly uniform stream yields no bursts
+    val uniform = (0 until 300).map(i => i * 60000000L)
+    assert(graft.detectors.Burst.detect(uniform).isEmpty)
+  }
 }
