@@ -55,6 +55,38 @@ object CiQueries {
         def se(h: Int) = sigma * math.sqrt((h - 1) * Alpha * Alpha + 1.0)
         Array(f(1), f(1) - Z95 * se(1), f(1) + Z95 * se(1),
           f(24), f(24) - Z95 * se(24), f(24) + Z95 * se(24))
+      }),
+
+    // ── ARIMA(2,1,1) forecast intervals via psi weights: the moving-
+    // average representation of the fitted ARMA gives ψ₀=1, ψ₁=φ₁+θ₁,
+    // ψ_j=φ₁ψ_{j−1}+φ₂ψ_{j−2}; after one integration the h-step forecast
+    // variance is σ²·Σ_{j<h}(Σ_{i≤j}ψ_i)² and the interval is the normal
+    // z band (the large-sample band statsmodels ships for ARIMA). The
+    // psi/cumulative/variance recursion is sequential and the oracle
+    // appends the same recursion to the shared Hannan-Rissanen core. ──
+    "q_arima_ci" -> ((s, dir) =>
+      SeriesOps.aggSeries(Tables.hourlyEvents(s, dir).drop("n"), S,
+        Seq("yhat_1", "lo_1", "hi_1", "yhat_24", "lo_24", "hi_24")) { xs =>
+        val f = graft.models.Arima.fit(xs, p = 2, d = 1, q = 1)
+        val fc = graft.models.Arima.forecast(xs, p = 2, d = 1, q = 1, h = 24)
+        val sigma = math.sqrt(f.sigma2)
+        val se = new Array[Double](24)
+        var psiPrev2 = 0.0; var psiPrev1 = 1.0
+        var cum = 1.0
+        var ssq = 1.0
+        se(0) = sigma * math.sqrt(ssq)
+        var j = 1
+        while (j < 24) {
+          val psi = if (j == 1) f.phi(0) + f.theta(0)
+                    else f.phi(0) * psiPrev1 + f.phi(1) * psiPrev2
+          psiPrev2 = psiPrev1; psiPrev1 = psi
+          cum = cum + psi
+          ssq = ssq + cum * cum
+          se(j) = sigma * math.sqrt(ssq)
+          j += 1
+        }
+        Array(fc(0), fc(0) - Z95 * se(0), fc(0) + Z95 * se(0),
+          fc(23), fc(23) - Z95 * se(23), fc(23) + Z95 * se(23))
       })
   )
 
@@ -87,6 +119,30 @@ object CiQueries {
          |  round(l + drift * (23 + cst), 6) AS yhat_24,
          |  round((l + drift * (23 + cst)) - $Z95 * (sigma * sqrt((23 * 0.2E0) * 0.2E0 + 1.0E0)), 6) AS lo_24,
          |  round((l + drift * (23 + cst)) + $Z95 * (sigma * sqrt((23 * 0.2E0) * 0.2E0 + 1.0E0)), 6) AS hi_24
-         |FROM fin""".stripMargin
+         |FROM fin""".stripMargin,
+
+    "q_arima_ci" ->
+      s"""${ModelQueries.arimaCoreSql},
+         |psirec AS (
+         |  SELECT event_type, 0 AS j, 0.0::DOUBLE AS psi2, 1.0::DOUBLE AS psi1,
+         |         1.0::DOUBLE AS cum, 1.0::DOUBLE AS ssq, b
+         |  FROM g2beta
+         |  UNION ALL
+         |  SELECT event_type, j + 1, psi1, psin, cum + psin,
+         |         ssq + (cum + psin) * (cum + psin), b
+         |  FROM (SELECT *, CASE WHEN j = 0 THEN b[2] + b[4]
+         |                       ELSE b[2] * psi1 + b[3] * psi2 END AS psin
+         |        FROM psirec WHERE j < 23)),
+         |se AS (SELECT p.event_type, p.j, $Z95 * (sqrt(s.sigma2) * sqrt(p.ssq)) AS zse
+         |       FROM psirec p JOIN sig s ON p.event_type = s.event_type)
+         |SELECT f.event_type,
+         |  round(max(CASE WHEN f.h = 1 THEN f.acc END), 6) AS yhat_1,
+         |  round(max(CASE WHEN f.h = 1 THEN f.acc END) - max(CASE WHEN e.j = 0 THEN e.zse END), 6) AS lo_1,
+         |  round(max(CASE WHEN f.h = 1 THEN f.acc END) + max(CASE WHEN e.j = 0 THEN e.zse END), 6) AS hi_1,
+         |  round(max(CASE WHEN f.h = 24 THEN f.acc END), 6) AS yhat_24,
+         |  round(max(CASE WHEN f.h = 24 THEN f.acc END) - max(CASE WHEN e.j = 23 THEN e.zse END), 6) AS lo_24,
+         |  round(max(CASE WHEN f.h = 24 THEN f.acc END) + max(CASE WHEN e.j = 23 THEN e.zse END), 6) AS hi_24
+         |FROM fcrec f JOIN se e ON f.event_type = e.event_type
+         |GROUP BY f.event_type""".stripMargin
   )
 }

@@ -547,6 +547,75 @@ object ModelQueries {
     * p×(p+1) augmented list; emits CTE `beta(event_type, b)` with the
     * solution as a p-list.
     */
+  /** Shared ARIMA(2,1,1) Hannan-Rissanen oracle core: everything
+    * through the 24-step forecast recursion (`fcrec`), ending inside
+    * the WITH clause so consumers append their own CTEs/final select
+    * (q_arima adds the parameter projection; q_arima_ci in CiQueries
+    * adds the psi-weight variance recursion). */
+  private[queries] lazy val arimaCoreSql: String = {
+      val m = 8
+      val mat1 = {
+        val basis = "1.0" +: (1 to m).map(j => s"l$j")
+        basis.zipWithIndex.flatMap { case (bi, i) =>
+          basis.zipWithIndex.map { case (bj, j) =>
+            val s = s"sum(($bi) * ($bj))"
+            if (i == j) s"$s + 1e-8" else s
+          } :+ s"sum(($bi) * y)"
+        }.mkString(",\n           ")
+      }
+      val mat2 = {
+        val basis = Seq("1.0", "l1", "l2", "e1")
+        basis.zipWithIndex.flatMap { case (bi, i) =>
+          basis.zipWithIndex.map { case (bj, j) =>
+            val s = s"sum(($bi) * ($bj))"
+            if (i == j) s"$s + 1e-8" else s
+          } :+ s"sum(($bi) * y)"
+        }.mkString(",\n           ")
+      }
+      val lagCols = (1 to m).map(j => s"lag(y, $j) OVER w AS l$j").mkString(", ")
+      val fit1 = "be.b[1] + " + (1 to m).map(j => s"be.b[${j + 1}] * lg.l$j").mkString(" + ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |dy AS (SELECT event_type, ts, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS y FROM hourly),
+         |dyf AS (SELECT event_type, ts, y,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dy WHERE y IS NOT NULL),
+         |lg AS (SELECT event_type, ts, y, t, n, $lagCols
+         |       FROM dyf WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |mats AS (SELECT event_type,
+         |         [$mat1] AS m
+         |         FROM lg WHERE l$m IS NOT NULL GROUP BY 1),
+         |${gaussJordanSql(m + 1)},
+         |res AS (SELECT lg.event_type, lg.ts, lg.t, lg.n, lg.y, lg.l1, lg.l2,
+         |          CASE WHEN lg.l$m IS NOT NULL THEN lg.y - ($fit1) ELSE 0.0 END AS e
+         |        FROM lg JOIN beta be ON lg.event_type = be.event_type),
+         |rese AS (SELECT *, lag(e, 1) OVER (PARTITION BY event_type ORDER BY ts) AS e1 FROM res),
+         |s2 AS (SELECT * FROM rese WHERE t >= $m),
+         |g2mats AS (SELECT event_type,
+         |           [$mat2] AS m
+         |           FROM s2 GROUP BY 1),
+         |${gaussJordanSql(4, "g2")},
+         |sig AS (SELECT s.event_type,
+         |          sum((s.y - (be.b[1] + be.b[2] * s.l1 + be.b[3] * s.l2 + be.b[4] * s.e1))
+         |            * (s.y - (be.b[1] + be.b[2] * s.l1 + be.b[3] * s.l2 + be.b[4] * s.e1))) / count(*) AS sigma2
+         |        FROM s2 s JOIN g2beta be ON s.event_type = be.event_type GROUP BY 1),
+         |lastv AS (SELECT r.event_type,
+         |            max(CASE WHEN r.t = r.n - 1 THEN r.y END) AS ylast,
+         |            max(CASE WHEN r.t = r.n - 2 THEN r.y END) AS ylast2,
+         |            max(CASE WHEN r.t = r.n - 1 THEN r.e END) AS elast
+         |          FROM rese r GROUP BY 1),
+         |xlast AS (SELECT event_type, max_by(value, ts) AS xl FROM hourly GROUP BY 1),
+         |fcrec AS (
+         |  SELECT l.event_type, 0 AS h, l.ylast AS yp, l.ylast2 AS yp2, l.elast AS ep, x.xl AS acc, be.b AS b
+         |  FROM lastv l JOIN xlast x ON l.event_type = x.event_type
+         |  JOIN g2beta be ON l.event_type = be.event_type
+         |  UNION ALL
+         |  SELECT event_type, h + 1, ynew, yp, 0.0::DOUBLE, acc + ynew, b
+         |  FROM (SELECT event_type, h, yp, yp2, ep, acc, b,
+         |          b[1] + b[2] * yp + b[3] * yp2 + b[4] * ep AS ynew
+         |        FROM fcrec WHERE h < 24))""".stripMargin
+  }
+
   private[queries] def gaussJordanSql(p: Int, pre: String = ""): String = {
     val cols = p + 1
     s"""${pre}gj AS (
@@ -970,68 +1039,8 @@ object ModelQueries {
     // ARIMA(2,1,1) Hannan-Rissanen replay: long-AR(8) residuals by one
     // Gauss-Jordan solve, the ARMA regression by a second, the 24-step
     // forecast + inverse differencing by a scalar recursion
-    "q_arima" -> {
-      val m = 8
-      val mat1 = {
-        val basis = "1.0" +: (1 to m).map(j => s"l$j")
-        basis.zipWithIndex.flatMap { case (bi, i) =>
-          basis.zipWithIndex.map { case (bj, j) =>
-            val s = s"sum(($bi) * ($bj))"
-            if (i == j) s"$s + 1e-8" else s
-          } :+ s"sum(($bi) * y)"
-        }.mkString(",\n           ")
-      }
-      val mat2 = {
-        val basis = Seq("1.0", "l1", "l2", "e1")
-        basis.zipWithIndex.flatMap { case (bi, i) =>
-          basis.zipWithIndex.map { case (bj, j) =>
-            val s = s"sum(($bi) * ($bj))"
-            if (i == j) s"$s + 1e-8" else s
-          } :+ s"sum(($bi) * y)"
-        }.mkString(",\n           ")
-      }
-      val lagCols = (1 to m).map(j => s"lag(y, $j) OVER w AS l$j").mkString(", ")
-      val fit1 = "be.b[1] + " + (1 to m).map(j => s"be.b[${j + 1}] * lg.l$j").mkString(" + ")
-      s"""WITH RECURSIVE hourly AS ($H),
-         |dy AS (SELECT event_type, ts, value - lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS y FROM hourly),
-         |dyf AS (SELECT event_type, ts, y,
-         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
-         |  count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM dy WHERE y IS NOT NULL),
-         |lg AS (SELECT event_type, ts, y, t, n, $lagCols
-         |       FROM dyf WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
-         |mats AS (SELECT event_type,
-         |         [$mat1] AS m
-         |         FROM lg WHERE l$m IS NOT NULL GROUP BY 1),
-         |${gaussJordanSql(m + 1)},
-         |res AS (SELECT lg.event_type, lg.ts, lg.t, lg.n, lg.y, lg.l1, lg.l2,
-         |          CASE WHEN lg.l$m IS NOT NULL THEN lg.y - ($fit1) ELSE 0.0 END AS e
-         |        FROM lg JOIN beta be ON lg.event_type = be.event_type),
-         |rese AS (SELECT *, lag(e, 1) OVER (PARTITION BY event_type ORDER BY ts) AS e1 FROM res),
-         |s2 AS (SELECT * FROM rese WHERE t >= $m),
-         |g2mats AS (SELECT event_type,
-         |           [$mat2] AS m
-         |           FROM s2 GROUP BY 1),
-         |${gaussJordanSql(4, "g2")},
-         |sig AS (SELECT s.event_type,
-         |          sum((s.y - (be.b[1] + be.b[2] * s.l1 + be.b[3] * s.l2 + be.b[4] * s.e1))
-         |            * (s.y - (be.b[1] + be.b[2] * s.l1 + be.b[3] * s.l2 + be.b[4] * s.e1))) / count(*) AS sigma2
-         |        FROM s2 s JOIN g2beta be ON s.event_type = be.event_type GROUP BY 1),
-         |lastv AS (SELECT r.event_type,
-         |            max(CASE WHEN r.t = r.n - 1 THEN r.y END) AS ylast,
-         |            max(CASE WHEN r.t = r.n - 2 THEN r.y END) AS ylast2,
-         |            max(CASE WHEN r.t = r.n - 1 THEN r.e END) AS elast
-         |          FROM rese r GROUP BY 1),
-         |xlast AS (SELECT event_type, max_by(value, ts) AS xl FROM hourly GROUP BY 1),
-         |fcrec AS (
-         |  SELECT l.event_type, 0 AS h, l.ylast AS yp, l.ylast2 AS yp2, l.elast AS ep, x.xl AS acc, be.b AS b
-         |  FROM lastv l JOIN xlast x ON l.event_type = x.event_type
-         |  JOIN g2beta be ON l.event_type = be.event_type
-         |  UNION ALL
-         |  SELECT event_type, h + 1, ynew, yp, 0.0::DOUBLE, acc + ynew, b
-         |  FROM (SELECT event_type, h, yp, yp2, ep, acc, b,
-         |          b[1] + b[2] * yp + b[3] * yp2 + b[4] * ep AS ynew
-         |        FROM fcrec WHERE h < 24))
+    "q_arima" ->
+      s"""$arimaCoreSql
          |SELECT f.event_type,
          |  round(be.b[1], 6) AS c, round(be.b[2], 6) AS phi1, round(be.b[3], 6) AS phi2,
          |  round(be.b[4], 6) AS theta1, round(sig.sigma2, 6) AS sigma2,
@@ -1039,8 +1048,7 @@ object ModelQueries {
          |  round(max(CASE WHEN f.h = 24 THEN f.acc END), 6) AS yhat_24
          |FROM fcrec f JOIN g2beta be ON f.event_type = be.event_type
          |JOIN sig ON f.event_type = sig.event_type
-         |GROUP BY f.event_type, be.b, sig.sigma2""".stripMargin
-    },
+         |GROUP BY f.event_type, be.b, sig.sigma2""".stripMargin,
 
     "q_harmonic_regression" -> {
       val basis = "1.0" +: (1 to 3).flatMap(k =>

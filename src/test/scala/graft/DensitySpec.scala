@@ -86,14 +86,16 @@ class DensitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q_theta_ci: intervals are centered on the forecast and widen with horizon") {
-    val out = SparkEntry.queries("q_theta_ci")(spark, dir).collect()
-    assert(out.nonEmpty)
-    out.foreach { r =>
-      val Seq(y1, lo1, hi1, y24, lo24, hi24) = (1 to 6).map(r.getDouble)
-      assert(lo1 < y1 && y1 < hi1 && lo24 < y24 && y24 < hi24)
-      assert(math.abs((hi1 + lo1) / 2 - y1) < 1e-5 && math.abs((hi24 + lo24) / 2 - y24) < 1e-5)
-      assert(hi24 - lo24 > hi1 - lo1, "width must grow with horizon")
+  test("q_theta_ci and q_arima_ci: intervals are centered on the forecast and widen with horizon") {
+    Seq("q_theta_ci", "q_arima_ci").foreach { q =>
+      val out = SparkEntry.queries(q)(spark, dir).collect()
+      assert(out.nonEmpty, q)
+      out.foreach { r =>
+        val Seq(y1, lo1, hi1, y24, lo24, hi24) = (1 to 6).map(r.getDouble)
+        assert(lo1 < y1 && y1 < hi1 && lo24 < y24 && y24 < hi24, q)
+        assert(math.abs((hi1 + lo1) / 2 - y1) < 1e-5 && math.abs((hi24 + lo24) / 2 - y24) < 1e-5, q)
+        assert(hi24 - lo24 > hi1 - lo1, s"$q width must grow with horizon")
+      }
     }
   }
 }
