@@ -16,6 +16,11 @@ object StreamingDetectors {
 
   case class CusumState(n: Long, mean: Double, m2: Double, cum: Double)
 
+  case class PhState(n: Long, mean: Double, cum: Double, mn: Double, alarmed: Boolean)
+  case class PhAlarm(event_type: String, ts: java.sql.Timestamp, n: Long, gap: Double, lambda: Double)
+  case class PhPoint(event_type: String, ts: java.sql.Timestamp, value: Double,
+                     delta: Double, lambda: Double)
+
   /** Streaming z-score against a (small, broadcast) static baseline of
     * per-series mean/std — the streaming twin of Detectors.outlierZscore.
     * Stream-static join keeps the stream side shuffle-free.
@@ -500,6 +505,43 @@ object StreamingDetectors {
               st = CusumState(0L, 0.0, 0.0, 0.0) // restart after a confirmed change
             } else {
               st = CusumState(n, mean, m2, cum)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming Page-Hinkley drift monitor — the q_page_hinkley twin.
+    * Thresholds (δ, λ) come from a TRAINED per-series baseline (the
+    * Drift.fitEdges / DetectorStore shape: a #series-row table the
+    * caller broadcast-joins onto the stream to build [[PhPoint]]s), so
+    * the stream side is stateless until the keyed recursion; the ONLY
+    * keyed state is (n, running mean, cum, min, alarmed) — 33 bytes per
+    * series regardless of stream length. Emits one alarm row per series
+    * at the FIRST λ crossing (the batch operator's convention) and then
+    * goes quiet; the recursion is the batch kernel's float sequence
+    * exactly, so a chronological replay reproduces the batch alarm
+    * point bit-for-bit (StreamingSpec proves it).
+    */
+  def pageHinkley(points: Dataset[PhPoint]): Dataset[PhAlarm] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[PhPoint], state: GroupState[PhState]) =>
+          var st = state.getOption.getOrElse(PhState(0L, 0.0, 0.0, 0.0, alarmed = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PhAlarm]
+          it.toSeq.sortBy(_.ts.getTime).foreach { p =>
+            if (!st.alarmed) {
+              val n = st.n + 1
+              val mean = st.mean + (p.value - st.mean) / n
+              val cum = st.cum + (p.value - mean - p.delta)
+              val mn = if (cum < st.mn) cum else st.mn
+              val gap = cum - mn
+              if (gap > p.lambda) {
+                out += PhAlarm(key, p.ts, n, gap, p.lambda)
+                st = PhState(n, mean, cum, mn, alarmed = true)
+              } else st = PhState(n, mean, cum, mn, alarmed = false)
             }
           }
           state.update(st)

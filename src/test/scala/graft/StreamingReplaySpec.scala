@@ -174,4 +174,41 @@ class StreamingReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(expected.values.exists(_ > 0.5), "expected at least one confident changepoint on real data")
   }
+
+  test("streaming Page-Hinkley replays the batch alarm point exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // dense series + the batch kernel's snapped-moment thresholds
+    val dense = TS.fillGaps(Tables.hourlyEvents(spark, dir).drop("n"), S, 3600L, Some(0.0))
+      .orderBy("ts", "event_type").collect()
+      .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    def snap4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
+    val th = dense.groupBy(_.event_type).map { case (k, ps) =>
+      val xs = ps.map(_.value)
+      val n = xs.length
+      var s1 = 0.0; xs.foreach(s1 += _)
+      var s2 = 0.0; xs.foreach(x => s2 += x * x)
+      s1 = snap4(s1); s2 = snap4(s2)
+      val sd = math.sqrt((s2 - s1 * s1 / n) / (n - 1))
+      k -> (0.005 * sd, 20.0 * sd)
+    }
+    val feed = dense.map(p =>
+      StreamingDetectors.PhPoint(p.event_type, p.ts, p.value, th(p.event_type)._1, th(p.event_type)._2))
+    val mem = MemoryStream[StreamingDetectors.PhPoint]
+    val q = StreamingDetectors.pageHinkley(mem.toDS())
+      .writeStream.format("memory").queryName("rp_ph").outputMode("append").start()
+    chunks(feed, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.sql("select event_type, ts, n from rp_ph").collect()
+      .map(r => r.getString(0) -> (r.getTimestamp(1).getTime / 1000L, r.getLong(2))).toMap
+    q.stop()
+    val batch = SparkEntry.queries("q_page_hinkley")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val batchAlarmed = batch.filter(_._2._1 >= 0)
+    assert(stream.keySet == batchAlarmed.keySet,
+      s"alarmed series differ: stream=${stream.keySet} batch=${batchAlarmed.keySet}")
+    batchAlarmed.foreach { case (k, (idx, ts)) =>
+      assert(stream(k)._1 == ts, s"$k alarm ts: stream=${stream(k)._1} batch=$ts")
+      assert(stream(k)._2 == idx + 1, s"$k alarm n: stream=${stream(k)._2} batch idx=$idx")
+    }
+  }
 }
