@@ -164,6 +164,42 @@ object DriftQueries {
         .select(col("event_type"), col("_r._1").as("alarm_idx"), col("_r._2").as("alarm_ts"),
           round(col("_r._3"), 6).as("max_gap"), round(col("_r._4"), 6).as("lambda"),
           when(col("_r._1") >= 0, 1).otherwise(0).as("alarmed"))
+    }),
+
+    // ── Isotonic regression via pool-adjacent-violators (Barlow et al.
+    // 1972; the calibration-curve / monotone-trend fit): the PAVA stack
+    // runs on 1e6-SCALED BIGINT pool sums, so every violation test is an
+    // exact integer cross-product (sum_a·cnt_b vs sum_b·cnt_a) — no
+    // float compare can diverge between engines; the fitted value only
+    // becomes a double at emission. The oracle drives the same stack as
+    // a one-action-per-step state machine (append or merge) in a
+    // recursive CTE, then expands pools back to points. One series
+    // shuffle; O(n) kernel per collected series. ──
+    "q_isotonic" -> ((s, dir) => {
+      val iso = SeriesOps.mapSeries(dense(s, dir), S, "iso_fit") { xs =>
+        val n = xs.length
+        val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val cnts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        xs.foreach { x =>
+          sums += math.round(x * 1e6); cnts += 1L
+          while (sums.length >= 2 &&
+            sums(sums.length - 1) * cnts(cnts.length - 2) < sums(sums.length - 2) * cnts(cnts.length - 1)) {
+            val l = sums.length
+            sums(l - 2) += sums(l - 1); cnts(l - 2) += cnts(l - 1)
+            sums.remove(l - 1); cnts.remove(l - 1)
+          }
+        }
+        val out = new Array[Double](n)
+        var k = 0; var p = 0
+        while (p < sums.length) {
+          val fit = sums(p).toDouble / (cnts(p) * 1e6)
+          var c = 0L
+          while (c < cnts(p)) { out(k) = fit; k += 1; c += 1 }
+          p += 1
+        }
+        out
+      }
+      iso.select(col("event_type"), unix_timestamp(col("ts")).as("ts"), col("value"), col("iso_fit"))
     })
   )
 
@@ -274,6 +310,46 @@ object DriftQueries {
          |SELECT event_type, alarm_idx, alarm_ts, round(max_gap, 6) AS max_gap,
          |  round(lam, 6) AS lambda,
          |  CASE WHEN alarm_idx >= 0 THEN 1 ELSE 0 END AS alarmed
-         |FROM rec WHERE i = n""".stripMargin
+         |FROM rec WHERE i = n""".stripMargin,
+
+    "q_isotonic" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |ord AS (SELECT event_type, ts, value, round(value * 1e6)::BIGINT AS xi,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM dense),
+         |iso AS (
+         |  SELECT event_type, 0 AS i, 0 AS st, max(n) AS n,
+         |         []::BIGINT[] AS sums, []::BIGINT[] AS cnts
+         |  FROM ord GROUP BY 1
+         |  UNION ALL
+         |  SELECT event_type,
+         |    CASE WHEN do_merge THEN i ELSE i + 1 END,
+         |    st + 1, n,
+         |    CASE WHEN do_merge
+         |         THEN list_append(sums[1:len(sums) - 2], sums[len(sums) - 1] + sums[len(sums)])
+         |         ELSE list_append(sums, next_xi) END,
+         |    CASE WHEN do_merge
+         |         THEN list_append(cnts[1:len(cnts) - 2], cnts[len(cnts) - 1] + cnts[len(cnts)])
+         |         ELSE list_append(cnts, 1::BIGINT) END
+         |  FROM (SELECT e.*, o.xi AS next_xi,
+         |          len(e.sums) >= 2 AND
+         |            e.sums[len(e.sums)] * e.cnts[len(e.cnts) - 1]
+         |              < e.sums[len(e.sums) - 1] * e.cnts[len(e.cnts)] AS do_merge
+         |        FROM iso e LEFT JOIN ord o ON o.event_type = e.event_type AND o.rn = e.i + 1)
+         |  WHERE do_merge OR i < n),
+         |fin AS (SELECT event_type, max_by(sums, st) AS sums, max_by(cnts, st) AS cnts
+         |        FROM iso GROUP BY 1),
+         |pools AS (SELECT event_type, unnest(sums) AS s, unnest(cnts) AS c,
+         |            generate_subscripts(sums, 1) AS pi
+         |          FROM fin),
+         |rng AS (SELECT event_type, s, c, pi,
+         |          sum(c) OVER (PARTITION BY event_type ORDER BY pi) AS hi
+         |        FROM pools)
+         |SELECT o.event_type, epoch(o.ts)::BIGINT AS ts, o.value,
+         |  round(r.s / (r.c * 1e6), 6) AS iso_fit
+         |FROM ord o JOIN rng r ON o.event_type = r.event_type
+         |  AND o.rn BETWEEN r.hi - r.c + 1 AND r.hi""".stripMargin
   )
 }

@@ -94,4 +94,33 @@ class DriftSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(maxGap - bfMax) < 1e-3, s"$et maxGap")
     }
   }
+
+  test("q_isotonic: fit is non-decreasing, pool-mean-consistent, and SSE-optimal vs simple alternatives") {
+    val out = SparkEntry.queries("q_isotonic")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (et, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val fits = ordered.map(_._4)
+      assert(fits.sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-9), s"$et not monotone")
+      // each maximal constant-fit pool's value is the mean of its members
+      val xs = ordered.map(_._3)
+      var i = 0
+      while (i < fits.length) {
+        var j = i
+        while (j + 1 < fits.length && fits(j + 1) == fits(i)) j += 1
+        if (fits(i) != fits.lift(i - 1).getOrElse(Double.NaN)) {
+          // only check from the true pool start
+          val mean = xs.slice(i, j + 1).sum / (j - i + 1)
+          assert(math.abs(fits(i) - mean) < 1e-4, s"$et pool [$i,$j] fit ${fits(i)} vs mean $mean")
+        }
+        i = j + 1
+      }
+      // optimality sanity: the PAVA fit beats the global-mean fit on SSE
+      val mu = xs.sum / xs.length
+      val ssePava = xs.zip(fits).map { case (x, f) => (x - f) * (x - f) }.sum
+      val sseMean = xs.map(x => (x - mu) * (x - mu)).sum
+      assert(ssePava <= sseMean + 1e-6, s"$et PAVA SSE $ssePava worse than constant fit $sseMean")
+    }
+  }
 }
