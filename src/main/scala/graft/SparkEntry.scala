@@ -36,7 +36,8 @@ object SparkEntry {
     (CiQueries.defs, CiQueries.sql),
     (DensityQueries.defs, DensityQueries.sql),
     (EsdQueries.defs, EsdQueries.sql),
-    (DriftQueries.defs, DriftQueries.sql)
+    (DriftQueries.defs, DriftQueries.sql),
+    (LmQueries.defs, LmQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
