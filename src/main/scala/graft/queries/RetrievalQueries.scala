@@ -43,6 +43,10 @@ object RetrievalQueries {
   /** Stupid Backoff discount (the Brants et al. constant). */
   private val SbAlpha = 0.4
 
+  /** MMR re-rank geometry: BM25 candidate pool and selections kept. */
+  private val MmrCand = 20
+  private val MmrK = 10
+
   /** RRF fusion: the canonical k=60 damping and per-arm list depth. */
   private val RrfK = 60
   private val RrfArmN = 10
@@ -321,6 +325,92 @@ object RetrievalQueries {
           count(lit(1)).as("n_ranks"),
           round(regr_slope(log(col("c")), log(col("rnk"))), 6).as("zipf_slope"),
           round(regr_intercept(log(col("c")), log(col("rnk"))), 6).as("zipf_intercept"))
+    }),
+
+    // ── MMR re-ranking (Carbonell & Goldstein 1998 Maximal Marginal
+    // Relevance — the diversity re-rank a production retrieval stack
+    // applies after BM25/fusion): candidates = BM25 top-20 per query,
+    // then greedily select 10 by λ·rel − (1−λ)·max-cosine-to-selected
+    // (λ=0.5), using each doc's embedding (doc_id-aligned vectors). The
+    // greedy chain runs on 6-dp-ROUNDED BM25 scores and cosines, so both
+    // engines argmax over identical doubles; tie-break = candidate-list
+    // position (doc_id order). Shapes: the candidate pair-cosine join is
+    // (#queries·20²) rows, the greedy kernel runs once per query after a
+    // one-row-per-query reduction; the oracle replays it with
+    // selected-position list state. ──
+    "q_mmr_rerank" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .where(col("term").rlike(WordRe))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val nAvg = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+      val qw = Window.partitionBy("qid").orderBy(col("tf").desc, col("term").asc)
+      val qterms = tf.where(col("doc_id") % BmProbeMod === 0)
+        .select(col("doc_id").as("qid"), col("term"), col("tf"))
+        .withColumn("qrk", row_number().over(qw)).where(col("qrk") <= BmQTerms)
+        .select("qid", "term")
+      val scored = tf.join(broadcast(qterms), "term")
+        .join(dft, "term").join(dl, "doc_id").crossJoin(broadcast(nAvg))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5))
+            * col("tf") * (BmK1 + 1.0)
+            / (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+        .groupBy("qid", "doc_id").agg(round(sum("contrib"), 6).as("score"))
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+      val cands = scored.withColumn("rk", row_number().over(w)).where(col("rk") <= MmrCand)
+        .select("qid", "doc_id", "score")
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val pc = cands.as("a").join(cands.as("b"),
+          col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))
+        .join(e.as("ea"), col("a.doc_id") === col("ea.vec_id"))
+        .join(e.as("eb"), col("b.doc_id") === col("eb.vec_id"))
+        .select(col("a.qid").as("qid"), col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          round(graft.expressions.cosine_sim(col("ea.embedding"), col("eb.embedding")), 6).as("cos"))
+      val cl = cands.groupBy("qid")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("score")))).as("cl"))
+      val pl = pc.groupBy("qid")
+        .agg(collect_list(struct(col("da"), col("db"), col("cos"))).as("pl"))
+      // selection runs ENTIRELY on 1e6-scaled integers (rel and cosine are
+      // both 6-dp), so the greedy argmax chain cannot diverge between
+      // engines; the emitted gain rel − maxsim (λ=0.5 up to the constant
+      // factor 2) is a 6-dp-exact value with no rounding boundary
+      val fn = udf { (cl: Seq[org.apache.spark.sql.Row], pl: Seq[org.apache.spark.sql.Row]) =>
+        val n = cl.length
+        val ids = cl.map(_.getLong(0)).toArray
+        val rel = cl.map(_.getDouble(1)).toArray
+        val irel = rel.map(r => math.round(r * 1e6))
+        val pos = ids.zipWithIndex.toMap
+        val sim = Array.fill(n, n)(0L)
+        pl.foreach { r => sim(pos(r.getLong(0)))(pos(r.getLong(1))) = math.round(r.getDouble(2) * 1e6) }
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+        var k = 0
+        while (k < MmrK && sel.length < n) {
+          var best = Long.MinValue; var bi = -1
+          var i = 0
+          while (i < n) {
+            if (!sel.contains(i)) {
+              // clamp at 0: a NEGATIVE max similarity must not become a
+              // relevance bonus (the standard nonneg-similarity MMR form)
+              val ms = if (sel.isEmpty) 0L else math.max(0L, sel.map(s => sim(i)(s)).max)
+              val v = irel(i) - ms
+              if (v > best) { best = v; bi = i }
+            }
+            i += 1
+          }
+          sel += bi
+          out += ((k + 1, ids(bi), rel(bi), best / 1e6))
+          k += 1
+        }
+        out.toArray
+      }
+      cl.join(pl, Seq("qid"), "left")
+        .withColumn("_m", explode(fn(col("cl"), coalesce(col("pl"),
+          array().cast("array<struct<da:bigint,db:bigint,cos:double>>")))))
+        .select(col("qid"), col("_m._1").as("sel_rank"), col("_m._2").as("doc_id"),
+          col("_m._3").as("rel"), round(col("_m._4"), 6).as("mmr_gain"))
     })
   )
 
@@ -355,6 +445,67 @@ object RetrievalQueries {
          |SELECT qid, rk::INT AS rk, doc_id, score,
          |  CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS is_self
          |FROM rk WHERE rk <= $BmTopK""".stripMargin,
+
+    "q_mmr_rerank" ->
+      s"""WITH RECURSIVE tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+         |            WHERE regexp_matches(term, '$WordReSql') GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |na AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+         |df AS (SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY 1),
+         |qt AS (SELECT doc_id AS qid, term
+         |       FROM (SELECT doc_id, term,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qrk
+         |             FROM tf WHERE doc_id % $BmProbeMod = 0)
+         |       WHERE qrk <= $BmQTerms),
+         |sc AS (SELECT qt.qid, tf.doc_id,
+         |         round(sum(ln(1.0 + (na.n_docs - df.doc_freq + 0.5) / (df.doc_freq + 0.5))
+         |           * tf.tf * ($BmK1 + 1.0)
+         |           / (tf.tf + $BmK1 * (1.0 - $BmB + $BmB * dl.dl / na.avgdl))), 6) AS score
+         |       FROM tf JOIN qt USING (term) JOIN df USING (term)
+         |         JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN na
+         |       GROUP BY 1, 2),
+         |cands AS (SELECT qid, doc_id, score FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+         |            FROM sc) WHERE rk <= $MmrCand),
+         |cl AS (SELECT qid, list(struct_pack(d := doc_id, s := score) ORDER BY doc_id) AS cl
+         |       FROM cands GROUP BY 1),
+         |pos_ AS (SELECT qid, i, c.d AS d
+         |         FROM (SELECT qid, generate_subscripts(cl, 1) AS i, unnest(cl) AS c FROM cl)),
+         |pc AS (SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+         |         round(${LlmQueries.cosSql("ea.embedding", "eb.embedding")}, 6) AS cos
+         |       FROM cands a JOIN cands b ON a.qid = b.qid AND a.doc_id <> b.doc_id
+         |       JOIN embeddings ea ON a.doc_id = ea.vec_id
+         |       JOIN embeddings eb ON b.doc_id = eb.vec_id),
+         |simrow AS (SELECT a.qid, a.i, list(coalesce(pc.cos, 0.0E0) ORDER BY b.i) AS row
+         |           FROM pos_ a JOIN pos_ b ON a.qid = b.qid
+         |           LEFT JOIN pc ON pc.qid = a.qid AND pc.da = a.d AND pc.db = b.d
+         |           GROUP BY 1, 2),
+         |simm AS (SELECT qid, list(row ORDER BY i) AS sm FROM simrow GROUP BY 1),
+         |st AS (SELECT c.qid, c.cl, s.sm, len(c.cl)::BIGINT AS nc
+         |       FROM cl c JOIN simm s ON c.qid = s.qid),
+         |mmr AS (
+         |  SELECT qid, 0 AS k, []::BIGINT[] AS sel,
+         |         0::BIGINT AS pick_d, 0.0::DOUBLE AS pick_rel, 0::BIGINT AS pick_v,
+         |         cl, sm, nc
+         |  FROM st
+         |  UNION ALL
+         |  SELECT e.qid, e.k + 1, list_append(e.sel, m.pick),
+         |         e.cl[m.pick].d, e.cl[m.pick].s, m.v, e.cl, e.sm, e.nc
+         |  FROM mmr e, LATERAL (
+         |    SELECT list_position(vals, list_max(vals))::BIGINT AS pick, list_max(vals) AS v
+         |    FROM (SELECT list_transform(range(1, e.nc + 1), i ->
+         |            CASE WHEN list_contains(e.sel, i) THEN -4611686018427387904
+         |                 ELSE round(e.cl[i].s * 1e6)::BIGINT -
+         |                   (CASE WHEN len(e.sel) = 0 THEN 0::BIGINT
+         |                         ELSE greatest(0::BIGINT, list_max(list_transform(e.sel,
+         |                                s2 -> round(e.sm[i][s2] * 1e6)::BIGINT))) END)
+         |            END) AS vals)
+         |  ) m
+         |  WHERE e.k < $MmrK AND e.k < e.nc)
+         |SELECT qid, k AS sel_rank, pick_d AS doc_id, pick_rel AS rel,
+         |  round(pick_v / 1e6, 6) AS mmr_gain
+         |FROM mmr WHERE k > 0""".stripMargin,
 
     "q_embed_matryoshka" -> {
       def armSql(name: String, vec: String) =

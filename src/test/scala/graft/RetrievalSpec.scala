@@ -107,4 +107,23 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.sameElements(top), s"$key discords $got != expected $top")
     }
   }
+
+  test("q_mmr_rerank: first pick is the top-relevance candidate and gains are non-increasing") {
+    val out = SparkEntry.queries("q_mmr_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRk = rows.sortBy(_._2)
+      assert(byRk.map(_._2).toSeq == (1 to rows.length), s"q$qid ranks not consecutive")
+      // the first selection maximizes pure relevance (max-sim term is 0)
+      assert(byRk.head._4 == rows.map(_._4).max, s"q$qid first pick not top-relevance")
+      // MMR gains are non-increasing down the selection order (greedy
+      // invariant: adding selections only raises the diversity penalty)
+      val gains = byRk.map(_._5)
+      assert(gains.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9),
+        s"q$qid gains increase: $gains")
+      // selections are distinct docs
+      assert(rows.map(_._3).distinct.length == rows.length, s"q$qid duplicate docs")
+    }
+  }
 }
