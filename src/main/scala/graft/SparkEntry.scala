@@ -37,7 +37,8 @@ object SparkEntry {
     (DensityQueries.defs, DensityQueries.sql),
     (EsdQueries.defs, EsdQueries.sql),
     (DriftQueries.defs, DriftQueries.sql),
-    (LmQueries.defs, LmQueries.sql)
+    (LmQueries.defs, LmQueries.sql),
+    (MonitorQueries.defs, MonitorQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operational-monitoring classics over the event stream:
+  *
+  *  - multi-window error-budget burn-rate alerting (the SRE-workbook
+  *    pattern): error share per hour and per trailing 6 hours against an
+  *    SLO target, alert when BOTH windows burn hot — the short window
+  *    gives detection speed, the long one filters blips;
+  *  - a per-series data-completeness report (the data-quality audit a
+  *    pipeline runs before trusting a series): observed vs expected grid
+  *    points, missing share, longest gap, span.
+  *
+  * Both are exact-integer math until one final division — counts and
+  * epoch arithmetic only — so engines agree bit-for-bit; each is one
+  * keyed aggregation/window pass.
+  */
+object MonitorQueries {
+  private val H = Tables.hourlySql
+
+  /** SLO: tolerated error share of events, and the burn multiple that
+    * pages. error events are 1 of 5 synthetic types (~20% base rate), so
+    * the target is the base rate and a 1.5× burn marks a genuine skew. */
+  private val SloTarget = 0.2
+  private val BurnAlert = 1.5
+  private val LongWin = 6
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Burn-rate alerts: per hour, n_err/n_tot and the trailing-6h
+    // aggregate (integer window sums), burn = share/target; alert when
+    // both the 1h and 6h burns exceed the threshold. ──
+    "q_burn_rate" -> ((s, dir) => {
+      val hours = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("ts"))
+        .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+          count(lit(1)).as("n_tot"))
+      val w = Window.partitionBy(substring(lit("x"), 1, 0)).orderBy("ts")
+        .rowsBetween(-(LongWin - 1), 0)
+      hours
+        .withColumn("err6", sum("n_err").over(w))
+        .withColumn("tot6", sum("n_tot").over(w))
+        .withColumn("share_1h", round(col("n_err").cast("double") / col("n_tot"), 6))
+        .withColumn("share_6h", round(col("err6").cast("double") / col("tot6"), 6))
+        .withColumn("burn_1h", round(col("n_err").cast("double") / col("n_tot") / SloTarget, 6))
+        .withColumn("burn_6h", round(col("err6").cast("double") / col("tot6") / SloTarget, 6))
+        .withColumn("alert",
+          when(col("n_err").cast("double") / col("n_tot") / SloTarget > BurnAlert &&
+            col("err6").cast("double") / col("tot6") / SloTarget > BurnAlert, 1).otherwise(0))
+        .select(unix_timestamp(col("ts")).as("ts"), col("n_err"), col("n_tot"),
+          col("share_1h"), col("share_6h"), col("burn_1h"), col("burn_6h"), col("alert"))
+    }),
+
+    // ── Per-series completeness report: expected hourly grid points from
+    // the observed span, present/missing counts, the longest gap (max
+    // consecutive-timestamp delta), and the span itself — pure epoch
+    // integer arithmetic. ──
+    "q_series_quality" -> ((s, dir) => {
+      val wo = Window.partitionBy("event_type").orderBy("ts")
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("te", unix_timestamp(col("ts")))
+        .withColumn("gap_h", ((lead("te", 1).over(wo) - col("te")) / 3600).cast("long") - 1)
+      // spans are multiples of 3600 (hour-truncated ts), so the double
+      // division is exact and the long cast recovers the integer count
+      def expected = ((max(col("te")) - min(col("te"))) / 3600).cast("long") + 1
+      hourly.groupBy("event_type").agg(
+        count(lit(1)).as("n_present"),
+        expected.as("n_expected"),
+        (expected - count(lit(1))).as("n_missing"),
+        round(count(lit(1)).cast("double") / expected, 6).as("completeness"),
+        coalesce(max("gap_h"), lit(0L)).as("longest_gap_h"),
+        min("te").as("first_ts"), max("te").as("last_ts"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "q_burn_rate" ->
+      s"""WITH hours AS (
+         |  SELECT date_trunc('hour', ts) AS ts,
+         |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err,
+         |    count(*)::BIGINT AS n_tot
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT *,
+         |        sum(n_err) OVER (ORDER BY ts ROWS BETWEEN ${LongWin - 1} PRECEDING AND CURRENT ROW)::BIGINT AS err6,
+         |        sum(n_tot) OVER (ORDER BY ts ROWS BETWEEN ${LongWin - 1} PRECEDING AND CURRENT ROW)::BIGINT AS tot6
+         |      FROM hours)
+         |SELECT epoch(ts)::BIGINT AS ts, n_err, n_tot,
+         |  round(n_err::DOUBLE / n_tot, 6) AS share_1h,
+         |  round(err6::DOUBLE / tot6, 6) AS share_6h,
+         |  round(n_err::DOUBLE / n_tot / $SloTarget, 6) AS burn_1h,
+         |  round(err6::DOUBLE / tot6 / $SloTarget, 6) AS burn_6h,
+         |  CASE WHEN n_err::DOUBLE / n_tot / $SloTarget > $BurnAlert
+         |        AND err6::DOUBLE / tot6 / $SloTarget > $BurnAlert THEN 1 ELSE 0 END AS alert
+         |FROM r""".stripMargin,
+
+    "q_series_quality" ->
+      s"""WITH hourly AS ($H),
+         |g AS (SELECT event_type, epoch(ts)::BIGINT AS te,
+         |        (lead(epoch(ts)::BIGINT, 1) OVER (PARTITION BY event_type ORDER BY ts)
+         |          - epoch(ts)::BIGINT) // 3600 - 1 AS gap_h
+         |      FROM hourly)
+         |SELECT event_type,
+         |  count(*) AS n_present,
+         |  (max(te) - min(te)) // 3600 + 1 AS n_expected,
+         |  ((max(te) - min(te)) // 3600 + 1) - count(*) AS n_missing,
+         |  round(count(*)::DOUBLE / ((max(te) - min(te)) // 3600 + 1), 6) AS completeness,
+         |  coalesce(max(gap_h), 0) AS longest_gap_h,
+         |  min(te) AS first_ts, max(te) AS last_ts
+         |FROM g GROUP BY 1""".stripMargin
+  )
+}
