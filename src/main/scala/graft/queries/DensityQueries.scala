@@ -44,6 +44,11 @@ object DensityQueries {
   /** LOF neighborhood size and the probe rule shared with the kNN family. */
   private val LofK = 5
 
+  /** Label spreading: eps-graph floor, propagation rounds, seed rule =
+    * vec_id % 10 (10% labeled). */
+  private val LsEps = 0.4
+  private val LsRounds = 3
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── DBSCAN. Edges once via the exact block join; degree + core flag
@@ -111,6 +116,46 @@ object DensityQueries {
         .agg(sum("lrd_n").as("sum_lrd_n"))
         .select(col("pid").as("probe_id"), round(col("lrd"), 6).as("lrd"),
           round(col("sum_lrd_n") / (lit(LofK) * col("lrd")), 6).as("lof"))
+    }),
+
+    // ── Semi-supervised label spreading (the Zhu & Ghahramani label-
+    // propagation family, frozen-once-assigned variant): seeds keep their
+    // label; each round, every unlabeled vector with labeled eps-graph
+    // neighbors takes the label with the largest 1e6-scaled-integer
+    // cosine-weight sum (tie → smaller label). Three rounds of pure
+    // key-equality joins — no driver state, no float vote can diverge.
+    // Emits per vector: truth, prediction (−1 unreached), seed flag,
+    // and correctness on the non-seed slice — the "how far do 10% labels
+    // carry" measurement. ──
+    "q_label_spread" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      val edges = Scratch.materialize(
+        Ann.allPairsCosine(e, LsEps)
+          .select(col("i"), col("j"), round(col("cos") * 1e6).cast("long").as("w")),
+        "label_spread_edges")
+      val sym = edges.union(edges.select(col("j").as("i"), col("i").as("j"), col("w")))
+      val seeds = e.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label").as("lbl"))
+      var labeled = seeds
+      var r = 0
+      while (r < LsRounds) {
+        val votes = sym.join(labeled.withColumnRenamed("vec_id", "j"), Seq("j"))
+          .groupBy(col("i"), col("lbl")).agg(sum("w").as("wv"))
+        val wv = Window.partitionBy("i").orderBy(col("wv").desc, col("lbl").asc)
+        val picks = votes.withColumn("rk", row_number().over(wv)).where(col("rk") === 1)
+          .select(col("i").as("vec_id"), col("lbl"))
+          .join(labeled.select("vec_id"), Seq("vec_id"), "left_anti")
+        labeled = labeled.union(picks)
+        r += 1
+      }
+      e.select(col("vec_id"), col("label"))
+        .join(labeled.withColumnRenamed("lbl", "pred"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), coalesce(col("pred"), lit(-1L)).as("pred"),
+          when(col("vec_id") % 10 === 0, 1).otherwise(0).as("is_seed"),
+          when(col("vec_id") % 10 =!= 0 && col("pred") === col("label"), 1)
+            .when(col("vec_id") % 10 =!= 0 && col("pred").isNotNull, 0)
+            .otherwise(-1).as("correct"))
     })
   )
 
@@ -174,6 +219,36 @@ object DensityQueries {
          |JOIN lrd ln ON k.nid = ln.pid
          |JOIN lrd l ON k.pid = l.pid
          |GROUP BY 1, l.lrd""".stripMargin
+    },
+
+    "q_label_spread" -> {
+      def roundCte(prev: String, out: String) =
+        s"""${out}_v AS (SELECT s.i, l.lbl, sum(s.w)::BIGINT AS wv
+           |        FROM sym s JOIN $prev l ON s.j = l.vec_id GROUP BY 1, 2),
+           |${out}_p AS (SELECT i AS vec_id, lbl FROM (
+           |        SELECT i, lbl, row_number() OVER (PARTITION BY i ORDER BY wv DESC, lbl) AS rk
+           |        FROM ${out}_v) WHERE rk = 1),
+           |$out AS (SELECT vec_id, lbl FROM $prev
+           |        UNION ALL
+           |        SELECT p.vec_id, p.lbl FROM ${out}_p p
+           |        WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev))""".stripMargin
+      s"""WITH e AS (
+         |  SELECT a.vec_id AS i, b.vec_id AS j,
+         |    round(${cosSql("a.embedding", "b.embedding")} * 1e6)::BIGINT AS w
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $LsEps),
+         |sym AS (SELECT i, j, w FROM e UNION ALL SELECT j AS i, i AS j, w FROM e),
+         |l0 AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings WHERE vec_id % 10 = 0),
+         |${roundCte("l0", "l1")},
+         |${roundCte("l1", "l2")},
+         |${roundCte("l2", "l3")}
+         |SELECT v.vec_id, v.label::BIGINT AS label,
+         |  coalesce(l.lbl, -1) AS pred,
+         |  CASE WHEN v.vec_id % 10 = 0 THEN 1 ELSE 0 END AS is_seed,
+         |  CASE WHEN v.vec_id % 10 <> 0 AND l.lbl = v.label::BIGINT THEN 1
+         |       WHEN v.vec_id % 10 <> 0 AND l.lbl IS NOT NULL THEN 0
+         |       ELSE -1 END AS correct
+         |FROM embeddings v LEFT JOIN l3 l ON v.vec_id = l.vec_id""".stripMargin
     }
   )
 }
