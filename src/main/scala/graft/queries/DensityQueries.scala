@@ -46,7 +46,7 @@ object DensityQueries {
 
   /** Label spreading: eps-graph floor, propagation rounds, seed rule =
     * vec_id % 10 (10% labeled). */
-  private val LsEps = 0.4
+  private val LsEps = 0.2
   private val LsRounds = 3
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
