@@ -38,7 +38,8 @@ object SparkEntry {
     (EsdQueries.defs, EsdQueries.sql),
     (DriftQueries.defs, DriftQueries.sql),
     (LmQueries.defs, LmQueries.sql),
-    (MonitorQueries.defs, MonitorQueries.sql)
+    (MonitorQueries.defs, MonitorQueries.sql),
+    (HypoQueries.defs, HypoQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric / robust hypothesis tests over the event series (the
+  * two classics the reference's t-test-centric detectors lack):
+  *
+  *  - Kruskal-Wallis across the event-type groups: "do the five series
+  *    draw hourly volumes from the same distribution?" — ranks carried
+  *    as 2×-scaled integers (average-tie ranks are halves), the H
+  *    statistic assembled from exact integer rank sums with the 5-term
+  *    group sum evaluated as an ORDERED window cumsum (deterministic
+  *    accumulation order in both engines), the tie correction from
+  *    exact Σ(t³−t), and the upper-tail p in closed form for the even
+  *    df = 4: p = e^{−H/2}(1 + H/2);
+  *  - Brown-Forsythe variance-change test per series (first vs second
+  *    half): deviations from each half's exact median are snapped to
+  *    1e3-scaled BIGINTs, so all moment sums are exact integers; the
+  *    pooled-variance t statistic maps through the exact finite-form
+  *    Student-t CDF (detectors/Esd.tCdf — any df), replayed by the
+  *    oracle's coefficient recursion.
+  */
+object HypoQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private val H = Tables.hourlySql
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Kruskal-Wallis H across event types on the hourly values. ──
+    "q_kruskal" -> ((s, dir) => {
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+      val one = substring(lit("x"), 1, 0) // non-foldable constant partition
+      val wv = Window.partitionBy(one).orderBy(col("value"), col("event_type"), col("ts"))
+      val wTies = Window.partitionBy(one, col("value"))
+      val ranked = base
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("r2", (min("rn").over(wTies) + max("rn").over(wTies)).cast("long"))
+      val grp = ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("ng"), sum("r2").as("s2g"))
+      val wg = Window.partitionBy(one).orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grp
+        .withColumn("cum", sum(col("s2g") * col("s2g") / (lit(4.0) * col("ng"))).over(wg))
+        .withColumn("rk", row_number().over(Window.partitionBy(one).orderBy(col("event_type").desc)))
+        .where(col("rk") === 1)
+        .select(col("cum").as("ssum"))
+      val ties = ranked.groupBy("value").agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      val n = base.agg(count(lit(1)).as("n"))
+      tot.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+        .withColumn("h",
+          lit(12.0) / (col("n") * (col("n") + 1)) * col("ssum") - lit(3.0) * (col("n") + 1))
+        .withColumn("c",
+          lit(1.0) - col("tsum") / (col("n").cast("double") * col("n") * col("n") - col("n")))
+        .withColumn("h_adj", col("h") / col("c"))
+        .select(col("n"), round(col("h"), 6).as("h"), round(col("h_adj"), 6).as("h_adj"),
+          round(exp(-col("h_adj") / 2) * (lit(1.0) + col("h_adj") / 2), 6).as("p_value"),
+          when(exp(-col("h_adj") / 2) * (lit(1.0) + col("h_adj") / 2) < 0.05, 1).otherwise(0)
+            .as("significant"))
+    }),
+
+    // ── Brown-Forsythe per series: t-test on |x − median(half)|. ──
+    "q_variance_test" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] =>
+        val n = xs.length
+        val (a, b) = xs.splitAt(n / 2)
+        def med(v: Seq[Double]): Double = {
+          val s = v.sorted
+          (s((s.length + 1) / 2 - 1) + s(s.length / 2)) / 2.0
+        }
+        def devs(v: Seq[Double]): Array[Long] = {
+          val m = med(v)
+          v.map(x => math.round(math.abs(x - m) * 1e3)).toArray
+        }
+        val (da, db) = (devs(a), devs(b))
+        val (n1, n2) = (da.length, db.length)
+        var s1 = 0L; da.foreach(s1 += _)
+        var s2 = 0L; db.foreach(s2 += _)
+        var q1 = 0L; da.foreach(d => q1 += d * d)
+        var q2 = 0L; db.foreach(d => q2 += d * d)
+        val m1 = s1 / (n1 * 1e3); val m2 = s2 / (n2 * 1e3)
+        val ss1 = q1 / 1e6 - n1 * m1 * m1
+        val ss2 = q2 / 1e6 - n2 * m2 * m2
+        val nu = n1 + n2 - 2
+        val sp2 = (ss1 + ss2) / nu
+        val t = (m1 - m2) / math.sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+        val p = 2.0 * (1.0 - graft.detectors.Esd.tCdf(math.abs(t), nu))
+        (n1, n2, t, p)
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_r", fn(col("xs")))
+        .select(col("event_type"), col("_r._1").as("n1"), col("_r._2").as("n2"),
+          round(col("_r._3"), 6).as("t_stat"), round(col("_r._4"), 6).as("p_value"),
+          when(col("_r._4") < 0.05, 1).otherwise(0).as("var_changed"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "q_kruskal" ->
+      s"""WITH hourly AS ($H),
+         |ranked AS (SELECT event_type, value,
+         |  row_number() OVER (ORDER BY value, event_type, ts) AS rn
+         |  FROM hourly),
+         |r2t AS (SELECT event_type, value,
+         |  (min(rn) OVER (PARTITION BY value) + max(rn) OVER (PARTITION BY value))::BIGINT AS r2
+         |  FROM ranked),
+         |grp AS (SELECT event_type, count(*)::BIGINT AS ng, sum(r2)::BIGINT AS s2g
+         |        FROM r2t GROUP BY 1),
+         |tot AS (SELECT cum AS ssum FROM (
+         |          SELECT sum(s2g * s2g / (4.0 * ng))
+         |            OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |            row_number() OVER (ORDER BY event_type DESC) AS rk
+         |          FROM grp) WHERE rk = 1),
+         |ties AS (SELECT sum(t * t * t - t)::BIGINT AS tsum
+         |         FROM (SELECT count(*)::BIGINT AS t FROM hourly GROUP BY value)),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM hourly),
+         |st AS (SELECT n, ssum,
+         |         12.0 / (n * (n + 1)) * ssum - 3.0 * (n + 1) AS h,
+         |         1.0 - tsum / (n::DOUBLE * n * n - n) AS c
+         |       FROM tot CROSS JOIN nn CROSS JOIN ties)
+         |SELECT n, round(h, 6) AS h, round(h / c, 6) AS h_adj,
+         |  round(exp(-(h / c) / 2) * (1.0 + (h / c) / 2), 6) AS p_value,
+         |  CASE WHEN exp(-(h / c) / 2) * (1.0 + (h / c) / 2) < 0.05 THEN 1 ELSE 0 END AS significant
+         |FROM st""".stripMargin,
+
+    "q_variance_test" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM hourly),
+         |half AS (SELECT *, CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS grp FROM ord),
+         |med AS (SELECT event_type, grp,
+         |          (srt[(len(srt) + 1) // 2] + srt[len(srt) // 2 + 1]) / 2.0 AS med
+         |        FROM (SELECT event_type, grp, list_sort(list(value)) AS srt
+         |              FROM half GROUP BY 1, 2)),
+         |dv AS (SELECT h.event_type, h.grp,
+         |         round(abs(h.value - m.med) * 1e3)::BIGINT AS id
+         |       FROM half h JOIN med m ON h.event_type = m.event_type AND h.grp = m.grp),
+         |mo AS (SELECT event_type,
+         |         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |         sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+         |         sum(CASE WHEN grp = 1 THEN id ELSE 0 END)::BIGINT AS s1,
+         |         sum(CASE WHEN grp = 2 THEN id ELSE 0 END)::BIGINT AS s2,
+         |         sum(CASE WHEN grp = 1 THEN id * id ELSE 0 END)::BIGINT AS q1,
+         |         sum(CASE WHEN grp = 2 THEN id * id ELSE 0 END)::BIGINT AS q2
+         |       FROM dv GROUP BY 1),
+         |tt AS (SELECT event_type, n1, n2, n1 + n2 - 2 AS nu,
+         |         (s1 / (n1 * 1e3) - s2 / (n2 * 1e3))
+         |           / sqrt((((q1 / 1e6 - n1 * (s1 / (n1 * 1e3)) * (s1 / (n1 * 1e3)))
+         |                    + (q2 / 1e6 - n2 * (s2 / (n2 * 1e3)) * (s2 / (n2 * 1e3))))
+         |                   / (n1 + n2 - 2)) * (1.0E0 / n1 + 1.0E0 / n2)) AS t
+         |       FROM mo),
+         |cand AS (SELECT event_type, n1, n2, nu, t, abs(t) AS ta,
+         |           abs(t) / sqrt(nu + abs(t) * abs(t)) AS sn,
+         |           sqrt(nu::DOUBLE) / sqrt(nu + abs(t) * abs(t)) AS cs
+         |         FROM tt),
+         |cdf AS (
+         |  SELECT event_type, 1 AS j, 1.0::DOUBLE AS term, 1.0::DOUBLE AS acc,
+         |         CASE WHEN nu % 2 = 0 THEN nu // 2 - 1 ELSE (nu - 3) // 2 END AS jmax
+         |  FROM cand
+         |  UNION ALL
+         |  SELECT r.event_type, r.j + 1,
+         |    CASE WHEN c.nu % 2 = 0 THEN r.term * (c.cs * c.cs) * (2.0 * r.j - 1) / (2.0 * r.j)
+         |         ELSE r.term * (c.cs * c.cs) * (2.0 * r.j) / (2.0 * r.j + 1) END,
+         |    r.acc + CASE WHEN c.nu % 2 = 0 THEN r.term * (c.cs * c.cs) * (2.0 * r.j - 1) / (2.0 * r.j)
+         |         ELSE r.term * (c.cs * c.cs) * (2.0 * r.j) / (2.0 * r.j + 1) END,
+         |    r.jmax
+         |  FROM cdf r JOIN cand c ON r.event_type = c.event_type
+         |  WHERE r.j <= r.jmax),
+         |accs AS (SELECT event_type, max_by(acc, j) AS acc FROM cdf GROUP BY 1),
+         |pv AS (SELECT c.event_type, c.n1, c.n2, c.t,
+         |         2.0E0 * (1.0E0 - (
+         |           CASE WHEN c.nu = 1 THEN 0.5 + atan(c.ta / sqrt(c.nu::DOUBLE)) / pi()
+         |                WHEN c.nu % 2 = 0 THEN 0.5 + (c.sn / 2) * a.acc
+         |                ELSE 0.5 + (atan(c.ta / sqrt(c.nu::DOUBLE)) + c.sn * c.cs * a.acc) / pi()
+         |           END)) AS p
+         |       FROM cand c LEFT JOIN accs a ON c.event_type = a.event_type)
+         |SELECT event_type, n1::INT AS n1, n2::INT AS n2, round(t, 6) AS t_stat,
+         |  round(p, 6) AS p_value, CASE WHEN p < 0.05 THEN 1 ELSE 0 END AS var_changed
+         |FROM pv""".stripMargin
+  )
+}
