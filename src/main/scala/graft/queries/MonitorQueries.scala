@@ -74,6 +74,28 @@ object MonitorQueries {
         round(count(lit(1)).cast("double") / expected, 6).as("completeness"),
         coalesce(max("gap_h"), lit(0L)).as("longest_gap_h"),
         min("te").as("first_ts"), max("te").as("last_ts"))
+    }),
+
+    // ── MSTL-lite: multi-seasonal decomposition with the two calendar
+    // periods an hourly business series actually carries — daily (24)
+    // and weekly (168). Sequential extraction (the MSTL convention):
+    // hour-of-day means come off the raw series, hour-of-week means off
+    // that remainder, what is left is the residual. Each component is a
+    // 6-dp-rounded group mean broadcast back over the grid — two
+    // vocabulary-sized joins, one series shuffle. ──
+    "q_mstl" -> ((s, dir) => {
+      val dense = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"),
+        TSSchema(keys = Seq("event_type")), 3600L, Some(0.0))
+        .withColumn("hod", hour(col("ts")))
+        .withColumn("how", (((unix_timestamp(col("ts")) / 3600).cast("long") + 72) % 168).cast("int"))
+      val s24 = dense.groupBy("event_type", "hod").agg(round(avg("value"), 6).as("seas24"))
+      val r1 = dense.join(broadcast(s24), Seq("event_type", "hod"))
+        .withColumn("r1", round(col("value") - col("seas24"), 6))
+      val s168 = r1.groupBy("event_type", "how").agg(round(avg("r1"), 6).as("seas168"))
+      r1.join(broadcast(s168), Seq("event_type", "how"))
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts"), col("value"),
+          col("seas24"), col("seas168"),
+          round(col("r1") - col("seas168"), 6).as("resid"))
     })
   )
 
@@ -111,6 +133,24 @@ object MonitorQueries {
          |  round(count(*)::DOUBLE / ((max(te) - min(te)) // 3600 + 1), 6) AS completeness,
          |  coalesce(max(gap_h), 0) AS longest_gap_h,
          |  min(te) AS first_ts, max(te) AS last_ts
-         |FROM g GROUP BY 1""".stripMargin
+         |FROM g GROUP BY 1""".stripMargin,
+
+    "q_mstl" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |dx AS (SELECT event_type, ts, value,
+         |         extract(hour FROM ts)::INT AS hod,
+         |         ((epoch(ts)::BIGINT // 3600 + 72) % 168)::INT AS how
+         |       FROM dense),
+         |s24 AS (SELECT event_type, hod, round(avg(value), 6) AS seas24
+         |        FROM dx GROUP BY 1, 2),
+         |r1 AS (SELECT d.event_type, d.ts, d.value, d.how, s.seas24,
+         |         round(d.value - s.seas24, 6) AS r1
+         |       FROM dx d JOIN s24 s ON d.event_type = s.event_type AND d.hod = s.hod),
+         |s168 AS (SELECT event_type, how, round(avg(r1), 6) AS seas168
+         |         FROM r1 GROUP BY 1, 2)
+         |SELECT r.event_type, epoch(r.ts)::BIGINT AS ts, r.value, r.seas24, s.seas168,
+         |  round(r.r1 - s.seas168, 6) AS resid
+         |FROM r1 r JOIN s168 s ON r.event_type = s.event_type AND r.how = s.how""".stripMargin
   )
 }
