@@ -27,6 +27,9 @@ object HypoQueries {
   private val S = TSSchema(keys = Seq("event_type"))
   private val H = Tables.hourlySql
 
+  /** Permutation-test resamples. */
+  private val PermB = 200
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Kruskal-Wallis H across event types on the hourly values. ──
@@ -95,6 +98,86 @@ object HypoQueries {
         .select(col("event_type"), col("_r._1").as("n1"), col("_r._2").as("n2"),
           round(col("_r._3"), 6).as("t_stat"), round(col("_r._4"), 6).as("p_value"),
           when(col("_r._4") < 0.05, 1).otherwise(0).as("var_changed"))
+    }),
+
+    // ── Permutation test for the first-half vs second-half mean shift,
+    // fully DISTRIBUTED: permutation b's group assignment is the rank of
+    // md5(b‖series‖ts) (hash-as-randomness — reproducible on any engine,
+    // no sequential shuffle), so the B=200 resamples are one explode +
+    // one aggregation. The statistic compare is the exact integer cross
+    // product |s1·n2 − s2·n1| on 1e6-scaled value sums — no float
+    // boundary can flip a permutation's verdict. p = (1 + #{perm ≥
+    // observed}) / (B + 1), the add-one permutation convention. ──
+    "q_perm_test" -> ((s, dir) => {
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("iv", round(col("value") * 1e6).cast("long"))
+        .withColumn("te", unix_timestamp(col("ts")))
+      val wo = Window.partitionBy("event_type").orderBy("ts")
+      val obs = base
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("grp", when(col("rn") <= col("n") / 2, 1).otherwise(2))
+        .groupBy("event_type")
+        .agg(sum(when(col("grp") === 1, col("iv"))).as("s1"),
+          sum(when(col("grp") === 2, col("iv"))).as("s2"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
+        .withColumn("obs_stat", abs(col("s1") * col("n2") - col("s2") * col("n1")))
+      val perms = base.crossJoin(broadcast(
+        s.range(1, PermB + 1).select(col("id").cast("int").as("b"))))
+        .withColumn("hk", md5(concat_ws("|", col("b"), col("event_type"), col("te"))))
+      val wp = Window.partitionBy("event_type", "b").orderBy("hk", "te")
+      val permStats = perms
+        .withColumn("rn", row_number().over(wp))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type", "b")))
+        .withColumn("grp", when(col("rn") <= col("n") / 2, 1).otherwise(2))
+        .groupBy("event_type", "b")
+        .agg(sum(when(col("grp") === 1, col("iv"))).as("p1"),
+          sum(when(col("grp") === 2, col("iv"))).as("p2"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("m1"),
+          sum(when(col("grp") === 2, 1L).otherwise(0L)).as("m2"))
+      permStats.join(obs, Seq("event_type"))
+        .withColumn("ge", when(abs(col("p1") * col("m2") - col("p2") * col("m1")) >= col("obs_stat"), 1L)
+          .otherwise(0L))
+        .groupBy("event_type", "s1", "s2", "n1", "n2")
+        .agg(sum("ge").as("n_ge"))
+        .select(col("event_type"),
+          round(col("s1") / (col("n1") * 1e6), 6).as("mean_1"),
+          round(col("s2") / (col("n2") * 1e6), 6).as("mean_2"),
+          col("n_ge"),
+          round((col("n_ge") + 1).cast("double") / (PermB + 1), 6).as("p_value"),
+          when((col("n_ge") + 1).cast("double") / (PermB + 1) < 0.05, 1).otherwise(0)
+            .as("mean_shifted"))
+    }),
+
+    // ── Theil-Sen robust slope per series: the exact median of all
+    // pairwise slopes (x_j − x_i)/(j − i) and the median-of-residuals
+    // intercept — identical double ratio sets on both engines, medians as
+    // exact order statistics. The O(n²) pair set is materialized once per
+    // series after the one-row reduction (kernel) / as a rn self-join
+    // (oracle); the scale axis stays series count. ──
+    "q_theil_sen" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] =>
+        val n = xs.length
+        val slopes = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) { slopes += (xs(j) - xs(i)) / (j - i); j += 1 }
+          i += 1
+        }
+        def med(v: Seq[Double]): Double = {
+          val sr = v.sorted
+          (sr((sr.length + 1) / 2 - 1) + sr(sr.length / 2)) / 2.0
+        }
+        val slope = med(slopes.toSeq)
+        val icept = med(xs.zipWithIndex.map { case (x, t) => x - slope * t })
+        (slope, icept, slopes.length)
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_r", fn(col("xs")))
+        .select(col("event_type"), round(col("_r._1"), 6).as("slope"),
+          round(col("_r._2"), 6).as("intercept"), col("_r._3").as("n_pairs"))
     })
   )
 
@@ -182,6 +265,67 @@ object HypoQueries {
          |       FROM cand c LEFT JOIN accs a ON c.event_type = a.event_type)
          |SELECT event_type, n1::INT AS n1, n2::INT AS n2, round(t, 6) AS t_stat,
          |  round(p, 6) AS p_value, CASE WHEN p < 0.05 THEN 1 ELSE 0 END AS var_changed
-         |FROM pv""".stripMargin
+         |FROM pv""".stripMargin,
+
+    "q_perm_test" ->
+      s"""WITH hourly AS ($H),
+         |iv AS (SELECT event_type, ts, epoch(ts)::BIGINT AS te,
+         |         round(value * 1e6)::BIGINT AS iv,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |       FROM hourly),
+         |obs AS (SELECT event_type,
+         |          sum(CASE WHEN rn <= n // 2 THEN iv END)::BIGINT AS s1,
+         |          sum(CASE WHEN rn > n // 2 THEN iv END)::BIGINT AS s2,
+         |          sum(CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |          sum(CASE WHEN rn > n // 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+         |        FROM iv GROUP BY 1),
+         |perms AS (SELECT i.event_type, i.iv, i.te, b.b,
+         |            md5(b.b::VARCHAR || '|' || i.event_type || '|' || i.te::VARCHAR) AS hk
+         |          FROM iv i CROSS JOIN (SELECT unnest(range(1, $PermB + 1))::INT AS b) b),
+         |pr AS (SELECT event_type, b, iv,
+         |         row_number() OVER (PARTITION BY event_type, b ORDER BY hk, te) AS rn,
+         |         count(*) OVER (PARTITION BY event_type, b) AS n
+         |       FROM perms),
+         |ps AS (SELECT event_type, b,
+         |         sum(CASE WHEN rn <= n // 2 THEN iv END)::BIGINT AS p1,
+         |         sum(CASE WHEN rn > n // 2 THEN iv END)::BIGINT AS p2,
+         |         sum(CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END)::BIGINT AS m1,
+         |         sum(CASE WHEN rn > n // 2 THEN 1 ELSE 0 END)::BIGINT AS m2
+         |       FROM pr GROUP BY 1, 2),
+         |agg AS (SELECT p.event_type, o.s1, o.s2, o.n1, o.n2,
+         |          sum(CASE WHEN abs(p.p1 * p.m2 - p.p2 * p.m1)
+         |                    >= abs(o.s1 * o.n2 - o.s2 * o.n1) THEN 1 ELSE 0 END)::BIGINT AS n_ge
+         |        FROM ps p JOIN obs o ON p.event_type = o.event_type
+         |        GROUP BY 1, 2, 3, 4, 5)
+         |SELECT event_type,
+         |  round(s1 / (n1 * 1e6), 6) AS mean_1,
+         |  round(s2 / (n2 * 1e6), 6) AS mean_2,
+         |  n_ge,
+         |  round((n_ge + 1)::DOUBLE / ($PermB + 1), 6) AS p_value,
+         |  CASE WHEN (n_ge + 1)::DOUBLE / ($PermB + 1) < 0.05 THEN 1 ELSE 0 END AS mean_shifted
+         |FROM agg""".stripMargin,
+
+    "q_theil_sen" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |          (row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1)::BIGINT AS t
+         |        FROM hourly),
+         |sl AS (SELECT a.event_type, (b.value - a.value) / (b.t - a.t) AS slope
+         |       FROM ord a JOIN ord b ON a.event_type = b.event_type AND a.t < b.t),
+         |sm AS (SELECT event_type, list_sort(list(slope)) AS srt, count(*)::INT AS n_pairs
+         |       FROM sl GROUP BY 1),
+         |slope AS (SELECT event_type, n_pairs,
+         |            (srt[(len(srt) + 1) // 2] + srt[len(srt) // 2 + 1]) / 2.0 AS slope
+         |          FROM sm),
+         |res AS (SELECT o.event_type, s.slope, s.n_pairs, o.value - s.slope * o.t AS r
+         |        FROM ord o JOIN slope s ON o.event_type = s.event_type),
+         |ic AS (SELECT event_type, list_sort(list(r)) AS srt, max(slope) AS slope,
+         |         max(n_pairs) AS n_pairs
+         |       FROM res GROUP BY 1)
+         |SELECT event_type, round(slope, 6) AS slope,
+         |  round((srt[(len(srt) + 1) // 2] + srt[len(srt) // 2 + 1]) / 2.0, 6) AS intercept,
+         |  n_pairs
+         |FROM ic""".stripMargin
   )
 }
