@@ -39,7 +39,8 @@ object SparkEntry {
     (DriftQueries.defs, DriftQueries.sql),
     (LmQueries.defs, LmQueries.sql),
     (MonitorQueries.defs, MonitorQueries.sql),
-    (HypoQueries.defs, HypoQueries.sql)
+    (HypoQueries.defs, HypoQueries.sql),
+    (MixtureQueries.defs, MixtureQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
