@@ -30,6 +30,9 @@ object HypoQueries {
   /** Permutation-test resamples. */
   private val PermB = 200
 
+  /** Cross-correlation lag horizon (hours). */
+  private val XcLag = 24
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Kruskal-Wallis H across event types on the hourly values. ──
@@ -178,6 +181,78 @@ object HypoQueries {
         .withColumn("_r", fn(col("xs")))
         .select(col("event_type"), round(col("_r._1"), 6).as("slope"),
           round(col("_r._2"), 6).as("intercept"), col("_r._3").as("n_pairs"))
+    }),
+
+    // ── Lagged cross-correlation between series pairs (the lead-lag EDA
+    // complement of q_granger's predictiveness test): for every ordered
+    // type pair and lag −24..24 h, Pearson r of (x_a(t), x_b(t+l)) over
+    // the dense grid, moments snapped to the 4-dp grid; each pair
+    // reports lag 0 and the |r|-argmax lag (rounded-r compare, lag-asc
+    // tiebreak). One lag-grid explode + a ts-equality join — 49·C(k,2)
+    // aggregation groups, never a per-point cross product. ──
+    "q_xcorr" -> ((s, dir) => {
+      val dense = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+        .withColumn("te", unix_timestamp(col("ts")))
+      val lags = s.range(-XcLag, XcLag + 1).select(col("id").cast("int").as("lag"))
+      val a = dense.select(col("event_type").as("ea"), col("te"), col("value").as("xa"))
+        .crossJoin(broadcast(lags))
+        .withColumn("tj", col("te") + col("lag") * 3600L)
+      val b = dense.select(col("event_type").as("eb"), col("te").as("tj"), col("value").as("xb"))
+      val mo = a.join(b, Seq("tj")).where(col("ea") < col("eb"))
+        .groupBy("ea", "eb", "lag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("xa"), 4).as("sx"), round(sum("xb"), 4).as("sy"),
+          round(sum(col("xa") * col("xa")), 4).as("sxx"),
+          round(sum(col("xb") * col("xb")), 4).as("syy"),
+          round(sum(col("xa") * col("xb")), 4).as("sxy"))
+      val r = mo.withColumn("r",
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      val w = Window.partitionBy("ea", "eb").orderBy(abs(col("r")).desc, col("lag").asc)
+      val peak = r.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("ea"), col("eb"), col("lag").as("best_lag"), col("r").as("r_peak"))
+      val zero = r.where(col("lag") === 0)
+        .select(col("ea"), col("eb"), col("r").as("r_lag0"))
+      peak.join(zero, Seq("ea", "eb"))
+        .select("ea", "eb", "best_lag", "r_peak", "r_lag0")
+    }),
+
+    // ── GPD tail fit over threshold exceedances (peaks-over-threshold,
+    // Hosking & Wallis 1987 probability-weighted moments — closed form,
+    // no MLE iteration): u = the exact 95th-percentile order statistic,
+    // excesses sorted ascending, b0/b1 from 1e6-scaled integer weighted
+    // sums (exact), ξ = 2 − b0/(b0−2b1), σ = 2·b0·b1/(b0−2b1), and the
+    // one-year return level u + σ/ξ·((λT)^ξ − 1). The tail-risk
+    // statement ("what hourly volume do we see once a year") a capacity
+    // planner actually asks for. ──
+    "q_gpd_tail" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] =>
+        val n = xs.length
+        val sorted = xs.sorted
+        val u = sorted(n * 19 / 20 - 1)
+        val iy = sorted.filter(_ > u).map(y => math.round((y - u) * 1e6))
+        val m = iy.length
+        var s0 = 0L; iy.foreach(s0 += _)
+        var s1 = 0L
+        var j = 0
+        while (j < m) { s1 += j.toLong * iy(j); j += 1 }
+        val b0 = s0 / (m * 1e6)
+        val b1 = s1 / ((m - 1.0) * m * 1e6)
+        val xi = 2.0 - b0 / (b0 - 2.0 * b1)
+        val sg = 2.0 * b0 * b1 / (b0 - 2.0 * b1)
+        val lam = m.toDouble / n
+        val t = 8760.0
+        val rl =
+          if (math.abs(xi) < 1e-9) u + sg * math.log(lam * t)
+          else u + sg / xi * (math.pow(lam * t, xi) - 1.0)
+        (u, m, xi, sg, rl)
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_r", fn(col("xs")))
+        .select(col("event_type"), round(col("_r._1"), 6).as("threshold"),
+          col("_r._2").as("n_excess"), round(col("_r._3"), 6).as("xi"),
+          round(col("_r._4"), 6).as("sigma"), round(col("_r._5"), 6).as("return_level_1y"))
     })
   )
 
@@ -326,6 +401,63 @@ object HypoQueries {
          |SELECT event_type, round(slope, 6) AS slope,
          |  round((srt[(len(srt) + 1) // 2] + srt[len(srt) // 2 + 1]) / 2.0, 6) AS intercept,
          |  n_pairs
-         |FROM ic""".stripMargin
+         |FROM ic""".stripMargin,
+
+    "q_xcorr" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |dx AS (SELECT event_type, epoch(ts)::BIGINT AS te, value FROM dense),
+         |la AS (SELECT d.event_type AS ea, d.te, d.value AS xa, l.lag,
+         |         d.te + l.lag * 3600 AS tj
+         |       FROM dx d CROSS JOIN (SELECT unnest(range(-$XcLag, $XcLag + 1))::INT AS lag) l),
+         |mo AS (SELECT a.ea, b.event_type AS eb, a.lag,
+         |         count(*)::BIGINT AS n,
+         |         round(sum(a.xa), 4) AS sx, round(sum(b.value), 4) AS sy,
+         |         round(sum(a.xa * a.xa), 4) AS sxx,
+         |         round(sum(b.value * b.value), 4) AS syy,
+         |         round(sum(a.xa * b.value), 4) AS sxy
+         |       FROM la a JOIN dx b ON a.tj = b.te AND a.ea < b.event_type
+         |       GROUP BY 1, 2, 3),
+         |r AS (SELECT ea, eb, lag,
+         |        round((n * sxy - sx * sy) /
+         |          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r
+         |      FROM mo),
+         |pk AS (SELECT ea, eb, lag AS best_lag, r AS r_peak FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY ea, eb ORDER BY abs(r) DESC, lag ASC) AS rk
+         |         FROM r) WHERE rk = 1),
+         |z AS (SELECT ea, eb, r AS r_lag0 FROM r WHERE lag = 0)
+         |SELECT p.ea, p.eb, p.best_lag, p.r_peak, z.r_lag0
+         |FROM pk p JOIN z ON p.ea = z.ea AND p.eb = z.eb""".stripMargin,
+
+    "q_gpd_tail" ->
+      s"""WITH hourly AS ($H),
+         |ser AS (SELECT event_type, list_sort(list(value)) AS srt, count(*)::BIGINT AS n
+         |        FROM hourly GROUP BY 1),
+         |th AS (SELECT event_type, n, srt[(n * 19 // 20)::INT] AS u, srt FROM ser),
+         |ex AS (SELECT event_type, n, u,
+         |         list_transform(list_filter(srt, y -> y > u),
+         |                        y -> round((y - u) * 1e6)::BIGINT) AS iy
+         |       FROM th),
+         |exr AS (SELECT event_type, n, u, len(iy)::BIGINT AS m,
+         |          unnest(iy) AS y, generate_subscripts(iy, 1) AS j
+         |        FROM ex),
+         |mo AS (SELECT event_type, max(n) AS n, max(u) AS u, max(m) AS m,
+         |         sum(y)::BIGINT AS s0, sum((j - 1) * y)::BIGINT AS s1
+         |       FROM exr GROUP BY 1),
+         |pw AS (SELECT event_type, n, u, m,
+         |         s0 / (m * 1e6) AS b0,
+         |         s1 / ((m - 1.0E0) * m * 1e6) AS b1,
+         |         m::DOUBLE / n AS lam
+         |       FROM mo),
+         |par AS (SELECT event_type, n, u, m, lam,
+         |          2.0E0 - b0 / (b0 - 2.0E0 * b1) AS xi,
+         |          2.0E0 * b0 * b1 / (b0 - 2.0E0 * b1) AS sg
+         |        FROM pw)
+         |SELECT event_type, round(u, 6) AS threshold, m::INT AS n_excess,
+         |  round(xi, 6) AS xi, round(sg, 6) AS sigma,
+         |  round(CASE WHEN abs(xi) < 1e-9 THEN u + sg * ln(lam * 8760.0E0)
+         |             ELSE u + sg / xi * (pow(lam * 8760.0E0, xi) - 1.0E0) END, 6)
+         |    AS return_level_1y
+         |FROM par""".stripMargin
   )
 }
