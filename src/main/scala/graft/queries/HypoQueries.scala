@@ -234,9 +234,12 @@ object HypoQueries {
         val iy = sorted.filter(_ > u).map(y => math.round((y - u) * 1e6))
         val m = iy.length
         var s0 = 0L; iy.foreach(s0 += _)
+        // a1 = (1/m)Σ ((m−j)/(m−1))·y_(j), the (1−F)-type PWM the GPD
+        // estimators are derived for (Hosking & Wallis 1987 eq. 2.4) —
+        // descending weights, NOT the ascending F-type b1
         var s1 = 0L
         var j = 0
-        while (j < m) { s1 += j.toLong * iy(j); j += 1 }
+        while (j < m) { s1 += (m - 1L - j) * iy(j); j += 1 }
         val b0 = s0 / (m * 1e6)
         val b1 = s1 / ((m - 1.0) * m * 1e6)
         val xi = 2.0 - b0 / (b0 - 2.0 * b1)
@@ -442,7 +445,7 @@ object HypoQueries {
          |          unnest(iy) AS y, generate_subscripts(iy, 1) AS j
          |        FROM ex),
          |mo AS (SELECT event_type, max(n) AS n, max(u) AS u, max(m) AS m,
-         |         sum(y)::BIGINT AS s0, sum((j - 1) * y)::BIGINT AS s1
+         |         sum(y)::BIGINT AS s0, sum((m - j) * y)::BIGINT AS s1
          |       FROM exr GROUP BY 1),
          |pw AS (SELECT event_type, n, u, m,
          |         s0 / (m * 1e6) AS b0,
