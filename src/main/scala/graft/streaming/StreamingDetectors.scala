@@ -62,6 +62,27 @@ object StreamingDetectors {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .select(col("source"), col("window.start").as("ts"),
         col("n_docs"), col("n_tokens"), col("n_chars"))
+  /** Streaming error-budget burn monitor — the q_burn_rate twin. The 1 h
+    * and trailing-6 h error shares come from ONE sliding-window
+    * aggregation (6 h duration, 1 h slide): each event lands in six open
+    * windows, each holding two counters — 16 bytes of state per open
+    * window and nothing else. A closed window's end-hour burn equals the
+    * batch operator's trailing-6 h burn for that hour; the emitted
+    * `burn_6h` and alert use the window's own share, and the per-hour
+    * share rides a parallel tumbling aggregation the caller can join.
+    * At an SLO target t, burn = share/t; alert when burn > `burnAlert`.
+    */
+  def burnMonitor(stream: DataFrame, sloTarget: Double = 0.2, burnAlert: Double = 1.5,
+                  watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+        count(lit(1)).as("n_tot"))
+      .select(col("window.end").as("ts_hour_end"), col("n_err"), col("n_tot"),
+        round(col("n_err").cast("double") / col("n_tot"), 6).as("share_6h"),
+        round(col("n_err").cast("double") / col("n_tot") / sloTarget, 6).as("burn_6h"),
+        (col("n_err").cast("double") / col("n_tot") / sloTarget > burnAlert).cast("int").as("alert"))
+
   case class UserEvent(event_type: String, ts: java.sql.Timestamp, user_id: Long)
 
   /** Streaming distinct-user meter: per-(event_type, window) HyperLogLog

@@ -175,6 +175,28 @@ class StreamingReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.values.exists(_ > 0.5), "expected at least one confident changepoint on real data")
   }
 
+  test("streaming burn monitor windows equal a batch recount of the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = Tables.events(spark, dir).select("event_type", "ts").orderBy("ts").collect()
+      .map(r => Point(r.getString(0), r.getTimestamp(1), 0.0)).toSeq
+    val mem = MemoryStream[Point]
+    val q = StreamingDetectors.burnMonitor(mem.toDS().toDF())
+      .writeStream.format("memory").queryName("rp_burn").outputMode("append").start()
+    chunks(evs, 4).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    val stream = spark.sql("select ts_hour_end, n_err, n_tot from rp_burn").collect()
+      .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2))).toMap
+    q.stop()
+    assert(stream.nonEmpty, "no closed burn windows emitted")
+    // batch recount: for each emitted window end E, the rows in [E-6h, E)
+    stream.foreach { case (end, (ne, nt)) =>
+      val lo = end - 6L * 3600 * 1000
+      val rows = evs.filter(p => p.ts.getTime >= lo && p.ts.getTime < end)
+      assert(rows.length == nt, s"window $end total ${rows.length} != $nt")
+      assert(rows.count(_.event_type == "error") == ne, s"window $end errors != $ne")
+    }
+  }
+
   test("streaming Page-Hinkley replays the batch alarm point exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
