@@ -256,6 +256,62 @@ object HypoQueries {
         .select(col("event_type"), round(col("_r._1"), 6).as("threshold"),
           col("_r._2").as("n_excess"), round(col("_r._3"), 6).as("xi"),
           round(col("_r._4"), 6).as("sigma"), round(col("_r._5"), 6).as("return_level_1y"))
+    }),
+
+    // ── Seasonal Mann-Kendall (Hirsch & Slack 1984): the MK S and
+    // variance computed WITHIN each hour-of-day season (so the daily
+    // cycle cannot masquerade as trend), summed across seasons, then the
+    // usual continuity-corrected z. Exact integer S and tie sums; pair
+    // join keyed by (series, season) — C(n_h,2) per season, never the
+    // full series square. ──
+    "q_mk_seasonal" -> ((s, dir) => {
+      val h = Tables.hourlyEvents(s, dir).drop("n").withColumn("hod", hour(col("ts")))
+      val a = h.select(col("event_type"), col("hod"), col("ts"), col("value").as("va"))
+      val b = h.select(col("event_type"), col("hod"), col("ts").as("ts2"), col("value").as("vb"))
+      val sg = a.join(b, Seq("event_type", "hod")).where(col("ts") < col("ts2"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("vb") - col("va")).cast("long")).as("s"))
+      val nv = h.groupBy("event_type", "hod").agg(count(lit(1)).as("nh"))
+      val ties = h.groupBy("event_type", "hod", "value").agg(count(lit(1)).as("c"))
+        .groupBy("event_type", "hod")
+        .agg(sum(col("c") * (col("c") - 1) * (lit(2L) * col("c") + 5)).as("tie_h"))
+      val vh = nv.join(ties, Seq("event_type", "hod"), "left")
+        .groupBy("event_type")
+        .agg(sum(col("nh") * (col("nh") - 1) * (lit(2L) * col("nh") + 5) -
+          coalesce(col("tie_h"), lit(0L))).as("var18"),
+          sum(col("nh") * (col("nh") - 1)).as("pairs2"))
+      sg.join(vh, "event_type")
+        .withColumn("var_s", col("var18") / 18.0)
+        .withColumn("z",
+          when(col("s") > 0, (col("s") - 1) / sqrt(col("var_s")))
+            .when(col("s") < 0, (col("s") + 1) / sqrt(col("var_s")))
+            .otherwise(lit(0.0)))
+        .select(col("event_type"), col("s"),
+          round(col("s") / (col("pairs2") / 2.0), 6).as("tau"),
+          round(col("var_s"), 6).as("var_s"), round(col("z"), 6).as("z"),
+          when(col("z") > 1.96, 1).when(col("z") < -1.96, -1).otherwise(0).as("trend"))
+    }),
+
+    // ── Q-Q drift table: the deciles of the series' first and second
+    // halves side by side — exact ceiling-rank order statistics (pure
+    // integer rank math, no interpolation), the distribution-shift view
+    // that says WHERE the two halves differ (complement of the KS
+    // sup-statistic and PSI's fixed bins). ──
+    "q_qq_drift" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] =>
+        val n = xs.length
+        val (a, b) = xs.splitAt(n / 2)
+        val (sa, sb) = (a.sorted, b.sorted)
+        (1 to 9).map { p =>
+          val qa = sa((sa.length * p + 9) / 10 - 1)
+          val qb = sb((sb.length * p + 9) / 10 - 1)
+          (p * 10, qa, qb, qb - qa)
+        }.toArray
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_q", explode(fn(col("xs"))))
+        .select(col("event_type"), col("_q._1").as("pct"), col("_q._2").as("q_first"),
+          col("_q._3").as("q_second"), round(col("_q._4"), 6).as("q_diff"))
     })
   )
 
@@ -461,6 +517,53 @@ object HypoQueries {
          |  round(CASE WHEN abs(xi) < 1e-9 THEN u + sg * ln(lam * 8760.0E0)
          |             ELSE u + sg / xi * (pow(lam * 8760.0E0, xi) - 1.0E0) END, 6)
          |    AS return_level_1y
-         |FROM par""".stripMargin
+         |FROM par""".stripMargin,
+
+    "q_mk_seasonal" ->
+      s"""WITH hourly AS ($H),
+         |hh AS (SELECT event_type, extract(hour FROM ts)::INT AS hod, ts, value FROM hourly),
+         |p AS (SELECT a.event_type, sign(b.value - a.value)::BIGINT AS sg
+         |      FROM hh a JOIN hh b ON a.event_type = b.event_type AND a.hod = b.hod AND a.ts < b.ts),
+         |sgg AS (SELECT event_type, sum(sg)::BIGINT AS s FROM p GROUP BY 1),
+         |nv AS (SELECT event_type, hod, count(*)::BIGINT AS nh FROM hh GROUP BY 1, 2),
+         |ties AS (SELECT event_type, hod, sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tie_h
+         |         FROM (SELECT event_type, hod, value, count(*)::BIGINT AS c
+         |               FROM hh GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |vh AS (SELECT n.event_type,
+         |         sum(n.nh * (n.nh - 1) * (2 * n.nh + 5) - coalesce(t.tie_h, 0))::BIGINT AS var18,
+         |         sum(n.nh * (n.nh - 1))::BIGINT AS pairs2
+         |       FROM nv n LEFT JOIN ties t ON n.event_type = t.event_type AND n.hod = t.hod
+         |       GROUP BY 1),
+         |st AS (SELECT g.event_type, g.s, v.var18 / 18.0 AS var_s, v.pairs2 FROM sgg g
+         |       JOIN vh v ON g.event_type = v.event_type)
+         |SELECT event_type, s,
+         |  round(s / (pairs2 / 2.0), 6) AS tau,
+         |  round(var_s, 6) AS var_s,
+         |  round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+         |             WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END, 6) AS z,
+         |  CASE WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+         |                  WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END) > 1.96 THEN 1
+         |       WHEN (CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+         |                  WHEN s < 0 THEN (s + 1) / sqrt(var_s) ELSE 0.0 END) < -1.96 THEN -1
+         |       ELSE 0 END AS trend
+         |FROM st""".stripMargin,
+
+    "q_qq_drift" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM hourly),
+         |halves AS (SELECT event_type,
+         |             list_sort(list(value) FILTER (WHERE rn <= n // 2)) AS sa,
+         |             list_sort(list(value) FILTER (WHERE rn > n // 2)) AS sb
+         |           FROM ord GROUP BY 1),
+         |qq AS (SELECT event_type, p * 10 AS pct,
+         |         sa[(len(sa) * p + 9) // 10] AS q_first,
+         |         sb[(len(sb) * p + 9) // 10] AS q_second
+         |       FROM halves CROSS JOIN (SELECT unnest(range(1, 10))::INT AS p))
+         |SELECT event_type, pct, q_first, q_second,
+         |  round(q_second - q_first, 6) AS q_diff
+         |FROM qq""".stripMargin
   )
 }
