@@ -33,6 +33,9 @@ object HypoQueries {
   /** Cross-correlation lag horizon (hours). */
   private val XcLag = 24
 
+  /** Ljung-Box lag count. */
+  private val LbLags = 24
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── Kruskal-Wallis H across event types on the hourly values. ──
@@ -312,6 +315,75 @@ object HypoQueries {
         .withColumn("_q", explode(fn(col("xs"))))
         .select(col("event_type"), col("_q._1").as("pct"), col("_q._2").as("q_first"),
           col("_q._3").as("q_second"), round(col("_q._4"), 6).as("q_diff"))
+    }),
+
+    // ── Ljung-Box portmanteau test (lags 1..24): is the series white?
+    // Q = n(n+2)·Σ ρ_k²/(n−k) from 4-dp-snapped autocovariance moments,
+    // the χ²(24) upper tail via a 12-term Horner polynomial (even df —
+    // both engines evaluate the identical nesting). The residual-
+    // whiteness diagnostic every fitted model should be followed by. ──
+    "q_ljung_box" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] =>
+        val n = xs.length
+        var sx = 0.0
+        xs.foreach(sx += _)
+        sx = math.signum(sx) * math.floor(math.abs(sx) * 1e4 + 0.5) / 1e4
+        val mu = sx / n
+        var den = 0.0
+        xs.foreach(x => den += (x - mu) * (x - mu))
+        den = math.signum(den) * math.floor(math.abs(den) * 1e4 + 0.5) / 1e4
+        var q = 0.0
+        var k = 1
+        while (k <= LbLags) {
+          var num = 0.0
+          var t = 0
+          while (t + k < n) { num += (xs(t) - mu) * (xs(t + k) - mu); t += 1 }
+          num = math.signum(num) * math.floor(math.abs(num) * 1e4 + 0.5) / 1e4
+          val rho = num / den
+          q = q + rho * rho / (n - k)
+          k += 1
+        }
+        q = n * (n + 2.0) * q
+        // chi2(24) upper tail = e^{-h}·Σ_{i=0}^{11} h^i/i!, h = q/2, via
+        // the fixed Horner nesting f(i) = 1 + h/(i+1)·f(i+1)
+        val h = q / 2.0
+        var f = 1.0
+        var i = 11
+        while (i >= 1) { f = 1.0 + h / i * f; i -= 1 }
+        val p = math.exp(-h) * f
+        (q, math.min(math.max(p, 0.0), 1.0))
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_r", fn(col("xs")))
+        .select(col("event_type"), round(col("_r._1"), 6).as("q_stat"),
+          round(col("_r._2"), 6).as("p_value"),
+          when(col("_r._2") < 0.05, 1).otherwise(0).as("autocorrelated"))
+    }),
+
+    // ── Wald-Wolfowitz runs test: randomness of the above/below-median
+    // sign sequence (ties at the median dropped). Runs, n1, n2 are exact
+    // integers; z = (R − μ_R)/σ_R in closed form. ──
+    "q_runs_test" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] =>
+        val sr = xs.sorted
+        val med = (sr((sr.length + 1) / 2 - 1) + sr(sr.length / 2)) / 2.0
+        val signs = xs.filter(_ != med).map(_ > med)
+        val n1 = signs.count(identity).toLong
+        val n2 = signs.length - n1
+        var runs = 1L
+        var i = 1
+        while (i < signs.length) { if (signs(i) != signs(i - 1)) runs += 1; i += 1 }
+        val nn = (n1 + n2).toDouble
+        val muR = 2.0 * n1 * n2 / nn + 1.0
+        val varR = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1.0))
+        val z = (runs - muR) / math.sqrt(varR)
+        (n1, n2, runs, z)
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_r", fn(col("xs")))
+        .select(col("event_type"), col("_r._1").as("n_above"), col("_r._2").as("n_below"),
+          col("_r._3").as("n_runs"), round(col("_r._4"), 6).as("z"),
+          when(abs(col("_r._4")) > 1.96, 1).otherwise(0).as("nonrandom"))
     })
   )
 
@@ -564,6 +636,68 @@ object HypoQueries {
          |       FROM halves CROSS JOIN (SELECT unnest(range(1, 10))::INT AS p))
          |SELECT event_type, pct, q_first, q_second,
          |  round(q_second - q_first, 6) AS q_diff
-         |FROM qq""".stripMargin
+         |FROM qq""".stripMargin,
+
+    "q_ljung_box" -> {
+      // Σ_{i=0}^{11} h^i/i! via the kernel's exact Horner nesting
+      val horner = (1 to 11).foldRight("1.0E0") { (i, acc) => s"1.0E0 + h / $i * ($acc)" }
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM hourly),
+         |mu AS (SELECT event_type, round(sum(value), 4) / max(n) AS mu, max(n) AS n
+         |       FROM ord GROUP BY 1),
+         |dn AS (SELECT o.event_type,
+         |         round(sum((o.value - m.mu) * (o.value - m.mu)), 4) AS den
+         |       FROM ord o JOIN mu m ON o.event_type = m.event_type GROUP BY 1),
+         |nums AS (SELECT a.event_type, k.k,
+         |           round(sum((a.value - m.mu) * (b.value - m.mu)), 4) AS num
+         |         FROM ord a
+         |         CROSS JOIN (SELECT unnest(range(1, $LbLags + 1))::INT AS k) k
+         |         JOIN ord b ON b.event_type = a.event_type AND b.rn = a.rn + k.k
+         |         JOIN mu m ON a.event_type = m.event_type
+         |         GROUP BY 1, 2),
+         |acc AS (SELECT n.event_type, n.k,
+         |          sum((n.num / d.den) * (n.num / d.den) / (m.n - n.k))
+         |            OVER (PARTITION BY n.event_type ORDER BY n.k
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM nums n JOIN dn d ON n.event_type = d.event_type
+         |        JOIN mu m ON n.event_type = m.event_type),
+         |qs AS (SELECT a.event_type, m.n * (m.n + 2.0E0) * a.cum AS q
+         |       FROM acc a JOIN mu m ON a.event_type = m.event_type
+         |       WHERE a.k = $LbLags),
+         |pv AS (SELECT event_type, q,
+         |         least(greatest(exp(-h) * ($horner), 0.0E0), 1.0E0) AS p
+         |       FROM (SELECT event_type, q, q / 2.0E0 AS h FROM qs))
+         |SELECT event_type, round(q, 6) AS q_stat, round(p, 6) AS p_value,
+         |  CASE WHEN p < 0.05 THEN 1 ELSE 0 END AS autocorrelated
+         |FROM pv""".stripMargin
+    },
+
+    "q_runs_test" ->
+      s"""WITH hourly AS ($H),
+         |med AS (SELECT event_type,
+         |          (srt[(len(srt) + 1) // 2] + srt[len(srt) // 2 + 1]) / 2.0 AS med
+         |        FROM (SELECT event_type, list_sort(list(value)) AS srt FROM hourly GROUP BY 1)),
+         |sg AS (SELECT h.event_type, h.ts, CASE WHEN h.value > m.med THEN 1 ELSE 0 END AS s
+         |       FROM hourly h JOIN med m ON h.event_type = m.event_type
+         |       WHERE h.value <> m.med),
+         |rr AS (SELECT event_type, s,
+         |         lag(s) OVER (PARTITION BY event_type ORDER BY ts) AS ps
+         |       FROM sg),
+         |st AS (SELECT event_type,
+         |         sum(s)::BIGINT AS n1,
+         |         (count(*) - sum(s))::BIGINT AS n2,
+         |         (1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END))::BIGINT AS runs
+         |       FROM rr GROUP BY 1),
+         |zz AS (SELECT event_type, n1, n2, runs,
+         |         (runs - (2.0E0 * n1 * n2 / (n1 + n2)::DOUBLE + 1.0E0))
+         |           / sqrt(2.0E0 * n1 * n2 * (2.0E0 * n1 * n2 - n1 - n2)
+         |                  / ((n1 + n2)::DOUBLE * (n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1.0E0))) AS z
+         |       FROM st)
+         |SELECT event_type, n1 AS n_above, n2 AS n_below, runs AS n_runs,
+         |  round(z, 6) AS z, CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS nonrandom
+         |FROM zz""".stripMargin
   )
 }
