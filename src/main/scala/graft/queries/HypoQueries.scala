@@ -41,7 +41,10 @@ object HypoQueries {
     // ── Kruskal-Wallis H across event types on the hourly values. ──
     "q_kruskal" -> ((s, dir) => {
       val base = Tables.hourlyEvents(s, dir).drop("n")
-      val one = substring(lit("x"), 1, 0) // non-foldable constant partition
+      // zero-length substring of a REAL column: non-foldable, so the
+      // constant-partition windows keep a partition spec (a literal folds
+      // to an empty spec → single-partition WindowExec warning)
+      val one = substring(col("event_type"), 1, 0)
       val wv = Window.partitionBy(one).orderBy(col("value"), col("event_type"), col("ts"))
       val wTies = Window.partitionBy(one, col("value"))
       val ranked = base

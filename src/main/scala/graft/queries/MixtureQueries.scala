@@ -93,7 +93,7 @@ object MixtureQueries {
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("e2"),
         sum(when(col("arm") === 0 && col("event_type") === "purchase", 1L).otherwise(0L)).as("b1"),
         sum(when(col("arm") === 1 && col("event_type") === "purchase", 1L).otherwise(0L)).as("b2"))
-      val one = substring(lit("x"), 1, 0)
+      val one = substring(col("h").cast("string"), 1, 0)
       val w = Window.partitionBy(one).orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hourly

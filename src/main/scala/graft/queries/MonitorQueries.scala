@@ -39,7 +39,9 @@ object MonitorQueries {
         .groupBy(date_trunc("hour", col("ts")).as("ts"))
         .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
           count(lit(1)).as("n_tot"))
-      val w = Window.partitionBy(substring(lit("x"), 1, 0)).orderBy("ts")
+      // non-foldable zero-length key: a literal would fold to an EMPTY
+      // partition spec and trigger the single-partition WindowExec warning
+      val w = Window.partitionBy(substring(col("ts").cast("string"), 1, 0)).orderBy("ts")
         .rowsBetween(-(LongWin - 1), 0)
       hours
         .withColumn("err6", sum("n_err").over(w))
