@@ -84,9 +84,13 @@ object LmQueries {
     // order, matching the oracle's list order exactly. ──
     "q_textrank" -> ((s, dir) => {
       val stops = graft.text.TextFunctions.LangProfiles.toMap.apply("en")
-      val toks = docs(s, dir)
-        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
-        .where(col("tok").rlike("^[a-z]+$") && !col("tok").isin(stops: _*))
+      // the tokenize+regex pass feeds three actions (vocab collect, edge
+      // collect, and the join) — materialize it once
+      val toks = Scratch.materialize(
+        docs(s, dir)
+          .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+          .where(col("tok").rlike("^[a-z]+$") && !col("tok").isin(stops: _*)),
+        "textrank_toks")
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
         .where(col("freq") >= TrMinFreq)
       val wToks = toks.join(vocab.select("tok"), Seq("tok"))
