@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   * keyed aggregation/window pass.
   */
 object MonitorQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
   private val H = Tables.hourlySql
 
   /** SLO: tolerated error share of events, and the burn multiple that
@@ -98,6 +99,71 @@ object MonitorQueries {
         .select(col("event_type"), unix_timestamp(col("ts")).as("ts"), col("value"),
           col("seas24"), col("seas168"),
           round(col("r1") - col("seas168"), 6).as("resid"))
+    }),
+
+    // ── Jarque-Bera normality test per series: JB = n/6·(S² + K²/4)
+    // from 4-dp-snapped central moments (the q_feat_basic skew/kurtosis
+    // machinery), χ²(2) upper tail = e^{−JB/2} exactly. ──
+    "q_jarque_bera" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] =>
+        val n = xs.length
+        def snap(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
+        var s1 = 0.0; xs.foreach(s1 += _)
+        s1 = snap(s1)
+        val mu = s1 / n
+        var m2 = 0.0; xs.foreach(x => m2 += (x - mu) * (x - mu))
+        var m3 = 0.0; xs.foreach(x => m3 += (x - mu) * (x - mu) * (x - mu))
+        var m4 = 0.0; xs.foreach(x => m4 += (x - mu) * ((x - mu) * (x - mu) * (x - mu)))
+        m2 = snap(m2 / n); m3 = snap(m3 / n); m4 = snap(m4 / n)
+        val skew = m3 / math.pow(m2, 1.5)
+        val kurt = m4 / (m2 * m2) - 3.0
+        val jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+        val p = math.exp(-jb / 2.0)
+        (skew, kurt, jb, p)
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_r", fn(col("xs")))
+        .select(col("event_type"), round(col("_r._1"), 6).as("skewness"),
+          round(col("_r._2"), 6).as("excess_kurtosis"), round(col("_r._3"), 6).as("jb_stat"),
+          round(col("_r._4"), 6).as("p_value"),
+          when(col("_r._4") < 0.05, 1).otherwise(0).as("non_normal"))
+    }),
+
+    // ── Deequ-style expectation suite: the fixed data-contract checks a
+    // pipeline gates ingest on, each one aggregated metric + a verdict —
+    // uniqueness, completeness, ranges, referential containment. One
+    // scan per table; all metrics exact integers or exact ratios. ──
+    "q_data_checks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ev = Tables.events(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val checks = Seq(
+        docs.agg((count(lit(1)) - countDistinct(col("doc_id"))).cast("double").as("m"))
+          .select(lit("documents.doc_id unique").as("check"), col("m"),
+            (col("m") === 0).cast("int").as("pass")),
+        docs.agg(sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L))
+          .cast("double").as("m"))
+          .select(lit("documents.text complete").as("check"), col("m"),
+            (col("m") === 0).cast("int").as("pass")),
+        docs.agg(sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .cast("double").as("m"))
+          .select(lit("documents.n_chars consistent").as("check"), col("m"),
+            (col("m") === 0).cast("int").as("pass")),
+        ev.agg(sum(when(col("value") < 0, 1L).otherwise(0L)).cast("double").as("m"))
+          .select(lit("events.value non-negative").as("check"), col("m"),
+            (col("m") === 0).cast("int").as("pass")),
+        ev.agg(sum(when(!col("event_type").isin("click", "error", "purchase", "signup", "view"), 1L)
+          .otherwise(0L)).cast("double").as("m"))
+          .select(lit("events.event_type in domain").as("check"), col("m"),
+            (col("m") === 0).cast("int").as("pass")),
+        emb.agg(sum(when(size(col("embedding")) =!= 64, 1L).otherwise(0L)).cast("double").as("m"))
+          .select(lit("embeddings.dim = 64").as("check"), col("m"),
+            (col("m") === 0).cast("int").as("pass")),
+        emb.join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).cast("double").as("m"))
+          .select(lit("embeddings.vec_id in documents").as("check"), col("m"),
+            (col("m") === 0).cast("int").as("pass")))
+      checks.reduce(_ unionAll _)
     })
   )
 
@@ -153,6 +219,64 @@ object MonitorQueries {
          |         FROM r1 GROUP BY 1, 2)
          |SELECT r.event_type, epoch(r.ts)::BIGINT AS ts, r.value, r.seas24, s.seas168,
          |  round(r.r1 - s.seas168, 6) AS resid
-         |FROM r1 r JOIN s168 s ON r.event_type = s.event_type AND r.how = s.how""".stripMargin
+         |FROM r1 r JOIN s168 s ON r.event_type = s.event_type AND r.how = s.how""".stripMargin,
+
+    "q_jarque_bera" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value, count(*) OVER (PARTITION BY event_type) AS n FROM hourly),
+         |mu AS (SELECT event_type, round(sum(value), 4) / max(n) AS mu, max(n) AS n
+         |       FROM ord GROUP BY 1),
+         |mo AS (SELECT o.event_type, max(m.n) AS n,
+         |         round(sum((o.value - m.mu) * (o.value - m.mu)) / max(m.n), 4) AS m2,
+         |         round(sum((o.value - m.mu) * (o.value - m.mu) * (o.value - m.mu)) / max(m.n), 4) AS m3,
+         |         round(sum((o.value - m.mu) * ((o.value - m.mu) * (o.value - m.mu) * (o.value - m.mu))) / max(m.n), 4) AS m4
+         |       FROM ord o JOIN mu m ON o.event_type = m.event_type GROUP BY 1),
+         |st AS (SELECT event_type, n,
+         |         m3 / pow(m2, 1.5E0) AS skew,
+         |         m4 / (m2 * m2) - 3.0E0 AS kurt
+         |       FROM mo),
+         |jb AS (SELECT event_type, skew, kurt,
+         |         n / 6.0E0 * (skew * skew + kurt * kurt / 4.0E0) AS jb
+         |       FROM st)
+         |SELECT event_type, round(skew, 6) AS skewness, round(kurt, 6) AS excess_kurtosis,
+         |  round(jb, 6) AS jb_stat, round(exp(-jb / 2.0E0), 6) AS p_value,
+         |  CASE WHEN exp(-jb / 2.0E0) < 0.05 THEN 1 ELSE 0 END AS non_normal
+         |FROM jb""".stripMargin,
+
+    "q_data_checks" ->
+      s"""SELECT 'documents.doc_id unique' AS check,
+         |  (count(*) - count(DISTINCT doc_id))::DOUBLE AS m,
+         |  CASE WHEN count(*) = count(DISTINCT doc_id) THEN 1 ELSE 0 END AS pass
+         |FROM documents
+         |UNION ALL
+         |SELECT 'documents.text complete',
+         |  sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::DOUBLE,
+         |  CASE WHEN sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+         |FROM documents
+         |UNION ALL
+         |SELECT 'documents.n_chars consistent',
+         |  sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)::DOUBLE,
+         |  CASE WHEN sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+         |FROM documents
+         |UNION ALL
+         |SELECT 'events.value non-negative',
+         |  sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::DOUBLE,
+         |  CASE WHEN sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+         |FROM events
+         |UNION ALL
+         |SELECT 'events.event_type in domain',
+         |  sum(CASE WHEN event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view') THEN 1 ELSE 0 END)::DOUBLE,
+         |  CASE WHEN sum(CASE WHEN event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view') THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+         |FROM events
+         |UNION ALL
+         |SELECT 'embeddings.dim = 64',
+         |  sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)::DOUBLE,
+         |  CASE WHEN sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+         |FROM embeddings
+         |UNION ALL
+         |SELECT 'embeddings.vec_id in documents',
+         |  count(*)::DOUBLE,
+         |  CASE WHEN count(*) = 0 THEN 1 ELSE 0 END
+         |FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)""".stripMargin
   )
 }
