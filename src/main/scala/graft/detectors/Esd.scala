@@ -73,7 +73,9 @@ object Esd {
     while (i <= r && remX.length >= 4) {
       val m = remX.length
       val mu = s1 / m
-      val sd = math.sqrt((s2 - s1 * s1 / m) / (m - 1))
+      // the 4-dp snap can leave s2 - s1²/m slightly negative on
+      // near-constant series — clamp at 0 so sd is 0, never NaN
+      val sd = math.sqrt(math.max(s2 - s1 * s1 / m, 0.0) / (m - 1))
       var idx = 0; var mx = -1.0
       var k = 0
       while (k < m) { val d = math.abs(remX(k) - mu); if (d > mx) { mx = d; idx = k }; k += 1 }
@@ -82,7 +84,7 @@ object Esd {
       val nu = q - 1
       val den = q.toDouble * q - rStat * rStat * (q + 1)
       val f =
-        if (sd <= 1e-12) 0.5
+        if (!(sd > 1e-12)) 0.5 // inverted so a NaN sd takes the degenerate branch
         else if (den <= 0) 1.0
         else tCdf(rStat * math.sqrt(nu * (q + 1) / den), nu)
       val sig = if (f > 1.0 - alpha / (2.0 * (q + 1))) 1 else 0

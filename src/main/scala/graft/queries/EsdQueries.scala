@@ -150,7 +150,7 @@ object EsdQueries {
          |                    ELSE 0 END AS fcase
          |        FROM (SELECT e.rem AS rem,
          |                     list_transform(e.rem, p -> abs(p.x - e.s1 / len(e.rem))) AS devs,
-         |                     sqrt((e.s2 - e.s1 * e.s1 / len(e.rem)) / (len(e.rem) - 1)) AS sd,
+         |                     sqrt(greatest(e.s2 - e.s1 * e.s1 / len(e.rem), 0.0) / (len(e.rem) - 1)) AS sd,
          |                     e.n - (e.i + 1) AS q)))
          |  ) m
          |  WHERE e.i < $MaxR AND len(e.rem) >= 4

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    statistic assembled from exact integer rank sums with the 5-term
   *    group sum evaluated as an ORDERED window cumsum (deterministic
   *    accumulation order in both engines), the tie correction from
-  *    exact Σ(t³−t), and the upper-tail p in closed form for the even
-  *    df = 4: p = e^{−H/2}(1 + H/2);
+  *    exact Σ(t³−t), and the upper-tail p via detectors/ChiSq.sf with
+  *    df = #groups − 1 derived from the data (closed Horner sum for
+  *    even df, fixed-length incomplete-gamma series for odd df — both
+  *    replayed step-for-step by the oracle);
   *  - Brown-Forsythe variance-change test per series (first vs second
   *    half): deviations from each half's exact median are snapped to
   *    1e3-scaled BIGINTs, so all moment sums are exact integers; the
@@ -56,22 +58,26 @@ object HypoQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = grp
         .withColumn("cum", sum(col("s2g") * col("s2g") / (lit(4.0) * col("ng"))).over(wg))
+        .withColumn("kk", count(lit(1)).over(Window.partitionBy(one)))
         .withColumn("rk", row_number().over(Window.partitionBy(one).orderBy(col("event_type").desc)))
         .where(col("rk") === 1)
-        .select(col("cum").as("ssum"))
+        .select(col("cum").as("ssum"), col("kk"))
       val ties = ranked.groupBy("value").agg(count(lit(1)).as("t"))
         .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
       val n = base.agg(count(lit(1)).as("n"))
+      // df = #groups − 1, derived from the data (detectors/ChiSq.sf
+      // handles any df — no hardwired group-count assumption)
+      val chi = udf { (x: Double, k: Int) => graft.detectors.ChiSq.sf(x, k) }
       tot.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
         .withColumn("h",
           lit(12.0) / (col("n") * (col("n") + 1)) * col("ssum") - lit(3.0) * (col("n") + 1))
         .withColumn("c",
           lit(1.0) - col("tsum") / (col("n").cast("double") * col("n") * col("n") - col("n")))
         .withColumn("h_adj", col("h") / col("c"))
+        .withColumn("p", chi(col("h_adj"), (col("kk") - 1).cast("int")))
         .select(col("n"), round(col("h"), 6).as("h"), round(col("h_adj"), 6).as("h_adj"),
-          round(exp(-col("h_adj") / 2) * (lit(1.0) + col("h_adj") / 2), 6).as("p_value"),
-          when(exp(-col("h_adj") / 2) * (lit(1.0) + col("h_adj") / 2) < 0.05, 1).otherwise(0)
-            .as("significant"))
+          round(col("p"), 6).as("p_value"),
+          when(col("p") < 0.05, 1).otherwise(0).as("significant"))
     }),
 
     // ── Brown-Forsythe per series: t-test on |x − median(half)|. ──
@@ -393,7 +399,7 @@ object HypoQueries {
   val sql: Map[String, String] = Map(
 
     "q_kruskal" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH RECURSIVE hourly AS ($H),
          |ranked AS (SELECT event_type, value,
          |  row_number() OVER (ORDER BY value, event_type, ts) AS rn
          |  FROM hourly),
@@ -402,22 +408,25 @@ object HypoQueries {
          |  FROM ranked),
          |grp AS (SELECT event_type, count(*)::BIGINT AS ng, sum(r2)::BIGINT AS s2g
          |        FROM r2t GROUP BY 1),
-         |tot AS (SELECT cum AS ssum FROM (
+         |tot AS (SELECT cum AS ssum, kk FROM (
          |          SELECT sum(s2g * s2g / (4.0 * ng))
          |            OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |            count(*) OVER ()::BIGINT AS kk,
          |            row_number() OVER (ORDER BY event_type DESC) AS rk
          |          FROM grp) WHERE rk = 1),
          |ties AS (SELECT sum(t * t * t - t)::BIGINT AS tsum
          |         FROM (SELECT count(*)::BIGINT AS t FROM hourly GROUP BY value)),
          |nn AS (SELECT count(*)::BIGINT AS n FROM hourly),
-         |st AS (SELECT n, ssum,
+         |st AS (SELECT n, ssum, kk,
          |         12.0 / (n * (n + 1)) * ssum - 3.0 * (n + 1) AS h,
          |         1.0 - tsum / (n::DOUBLE * n * n - n) AS c
-         |       FROM tot CROSS JOIN nn CROSS JOIN ties)
-         |SELECT n, round(h, 6) AS h, round(h / c, 6) AS h_adj,
-         |  round(exp(-(h / c) / 2) * (1.0 + (h / c) / 2), 6) AS p_value,
-         |  CASE WHEN exp(-(h / c) / 2) * (1.0 + (h / c) / 2) < 0.05 THEN 1 ELSE 0 END AS significant
-         |FROM st""".stripMargin,
+         |       FROM tot CROSS JOIN nn CROSS JOIN ties),
+         |chsrc AS (SELECT 1 AS gid, h / c AS x, kk - 1 AS k FROM st),
+         |${graft.detectors.ChiSq.sqlReplay("chsrc", Seq("gid"))}
+         |SELECT st.n, round(st.h, 6) AS h, round(st.h / st.c, 6) AS h_adj,
+         |  round(f.p, 6) AS p_value,
+         |  CASE WHEN f.p < 0.05 THEN 1 ELSE 0 END AS significant
+         |FROM st CROSS JOIN (SELECT p FROM chisf) f""".stripMargin,
 
     "q_variance_test" ->
       s"""WITH RECURSIVE hourly AS ($H),

@@ -14,13 +14,12 @@ import org.apache.spark.sql.functions._
   *    carried as 1e6-scaled BIGINTs so document scores are exact
   *    integer sums in both engines;
   *  - TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
-  *    the adjacent-token co-occurrence graph. The graph is vocabulary-
-  *    sized (min-frequency floor), so the power iteration runs on
-  *    #vocab² driver state — the q_stationary_dist k×dim discipline; at
-  *    a production vocabulary the same iteration is expressible as 30
-  *    chained joins. The oracle replays the iteration with the rank
-  *    vector as recursive-CTE list state, in-neighbor sums evaluated in
-  *    the same sorted order as the kernel loop.
+  *    the adjacent-token co-occurrence graph via text/TextRank — an
+  *    exact integer-scaled iteration whose driver fast path is CAPPED
+  *    (TextRank.MaxDriverGraph) and whose beyond-cap path runs the same
+  *    recurrence as distributed join+aggregate rounds. The oracle
+  *    replays the iteration with the rank vector as recursive-CTE list
+  *    state; integer contributions make every sum order-independent.
   */
 object LmQueries {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -28,10 +27,9 @@ object LmQueries {
   /** Kneser-Ney absolute discount. */
   private val KnD = 0.75
 
-  /** TextRank: vocabulary floor, damping, iterations, emitted top-k. */
+  /** TextRank: vocabulary floor and emitted top-k (damping/iterations
+    * live in text/TextRank). */
   private val TrMinFreq = 5
-  private val TrDamp = 0.85
-  private val TrIters = 30
   private val TrTopK = 10
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -78,14 +76,16 @@ object LmQueries {
     }),
 
     // ── TextRank keywords: weighted PageRank over the adjacent-token
-    // graph (stopwords excluded, vocabulary floored at min frequency 5).
-    // Edge weights and out-strengths are exact integers; the 30-step
-    // iteration sums in-neighbor contributions in ascending-neighbor
-    // order, matching the oracle's list order exactly. ──
+    // graph (stopwords excluded, vocabulary floored at min frequency 5)
+    // via text/TextRank.ranks — exact 1e9-scaled BIGINT iteration, so
+    // the capped driver fast path, the distributed join+agg rounds, and
+    // the oracle's recursive-CTE replay are bit-identical regardless of
+    // summation order. Driver state is bounded by TextRank.MaxDriverGraph
+    // (~50 MB); past the cap the rounds are fully distributed. ──
     "q_textrank" -> ((s, dir) => {
       val stops = graft.text.TextFunctions.LangProfiles.toMap.apply("en")
-      // the tokenize+regex pass feeds three actions (vocab collect, edge
-      // collect, and the join) — materialize it once
+      // the tokenize+regex pass feeds two consumers (vocab and edges) —
+      // materialize it once
       val toks = Scratch.materialize(
         docs(s, dir)
           .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
@@ -100,38 +100,9 @@ object LmQueries {
         .where(col("nxt").isNotNull && col("nxt") =!= col("tok"))
         .select(least(col("tok"), col("nxt")).as("a"), greatest(col("tok"), col("nxt")).as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("w"))
-      // vocabulary-sized driver state (the k×dim discipline): words, edges
-      val words = vocab.select("tok", "freq").collect()
-        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-      val idx = words.map(_._1).zipWithIndex.toMap
-      val n = words.length
-      val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[(Int, Long)])
-      pairs.collect().foreach { r =>
-        val (ia, ib, w) = (idx(r.getString(0)), idx(r.getString(1)), r.getLong(2))
-        adj(ia) += ((ib, w)); adj(ib) += ((ia, w))
-      }
-      val adjS = adj.map(_.sortBy(_._1).toArray)
-      val wout = adjS.map(_.map(_._2).sum.toDouble)
-      var ranks = Array.fill(n)(1.0 / n)
-      var it = 0
-      while (it < TrIters) {
-        val next = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          var acc = 0.0
-          adjS(i).foreach { case (j, w) => acc += ranks(j) * (w / wout(j)) }
-          next(i) = 0.15 / n + TrDamp * acc
-          i += 1
-        }
-        ranks = next
-        it += 1
-      }
-      val s2 = s
-      import s2.implicits._
-      val ranked = words.zipWithIndex
-        .map { case ((wd, f), i) => (wd, f, ranks(i)) }.toSeq
-        .toDF("word", "freq", "rank_raw")
-      ranked.select(col("word"), col("freq"), round(col("rank_raw"), 6).as("rank"))
+      graft.text.TextRank.ranks(vocab, pairs)
+        .select(col("tok").as("word"), col("freq"),
+          round(col("r") / lit(1e9), 6).as("rank"))
         .orderBy(col("rank").desc, col("word").asc).limit(TrTopK)
     })
   )
@@ -173,6 +144,10 @@ object LmQueries {
     "q_textrank" -> {
       val stops = graft.text.TextFunctions.LangProfiles.toMap.apply("en")
         .map(t => s"'$t'").mkString(", ")
+      val sc = graft.text.TextRank.Scale
+      val it = graft.text.TextRank.Iters
+      val base = sc * 15L / 100L
+      val (dn, dd) = (graft.text.TextRank.DampNum, graft.text.TextRank.DampDen)
       s"""WITH RECURSIVE tk AS (
          |  SELECT doc_id, i - 1 AS pos, ws[i] AS tok
          |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
@@ -194,7 +169,8 @@ object LmQueries {
          |          JOIN widx ia ON p.a = ia.tok JOIN widx ib ON p.b = ib.tok),
          |wout AS (SELECT i, sum(w)::BIGINT AS wo FROM sym GROUP BY 1),
          |adj AS (SELECT w.i,
-         |          list(struct_pack(j := s.j, c := s.w / wo2.wo::DOUBLE) ORDER BY s.j)
+         |          list(struct_pack(j := s.j,
+         |                 pw := round(s.w::DOUBLE / wo2.wo * $sc)::BIGINT) ORDER BY s.j)
          |            FILTER (WHERE s.j IS NOT NULL) AS nb
          |        FROM widx w
          |        LEFT JOIN sym s ON s.i = w.i
@@ -202,17 +178,18 @@ object LmQueries {
          |        GROUP BY w.i),
          |adjl AS (SELECT list(nb ORDER BY i) AS al, max(n.n) AS n FROM adj CROSS JOIN n),
          |pi AS (
-         |  SELECT 0 AS it, list_transform(range(1, n + 1), x -> 1.0E0 / n) AS r, al, n FROM adjl
+         |  SELECT 0 AS it, list_transform(range(1, n + 1), x -> $sc // n) AS r, al, n FROM adjl
          |  UNION ALL
          |  SELECT it + 1,
          |    list_transform(range(1, n + 1),
-         |      i -> 0.15E0 / n + $TrDamp * list_sum(list_concat([0.0E0],
-         |             list_transform(coalesce(al[i], []), p -> r[p.j] * p.c)))),
+         |      i -> ($base // n + (list_sum(list_concat([0::BIGINT],
+         |             list_transform(coalesce(al[i], []), p -> (r[p.j] * p.pw) // $sc)))
+         |             * $dn) // $dd)::BIGINT),
          |    al, n
-         |  FROM pi WHERE it < $TrIters),
-         |fin AS (SELECT r, n FROM pi WHERE it = $TrIters),
-         |ranks AS (SELECT unnest(r) AS rank_raw, generate_subscripts(r, 1) AS i FROM fin)
-         |SELECT w.tok AS word, w.freq, round(rk.rank_raw, 6) AS rank
+         |  FROM pi WHERE it < $it),
+         |fin AS (SELECT r, n FROM pi WHERE it = $it),
+         |ranks AS (SELECT unnest(r) AS rr, generate_subscripts(r, 1) AS i FROM fin)
+         |SELECT w.tok AS word, w.freq, round(rk.rr / 1e9, 6) AS rank
          |FROM ranks rk JOIN widx w ON rk.i = w.i
          |ORDER BY rank DESC, word ASC LIMIT $TrTopK""".stripMargin
     }

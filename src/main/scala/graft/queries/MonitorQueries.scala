@@ -34,16 +34,21 @@ object MonitorQueries {
 
     // ── Burn-rate alerts: per hour, n_err/n_tot and the trailing-6h
     // aggregate (integer window sums), burn = share/target; alert when
-    // both the 1h and 6h burns exceed the threshold. ──
+    // both the 1h and 6h burns exceed the threshold. The 6h frame is a
+    // TIME range (epoch seconds), not 5 preceding observed rows, so an
+    // hour with zero events shrinks the trailing window exactly as the
+    // streaming burnMonitor's 6h sliding window does — the two are twins
+    // on sparse hours too. ──
     "q_burn_rate" -> ((s, dir) => {
       val hours = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("ts"))
         .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
           count(lit(1)).as("n_tot"))
+        .withColumn("te", unix_timestamp(col("ts")))
       // non-foldable zero-length key: a literal would fold to an EMPTY
       // partition spec and trigger the single-partition WindowExec warning
-      val w = Window.partitionBy(substring(col("ts").cast("string"), 1, 0)).orderBy("ts")
-        .rowsBetween(-(LongWin - 1), 0)
+      val w = Window.partitionBy(substring(col("ts").cast("string"), 1, 0)).orderBy("te")
+        .rangeBetween(-(LongWin - 1) * 3600L, 0)
       hours
         .withColumn("err6", sum("n_err").over(w))
         .withColumn("tot6", sum("n_tot").over(w))
@@ -176,8 +181,8 @@ object MonitorQueries {
          |    count(*)::BIGINT AS n_tot
          |  FROM events GROUP BY 1),
          |r AS (SELECT *,
-         |        sum(n_err) OVER (ORDER BY ts ROWS BETWEEN ${LongWin - 1} PRECEDING AND CURRENT ROW)::BIGINT AS err6,
-         |        sum(n_tot) OVER (ORDER BY ts ROWS BETWEEN ${LongWin - 1} PRECEDING AND CURRENT ROW)::BIGINT AS tot6
+         |        sum(n_err) OVER (ORDER BY epoch(ts)::BIGINT RANGE BETWEEN ${(LongWin - 1) * 3600} PRECEDING AND CURRENT ROW)::BIGINT AS err6,
+         |        sum(n_tot) OVER (ORDER BY epoch(ts)::BIGINT RANGE BETWEEN ${(LongWin - 1) * 3600} PRECEDING AND CURRENT ROW)::BIGINT AS tot6
          |      FROM hours)
          |SELECT epoch(ts)::BIGINT AS ts, n_err, n_tot,
          |  round(n_err::DOUBLE / n_tot, 6) AS share_1h,

@@ -249,7 +249,7 @@ object PatternQueries {
          |          (max(ne) - 1) / ((max(tus) - min(tus)) / 1e6) AS a0,
          |          $s2 * ((max(ne) - 1) / ((max(tus) - min(tus)) / 1e6)) AS a1,
          |          round($g * ln((max(ne) - 1)::DOUBLE), 6) AS tau
-         |        FROM ord GROUP BY 1 HAVING max(ne) - 1 >= 2),
+         |        FROM ord GROUP BY 1 HAVING max(ne) - 1 >= 2 AND max(tus) > min(tus)),
          |dp AS (
          |  SELECT p.event_type, 1 AS t,
          |    round(p.a0 * g.x - ln(p.a0), 6) AS v0,

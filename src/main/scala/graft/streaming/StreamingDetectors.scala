@@ -62,14 +62,17 @@ object StreamingDetectors {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .select(col("source"), col("window.start").as("ts"),
         col("n_docs"), col("n_tokens"), col("n_chars"))
-  /** Streaming error-budget burn monitor — the q_burn_rate twin. The 1 h
-    * and trailing-6 h error shares come from ONE sliding-window
-    * aggregation (6 h duration, 1 h slide): each event lands in six open
-    * windows, each holding two counters — 16 bytes of state per open
-    * window and nothing else. A closed window's end-hour burn equals the
-    * batch operator's trailing-6 h burn for that hour; the emitted
-    * `burn_6h` and alert use the window's own share, and the per-hour
-    * share rides a parallel tumbling aggregation the caller can join.
+  /** Streaming error-budget burn monitor — the q_burn_rate twin. The
+    * trailing-6 h error share comes from ONE sliding-window aggregation
+    * (6 h duration, 1 h slide): each event lands in six open windows,
+    * each holding two counters — 16 bytes of state per open window and
+    * nothing else. The batch operator's 6 h frame is a TIME range over
+    * epoch seconds, so a closed window's end-hour burn equals the batch
+    * trailing-6 h burn for that hour even when intermediate hours are
+    * empty. The emitted `alert` gates on the 6 h burn alone; the batch
+    * alert additionally requires the 1 h burn, which rides a parallel
+    * tumbling aggregation the caller joins (tokenMeter shape) — callers
+    * wanting the exact batch alert AND the two conditions together.
     * At an SLO target t, burn = share/t; alert when burn > `burnAlert`.
     */
   def burnMonitor(stream: DataFrame, sloTarget: Double = 0.2, burnAlert: Double = 1.5,

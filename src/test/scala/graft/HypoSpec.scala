@@ -34,6 +34,23 @@ class HypoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kw.head.getInt(4) == 0, "Kruskal-Wallis rejects on identically-generated groups")
   }
 
+  test("ChiSq.sf matches the standard critical points for even AND odd df") {
+    import graft.detectors.ChiSq
+    // chi2.ppf(0.95, df) table values — sf at each must be 0.05 to ~4dp
+    val crit = Seq(1 -> 3.841458820694124, 2 -> 5.991464547107979,
+      3 -> 7.814727903251179, 4 -> 9.487729036781154, 5 -> 11.070497693516351,
+      24 -> 36.41502850180731)
+    crit.foreach { case (df, x) =>
+      assert(math.abs(ChiSq.sf(x, df) - 0.05) < 5e-5, s"df=$df sf(${x})")
+    }
+    assert(ChiSq.sf(0.0, 3) == 1.0)
+    assert(ChiSq.sf(1e6, 3) == 0.0)
+    assert(ChiSq.sf(650.0, 7) == 0.0) // h > HMax short-circuit
+    // even branch reproduces the q_kruskal df=4 closed form exactly
+    val h = 9.2 / 2
+    assert(ChiSq.sf(9.2, 4) == math.exp(-h) * (1 + h))
+  }
+
   test("q_theil_sen: slope is finite and intercept+slope·t tracks the series center") {
     val out = SparkEntry.queries("q_theil_sen")(spark, dir).collect()
     assert(out.nonEmpty)
