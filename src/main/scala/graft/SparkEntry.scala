@@ -40,7 +40,8 @@ object SparkEntry {
     (LmQueries.defs, LmQueries.sql),
     (MonitorQueries.defs, MonitorQueries.sql),
     (HypoQueries.defs, HypoQueries.sql),
-    (MixtureQueries.defs, MixtureQueries.sql)
+    (MixtureQueries.defs, MixtureQueries.sql),
+    (GbtQueries.defs, GbtQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
