@@ -345,7 +345,7 @@ object ExtraQueries {
     "q_decompose_stl" ->
       s"""WITH hourly AS ($H),
          |${graft.operators.Decompose.additiveSql},
-         |${graft.operators.Decompose.stlLiteSql}
+         |${graft.operators.Decompose.stlLiteSql()}
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, trend2, seasonal2, resid2 FROM stl2""".stripMargin,
 
     "q_distribution_distance" ->

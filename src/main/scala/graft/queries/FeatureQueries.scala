@@ -113,7 +113,13 @@ object FeatureQueries {
         round(col("y_acf_24"), 6).as("seas_acf1"))
     }),
 
-    "q_feat_stl" -> ((s, dir) => TsFeatures.stlStrength(Decompose.additive(hourly(s, dir), S), S)),
+    // strengths from the LOESS-trend STL (statsmodels STL semantics via
+    // Decompose.stlLite), not the single-pass MA decomposition
+    "q_feat_stl" -> ((s, dir) => TsFeatures.stlStrength(
+      Decompose.stlLite(hourly(s, dir), S)
+        .withColumnRenamed("trend2", "trend")
+        .withColumnRenamed("seasonal2", "seasonal")
+        .withColumnRenamed("resid2", "resid"), S)),
 
     "q_feat_pacf" -> ((s, dir) =>
       SeriesOps.aggSeries(hourly(s, dir), S, Seq("y_pacf5", "diff1y_pacf5", "diff2y_pacf5", "seas_pacf1")) { xs =>
@@ -439,13 +445,16 @@ object FeatureQueries {
     "q_feat_stl" ->
       s"""WITH hourly AS ($H),
          |${Decompose.additiveSql},
+         |${Decompose.stlLiteSql()},
+         |decomp2 AS (SELECT event_type, trend2 AS trend, seasonal2 AS seasonal, resid2 AS resid
+         |            FROM stl2),
          |mo AS (SELECT event_type, count(*)::DOUBLE AS n,
          |         sum(resid) AS s1, sum(resid*resid) AS s2,
          |         sum(resid*resid*resid) AS s3, sum(resid*resid*resid*resid) AS s4,
          |         avg(resid*resid) - avg(resid)*avg(resid) AS vr,
          |         avg((trend + resid)*(trend + resid)) - avg(trend + resid)*avg(trend + resid) AS vtr,
          |         avg((seasonal + resid)*(seasonal + resid)) - avg(seasonal + resid)*avg(seasonal + resid) AS vsr
-         |       FROM decomp GROUP BY 1),
+         |       FROM decomp2 GROUP BY 1),
          |sp AS (SELECT *,
          |         ((n - 1) * s2 - s1 * s1) / ((n - 1) * (n - 1)) AS alpha,
          |         2.0 * s1 / ((n - 1) * (n - 1)) AS beta,

@@ -45,6 +45,29 @@ class SmootherSpec extends AnyFunSuite {
     assert(math.abs(fc(0) - expected) < 1e-6)
   }
 
+  test("LOESS local-linear smoother reproduces a pure line EXACTLY, boundaries included") {
+    // the statsmodels-deviation the MA trend had: a centered MA flattens
+    // the first/last `half` points of any sloped series; the tricube
+    // local-linear fit is exact on degree-1 polynomials at EVERY index
+    val xs = Array.tabulate(100)(i => 3.0 + 0.7 * i)
+    val tr = graft.operators.Decompose.loessSmooth(xs, 12)
+    xs.indices.foreach(i => assert(math.abs(tr(i) - xs(i)) < 1e-9, s"i=$i ${tr(i)}"))
+    // and on line+seasonal+noise it tracks the line far better than the MA at the edges
+    val rnd = new scala.util.Random(5)
+    val ys = Array.tabulate(200)(i =>
+      10.0 + 0.5 * i + 4 * math.sin(2 * math.Pi * i / 24) + rnd.nextGaussian() * 0.3)
+    val trueLine = Array.tabulate(200)(i => 10.0 + 0.5 * i)
+    val lo = graft.operators.Decompose.loessSmooth(ys, 12)
+    def maAt(t: Int): Double = {
+      val a = math.max(0, t - 12); val b = math.min(199, t + 12)
+      (a to b).map(ys).sum / (b - a + 1)
+    }
+    val edge = (0 until 6) ++ (194 until 200)
+    val loErr = edge.map(i => math.abs(lo(i) - trueLine(i))).sum
+    val maErr = edge.map(i => math.abs(maAt(i) - trueLine(i))).sum
+    assert(loErr < maErr * 0.8, s"loess edge err $loErr vs MA $maErr")
+  }
+
   test("VAR(1) recovers the transition matrix of a simulated process") {
     val rnd = new scala.util.Random(11)
     val a = Array(Array(0.6, 0.2), Array(-0.1, 0.5))
