@@ -127,6 +127,29 @@ object Regressors {
     }
   }
 
+  /** Prophet logistic growth (kats/models/prophet.py:42/:86 —
+    * growth='logistic' with a capacity): the saturating-forecast mode
+    * adoption-curve users hit immediately. Deterministic MAP shape: the
+    * series is mapped through the logit of its capacity share
+    * (z = ln(r/(1−r)), r = clamp(y/cap, 1e-6, 1−1e-6)), the SAME
+    * hinge+Fourier ridge basis as [[prophetLite]] is fit on z, and
+    * forecasts come back through cap·σ(ẑ) — so every forecast respects
+    * 0 < ŷ < cap by construction, prophet's defining logistic property.
+    * cap defaults to 1.1·max(y) when the caller provides none (prophet
+    * requires an explicit cap; the data-driven default is declared).
+    * Returns (cap, forecasts 1..h).
+    */
+  def prophetLogistic(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int,
+                      h: Int): (Double, Array[Double]) = {
+    val cap = 1.1 * xs.max
+    val z = xs.map { x =>
+      val r = math.min(math.max(x / cap, 1e-6), 1.0 - 1e-6)
+      math.log(r / (1 - r))
+    }
+    val fz = prophetLite(z, period, orders, nChangepoints, h)
+    (cap, fz.map(v => cap / (1.0 + math.exp(-v))))
+  }
+
   /** In-sample fitted values of the prophetLite fit (for the
     * prophet-residual anomaly detector, kats/detectors/prophet_detector.py
     * re-derived: residual z-scores against the additive model).

@@ -338,6 +338,15 @@ object ModelQueries {
         Array(fc(0), fc(11), fc(23))
       }),
 
+    // prophet growth='logistic' + capacity (prophet.py:42/:86): the same
+    // hinge+Fourier ridge fit on the logit of the capacity share, back
+    // through cap·σ(ẑ) — forecasts saturate below cap by construction
+    "q_prophet_logistic" -> ((s, dir) =>
+      SeriesOps.aggSeries(dense(s, dir), S, Seq("cap", "yhat_1", "yhat_12", "yhat_24")) { xs =>
+        val (cap, fc) = Regressors.prophetLogistic(xs, period = 24, orders = 3, nChangepoints = 4, h = 24)
+        Array(cap, fc(0), fc(11), fc(23))
+      }),
+
     // ARIMA(2,1,1) via Hannan-Rissanen (kats/models/arima.py) — the
     // most-reached-for Kats model, now with an actual (deterministic) fit
     "q_arima" -> ((s, dir) =>
@@ -1128,6 +1137,54 @@ object ModelQueries {
          |  round(${fcExpr("f.n")}, 6) AS yhat_1,
          |  round(${fcExpr("(f.n + 11)")}, 6) AS yhat_12,
          |  round(${fcExpr("(f.n + 23)")}, 6) AS yhat_24
+         |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+    },
+
+    "q_prophet_logistic" -> {
+      // identical basis/GJ replay as q_prophet_lite, fit on the logit of
+      // the capacity share; forecasts back through cap·σ(ẑ)
+      val basis = Seq("1.0", "(t::DOUBLE / n)") ++
+        (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
+        (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
+      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
+      val p = 12
+      val matEntries = (0 until p).flatMap { i =>
+        (0 until p).map { j =>
+          val s = s"sum(b${i + 1} * b${j + 1})"
+          if (i == j) s"$s + 1e-4" else s
+        } :+ s"sum(b${i + 1} * y)"
+      }.mkString(",\n           ")
+      def fcExpr(tt: String): String =
+        s"be.b[1] + be.b[2] * ($tt::DOUBLE / f.n) + " +
+          (1 to 4).map(j => s"be.b[${2 + j}] * greatest(0.0, ($tt - ($j * f.n / 5.0)) / f.n)").mkString(" + ") + " + " +
+          (1 to 3).map(k =>
+            s"be.b[${2 * k + 5}] * sin(2 * pi() * $k * $tt / 24) + be.b[${2 * k + 6}] * cos(2 * pi() * $k * $tt / 24)").mkString(" + ")
+      def back(tt: String): String = s"f.cap / (1.0 + exp(-(${fcExpr(tt)})))"
+      s"""WITH RECURSIVE hourly AS ($H),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.value, 0.0) AS value
+         |          FROM hgrid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |ord0 AS (SELECT event_type, value,
+         |  1.1 * max(value) OVER (PARTITION BY event_type) AS cap,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
+         |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
+         |ord AS (SELECT event_type, cap, t, n,
+         |  ln(least(greatest(value / cap, 1e-6), 1.0 - 1e-6)
+         |     / (1 - least(greatest(value / cap, 1e-6), 1.0 - 1e-6))) AS y
+         |  FROM ord0),
+         |bs AS (SELECT event_type, y, t, n, cap,
+         |         $bCols
+         |       FROM ord),
+         |mats AS (SELECT event_type,
+         |         [$matEntries] AS m
+         |         FROM bs GROUP BY 1),
+         |${gaussJordanSql(p)},
+         |f AS (SELECT event_type, max(n) AS n, max(cap) AS cap FROM bs GROUP BY 1)
+         |SELECT f.event_type, round(f.cap, 6) AS cap,
+         |  round(${back("f.n")}, 6) AS yhat_1,
+         |  round(${back("(f.n + 11)")}, 6) AS yhat_12,
+         |  round(${back("(f.n + 23)")}, 6) AS yhat_24
          |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
     },
 

@@ -45,6 +45,24 @@ class SmootherSpec extends AnyFunSuite {
     assert(math.abs(fc(0) - expected) < 1e-6)
   }
 
+  test("prophet logistic growth saturates below cap and beats the linear fit on an adoption curve") {
+    // logistic adoption fit MID-curve (kept positive: the logit clamp
+    // treats ≤0 values as hard outliers); the long-horizon forecast is
+    // where saturation matters: a linear trend extrapolates the steep
+    // mid-adoption slope far past the asymptote, the logistic fit cannot
+    def curve(t: Int): Double =
+      5.0 + 100.0 / (1 + math.exp(-(t - 200.0) / 40)) + 2 * math.sin(2 * math.Pi * t / 24)
+    val n = 280; val h = 120
+    val xs = Array.tabulate(n)(curve)
+    val (cap, fc) = Regressors.prophetLogistic(xs, 24, 3, 4, h)
+    assert(cap > xs.max && math.abs(cap - 1.1 * xs.max) < 1e-9)
+    fc.foreach(v => assert(v > 0 && v < cap, s"forecast $v escapes (0, cap)"))
+    val lin = Regressors.prophetLite(xs, 24, 3, 4, h)
+    val truth = Array.tabulate(h)(i => curve(n + i))
+    def err(f: Array[Double]) = f.zip(truth).map { case (a, b) => math.abs(a - b) }.sum
+    assert(err(fc) < err(lin), s"logistic ${err(fc)} not better than linear ${err(lin)}")
+  }
+
   test("LOESS local-linear smoother reproduces a pure line EXACTLY, boundaries included") {
     // the statsmodels-deviation the MA trend had: a centered MA flattens
     // the first/last `half` points of any sloped series; the tricube
