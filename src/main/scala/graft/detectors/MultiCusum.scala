@@ -16,8 +16,11 @@ package graft.detectors
   * - llr = −2(A − B) with A = Σ_{i≤cp}[Q(x_i−μ̃) − Q(x_i−μ0)],
   *   B = Σ_{i>cp}[Q(x_i−μ̃) − Q(x_i−μ1)] (cusum_detection.py:815 _get_llr
   *   with sigma_pooled = sigma0 = sigma1 = cov(ts)); detection gate
-  *   llr > χ²(0.99, d+1=3). Deviation: the reference's p-value needs the
-  *   odd-df χ² CDF (erf — no SQL form); we emit llr + the gate instead.
+  *   llr > χ²(0.99, d+1=3), and p_value = 1 − chi2.cdf(llr, 3) exactly
+  *   as the reference reports it — the odd-df χ² tail via ChiSq.sf's
+  *   fixed-length incomplete-gamma series (SQL-replayable; this closed
+  *   the round-8 "no SQL form for erf" deviation). p is evaluated on the
+  *   6-dp-snapped llr so both engines feed the series identical input.
   *
   * The 2×2 inverse is closed-form (Cramer), so
   * Q(dx,dy) = (c·dx² − 2b·dx·dy + a·dy²)/det for Σ=[[a,b],[b,c]].
@@ -33,7 +36,7 @@ object MultiCusum {
   private def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** xs, ys ordered by time. Returns Array(cpIdx, m0x, m0y, m1x, m1y,
-    * deltaX, deltaY, llr, stable, detected).
+    * deltaX, deltaY, llr, stable, detected, pValue).
     */
   def detect(xs: Array[Double], ys: Array[Double]): Array[Double] = {
     val n = xs.length
@@ -90,6 +93,6 @@ object MultiCusum {
     }
     val llr = -2.0 * (sumA - sumB)
     Array(cp.toDouble, m0x, m0y, m1x, m1y, m1x - m0x, m1y - m0y, llr, stable,
-      if (llr > Chi2Crit3) 1.0 else 0.0)
+      if (llr > Chi2Crit3) 1.0 else 0.0, ChiSq.sf(r6(llr), 3))
   }
 }

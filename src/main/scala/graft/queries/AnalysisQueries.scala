@@ -61,9 +61,40 @@ object AnalysisQueries {
     * Literals via Double.toString (shortest round-trip repr) so Spark and
     * DuckDB parse bit-identical coefficients.
     */
-  private val tPoly: String = {
-    val coefs = Array.iterate((1.0, 0), DF / 2) { case (c, j) => (c * (2 * (j + 1) - 1) / (2.0 * (j + 1)), j + 1) }.map(_._1)
-    coefs.reverse.tail.foldLeft(coefs.last.toString)((acc, c) => s"($c + u * $acc)")
+  private val tCoefs: Array[Double] =
+    Array.iterate((1.0, 0), DF / 2) { case (c, j) => (c * (2 * (j + 1) - 1) / (2.0 * (j + 1)), j + 1) }.map(_._1)
+  private val tPoly: String =
+    tCoefs.reverse.tail.foldLeft(tCoefs.last.toString)((acc, c) => s"($c + u * $acc)")
+
+  /** Scala twin of the sigChain CDF fragments: two-sided p at t ≥ 0 with
+    * the IDENTICAL op sequence (x → u → Horner → 1 − x·poly), so the
+    * bisection below and the oracle's recursive replay take the same
+    * branch at every step.
+    */
+  private def tTwoSided(t: Double): Double = {
+    val x = t / math.sqrt(DF.toDouble + t * t)
+    val u = 1.0 - x * x
+    var acc = tCoefs.last
+    var i = tCoefs.length - 2
+    while (i >= 0) { acc = tCoefs(i) + u * acc; i -= 1 }
+    1.0 - x * acc
+  }
+
+  /** t.ppf(1 − p/2, DF) by 80-step bisection on [0, 1000] over
+    * [[tTwoSided]] — the inverse-CDF back-conversion the reference
+    * applies to BH-adjusted p-values (detector_consts.py:477 →
+    * stat_sig_detector.py:934). 80 halvings of a fixed bracket are a
+    * deterministic comparison sequence both engines replay exactly;
+    * p below ~1e-72 saturates at the 1000 bracket edge (declared). */
+  private def tPpfUpper(p: Double): Double = {
+    var lo = 0.0; var hi = 1000.0
+    var i = 0
+    while (i < 80) {
+      val mid = (lo + hi) / 2.0
+      if (tTwoSided(mid) > p) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2.0
   }
 
   /** (name, fragment) chain from snapped moments to the raw p-value; both
@@ -170,7 +201,7 @@ object AnalysisQueries {
          |    FROM cs$k) WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
     val last = s"cp${graft.detectors.MultiCusum.MaxIter}"
-    s"""WITH hourly AS ($H),
+    s"""WITH RECURSIVE hourly AS ($H),
        |ord AS (SELECT event_type, value AS x, n::DOUBLE AS y,
        |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
        |    count(*) OVER (PARTITION BY event_type) AS n
@@ -202,15 +233,18 @@ object AnalysisQueries {
        |    sum(CASE WHEN o.rn - 1 > f.cp
        |          THEN ${qForm("t.mtx", "t.mty")} - ${qForm("f.m1x", "f.m1y")} END) AS sumb
        |  FROM ord o JOIN seg f USING (event_type) JOIN sig g USING (event_type)
-       |    JOIN mt t USING (event_type) GROUP BY 1)
-       |SELECT event_type, round(cp::DOUBLE, 6) AS cp_idx,
+       |    JOIN mt t USING (event_type) GROUP BY 1),
+       |chsrc AS (SELECT event_type, round(-2.0 * (suma - sumb), 6) AS x, 3 AS k FROM llr),
+       |${graft.detectors.ChiSq.sqlReplay("chsrc", Seq("event_type"))}
+       |SELECT l.event_type, round(cp::DOUBLE, 6) AS cp_idx,
        |  round(m0x, 6) AS m0x, round(m0y, 6) AS m0y,
        |  round(m1x, 6) AS m1x, round(m1y, 6) AS m1y,
        |  round(m1x - m0x, 6) AS delta_x, round(m1y - m0y, 6) AS delta_y,
        |  round(-2.0 * (suma - sumb), 6) AS llr, round(stable, 6) AS stable,
        |  round(CASE WHEN -2.0 * (suma - sumb) > ${graft.detectors.MultiCusum.Chi2Crit3}
-       |        THEN 1.0 ELSE 0.0 END, 6) AS detected
-       |FROM llr""".stripMargin
+       |        THEN 1.0 ELSE 0.0 END, 6) AS detected,
+       |  round(c.p, 6) AS p_value
+       |FROM llr l JOIN chisf c ON l.event_type = c.event_type""".stripMargin
   }
 
   // ── q_interval_ab shared fragments ───────────────────────────────────
@@ -270,6 +304,13 @@ object AnalysisQueries {
       val wAsc = Window.partitionBy(one).orderBy(col("p_raw"), col("event_type"))
       val wDesc = Window.partitionBy(one).orderBy(col("p_raw").desc, col("event_type").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the reference's reported score is the BH-adjusted p back through
+      // the inverse t CDF, sign-restored from the raw t
+      // (detector_consts.py:477/:492)
+      val tppf = udf { (pAdj: Double, tRaw: Double) =>
+        val t = tPpfUpper(pAdj)
+        if (tRaw < 0) -t else t
+      }
       scored
         .withColumn("m_cnt", count(lit(1)).over(Window.partitionBy(one)))
         .withColumn("rnk", row_number().over(wAsc))
@@ -279,6 +320,7 @@ object AnalysisQueries {
           round(col("m_c"), 6).as("m_control"), round(col("m_t"), 6).as("m_test"),
           round(col("t_raw"), 6).as("t_score"), round(col("p_raw"), 6).as("p_value"),
           round(col("p_adj"), 6).as("p_adj"),
+          round(tppf(col("p_adj"), col("t_raw")), 6).as("t_adj"),
           when(col("p_adj") < 0.05, 1).otherwise(0).as("significant"),
           signum(col("t_raw")).cast("int").as("direction"))
     }),
@@ -294,7 +336,7 @@ object AnalysisQueries {
         graft.detectors.MultiCusum.detect(xs.toArray, ys.toArray).toSeq
       }
       val names = Seq("cp_idx", "m0x", "m0y", "m1x", "m1y", "delta_x", "delta_y",
-        "llr", "stable", "detected")
+        "llr", "stable", "detected", "p_value")
       coll.withColumn("_o", fn(col("xs"), col("ys")))
         .select(col("event_type") +:
           names.zipWithIndex.map { case (nm, i) => round(col("_o")(i), 6).as(nm) }: _*)
@@ -1506,7 +1548,7 @@ object AnalysisQueries {
     },
 
     "q_stat_sig_multi" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH RECURSIVE hourly AS ($H),
          |rk AS (SELECT event_type, value,
          |         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC) AS rn
          |       FROM hourly),
@@ -1527,14 +1569,29 @@ object AnalysisQueries {
          |adj AS (SELECT *, CAST(m_cnt AS DOUBLE) * p_raw / CAST(rnk AS DOUBLE) AS raw_adj FROM bh),
          |fin AS (SELECT *, least(min(raw_adj) OVER (PARTITION BY 1 ORDER BY p_raw DESC, event_type DESC
          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0) AS p_adj
-         |        FROM adj)
-         |SELECT event_type, $NC AS n_control, $NT AS n_test,
+         |        FROM adj),
+         |tb AS (
+         |  SELECT event_type, 0 AS it, 0.0::DOUBLE AS lo, 1000.0::DOUBLE AS hi FROM fin
+         |  UNION ALL
+         |  SELECT event_type, it + 1,
+         |    CASE WHEN g > ph THEN mid ELSE lo END,
+         |    CASE WHEN g > ph THEN hi ELSE mid END
+         |  FROM (SELECT event_type, it, lo, hi, ph, mid, (1.0 - x * $tPoly) AS g
+         |        FROM (SELECT *, (1.0 - x * x) AS u
+         |              FROM (SELECT *, (mid / sqrt($DF.0 + mid * mid)) AS x
+         |                    FROM (SELECT b.event_type, b.it, b.lo, b.hi, s.p_adj AS ph,
+         |                                 (b.lo + b.hi) / 2.0 AS mid
+         |                          FROM tb b JOIN fin s USING (event_type)
+         |                          WHERE b.it < 80))))),
+         |tfin AS (SELECT event_type, (lo + hi) / 2.0 AS tq FROM tb WHERE it = 80)
+         |SELECT f.event_type, $NC AS n_control, $NT AS n_test,
          |  round(m_c, 6) AS m_control, round(m_t, 6) AS m_test,
          |  round(t_raw, 6) AS t_score, round(p_raw, 6) AS p_value,
          |  round(p_adj, 6) AS p_adj,
+         |  round(CASE WHEN f.t_raw < 0 THEN -tf.tq ELSE tf.tq END, 6) AS t_adj,
          |  CASE WHEN p_adj < 0.05 THEN 1 ELSE 0 END AS significant,
          |  CASE WHEN t_raw > 0 THEN 1 WHEN t_raw < 0 THEN -1 ELSE 0 END AS direction
-         |FROM fin""".stripMargin,
+         |FROM fin f JOIN tfin tf USING (event_type)""".stripMargin,
 
     "q_date_features" ->
       s"""SELECT event_id, epoch_us(date_trunc('microsecond', ts))//1000000 AS ts_s,

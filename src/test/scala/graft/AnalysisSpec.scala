@@ -36,6 +36,24 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sorted = rows.sortBy(_.getAs[Double]("p_value"))
     val adj = sorted.map(_.getAs[Double]("p_adj"))
     assert(adj.zip(adj.tail).forall { case (a, b) => a <= b + 1e-9 })
+    // t_adj is the ppf back-conversion of p_adj: same sign as raw t,
+    // |t_adj| <= |t_raw| (BH only weakens evidence), and round-tripping
+    // |t_adj| through the two-sided CDF recovers p_adj
+    rows.foreach { r =>
+      val t = r.getAs[Double]("t_score"); val ta = r.getAs[Double]("t_adj")
+      val q = r.getAs[Double]("p_adj")
+      assert(ta * t >= 0, s"sign flip: t=$t t_adj=$ta")
+      assert(math.abs(ta) <= math.abs(t) + 1e-6, s"|t_adj| $ta > |t| $t")
+      val x = math.abs(ta) / math.sqrt(32.0 + ta * ta)
+      // loose round-trip (the emitted values are 6-dp)
+      val back = {
+        var c = 1.0; var acc = 1.0
+        val u = 1 - x * x
+        (1 until 16).foreach { j => c = c * (2 * j - 1) / (2.0 * j); acc += c * math.pow(u, j) }
+        1 - x * acc
+      }
+      assert(math.abs(back - q) < 1e-4, s"round-trip $back vs p_adj $q")
+    }
   }
 
   test("q_stat_sig_multi: closed-form t CDF matches the known normal-ish tail") {
@@ -87,6 +105,9 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = detectors.MultiCusum.detect(xs, ys)
     assert(math.abs(out(0) - 119.0) <= 1.0, s"cp at ${out(0)}, expected ~119")
     assert(out(9) == 1.0, "planted shift not detected")
+    // the chi2(3) p-value agrees with the 1% llr gate and with the tail:
+    // chi2.ppf(0.99, 3) = 11.3449, so detected == (p < 0.01)
+    assert(out(10) < 0.01, s"planted shift p=${out(10)}")
     assert(out(5) > 3.5 && out(5) < 4.5, s"delta_x ${out(5)} should be ~4")
     assert(out(6) > 2.0 && out(6) < 3.0, s"delta_y ${out(6)} should be ~2.5")
     // a no-change series must NOT be flagged
@@ -94,6 +115,9 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array.tabulate(200)(i => 10.0 + 0.01 * (i % 7)),
       Array.tabulate(200)(i => 5.0 + 0.02 * (i % 5)))
     assert(flat(9) == 0.0, s"flat series flagged, llr=${flat(7)}")
+    assert(flat(10) >= 0.01, s"flat series p=${flat(10)} contradicts its gate")
+    // ChiSq.sf at the gate itself is the gate's design point
+    assert(math.abs(detectors.ChiSq.sf(detectors.MultiCusum.Chi2Crit3, 3) - 0.01) < 1e-6)
   }
 
   test("q_cusum_multi: query emits one decided row per event_type") {
