@@ -41,7 +41,8 @@ object SparkEntry {
     (MonitorQueries.defs, MonitorQueries.sql),
     (HypoQueries.defs, HypoQueries.sql),
     (MixtureQueries.defs, MixtureQueries.sql),
-    (GbtQueries.defs, GbtQueries.sql)
+    (GbtQueries.defs, GbtQueries.sql),
+    (StreamQueries.defs, StreamQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,388 @@
+package graft.queries
+
+import graft._
+import graft.streaming.StreamingDetectors
+import graft.streaming.StreamingDetectors.{PhPoint, Point}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Batch-replay certification of the Structured-Streaming detectors.
+  *
+  * The 17 streaming operators are spec-proven equal to their batch twins
+  * (StreamingSpec / StreamingReplaySpec), but the driver's DuckDB gate
+  * never saw them: specs assert, oracles certify. Each query here runs
+  * the REAL streaming operator — MemoryStream source, chronological
+  * microbatch feed, memory sink — inside a batch query, so the final
+  * emitted state lands in CORRECTNESS like any other operator and the
+  * independent DuckDB replay certifies the streaming recurrence itself
+  * (state handoff across microbatch boundaries included; five chunks
+  * means four boundary crossings per series).
+  *
+  * The driver-side `collect` builds the FEED, not the result — it is the
+  * test-harness stand-in for the Kafka/file source a deployment reads
+  * (bounded by the test SF: ≤720 hourly rows per series, ≤50k events at
+  * sf0.1). The operators themselves keep their production state bounds:
+  * spcRules 8 floats/series, pageHinkley 33 B/series, psiMonitor 10
+  * counters per open (series, window).
+  *
+  * Reference: kats/detectors/cusum_detection.py + stat_sig_detector.py
+  * establish the batch semantics; the streaming forms are this repo's
+  * scale path (SURVEY §2.11).
+  */
+object StreamQueries {
+  private val S = TSSchema(keys = Seq("event_type"))
+  private val H = Tables.hourlySql
+  private val sinkId = new AtomicLong(0L)
+  private def sink(base: String): String = s"gsq_${base}_${sinkId.incrementAndGet()}"
+
+  /** Page-Hinkley thresholds as σ multiples — MUST track DriftQueries'
+    * constants so the stream twin replays the batch recursion exactly. */
+  private val PhDeltaSd = 0.005
+  private val PhLambdaSd = 20.0
+
+  private def chunks[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
+    val size = math.max(1, math.ceil(xs.length / n.toDouble).toInt)
+    xs.grouped(size).toSeq
+  }
+
+  /** Run a started streaming query over a chunked feed and return the
+    * memory-sink table (stable after stop — the sink buffer backs the
+    * temp view). `tail` lets callers append a watermark-advancing
+    * sentinel after the real data. */
+  private def replay[T](s: SparkSession, mem: MemoryStream[T], out: DataFrame,
+                        name: String, feed: Seq[T], tail: Seq[T] = Nil): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      chunks(feed, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+      if (tail.nonEmpty) { mem.addData(tail: _*); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Western Electric run rules as a stream: the q_spc_rules serve half
+    // replayed through StreamingDetectors.spcRules against the batch-fit
+    // baseline store. The keyed state is the trailing 8 z-scores; the
+    // oracle is the batch operator's SQL verbatim — stream alarms must
+    // equal the batch alarm rows exactly.
+    "q_stream_spc" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+      val mo = base.where(col("rn") <= expr("nn div 2"))
+        .groupBy("event_type")
+        .agg(round(avg("value"), 6).as("mu"),
+          round(greatest(stddev_pop(col("value")), lit(1e-6)), 6).as("sigma"))
+      val feed = base.where(col("rn") > expr("nn div 2"))
+        .select("event_type", "ts", "value").orderBy("ts", "event_type").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem, StreamingDetectors.spcRules(mem.toDF(), mo).toDF(),
+        sink("spc"), feed)
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+        round(col("z"), 6).as("z"), col("r1"), col("r2"), col("r3"), col("r4"))
+    }),
+
+    // Page-Hinkley drift monitor as a stream: per-series (δ, λ) trained
+    // batch-side from the dense series' 4-dp-snapped moments (the store
+    // shape a deployment broadcast-joins), the dense hourly rows replayed
+    // chronologically; one alarm row per series at the FIRST λ crossing.
+    // The oracle replays the identical recursion and keeps the gap AT the
+    // crossing (not the batch twin's max_gap).
+    "q_stream_page_hinkley" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val dense = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+      val th = dense.groupBy("event_type")
+        .agg(round(sum("value"), 4).as("s1"),
+          round(sum(col("value") * col("value")), 4).as("s2"),
+          count(lit(1)).as("n"))
+        .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+        .select(col("event_type"), (col("sd") * PhDeltaSd).as("delta"),
+          (col("sd") * PhLambdaSd).as("lambda"))
+      val feed = dense.join(broadcast(th), "event_type")
+        .select("event_type", "ts", "value", "delta", "lambda")
+        .orderBy("ts", "event_type").collect()
+        .map(r => PhPoint(r.getString(0), r.getTimestamp(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      val mem = MemoryStream[PhPoint]
+      val t = replay(s, mem, StreamingDetectors.pageHinkley(mem.toDS()).toDF(),
+        sink("ph"), feed)
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("n"),
+        round(col("gap"), 6).as("gap"), round(col("lambda"), 6).as("lambda"))
+    }),
+
+    // PSI drift monitor as a stream: decile edges + baseline shares fit
+    // on each series' first half of RAW events (Drift.fitEdges — the
+    // persistable store), the second half replayed through psiMonitor in
+    // 1-day tumbling windows. A far-future sentinel advances the
+    // watermark so every real window closes; the sentinel's series is
+    // absent from the store, so the stream-static join drops it.
+    "q_stream_psi" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val wk = Window.partitionBy("event_type")
+      val ev = Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+      val edges = graft.detectors.Drift.fitEdges(
+        ev.where(col("rn") <= expr("nn div 2")).select("event_type", "ts", "value"), S)
+      val cur = ev.where(col("rn") > expr("nn div 2"))
+        .select("event_type", "ts", "value").orderBy("ts", "event_id").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val sentinel = Point("zz_watermark_sentinel",
+        new java.sql.Timestamp(cur.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0.0)
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem,
+        StreamingDetectors.psiMonitor(mem.toDF(), edges, every = "1 day"),
+        sink("psi"), cur, tail = Seq(sentinel))
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+        col("n"), col("psi"), col("drift"))
+    }),
+
+    // Adjusted-EWMA tracker as a stream: the hourly series replayed
+    // through ewmaTracker (num/den recursion in 16 B of keyed state);
+    // every point's level, deviation and flag is emitted, and the oracle
+    // replays the IDENTICAL recursion in a recursive CTE — sequential
+    // IEEE ops on both engines, so the compare is bit-exact, not
+    // closed-form-approximate.
+    "q_stream_ewma" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = Tables.hourlyEvents(s, dir).drop("n")
+        .orderBy("ts", "event_type").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem,
+        StreamingDetectors.ewmaTracker(mem.toDS(), alpha = 0.2, k = 0.5).toDF(),
+        sink("ewma"), feed)
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+        round(col("ewma"), 6).as("ewma"), round(col("deviation"), 6).as("dev"),
+        col("flagged").cast("int").as("flagged"))
+    }),
+
+    // Ingest token meter as a stream: per-(source, hour) doc/token/byte
+    // telemetry over the documents corpus with a deterministic synthetic
+    // arrival clock (one doc per minute by doc_id — documents carry no
+    // timestamp). Watermarked tumbling windows, map-side partial
+    // aggregation; a sentinel closes the tail windows.
+    "q_stream_token_meter" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200L // 2024-01-01 UTC
+      val feed = Tables.documents(s, dir).select("doc_id", "source", "text")
+        .orderBy("doc_id").collect()
+        .map(r => StreamingDetectors.SourcedDoc(r.getLong(0),
+          new java.sql.Timestamp((t0 + r.getLong(0) * 60L) * 1000L),
+          r.getString(1), r.getString(2))).toSeq
+      val sentinel = StreamingDetectors.SourcedDoc(-1L,
+        new java.sql.Timestamp((t0 + 400L * 24 * 3600) * 1000L), "zz_sentinel", "")
+      val mem = MemoryStream[StreamingDetectors.SourcedDoc]
+      val t = replay(s, mem, StreamingDetectors.tokenMeter(mem.toDF(), every = "1 hour"),
+        sink("tok"), feed, tail = Seq(sentinel))
+      t.where(col("source") =!= "zz_sentinel")
+        .select(col("source"), unix_timestamp(col("ts")).as("ts_s"),
+          col("n_docs"), col("n_tokens"), col("n_chars"))
+    }),
+
+    // Exact dedup as a stream: unique-text originals arrive first in
+    // doc_id order, then TWO later microbatches of injected duplicates
+    // (+1e6: every 7th text; +2e6: every 14th) — the stream must drop
+    // every injected row against fingerprint state written batches
+    // earlier. The handful of duplicate texts already in the corpus at
+    // sf0.1 are excluded from the feed: two same-text rows in one
+    // microbatch would make "which id survives" an intra-batch ordering
+    // artifact, and the certification wants a deterministic keep set.
+    "q_stream_dedup" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200000L
+      val uniq = Tables.documents(s, dir)
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("text")))
+        .where(col("cnt") === 1).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => StreamingDetectors.Doc(r.getLong(0),
+          new java.sql.Timestamp(t0 + r.getLong(0)), r.getString(1))).toSeq
+      val dupA = uniq.zipWithIndex.collect { case (d, i) if i % 7 == 0 =>
+        d.copy(doc_id = d.doc_id + 1000000L) }
+      val dupB = uniq.zipWithIndex.collect { case (d, i) if i % 14 == 0 =>
+        d.copy(doc_id = d.doc_id + 2000000L) }
+      val mem = MemoryStream[StreamingDetectors.Doc]
+      val out = StreamingDetectors.dedupExact(mem.toDF())
+      val q = out.writeStream.format("memory").queryName(sink("dedup"))
+        .outputMode("append").start()
+      val name = q.name
+      try {
+        chunks(uniq, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        mem.addData(dupA: _*); q.processAllAvailable()
+        mem.addData(dupB: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).select("doc_id")
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "q_stream_spc" ->
+      s"""WITH hourly AS ($H),
+         |base AS (SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |mo AS (SELECT event_type, round(avg(value), 6) AS mu,
+         |    round(greatest(stddev_pop(value), 1e-6), 6) AS sigma
+         |  FROM base WHERE rn <= nn // 2 GROUP BY 1),
+         |serve AS (SELECT b.event_type, b.ts, b.value, b.rn, (b.value - m.mu) / m.sigma AS z
+         |  FROM base b JOIN mo m USING (event_type) WHERE b.rn > b.nn // 2),
+         |r AS (SELECT *,
+         |    CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS r1,
+         |    CASE WHEN (sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 AND z > 2.0)
+         |           OR (sum(CASE WHEN z < -2.0 THEN 1 ELSE 0 END) OVER w3 >= 2 AND z < -2.0)
+         |         THEN 1 ELSE 0 END AS r2,
+         |    CASE WHEN (sum(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 AND z > 1.0)
+         |           OR (sum(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) OVER w5 >= 4 AND z < -1.0)
+         |         THEN 1 ELSE 0 END AS r3,
+         |    CASE WHEN sum(CASE WHEN z > 0.0 THEN 1 ELSE 0 END) OVER w8 = 8
+         |           OR sum(CASE WHEN z < 0.0 THEN 1 ELSE 0 END) OVER w8 = 8
+         |         THEN 1 ELSE 0 END AS r4
+         |  FROM serve
+         |  WINDOW w3 AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         |         w5 AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |         w8 AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, round(z, 6) AS z, r1, r2, r3, r4
+         |FROM r WHERE r1 + r2 + r3 + r4 > 0""".stripMargin,
+
+    "q_stream_page_hinkley" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |ord AS (SELECT event_type, epoch(ts)::BIGINT AS ts, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM dense),
+         |mo AS (SELECT event_type, round(sum(value), 4) AS s1, round(sum(value * value), 4) AS s2,
+         |          max(n) AS n
+         |       FROM ord GROUP BY 1),
+         |th AS (SELECT event_type,
+         |         $PhDeltaSd * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS delta,
+         |         $PhLambdaSd * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS lam
+         |       FROM mo),
+         |rec AS (
+         |  SELECT o.event_type, 1 AS i, o.n, t.delta, t.lam,
+         |    o.value AS mean,
+         |    o.value - o.value - t.delta AS cum,
+         |    least(o.value - o.value - t.delta, 0.0) AS mn,
+         |    CASE WHEN (o.value - o.value - t.delta) - least(o.value - o.value - t.delta, 0.0) > t.lam
+         |         THEN 1 ELSE -1 END AS alarm_n,
+         |    CASE WHEN (o.value - o.value - t.delta) - least(o.value - o.value - t.delta, 0.0) > t.lam
+         |         THEN o.ts ELSE -1 END AS alarm_ts,
+         |    CASE WHEN (o.value - o.value - t.delta) - least(o.value - o.value - t.delta, 0.0) > t.lam
+         |         THEN (o.value - o.value - t.delta) - least(o.value - o.value - t.delta, 0.0)
+         |         ELSE 0.0 END AS alarm_gap
+         |  FROM ord o JOIN th t ON o.event_type = t.event_type WHERE o.rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1, r.n, r.delta, r.lam,
+         |    r.mean + (o.value - r.mean) / (r.i + 1),
+         |    r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta),
+         |    least(r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta), r.mn),
+         |    CASE WHEN r.alarm_n >= 0 THEN r.alarm_n
+         |         WHEN (r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta))
+         |              - least(r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta), r.mn) > r.lam
+         |         THEN r.i + 1 ELSE -1 END,
+         |    CASE WHEN r.alarm_n >= 0 THEN r.alarm_ts
+         |         WHEN (r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta))
+         |              - least(r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta), r.mn) > r.lam
+         |         THEN o.ts ELSE -1 END,
+         |    CASE WHEN r.alarm_n >= 0 THEN r.alarm_gap
+         |         WHEN (r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta))
+         |              - least(r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta), r.mn) > r.lam
+         |         THEN (r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta))
+         |              - least(r.cum + (o.value - (r.mean + (o.value - r.mean) / (r.i + 1)) - r.delta), r.mn)
+         |         ELSE 0.0 END
+         |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.i + 1
+         |  WHERE r.i + 1 <= r.n)
+         |SELECT event_type, alarm_ts AS ts_s, alarm_n::BIGINT AS n,
+         |  round(alarm_gap, 6) AS gap, round(lam, 6) AS lambda
+         |FROM rec WHERE i = n AND alarm_n >= 0""".stripMargin,
+
+    "q_stream_psi" ->
+      """WITH ev AS (SELECT event_type, ts, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM events),
+        |bv AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS nb
+        |  FROM ev WHERE rn <= nn // 2),
+        |edges AS (SELECT event_type, k, min(value) AS edge
+        |  FROM bv CROSS JOIN (SELECT unnest(range(1, 10)) AS k) ks
+        |  WHERE vr = greatest((k * nb) // 10, 1) GROUP BY 1, 2),
+        |bbin AS (SELECT b.event_type,
+        |    sum(CASE WHEN b.value > e.edge THEN 1 ELSE 0 END) AS bin
+        |  FROM ev b JOIN edges e USING (event_type)
+        |  WHERE b.rn <= b.nn // 2 GROUP BY b.event_type, b.rn),
+        |btot AS (SELECT event_type, count(*) AS n_base FROM bbin GROUP BY 1),
+        |pp AS (SELECT t.event_type, g.bin,
+        |    (coalesce(c.c, 0) + 0.5) / (CAST(t.n_base AS DOUBLE) + 5.0) AS p
+        |  FROM btot t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+        |    LEFT JOIN (SELECT event_type, bin, count(*) AS c FROM bbin GROUP BY 1, 2) c
+        |      ON t.event_type = c.event_type AND g.bin = c.bin),
+        |cbin AS (SELECT b.event_type, (epoch_us(b.ts)//1000000 // 86400) * 86400 AS ts_s,
+        |    sum(CASE WHEN b.value > e.edge THEN 1 ELSE 0 END) AS bin
+        |  FROM ev b JOIN edges e USING (event_type)
+        |  WHERE b.rn > b.nn // 2 GROUP BY b.event_type, b.rn, 2),
+        |ctot AS (SELECT event_type, ts_s, count(*) AS n FROM cbin GROUP BY 1, 2),
+        |qq AS (SELECT t.event_type, t.ts_s, t.n, g.bin,
+        |    (coalesce(c.c, 0) + 0.5) / (CAST(t.n AS DOUBLE) + 5.0) AS q
+        |  FROM ctot t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g
+        |    LEFT JOIN (SELECT event_type, ts_s, bin, count(*) AS c FROM cbin GROUP BY 1, 2, 3) c
+        |      ON t.event_type = c.event_type AND t.ts_s = c.ts_s AND g.bin = c.bin)
+        |SELECT qq.event_type, qq.ts_s, max(qq.n) AS n,
+        |  round(sum((p - q) * ln(p / q)), 6) AS psi,
+        |  CASE WHEN round(sum((p - q) * ln(p / q)), 6) > 0.2 THEN 1 ELSE 0 END AS drift
+        |FROM qq JOIN pp ON qq.event_type = pp.event_type AND qq.bin = pp.bin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_ewma" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM hourly),
+         |rec AS (
+         |  SELECT event_type, 1 AS i, n, ts_s, value,
+         |    value AS num, 1.0E0 AS den
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1, r.n, o.ts_s, o.value,
+         |    r.num * 0.8E0 + o.value, r.den * 0.8E0 + 1.0E0
+         |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.i + 1
+         |  WHERE r.i + 1 <= r.n)
+         |SELECT event_type, ts_s, value, round(num / den, 6) AS ewma,
+         |  round(CASE WHEN num / den <> 0 THEN abs(value - num / den) / abs(num / den)
+         |             ELSE 0.0E0 END, 6) AS dev,
+         |  CASE WHEN i >= 6 AND (CASE WHEN num / den <> 0
+         |         THEN abs(value - num / den) / abs(num / den) ELSE 0.0E0 END) > 0.5E0
+         |       THEN 1 ELSE 0 END AS flagged
+         |FROM rec""".stripMargin,
+
+    "q_stream_token_meter" ->
+      """WITH clocked AS (SELECT source, (1704067200 + doc_id * 60) AS es, text FROM documents)
+        |SELECT source, (es // 3600) * 3600 AS ts_s, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |  sum(length(text))::BIGINT AS n_chars
+        |FROM clocked GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE text IN (SELECT text FROM documents GROUP BY text HAVING count(*) = 1)""".stripMargin
+  )
+}

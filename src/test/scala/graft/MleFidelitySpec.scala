@@ -1,0 +1,124 @@
+package graft
+
+import graft.models.{Arima, Smoothers}
+import graft.operators.Simulator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Evidence for the "deterministic grid / Hannan-Rissanen ≈ statsmodels
+  * MLE" claim (kats/models/holtwinters.py and kats/models/arima.py fit by
+  * MLE; graft substitutes engine-reproducible estimators — declared in
+  * SURVEY §2.4). Each test simulates a series with KNOWN parameters
+  * through the Simulator's seeded LCG and asserts the estimator recovers
+  * the truth within a documented tolerance, and that held-out forecast
+  * error is within a small factor of the theoretical optimum (which is
+  * what the MLE attains asymptotically). Tolerances are ~3× the observed
+  * error on these fixtures, far tighter than any wrong-estimator failure
+  * mode (see inline notes for observed values).
+  */
+class MleFidelitySpec extends AnyFunSuite {
+
+  test("Hannan-Rissanen recovers ARMA(2,1) parameters on a known-truth simulation") {
+    // x_t = 0.7 x_{t-1} - 0.2 x_{t-2} + e_t + 0.4 e_{t-1}, σ=1
+    val xs = Simulator.arma(Array(0.7, -0.2), Array(0.4), n = 3000, seed = 7L)
+    val f = Arima.fit(xs, p = 2, d = 0, q = 1)
+    // asymptotic SEs are O(1/√n) ≈ 0.02; HR adds a small finite-sample
+    // bias — allow 0.1 (observed: φ=(0.736,-0.222), θ=0.360, c=-0.006)
+    assert(math.abs(f.phi(0) - 0.7) < 0.1, s"phi1=${f.phi(0)}")
+    assert(math.abs(f.phi(1) + 0.2) < 0.1, s"phi2=${f.phi(1)}")
+    assert(math.abs(f.theta(0) - 0.4) < 0.1, s"theta1=${f.theta(0)}")
+    assert(math.abs(f.c) < 0.1, s"c=${f.c}")
+    assert(math.abs(f.sigma2 - 1.0) < 0.15, s"sigma2=${f.sigma2}")
+  }
+
+  test("ARIMA one-step holdout RMSE is within 10% of the optimal predictor's σ") {
+    // 1-step-ahead optimal RMSE = σ = 1 (what the exact-MLE predictor
+    // attains); the unconditional-mean naive predictor pays the process
+    // sd ≈ 1.6 on this ARMA — the bound separates the two decisively.
+    val xs = Simulator.arma(Array(0.7, -0.2), Array(0.4), n = 2600, seed = 11L)
+    val origins = 0 until 50
+    var sse = 0.0
+    origins.foreach { i =>
+      val cut = 2000 + i * 10
+      val fc = Arima.forecast(xs.take(cut), p = 2, d = 0, q = 1, h = 1)
+      val err = fc(0) - xs(cut)
+      sse += err * err
+    }
+    val rmse = math.sqrt(sse / origins.size)
+    assert(rmse < 1.1, s"1-step holdout rmse=$rmse (optimal 1.0)")
+  }
+
+  test("ARIMA(1,1,1): differencing + recovery on an integrated series") {
+    val dx = Simulator.arma(Array(0.5), Array(0.3), n = 3000, seed = 13L)
+    val xs = dx.scanLeft(0.0)(_ + _).tail // integrate once
+    val f = Arima.fit(xs, p = 1, d = 1, q = 1)
+    assert(math.abs(f.phi(0) - 0.5) < 0.1, s"phi1=${f.phi(0)}")
+    assert(math.abs(f.theta(0) - 0.3) < 0.1, s"theta1=${f.theta(0)}")
+  }
+
+  test("Holt-Winters SSE grid recovers (α, β, γ) from a known-truth HW process") {
+    // generate from the additive-HW one-step-ahead form at the TRUE
+    // params — the same error definition hwSse scores, so the SSE
+    // surface has its minimum at the truth among grid points
+    val (aT, bT, gT, m, n) = (0.3, 0.1, 0.2, 24, 1440)
+    val noise = Simulator.arma(Array.empty, Array.empty, n, seed = 17L)
+    var l = 100.0; var b = 0.5
+    val s = Array.tabulate(m)(i => 10.0 * math.sin(2 * math.Pi * i / m))
+    val xs = new Array[Double](n)
+    var t = 0
+    while (t < n) {
+      val si = t % m
+      xs(t) = l + b + s(si) + noise(t)
+      val lPrev = l
+      l = aT * (xs(t) - s(si)) + (1 - aT) * (l + b)
+      b = bT * (l - lPrev) + (1 - bT) * b
+      s(si) = gT * (xs(t) - l) + (1 - gT) * s(si)
+      t += 1
+    }
+    val (a, be, g, lF, bF, sF, _) = Smoothers.holtWintersOpt(xs, m)
+    // α and γ sit ON the 0.1-step grid; β is the weakest-identified
+    // smoothing parameter — allow one grid step (observed: exact 0.3/0.1/0.2)
+    assert(math.abs(a - aT) < 0.051, s"alpha=$a")
+    assert(math.abs(be - bT) < 0.151, s"beta=$be")
+    assert(math.abs(g - gT) < 0.151, s"gamma=$g")
+    // h-step forecasts from the fitted state vs continuing the true
+    // recursion noise-free: within 2σ on average over a full season
+    var trueL = l; val trueB = b
+    val errs = (1 to m).map { h =>
+      val fitF = lF + h * bF + sF((n + h - 1) % m)
+      val truF = trueL + h * trueB + s((n + h - 1) % m)
+      math.abs(fitF - truF)
+    }
+    val mae = errs.sum / errs.size
+    assert(mae < 2.0, s"seasonal-horizon forecast MAE vs truth = $mae (σ=1)")
+  }
+
+  test("Holt SSE grid recovers (α, β) and SES grid recovers α") {
+    val n = 2000
+    val noise = Simulator.arma(Array.empty, Array.empty, n, seed = 19L)
+    // Holt process at (0.4, 0.2)
+    var l = 50.0; var b = 0.1
+    val xs = new Array[Double](n)
+    var t = 0
+    while (t < n) {
+      xs(t) = l + b + noise(t)
+      val lPrev = l
+      l = 0.4 * xs(t) + 0.6 * (l + b)
+      b = 0.2 * (l - lPrev) + 0.8 * b
+      t += 1
+    }
+    val (a, be, _, _, _) = Smoothers.holtOpt(xs)
+    assert(math.abs(a - 0.4) < 0.051, s"alpha=$a")
+    assert(math.abs(be - 0.2) < 0.101, s"beta=$be")
+    // SES process at α=0.35 (level random walk driven by smoothing its own obs)
+    var l2 = 10.0
+    val ys = new Array[Double](n)
+    t = 0
+    while (t < n) {
+      ys(t) = l2 + noise(n - 1 - t)
+      l2 = 0.35 * ys(t) + 0.65 * l2
+      t += 1
+    }
+    val (a2, _, _) = Smoothers.sesOpt(ys)
+    assert(math.abs(a2 - 0.35) < 0.051, s"ses alpha=$a2")
+  }
+}

@@ -44,7 +44,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // BroadcastNestedLoopJoin of a broadcast probe/blockpair side is the
     // intended all-pairs shape; CartesianProduct (both sides shuffled)
     // never is.
-    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+    // q_stream_* run an embedded streaming replay whose returned plan is
+    // just the memory-sink scan — executing them here costs seconds and
+    // asserts nothing; their batch-side plans are covered via the twins
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q_stream_")).foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
     }

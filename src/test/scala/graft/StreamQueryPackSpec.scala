@@ -1,0 +1,115 @@
+package graft
+
+import graft.queries.{AnalysisQueries, DriftQueries, StreamQueries}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q_stream_* pack embeds a real Structured-Streaming replay inside a
+  * batch query so the DuckDB gate certifies streaming results. These
+  * tests pin the pack to the batch twins on testdata — the stream side
+  * must reproduce the batch operators' rows, not merely run.
+  */
+class StreamQueryPackSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_stream_spc equals the batch q_spc_rules alarm rows") {
+    val stream = StreamQueries.defs("q_stream_spc")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = AnalysisQueries.defs("q_spc_rules")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty, "expected SPC alarms on testdata")
+    assert(stream === batch)
+  }
+
+  test("q_stream_page_hinkley matches the batch q_page_hinkley alarm points") {
+    val stream = StreamQueries.defs("q_stream_page_hinkley")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4))).toSet
+    // batch twin: alarmed series with 0-based alarm_idx and the same λ
+    val batch = DriftQueries.defs("q_page_hinkley")(spark, dir)
+      .where(col("alarmed") === 1)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(1) + 1L, r.getDouble(4))).toSet
+    assert(stream.nonEmpty, "expected Page-Hinkley alarms on testdata")
+    assert(stream === batch)
+    // the emitted gap is the gap AT the crossing: above λ, at most max_gap
+    StreamQueries.defs("q_stream_page_hinkley")(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(3) > r.getDouble(4) - 1e-9, s"gap must exceed lambda: $r")
+    }
+  }
+
+  test("q_stream_psi windows cover the serve half and PSI is finite") {
+    val out = StreamQueries.defs("q_stream_psi")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    assert(!out.exists(_._1 == "zz_watermark_sentinel"), "sentinel must not leak into output")
+    // every window's n > 0, PSI finite, drift consistent with the 0.2 rule
+    out.foreach { case (_, tsS, n, psi, drift) =>
+      assert(tsS % 86400 == 0, "windows must align to day boundaries")
+      assert(n > 0 && !psi.isNaN && !psi.isInfinite)
+      assert(drift == (if (psi > 0.2) 1 else 0))
+    }
+    // the total windowed row count equals the serve half of events
+    val total = out.map(_._3).sum
+    val nEvents = Tables.events(spark, dir).count()
+    val serveRows = spark.range(1).select(lit(nEvents)).head().getLong(0) -
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")))
+        .withColumn("nn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .where(col("rn") <= expr("nn div 2")).count()
+    assert(total === serveRows)
+  }
+
+  test("q_stream_ewma equals the batch adjusted-EWMA levels at 6 dp") {
+    val stream = StreamQueries.defs("q_stream_ewma")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val batch = TS.ewma(Tables.hourlyEvents(spark, dir).drop("n"),
+        TSSchema(keys = Seq("event_type")), alpha = 0.2)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("ewma"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(stream.keySet === batch.keySet)
+    stream.foreach { case (k, v) =>
+      // batch computes the closed weighted-sum form; the stream runs the
+      // num/den recursion — same quantity, different float op order
+      assert(math.abs(v - batch(k)) <= 5.001e-7, s"$k stream=$v batch=${batch(k)}")
+    }
+  }
+
+  test("q_stream_dedup keeps exactly the unique-text originals and drops every injected duplicate") {
+    val kept = StreamQueries.defs("q_stream_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(!kept.exists(_ >= 1000000L), "an injected duplicate survived the stream")
+    val uniq = Tables.documents(spark, dir)
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text")))
+      .where(col("cnt") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === uniq)
+  }
+
+  test("q_stream_token_meter sums reconcile with the batch corpus totals") {
+    val out = StreamQueries.defs("q_stream_token_meter")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nDocs = out.map(_.getLong(2)).sum
+    val nChars = out.map(_.getLong(4)).sum
+    val batch = Tables.documents(spark, dir)
+      .agg(count(lit(1)), sum(length(col("text")).cast("long"))).head()
+    assert(nDocs === batch.getLong(0))
+    assert(nChars === batch.getLong(1))
+  }
+}
