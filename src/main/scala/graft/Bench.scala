@@ -46,8 +46,32 @@ object Bench {
     val errs = results.collect { case (k, _, false) => k }
     val errors = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // p50-of-3 for the 20 slowest: a single-pass timing on a contended
+    // host is a variance band (see VERDICT r8 — 2× uniform host-regime
+    // swings); the median of three runs is the durable round-over-round
+    // signal. Full runs only; +2 reruns × 20 queries of extra wall time.
+    val top = results.filter(_._3).sortBy(-_._2).take(20)
+    val reruns: Seq[(String, Seq[Double])] =
+      if (only.nonEmpty) Seq.empty
+      else top.map { case (name, t1, _) =>
+        val fn = SparkEntry.queries(name)
+        val more = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] rerun $name FAILED: ${e.getMessage}") }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sqlContext.clearCache()
+          dt
+        }
+        name -> (t1 +: more)
+      }
+    def p50(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val top20Json = reruns.map { case (k, rs) =>
+      "\"" + k + "\":{\"p50\":" + fmt(p50(rs)) + ",\"mean\":" + fmt(rs.sum / rs.size) +
+        ",\"runs\":[" + rs.map(fmt).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"top20":$top20Json,"errors":$errors,"sf":"$sfDir"}"""
     // Full per-query map: one line on stdout + a repo file. The driver's
     // log capture keeps only the LAST ~2000 characters of output, so this
     // line scrolls off for a 182-query suite — the file is the durable
@@ -63,9 +87,13 @@ object Bench {
     // headline total, error count (first few names), and the slowest
     // queries — the part of the per-query map worth reading in a tail.
     val slow = results.filter(_._3).sortBy(-_._2).take(20)
+    val slowJson =
+      if (reruns.nonEmpty)
+        reruns.map { case (k, rs) => "\"" + k + "\":" + fmt(p50(rs)) }.mkString("{", ",", "}")
+      else qjson(slow)
     val errHead = errs.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"errors_head":$errHead,"slowest":${qjson(slow)},"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"errors_head":$errHead,"slowest":$slowJson,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

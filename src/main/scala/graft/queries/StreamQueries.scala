@@ -227,8 +227,140 @@ object StreamQueries {
         mem.addData(dupB: _*); q.processAllAvailable()
       } finally q.stop()
       s.table(name).select("doc_id")
+    }),
+
+    // Watermarked tumbling-window resample as a stream: every raw event
+    // replayed, per-(series, hour) sum + count emitted once per closed
+    // window — the first aggregation of every streaming pipeline,
+    // certified against the plain batch GROUP BY.
+    "q_stream_resample" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = rawPoints(s, dir)
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem, StreamingDetectors.windowedResample(mem.toDF(), every = "1 hour"),
+        sink("rs"), feed, tail = sentinelFor(feed))
+      t.where(col("event_type") =!= Sentinel)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+          round(col("value"), 6).as("value"), col("n"))
+    }),
+
+    // Stream-static z-score against a served baseline: per-series μ/σ fit
+    // on the first half of the hourly series (the DetectorStore shape),
+    // the second half replayed; only |z| > 3 rows emit. Stateless — the
+    // certification is the broadcast-join serve path itself.
+    "q_stream_zscore" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wk = Window.partitionBy("event_type")
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wk))
+      val mo = base.where(col("rn") <= expr("nn div 2"))
+        .groupBy("event_type")
+        .agg(round(avg("value"), 6).as("mu"),
+          round(greatest(stddev_pop(col("value")), lit(1e-6)), 6).as("sigma"))
+      val feed = base.where(col("rn") > expr("nn div 2"))
+        .select("event_type", "ts", "value").orderBy("ts", "event_type").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem,
+        StreamingDetectors.zscoreAgainstBaseline(mem.toDF(), mo, z = 3.0),
+        sink("z"), feed)
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+        col("value"), round(col("z"), 6).as("z"))
+    }),
+
+    // Native session windows as a stream: every user event replayed
+    // through session_window(30 min); start/end/count/sum per session
+    // certified against the gap-islands batch semantics (break at
+    // gap >= 30 min — the same strict-overlap merge convention
+    // session_window uses, shared with TS.sessionize).
+    "q_stream_session" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = Tables.events(s, dir).select("user_id", "ts", "value")
+        .orderBy("ts", "event_id").collect()
+        .map(r => StreamingDetectors.UPoint(r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val sentinel = StreamingDetectors.UPoint(-1L,
+        new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0.0)
+      val mem = MemoryStream[StreamingDetectors.UPoint]
+      val t = replay(s, mem, StreamingDetectors.sessionWindows(mem.toDF()),
+        sink("sess"), feed, tail = Seq(sentinel))
+      t.where(col("user_id") >= 0)
+        .select(col("user_id"), unix_timestamp(col("start")).as("start_s"),
+          unix_timestamp(col("end")).as("end_s"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+    }),
+
+    // Online CUSUM with restart-after-alarm as a stream: Welford moments
+    // + cumulative deviation in keyed state, alarm at |cum| > σ√n past a
+    // 10-point burn-in, state resets after each confirmed change. The
+    // oracle replays the IDENTICAL recursion (reset branch included) in a
+    // recursive CTE — every alarm row is certified, not just the first.
+    "q_stream_cusum" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = Tables.hourlyEvents(s, dir).drop("n")
+        .orderBy("ts", "event_type").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem, StreamingDetectors.cusum(mem.toDS(), k = 1.0).toDF(),
+        sink("cusum"), feed)
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("n"),
+        round(col("cum"), 6).as("cum"), round(col("zscore"), 6).as("zscore"))
+    }),
+
+    // Error-budget burn monitor as a stream: ONE 6h/1h sliding-window
+    // aggregation over every raw event (each event lands in six open
+    // windows, two counters each); per closed window the 6h error share,
+    // burn rate vs the 20% SLO and the 1.5× alert.
+    "q_stream_burn" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = rawPoints(s, dir)
+      val maxS = feed.map(_.ts.getTime).max / 1000L
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem, StreamingDetectors.burnMonitor(mem.toDF()),
+        sink("burn"), feed, tail = sentinelFor(feed))
+      t.select(unix_timestamp(col("ts_hour_end")).as("ts_s"), col("n_err"), col("n_tot"),
+          col("share_6h"), col("burn_6h"), col("alert"))
+        .where(col("ts_s") <= (maxS / 3600 + 6) * 3600)
+    }),
+
+    // Distinct-user meter as a stream: per-(series, hour) HyperLogLog
+    // user estimates — 64 B of sketch state per open window where exact
+    // streaming distinct would hold every id. The oracle replays the
+    // HLL register math bit-exactly (the q_sketch_distinct discipline)
+    // per window.
+    "q_stream_distinct" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = Tables.events(s, dir).select("event_type", "ts", "user_id")
+        .orderBy("ts", "event_id").collect()
+        .map(r => StreamingDetectors.UserEvent(r.getString(0), r.getTimestamp(1), r.getLong(2))).toSeq
+      val sentinel = StreamingDetectors.UserEvent(Sentinel,
+        new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), -1L)
+      val mem = MemoryStream[StreamingDetectors.UserEvent]
+      val t = replay(s, mem, StreamingDetectors.distinctMeter(mem.toDF(), every = "1 hour"),
+        sink("dm"), feed, tail = Seq(sentinel))
+      t.where(col("event_type") =!= Sentinel)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+          col("n_events"), col("approx_users"))
     })
   )
+
+  private val Sentinel = "zz_watermark_sentinel"
+
+  private def rawPoints(s: SparkSession, dir: String): Seq[Point] =
+    Tables.events(s, dir).select("event_type", "ts", "value")
+      .orderBy("ts", "event_id").collect()
+      .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+
+  private def sentinelFor(feed: Seq[Point]): Seq[Point] =
+    Seq(Point(Sentinel,
+      new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0.0))
 
   val sql: Map[String, String] = Map(
 
@@ -383,6 +515,115 @@ object StreamQueries {
 
     "q_stream_dedup" ->
       """SELECT doc_id FROM documents
-        |WHERE text IN (SELECT text FROM documents GROUP BY text HAVING count(*) = 1)""".stripMargin
+        |WHERE text IN (SELECT text FROM documents GROUP BY text HAVING count(*) = 1)""".stripMargin,
+
+    "q_stream_resample" ->
+      """SELECT event_type, (epoch_us(ts)//1000000 // 3600) * 3600 AS ts_s,
+        |  round(sum(value), 6) AS value, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_zscore" ->
+      s"""WITH hourly AS ($H),
+         |base AS (SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |mo AS (SELECT event_type, round(avg(value), 6) AS mu,
+         |    round(greatest(stddev_pop(value), 1e-6), 6) AS sigma
+         |  FROM base WHERE rn <= nn // 2 GROUP BY 1)
+         |SELECT b.event_type, epoch_us(b.ts)//1000000 AS ts_s, b.value,
+         |  round((b.value - m.mu) / m.sigma, 6) AS z
+         |FROM base b JOIN mo m USING (event_type)
+         |WHERE b.rn > b.nn // 2 AND abs((b.value - m.mu) / m.sigma) > 3.0E0""".stripMargin,
+
+    "q_stream_session" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |fl AS (SELECT user_id, ts, value,
+        |    CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) >= 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |se AS (SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM fl)
+        |SELECT user_id, epoch_us(min(ts))//1000000 AS start_s,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE)//1000000 AS end_s,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM se GROUP BY user_id, sess""".stripMargin,
+
+    "q_stream_cusum" -> {
+      // the streaming kernel's per-step expressions, replayed verbatim:
+      // pre-state (sn, smean, sm2, scum) → Welford update → alarm test
+      val NP = "(r.sn + 1)"
+      val MEANP = s"(r.smean + (o.value - r.smean) / $NP)"
+      val M2P = s"(r.sm2 + (o.value - r.smean) * (o.value - $MEANP))"
+      val CUMP = s"(r.scum + (o.value - $MEANP))"
+      val SIG = s"sqrt(CASE WHEN $NP > 1 THEN $M2P / ($NP - 1) ELSE 0.0E0 END)"
+      val ALRM = s"($NP > 10 AND $SIG > 0 AND abs($CUMP) > $SIG * sqrt($NP::DOUBLE))"
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM hourly),
+         |rec AS (
+         |  SELECT event_type, 1 AS i, n, ts_s,
+         |    1::BIGINT AS sn, value AS smean, 0.0E0 AS sm2, 0.0E0 AS scum,
+         |    FALSE AS alarmed, 0::BIGINT AS a_n, 0.0E0 AS a_cum, 0.0E0 AS a_z
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1, r.n, o.ts_s,
+         |    CASE WHEN $ALRM THEN 0::BIGINT ELSE $NP::BIGINT END,
+         |    CASE WHEN $ALRM THEN 0.0E0 ELSE $MEANP END,
+         |    CASE WHEN $ALRM THEN 0.0E0 ELSE $M2P END,
+         |    CASE WHEN $ALRM THEN 0.0E0 ELSE $CUMP END,
+         |    $ALRM,
+         |    CASE WHEN $ALRM THEN $NP::BIGINT ELSE 0::BIGINT END,
+         |    CASE WHEN $ALRM THEN $CUMP ELSE 0.0E0 END,
+         |    CASE WHEN $ALRM THEN $CUMP / ($SIG * sqrt($NP::DOUBLE)) ELSE 0.0E0 END
+         |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.i + 1
+         |  WHERE r.i + 1 <= r.n)
+         |SELECT event_type, ts_s, a_n AS n, round(a_cum, 6) AS cum, round(a_z, 6) AS zscore
+         |FROM rec WHERE alarmed""".stripMargin
+    },
+
+    "q_stream_burn" ->
+      """WITH he AS (SELECT (epoch_us(ts)//1000000 // 3600) AS hh, event_type FROM events),
+        |wins AS (SELECT (hh + 1 + k) * 3600 AS ts_s, event_type
+        |         FROM he CROSS JOIN (SELECT unnest(range(0, 6)) AS k) ks),
+        |agg AS (SELECT ts_s,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err,
+        |    count(*) AS n_tot
+        |  FROM wins GROUP BY 1)
+        |SELECT ts_s, n_err, n_tot,
+        |  round(n_err::DOUBLE / n_tot, 6) AS share_6h,
+        |  round(n_err::DOUBLE / n_tot / 0.2E0, 6) AS burn_6h,
+        |  CASE WHEN n_err::DOUBLE / n_tot / 0.2E0 > 1.5E0 THEN 1 ELSE 0 END AS alert
+        |FROM agg""".stripMargin,
+
+    "q_stream_distinct" ->
+      """WITH hv AS (SELECT DISTINCT event_type, (epoch_us(ts)//1000000 // 3600) * 3600 AS ts_s,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |ne AS (SELECT event_type, (epoch_us(ts)//1000000 // 3600) * 3600 AS ts_s,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |regs AS (SELECT event_type, ts_s, h & 63 AS reg,
+        |    max(CASE WHEN (h >> 6) = 0 THEN 55
+        |             ELSE 55 - length(format('{:b}', h >> 6)) END) AS mr
+        |  FROM hv GROUP BY 1, 2, 3),
+        |hz AS (SELECT event_type, ts_s,
+        |    (sum(1::BIGINT << (55 - mr))::BIGINT
+        |     + (64 - count(*)) * (1::BIGINT << 55))::BIGINT AS zint,
+        |    64 - count(*) AS zeros
+        |  FROM regs GROUP BY 1, 2),
+        |hll AS (SELECT event_type, ts_s,
+        |    CASE WHEN 1.0462993238608057e+20 / zint::DOUBLE <= 160.0 AND zeros > 0
+        |         THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros)
+        |         ELSE 1.0462993238608057e+20 / zint::DOUBLE END AS hll_est
+        |  FROM hz)
+        |SELECT n.event_type, n.ts_s, n.n_events, round(h.hll_est, 6) AS approx_users
+        |FROM ne n JOIN hll h ON n.event_type = h.event_type AND n.ts_s = h.ts_s""".stripMargin
   )
 }

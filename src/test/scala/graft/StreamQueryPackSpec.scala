@@ -102,6 +102,49 @@ class StreamQueryPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === uniq)
   }
 
+  test("q_stream_resample equals the batch hourly aggregate") {
+    val stream = StreamQueries.defs("q_stream_resample")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables.hourlyEvents(spark, dir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+        col("value"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty && stream === batch)
+  }
+
+  test("q_stream_cusum alarms respect the burn-in and restart: per-series n counts back from each reset") {
+    val out = StreamQueries.defs("q_stream_cusum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "expected CUSUM changepoints at k=1 on real data")
+    assert(out.forall(_._3 > 10), "every alarm must clear the 10-point burn-in")
+    // within a series, consecutive alarm times must be ordered and each
+    // alarm's n can't exceed the points elapsed since the previous alarm
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).toSeq
+      sorted.sliding(2).foreach { pair =>
+        if (pair.size == 2) {
+          val (_, t1, _) = pair(0); val (_, t2, n2) = pair(1)
+          assert(t2 > t1)
+          assert(n2 <= (t2 - t1) / 3600 + 1, s"n=$n2 exceeds points since previous alarm")
+        }
+      }
+    }
+  }
+
+  test("q_stream_session equals the batch gap-islands session aggregate") {
+    val stream = StreamQueries.defs("q_stream_session")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ev = Tables.events(spark, dir).select("user_id", "ts", "value")
+    val batch = TS.sessionize(ev, TSSchema(keys = Seq("user_id")), gapSeconds = 1800)
+      .groupBy("user_id", "session")
+      .agg(min(unix_timestamp(col("ts"))).as("start_s"),
+        unix_timestamp(max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("end_s"),
+        count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .drop("session")
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty && stream === batch)
+  }
+
   test("q_stream_token_meter sums reconcile with the batch corpus totals") {
     val out = StreamQueries.defs("q_stream_token_meter")(spark, dir).collect()
     assert(out.nonEmpty)
