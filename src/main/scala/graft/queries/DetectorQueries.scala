@@ -274,7 +274,7 @@ object DetectorQueries {
   /** Shared BOCPD posterior replay, ending at `probs(event_type, ts,
     * value, cp_prob, t)` — consumed by q_bocpd (top-3 ranking) and
     * q_feat_bocp (thresholded per-series feature aggregate). */
-  private lazy val bocpdProbsSql: String =
+  private[queries] lazy val bocpdProbsSql: String =
     s"""WITH RECURSIVE hourly AS ($H),
          |$DenseSql,
          |ord AS (SELECT event_type, ts, value,

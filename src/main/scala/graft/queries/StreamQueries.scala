@@ -329,6 +329,152 @@ object StreamQueries {
         .where(col("ts_s") <= (maxS / 3600 + 6) * 3600)
     }),
 
+    // Ingest quality gate as a stream: the stateless Gopher-style cascade
+    // (length / token-length / alpha-ratio / duplicated-bigram checks)
+    // over every incoming doc — per-row codegen'd column math, zero
+    // state; the oracle recomputes every signal and the first-failing
+    // rule in plain SQL.
+    "q_stream_quality" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200L
+      val feed = Tables.documents(s, dir).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => StreamingDetectors.Doc(r.getLong(0),
+          new java.sql.Timestamp((t0 + r.getLong(0)) * 1000L), r.getString(1))).toSeq
+      val mem = MemoryStream[StreamingDetectors.Doc]
+      val t = replay(s, mem, StreamingDetectors.qualityGate(mem.toDF()),
+        sink("qg"), feed)
+      t.select(col("doc_id"), unix_timestamp(col("ts")).as("ts_s"), col("n_words"),
+        col("mean_token_len"), col("alpha_ratio"), col("dup2_frac"),
+        col("keep").cast("int").as("keep"), col("fail_reason"))
+    }),
+
+    // Point-in-time enrichment as a stream: the per-user CLOSED-bucket
+    // click-feature index (pitFeatureIndex — the serving-store shape)
+    // broadcast-joins every arriving event statelessly; each event picks
+    // up the latest bucket with avail ≤ event time. The oracle is a
+    // DuckDB ASOF join — the leakage guarantee (same-bucket futures
+    // invisible) is exactly what the avail-stamp comparison certifies.
+    "q_stream_pit" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val idx = StreamingDetectors.pitFeatureIndex(ev, eventType = "click")
+      val feed = ev.select("user_id", "ts", "value").orderBy("ts", "event_id").collect()
+        .map(r => StreamingDetectors.UPoint(r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[StreamingDetectors.UPoint]
+      val t = replay(s, mem, StreamingDetectors.pitEnrich(mem.toDF(), idx),
+        sink("pit"), feed)
+      t.select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+        col("feat_avail_s"), col("feat_n"), round(col("feat_sum"), 6).as("feat_sum"))
+    }),
+
+    // A/B experiment monitor as a stream: per hourly window, each arm's
+    // active / purchasing user counts as HyperLogLog estimates (4×64 B of
+    // window state), binomial-approximation proportion z, one-sided 95%
+    // rejection. The oracle replays all four HLL register sets per window
+    // bit-exactly and re-derives the z chain; md5-parity arms shared with
+    // q_ab_test.
+    "q_stream_ab" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = Tables.events(s, dir).select("event_type", "ts", "user_id")
+        .orderBy("ts", "event_id").collect()
+        .map(r => StreamingDetectors.UserEvent(r.getString(0), r.getTimestamp(1), r.getLong(2))).toSeq
+      val maxS = feed.map(_.ts.getTime).max / 1000L
+      val sentinel = StreamingDetectors.UserEvent(Sentinel,
+        new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), -1L)
+      val mem = MemoryStream[StreamingDetectors.UserEvent]
+      val t = replay(s, mem, StreamingDetectors.abMonitor(mem.toDF(), every = "1 hour"),
+        sink("ab"), feed, tail = Seq(sentinel))
+      t.select(unix_timestamp(col("ts")).as("ts_s"), col("n_a"), col("s_a"),
+          col("n_b"), col("s_b"), col("p_a"), col("p_b"), col("z"), col("reject"))
+        .where(col("ts_s") <= (maxS / 3600) * 3600)
+    }),
+
+    // Bloom-gated exact dedup as a stream: the corpus fingerprint bloom
+    // (even-id docs) probes every incoming doc MAP-SIDE; only
+    // bloom-positive docs reach the exact confirm join, whose inner
+    // semantics squeeze the false positives back out — so the emitted
+    // (doc, corpus) duplicate set is EXACT and deterministic with the
+    // bloom genuinely load-bearing in the path (a false negative would
+    // drop a row and fail the oracle).
+    "q_stream_bloom" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200000L
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val store = d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("corpus_id"), md5(col("text")).as("fp"))
+      val bits = StreamingDetectors.corpusBloom(store, expectedItems = 10000L, numBits = 65536L)
+      val feed = d.where(col("doc_id") % 2 === 1)
+        .unionAll(d.where(col("doc_id") % 2 === 0 && col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .orderBy("doc_id").collect()
+        .map(r => StreamingDetectors.Doc(r.getLong(0),
+          new java.sql.Timestamp(t0 + r.getLong(0)), r.getString(1))).toSeq
+      val mem = MemoryStream[StreamingDetectors.Doc]
+      val out = StreamingDetectors.bloomGate(mem.toDF(), bits)
+        .where(col("maybe_dup"))
+        .join(store, "fp")
+        .select(col("doc_id"), col("corpus_id"))
+      val t = replay(s, mem, out, sink("bloom"), feed)
+      t.select("doc_id", "corpus_id")
+    }),
+
+    // Bayesian Online Changepoint Detection as a stream: the dense hourly
+    // series replayed through the keyed run-length posterior with priors
+    // served as a trained per-series table (the DetectorStore shape);
+    // emission follows the batch lag-10 convention, so the stream output
+    // equals the batch kernel element-for-element on the confirmable
+    // prefix. maxRun is raised above the series length so the Adams-
+    // MacKay pruning never fires and the recurrence stays EXACT — the
+    // oracle is the full list-recursion replay (bocpdProbsSql) cut to
+    // the confirmed points.
+    "q_stream_bocpd" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+        .orderBy("ts", "event_type").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val priorsDf = feed.groupBy(_.event_type).toSeq.map { case (k, pts) =>
+        val p = graft.detectors.Bocpd.priorsOf(pts.sortBy(_.ts.getTime).map(_.value).toArray)
+        (k, p.mu0, p.v0, p.sigma2)
+      }.toDF("event_type", "mu0", "v0", "sigma2")
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem,
+        StreamingDetectors.bocpd(mem.toDS(), priorsDf, lagN = 10, maxRun = 2048).toDF(),
+        sink("bocpd"), feed)
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+        round(col("change_prob"), 6).as("cp_prob"))
+    }),
+
+    // Near-dedup against a corpus band store as a stream: even-id docs
+    // form the corpus (Dedup.bandStore — the persistable band-key table),
+    // odd-id docs plus injected exact copies of every 10th corpus doc
+    // (+1e6 ids) stream through the MinHash band join. Injected copies
+    // must collide in ALL 16 bands with their originals; the oracle
+    // replays the identical md5-derived signatures and band keys.
+    "q_stream_neardedup" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200000L
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.where(col("doc_id") % 2 === 0)
+      val store = graft.dedup.Dedup.bandStore(corpus)
+      val feed = d.where(col("doc_id") % 2 === 1)
+        .unionAll(corpus.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .orderBy("doc_id").collect()
+        .map(r => StreamingDetectors.Doc(r.getLong(0),
+          new java.sql.Timestamp(t0 + r.getLong(0)), r.getString(1))).toSeq
+      val mem = MemoryStream[StreamingDetectors.Doc]
+      val t = replay(s, mem, StreamingDetectors.nearDedupAgainstStore(mem.toDF(), store),
+        sink("nd"), feed)
+      t.select(col("doc_id"), col("corpus_id"), col("band"))
+    }),
+
     // Distinct-user meter as a stream: per-(series, hour) HyperLogLog
     // user estimates — 64 B of sketch state per open window where exact
     // streaming distinct would hold every id. The oracle replays the
@@ -601,6 +747,122 @@ object StreamQueries {
         |  round(n_err::DOUBLE / n_tot / 0.2E0, 6) AS burn_6h,
         |  CASE WHEN n_err::DOUBLE / n_tot / 0.2E0 > 1.5E0 THEN 1 ELSE 0 END AS alert
         |FROM agg""".stripMargin,
+
+    "q_stream_quality" ->
+      """WITH base AS (SELECT doc_id, 1704067200 + doc_id AS ts_s, text,
+        |    string_split(text, ' ') AS ws FROM documents),
+        |f AS (SELECT doc_id, ts_s,
+        |    len(ws)::BIGINT AS n_words,
+        |    length(replace(text, ' ', ''))::DOUBLE / len(ws) AS mtl,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha,
+        |    CASE WHEN len(ws) >= 2
+        |         THEN 1.0E0 - len(list_distinct(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws) - 1)
+        |         ELSE 0.0E0 END AS rep
+        |  FROM base),
+        |r AS (SELECT *,
+        |    CASE WHEN n_words < 10 THEN 'too_short'
+        |         WHEN n_words > 1000 THEN 'too_long'
+        |         WHEN mtl < 2.0 OR mtl > 12.0 THEN 'token_len'
+        |         WHEN alpha < 0.5 THEN 'low_alpha'
+        |         WHEN rep >= 0.5 THEN 'repetitive'
+        |         ELSE 'ok' END AS fail_reason
+        |  FROM f)
+        |SELECT doc_id, ts_s, n_words, round(mtl, 6) AS mean_token_len,
+        |  round(alpha, 6) AS alpha_ratio, round(rep, 6) AS dup2_frac,
+        |  (fail_reason = 'ok')::INT AS keep, fail_reason
+        |FROM r""".stripMargin,
+
+    "q_stream_pit" ->
+      """WITH clk AS (SELECT user_id, date_trunc('hour', ts) + INTERVAL 1 HOUR AS ats,
+        |          count(*) AS n, sum(value) AS s
+        |        FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT e.user_id, epoch_us(date_trunc('microsecond', e.ts))//1000000 AS ts_s, e.value,
+        |  epoch_us(c.ats)//1000000 AS feat_avail_s, c.n AS feat_n, round(c.s, 6) AS feat_sum
+        |FROM events e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.ts >= c.ats""".stripMargin,
+
+    "q_stream_ab" ->
+      """WITH ev AS (SELECT user_id, event_type, (epoch_us(ts)//1000000 // 3600) * 3600 AS ts_s,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':ab1'), 1, 1))::BIGINT % 2 AS arm,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |combos AS (SELECT ts_s, arm, 0 AS pur, h FROM ev
+        |  UNION ALL
+        |  SELECT ts_s, arm, 1 AS pur, h FROM ev WHERE event_type = 'purchase'),
+        |hv AS (SELECT DISTINCT ts_s, arm, pur, h FROM combos),
+        |regs AS (SELECT ts_s, arm, pur, h & 63 AS reg,
+        |    max(CASE WHEN (h >> 6) = 0 THEN 55
+        |             ELSE 55 - length(format('{:b}', h >> 6)) END) AS mr
+        |  FROM hv GROUP BY 1, 2, 3, 4),
+        |hz AS (SELECT ts_s, arm, pur,
+        |    (sum(1::BIGINT << (55 - mr))::BIGINT
+        |     + (64 - count(*)) * (1::BIGINT << 55))::BIGINT AS zint,
+        |    64 - count(*) AS zeros
+        |  FROM regs GROUP BY 1, 2, 3),
+        |est AS (SELECT ts_s, arm, pur,
+        |    round(CASE WHEN 1.0462993238608057e+20 / zint::DOUBLE <= 160.0 AND zeros > 0
+        |         THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros)
+        |         ELSE 1.0462993238608057e+20 / zint::DOUBLE END, 6) AS e
+        |  FROM hz),
+        |piv AS (SELECT w.ts_s,
+        |    coalesce(a0.e, 0.0E0) AS n_a, coalesce(a1.e, 0.0E0) AS s_a,
+        |    coalesce(b0.e, 0.0E0) AS n_b, coalesce(b1.e, 0.0E0) AS s_b
+        |  FROM (SELECT DISTINCT ts_s FROM ev) w
+        |    LEFT JOIN est a0 ON w.ts_s = a0.ts_s AND a0.arm = 0 AND a0.pur = 0
+        |    LEFT JOIN est a1 ON w.ts_s = a1.ts_s AND a1.arm = 0 AND a1.pur = 1
+        |    LEFT JOIN est b0 ON w.ts_s = b0.ts_s AND b0.arm = 1 AND b0.pur = 0
+        |    LEFT JOIN est b1 ON w.ts_s = b1.ts_s AND b1.arm = 1 AND b1.pur = 1),
+        |zc AS (SELECT *,
+        |    CASE WHEN n_a <= 0.0 THEN 0.0E0 ELSE least(greatest(s_a / n_a, 0.0E0), 1.0E0) END AS p_a,
+        |    CASE WHEN n_b <= 0.0 THEN 0.0E0 ELSE least(greatest(s_b / n_b, 0.0E0), 1.0E0) END AS p_b
+        |  FROM piv),
+        |se AS (SELECT *,
+        |    CASE WHEN n_a <= 0.0 OR n_b <= 0.0 THEN 0.0E0
+        |         ELSE sqrt(p_a * (1.0E0 - p_a) / n_a + p_b * (1.0E0 - p_b) / n_b) END AS sev
+        |  FROM zc),
+        |zf AS (SELECT *, CASE WHEN sev <= 0.0 THEN 0.0E0 ELSE (p_b - p_a) / sev END AS z FROM se)
+        |SELECT ts_s, n_a, s_a, n_b, s_b,
+        |  round(p_a, 6) AS p_a, round(p_b, 6) AS p_b, round(z, 6) AS z,
+        |  CASE WHEN z > 1.6448536269514722E0 THEN 1 ELSE 0 END AS reject
+        |FROM zf""".stripMargin,
+
+    "q_stream_bloom" ->
+      """WITH stream AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0 AND doc_id % 20 = 0)
+        |SELECT s.doc_id, c.doc_id AS corpus_id
+        |FROM stream s JOIN documents c
+        |  ON md5(s.text) = md5(c.text) AND c.doc_id % 2 = 0""".stripMargin,
+
+    "q_stream_bocpd" ->
+      s"""${DetectorQueries.bocpdProbsSql}
+         |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, cp_prob
+         |FROM (SELECT p.*, count(*) OVER (PARTITION BY event_type) AS nn FROM probs p)
+         |WHERE t <= nn - 1 - 10""".stripMargin,
+
+    "q_stream_neardedup" -> {
+      val P = graft.text.TextFunctions.MinHashPrime
+      val mins = graft.text.TextFunctions.permParams(64).zipWithIndex
+        .map { case ((a, b), i) => s"min((h * $a + $b) % $P) AS mh$i" }.mkString(", ")
+      val bandSelects = (0 until 16).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}")
+        s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         CASE WHEN len(t) >= 3
+         |              THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |              ELSE []::VARCHAR[] END)) AS shingle FROM toks),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS h FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY 1),
+         |banded AS ($bandSelects)
+         |SELECT s.doc_id, c.doc_id AS corpus_id, s.band
+         |FROM banded s JOIN banded c ON s.band = c.band AND s.bsig = c.bsig
+         |WHERE (s.doc_id % 2 = 1 OR s.doc_id >= 1000000)
+         |  AND c.doc_id % 2 = 0 AND c.doc_id < 1000000""".stripMargin
+    },
 
     "q_stream_distinct" ->
       """WITH hv AS (SELECT DISTINCT event_type, (epoch_us(ts)//1000000 // 3600) * 3600 AS ts_s,

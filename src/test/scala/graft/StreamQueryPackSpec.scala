@@ -145,6 +145,48 @@ class StreamQueryPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream.nonEmpty && stream === batch)
   }
 
+  test("q_stream_neardedup flags every injected exact copy in all 16 bands") {
+    val out = StreamQueries.defs("q_stream_neardedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    val injected = out.filter(_._1 >= 1000000L)
+    assert(injected.nonEmpty, "expected injected duplicates in the feed")
+    injected.groupBy(i => (i._1, i._2)).foreach { case ((sid, cid), rows) =>
+      if (cid == sid - 1000000L)
+        assert(rows.map(_._3).toSet.size == 16, s"copy $sid vs $cid collided in ${rows.size} bands, want 16")
+    }
+  }
+
+  test("q_stream_bloom emits exactly the cross-split exact duplicates") {
+    val out = StreamQueries.defs("q_stream_bloom")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty)
+    // every injected copy (+1e6 of an even id) must be confirmed against its original
+    val d = Tables.documents(spark, dir).select("doc_id")
+      .where(col("doc_id") % 2 === 0 && col("doc_id") % 20 === 0)
+      .collect().map(_.getLong(0))
+    d.foreach { id => assert(out.contains((id + 1000000L, id)), s"missing confirm for copy of $id") }
+  }
+
+  test("q_stream_bocpd equals the batch kernel on the confirmable prefix") {
+    val stream = StreamQueries.defs("q_stream_bocpd")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val S = TSSchema(keys = Seq("event_type"))
+    val dense = TS.fillGaps(Tables.hourlyEvents(spark, dir).drop("n"), S, 3600L, Some(0.0))
+      .orderBy("ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getDouble(2)))
+    val expected = dense.groupBy(_._1).flatMap { case (k, pts) =>
+      val sorted = pts.sortBy(_._2)
+      val probs = graft.detectors.Bocpd.changeProb(sorted.map(_._3).toArray)
+      (0 until sorted.length - 10).map(i => (k, sorted(i)._2) -> probs(i))
+    }
+    assert(stream.keySet === expected.keySet)
+    stream.foreach { case (k, v) =>
+      // the query emits round(prob, 6); compare at that precision
+      assert(math.abs(v - expected(k)) <= 5.001e-7, s"$k stream=$v batch=${expected(k)}")
+    }
+  }
+
   test("q_stream_token_meter sums reconcile with the batch corpus totals") {
     val out = StreamQueries.defs("q_stream_token_meter")(spark, dir).collect()
     assert(out.nonEmpty)
