@@ -51,14 +51,27 @@ object StreamQueries {
   /** Run a started streaming query over a chunked feed and return the
     * memory-sink table (stable after stop — the sink buffer backs the
     * temp view). `tail` lets callers append a watermark-advancing
-    * sentinel after the real data. */
+    * sentinel after the real data.
+    *
+    * The state store inherits spark.sql.shuffle.partitions at query
+    * start; at replay feed sizes (≤100k rows) 32 state partitions × 6+
+    * microbatches is pure per-task overhead, so the replay pins 4 for
+    * the stream's lifetime (results are partitioning-invariant — the
+    * replay specs prove microbatch/partition invariance) and restores
+    * the session value after. A production deployment keeps the real
+    * setting.
+    */
   private def replay[T](s: SparkSession, mem: MemoryStream[T], out: DataFrame,
                         name: String, feed: Seq[T], tail: Seq[T] = Nil): DataFrame = {
-    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      chunks(feed, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
-      if (tail.nonEmpty) { mem.addData(tail: _*); q.processAllAvailable() }
-    } finally q.stop()
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        chunks(feed, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+        if (tail.nonEmpty) { mem.addData(tail: _*); q.processAllAvailable() }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -218,14 +231,19 @@ object StreamQueries {
         d.copy(doc_id = d.doc_id + 2000000L) }
       val mem = MemoryStream[StreamingDetectors.Doc]
       val out = StreamingDetectors.dedupExact(mem.toDF())
-      val q = out.writeStream.format("memory").queryName(sink("dedup"))
-        .outputMode("append").start()
-      val name = q.name
-      try {
-        chunks(uniq, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
-        mem.addData(dupA: _*); q.processAllAvailable()
-        mem.addData(dupB: _*); q.processAllAvailable()
-      } finally q.stop()
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val name =
+        try {
+          val q = out.writeStream.format("memory").queryName(sink("dedup"))
+            .outputMode("append").start()
+          try {
+            chunks(uniq, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+            mem.addData(dupA: _*); q.processAllAvailable()
+            mem.addData(dupB: _*); q.processAllAvailable()
+          } finally q.stop()
+          q.name
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name).select("doc_id")
     }),
 

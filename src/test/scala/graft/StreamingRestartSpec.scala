@@ -108,4 +108,76 @@ class StreamingRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set(1L, 2L, 3L, 6L),
       s"restart must remember phase-1 fingerprints and drop cross-boundary dups, kept $kept")
   }
+
+  test("CUSUM alarm state survives a restart: combined alarms equal the uninterrupted replay") {
+    import spark.implicits._
+    val pts = Tables.hourlyEvents(spark, dir).drop("n").orderBy("ts", "event_type").collect()
+      .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val srcDir = tmp("cusum_src"); val outDir = tmp("cusum_out"); val ckpt = tmp("cusum_ckpt")
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def runToCompletion(): Unit = {
+      val q = StreamingDetectors.cusum(
+          spark.readStream.schema(schema).parquet(srcDir).as[Point], k = 1.0)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val half = pts.length / 2
+    pts.take(half).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion() // killed mid-feed
+    pts.drop(half).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion() // resumed from checkpoint
+
+    // the uninterrupted reference: the oracle-certified MemoryStream replay
+    val expected = graft.queries.StreamQueries.defs("q_stream_cusum")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val restarted = spark.read.parquet(outDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(restarted.nonEmpty && restarted === expected,
+      s"restarted alarms ${restarted.size} != uninterrupted ${expected.size}")
+  }
+
+  test("SPC ring-buffer state survives a restart: run rules fire across the kill boundary") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("ts")
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val base = Tables.hourlyEvents(spark, dir).drop("n")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(wk))
+    val mo = base.where(col("rn") <= expr("nn div 2"))
+      .groupBy("event_type")
+      .agg(round(avg("value"), 6).as("mu"),
+        round(greatest(stddev_pop(col("value")), lit(1e-6)), 6).as("sigma"))
+    val serve = base.where(col("rn") > expr("nn div 2"))
+      .select("event_type", "ts", "value").orderBy("ts", "event_type").collect()
+      .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+
+    val srcDir = tmp("spc_src"); val outDir = tmp("spc_out"); val ckpt = tmp("spc_ckpt")
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def runToCompletion(): Unit = {
+      val q = StreamingDetectors.spcRules(
+          spark.readStream.schema(schema).parquet(srcDir), mo)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val half = serve.length / 2
+    serve.take(half).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion()
+    serve.drop(half).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion()
+
+    val expected = graft.queries.StreamQueries.defs("q_stream_spc")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    val restarted = spark.read.parquet(outDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), round(col("z"), 6))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(restarted.nonEmpty && restarted === expected,
+      s"restarted SPC alarms ${restarted.size} != uninterrupted ${expected.size}")
+  }
 }
