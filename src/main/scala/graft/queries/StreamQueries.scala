@@ -48,6 +48,19 @@ object StreamQueries {
     xs.grouped(size).toSeq
   }
 
+  /** Materialize a SMALL static store as a LocalRelation. A stream-static
+    * join re-evaluates the static plan EVERY microbatch — for the fitted
+    * baseline stores here (a few window functions over the full table)
+    * that multiplied the fit cost by the batch count. Collecting the
+    * #series-row result once makes the static side free per batch; a
+    * production deployment reads the store from a materialized table and
+    * gets the same property.
+    */
+  private def localize(s: SparkSession, df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava, df.schema)
+  }
+
   /** Run a started streaming query over a chunked feed and return the
     * memory-sink table (stable after stop — the sink buffer backs the
     * temp view). `tail` lets callers append a watermark-advancing
@@ -98,7 +111,7 @@ object StreamQueries {
         .select("event_type", "ts", "value").orderBy("ts", "event_type").collect()
         .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
       val mem = MemoryStream[Point]
-      val t = replay(s, mem, StreamingDetectors.spcRules(mem.toDF(), mo).toDF(),
+      val t = replay(s, mem, StreamingDetectors.spcRules(mem.toDF(), localize(s, mo)).toDF(),
         sink("spc"), feed)
       t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
         round(col("z"), 6).as("z"), col("r1"), col("r2"), col("r3"), col("r4"))
@@ -156,7 +169,7 @@ object StreamQueries {
         new java.sql.Timestamp(cur.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0.0)
       val mem = MemoryStream[Point]
       val t = replay(s, mem,
-        StreamingDetectors.psiMonitor(mem.toDF(), edges, every = "1 day"),
+        StreamingDetectors.psiMonitor(mem.toDF(), localize(s, edges), every = "1 day"),
         sink("psi"), cur, tail = Seq(sentinel))
       t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
         col("n"), col("psi"), col("drift"))
@@ -284,7 +297,7 @@ object StreamQueries {
         .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
       val mem = MemoryStream[Point]
       val t = replay(s, mem,
-        StreamingDetectors.zscoreAgainstBaseline(mem.toDF(), mo, z = 3.0),
+        StreamingDetectors.zscoreAgainstBaseline(mem.toDF(), localize(s, mo), z = 3.0),
         sink("z"), feed)
       t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
         col("value"), round(col("z"), 6).as("z"))
@@ -382,7 +395,7 @@ object StreamQueries {
       val feed = ev.select("user_id", "ts", "value").orderBy("ts", "event_id").collect()
         .map(r => StreamingDetectors.UPoint(r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSeq
       val mem = MemoryStream[StreamingDetectors.UPoint]
-      val t = replay(s, mem, StreamingDetectors.pitEnrich(mem.toDF(), idx),
+      val t = replay(s, mem, StreamingDetectors.pitEnrich(mem.toDF(), localize(s, idx)),
         sink("pit"), feed)
       t.select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
         col("feat_avail_s"), col("feat_n"), round(col("feat_sum"), 6).as("feat_sum"))
@@ -423,8 +436,8 @@ object StreamQueries {
       import s.implicits._
       val t0 = 1704067200000L
       val d = Tables.documents(s, dir).select("doc_id", "text")
-      val store = d.where(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("corpus_id"), md5(col("text")).as("fp"))
+      val store = localize(s, d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("corpus_id"), md5(col("text")).as("fp")))
       val bits = StreamingDetectors.corpusBloom(store, expectedItems = 10000L, numBits = 65536L)
       val feed = d.where(col("doc_id") % 2 === 1)
         .unionAll(d.where(col("doc_id") % 2 === 0 && col("doc_id") % 20 === 0)
@@ -488,7 +501,7 @@ object StreamQueries {
         .map(r => StreamingDetectors.Doc(r.getLong(0),
           new java.sql.Timestamp(t0 + r.getLong(0)), r.getString(1))).toSeq
       val mem = MemoryStream[StreamingDetectors.Doc]
-      val t = replay(s, mem, StreamingDetectors.nearDedupAgainstStore(mem.toDF(), store),
+      val t = replay(s, mem, StreamingDetectors.nearDedupAgainstStore(mem.toDF(), localize(s, store)),
         sink("nd"), feed)
       t.select(col("doc_id"), col("corpus_id"), col("band"))
     }),
