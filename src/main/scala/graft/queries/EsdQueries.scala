@@ -29,7 +29,7 @@ object EsdQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_esd_outliers" -> ((s, dir) => {
-      val fn = udf { (ts: Seq[Long], xs: Seq[Double]) =>
+      val fn = udf { (ts: Array[Long], xs: Array[Double]) =>
         graft.detectors.Esd.run(ts, xs, MaxR, Alpha)
       }
       SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)

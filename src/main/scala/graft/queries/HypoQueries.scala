@@ -310,7 +310,7 @@ object HypoQueries {
     // that says WHERE the two halves differ (complement of the KS
     // sup-statistic and PSI's fixed bins). ──
     "q_qq_drift" -> ((s, dir) => {
-      val fn = udf { xs: Seq[Double] =>
+      val fn = udf { xs: Array[Double] =>
         val n = xs.length
         val (a, b) = xs.splitAt(n / 2)
         val (sa, sb) = (a.sorted, b.sorted)

@@ -153,7 +153,10 @@ object PatternQueries {
     // the DP with backpointer lists and a pointer-walk backtrack (the
     // q_hmm_regimes machinery on inter-arrival gaps). ──
     "q_burst_kleinberg" -> ((s, dir) => {
-      val fn = udf { tus: Seq[Long] => graft.detectors.Burst.detect(tus) }
+      // Array[Long], not Seq[Long]: under a Generate the Seq deserializer
+      // re-boxes the 20k-element array per OUTPUT row (measured 10.4 s at
+      // sf0.1); the primitive-array binding is a flat copy (0.3 s)
+      val fn = udf { tus: Array[Long] => graft.detectors.Burst.detect(tus) }
       Tables.events(s, dir)
         .select(col("event_type"), unix_micros(col("ts")).as("tus"))
         .groupBy("event_type")

@@ -31,8 +31,8 @@ object ServeQueries {
         .select(col("event_type"),
           expr("transform(p, q -> unix_timestamp(q.t))").as("tss"),
           col("p.x").as("xs"))
-      val fn = udf { (tss: Seq[Long], xs: Seq[Double]) =>
-        graft.detectors.CusumServe.serve(tss.toArray, xs.toArray, xs.length / 2).toSeq
+      val fn = udf { (tss: Array[Long], xs: Array[Double]) =>
+        graft.detectors.CusumServe.serve(tss, xs, xs.length / 2).toSeq
       }
       ser.select(col("event_type"), explode(fn(col("tss"), col("xs"))).as("o"))
         .select(col("event_type"), col("o._1").as("ts_s"), col("o._2").as("value"),
