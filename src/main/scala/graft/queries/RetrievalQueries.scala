@@ -38,6 +38,10 @@ object RetrievalQueries {
   private val BmB = 0.75
   private val BmTopK = 5
   private val BmQTerms = 3
+
+  /** log2 via a SHARED ln(2) literal: both engines divide by this exact
+    * double instead of calling their own log2/ln(2). */
+  private val Ln2 = math.log(2.0)
   private val BmProbeMod = 97
 
   /** Stupid Backoff discount (the Brants et al. constant). */
@@ -338,6 +342,56 @@ object RetrievalQueries {
     // (#queries·20²) rows, the greedy kernel runs once per query after a
     // one-row-per-query reduction; the oracle replays it with
     // selected-position list state. ──
+    // Ranked-retrieval quality metrics over the embedding corpus: cosine
+    // kNN@10 per probe with label-match relevance, then the standard IR
+    // battery — precision@10, MRR, nDCG@10 (ideal DCG over the
+    // min(n_rel, 10)-term perfect ranking), AP@10. The eval harness a
+    // retrieval / hard-negative pipeline certifies its index against
+    // (complements q_ann_recall's exact-vs-LSH agreement). The corpus
+    // never shuffles for the kNN (probes broadcast); everything after is
+    // ≤10 rows per probe. Both engines fold DCG/AP through the same
+    // ascending-rank window cumsum and share the JVM ln(2) literal.
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+      val ranked = graft.ann.Ann.knnBruteForce(e, probes, k = 10)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val top = ranked
+        .join(broadcast(lbl.select(col("vec_id").as("probe_id"), col("label").as("plabel"))), "probe_id")
+        .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))), "neighbor_id")
+        .withColumn("rel", (col("plabel") === col("nlabel")).cast("int"))
+      val wcum = Window.partitionBy("probe_id").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = top
+        .withColumn("cumhits", sum("rel").over(wcum))
+        .withColumn("dcg_t", col("rel").cast("double") / (log((col("rk") + 1).cast("double")) / Ln2))
+        .withColumn("ap_t", when(col("rel") === 1,
+          col("cumhits").cast("double") / col("rk")).otherwise(lit(0.0)))
+      val per = terms.groupBy("probe_id").agg(
+        sum("rel").cast("long").as("hits"),
+        sum("dcg_t").as("dcg"),
+        sum("ap_t").as("ap_sum"),
+        min(when(col("rel") === 1, col("rk"))).as("first_rel"))
+      val corpusRel = e.groupBy("label").agg(count(lit(1)).as("nl"))
+      val nRel = probes.select(col("vec_id").as("probe_id"), col("label"))
+        .join(broadcast(corpusRel), "label")
+        .select(col("probe_id"), (col("nl") - 1).cast("long").as("n_rel"))
+      val wid = Window.partitionBy(substring(col("m").cast("string"), 1, 0)).orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ideal = s.range(1, 11).select(col("id").as("m"))
+        .withColumn("t", lit(1.0) / (log((col("m") + 1).cast("double")) / Ln2))
+        .withColumn("idcg", sum("t").over(wid))
+        .select(col("m"), col("idcg"))
+      per.join(nRel, "probe_id")
+        .withColumn("m", least(col("n_rel"), lit(10L)))
+        .join(broadcast(ideal), Seq("m"), "left")
+        .select(col("probe_id"), col("n_rel"),
+          round(col("hits") / 10.0, 6).as("p_at_10"),
+          round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("mrr"),
+          round(when(col("m") >= 1, col("dcg") / col("idcg")).otherwise(lit(0.0)), 6).as("ndcg_10"),
+          round(when(col("m") >= 1, col("ap_sum") / col("m")).otherwise(lit(0.0)), 6).as("ap_10"))
+    }),
+
     "q_mmr_rerank" -> ((s, dir) => {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
@@ -445,6 +499,36 @@ object RetrievalQueries {
          |SELECT qid, rk::INT AS rk, doc_id, score,
          |  CASE WHEN doc_id = qid THEN 1 ELSE 0 END AS is_self
          |FROM rk WHERE rk <= $BmTopK""".stripMargin,
+
+    "q_retrieval_eval" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
+         |               FROM embeddings WHERE vec_id % 50 = 0),
+         |r0 AS (SELECT probe_id, plabel, c.vec_id AS neighbor_id, c.label AS nlabel,
+         |         ${LlmQueries.cosSql("pvec", "c.embedding")} AS cos
+         |       FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
+         |top AS (SELECT probe_id, rk, CASE WHEN nlabel = plabel THEN 1 ELSE 0 END AS rel FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+         |          FROM r0) WHERE rk <= 10),
+         |tt AS (SELECT *, sum(rel) OVER (PARTITION BY probe_id ORDER BY rk
+         |                                ROWS UNBOUNDED PRECEDING) AS cumhits FROM top),
+         |per AS (SELECT probe_id, sum(rel)::BIGINT AS hits,
+         |          sum(rel::DOUBLE / (ln((rk + 1)::DOUBLE) / $Ln2)) AS dcg,
+         |          sum(CASE WHEN rel = 1 THEN cumhits::DOUBLE / rk ELSE 0.0E0 END) AS ap_sum,
+         |          min(CASE WHEN rel = 1 THEN rk END) AS first_rel
+         |        FROM tt GROUP BY 1),
+         |cr AS (SELECT label, count(*) AS nl FROM embeddings GROUP BY 1),
+         |nr AS (SELECT p.probe_id, (cr.nl - 1)::BIGINT AS n_rel
+         |       FROM probes p JOIN cr ON p.plabel = cr.label),
+         |ideal AS (SELECT m, sum(t) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS idcg FROM (
+         |            SELECT i AS m, 1.0E0 / (ln((i + 1)::DOUBLE) / $Ln2) AS t
+         |            FROM (SELECT unnest(range(1, 11)) AS i))),
+         |j AS (SELECT per.*, nr.n_rel, least(nr.n_rel, 10) AS m FROM per JOIN nr USING (probe_id))
+         |SELECT j.probe_id, j.n_rel,
+         |  round(j.hits / 10.0E0, 6) AS p_at_10,
+         |  round(coalesce(1.0E0 / j.first_rel, 0.0E0), 6) AS mrr,
+         |  round(CASE WHEN j.m >= 1 THEN j.dcg / i.idcg ELSE 0.0E0 END, 6) AS ndcg_10,
+         |  round(CASE WHEN j.m >= 1 THEN j.ap_sum / j.m ELSE 0.0E0 END, 6) AS ap_10
+         |FROM j LEFT JOIN ideal i ON j.m = i.m""".stripMargin,
 
     "q_mmr_rerank" ->
       s"""WITH RECURSIVE tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf

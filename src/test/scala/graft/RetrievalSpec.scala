@@ -23,6 +23,26 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("q_retrieval_eval: metrics bounded in [0,1], MRR consistency, perfect-ranking identity") {
+    val rows = SparkEntry.queries("q_retrieval_eval")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nRel, p10, mrr, ndcg, ap) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p10 >= 0 && p10 <= 1 && mrr >= 0 && mrr <= 1, s"bounds: $r")
+      assert(ndcg >= 0 && ndcg <= 1 + 1e-9 && ap >= 0 && ap <= 1 + 1e-9, s"bounds: $r")
+      // a first-rank hit means mrr = 1; no hits means everything but n_rel is 0
+      if (p10 == 0.0) assert(mrr == 0.0 && ndcg == 0.0 && ap == 0.0, s"no-hit consistency: $r")
+      if (mrr == 1.0) assert(p10 >= 0.1, s"rank-1 hit implies >= 1 hit: $r")
+      assert(nRel >= 0)
+    }
+    // with >= 10 relevant in-corpus and a perfect top-10, ndcg and ap are 1
+    rows.filter(r => r.getLong(1) >= 10 && r.getDouble(2) == 1.0).foreach { r =>
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-6 && math.abs(r.getDouble(5) - 1.0) < 1e-6,
+        s"perfect ranking must score 1: $r")
+    }
+  }
+
   test("q_bm25: scores are positive, ranks are dense 1..k per query") {
     val rows = SparkEntry.queries("q_bm25")(spark, dir).collect()
     assert(rows.nonEmpty)
