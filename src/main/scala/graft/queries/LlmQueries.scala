@@ -426,6 +426,30 @@ object LlmQueries {
     // a recursive-CTE transitive closure.
     "q_dedup_clusters" -> ((s, dir) => dedupClusters(s, dir)),
 
+    // quality-aware dedup keeper: production pipelines keep each
+    // near-dup cluster's BEST member, not its smallest id — per cluster
+    // the 6-dp-snapped q_text_quality composite picks the survivor
+    // (ties by id). One row per cluster with the winner, the naive
+    // min-id member's score, and the quality lift the smarter policy
+    // buys. Scale: rides the cluster table + one cluster-keyed window.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val score = round(
+        TextFunctions.alphaRatio(col("text")) * 0.5
+          + least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)) * 0.3
+          + TextFunctions.stopwordRatio(col("text"), EnStop) * 0.2, 6)
+      val scored = dedupClusters(s, dir).where(col("cluster_size") >= 2)
+        .join(docs(s, dir).select(col("doc_id"), score.as("score")), "doc_id")
+      val w = Window.partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
+      val best = scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      val minScore = scored.where(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id"), col("score").as("min_id_score"))
+      best.join(minScore, "cluster_id")
+        .select(col("cluster_id"), col("cluster_size"), col("doc_id").as("kept_doc_id"),
+          col("score").as("kept_score"), col("min_id_score"),
+          (col("doc_id") =!= col("cluster_id")).cast("int").as("beats_min_id"),
+          round(col("score") - col("min_id_score"), 6).as("quality_lift"))
+    }),
+
     "q_neardup_cosine" -> ((s, dir) =>
       Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
 
@@ -886,6 +910,30 @@ object LlmQueries {
          |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, sz.cluster_size
          |FROM labels l JOIN sz ON l.cluster_id = sz.cluster_id""".stripMargin,
+
+    "q_dedup_keep_best" -> {
+      val stopList = EnStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $clustersCtes,
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) * 0.5
+         |          + least(len(string_split(text, ' '))::DOUBLE / 100, 1.0) * 0.3
+         |          + len(list_filter(string_split(text, ' '), w -> w IN ($stopList)))::DOUBLE
+         |            / len(string_split(text, ' ')) * 0.2, 6) AS score
+         |      FROM documents),
+         |sc AS (SELECT l.doc_id, l.cluster_id, sz.cluster_size, q.score
+         |       FROM labels l JOIN sz USING (cluster_id) JOIN q USING (doc_id)
+         |       WHERE sz.cluster_size >= 2),
+         |best AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk
+         |    FROM sc) WHERE rk = 1),
+         |ms AS (SELECT cluster_id, score AS min_id_score FROM sc WHERE doc_id = cluster_id)
+         |SELECT b.cluster_id, b.cluster_size, b.doc_id AS kept_doc_id, b.score AS kept_score,
+         |  ms.min_id_score,
+         |  CASE WHEN b.doc_id <> b.cluster_id THEN 1 ELSE 0 END AS beats_min_id,
+         |  round(b.score - ms.min_id_score, 6) AS quality_lift
+         |FROM best b JOIN ms USING (cluster_id)""".stripMargin
+    },
 
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $clustersCtes
