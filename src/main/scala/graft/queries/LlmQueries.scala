@@ -376,17 +376,25 @@ object LlmQueries {
     // the full corpus pair space.
     "q_minhash_calibration" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cand = Dedup.minhashLshPairs(d, NumPerms, Bands)
+      // materialize once: FOUR consumers below (candDocs twice, the
+      // intersection join, the final est/exact join) would each replay
+      // the signature + band-join plan otherwise
+      val cand = Scratch.materialize(Dedup.minhashLshPairs(d, NumPerms, Bands), "mh_cal_cand")
       val sh = Dedup.docShingles(d)
       val candDocs = cand.select(col("i").as("doc_id"))
         .union(cand.select(col("j").as("doc_id"))).distinct()
       val shc = sh.join(broadcast(candDocs), "doc_id")
       // full per-doc set sizes, but computed on the candidate slice only
       val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val common = shc.as("a").join(shc.as("b"), Seq("shingle"))
-        .where(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .agg(count(lit(1)).as("common"))
+      // intersection sizes restricted to the CANDIDATE PAIRS, not to all
+      // pairs of candidate docs sharing a shingle: explode each pair to
+      // i's shingles (pair-bounded), then a (j, shingle) key-equality
+      // join keeps the common ones — cost is Σ_pairs |sh(i)|, never the
+      // Σ_shingle df² of a shingle self-join
+      val common = cand.select("i", "j")
+        .join(shc.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
+        .join(shc.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
+        .groupBy("i", "j").agg(count(lit(1)).as("common"))
       cand.join(common, Seq("i", "j"), "left")
         .join(broadcast(sizes.select(col("doc_id").as("i"), col("nsh").as("ni"))), "i")
         .join(broadcast(sizes.select(col("doc_id").as("j"), col("nsh").as("nj"))), "j")
