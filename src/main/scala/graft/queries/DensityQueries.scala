@@ -93,12 +93,14 @@ object DensityQueries {
     "q_lof" -> ((s, dir) => {
       val e = embs(s, dir)
       val probes = e.where(col("vec_id") % 50 === 0)
+      // materialize each hop's id frontier: u2 would otherwise replay
+      // knn2 -> knn1 (every hop is a full-corpus broadcast scan)
       val knn1 = Ann.knnBruteForce(e, probes, LofK)
       val n1 = knn1.select(col("neighbor_id").as("vec_id")).distinct()
-      val u1 = probes.select("vec_id").union(n1).distinct()
+      val u1 = Scratch.materialize(probes.select("vec_id").union(n1).distinct(), "lof_u1")
       val knn2 = Ann.knnBruteForce(e, e.join(u1, Seq("vec_id")), LofK)
       val n2 = knn2.select(col("neighbor_id").as("vec_id")).distinct()
-      val u2 = u1.union(n2).distinct()
+      val u2 = Scratch.materialize(u1.union(n2).distinct(), "lof_u2")
       val knn = Scratch.materialize(
         Ann.knnBruteForce(e, e.join(u2, Seq("vec_id")), LofK)
           .select(col("probe_id").as("pid"), col("neighbor_id").as("nid"),
