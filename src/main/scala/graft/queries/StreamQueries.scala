@@ -424,6 +424,69 @@ object StreamQueries {
         .where(col("ts_s") <= (maxS / 3600) * 3600)
     }),
 
+    // The composed streaming ingest pipeline — qualityGate → corpus
+    // bloom probe → exact dedup — run as ONE streaming query (the
+    // q_ingest_e2e streaming twin): every arriving doc passes the
+    // stateless quality cascade, probes the corpus bloom map-side, and
+    // the survivors dedup against fingerprint state. Certifies the
+    // COMPOSITION: a doc emerges iff it clears quality AND is not a
+    // corpus duplicate AND is first-of-its-text in the stream. The
+    // corpus is the even-id docs; the feed is unique-text odd-id docs
+    // plus later-arriving injected copies of both corpus docs (must die
+    // at the bloom+confirm... here at the fp state) and earlier stream
+    // docs (must die at the dedup state).
+    "q_stream_ingest" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200000L
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("text")))
+        .where(col("cnt") === 1).drop("cnt")
+      val corpus = d.where(col("doc_id") % 2 === 0)
+      val corpusFps = localize(s, corpus.select(md5(col("text")).as("fp")))
+      val bits = StreamingDetectors.corpusBloom(corpusFps, expectedItems = 10000L, numBits = 65536L)
+      val odd = d.where(col("doc_id") % 2 === 1)
+      val feed = odd
+        .orderBy("doc_id").collect()
+        .map(r => StreamingDetectors.Doc(r.getLong(0),
+          new java.sql.Timestamp(t0 + r.getLong(0)), r.getString(1))).toSeq
+      // late duplicates: copies of corpus docs (+1e6) and of already-
+      // streamed odd docs (+2e6) — neither may survive
+      val dupC = corpus.where(col("doc_id") % 20 === 0).collect()
+        .map(r => StreamingDetectors.Doc(r.getLong(0) + 1000000L,
+          new java.sql.Timestamp(t0 + 1000000L + r.getLong(0)), r.getString(1))).toSeq
+      val dupS = feed.zipWithIndex.collect { case (doc, i) if i % 10 == 0 =>
+        doc.copy(doc_id = doc.doc_id + 2000000L,
+          ts = new java.sql.Timestamp(doc.ts.getTime + 2000000L)) }
+      val mem = MemoryStream[StreamingDetectors.Doc]
+      val gated = StreamingDetectors.qualityGate(mem.toDF())
+        .where(col("keep"))
+        .select(col("doc_id"), col("ts"), col("text"))
+      val probed = StreamingDetectors.bloomGate(gated, bits)
+      // bloom-positive docs join the corpus fp store (inner = confirmed
+      // duplicate, dropped); bloom-negative pass straight through; then
+      // exact in-stream dedup over the survivors
+      val survivors = probed
+        .join(corpusFps.withColumn("in_corpus", lit(1)), Seq("fp"), "left")
+        .where(!col("maybe_dup") || col("in_corpus").isNull)
+        .select("doc_id", "ts", "text")
+      val deduped = StreamingDetectors.dedupExact(survivors)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val name =
+        try {
+          val q = deduped.select("doc_id").writeStream.format("memory")
+            .queryName(sink("ingest")).outputMode("append").start()
+          try {
+            chunks(feed, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+            mem.addData(dupC: _*); q.processAllAvailable()
+            mem.addData(dupS: _*); q.processAllAvailable()
+          } finally q.stop()
+          q.name
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(name)
+    }),
+
     // Bloom-gated exact dedup as a stream: the corpus fingerprint bloom
     // (even-id docs) probes every incoming doc MAP-SIDE; only
     // bloom-positive docs reach the exact confirm join, whose inner
@@ -856,6 +919,24 @@ object StreamQueries {
         |  round(p_a, 6) AS p_a, round(p_b, 6) AS p_b, round(z, 6) AS z,
         |  CASE WHEN z > 1.6448536269514722E0 THEN 1 ELSE 0 END AS reject
         |FROM zf""".stripMargin,
+
+    "q_stream_ingest" ->
+      """WITH uniq AS (SELECT doc_id, text FROM documents
+        |  WHERE text IN (SELECT text FROM documents GROUP BY text HAVING count(*) = 1)),
+        |base AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM uniq WHERE doc_id % 2 = 1),
+        |f AS (SELECT doc_id,
+        |    len(ws)::BIGINT AS n_words,
+        |    length(replace(text, ' ', ''))::DOUBLE / len(ws) AS mtl,
+        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS alpha,
+        |    CASE WHEN len(ws) >= 2
+        |         THEN 1.0E0 - len(list_distinct(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws) - 1)
+        |         ELSE 0.0E0 END AS rep
+        |  FROM base)
+        |SELECT doc_id FROM f
+        |WHERE n_words >= 10 AND n_words <= 1000
+        |  AND mtl >= 2.0 AND mtl <= 12.0
+        |  AND alpha >= 0.5 AND rep < 0.5""".stripMargin,
 
     "q_stream_bloom" ->
       """WITH stream AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1

