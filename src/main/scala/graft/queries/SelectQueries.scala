@@ -209,8 +209,69 @@ object SelectQueries {
         .join(probes.select(col("vec_id").as("probe_id"), col("label").as("true_label")), "probe_id")
         .select(col("probe_id"), col("true_label"), col("pred_label"), col("n_votes"),
           when(col("true_label") === col("pred_label"), 1).otherwise(0).as("correct"))
+    }),
+
+    // ── Trained quality classifier (the DCLM / fastText-filter shape):
+    // logistic regression of "is this an English doc" on the quality
+    // signals (alpha ratio, mean token length, stopword ratio, capped
+    // token count), fit by THREE unrolled IRLS iterations. Each
+    // iteration is one distributed moment pass (the 5×6 weighted normal
+    // equations, every entry 6-dp-snapped so sum order can't leak into
+    // the solve) + the shared no-pivot Gauss-Jordan kernel — the oracle
+    // replays all three iterations with the identical float sequence.
+    // The learned model is FIVE doubles: the selection scorer a
+    // pretraining pipeline broadcasts to every ingest worker. ──
+    "q_quality_logreg" -> ((s, dir) => {
+      import s.implicits._
+      val feats = Scratch.materialize(docs(s, dir).select(
+        (col("lang") === "en").cast("int").as("y"),
+        TextFunctions.alphaRatio(col("text")).as("x1"),
+        (TextFunctions.meanTokenLen(col("text")) / lit(10.0)).as("x2"),
+        TextFunctions.stopwordRatio(col("text"), EnStop).as("x3"),
+        least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)).as("x4")),
+        "logreg_feats")
+      def scored(betaDf: DataFrame): DataFrame =
+        feats.crossJoin(broadcast(betaDf))
+          .withColumn("eta", expr(EtaExpr))
+          .withColumn("p", expr("1.0E0 / (1.0E0 + exp(-eta))"))
+          .withColumn("w", expr("greatest(p * (1.0E0 - p), 1e-6)"))
+          .withColumn("z", expr("eta + (CAST(y AS DOUBLE) - p) / w"))
+      def iterate(betaDf: DataFrame): DataFrame = {
+        val mats = scored(betaDf).agg(expr(s"array(${IrlsMoments.mkString(", ")})").as("_m"))
+        val r = graft.models.GaussJordan.eliminate(mats, "_m", 5, 6)
+          .select((1 to 5).map(k => expr(s"_m[${(k - 1) * 6 + 5}]").as(s"b$k")): _*)
+          .head()
+        // the solved model is 5 doubles — pin it locally so the next
+        // iteration's plan doesn't replay this one
+        Seq((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+          .toDF("b1", "b2", "b3", "b4", "b5")
+      }
+      val beta0 = Seq((0.0, 0.0, 0.0, 0.0, 0.0)).toDF("b1", "b2", "b3", "b4", "b5")
+      val beta = iterate(iterate(iterate(beta0)))
+      feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .agg(round(first(col("b1")), 6).as("b0"), round(first(col("b2")), 6).as("b_alpha"),
+          round(first(col("b3")), 6).as("b_mtl"), round(first(col("b4")), 6).as("b_stop"),
+          round(first(col("b5")), 6).as("b_tok"),
+          sum("y").cast("long").as("n_pos"),
+          (count(lit(1)) - sum("y")).cast("long").as("n_neg"),
+          round(avg(when((col("eta") > 0) === (col("y") === 1), 1.0).otherwise(0.0)), 6).as("train_acc"))
     })
   )
+
+  /** Stopword list shared with the quality operators (LlmQueries.EnStop). */
+  private val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "it")
+
+  /** IRLS fragments shared verbatim by the Spark plan and the oracle:
+    * the linear predictor over (1, x1..x4) and the row-major 5×6
+    * weighted-normal-equation entries, each 6-dp-snapped. */
+  private val EtaExpr = "b1 + b2 * x1 + b3 * x2 + b4 * x3 + b5 * x4"
+  private val IrlsXs = Seq("1.0E0", "x1", "x2", "x3", "x4")
+  private val IrlsMoments: Seq[String] =
+    for { i <- 0 until 5; j <- 0 to 5 } yield {
+      val t = if (j == 5) "z" else IrlsXs(j)
+      s"round(sum(w * ${IrlsXs(i)} * $t), 6)"
+    }
 
   val sql: Map[String, String] = Map(
     "q_dsir_weights" ->
@@ -335,6 +396,38 @@ object SelectQueries {
          |        FROM votes)
          |SELECT w.probe_id, p.true_label, w.pred_label, w.n_votes,
          |  CASE WHEN p.true_label = w.pred_label THEN 1 ELSE 0 END AS correct
-         |FROM win w JOIN probes p ON w.probe_id = p.probe_id WHERE w.vr = 1""".stripMargin
+         |FROM win w JOIN probes p ON w.probe_id = p.probe_id WHERE w.vr = 1""".stripMargin,
+
+    "q_quality_logreg" -> {
+      val stopList = EnStop.map(t => s"'$t'").mkString(", ")
+      def etaFrom(betaCte: String) =
+        s"bb.b1[1] + bb.b1[2] * x1 + bb.b1[3] * x2 + bb.b1[4] * x3 + bb.b1[5] * x4"
+      def iterBlock(k: Int, prevBeta: String): String =
+        s"""k${k}e AS (SELECT f.*, ${etaFrom(prevBeta)} AS eta FROM f CROSS JOIN $prevBeta bb),
+           |k${k}p AS (SELECT *, 1.0E0 / (1.0E0 + exp(-eta)) AS p FROM k${k}e),
+           |k${k}w AS (SELECT *, greatest(p * (1.0E0 - p), 1e-6) AS w FROM k${k}p),
+           |k${k}z AS (SELECT *, eta + (CAST(y AS DOUBLE) - p) / w AS z FROM k${k}w),
+           |k${k}mats AS (SELECT 'all' AS event_type, [${IrlsMoments.mkString(", ")}] AS m FROM k${k}z),
+           |${graft.models.GaussJordan.sqlAug(5, 1, s"k$k")}""".stripMargin
+      s"""WITH RECURSIVE f AS (SELECT (lang = 'en')::INT AS y,
+         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS x1,
+         |    (length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' '))) / 10.0E0 AS x2,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))::DOUBLE
+         |      / len(string_split(text, ' ')) AS x3,
+         |    least(len(string_split(text, ' '))::DOUBLE / 100, 1.0E0) AS x4
+         |  FROM documents),
+         |b0 AS (SELECT 'all' AS event_type, [0.0E0, 0.0E0, 0.0E0, 0.0E0, 0.0E0] AS b1),
+         |${iterBlock(1, "b0")},
+         |${iterBlock(2, "k1beta")},
+         |${iterBlock(3, "k2beta")},
+         |fs AS (SELECT f.*, ${etaFrom("k3beta")} AS eta FROM f CROSS JOIN k3beta bb),
+         |st AS (SELECT sum(y)::BIGINT AS n_pos, (count(*) - sum(y))::BIGINT AS n_neg,
+         |         round(avg(CASE WHEN (eta > 0) = (y = 1) THEN 1.0E0 ELSE 0.0E0 END), 6) AS train_acc
+         |       FROM fs)
+         |SELECT round(b.b1[1], 6) AS b0, round(b.b1[2], 6) AS b_alpha,
+         |  round(b.b1[3], 6) AS b_mtl, round(b.b1[4], 6) AS b_stop, round(b.b1[5], 6) AS b_tok,
+         |  st.n_pos, st.n_neg, st.train_acc
+         |FROM st CROSS JOIN k3beta b""".stripMargin
+    }
   )
 }

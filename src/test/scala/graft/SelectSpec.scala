@@ -21,6 +21,18 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("q_quality_logreg: IRLS converges to a finite model that beats the majority baseline") {
+    val r = SparkEntry.queries("q_quality_logreg")(spark, "/root/testdata/sf0.001").head()
+    val betas = (0 to 4).map(r.getDouble)
+    assert(betas.forall(b => !b.isNaN && !b.isInfinite), s"non-finite coefficients: $betas")
+    val (nPos, nNeg, acc) = (r.getLong(5), r.getLong(6), r.getDouble(7))
+    assert(nPos > 0 && nNeg > 0, "fixture must contain both classes")
+    val majority = math.max(nPos, nNeg).toDouble / (nPos + nNeg)
+    assert(acc >= majority - 1e-9,
+      s"trained accuracy $acc below the majority baseline $majority")
+    assert(acc <= 1.0)
+  }
+
   private val dir = "/root/testdata/sf0.001"
   private val WordRe = "^[a-z]{2,20}$".r
 
