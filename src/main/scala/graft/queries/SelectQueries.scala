@@ -222,32 +222,8 @@ object SelectQueries {
     // The learned model is FIVE doubles: the selection scorer a
     // pretraining pipeline broadcasts to every ingest worker. ──
     "q_quality_logreg" -> ((s, dir) => {
-      import s.implicits._
-      val feats = Scratch.materialize(docs(s, dir).select(
-        (col("lang") === "en").cast("int").as("y"),
-        TextFunctions.alphaRatio(col("text")).as("x1"),
-        (TextFunctions.meanTokenLen(col("text")) / lit(10.0)).as("x2"),
-        TextFunctions.stopwordRatio(col("text"), EnStop).as("x3"),
-        least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)).as("x4")),
-        "logreg_feats")
-      def scored(betaDf: DataFrame): DataFrame =
-        feats.crossJoin(broadcast(betaDf))
-          .withColumn("eta", expr(EtaExpr))
-          .withColumn("p", expr("1.0E0 / (1.0E0 + exp(-eta))"))
-          .withColumn("w", expr("greatest(p * (1.0E0 - p), 1e-6)"))
-          .withColumn("z", expr("eta + (CAST(y AS DOUBLE) - p) / w"))
-      def iterate(betaDf: DataFrame): DataFrame = {
-        val mats = scored(betaDf).agg(expr(s"array(${IrlsMoments.mkString(", ")})").as("_m"))
-        val r = graft.models.GaussJordan.eliminate(mats, "_m", 5, 6)
-          .select((1 to 5).map(k => expr(s"_m[${(k - 1) * 6 + 5}]").as(s"b$k")): _*)
-          .head()
-        // the solved model is 5 doubles — pin it locally so the next
-        // iteration's plan doesn't replay this one
-        Seq((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-          .toDF("b1", "b2", "b3", "b4", "b5")
-      }
-      val beta0 = Seq((0.0, 0.0, 0.0, 0.0, 0.0)).toDF("b1", "b2", "b3", "b4", "b5")
-      val beta = iterate(iterate(iterate(beta0)))
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
       feats.crossJoin(broadcast(beta))
         .withColumn("eta", expr(EtaExpr))
         .agg(round(first(col("b1")), 6).as("b0"), round(first(col("b2")), 6).as("b_alpha"),
@@ -256,8 +232,62 @@ object SelectQueries {
           sum("y").cast("long").as("n_pos"),
           (count(lit(1)) - sum("y")).cast("long").as("n_neg"),
           round(avg(when((col("eta") > 0) === (col("y") === 1), 1.0).otherwise(0.0)), 6).as("train_acc"))
+    }),
+
+    // ── The serving half of q_quality_logreg: every doc scored with the
+    // trained five-double model, rolled up to the per-source quality
+    // profile a mixture planner reads (mean selection score, share
+    // above the 0.5 keep line — decided as eta > 0, an exact-float
+    // identity both engines share). Train + serve in one plan; at scale
+    // the five doubles broadcast and scoring is map-side. ──
+    "q_quality_score_serve" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .withColumn("score", expr("1.0E0 / (1.0E0 + exp(-eta))"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("score"), 6).as("mean_score"),
+          sum(when(col("eta") > 0, 1L).otherwise(0L)).as("n_keep"),
+          round(avg(when(col("eta") > 0, 1.0).otherwise(0.0)), 6).as("keep_share"))
     })
   )
+
+  /** The q_quality_logreg feature relation (materialized — the IRLS
+    * iterations and the scoring pass all reread it). */
+  private def logregFeats(s: SparkSession, dir: String): DataFrame =
+    Scratch.materialize(docs(s, dir).select(
+      col("source"),
+      (col("lang") === "en").cast("int").as("y"),
+      TextFunctions.alphaRatio(col("text")).as("x1"),
+      (TextFunctions.meanTokenLen(col("text")) / lit(10.0)).as("x2"),
+      TextFunctions.stopwordRatio(col("text"), EnStop).as("x3"),
+      least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)).as("x4")),
+      "logreg_feats")
+
+  /** Three unrolled IRLS iterations from β=0: each one distributed
+    * 6-dp-snapped moment pass + the shared no-pivot Gauss-Jordan solve;
+    * the solved model (5 doubles) is pinned locally between iterations
+    * so iteration k's plan never replays iteration k−1. */
+  private def logregBeta(s: SparkSession, feats: DataFrame): DataFrame = {
+    import s.implicits._
+    def iterate(betaDf: DataFrame): DataFrame = {
+      val scored = feats.crossJoin(broadcast(betaDf))
+        .withColumn("eta", expr(EtaExpr))
+        .withColumn("p", expr("1.0E0 / (1.0E0 + exp(-eta))"))
+        .withColumn("w", expr("greatest(p * (1.0E0 - p), 1e-6)"))
+        .withColumn("z", expr("eta + (CAST(y AS DOUBLE) - p) / w"))
+      val mats = scored.agg(expr(s"array(${IrlsMoments.mkString(", ")})").as("_m"))
+      val r = graft.models.GaussJordan.eliminate(mats, "_m", 5, 6)
+        .select((1 to 5).map(k => expr(s"_m[${(k - 1) * 6 + 5}]").as(s"b$k")): _*)
+        .head()
+      Seq((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        .toDF("b1", "b2", "b3", "b4", "b5")
+    }
+    val beta0 = Seq((0.0, 0.0, 0.0, 0.0, 0.0)).toDF("b1", "b2", "b3", "b4", "b5")
+    iterate(iterate(iterate(beta0)))
+  }
 
   /** Stopword list shared with the quality operators (LlmQueries.EnStop). */
   private val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "it")
@@ -398,36 +428,50 @@ object SelectQueries {
          |  CASE WHEN p.true_label = w.pred_label THEN 1 ELSE 0 END AS correct
          |FROM win w JOIN probes p ON w.probe_id = p.probe_id WHERE w.vr = 1""".stripMargin,
 
-    "q_quality_logreg" -> {
-      val stopList = EnStop.map(t => s"'$t'").mkString(", ")
-      def etaFrom(betaCte: String) =
-        s"bb.b1[1] + bb.b1[2] * x1 + bb.b1[3] * x2 + bb.b1[4] * x3 + bb.b1[5] * x4"
-      def iterBlock(k: Int, prevBeta: String): String =
-        s"""k${k}e AS (SELECT f.*, ${etaFrom(prevBeta)} AS eta FROM f CROSS JOIN $prevBeta bb),
-           |k${k}p AS (SELECT *, 1.0E0 / (1.0E0 + exp(-eta)) AS p FROM k${k}e),
-           |k${k}w AS (SELECT *, greatest(p * (1.0E0 - p), 1e-6) AS w FROM k${k}p),
-           |k${k}z AS (SELECT *, eta + (CAST(y AS DOUBLE) - p) / w AS z FROM k${k}w),
-           |k${k}mats AS (SELECT 'all' AS event_type, [${IrlsMoments.mkString(", ")}] AS m FROM k${k}z),
-           |${graft.models.GaussJordan.sqlAug(5, 1, s"k$k")}""".stripMargin
-      s"""WITH RECURSIVE f AS (SELECT (lang = 'en')::INT AS y,
-         |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS x1,
-         |    (length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' '))) / 10.0E0 AS x2,
-         |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))::DOUBLE
-         |      / len(string_split(text, ' ')) AS x3,
-         |    least(len(string_split(text, ' '))::DOUBLE / 100, 1.0E0) AS x4
-         |  FROM documents),
-         |b0 AS (SELECT 'all' AS event_type, [0.0E0, 0.0E0, 0.0E0, 0.0E0, 0.0E0] AS b1),
-         |${iterBlock(1, "b0")},
-         |${iterBlock(2, "k1beta")},
-         |${iterBlock(3, "k2beta")},
-         |fs AS (SELECT f.*, ${etaFrom("k3beta")} AS eta FROM f CROSS JOIN k3beta bb),
+    "q_quality_logreg" ->
+      s"""WITH RECURSIVE $LogregChainSql,
          |st AS (SELECT sum(y)::BIGINT AS n_pos, (count(*) - sum(y))::BIGINT AS n_neg,
          |         round(avg(CASE WHEN (eta > 0) = (y = 1) THEN 1.0E0 ELSE 0.0E0 END), 6) AS train_acc
          |       FROM fs)
          |SELECT round(b.b1[1], 6) AS b0, round(b.b1[2], 6) AS b_alpha,
          |  round(b.b1[3], 6) AS b_mtl, round(b.b1[4], 6) AS b_stop, round(b.b1[5], 6) AS b_tok,
          |  st.n_pos, st.n_neg, st.train_acc
-         |FROM st CROSS JOIN k3beta b""".stripMargin
-    }
+         |FROM st CROSS JOIN k3beta b""".stripMargin,
+
+    "q_quality_score_serve" ->
+      s"""WITH RECURSIVE $LogregChainSql
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(1.0E0 / (1.0E0 + exp(-eta))), 6) AS mean_score,
+         |  sum(CASE WHEN eta > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+         |  round(avg(CASE WHEN eta > 0 THEN 1.0E0 ELSE 0.0E0 END), 6) AS keep_share
+         |FROM fs GROUP BY 1""".stripMargin
   )
+
+  /** The shared IRLS oracle chain: features → 3 unrolled iterations →
+    * `k3beta` (the trained 5-list) and `fs` (every doc with its final
+    * eta). Mirrors logregFeats/logregBeta float-for-float. */
+  private lazy val LogregChainSql: String = {
+    val stopList = EnStop.map(t => s"'$t'").mkString(", ")
+    def etaFrom(betaCte: String) =
+      s"bb.b1[1] + bb.b1[2] * x1 + bb.b1[3] * x2 + bb.b1[4] * x3 + bb.b1[5] * x4"
+    def iterBlock(k: Int, prevBeta: String): String =
+      s"""k${k}e AS (SELECT f.*, ${etaFrom(prevBeta)} AS eta FROM f CROSS JOIN $prevBeta bb),
+         |k${k}p AS (SELECT *, 1.0E0 / (1.0E0 + exp(-eta)) AS p FROM k${k}e),
+         |k${k}w AS (SELECT *, greatest(p * (1.0E0 - p), 1e-6) AS w FROM k${k}p),
+         |k${k}z AS (SELECT *, eta + (CAST(y AS DOUBLE) - p) / w AS z FROM k${k}w),
+         |k${k}mats AS (SELECT 'all' AS event_type, [${IrlsMoments.mkString(", ")}] AS m FROM k${k}z),
+         |${graft.models.GaussJordan.sqlAug(5, 1, s"k$k")}""".stripMargin
+    s"""f AS (SELECT source, (lang = 'en')::INT AS y,
+       |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS x1,
+       |    (length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' '))) / 10.0E0 AS x2,
+       |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))::DOUBLE
+       |      / len(string_split(text, ' ')) AS x3,
+       |    least(len(string_split(text, ' '))::DOUBLE / 100, 1.0E0) AS x4
+       |  FROM documents),
+       |b0 AS (SELECT 'all' AS event_type, [0.0E0, 0.0E0, 0.0E0, 0.0E0, 0.0E0] AS b1),
+       |${iterBlock(1, "b0")},
+       |${iterBlock(2, "k1beta")},
+       |${iterBlock(3, "k2beta")},
+       |fs AS (SELECT f.*, ${etaFrom("k3beta")} AS eta FROM f CROSS JOIN k3beta bb)""".stripMargin
+  }
 }
