@@ -21,6 +21,19 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("q_dedup_keep_best: the kept member is never worse than the min-id member") {
+    val rows = SparkEntry.queries("q_dedup_keep_best")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cid, kid, kept, minS, beats, lift) =
+        (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getInt(5), r.getDouble(6))
+      assert(kept >= minS - 1e-9, s"argmax below the min-id score: $r")
+      assert(math.abs(lift - BigDecimal(kept - minS).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert((beats == 1) == (kid != cid), s"beats_min_id inconsistent: $r")
+      if (beats == 0) assert(lift == 0.0, s"min-id keeper must have zero lift: $r")
+    }
+  }
+
   test("q_quality_logreg: IRLS converges to a finite model that beats the majority baseline") {
     val r = SparkEntry.queries("q_quality_logreg")(spark, "/root/testdata/sf0.001").head()
     val betas = (0 to 4).map(r.getDouble)
