@@ -155,6 +155,23 @@ object LlmQueries {
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
           .as("n_tokens_bpe"))),
 
+    // tokenizer-efficiency profile per source: chars-per-BPE-token (the
+    // compression proxy a tokenizer team tracks per domain) and fertility
+    // (BPE tokens per whitespace word — high fertility flags scripts or
+    // noise the tokenizer fragments). Ratios derive from summed BIGINTs,
+    // so the 6-dp outputs are engine-exact; one aggregation pass.
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      docs(s, dir).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(TextFunctions.nTokens(col("text")).cast("long")).as("n_words"),
+        sum(regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long"))
+          .as("n_tokens_bpe"))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") / col("n_tokens_bpe"), 6))
+        .withColumn("fertility",
+          round(col("n_tokens_bpe").cast("double") / col("n_words"), 6))),
+
     // the first query a pipeline runs on a new corpus: per-source profile
     // in ONE aggregation pass — volume, token budget, exact-dup rate
     // (count vs distinct content hash), language spread, mean quality
@@ -700,6 +717,17 @@ object LlmQueries {
         |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_bpe
         |FROM documents""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |    sum(length(text))::BIGINT AS n_chars,
+        |    sum(len(string_split(text, ' ')))::BIGINT AS n_words,
+        |    sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS n_tokens_bpe
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_chars, n_words, n_tokens_bpe,
+        |  round(n_chars::DOUBLE / n_tokens_bpe, 6) AS chars_per_token,
+        |  round(n_tokens_bpe::DOUBLE / n_words, 6) AS fertility
+        |FROM a""".stripMargin,
 
     "q_corpus_stats" ->
       """SELECT source,
