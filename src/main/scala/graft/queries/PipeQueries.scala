@@ -50,6 +50,41 @@ object PipeQueries {
             .as("n_seqs_spanned"))
     }),
 
+    // ── Document-boundary packing audit: the OTHER standard packing
+    // scheme (no doc ever spans a sequence — no cross-doc attention),
+    // greedy first-fit in doc_id order with over-length docs truncated
+    // to SeqLen. Emits the per-source efficiency report a packing run
+    // ships: bins used, kept tokens, utilization vs bins×SeqLen, and
+    // the truncation loss. The whole recursion is INTEGER state, so the
+    // oracle replay is exact by construction; scale axis = sources
+    // (shard the pack key like q_pack_sequences_sharded at 100 TB). ──
+    "q_pack_boundary" -> ((s, dir) => {
+      val fn = udf { ns: Array[Long] =>
+        var fill = 0L; var bins = 0L; var tok = 0L; var trunc = 0L
+        var i = 0
+        while (i < ns.length) {
+          var n = ns(i)
+          if (n > SeqLen) { trunc += n - SeqLen; n = SeqLen }
+          if (bins == 0L || fill + n > SeqLen) { bins += 1; fill = n }
+          else fill += n
+          tok += n
+          i += 1
+        }
+        (bins, tok, trunc)
+      }
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          TextFunctions.nTokens(col("text")).cast("long").as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("transform(array_sort(collect_list(struct(doc_id, n_tokens))), x -> x.n_tokens)")
+            .as("ns"))
+        .withColumn("_r", fn(col("ns")))
+        .select(col("source"), col("n_docs"), col("_r._1").as("n_bins"),
+          col("_r._2").as("n_tokens_kept"), col("_r._3").as("n_tokens_truncated"),
+          round(col("_r._2").cast("double") / (col("_r._1") * SeqLen), 6).as("utilization"))
+    }),
+
     // ── Sharded packing: the 100 TB form of q_pack_sequences. The pack
     // stream key gains a deterministic md5-derived shard (the
     // q_sample_stratified hash trick, reproducible across engines), so
@@ -206,6 +241,28 @@ object PipeQueries {
   )
 
   val sql: Map[String, String] = Map(
+    "q_pack_boundary" ->
+      s"""WITH RECURSIVE d AS (SELECT source, doc_id,
+         |    least(len(string_split(text, ' '))::BIGINT, $SeqLen) AS n,
+         |    greatest(len(string_split(text, ' '))::BIGINT - $SeqLen, 0) AS tr,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS nd
+         |  FROM documents),
+         |rec AS (
+         |  SELECT source, 1 AS i, nd, n AS fill, 1::BIGINT AS bins, n AS tok, tr AS trunc
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.source, r.i + 1, r.nd,
+         |    CASE WHEN r.fill + o.n > $SeqLen THEN o.n ELSE r.fill + o.n END,
+         |    CASE WHEN r.fill + o.n > $SeqLen THEN r.bins + 1 ELSE r.bins END,
+         |    r.tok + o.n, r.trunc + o.tr
+         |  FROM rec r JOIN d o ON o.source = r.source AND o.rn = r.i + 1
+         |  WHERE r.i + 1 <= r.nd)
+         |SELECT source, nd AS n_docs, bins AS n_bins, tok AS n_tokens_kept,
+         |  trunc AS n_tokens_truncated,
+         |  round(tok::DOUBLE / (bins * $SeqLen), 6) AS utilization
+         |FROM rec WHERE i = nd""".stripMargin,
+
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT source, doc_id,
          |             len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
