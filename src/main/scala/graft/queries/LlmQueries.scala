@@ -155,6 +155,23 @@ object LlmQueries {
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
           .as("n_tokens_bpe"))),
 
+    // per-doc novelty: the share of a doc's distinct 3-shingles that
+    // appear NOWHERE else in the corpus (df == 1) — low novelty flags
+    // boilerplate/template mass that survives near-dedup because no
+    // single pair crosses the Jaccard threshold. One shingle shuffle +
+    // one df join; integer counts, one exact ratio. Docs under 3 tokens
+    // have no shingles and drop out on both engines.
+    "q_doc_novelty" -> ((s, dir) => {
+      val sh = Dedup.docShingles(docs(s, dir))
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+    }),
+
     // tokenizer-efficiency profile per source: chars-per-BPE-token (the
     // compression proxy a tokenizer team tracks per domain) and fertility
     // (BPE tokens per whitespace word — high fertility flags scripts or
@@ -717,6 +734,15 @@ object LlmQueries {
         |  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_unique,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_bpe
         |FROM documents""".stripMargin,
+
+    "q_doc_novelty" ->
+      s"""WITH $shSql,
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |  round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS novelty
+         |FROM sh JOIN df USING (shingle)
+         |GROUP BY 1""".stripMargin,
 
     "q_tokenizer_fertility" ->
       """WITH a AS (SELECT source, count(*) AS n_docs,
