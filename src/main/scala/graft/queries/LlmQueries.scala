@@ -563,6 +563,34 @@ object LlmQueries {
           round(col("n_hit") / col("n_exact"), 6).as("recall"))
     }),
 
+    // IVF recall eval — completes the ANN eval family next to
+    // q_ann_recall (LSH): exact brute-force top-3 vs learned-cell IVF
+    // top-3 (nprobe=2 of 8 Lloyd cells) on the probe sample, recall@3
+    // per probe. The miss mass IS the cells the probe didn't scan — the
+    // number an IVF deployment tunes nprobe against.
+    "q_ivf_recall" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding")).persist()
+      val cents = graft.ann.KMeansDet.fit(e, k = 8, iters = 3)
+      val assigned = graft.ann.KMeansDet.assign(e, cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val probes = assigned.where(col("vec_id") % 50 === 0)
+      val ap = Ann.knnIvf(assigned, probes, cents, cell = "cell", k = 3, nprobe = 2,
+        id = "vec_id", vec = "embedding").select(col("probe_id"), col("neighbor_id"))
+      val ex = Ann.knnBruteForce(e, e.where(col("vec_id") % 50 === 0), k = 3)
+        .select(col("probe_id"), col("neighbor_id"))
+      val out = ex.join(ap.withColumn("hit", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id").agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .join(broadcast(ap.groupBy("probe_id").agg(count(lit(1)).as("n_ivf"))),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"), col("n_hit"),
+          round(col("n_hit") / col("n_exact"), 6).as("recall"))
+      e.unpersist()
+      out
+    }),
+
     // full IVF: cells LEARNED by deterministic Lloyd (k=8, 3 rounds), probes
     // ranked against the fitted centroids, only the top-2 cells scanned
     "q_ann_ivf" -> ((s, dir) => {
@@ -1131,6 +1159,32 @@ object LlmQueries {
 
     // learned-cell IVF: replay the Lloyd chain, rank cells against the
     // FITTED cents3 (not the member means), scan only the top-2 cells of as3
+    "q_ivf_recall" ->
+      s"""WITH ${kmChainSql(8, 3)},
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 WHERE vec_id % 50 = 0),
+         |pc AS (SELECT probe_id, pvec, cents3.cell, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cents3),
+         |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS crk FROM pc) WHERE crk <= 2),
+         |iscored AS (SELECT probe_id, c.vec_id AS neighbor_id,
+         |  ${cosSql("pvec", "c.embedding")} AS cos
+         |  FROM chosen JOIN as3 c ON c.cell = chosen.cell AND c.vec_id <> probe_id),
+         |ap AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM iscored) WHERE rk <= 3),
+         |ex0 AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosSql("pvec", "c.embedding")} AS cos
+         |        FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
+         |ex AS (SELECT probe_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM ex0) WHERE rk <= 3),
+         |nl AS (SELECT probe_id, count(*) AS n_ivf FROM ap GROUP BY 1)
+         |SELECT ex.probe_id, count(*) AS n_exact,
+         |  coalesce(max(nl.n_ivf), 0)::BIGINT AS n_ivf,
+         |  sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  round(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS recall
+         |FROM ex
+         |LEFT JOIN ap ON ex.probe_id = ap.probe_id AND ex.neighbor_id = ap.neighbor_id
+         |LEFT JOIN nl ON ex.probe_id = nl.probe_id
+         |GROUP BY 1""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH ${kmChainSql(8, 3)},
          |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 WHERE vec_id % 50 = 0),
