@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import graft.models.NowcastGbt
+import graft.models.{GaussJordan, NowcastGbt, NowcastPlus}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,6 +31,26 @@ object GbtQueries {
         .select(col("event_type"), col("_r._1").as("n_train"),
           round(col("_r._2") / lit(1e6), 6).as("yhat_1"),
           round(col("_r._3") / lit(1e6), 6).as("train_rmse"))
+    }),
+
+    // NowcastingPlus (nowcastingplus.py:84): poly-in-minute-of-day
+    // seasonal baseline + the standardized MOM/ROC/LAG/MA battery + a
+    // deterministic ridge (the LassoCV stand-in) on the deseasonalized
+    // diff(−1) label; ŷ = (y_now − season_now) − model(x̃) + season_next.
+    // models/NowcastPlus runs the whole fit in the one-series-per-row
+    // kernel; the oracle replays it end to end — poly moments → GJ →
+    // features from 1e6-scaled BIGINTs → StandardScaler moments → ridge
+    // normal equations → GJ → the prediction identity, op for op.
+    "q_nowcast_plus" -> ((s, dir) => {
+      val fn = udf { (tss: Seq[java.sql.Timestamp], xs: Seq[Double]) =>
+        NowcastPlus.run(tss.map(_.getTime / 1000L).toArray, xs.toArray)
+      }
+      SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
+        .withColumn("_r", fn(col("tss"), col("xs")))
+        .where(col("_r").isNotNull)
+        .select(col("event_type"), col("_r._1").as("n_train"),
+          round(col("_r._2"), 6).as("yhat_1"),
+          round(col("_r._3"), 6).as("season_next"))
     })
   )
 
@@ -116,6 +136,106 @@ object GbtQueries {
          |SELECT event_type, ntr AS n_train, round(pred / 1e6, 6) AS yhat_1,
          |  round(rmse / 1e6, 6) AS train_rmse
          |FROM outp""".stripMargin
+    },
+
+    "q_nowcast_plus" -> {
+      // feature order MUST mirror models/NowcastPlus.feats: MOM(10..30),
+      // ROC(10..30), LAG(1..5), MA(10,20,30)
+      val featDefs: Seq[String] =
+        NowcastPlus.MomNs.map(nn =>
+          s"(v - lag(v, $nn) OVER w)::DOUBLE / 1000000.0") ++
+        NowcastPlus.RocNs.map(nn =>
+          s"(v - lag(v, ${nn - 1}) OVER w)::DOUBLE / (lag(v, ${nn - 1}) OVER w)::DOUBLE") ++
+        NowcastPlus.LagNs.map(nn =>
+          s"(lag(v, $nn) OVER w)::DOUBLE / 1000000.0") ++
+        NowcastPlus.MaNs.map(nn =>
+          s"(sum(v) OVER (w ROWS BETWEEN ${nn - 1} PRECEDING AND CURRENT ROW))::DOUBLE / ${nn * 1000000}.0")
+      val nF = NowcastPlus.NF
+      val fCols = featDefs.zipWithIndex.map { case (e, i) => s"$e AS f${i + 1}" }
+        .mkString(",\n           ")
+      val rocOk = NowcastPlus.RocNs
+        .map(nn => s"lag(v, ${nn - 1}) OVER w <> 0").mkString(" AND ")
+      def seasonOf(uE: String, bE: String): String =
+        (0 to 5).map(j => s"$bE[${j + 1}] * pow($uE, $j)").mkString(" + ")
+      val pMoms = ((0 to 10).map(k => s"sum(pow(u, $k)) AS s$k") ++
+        (0 to 5).map(k => s"sum(pow(u, $k) * y) AS t$k")).mkString(", ")
+      val pMat = (for (r <- 0 to 5; c <- 0 to 6) yield
+        if (c < 6) s"s${r + c}" else s"t$r").mkString(", ")
+      val sMoms = (1 to nF).map(k => s"sum(f$k) AS s$k, sum(f$k * f$k) AS q$k")
+        .mkString(", ")
+      val means = (1 to nF).map(k => s"s$k / mm2 AS m$k").mkString(", ")
+      val sds = (1 to nF).map(k =>
+        s"CASE WHEN smom.q$k / scm.mm2 - scm.m$k * scm.m$k > 0 " +
+          s"THEN sqrt(smom.q$k / scm.mm2 - scm.m$k * scm.m$k) ELSE 1.0 END AS e$k")
+        .mkString(",\n           ")
+      val stds = (1 to nF).map(k => s"(vr.f$k - sc.m$k) / sc.e$k AS x$k")
+        .mkString(",\n           ")
+      val grams = ((for (a <- 1 to nF; b <- 1 to nF) yield
+        s"sum(x$a * x$b) AS g_${a}_$b") ++
+        (1 to nF).map(a => s"sum(x$a * (lab - lmean)) AS c_$a")).mkString(",\n           ")
+      val rMat = (for (a <- 1 to nF; b <- 1 to nF + 1) yield
+        if (b == nF + 1) s"c_$a"
+        else if (a == b) s"g_${a}_$b + 0.01 * l.ntrain"
+        else s"g_${a}_$b").mkString(", ")
+      val predSum = (1 to nF).map(a => s"rb.b1[$a] * x.x$a").mkString(" + ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value AS y,
+         |    round(value * 1000000.0)::BIGINT AS v,
+         |    (epoch(ts)::BIGINT % 86400) // 60 AS md,
+         |    ((epoch(ts)::BIGINT % 86400) // 60 - 719.5) / 719.5 AS u,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM hourly),
+         |pmoms AS (SELECT event_type, $pMoms FROM ord GROUP BY 1),
+         |pmats AS (SELECT event_type, [$pMat] AS m FROM pmoms),
+         |${GaussJordan.sqlAug(6, 1, "p")},
+         |fe AS (SELECT event_type, rn, n, y, u, md,
+         |           $fCols,
+         |           (rn > 30 AND $rocOk) AS vok
+         |       FROM ord WINDOW w AS (PARTITION BY event_type ORDER BY rn)),
+         |se AS (SELECT f.*, ${seasonOf("f.u", "pb.b1")} AS season
+         |       FROM fe f JOIN pbeta pb USING (event_type) WHERE f.vok),
+         |vr AS (SELECT *, y - season AS d,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY rn) AS vj,
+         |        count(*) OVER (PARTITION BY event_type) AS mm
+         |       FROM se),
+         |ok AS (SELECT event_type FROM vr GROUP BY 1
+         |       HAVING max(rn) = max(n) AND count(*) >= ${NowcastPlus.MinTrain + 1}
+         |          AND max(n) >= ${NowcastPlus.MinSeries}),
+         |smom AS (SELECT event_type, count(*) AS mm2, $sMoms FROM vr GROUP BY 1),
+         |scm AS (SELECT event_type, mm2, $means FROM smom),
+         |sc AS (SELECT scm.event_type, scm.mm2,
+         |           ${(1 to nF).map(k => s"scm.m$k").mkString(", ")},
+         |           $sds
+         |       FROM scm JOIN smom USING (event_type)),
+         |sx AS (SELECT vr.event_type, vr.vj, vr.mm, vr.d,
+         |           $stds,
+         |           vr.d - lead(vr.d) OVER (PARTITION BY vr.event_type ORDER BY vr.vj) AS lab
+         |       FROM vr JOIN sc USING (event_type)),
+         |lmc AS (SELECT event_type, sum(lab) / (max(mm) - 1) AS lmean,
+         |           (max(mm) - 1)::BIGINT AS ntrain
+         |        FROM sx WHERE vj <= mm - 1 GROUP BY 1),
+         |gm AS (SELECT sx.event_type,
+         |           $grams
+         |       FROM sx JOIN lmc USING (event_type) WHERE sx.vj <= sx.mm - 1 GROUP BY 1),
+         |rmats AS (SELECT g.event_type, [$rMat] AS m
+         |          FROM gm g JOIN lmc l USING (event_type)),
+         |${GaussJordan.sqlAug(nF, 1, "r")},
+         |xt AS (SELECT event_type, d AS dn,
+         |           ${(1 to nF).map(k => s"x$k").mkString(", ")}
+         |       FROM sx WHERE vj = mm),
+         |fo AS (SELECT o.event_type, min(o.rn) AS forn
+         |       FROM ord o JOIN (SELECT event_type, md AS lmd FROM ord WHERE rn = n) lz
+         |         USING (event_type)
+         |       WHERE o.md = lz.lmd GROUP BY 1),
+         |un AS (SELECT f.event_type, o2.u AS unext
+         |       FROM fo f JOIN ord o2 ON o2.event_type = f.event_type AND o2.rn = f.forn + 1)
+         |SELECT x.event_type, l.ntrain AS n_train,
+         |  round(x.dn - (l.lmean + $predSum) + (${seasonOf("un.unext", "pb.b1")}), 6) AS yhat_1,
+         |  round(${seasonOf("un.unext", "pb.b1")}, 6) AS season_next
+         |FROM xt x JOIN lmc l USING (event_type) JOIN rbeta rb USING (event_type)
+         |  JOIN un USING (event_type) JOIN pbeta pb USING (event_type)
+         |  JOIN ok USING (event_type)""".stripMargin
     }
   )
 }
