@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmArray, EwmaArray, Hash60, HllSketchAgg, KmvHashesAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature}
+import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmArray, EwmaArray, Hash60, HllSketchAgg, KmvHashesAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature, MisraGriesAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -135,6 +135,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("cms_sketch", exprs, 3)
         CmsSketchAgg(exprs.head, toInt(exprs(1)), toInt(exprs(2)))
+      }),
+    ("mg_candidates",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "mg_candidates"),
+      (exprs: Seq[Expression]) => {
+        arity("mg_candidates", exprs, 2)
+        MisraGriesAgg(exprs.head, toInt(exprs(1)))
       }))
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =

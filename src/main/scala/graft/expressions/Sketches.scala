@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed, MERGEABLE sketch aggregates as native Catalyst
   * `TypedImperativeAggregate`s — the production shape for cardinality /
@@ -336,5 +337,130 @@ case class CmsSketchAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CmsSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** Misra–Gries heavy-hitter CANDIDATE sketch over a string column: at most
+  * `capacity` (key, counter) pairs of state; any key whose true frequency
+  * exceeds N / (capacity + 1) is GUARANTEED to survive (Misra & Gries
+  * 1982), and the summaries are mergeable with the same guarantee
+  * (Agarwal et al. 2012, "Mergeable summaries": merge = sum counters, then
+  * subtract the (capacity+1)-th largest counter from all and keep the
+  * positive remainder). Evaluates to the ASCENDING-sorted candidate key
+  * array — a superset of the true heavy hitters whose exact membership
+  * depends on partition/merge order, so callers MUST confirm with an exact
+  * second pass restricted to the candidates (the two-pass top-k pattern:
+  * sketch finds ≤ capacity candidates in one map-side pass, the confirm
+  * groupBy shuffles only candidate rows). Update amortizes O(1): each
+  * decrement-all pass removes ≥ capacity+1 units of total counter mass,
+  * and mass only enters one unit per row.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(capacity >= 1, s"mg_candidates needs capacity >= 1, got $capacity")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mg_candidates requires a string column, got ${other.simpleString}")
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "mg_candidates"
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long], input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(key)
+      if (cur != 0L || buf.containsKey(key)) buf.put(key, cur + 1L)
+      else if (buf.size < capacity) buf.put(key, 1L)
+      else decrementAll(buf, 1L) // the arriving key absorbs the -1 implicitly
+    }
+    buf
+  }
+
+  /** Subtract `d` from every counter, evicting non-positives. */
+  private def decrementAll(buf: java.util.HashMap[String, Long], d: Long): Unit = {
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val nv = e.getValue - d
+      if (nv <= 0L) it.remove() else e.setValue(nv)
+    }
+  }
+
+  override def merge(a: java.util.HashMap[String, Long], b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, cur + e.getValue)
+    }
+    if (a.size > capacity) {
+      // subtract the (capacity+1)-th largest counter value from all
+      val counts = new Array[Long](a.size)
+      var i = 0
+      val vit = a.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      decrementAll(a, counts(a.size - capacity - 1))
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val keys = new Array[String](buf.size)
+    buf.keySet().toArray(keys)
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[String]())
+    new GenericArrayData(keys.map(UTF8String.fromString(_): Any))
+  }
+
+  // length-prefixed UTF-8 (writeUTF's 64 KB-per-string limit would make a
+  // pathological token a task failure instead of a counted key)
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGriesAgg =
     copy(child = newChildren.head)
 }

@@ -128,4 +128,15 @@ package object expressions {
     ensureRegistered(SparkSession.active)
     call_function("cms_sketch", hash31Value, lit(depth), lit(width))
   }
+
+  /** Misra–Gries heavy-hitter candidate set of a string column: ≤ capacity
+    * keys of mergeable state; every key with frequency > N/(capacity+1) is
+    * guaranteed present (see [[MisraGriesAgg]]). Confirm candidates with an
+    * exact second pass — membership beyond the guarantee is partition-order
+    * dependent.
+    */
+  def mg_candidates(key: Column, capacity: Int): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("mg_candidates", key, lit(capacity))
+  }
 }

@@ -439,6 +439,45 @@ object LlmQueries {
         .select(col("i"), col("j"), col("est_jaccard"), col("exact_jaccard"), col("abs_err"))
     }),
 
+    // Asymmetric containment near-dup — the quote/subset detector: a doc
+    // wholly contained in a much larger one has containment |A∩B|/|A| ≈ 1
+    // while Jaccard ≈ |A|/|B| stays far below any dedup threshold, so
+    // symmetric near-dup passes keep both copies. Candidates come from
+    // the SAME LSH band join as q_dedup_minhash_pairs (banding recalls
+    // asymmetric pairs too — the shared shingles still dominate the
+    // smaller doc's signature), exact distinct-shingle intersections are
+    // computed on the survivors only (the calibration discipline:
+    // pair-bounded explode + key-equality join, never a shingle
+    // self-join), and both directions are emitted. Integer counts, two
+    // exact ratios.
+    "q_dedup_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Scratch.materialize(
+        Dedup.minhashLshPairs(d, NumPerms, Bands).select("i", "j"), "cont_cand")
+      val sh = Dedup.docShingles(d)
+      val candDocs = cand.select(col("i").as("doc_id"))
+        .union(cand.select(col("j").as("doc_id"))).distinct()
+      // materialized: THREE consumers (sizes + both intersection joins)
+      // would each replay the doc scan + shingle explode otherwise
+      val shc = Scratch.materialize(
+        sh.join(broadcast(candDocs), "doc_id"), "cont_shc")
+      val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val common = cand
+        .join(shc.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
+        .join(shc.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
+        .groupBy("i", "j").agg(count(lit(1)).as("common"))
+      cand.join(common, Seq("i", "j"), "left")
+        .join(broadcast(sizes.select(col("doc_id").as("i"), col("nsh").as("ni"))), "i")
+        .join(broadcast(sizes.select(col("doc_id").as("j"), col("nsh").as("nj"))), "j")
+        .withColumn("common", coalesce(col("common"), lit(0L)))
+        .withColumn("cont_i", round(col("common") / col("ni"), 6))
+        .withColumn("cont_j", round(col("common") / col("nj"), 6))
+        .withColumn("containment", greatest(col("cont_i"), col("cont_j")))
+        .orderBy(col("containment").desc, col("i"), col("j")).limit(20)
+        .select(col("i"), col("j"), col("ni"), col("nj"), col("common"),
+          col("cont_i"), col("cont_j"), col("containment"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       // maxHamming = 3 is the 4×16-bit chunk blocking's recall guarantee
       // (pigeonhole) — pairs beyond it are not promised, so don't emit them
@@ -993,6 +1032,35 @@ object LlmQueries {
          |r AS (SELECT *, round(abs(est_jaccard - exact_jaccard), 6) AS abs_err,
          |        row_number() OVER (ORDER BY est_jaccard DESC, i, j) AS rk FROM x)
          |SELECT i, j, est_jaccard, exact_jaccard, abs_err FROM r WHERE rk <= 20""".stripMargin
+    },
+
+    "q_dedup_containment" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
+        s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shSql,
+         |$sigSql,
+         |banded AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |cd AS (SELECT i AS doc_id FROM cand UNION SELECT j FROM cand),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cd USING (doc_id)),
+         |sz AS (SELECT doc_id, count(*) AS nsh FROM shc GROUP BY 1),
+         |cm AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+         |       FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |x AS (SELECT c.i, c.j, si.nsh::BIGINT AS ni, sj.nsh::BIGINT AS nj,
+         |        coalesce(cm.common, 0)::BIGINT AS common
+         |      FROM cand c LEFT JOIN cm ON c.i = cm.i AND c.j = cm.j
+         |      JOIN sz si ON c.i = si.doc_id JOIN sz sj ON c.j = sj.doc_id),
+         |y AS (SELECT i, j, ni, nj, common,
+         |        round(common::DOUBLE / ni, 6) AS cont_i,
+         |        round(common::DOUBLE / nj, 6) AS cont_j,
+         |        greatest(round(common::DOUBLE / ni, 6), round(common::DOUBLE / nj, 6)) AS containment
+         |      FROM x),
+         |r AS (SELECT *, row_number() OVER (ORDER BY containment DESC, i, j) AS rk FROM y)
+         |SELECT i, j, ni, nj, common, cont_i, cont_j, containment FROM r WHERE rk <= 20""".stripMargin
     },
 
     "q_dedup_clusters" ->

@@ -169,7 +169,33 @@ object MonitorQueries {
           .select(lit("embeddings.vec_id in documents").as("check"), col("m"),
             (col("m") === 0).cast("int").as("pass")))
       checks.reduce(_ unionAll _)
-    })
+    }),
+
+    // ── Semi-structured payload profiling: the events.props column is a
+    // JSON blob (the universal telemetry shape — typed columns plus a
+    // schemaless property bag). Extract the `k` property with the
+    // codegen'd JSON path evaluator (get_json_object — no UDF, stays
+    // inside WholeStageCodegen), type it, and profile per event_type:
+    // extraction coverage, range, sum, distinct spread, mean. ONE scan +
+    // one partial-aggregated groupBy — integer sums until two final
+    // divisions, so engines agree bit-for-bit. At 100 TB this is the
+    // schema-inference probe run before promoting a JSON property to a
+    // typed column. ──
+    "q_props_profile" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          count(col("k")).as("n_k"),
+          min("k").as("k_min"),
+          max("k").as("k_max"),
+          sum("k").as("k_sum"),
+          countDistinct(col("k")).as("k_distinct"))
+        .select(col("event_type"), col("n"), col("n_k"),
+          round(col("n_k").cast("double") / col("n").cast("double"), 6).as("coverage"),
+          col("k_min"), col("k_max"), col("k_sum"), col("k_distinct"),
+          round(col("k_sum").cast("double") / col("n_k").cast("double"), 6).as("k_mean")))
   )
 
   val sql: Map[String, String] = Map(
@@ -282,6 +308,25 @@ object MonitorQueries {
          |SELECT 'embeddings.vec_id in documents',
          |  count(*)::DOUBLE,
          |  CASE WHEN count(*) = 0 THEN 1 ELSE 0 END
-         |FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)""".stripMargin
+         |FROM embeddings e WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)""".stripMargin,
+
+    // regexp extraction of the k property (DuckDB's JSON functions live in
+    // an extension; the regex form needs none and matches Spark's
+    // get_json_object on this integer-valued payload, including NULL when
+    // the property is absent or non-numeric)
+    "q_props_profile" ->
+      s"""WITH x AS (SELECT event_type,
+         |             TRY_CAST(nullif(regexp_extract(props, '"k":[ ]*(-?[0-9]+)', 1), '') AS BIGINT) AS k
+         |           FROM events)
+         |SELECT event_type,
+         |  count(*)::BIGINT AS n,
+         |  count(k)::BIGINT AS n_k,
+         |  round(count(k)::DOUBLE / count(*)::DOUBLE, 6) AS coverage,
+         |  min(k) AS k_min,
+         |  max(k) AS k_max,
+         |  sum(k)::BIGINT AS k_sum,
+         |  count(DISTINCT k)::BIGINT AS k_distinct,
+         |  round(sum(k)::DOUBLE / count(k)::DOUBLE, 6) AS k_mean
+         |FROM x GROUP BY 1""".stripMargin
   )
 }

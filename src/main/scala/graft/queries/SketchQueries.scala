@@ -28,6 +28,8 @@ object SketchQueries {
   private val CmsWidth = 256
   private val HistB = 512
   private val SetK = 256
+  private val MgCap = 4096
+  private val HhDen = 1000 // heavy hitter = share > 1/HhDen
   private val P = TextFunctions.MinHashPrime
   /** exact double repr of 0.709·64²·2^55 (= expressions.Sketches.HllAm2);
     * e-notation so DuckDB parses it as DOUBLE, not DECIMAL. */
@@ -184,6 +186,32 @@ object SketchQueries {
           rowDots.reduce(least(_, _)).as("est_pairs"))
         .withColumn("over_ratio",
           round(col("est_pairs").cast("double") / col("exact_pairs").cast("double"), 6))
+    }),
+
+    // Heavy hitters by the two-pass Misra–Gries pattern: pass 1 folds the
+    // token stream into ONE mergeable ≤4096-key candidate summary (every
+    // token with share > 1/4097 is guaranteed present — Misra & Gries
+    // 1982; merge rule per Agarwal et al. 2012), pass 2 broadcast-joins
+    // the candidate set back and exact-counts ONLY candidate rows, then
+    // keeps share > 0.1% by integer compare (n_tok·1000 > N — no float
+    // threshold). The final set is deterministic even though sketch
+    // membership beyond the guarantee is partition-order dependent: the
+    // guarantee makes candidates ⊇ true heavy hitters, and the exact
+    // confirm prunes the rest. At 100 TB: pass 1 is map-side state (no
+    // token shuffle — one 4096-key state per task merges to one row);
+    // pass 2 shuffles only rows matching ≤4096 candidates.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val sk = toks.agg(
+        graft.expressions.mg_candidates(col("tok"), MgCap).as("cands"),
+        count(lit(1)).as("n_total"))
+      val cands = sk.select(explode(col("cands")).as("tok"), col("n_total"))
+      toks.join(broadcast(cands), "tok")
+        .groupBy("tok", "n_total").agg(count(lit(1)).as("n_tok"))
+        .where(col("n_tok") * lit(HhDen.toLong) > col("n_total"))
+        .select(col("tok"), col("n_tok"),
+          round(col("n_tok").cast("double") / col("n_total").cast("double"), 6).as("share"))
     }),
 
     // Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
@@ -376,6 +404,15 @@ object SketchQueries {
          |        / ex.exact_pairs::DOUBLE, 6) AS over_ratio
          |FROM ex""".stripMargin
     },
+
+    "q_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |n AS (SELECT count(*)::BIGINT AS n_total FROM toks),
+         |c AS (SELECT tok, count(*)::BIGINT AS n_tok FROM toks GROUP BY 1)
+         |SELECT c.tok, c.n_tok,
+         |  round(c.n_tok::DOUBLE / n.n_total::DOUBLE, 6) AS share
+         |FROM c, n
+         |WHERE c.n_tok * $HhDen > n.n_total""".stripMargin,
 
     "q_sample_weighted" ->
       s"""WITH d AS (SELECT doc_id, source, n_chars,

@@ -220,6 +220,45 @@ object StreamQueries {
           col("n_docs"), col("n_tokens"), col("n_chars"))
     }),
 
+    // Streaming heavy hitters: per-hour Misra–Gries candidate summaries
+    // (256 keys of state per open window) over the token stream with the
+    // q_stream_token_meter arrival clock, then the exact confirm pass
+    // restricted to candidates — per-window tokens with share > 1%. The
+    // MG guarantee (1/257 < 1/100) makes the final set deterministic
+    // despite partition- and microbatch-dependent candidate slack, so
+    // the DuckDB oracle is the exact per-hour GROUP BY the sketch
+    // avoids: this certifies the MisraGriesAgg state-store path end to
+    // end (serialize/merge across microbatches included).
+    "q_stream_topk" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200L // 2024-01-01 UTC
+      val feed = Tables.documents(s, dir).select("doc_id", "source", "text")
+        .orderBy("doc_id").collect()
+        .map(r => StreamingDetectors.SourcedDoc(r.getLong(0),
+          new java.sql.Timestamp((t0 + r.getLong(0) * 60L) * 1000L),
+          r.getString(1), r.getString(2))).toSeq
+      val sentinelTs = t0 + 400L * 24 * 3600
+      val sentinel = StreamingDetectors.SourcedDoc(-1L,
+        new java.sql.Timestamp(sentinelTs * 1000L), "zz_sentinel", "")
+      val mem = MemoryStream[StreamingDetectors.SourcedDoc]
+      val t = replay(s, mem,
+        StreamingDetectors.topkMeter(mem.toDF(), capacity = 256, every = "1 hour"),
+        sink("topk"), feed, tail = Seq(sentinel))
+      val cands = t.where(unix_timestamp(col("ts")) < sentinelTs)
+        .select(unix_timestamp(col("ts")).as("ts_s"), col("n_tokens"),
+          explode(col("cands")).as("tok"))
+      // exact confirm over the batch corpus with the identical clock
+      val exact = Tables.documents(s, dir)
+        .select((floor((lit(t0) + col("doc_id") * 60L) / 3600L) * 3600L).as("ts_s"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("ts_s", "tok").agg(count(lit(1)).as("n_tok"))
+      cands.join(exact, Seq("ts_s", "tok"))
+        .where(col("n_tok") * 100L > col("n_tokens"))
+        .select(col("ts_s"), col("tok"), col("n_tok"),
+          round(col("n_tok").cast("double") / col("n_tokens").cast("double"), 6).as("share"))
+    }),
+
     // Exact dedup as a stream: unique-text originals arrive first in
     // doc_id order, then TWO later microbatches of injected duplicates
     // (+1e6: every 7th text; +2e6: every 14th) — the stream must drop
@@ -752,6 +791,17 @@ object StreamQueries {
         |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
         |  sum(length(text))::BIGINT AS n_chars
         |FROM clocked GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_topk" ->
+      """WITH tok AS (SELECT ((1704067200 + doc_id * 60) // 3600) * 3600 AS ts_s,
+        |              unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |w AS (SELECT ts_s, count(*)::BIGINT AS n_tokens FROM tok GROUP BY 1),
+        |c AS (SELECT ts_s, tok, count(*)::BIGINT AS n_tok FROM tok GROUP BY 1, 2)
+        |SELECT c.ts_s, c.tok, c.n_tok,
+        |  round(c.n_tok::DOUBLE / w.n_tokens::DOUBLE, 6) AS share
+        |FROM c JOIN w USING (ts_s)
+        |WHERE c.n_tok * 100 > w.n_tokens""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT doc_id FROM documents

@@ -62,6 +62,27 @@ object StreamingDetectors {
         sum(length(col("text")).cast("long")).as("n_chars"))
       .select(col("source"), col("window.start").as("ts"),
         col("n_docs"), col("n_tokens"), col("n_chars"))
+  /** Streaming heavy-hitter meter: per tumbling window, a Misra–Gries
+    * candidate summary of the token stream (expressions/Sketches.scala
+    * MisraGriesAgg — ≤ `capacity` keys of state per open window, merged
+    * associatively across tasks like any streaming aggregate) plus the
+    * exact window token count. Every token with in-window share >
+    * 1/(capacity+1) is GUARANTEED in the candidate array; a downstream
+    * exact confirm restricted to candidates (the q_heavy_hitters second
+    * pass) then yields a deterministic per-window heavy-hitter set. The
+    * streaming form of the "what's trending right now" monitor whose
+    * exact version would hold every distinct token in the state store.
+    */
+  def topkMeter(stream: DataFrame, capacity: Int = 256, every: String = "1 hour",
+                watermark: String = "2 hours"): DataFrame =
+    stream
+      .select(col("ts"), explode(split(col("text"), " ")).as("tok"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), every))
+      .agg(graft.expressions.mg_candidates(col("tok"), capacity).as("cands"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("window.start").as("ts"), col("cands"), col("n_tokens"))
+
   /** Streaming error-budget burn monitor — the q_burn_rate twin. The
     * trailing-6 h error share comes from ONE sliding-window aggregation
     * (6 h duration, 1 h slide): each event lands in six open windows,

@@ -144,5 +144,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sw = planOf("q_sample_weighted")
     assert(sw.contains("TakeOrderedAndProject"),
       s"q_sample_weighted must plan a distributed top-k:\n$sw")
+    // q_heavy_hitters: pass 1 folds tokens into MG states map-side
+    // (partial_mg before the single-row merge) and pass 2's candidate
+    // join must broadcast — a sort-merge would shuffle the token stream
+    // the sketch exists to avoid
+    val hh = planOf("q_heavy_hitters")
+    assert(hh.toLowerCase.contains("partial_mg"),
+      s"q_heavy_hitters lost partial MG aggregation:\n$hh")
+    assert(!hh.contains("SortMergeJoin"),
+      s"q_heavy_hitters candidate join must broadcast:\n$hh")
+  }
+
+  test("props-profile keeps JSON extraction inside one codegen'd scan pass") {
+    val p = planOf("q_props_profile")
+    assert(p.contains("get_json_object"), s"q_props_profile lost the native JSON path:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"q_props_profile lost partial aggregation:\n$p")
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 2,
+      s"q_props_profile must stay one groupBy (plus distinct expand):\n$p")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("props") && !read.contains("user_id"),
+      s"q_props_profile reads more than it needs: $read")
   }
 }

@@ -135,6 +135,63 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(est == 7.5, s"constant series must report the constant, got $est")
   }
 
+  test("Misra-Gries guarantee: every key above N/(cap+1) survives, at any partitioning") {
+    import spark.implicits._
+    // skewed stream: key_i has frequency i for i in 1..50 (N = 1275);
+    // cap = 32 → guarantee threshold N/33 ≈ 38.6 → keys 39..50 MUST be
+    // candidates no matter how partitions split the stream
+    val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"key_$i")).toDF("v")
+    val n = 1275
+    val cap = 32
+    val must = (1 to 50).filter(i => i > n / (cap + 1)).map(i => s"key_$i").toSet
+    assert(must.nonEmpty)
+    for (parts <- Seq(1, 7, 32)) {
+      val cands = rows.repartition(parts)
+        .agg(graft.expressions.mg_candidates(col("v"), cap))
+        .head.getSeq[String](0).toSet
+      assert(cands.size <= cap, s"state exceeded capacity: ${cands.size}")
+      assert(must.subsetOf(cands),
+        s"parts=$parts lost guaranteed heavy hitters: ${must -- cands}")
+    }
+  }
+
+  test("Misra-Gries is exact (all keys kept) when capacity covers the key space") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => s"k${i % 40}").toDF("v")
+    val cands = rows.repartition(9)
+      .agg(graft.expressions.mg_candidates(col("v"), 64))
+      .head.getSeq[String](0)
+    assert(cands.sorted == cands, "candidate array must be ascending-sorted")
+    assert(cands.toSet == (0 until 40).map(i => s"k$i").toSet)
+  }
+
+  test("two-pass heavy hitters: final set is partition-invariant despite sketch slack") {
+    import spark.implicits._
+    // zipf-ish corpus with a 200-key vocab; cap 128 > the 100 the share
+    // filter needs (guarantee N/129 < N/100) yet far below the vocab, so
+    // the sketch carries partition-dependent slack the confirm must prune
+    val rows = (1 to 200).flatMap(i => Seq.fill(1 + 2000 / i)(s"w$i")).toDF("tok")
+    def hh(parts: Int): Set[(String, Long)] = {
+      val t = rows.repartition(parts)
+      val sk = t.agg(graft.expressions.mg_candidates(col("tok"), 128).as("c"),
+        count(lit(1)).as("n"))
+      val cands = sk.select(explode(col("c")).as("tok"), col("n"))
+      t.join(broadcast(cands), "tok")
+        .groupBy("tok", "n").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") * 100L > col("n")) // share > 1%
+        .select("tok", "cnt").as[(String, Long)].collect().toSet
+    }
+    val a = hh(1)
+    val b = hh(13)
+    assert(a == b, s"heavy-hitter set must be deterministic: ${a.diff(b)} / ${b.diff(a)}")
+    assert(a.nonEmpty)
+    // cross-check against the exact answer
+    val n = rows.count()
+    val exact = rows.groupBy("tok").count().where(col("count") * 100L > n)
+      .as[(String, Long)].collect().toSet
+    assert(a == exact, "two-pass result must equal the exact heavy-hitter set")
+  }
+
   test("HLL internals: rank convention and the oracle constant literal") {
     assert(Sketches.hllRank(0L) == 55)
     assert(Sketches.hllRank(1L) == 54)            // 53 leading zeros in 54-bit field
