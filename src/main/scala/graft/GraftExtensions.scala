@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmArray, EwmaArray, Hash60, HllSketchAgg, KmvHashesAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature, MisraGriesAgg}
+import graft.expressions.{BpeTokenCount, CmsSketchAgg, CosineSim, DupBigramFrac, EwmArray, EwmaArray, Hash60, HistSketchAgg, HllSketchAgg, KmvHashesAgg, KmvSketchAgg, LshBandBuckets, MinhashSignature, MisraGriesAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -141,6 +141,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         arity("mg_candidates", exprs, 2)
         MisraGriesAgg(exprs.head, toInt(exprs(1)))
+      }),
+    ("hist_sketch",
+      new ExpressionInfo(classOf[HistSketchAgg].getName, "hist_sketch"),
+      (exprs: Seq[Expression]) => {
+        arity("hist_sketch", exprs, 2)
+        HistSketchAgg(exprs.head, toInt(exprs(1)))
       }))
 
   private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =

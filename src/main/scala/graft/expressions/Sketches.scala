@@ -340,6 +340,65 @@ case class CmsSketchAgg(
     copy(child = newChildren.head)
 }
 
+/** Fixed-width histogram counter aggregate over a precomputed bucket-index
+  * column: `buckets` longs of state, merge = elementwise add (the CMS
+  * discipline applied to equi-width quantile estimation). Callers compute
+  * the bucket index from a broadcast (lo, hi) range store — the two-pass
+  * q_sketch_quantiles shape — and derive p50/p90/p99 from the counts
+  * array with one fold; indices outside [0, buckets) clamp into the edge
+  * buckets so no mass is dropped. Exact integer counts: merge order is
+  * irrelevant and cross-engine replays are bit-exact.
+  */
+case class HistSketchAgg(
+    child: Expression,
+    buckets: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(buckets >= 1, s"hist_sketch needs buckets >= 1, got $buckets")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hist_sketch requires a long bucket-index column, got ${other.simpleString}")
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hist_sketch"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](buckets)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val idx = v.asInstanceOf[Long]
+      val clamped = if (idx < 0L) 0 else if (idx >= buckets) buckets - 1 else idx.toInt
+      buf(clamped) += 1L
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buckets) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = Sketches.serializeLongs(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = Sketches.deserializeLongs(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HistSketchAgg =
+    copy(child = newChildren.head)
+}
+
 /** Misra–Gries heavy-hitter CANDIDATE sketch over a string column: at most
   * `capacity` (key, counter) pairs of state; any key whose true frequency
   * exceeds N / (capacity + 1) is GUARANTEED to survive (Misra & Gries

@@ -139,4 +139,13 @@ package object expressions {
     ensureRegistered(SparkSession.active)
     call_function("mg_candidates", key, lit(capacity))
   }
+
+  /** Fixed-width histogram counter aggregate over a precomputed long
+    * bucket-index column — `buckets` longs of mergeable state (see
+    * [[HistSketchAgg]]); out-of-range indices clamp into the edges.
+    */
+  def hist_sketch(bucketIdx: Column, buckets: Int): Column = {
+    ensureRegistered(SparkSession.active)
+    call_function("hist_sketch", bucketIdx, lit(buckets))
+  }
 }

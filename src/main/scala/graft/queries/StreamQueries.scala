@@ -175,6 +175,29 @@ object StreamQueries {
         col("n"), col("psi"), col("drift"))
     }),
 
+    // Streaming windowed quantiles: raw events replayed through
+    // quantileMeter — per-(event_type, hour) p50/p90/p99 from a 512-long
+    // histogram-counter state against the batch-fit (lo, hi) range store
+    // (the q_sketch_quantiles two-pass shape with pass 1 served from the
+    // store). Exact integer bucket counts make the replay bit-exact; the
+    // oracle recomputes every window's bucketed quantiles relationally.
+    "q_stream_quantiles" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val rng = ev.groupBy("event_type").agg(min("value").as("lo"), max("value").as("hi"))
+      val feed = ev.select("event_type", "ts", "value").orderBy("ts", "event_id").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val sentinel = Point("zz_watermark_sentinel",
+        new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0.0)
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem,
+        StreamingDetectors.quantileMeter(mem.toDF(), localize(s, rng), buckets = 512),
+        sink("quant"), feed, tail = Seq(sentinel))
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+        col("n"), col("p50_est"), col("p90_est"), col("p99_est"))
+    }),
+
     // Adjusted-EWMA tracker as a stream: the hourly series replayed
     // through ewmaTracker (num/den recursion in 16 B of keyed state);
     // every point's level, deviation and flag is emitted, and the oracle
@@ -791,6 +814,33 @@ object StreamQueries {
         |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
         |  sum(length(text))::BIGINT AS n_chars
         |FROM clocked GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_quantiles" ->
+      """WITH rng AS (SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY 1),
+        |bk AS (SELECT e.event_type,
+        |         (epoch_us(e.ts) // 1000000 // 3600) * 3600 AS ts_s,
+        |         CASE WHEN hi = lo THEN 0
+        |              ELSE least(floor((e.value - lo) * 512.0 / (hi - lo)), 511.0::DOUBLE)::BIGINT
+        |         END AS bucket
+        |       FROM events e JOIN rng USING (event_type)),
+        |bc AS (SELECT event_type, ts_s, bucket, count(*)::BIGINT AS c FROM bk GROUP BY 1, 2, 3),
+        |nn AS (SELECT event_type, ts_s, sum(c)::BIGINT AS n FROM bc GROUP BY 1, 2),
+        |cm AS (SELECT event_type, ts_s, bucket,
+        |         (sum(c) OVER (PARTITION BY event_type, ts_s ORDER BY bucket))::BIGINT AS cum
+        |       FROM bc),
+        |qb AS (SELECT c.event_type, c.ts_s, max(nn.n) AS n, max(r.lo) AS lo, max(r.hi) AS hi,
+        |         min(CASE WHEN cum >= 0.5::DOUBLE * nn.n THEN bucket END) AS b50,
+        |         min(CASE WHEN cum >= 0.9::DOUBLE * nn.n THEN bucket END) AS b90,
+        |         min(CASE WHEN cum >= 0.99::DOUBLE * nn.n THEN bucket END) AS b99
+        |       FROM cm c
+        |       JOIN nn ON c.event_type = nn.event_type AND c.ts_s = nn.ts_s
+        |       JOIN rng r ON c.event_type = r.event_type
+        |       GROUP BY 1, 2)
+        |SELECT event_type, ts_s, n,
+        |  round(lo + (b50 + 0.5::DOUBLE) * ((hi - lo) / 512.0), 6) AS p50_est,
+        |  round(lo + (b90 + 0.5::DOUBLE) * ((hi - lo) / 512.0), 6) AS p90_est,
+        |  round(lo + (b99 + 0.5::DOUBLE) * ((hi - lo) / 512.0), 6) AS p99_est
+        |FROM qb""".stripMargin,
 
     "q_stream_topk" ->
       """WITH tok AS (SELECT ((1704067200 + doc_id * 60) // 3600) * 3600 AS ts_s,

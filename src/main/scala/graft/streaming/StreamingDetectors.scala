@@ -83,6 +83,56 @@ object StreamingDetectors {
         count(lit(1)).as("n_tokens"))
       .select(col("window.start").as("ts"), col("cands"), col("n_tokens"))
 
+  /** Streaming windowed quantiles: per-(key, window) p50/p90/p99 latency
+    * estimates from a fixed-width histogram sketch — the q_sketch_quantiles
+    * two-pass shape with the range pass served from a store. Each value
+    * buckets map-side against the broadcast (key, lo, hi) range relation
+    * (fit batch-side, the psiMonitor store discipline), the window
+    * aggregates `buckets` longs of mergeable counter state
+    * (expressions/Sketches.scala HistSketchAgg — exact streaming
+    * quantiles would hold or sort every value), and the closed window
+    * folds its counts array once into the three bucket indices. Estimator
+    * math is the batch operator's verbatim: midpoint of the first bucket
+    * whose cumulative count reaches q·n, error ≤ range/buckets.
+    */
+  def quantileMeter(stream: DataFrame, ranges: DataFrame, buckets: Int = 512,
+                    every: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val b = buckets
+    val bucket =
+      when(col("hi") === col("lo"), lit(0L)).otherwise(
+        least(floor((col("value") - col("lo")) * b.toDouble / (col("hi") - col("lo"))), lit(b - 1.0))
+          .cast("long"))
+    val agged = stream.withWatermark("ts", watermark)
+      .join(broadcast(ranges), Seq("event_type"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("event_type"), window(col("ts"), every))
+      .agg(graft.expressions.hist_sketch(col("bucket"), b).as("cnts"),
+        count(lit(1)).as("n"), first("lo").as("lo"), first("hi").as("hi"))
+    // one fold over the counts array: running cum + first bucket index
+    // reaching q·n for each of the three quantiles (−1 = not yet seen)
+    val init = struct(lit(0L).as("i"), lit(0L).as("cum"),
+      lit(-1L).as("b50"), lit(-1L).as("b90"), lit(-1L).as("b99"))
+    def step(acc: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) = {
+      val i = acc.getField("i")
+      val cum2 = acc.getField("cum") + x
+      def pick(prev: org.apache.spark.sql.Column, q: Double) =
+        when(prev >= 0, prev)
+          .otherwise(when(cum2.cast("double") >= lit(q) * col("n"), i).otherwise(lit(-1L)))
+      struct((i + 1L).as("i"), cum2.as("cum"),
+        pick(acc.getField("b50"), 0.5).as("b50"),
+        pick(acc.getField("b90"), 0.9).as("b90"),
+        pick(acc.getField("b99"), 0.99).as("b99"))
+    }
+    def est(bIdx: org.apache.spark.sql.Column) =
+      round(col("lo") + (bIdx.cast("double") + 0.5) * ((col("hi") - col("lo")) / b.toDouble), 6)
+    agged
+      .withColumn("qb", aggregate(col("cnts"), init, step))
+      .select(col("event_type"), col("window.start").as("ts"), col("n"),
+        est(col("qb.b50")).as("p50_est"),
+        est(col("qb.b90")).as("p90_est"),
+        est(col("qb.b99")).as("p99_est"))
+  }
+
   /** Streaming error-budget burn monitor — the q_burn_rate twin. The
     * trailing-6 h error share comes from ONE sliding-window aggregation
     * (6 h duration, 1 h slide): each event lands in six open windows,

@@ -192,6 +192,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == exact, "two-pass result must equal the exact heavy-hitter set")
   }
 
+  test("hist_sketch: merge-invariant, mass-conserving, edge-clamping") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => (i % 37).toLong).toDF("b")
+    def run(parts: Int): Seq[Long] =
+      rows.repartition(parts).agg(graft.expressions.hist_sketch(col("b"), 64))
+        .head.getSeq[Long](0)
+    val c1 = run(1)
+    val c11 = run(11)
+    assert(c1 == c11, "hist_sketch not merge-invariant")
+    assert(c1.length == 64 && c1.sum == 1000L, s"mass not conserved: ${c1.sum}")
+    // out-of-range indices clamp into the edges, never drop
+    val clamped = Seq(-5L, -1L, 64L, 99L).toDF("b")
+      .agg(graft.expressions.hist_sketch(col("b"), 64)).head.getSeq[Long](0)
+    assert(clamped.head == 2L && clamped.last == 2L && clamped.sum == 4L)
+  }
+
   test("HLL internals: rank convention and the oracle constant literal") {
     assert(Sketches.hllRank(0L) == 55)
     assert(Sketches.hllRank(1L) == 54)            // 53 leading zeros in 54-bit field

@@ -140,6 +140,47 @@ class StreamingRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"restarted alarms ${restarted.size} != uninterrupted ${expected.size}")
   }
 
+  test("windowed histogram state survives a restart: one window's counters span the kill") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    def ts(i: Int) = new Timestamp(t0 + i * 1000L) // all 200 points inside ONE hour window
+    val pts = (0 until 200).map(i => Point("a", ts(i), (i % 100).toDouble))
+    val ranges = Seq(("a", 0.0, 99.0)).toDF("event_type", "lo", "hi")
+    val srcDir = tmp("qm_src"); val outDir = tmp("qm_out"); val ckpt = tmp("qm_ckpt")
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def runToCompletion(): Unit = {
+      val q = StreamingDetectors.quantileMeter(
+          spark.readStream.schema(schema).parquet(srcDir), ranges, buckets = 512)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    pts.take(120).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion() // killed with the window OPEN: its counters live only in the state store
+    assert(spark.read.parquet(outDir).count() == 0, "window must still be open at the kill")
+    val sentinel = Point("zz_watermark_sentinel", new Timestamp(t0 + 365L * 24 * 3600 * 1000), 0.0)
+    (pts.drop(120) :+ sentinel).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion() // restart: the window closes with pre- AND post-kill mass
+
+    // expected: the operator's own estimator math on the full 200 points
+    def estOf(q: Double): Double = {
+      val counts = Array.fill(512)(0L)
+      pts.foreach(p => counts(math.min(math.floor(p.value * 512.0 / 99.0), 511.0).toInt) += 1)
+      var cum = 0L
+      val b = counts.indices.find { i => cum += counts(i); cum.toDouble >= q * 200L }.get
+      BigDecimal(0.0 + (b + 0.5) * (99.0 / 512.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = spark.read.parquet(outDir).collect()
+    assert(rows.length == 1, s"exactly one closed window expected, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[Long]("n") == 200L, s"restart lost window mass: n=${r.getAs[Long]("n")}")
+    assert(r.getAs[Double]("p50_est") == estOf(0.5), "p50 mismatch after restart")
+    assert(r.getAs[Double]("p90_est") == estOf(0.9), "p90 mismatch after restart")
+    assert(r.getAs[Double]("p99_est") == estOf(0.99), "p99 mismatch after restart")
+  }
+
   test("SPC ring-buffer state survives a restart: run rules fire across the kill boundary") {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type").orderBy("ts")
