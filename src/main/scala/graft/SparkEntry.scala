@@ -42,7 +42,8 @@ object SparkEntry {
     (HypoQueries.defs, HypoQueries.sql),
     (MixtureQueries.defs, MixtureQueries.sql),
     (GbtQueries.defs, GbtQueries.sql),
-    (StreamQueries.defs, StreamQueries.sql)
+    (StreamQueries.defs, StreamQueries.sql),
+    (StateQueries.defs, StateQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -219,6 +219,28 @@ object StreamQueries {
         col("flagged").cast("int").as("flagged"))
     }),
 
+    // Local-level Kalman filter as a stream: the hourly series replayed
+    // through kalmanTracker (level/variance/SSE recursion in 32 B of
+    // keyed state) — the streaming twin of q_kalman_level, emitting
+    // every point's filtered level, posterior variance and scale-free
+    // anomaly flag. The oracle replays the IDENTICAL recursion in a
+    // recursive CTE; five feed chunks mean four state handoffs across
+    // microbatch boundaries are inside the certified surface.
+    "q_stream_kalman" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = Tables.hourlyEvents(s, dir).drop("n")
+        .orderBy("ts", "event_type").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem,
+        StreamingDetectors.kalmanTracker(mem.toDS()).toDF(),
+        sink("kalman"), feed)
+      t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+        round(col("level"), 6).as("level"), round(col("pvar"), 6).as("pvar"),
+        col("flagged").cast("int").as("flagged"))
+    }),
+
     // Ingest token meter as a stream: per-(source, hour) doc/token/byte
     // telemetry over the documents corpus with a deterministic synthetic
     // arrival clock (one doc per minute by doc_id — documents carry no
@@ -806,6 +828,28 @@ object StreamQueries {
          |  CASE WHEN i >= 6 AND (CASE WHEN num / den <> 0
          |         THEN abs(value - num / den) / abs(num / den) ELSE 0.0E0 END) > 0.5E0
          |       THEN 1 ELSE 0 END AS flagged
+         |FROM rec""".stripMargin,
+
+    "q_stream_kalman" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n
+         |        FROM hourly),
+         |rec AS (
+         |  SELECT event_type, 1 AS i, n, ts_s, value,
+         |    value AS l, 10.0::DOUBLE AS p, 0.0::DOUBLE AS ss, 0 AS fl
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.i + 1, r.n, o.ts_s, o.value,
+         |    r.l + ((r.p + 1.0) / ((r.p + 1.0) + 10.0)) * (o.value - r.l),
+         |    (1 - (r.p + 1.0) / ((r.p + 1.0) + 10.0)) * (r.p + 1.0),
+         |    r.ss + (o.value - r.l) * (o.value - r.l),
+         |    CASE WHEN r.i >= 2 AND (o.value - r.l) * (o.value - r.l) > 9.0 * (r.ss / (r.i - 1))
+         |         THEN 1 ELSE 0 END
+         |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.i + 1
+         |  WHERE r.i + 1 <= r.n)
+         |SELECT event_type, ts_s, value, round(l, 6) AS level, round(p, 6) AS pvar, fl AS flagged
          |FROM rec""".stripMargin,
 
     "q_stream_token_meter" ->

@@ -128,8 +128,37 @@ object TokenQueries {
     "q_bpe_learn" -> ((s, dir) => {
       import s.implicits._
       learnMerges(s, dir).toDF("merge_rank", "pair", "merged", "pair_count")
+    }),
+
+    // ── Out-of-vocabulary audit: fix the tokenizer vocabulary as the
+    // corpus' top-2000 word types (count desc, token asc — an exact
+    // integer decision) and measure, per source, the token and type
+    // share that falls outside it. The drift screen run before/after a
+    // new crawl lands: a source whose OOV rate jumps is shifting
+    // vocabulary and will inflate tokenizer fertility. Shapes: one
+    // vocab-sized count aggregation, TakeOrderedAndProject top-K (never
+    // a global sort), the 2000-row vocab broadcast onto the
+    // (source, type) relation — no shuffle scales with corpus tokens
+    // beyond the two count aggregations. ──
+    "q_oov_rate" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(OovVocab)
+        .select(col("w"), lit(1).as("in_v"))
+      toks.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L))).as("oov_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("in_v").isNull, lit(1L)).otherwise(lit(0L))).as("oov_types"))
+        .withColumn("oov_rate", round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+        .withColumn("oov_type_rate", round(col("oov_types").cast("double") / col("n_types"), 6))
     })
   )
+
+  /** Vocabulary size fixed by q_oov_rate. */
+  private val OovVocab = 2000
 
   /** The BPE learning loop shared by q_bpe_learn / q_bpe_encode:
     * (merge_rank, pair, merged, pair_count) for BpeRounds rounds.
@@ -198,6 +227,20 @@ object TokenQueries {
   }
 
   val sql: Map[String, String] = Map(
+    "q_oov_rate" ->
+      s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY 1)
+         |          ORDER BY c DESC, w LIMIT $OovVocab),
+         |src AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2)
+         |SELECT source,
+         |  sum(s.c)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN v.w IS NULL THEN s.c ELSE 0 END)::BIGINT AS oov_tokens,
+         |  count(*)::BIGINT AS n_types,
+         |  sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_types,
+         |  round(sum(CASE WHEN v.w IS NULL THEN s.c ELSE 0 END)::DOUBLE / sum(s.c), 6) AS oov_rate,
+         |  round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_type_rate
+         |FROM src s LEFT JOIN vocab v ON s.w = v.w GROUP BY 1""".stripMargin,
+
     "q_mix_weights" ->
       """WITH per AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
         |             FROM documents GROUP BY 1),

@@ -248,6 +248,45 @@ object StreamingDetectors {
                        ewma: Double, deviation: Double, flagged: Boolean)
   case class EwmaState(num: Double, den: Double, n: Long)
 
+  case class KalmanPoint(event_type: String, ts: java.sql.Timestamp, value: Double,
+                         level: Double, pvar: Double, flagged: Boolean)
+  case class KalmanState(l: Double, p: Double, ss: Double, n: Long)
+
+  /** Stateful local-level Kalman filter per series — the streaming twin
+    * of q_kalman_level (StateQueries): 32 B of keyed state carries
+    * (level, variance, innovation SSE, count); each point is emitted with
+    * its filtered level and a scale-free anomaly flag (innovation beyond
+    * 3× its own running RMS). The recursion is IDENTICAL to the batch
+    * kernel, so the final state equals q_kalman_level's output bit for
+    * bit across any microbatch partitioning.
+    */
+  def kalmanTracker(points: Dataset[Point], q: Double = 1.0, r: Double = 10.0): Dataset[KalmanPoint] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Point], state: GroupState[KalmanState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[KalmanPoint]
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(_.ts.getTime).foreach { pt =>
+            if (st == null) {
+              st = KalmanState(pt.value, r, 0.0, 1L)
+              out += KalmanPoint(key, pt.ts, pt.value, st.l, st.p, flagged = false)
+            } else {
+              val ppred = st.p + q
+              val k = ppred / (ppred + r)
+              val innov = pt.value - st.l
+              // prior innovations = n - 1; flag needs at least one
+              val fl = st.n >= 2 && innov * innov > 9.0 * (st.ss / (st.n - 1))
+              st = KalmanState(st.l + k * innov, (1 - k) * ppred,
+                st.ss + innov * innov, st.n + 1)
+              out += KalmanPoint(key, pt.ts, pt.value, st.l, st.p, fl)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming twin of Dedup.exact: md5
     * content fingerprint + dropDuplicatesWithinWatermark, so the state
     * store only retains fingerprints inside the watermark horizon
