@@ -43,7 +43,8 @@ object SparkEntry {
     (MixtureQueries.defs, MixtureQueries.sql),
     (GbtQueries.defs, GbtQueries.sql),
     (StreamQueries.defs, StreamQueries.sql),
-    (StateQueries.defs, StateQueries.sql)
+    (StateQueries.defs, StateQueries.sql),
+    (BizQueries.defs, BizQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Business/ops analytics over the relational (TPC-H-shaped) tables —
+  * the queries a production deployment runs against the same warehouse
+  * the time-series operators read:
+  *
+  *  - `q_kaplan_meier` — Kaplan-Meier survival curve for time-to-first-
+  *    purchase (right-censored at a fixed observation cutoff): the
+  *    conversion-analysis estimator behind "how long until users
+  *    convert", with genuine censoring (users who never purchase inside
+  *    the window). Shapes: one user-keyed aggregation (the scale axis),
+  *    a ≤#days-row
+  *    day table, and the KM product as a one-row sequential kernel the
+  *    oracle replays as a recursive CTE — survival factors multiply in
+  *    the identical order in both engines.
+  *  - `q_elasticity` — log-log price elasticity of demand per part
+  *    brand: OLS of ln(quantity) on ln(effective unit price) via
+  *    closed-form moment aggregates (slope snapped to 6 dp before the
+  *    intercept uses it, the cointegration discipline). One
+  *    partkey-keyed dim join + one brand-keyed aggregate.
+  *  - `q_leadtime` — order→ship lead-time distribution per order
+  *    priority with EXACT p50/p90/p99 computed by value-domain counting:
+  *    lead times are small integer day counts, so the quantile is a
+  *    cumulative-count lookup over a ≤(priorities × days)-row frame —
+  *    never a per-group sort (the shape that survives a 100 TB lineitem
+  *    where a sort-based percentile would put 1/5 of the table in one
+  *    partition). All-integer math until the final mean division.
+  */
+object BizQueries {
+
+  /** Observation window (days from the first event in the stream): users
+    * without a purchase inside it are right-censored at the cutoff. */
+  private val ObsWindowDays = 5
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_kaplan_meier" -> ((s, dir) => {
+      val ev0 = Tables.events(s, dir)
+      val cut = ev0.agg(date_add(to_date(min(col("ts"))), ObsWindowDays).as("cut"))
+      val ev = ev0.crossJoin(broadcast(cut)).where(to_date(col("ts")) < col("cut"))
+      val users = ev.groupBy("user_id").agg(
+        to_date(min(col("ts"))).as("t0"),
+        to_date(min(when(col("event_type") === "purchase", col("ts")))).as("tp"),
+        first("cut").as("cut"))
+        .select(
+          when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+            .otherwise(datediff(col("cut"), col("t0"))).as("life_days"),
+          col("tp").isNull.as("censored"))
+      val total = users.agg(count(lit(1)).as("n_users"))
+      val byDay = users.groupBy("life_days").agg(
+        count(lit(1)).as("n_all"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churn"))
+      // non-foldable constant partition key (PlanSpec discipline) over the
+      // <=#distinct-days-row frame
+      val wCum = Window.partitionBy(substring(col("life_days").cast("string"), 1, 0))
+        .orderBy("life_days").rowsBetween(Window.unboundedPreceding, -1)
+      val steps = byDay.crossJoin(broadcast(total))
+        .withColumn("at_risk", col("n_users") - coalesce(sum("n_all").over(wCum), lit(0L)))
+        .where(col("n_churn") > 0)
+      val survFn = udf { (risk: Seq[Long], churn: Seq[Long]) =>
+        var p = 1.0
+        risk.zip(churn).map { case (r, c) => p *= (1.0 - c.toDouble / r); p }
+      }
+      steps
+        .agg(sort_array(collect_list(struct(col("life_days"), col("at_risk"), col("n_churn")))).as("st"))
+        .select(col("st.life_days").as("ds"), col("st.at_risk").as("rs"), col("st.n_churn").as("cs"))
+        .withColumn("surv", survFn(col("rs"), col("cs")))
+        .select(explode(arrays_zip(col("ds"), col("rs"), col("cs"), col("surv"))).as("z"))
+        .select(col("z.ds").as("life_days"), col("z.rs").as("at_risk"),
+          col("z.cs").as("churned"), round(col("z.surv"), 6).as("surv"))
+    }),
+
+    "q_elasticity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      val pt = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val pts = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          log(col("l_quantity")).as("ly"),
+          log(col("l_extendedprice") / col("l_quantity") * (lit(1.0) - col("l_discount"))).as("lx"))
+      pts.groupBy("p_brand").agg(
+        count(lit(1)).as("n_lines"),
+        sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("ly") * col("ly")).as("syy"))
+        .withColumn("elasticity", round((col("n_lines") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_lines") * col("sxx") - col("sx") * col("sx")), 6))
+        .withColumn("intercept",
+          round((col("sy") - col("elasticity") * col("sx")) / col("n_lines"), 6))
+        .withColumn("r2", round(
+          pow(col("n_lines") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n_lines") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_lines") * col("syy") - col("sy") * col("sy"))), 6))
+        .select("p_brand", "n_lines", "elasticity", "intercept", "r2")
+    }),
+
+    "q_leadtime" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val days = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("days"))
+      val cnt = days.groupBy("o_orderpriority", "days").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("o_orderpriority")
+        .orderBy("days").rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("o_orderpriority")
+      def pos(p: Int) = expr(s"(n - 1) * $p div 100 + 1")
+      cnt
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .withColumn("dsum", sum(col("days") * col("c")).over(wAll))
+        .groupBy("o_orderpriority").agg(
+          first("n").as("n_lines"),
+          round(first("dsum").cast("double") / first("n"), 6).as("mean_days"),
+          min(when(col("cum") >= pos(50), col("days"))).as("p50"),
+          min(when(col("cum") >= pos(90), col("days"))).as("p90"),
+          min(when(col("cum") >= pos(99), col("days"))).as("p99"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "q_kaplan_meier" ->
+      s"""WITH RECURSIVE c AS (
+         |  SELECT (min(ts)::DATE + INTERVAL $ObsWindowDays DAY)::DATE AS cut FROM events),
+         |ev AS (SELECT e.user_id, e.event_type, e.ts, c.cut FROM events e, c
+         |       WHERE e.ts::DATE < c.cut),
+         |u0 AS (SELECT user_id, min(ts)::DATE AS t0,
+         |         min(CASE WHEN event_type = 'purchase' THEN ts END)::DATE AS tp,
+         |         any_value(cut) AS cut
+         |       FROM ev GROUP BY 1),
+         |u AS (SELECT CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+         |               ELSE date_diff('day', t0, cut) END AS life_days,
+         |             tp IS NULL AS censored
+         |      FROM u0),
+         |d AS (SELECT life_days, count(*) AS n_all,
+         |        sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS n_churn
+         |      FROM u GROUP BY 1),
+         |o AS (SELECT *, (SELECT count(*) FROM u)
+         |        - coalesce(sum(n_all) OVER (ORDER BY life_days
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+         |      FROM d),
+         |steps AS (SELECT row_number() OVER (ORDER BY life_days) AS i,
+         |            life_days, at_risk, n_churn
+         |          FROM o WHERE n_churn > 0),
+         |rec AS (
+         |  SELECT i, life_days, at_risk, n_churn,
+         |         1.0 * (1 - n_churn::DOUBLE / at_risk) AS surv
+         |  FROM steps WHERE i = 1
+         |  UNION ALL
+         |  SELECT s.i, s.life_days, s.at_risk, s.n_churn,
+         |         r.surv * (1 - s.n_churn::DOUBLE / s.at_risk)
+         |  FROM rec r JOIN steps s ON s.i = r.i + 1)
+         |SELECT life_days::INT AS life_days, at_risk::BIGINT AS at_risk,
+         |  n_churn::BIGINT AS churned, round(surv, 6) AS surv
+         |FROM rec""".stripMargin,
+
+    "q_elasticity" ->
+      """WITH pts AS (
+        |  SELECT p.p_brand, ln(l.l_quantity) AS ly,
+        |         ln(l.l_extendedprice / l.l_quantity * (1.0 - l.l_discount)) AS lx
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+        |m AS (SELECT p_brand, count(*) AS n_lines, sum(lx) AS sx, sum(ly) AS sy,
+        |        sum(lx * lx) AS sxx, sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+        |      FROM pts GROUP BY 1)
+        |SELECT p_brand, n_lines,
+        |  round((n_lines * sxy - sx * sy) / (n_lines * sxx - sx * sx), 6) AS elasticity,
+        |  round((sy - round((n_lines * sxy - sx * sy) / (n_lines * sxx - sx * sx), 6) * sx)
+        |    / n_lines, 6) AS intercept,
+        |  round(pow(n_lines * sxy - sx * sy, 2)
+        |    / ((n_lines * sxx - sx * sx) * (n_lines * syy - sy * sy)), 6) AS r2
+        |FROM m""".stripMargin,
+
+    "q_leadtime" ->
+      """WITH d AS (
+        |  SELECT o.o_orderpriority,
+        |         date_diff('day', o.o_orderdate::DATE, l.l_shipdate::DATE) AS days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cnt AS (SELECT o_orderpriority, days, count(*) AS c FROM d GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY o_orderpriority) AS n,
+        |    sum(days * c) OVER (PARTITION BY o_orderpriority) AS dsum
+        |  FROM cnt)
+        |SELECT o_orderpriority, max(n)::BIGINT AS n_lines,
+        |  round(max(dsum)::DOUBLE / max(n), 6) AS mean_days,
+        |  min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN days END)::INT AS p50,
+        |  min(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN days END)::INT AS p90,
+        |  min(CASE WHEN cum >= (n - 1) * 99 // 100 + 1 THEN days END)::INT AS p99
+        |FROM w GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the business-analytics pack (BizQueries): KM curve
+  * monotonicity + risk-set accounting, elasticity moment sanity, and the
+  * value-domain quantile lookup against a literal sort.
+  */
+class BizSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_kaplan_meier: survival is non-increasing in (0,1], risk set shrinks, steps ordered") {
+    val rows = SparkEntry.queries("q_kaplan_meier")(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.nonEmpty)
+    var lastSurv = 1.0
+    var lastRisk = Long.MaxValue
+    rows.foreach { r =>
+      val (risk, churned, surv) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(churned > 0 && churned <= risk)
+      assert(risk <= lastRisk, "risk set must shrink over time")
+      assert(surv > 0.0 - 1e-12 && surv <= lastSurv + 1e-12, "survival must be non-increasing")
+      lastSurv = surv; lastRisk = risk
+    }
+    // first step's survival is exactly 1 - churned/at_risk
+    val h = rows.head
+    assert(math.abs(h.getDouble(3) - (1.0 - h.getLong(2).toDouble / h.getLong(1))) < 1e-6)
+  }
+
+  test("q_elasticity: 25 brands, r2 in [0,1], finite coefficients") {
+    val rows = SparkEntry.queries("q_elasticity")(spark, dir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(!r.getDouble(2).isNaN && !r.getDouble(3).isNaN)
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 out of range")
+    }
+  }
+
+  test("q_leadtime: quantile lookup equals a literal sorted-array percentile") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_leadtime")(spark, dir).collect()
+    assert(rows.length == 5)
+    // recompute one priority's p50/p90/p99 by brute force
+    val pr = rows.head.getString(0)
+    val days = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_orderpriority") === pr)
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))).as("d"))
+      .collect().map(_.getInt(0)).sorted
+    val n = days.length
+    def pct(p: Int) = days(((n - 1) * p) / 100)
+    val r = rows.find(_.getString(0) == pr).get
+    assert(r.getLong(1) == n.toLong)
+    assert(r.getInt(3) == pct(50), s"p50 ${r.getInt(3)} != ${pct(50)}")
+    assert(r.getInt(4) == pct(90), s"p90 ${r.getInt(4)} != ${pct(90)}")
+    assert(r.getInt(5) == pct(99), s"p99 ${r.getInt(5)} != ${pct(99)}")
+    rows.foreach { row =>
+      assert(row.getInt(3) <= row.getInt(4) && row.getInt(4) <= row.getInt(5))
+    }
+  }
+}
