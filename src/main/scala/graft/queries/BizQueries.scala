@@ -99,6 +99,38 @@ object BizQueries {
         .select("p_brand", "n_lines", "elasticity", "intercept", "r2")
     }),
 
+    // U-shaped (position-based) multi-touch attribution: every purchase
+    // credits its user's view/click touches inside a 7-day lookback —
+    // first touch 40%, last touch 40%, middle touches share 20% (1 touch
+    // → 100%, 2 → 50/50). The marketing-analytics staple next to q_funnel
+    // / q_rfm. Shapes: one user-keyed join (range predicate rides the
+    // equi-join as a filter; candidates bounded by per-user 7-day
+    // activity), one purchase-keyed window, one #touch-types aggregate.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts").as("tts"),
+          col("event_type").as("touch_type"), col("event_id").as("tid"))
+      val j = purchases.join(touches, Seq("user_id"))
+        .where(col("tts") <= col("pts") &&
+          col("tts") > col("pts") - expr("INTERVAL 7 DAY"))
+      val w = Window.partitionBy("pid").orderBy(col("tts"), col("tid"))
+      val wc = Window.partitionBy("pid")
+      j.withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(wc))
+        .withColumn("credit",
+          when(col("m") === 1, lit(1.0))
+            .when(col("m") === 2, lit(0.5))
+            .when(col("rn") === 1 || col("rn") === col("m"), lit(0.4))
+            .otherwise(lit(0.2) / (col("m") - 2)))
+        .groupBy("touch_type").agg(
+          count(lit(1)).as("n_touches"),
+          countDistinct("pid").as("purchases_touched"),
+          round(sum("credit"), 6).as("credit"))
+    }),
+
     "q_leadtime" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
       val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -176,6 +208,28 @@ object BizQueries {
         |  round(pow(n_lines * sxy - sx * sy, 2)
         |    / ((n_lines * sxx - sx * sx) * (n_lines * syy - sy * sy)), 6) AS r2
         |FROM m""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
+        |           WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tts, event_type AS touch_type, event_id AS tid
+        |      FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.pid, t.touch_type, t.tts, t.tid
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |      WHERE t.tts <= p.pts AND t.tts > p.pts - INTERVAL 7 DAY),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tts, tid) AS rn,
+        |    count(*) OVER (PARTITION BY pid) AS m
+        |  FROM j),
+        |c AS (SELECT touch_type, pid,
+        |    CASE WHEN m = 1 THEN 1.0E0 WHEN m = 2 THEN 0.5E0
+        |         WHEN rn = 1 OR rn = m THEN 0.4E0
+        |         ELSE 0.2E0 / (m - 2) END AS credit
+        |  FROM r)
+        |SELECT touch_type, count(*)::BIGINT AS n_touches,
+        |  count(DISTINCT pid)::BIGINT AS purchases_touched,
+        |  round(sum(credit), 6) AS credit
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q_leadtime" ->
       """WITH d AS (

@@ -348,6 +348,31 @@ object StreamQueries {
     // replayed, per-(series, hour) sum + count emitted once per closed
     // window — the first aggregation of every streaming pipeline,
     // certified against the plain batch GROUP BY.
+    // OHLC bars as a stream: raw events through watermarked tumbling
+    // windows with min_by/max_by open/close on the (ts, event_id) order —
+    // bar building in flight (a NEW streaming shape: order-sensitive
+    // aggregates inside a windowed agg, no keyed state function). The
+    // oracle is the batch bar builder grouped on the same epoch-hour
+    // windows; the sentinel closes the tail bars.
+    "q_stream_ohlc" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val feed = Tables.events(s, dir).select("event_type", "ts", "event_id", "value")
+        .orderBy("ts", "event_id").collect()
+        .map(r => StreamingDetectors.BarPoint(r.getString(0), r.getTimestamp(1),
+          r.getLong(2), r.getDouble(3))).toSeq
+      val mem = MemoryStream[StreamingDetectors.BarPoint]
+      val sentinel = Seq(StreamingDetectors.BarPoint(Sentinel,
+        new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0L, 0.0))
+      val t = replay(s, mem, StreamingDetectors.ohlcBars(mem.toDF(), every = "1 hour"),
+        sink("ohlc"), feed, tail = sentinel)
+      t.where(col("event_type") =!= Sentinel)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+          round(col("open"), 6).as("open"), round(col("close"), 6).as("close"),
+          round(col("high"), 6).as("high"), round(col("low"), 6).as("low"),
+          col("n_events"), round(col("v_sum"), 6).as("v_sum"))
+    }),
+
     "q_stream_resample" -> ((s, dir) => {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
@@ -900,6 +925,20 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT doc_id FROM documents
         |WHERE text IN (SELECT text FROM documents GROUP BY text HAVING count(*) = 1)""".stripMargin,
+
+    "q_stream_ohlc" ->
+      """WITH r AS (SELECT event_type, (epoch_us(ts)//1000000 // 3600) * 3600 AS ts_s,
+        |    value,
+        |    row_number() OVER (PARTITION BY event_type, epoch_us(ts)//1000000 // 3600
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, epoch_us(ts)//1000000 // 3600) AS cnt
+        |  FROM events)
+        |SELECT event_type, ts_s,
+        |  round(max(CASE WHEN rn = 1 THEN value END), 6) AS open,
+        |  round(max(CASE WHEN rn = cnt THEN value END), 6) AS close,
+        |  round(max(value), 6) AS high, round(min(value), 6) AS low,
+        |  count(*)::BIGINT AS n_events, round(sum(value), 6) AS v_sum
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_stream_resample" ->
       """SELECT event_type, (epoch_us(ts)//1000000 // 3600) * 3600 AS ts_s,

@@ -43,6 +43,28 @@ object StreamingDetectors {
       .agg(sum("value").as("value"), count(lit(1)).as("n"))
       .select(col("event_type"), col("window.start").as("ts"), col("value"), col("n"))
 
+  case class BarPoint(event_type: String, ts: java.sql.Timestamp, event_id: Long, value: Double)
+
+  /** Streaming OHLC + volume bar builder — the in-flight twin of
+    * q_ohlc_bars (BizQueries-adjacent market-data shape): watermarked
+    * tumbling windows; open/close via min_by/max_by on the (ts, event_id)
+    * order, so the bar is deterministic under any arrival order. State is
+    * one row per open (series, window); closed bars emit exactly once in
+    * append mode.
+    */
+  def ohlcBars(stream: DataFrame, every: String = "1 hour",
+               watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), every))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        max("value").as("high"), min("value").as("low"),
+        count(lit(1)).as("n_events"), sum("value").as("v_sum"))
+      .select(col("event_type"), col("window.start").as("ts"),
+        col("open"), col("close"), col("high"), col("low"),
+        col("n_events"), col("v_sum"))
+
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   case class SourcedDoc(doc_id: Long, ts: java.sql.Timestamp, source: String, text: String)
 

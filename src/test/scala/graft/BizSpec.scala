@@ -51,6 +51,37 @@ class BizSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_attribution: credit is conserved — one unit per touched purchase") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_attribution")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getDouble(3)).sum
+    // distinct purchases with >= 1 touch, recomputed independently
+    val ev = Tables.events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val t = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("tts"))
+    val touched = p.join(t, Seq("user_id"))
+      .where(col("tts") <= col("pts") && col("tts") > col("pts") - expr("INTERVAL 7 DAY"))
+      .select("pid").distinct().count()
+    assert(math.abs(totalCredit - touched) < 1e-3,
+      s"total credit $totalCredit != touched purchases $touched")
+  }
+
+  test("q_stream_ohlc: closed streamed bars equal the batch bar builder") {
+    val stream = SparkEntry.queries("q_stream_ohlc")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    val batch = SparkEntry.queries("q_ohlc_bars")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000) -> (r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(stream.nonEmpty && stream.size == batch.size)
+    batch.foreach { case (k, v) =>
+      assert(stream.get(k).contains(v), s"bar $k stream != batch")
+    }
+  }
+
   test("q_leadtime: quantile lookup equals a literal sorted-array percentile") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_leadtime")(spark, dir).collect()
