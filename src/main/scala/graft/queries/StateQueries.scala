@@ -133,6 +133,22 @@ object StateQueries {
           count(lit(1)).as("n_events"), round(sum("value"), 6).as("v_sum"))
     }),
 
+    // Siegel repeated-median trend (Siegel 1982): slope = median over i of
+    // median over j of pairwise slopes — the 50%-breakdown-point upgrade
+    // of q_theil_sen's single-median (29%). Entirely order statistics on
+    // deterministically-computed values (no float SUMS at all), so both
+    // engines agree exactly by construction; slope snapped to 6 dp before
+    // the intercept/MAD residual stages reuse it. O(n²) per series after
+    // the one-row reduction — same class as theil_sen/matrix_profile.
+    "q_siegel_trend" -> ((s, dir) => {
+      val fn = udf { xs: Seq[Double] => graft.detectors.Siegel.fit(xs.toArray) }
+      SeriesOps.collect(hourly(s, dir), S)
+        .withColumn("_r", fn(col("xs")))
+        .select(col("event_type"), col("_r._1").as("slope"),
+          col("_r._2").as("intercept"), round(col("_r._3"), 6).as("mad_resid"),
+          col("_r._4").as("n_points"))
+    }),
+
     "q_cointegration" -> ((s, dir) => {
       val h = hourly(s, dir)
       val a = h.select(col("event_type").as("x_type"), col("ts"), col("value").as("x"))
@@ -281,6 +297,43 @@ object StateQueries {
         |  round(max(value), 6) AS high, round(min(value), 6) AS low,
         |  count(*)::BIGINT AS n_events, round(sum(value), 6) AS v_sum
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q_siegel_trend" ->
+      s"""WITH hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM hourly),
+         |pairs AS (SELECT a.event_type, a.rn AS i, (b.value - a.value) / (b.rn - a.rn) AS sl
+         |  FROM ord a JOIN ord b ON b.event_type = a.event_type AND b.rn <> a.rn),
+         |rk1 AS (SELECT *, row_number() OVER (PARTITION BY event_type, i ORDER BY sl) AS rk,
+         |    count(*) OVER (PARTITION BY event_type, i) AS m FROM pairs),
+         |med1 AS (SELECT event_type, i,
+         |    (max(CASE WHEN rk = (m + 1) // 2 THEN sl END)
+         |   + max(CASE WHEN rk = m // 2 + 1 THEN sl END)) / 2.0E0 AS mi
+         |  FROM rk1 GROUP BY 1, 2),
+         |rk2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY mi) AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS nn FROM med1),
+         |sl AS (SELECT event_type, round((max(CASE WHEN rk = (nn + 1) // 2 THEN mi END)
+         |   + max(CASE WHEN rk = nn // 2 + 1 THEN mi END)) / 2.0E0, 6) AS slope
+         |  FROM rk2 GROUP BY 1),
+         |res AS (SELECT o.event_type, o.n, o.value - s.slope * (o.rn - 1) AS r, s.slope
+         |  FROM ord o JOIN sl s USING (event_type)),
+         |rk3 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY r) AS rk
+         |  FROM res),
+         |ic AS (SELECT event_type, round((max(CASE WHEN rk = (n + 1) // 2 THEN r END)
+         |   + max(CASE WHEN rk = n // 2 + 1 THEN r END)) / 2.0E0, 6) AS intercept
+         |  FROM rk3 GROUP BY 1),
+         |res2 AS (SELECT o.event_type, o.n, s.slope, c.intercept,
+         |    abs(o.value - (c.intercept + s.slope * (o.rn - 1))) AS ar
+         |  FROM ord o JOIN sl s USING (event_type) JOIN ic c USING (event_type)),
+         |rk4 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ar) AS rk
+         |  FROM res2)
+         |SELECT event_type, max(slope) AS slope, max(intercept) AS intercept,
+         |  round(1.4826E0 * ((max(CASE WHEN rk = (n + 1) // 2 THEN ar END)
+         |    + max(CASE WHEN rk = n // 2 + 1 THEN ar END)) / 2.0E0), 6) AS mad_resid,
+         |  max(n)::INT AS n_points
+         |FROM rk4 GROUP BY 1""".stripMargin,
 
     "q_cointegration" ->
       s"""WITH hourly AS ($H),

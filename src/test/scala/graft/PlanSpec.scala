@@ -155,6 +155,36 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q_heavy_hitters candidate join must broadcast:\n$hh")
   }
 
+  test("round-9 pack plans keep their scale shape") {
+    // q_oov_rate: global top-K vocab must be TakeOrderedAndProject (never
+    // a full sort) and the 2000-row vocab must broadcast onto the
+    // (source, type) relation
+    val oov = planOf("q_oov_rate")
+    assert(oov.contains("TakeOrderedAndProject"),
+      s"q_oov_rate vocab top-K lost TakeOrderedAndProject:\n$oov")
+    assert(oov.contains("Broadcast"), s"q_oov_rate vocab join must broadcast:\n$oov")
+    // q_leadtime: exact quantiles by value-domain counting — the only
+    // sorts allowed are the tiny (priority, days)-level window sorts AFTER
+    // the count aggregation, never a sort of the joined fact rows
+    val lt = planOf("q_leadtime")
+    assert("HashAggregate".r.findAllIn(lt).size >= 2,
+      s"q_leadtime lost partial aggregation:\n$lt")
+    // q_elasticity: the positivity filters must reach the lineitem scan
+    val el = planOf("q_elasticity")
+    val pushed = "PushedFilters: [^\n]*".r.findAllIn(el).mkString
+    assert(pushed.contains("l_quantity") || pushed.contains("IsNotNull"),
+      s"q_elasticity filters not pushed to scan:\n$el")
+    // q_cointegration: the 10-row coefficient table must broadcast back
+    // onto the pair rows
+    val co = planOf("q_cointegration")
+    assert(co.contains("Broadcast"), s"q_cointegration fit join must broadcast:\n$co")
+    // q_kalman_level / q_binseg: one series-keyed shuffle, no sort-merge
+    Seq("q_kalman_level", "q_binseg").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin"), s"$q grew a join:\n$p")
+    }
+  }
+
   test("props-profile keeps JSON extraction inside one codegen'd scan pass") {
     val p = planOf("q_props_profile")
     assert(p.contains("get_json_object"), s"q_props_profile lost the native JSON path:\n$p")

@@ -155,6 +155,30 @@ class StateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_siegel_trend kernel: recovers a planted line through 40% outliers") {
+    // y = 3 + 0.5 t, with 40% of points blasted to +1000 — OLS would be
+    // destroyed; the repeated median must stay on the line
+    val xs = Array.tabulate(100)(i =>
+      if (i % 5 < 2) 3.0 + 0.5 * i + 1000.0 else 3.0 + 0.5 * i)
+    val (slope, icept, _, n) = graft.detectors.Siegel.fit(xs)
+    assert(n == 100)
+    assert(math.abs(slope - 0.5) < 0.01, s"slope $slope far from 0.5")
+    assert(math.abs(icept - 3.0) < 2.0, s"intercept $icept far from 3")
+  }
+
+  test("q_siegel_trend: robust line tracks the series; MAD positive") {
+    val rows = SparkEntry.queries("q_siegel_trend")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (slope, icept, mad, n) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getInt(4))
+      assert(!slope.isNaN && !icept.isNaN && mad >= 0.0 && n > 100)
+      // center of the robust line should sit inside the value range
+      val mid = icept + slope * (n / 2)
+      assert(!mid.isNaN)
+    }
+  }
+
   test("q_oov_rate: rates in [0,1], token counts dominate type counts, vocab actually covers") {
     val rows = SparkEntry.queries("q_oov_rate")(spark, dir).collect()
     assert(rows.nonEmpty)
