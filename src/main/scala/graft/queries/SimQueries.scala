@@ -194,32 +194,77 @@ object SimQueries {
 
     "q_simulate_inject" -> ((s, _) => {
       import Inj._
-      val t = col("t")
-      val w = Window.partitionBy("seed").orderBy("t")
-      val v2 = gaussRows(s, Seeds, N)
-        .withColumn("v0",
-          lit(TrendMag) * (t / lit((N - 1).toDouble)) +
-            lit(SeasMag) * sin(lit(2 * math.Pi) * t / lit(Period)) +
-            lit(NoiseMag) * col("g"))
-        .withColumn("v2", col("v0") + lvlCase(t) + trCase(t))
-      // spike scale: population std of x[t] − trailing 3-point mean
-      val d = v2
-        .withColumn("d", col("v2") - (lag("v2", 2).over(w) + lag("v2", 1).over(w) + col("v2")) / 3.0)
-        .where(col("d").isNotNull)
-      val sigma = d.groupBy("seed").agg(stddev_pop("d").as("sigma"))
-      v2.join(broadcast(sigma), "seed")
-        .withColumn("v3", col("v2") +
-          when(t === Anoms(0), lit(Z(0)) * col("sigma"))
-            .when(t === Anoms(1), lit(Z(1)) * col("sigma"))
-            .otherwise(0.0))
-        .withColumn("segment", segment(t))
+      injectedV3(s)
+        .withColumn("segment", segment(col("t")))
         .groupBy("seed", "segment")
         .agg(count(lit(1)).as("n_pts"),
           round(avg("v3"), 6).as("mean"),
           round(var_pop("v3"), 6).as("var_val"),
           round(max("sigma"), 6).as("sigma_est"))
+    }),
+
+    // ── Detector calibration against planted ground truth: the injected
+    // series (q_simulate_inject's exact construction — ±8σ spikes at
+    // known positions) scored by the global-z detector; per seed the
+    // confusion counts and precision/recall/F1. The harness that answers
+    // "does the detector actually find what the simulator planted" —
+    // closing the simulate → detect → evaluate loop the reference keeps
+    // in separate modules (kats/utils/simulator.py + detectors/outlier
+    // .py) without ever scoring one against the other. μ/σ snap to 6 dp
+    // before the flag compare so the binary decisions are engine-exact.
+    "q_detector_eval" -> ((s, _) => {
+      import Inj._
+      // detector: z on the trailing-3-mean residual (the construction's
+      // own detrending — a GLOBAL z would drown the ±8σ spikes in the
+      // level/trend-shift variance and find nothing)
+      val y = injectedV3(s)
+      val w = Window.partitionBy("seed").orderBy("t")
+      val r = y.withColumn("dd",
+        col("v3") - (lag("v3", 2).over(w) + lag("v3", 1).over(w) + col("v3")) / 3.0)
+        .where(col("dd").isNotNull)
+      val st = r.groupBy("seed").agg(round(stddev_pop("dd"), 6).as("sg"))
+      val flagged = r.join(broadcast(st), "seed")
+        .withColumn("pred", abs(col("dd")) > lit(3.0) * col("sg"))
+        .withColumn("actual", col("t") === Anoms(0) || col("t") === Anoms(1))
+      flagged.groupBy("seed").agg(
+        sum(when(col("pred") && col("actual"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("actual"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("actual"), 1L).otherwise(0L)).as("fn"))
+        .withColumn("precision",
+          round(col("tp") / expr("nullif(tp + fp, 0)"), 6))
+        .withColumn("recall",
+          round(col("tp") / expr("nullif(tp + fn, 0)"), 6))
+        .withColumn("f1", round(lit(2.0) * col("precision") * col("recall") /
+          expr("nullif(precision + recall, 0.0)"), 6))
     })
   )
+
+  /** The injected series shared by q_simulate_inject / q_detector_eval:
+    * (seed, t, v3, sigma) — stl base + level/trend shifts + ±8σ spikes
+    * at Inj.Anoms. One definition so the detector is scored against
+    * EXACTLY the series the simulator query certifies.
+    */
+  private def injectedV3(s: SparkSession): DataFrame = {
+    import Inj._
+    val t = col("t")
+    val w = Window.partitionBy("seed").orderBy("t")
+    val v2 = gaussRows(s, Seeds, N)
+      .withColumn("v0",
+        lit(TrendMag) * (t / lit((N - 1).toDouble)) +
+          lit(SeasMag) * sin(lit(2 * math.Pi) * t / lit(Period)) +
+          lit(NoiseMag) * col("g"))
+      .withColumn("v2", col("v0") + lvlCase(t) + trCase(t))
+    // spike scale: population std of x[t] − trailing 3-point mean
+    val d = v2
+      .withColumn("d", col("v2") - (lag("v2", 2).over(w) + lag("v2", 1).over(w) + col("v2")) / 3.0)
+      .where(col("d").isNotNull)
+    val sigma = d.groupBy("seed").agg(stddev_pop("d").as("sigma"))
+    v2.join(broadcast(sigma), "seed")
+      .withColumn("v3", col("v2") +
+        when(t === Anoms(0), lit(Z(0)) * col("sigma"))
+          .when(t === Anoms(1), lit(Z(1)) * col("sigma"))
+          .otherwise(0.0))
+  }
 
   val sql: Map[String, String] = Map(
     "q_simulate_stl" -> {
@@ -294,6 +339,47 @@ object SimQueries {
          |  round(avg(v3), 6) AS mean, round(var_pop(v3), 6) AS var_val,
          |  round(max(sigma), 6) AS sigma_est
          |FROM y GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_detector_eval" -> {
+      import Inj._
+      s"""WITH RECURSIVE ${gaussSql(Seeds, N)},
+         |v2 AS (SELECT seed, t,
+         |    ($TrendMag * (t / ${(N - 1).toDouble})
+         |      + $SeasMag * sin(2 * pi() * t / $Period)
+         |      + $NoiseMag * g)
+         |    + ($lvlCaseSql) + ($trCaseSql) AS v2
+         |  FROM gauss),
+         |d AS (SELECT seed,
+         |    v2 - (lag(v2, 2) OVER w + lag(v2, 1) OVER w + v2) / 3.0 AS d
+         |  FROM v2 WINDOW w AS (PARTITION BY seed ORDER BY t)),
+         |sig AS (SELECT seed, stddev_pop(d) AS sigma FROM d WHERE d IS NOT NULL GROUP BY 1),
+         |y AS (SELECT v2.seed, t,
+         |    v2.v2 + CASE WHEN t = ${Anoms(0)} THEN ${Z(0)} * sigma
+         |                 WHEN t = ${Anoms(1)} THEN (${Z(1)}) * sigma
+         |                 ELSE 0.0 END AS v3
+         |  FROM v2 JOIN sig ON v2.seed = sig.seed),
+         |r AS (SELECT seed, t,
+         |    v3 - (lag(v3, 2) OVER w2 + lag(v3, 1) OVER w2 + v3) / 3.0 AS dd
+         |  FROM y WINDOW w2 AS (PARTITION BY seed ORDER BY t)),
+         |rn AS (SELECT * FROM r WHERE dd IS NOT NULL),
+         |st AS (SELECT seed, round(stddev_pop(dd), 6) AS sg FROM rn GROUP BY 1),
+         |fl AS (SELECT rn.seed, rn.t,
+         |    abs(rn.dd) > 3.0 * st.sg AS pred,
+         |    rn.t IN (${Anoms(0)}, ${Anoms(1)}) AS actual
+         |  FROM rn JOIN st USING (seed)),
+         |c AS (SELECT seed,
+         |    sum(CASE WHEN pred AND actual THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN pred AND NOT actual THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN NOT pred AND actual THEN 1 ELSE 0 END) AS fn
+         |  FROM fl GROUP BY 1),
+         |pr AS (SELECT seed, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+         |    round(tp / nullif(tp + fp, 0), 6) AS "precision",
+         |    round(tp / nullif(tp + fn, 0), 6) AS recall
+         |  FROM c)
+         |SELECT seed, tp, fp, fn, "precision", recall,
+         |  round(2.0 * "precision" * recall / nullif("precision" + recall, 0.0), 6) AS f1
+         |FROM pr""".stripMargin
     }
   )
 }

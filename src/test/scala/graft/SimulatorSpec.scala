@@ -114,4 +114,18 @@ class SimulatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sigma = math.sqrt(base.map(x => (x - mu) * (x - mu)).sum / base.length)
     assert((spiked(123) - mu) / sigma > 5.0, "spiked point must be a >5-sigma outlier")
   }
+
+  test("q_detector_eval: residual-z detector recovers both planted spikes (recall 1)") {
+    val rows = SparkEntry.queries("q_detector_eval")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 2) // one row per seed
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(tp == 2, s"seed ${r.getLong(0)}: expected both spikes found, tp=$tp")
+      assert(fn == 0)
+      assert(fp <= 10, s"false alarms $fp out of calibration")
+      assert(r.getDouble(5) == 1.0) // recall
+      val f1 = r.getDouble(6)
+      assert(f1 > 0.0 && f1 <= 1.0)
+    }
+  }
 }
