@@ -395,6 +395,34 @@ object LlmQueries {
       Dedup.minhashSignatures(docs(s, dir), NumPerms)
         .select((col("doc_id") +: (0 until 8).map(i => col(s"mh$i"))): _*)),
 
+    // ── Dedup recall against planted ground truth (the q_detector_eval
+    // of the dedup family): every 5th doc gets a clone with every 10th
+    // token dropped (~J≈0.57 on 3-shingles), the PRODUCTION MinHash-LSH
+    // pair generator runs over base ∪ clones, and recall of the planted
+    // pairs is reported at est-Jaccard thresholds 0.3/0.5/0.7 — the
+    // measured LSH miss rate (theory: 1−(1−J⁴)¹⁶ ≈ 0.83 at J≈0.57) that
+    // q_minhash_calibration's survivor-restricted exactness check cannot
+    // see. Shapes: the standard banded pair join; the planted table is
+    // #clones rows; thresholds are a 3-row broadcast. ──
+    "q_dedup_eval" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select("doc_id", "text")
+      val clones = base.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          array_join(expr("filter(split(text, ' '), (w, i) -> (i + 1) % 10 != 0)"), " ").as("text"))
+      val corpus = base.unionByName(clones)
+      val pairs = Dedup.minhashLshPairs(corpus)
+      val planted = base.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("i"), (col("doc_id") + lit(1000000L)).as("j"))
+      val th = Seq(0.3, 0.5, 0.7).toDF("threshold")
+      planted.join(pairs, Seq("i", "j"), "left")
+        .crossJoin(broadcast(th))
+        .groupBy("threshold").agg(
+          count(lit(1)).as("n_planted"),
+          sum(when(col("est_jaccard") >= col("threshold"), 1L).otherwise(0L)).as("n_found"))
+        .withColumn("recall", round(col("n_found").cast("double") / col("n_planted"), 6))
+    }),
+
     "q_dedup_minhash_pairs" -> ((s, dir) =>
       // ranked (not thresholded) so the output is stable even if no pair
       // clears a similarity bar; distributed top-k, no global window
@@ -988,6 +1016,38 @@ object LlmQueries {
       s"""WITH $shSql,
          |$sigSql
          |SELECT doc_id, ${(0 until 8).map(i => s"mh$i").mkString(", ")} FROM sig""".stripMargin,
+
+    "q_dedup_eval" -> {
+      val bandSelects = (0 until Bands).map { b =>
+        val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
+        s"SELECT doc_id, $b AS band, concat(${cols.mkString(", '_', ")}) AS bsig FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val est = (0 until NumPerms).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH clones AS (SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(list_filter(string_split(text, ' '), (w, i) -> i % 10 != 0), ' ') AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM clones),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         CASE WHEN len(t) >= 3
+         |              THEN list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         |              ELSE []::VARCHAR[] END
+         |       )) AS shingle FROM toks),
+         |$sigSql,
+         |banded AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |estp AS (SELECT i, j, round(($est)::DOUBLE / $NumPerms, 6) AS est_jaccard
+         |         FROM cand JOIN sig sa ON i = sa.doc_id JOIN sig sb ON j = sb.doc_id),
+         |planted AS (SELECT doc_id AS i, doc_id + 1000000 AS j FROM documents WHERE doc_id % 5 = 0),
+         |pj AS (SELECT p.i, p.j, e.est_jaccard FROM planted p
+         |       LEFT JOIN estp e ON p.i = e.i AND p.j = e.j),
+         |th AS (SELECT unnest([0.3E0, 0.5E0, 0.7E0]) AS threshold)
+         |SELECT threshold, count(*)::BIGINT AS n_planted,
+         |  sum(CASE WHEN est_jaccard >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_found,
+         |  round(sum(CASE WHEN est_jaccard >= threshold THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS recall
+         |FROM pj, th GROUP BY 1""".stripMargin
+    },
 
     "q_dedup_minhash_pairs" -> {
       val bandSelects = (0 until Bands).map { b =>

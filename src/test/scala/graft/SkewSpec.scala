@@ -75,4 +75,17 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted === unsalted)
   }
+
+  test("q_dedup_eval: planted-clone recall is high at the operating threshold and non-increasing") {
+    val rows = SparkEntry.queries("q_dedup_eval")(spark, "/root/testdata/sf0.001").collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.3, 0.5, 0.7))
+    val planted = rows.head.getLong(1)
+    assert(planted > 0)
+    rows.foreach(r => assert(r.getLong(1) == planted))
+    val recalls = rows.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      "recall must be non-increasing in threshold")
+    assert(recalls.head > 0.5, s"LSH misses most planted clones: recall ${recalls.head}")
+  }
 }
