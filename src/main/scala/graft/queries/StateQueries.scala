@@ -172,17 +172,18 @@ object StateQueries {
           Window.partitionBy("x_type", "y_type").orderBy("ts")))
         .where(col("e_lag").isNotNull)
         .withColumn("de", col("e") - col("e_lag"))
-      val df = res.groupBy("x_type", "y_type").agg(
+      // one aggregation carries all four DF moments; the residual SSE
+      // follows from them with the snapped gamma (sse = Σde² − 2γΣe·de
+      // + γ²Σe²) — no second pass over the pair rows
+      res.groupBy("x_type", "y_type").agg(
         count(lit(1)).as("m"),
         sum(col("e_lag") * col("de")).as("sld"),
         sum(col("e_lag") * col("e_lag")).as("sll"),
+        sum(col("de") * col("de")).as("sdd"),
         first("n_obs").as("n_obs"), first("alpha").as("alpha"), first("beta").as("beta"))
         .withColumn("gamma", round(col("sld") / col("sll"), 6))
-      val sse = res
-        .join(broadcast(df.select("x_type", "y_type", "gamma")), Seq("x_type", "y_type"))
-        .groupBy("x_type", "y_type")
-        .agg(sum(pow(col("de") - col("gamma") * col("e_lag"), 2)).as("sse"))
-      df.join(sse, Seq("x_type", "y_type"))
+        .withColumn("sse", col("sdd") - lit(2.0) * col("gamma") * col("sld") +
+          col("gamma") * col("gamma") * col("sll"))
         .withColumn("adf_t", round(col("gamma") /
           sqrt((col("sse") / (col("m") - 1)) / col("sll")), 6))
         .select(col("x_type"), col("y_type"), col("n_obs"),
@@ -358,18 +359,16 @@ object StateQueries {
          |    c.n_obs, c.alpha, c.beta
          |  FROM pairs p JOIN coef c USING (x_type, y_type)),
          |d AS (SELECT *, e - e_lag AS de FROM res WHERE e_lag IS NOT NULL),
-         |g AS (
+         |g0 AS (
          |  SELECT x_type, y_type, count(*) AS m,
-         |    round(sum(e_lag * de) / sum(e_lag * e_lag), 6) AS gamma,
-         |    sum(e_lag * e_lag) AS sll,
+         |    sum(e_lag * de) AS sld, sum(e_lag * e_lag) AS sll, sum(de * de) AS sdd,
          |    max(n_obs) AS n_obs, max(alpha) AS alpha, max(beta) AS beta
          |  FROM d GROUP BY 1, 2),
-         |s AS (
-         |  SELECT d.x_type, d.y_type, sum(pow(d.de - g.gamma * d.e_lag, 2)) AS sse
-         |  FROM d JOIN g USING (x_type, y_type) GROUP BY 1, 2)
-         |SELECT g.x_type, g.y_type, g.n_obs, g.alpha, g.beta, g.gamma,
-         |  round(g.gamma / sqrt((s.sse / (g.m - 1)) / g.sll), 6) AS adf_t,
-         |  round(g.gamma / sqrt((s.sse / (g.m - 1)) / g.sll), 6) < $EgCrit AS cointegrated
-         |FROM g JOIN s USING (x_type, y_type)""".stripMargin
+         |g AS (SELECT *, round(sld / sll, 6) AS gamma FROM g0),
+         |s AS (SELECT *, sdd - 2.0 * gamma * sld + gamma * gamma * sll AS sse FROM g)
+         |SELECT x_type, y_type, n_obs, alpha, beta, gamma,
+         |  round(gamma / sqrt((sse / (m - 1)) / sll), 6) AS adf_t,
+         |  round(gamma / sqrt((sse / (m - 1)) / sll), 6) < $EgCrit AS cointegrated
+         |FROM s""".stripMargin
   )
 }
