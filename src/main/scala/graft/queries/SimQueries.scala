@@ -212,6 +212,48 @@ object SimQueries {
     // in separate modules (kats/utils/simulator.py + detectors/outlier
     // .py) without ever scoring one against the other. μ/σ snap to 6 dp
     // before the flag compare so the binary decisions are engine-exact.
+    // ── Forecast-fit calibration against planted ground truth (the
+    // q_detector_eval of the model family): a pure trend+season+noise
+    // series with KNOWN parameters (slope 5 over the span, sin amplitude
+    // 2, σ=1 noise) fit by the engine's own OLS path — the SAME
+    // moments → GaussJordan.eliminate machinery the production models
+    // use — and the recovered slope/amplitude errors + in-sample RMSE
+    // reported per seed. Betas snap to 6 dp before the residual pass so
+    // both engines score identical predictions. ──
+    "q_forecast_eval" -> ((s, _) => {
+      import Inj._
+      val t = col("t")
+      val base = gaussRows(s, Seeds, N)
+        .withColumn("y", lit(TrendMag) * (t / lit((N - 1).toDouble)) +
+          lit(SeasMag) * sin(lit(2 * math.Pi) * t / lit(Period)) + lit(NoiseMag) * col("g"))
+        .withColumn("x2", t / lit((N - 1).toDouble))
+        .withColumn("x3", sin(lit(2 * math.Pi) * t / lit(Period)))
+        .withColumn("x4", cos(lit(2 * math.Pi) * t / lit(Period)))
+      val bc: Seq[Column] = Seq(lit(1.0), col("x2"), col("x3"), col("x4"))
+      val sums: Seq[Column] = (0 until 4).flatMap { i =>
+        (0 until 4).map { j =>
+          val sm = sum(bc(i) * bc(j))
+          (if (i == j) sm + lit(1e-8) else sm).as(s"m${i}_$j")
+        } :+ sum(bc(i) * col("y")).as(s"r$i")
+      }
+      val mats = base.groupBy("seed").agg(sums.head, sums.tail: _*)
+        .withColumn("m", array((for (i <- 0 until 4; j <- 0 to 4) yield
+          if (j < 4) col(s"m${i}_$j") else col(s"r$i")): _*))
+      val beta = graft.models.GaussJordan.eliminate(mats, "m", 4, 5)
+        .select(col("seed") +: (1 to 4).map(k =>
+          round(col("m")((k - 1) * 5 + 4), 6).as(s"b$k")): _*)
+      base.join(broadcast(beta), "seed")
+        .withColumn("r", col("y") - (col("b1") + col("b2") * col("x2") +
+          col("b3") * col("x3") + col("b4") * col("x4")))
+        .groupBy("seed").agg(
+          first("b1").as("b1"), first("b2").as("b2"),
+          first("b3").as("b3"), first("b4").as("b4"),
+          round(sqrt(avg(col("r") * col("r"))), 6).as("rmse"))
+        .withColumn("amp_hat", round(sqrt(col("b3") * col("b3") + col("b4") * col("b4")), 6))
+        .withColumn("slope_err", round(abs(col("b2") - lit(TrendMag)), 6))
+        .withColumn("amp_err", round(abs(col("amp_hat") - lit(SeasMag)), 6))
+    }),
+
     "q_detector_eval" -> ((s, _) => {
       import Inj._
       // detector: z on the trailing-3-mean residual (the construction's
@@ -339,6 +381,41 @@ object SimQueries {
          |  round(avg(v3), 6) AS mean, round(var_pop(v3), 6) AS var_val,
          |  round(max(sigma), 6) AS sigma_est
          |FROM y GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_forecast_eval" -> {
+      import Inj._
+      val bases = Seq("1.0E0", "x2", "x3", "x4")
+      val entries = (0 until 4).flatMap { i =>
+        (0 until 4).map { j =>
+          val s0 = s"sum(${bases(i)} * ${bases(j)})"
+          if (i == j) s"$s0 + 1e-8" else s0
+        } :+ s"sum(${bases(i)} * y)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE ${gaussSql(Seeds, N)},
+         |base AS (SELECT seed AS event_type, t,
+         |    ($TrendMag * (t / ${(N - 1).toDouble})
+         |      + $SeasMag * sin(2 * pi() * t / $Period)
+         |      + $NoiseMag * g) AS y,
+         |    (t / ${(N - 1).toDouble}) AS x2,
+         |    sin(2 * pi() * t / $Period) AS x3,
+         |    cos(2 * pi() * t / $Period) AS x4
+         |  FROM gauss),
+         |mats AS (SELECT event_type, [$entries] AS m FROM base GROUP BY 1),
+         |${ModelQueries.gaussJordanSql(4)},
+         |bt AS (SELECT event_type, round(b[1], 6) AS b1, round(b[2], 6) AS b2,
+         |         round(b[3], 6) AS b3, round(b[4], 6) AS b4 FROM beta),
+         |sc AS (SELECT b.event_type, bt.b1, bt.b2, bt.b3, bt.b4,
+         |        b.y - (bt.b1 + bt.b2 * b.x2 + bt.b3 * b.x3 + bt.b4 * b.x4) AS r
+         |      FROM base b JOIN bt USING (event_type)),
+         |ag AS (SELECT event_type AS seed, b1, b2, b3, b4,
+         |         round(sqrt(avg(r * r)), 6) AS rmse
+         |       FROM sc GROUP BY 1, 2, 3, 4, 5)
+         |SELECT seed, b1, b2, b3, b4, rmse,
+         |  round(sqrt(b3 * b3 + b4 * b4), 6) AS amp_hat,
+         |  round(abs(b2 - $TrendMag), 6) AS slope_err,
+         |  round(abs(round(sqrt(b3 * b3 + b4 * b4), 6) - $SeasMag), 6) AS amp_err
+         |FROM ag""".stripMargin
     },
 
     "q_detector_eval" -> {

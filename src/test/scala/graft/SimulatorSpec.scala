@@ -115,6 +115,18 @@ class SimulatorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((spiked(123) - mu) / sigma > 5.0, "spiked point must be a >5-sigma outlier")
   }
 
+  test("q_forecast_eval: OLS path recovers the planted trend/seasonality within noise bounds") {
+    val rows = SparkEntry.queries("q_forecast_eval")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      // true params: slope 5 over the span, sin amplitude 2, sigma 1
+      assert(r.getDouble(7) < 0.5, s"slope error ${r.getDouble(7)} too large")  // slope_err
+      assert(r.getDouble(8) < 0.3, s"amplitude error ${r.getDouble(8)} too large") // amp_err
+      val rmse = r.getDouble(5)
+      assert(rmse > 0.7 && rmse < 1.3, s"rmse $rmse far from the planted sigma 1")
+    }
+  }
+
   test("q_detector_eval: residual-z detector recovers both planted spikes (recall 1)") {
     val rows = SparkEntry.queries("q_detector_eval")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length == 2) // one row per seed
