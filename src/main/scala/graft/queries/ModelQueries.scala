@@ -455,26 +455,7 @@ object ModelQueries {
       * operator. Shared Cramer SQL keeps Spark and the oracle identical.
       */
     "q_var" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("ts")
-      val wk = Window.partitionBy("event_type")
-      val lagged = Tables.hourlyEvents(s, dir)
-        .withColumn("y1", col("value"))
-        .withColumn("y2", col("n").cast("double"))
-        .withColumn("u", lag("y1", 1).over(w))
-        .withColumn("v", lag("y2", 1).over(w))
-        .withColumn("_rn", row_number().over(w))
-        .withColumn("_nn", count(lit(1)).over(wk))
-      val fit = lagged.where(col("u").isNotNull)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).cast("double").as("s0"),
-          sum("u").as("su"), sum("v").as("sv"),
-          sum(col("u") * col("u")).as("suu"), sum(col("v") * col("v")).as("svv"),
-          sum(col("u") * col("v")).as("suv"),
-          sum("y1").as("sy1"), sum(col("y1") * col("u")).as("sy1u"), sum(col("y1") * col("v")).as("sy1v"),
-          sum("y2").as("sy2"), sum(col("y2") * col("u")).as("sy2u"), sum(col("y2") * col("v")).as("sy2v"),
-          max(when(col("_rn") === col("_nn"), col("y1"))).as("last1"),
-          max(when(col("_rn") === col("_nn"), col("y2"))).as("last2"))
+      val fit = varFit(s, dir)
       // both equations explode from ONE aggregated fit row — a union of
       // two fit.select branches would inline (and re-scan) the whole
       // aggregation pipeline twice
@@ -488,6 +469,59 @@ object ModelQueries {
           round(col("eq.a"), 6).as("coef_value"),
           round(col("eq.b"), 6).as("coef_n"),
           round(col("eq.c") + col("eq.a") * col("last1") + col("eq.b") * col("last2"), 6).as("yhat_1"))
+    }),
+
+    // ── Impulse-response functions + stability of the fitted VAR(1)
+    // (the standard econometric readout the reference's VAR stops short
+    // of): Ψ_h = A^h from the 6-dp-snapped coefficient matrix (so both
+    // engines run the identical 2×2 multiply chain), reported at
+    // h ∈ {1, 6, 12}, plus the spectral stability check — max |eigenvalue|
+    // of A from the closed-form 2×2 eigenvalues (complex pair modulus
+    // √det when the discriminant is negative). Pure column math off the
+    // one varFit aggregation; the oracle carries the matrix powers in a
+    // 12-step recursive CTE. ──
+    "q_var_irf" -> ((s, dir) => {
+      val a = varFit(s, dir).select(col("event_type"),
+        round(expr(VarSql.a("sy1")), 6).as("a11"), round(expr(VarSql.b("sy1")), 6).as("a12"),
+        round(expr(VarSql.a("sy2")), 6).as("a21"), round(expr(VarSql.b("sy2")), 6).as("a22"))
+      def snap(h: Int) = struct(lit(h).as("h"), col("p11").as("psi11"), col("p12").as("psi12"),
+        col("p21").as("psi21"), col("p22").as("psi22"))
+      var cur = a
+        .withColumn("p11", col("a11")).withColumn("p12", col("a12"))
+        .withColumn("p21", col("a21")).withColumn("p22", col("a22"))
+        .withColumn("s1", snap(1))
+      for (h <- 2 to 12) {
+        cur = cur
+          .withColumn("t11", col("p11") * col("a11") + col("p12") * col("a21"))
+          .withColumn("t12", col("p11") * col("a12") + col("p12") * col("a22"))
+          .withColumn("t21", col("p21") * col("a11") + col("p22") * col("a21"))
+          .withColumn("t22", col("p21") * col("a12") + col("p22") * col("a22"))
+          .withColumn("p11", col("t11")).withColumn("p12", col("t12"))
+          .withColumn("p21", col("t21")).withColumn("p22", col("t22"))
+          .drop("t11", "t12", "t21", "t22")
+        if (h == 6) cur = cur.withColumn("s6", snap(6))
+        if (h == 12) cur = cur.withColumn("s12", snap(12))
+      }
+      cur
+        .withColumn("tr", col("a11") + col("a22"))
+        .withColumn("det", col("a11") * col("a22") - col("a12") * col("a21"))
+        .withColumn("disc", col("tr") * col("tr") - lit(4.0) * col("det"))
+        .withColumn("max_eig_mod", round(
+          when(col("disc") >= 0, greatest(
+            abs((col("tr") + sqrt(col("disc"))) / 2),
+            abs((col("tr") - sqrt(col("disc"))) / 2)))
+            .otherwise(sqrt(col("det"))), 6))
+        .withColumn("stable", col("max_eig_mod") < 1.0)
+        .select(col("event_type"), col("max_eig_mod"), col("stable"),
+          explode(array(col("s1"), col("s6"), col("s12"))).as("z"))
+        .select(col("event_type"), col("z.h").as("h"),
+          // + 0.0 folds IEEE −0.0 (tiny negative responses rounded away)
+          // to +0.0 so both engines serialize the same zero
+          (round(col("z.psi11"), 6) + lit(0.0)).as("psi11"),
+          (round(col("z.psi12"), 6) + lit(0.0)).as("psi12"),
+          (round(col("z.psi21"), 6) + lit(0.0)).as("psi21"),
+          (round(col("z.psi22"), 6) + lit(0.0)).as("psi22"),
+          col("max_eig_mod"), col("stable"))
     }),
 
     /** Minnesota-prior Bayesian VAR(1) (kats/models/bayesian_var.py:73
@@ -623,6 +657,33 @@ object ModelQueries {
          |  FROM (SELECT event_type, h, yp, yp2, ep, acc, b,
          |          b[1] + b[2] * yp + b[3] * yp2 + b[4] * ep AS ynew
          |        FROM fcrec WHERE h < 24))""".stripMargin
+  }
+
+  /** The VAR(1) moment aggregation shared by q_var / q_var_irf: per
+    * event_type, the 12 cross moments of (y1, y2) against their lags plus
+    * the last observed pair. One keyed window + one aggregation.
+    */
+  private def varFit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts")
+    val wk = Window.partitionBy("event_type")
+    val lagged = Tables.hourlyEvents(s, dir)
+      .withColumn("y1", col("value"))
+      .withColumn("y2", col("n").cast("double"))
+      .withColumn("u", lag("y1", 1).over(w))
+      .withColumn("v", lag("y2", 1).over(w))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_nn", count(lit(1)).over(wk))
+    lagged.where(col("u").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("s0"),
+        sum("u").as("su"), sum("v").as("sv"),
+        sum(col("u") * col("u")).as("suu"), sum(col("v") * col("v")).as("svv"),
+        sum(col("u") * col("v")).as("suv"),
+        sum("y1").as("sy1"), sum(col("y1") * col("u")).as("sy1u"), sum(col("y1") * col("v")).as("sy1v"),
+        sum("y2").as("sy2"), sum(col("y2") * col("u")).as("sy2u"), sum(col("y2") * col("v")).as("sy2v"),
+        max(when(col("_rn") === col("_nn"), col("y1"))).as("last1"),
+        max(when(col("_rn") === col("_nn"), col("y2"))).as("last2"))
   }
 
   private[queries] def gaussJordanSql(p: Int, pre: String = ""): String = {
@@ -1389,6 +1450,48 @@ object ModelQueries {
          |SELECT event_type, var, round(c, 6) AS intercept, round(a, 6) AS coef_value,
          |  round(b, 6) AS coef_n, round(c + a * last1 + b * last2, 6) AS yhat_1
          |FROM eqs""".stripMargin,
+
+    "q_var_irf" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |l AS (SELECT event_type, value AS y1, n::DOUBLE AS y2,
+         |        lag(value) OVER w AS u, lag(n::DOUBLE) OVER w AS v,
+         |        row_number() OVER w AS rn, count(*) OVER (PARTITION BY event_type) AS nn
+         |      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |fit AS (SELECT event_type, count(*)::DOUBLE AS s0, sum(u) AS su, sum(v) AS sv,
+         |          sum(u*u) AS suu, sum(v*v) AS svv, sum(u*v) AS suv,
+         |          sum(y1) AS sy1, sum(y1*u) AS sy1u, sum(y1*v) AS sy1v,
+         |          sum(y2) AS sy2, sum(y2*u) AS sy2u, sum(y2*v) AS sy2v,
+         |          max(CASE WHEN rn = nn THEN y1 END) AS last1,
+         |          max(CASE WHEN rn = nn THEN y2 END) AS last2
+         |        FROM l WHERE u IS NOT NULL GROUP BY 1),
+         |am AS (SELECT event_type, round(${VarSql.a("sy1")}, 6) AS a11,
+         |         round(${VarSql.b("sy1")}, 6) AS a12,
+         |         round(${VarSql.a("sy2")}, 6) AS a21,
+         |         round(${VarSql.b("sy2")}, 6) AS a22
+         |       FROM fit),
+         |pw AS (
+         |  SELECT event_type, 1 AS h, a11 AS p11, a12 AS p12, a21 AS p21, a22 AS p22,
+         |         a11, a12, a21, a22
+         |  FROM am
+         |  UNION ALL
+         |  SELECT event_type, h + 1,
+         |    p11 * a11 + p12 * a21, p11 * a12 + p12 * a22,
+         |    p21 * a11 + p22 * a21, p21 * a12 + p22 * a22,
+         |    a11, a12, a21, a22
+         |  FROM pw WHERE h < 12),
+         |ei AS (SELECT event_type,
+         |    a11 + a22 AS tr, a11 * a22 - a12 * a21 AS det,
+         |    (a11 + a22) * (a11 + a22) - 4.0 * (a11 * a22 - a12 * a21) AS disc
+         |  FROM am),
+         |em AS (SELECT event_type,
+         |    round(CASE WHEN disc >= 0 THEN greatest(abs((tr + sqrt(disc)) / 2), abs((tr - sqrt(disc)) / 2))
+         |               ELSE sqrt(det) END, 6) AS max_eig_mod
+         |  FROM ei)
+         |SELECT p.event_type, p.h::INT AS h,
+         |  round(p.p11, 6) + 0.0E0 AS psi11, round(p.p12, 6) + 0.0E0 AS psi12,
+         |  round(p.p21, 6) + 0.0E0 AS psi21, round(p.p22, 6) + 0.0E0 AS psi22,
+         |  e.max_eig_mod, e.max_eig_mod < 1.0 AS stable
+         |FROM pw p JOIN em e USING (event_type) WHERE p.h IN (1, 6, 12)""".stripMargin,
 
     "q_bayes_var" -> {
       import BayesVarSql._

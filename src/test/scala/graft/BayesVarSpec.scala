@@ -23,6 +23,8 @@ class BayesVarSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  private val dir = "/root/testdata/sf0.001"
+
   test("GaussJordan.eliminate solves a multi-RHS SPD system to LAPACK precision") {
     import spark.implicits._
     val a = DenseMatrix((4.0, 1.0, 0.5), (1.0, 3.0, 0.2), (0.5, 0.2, 2.0))
@@ -33,6 +35,27 @@ class BayesVarSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = GaussJordan.eliminate(df, "_m", 3, 5).head().getSeq[Double](0)
     for (r <- 0 until 3; j <- 0 until 2)
       assert(math.abs(got(r * 5 + 3 + j) - want(r, j)) < 1e-9, s"x($r,$j)")
+  }
+
+  test("q_var_irf: h=1 responses equal the fitted VAR coefficients; stable systems decay") {
+    val irf = SparkEntry.queries("q_var_irf")(spark, dir).collect()
+    val varFit = SparkEntry.queries("q_var")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val bySeries = irf.groupBy(_.getString(0))
+    assert(bySeries.size == 5)
+    bySeries.foreach { case (et, rows) =>
+      val h1 = rows.find(_.getInt(1) == 1).get
+      val (a11, a12) = varFit((et, "value"))
+      val (a21, a22) = varFit((et, "n"))
+      assert(h1.getDouble(2) == a11 && h1.getDouble(3) == a12, s"$et psi_1 row1 != A")
+      assert(h1.getDouble(4) == a21 && h1.getDouble(5) == a22, s"$et psi_1 row2 != A")
+      if (rows.head.getBoolean(7)) { // stable => responses decay by h=12
+        val h12 = rows.find(_.getInt(1) == 12).get
+        val h1max = (2 to 5).map(i => math.abs(h1.getDouble(i))).max
+        val h12max = (2 to 5).map(i => math.abs(h12.getDouble(i))).max
+        assert(h12max <= h1max, s"$et stable but responses grew: $h12max > $h1max")
+      }
+    }
   }
 
   test("q_bayes_var matches a reference-shaped dense posterior computation") {

@@ -79,6 +79,38 @@ class StreamingRestartSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Kalman tracker state survives a restart: resumed filter equals the uninterrupted replay") {
+    import spark.implicits._
+    val pts = Tables.hourlyEvents(spark, dir).drop("n").orderBy("ts", "event_type").collect()
+      .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+    val srcDir = tmp("kal_src"); val outDir = tmp("kal_out"); val ckpt = tmp("kal_ckpt")
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def runToCompletion(): Unit = {
+      val q = StreamingDetectors.kalmanTracker(
+          spark.readStream.schema(schema).parquet(srcDir).as[Point])
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val half = pts.length / 2
+    pts.take(half).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion() // killed mid-feed: level/variance/SSE live only in the state store
+    pts.drop(half).toDF().coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+    runToCompletion() // resumed from checkpoint
+
+    // the uninterrupted reference: the oracle-certified MemoryStream replay
+    val expected = graft.queries.StreamQueries.defs("q_stream_kalman")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4))).toSet
+    val restarted = spark.read.parquet(outDir)
+      .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+        round(col("level"), 6).as("level"), round(col("pvar"), 6).as("pvar"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(restarted.nonEmpty && restarted === expected,
+      s"restarted points ${restarted.size} != uninterrupted ${expected.size}")
+  }
+
   test("dedup fingerprint state survives a restart: duplicates across the boundary are dropped") {
     import spark.implicits._
     val srcDir = tmp("dedup_src")
