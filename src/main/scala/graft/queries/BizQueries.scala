@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,6 +131,66 @@ object BizQueries {
           round(sum("credit"), 6).as("credit"))
     }),
 
+    // Bass diffusion model per region (Bass 1969) fit on the discrete
+    // Bass regression S_t = a + b·N_{t−1} + c·N_{t−1}² over the monthly
+    // first-order adoption series: market size m = (−b − √(b²−4ac))/2c,
+    // innovation p = a/m, imitation q = −c·m, peak at ln(q/p)/(p+q) —
+    // the adoption-curve forecaster next to q_prophet_logistic's
+    // saturating trend. Shapes: one customer-keyed first-order
+    // aggregation, two broadcast dim joins, a dense ≤#months grid per
+    // region, one 3×4 GaussJordan solve off a 10-moment aggregate.
+    // Coefficients snap to 6 dp before the (m, p, q) closed forms so
+    // both engines derive identical parameters.
+    "q_bass_diffusion" -> ((s, dir) => {
+      val first = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(to_date(min(col("o_orderdate"))).as("fd"))
+      val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val nat = Tables.nation(s, dir).select("n_nationkey", "n_regionkey")
+      val reg = Tables.region(s, dir).select("r_regionkey", "r_name")
+      val adopters = first
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), trunc(col("fd"), "month").as("mo"))
+      val monthly = adopters.groupBy("region", "mo").agg(count(lit(1)).as("s"))
+      val span = adopters.agg(min("mo").as("lo"), max("mo").as("hi"))
+      val grid = span
+        .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("mo"))
+        .crossJoin(adopters.select("region").distinct())
+      val dense = grid.join(monthly, Seq("region", "mo"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+      val wCum = Window.partitionBy("region").orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val rows = dense
+        .withColumn("nprev", coalesce(sum("s").over(wCum), lit(0L)).cast("double"))
+        .withColumn("y", col("s").cast("double"))
+      val bc: Seq[Column] = Seq(lit(1.0), col("nprev"), col("nprev") * col("nprev"))
+      val sums: Seq[Column] = (0 until 3).flatMap { i =>
+        (0 until 3).map { j =>
+          val sm = sum(bc(i) * bc(j))
+          (if (i == j) sm + lit(1e-8) else sm).as(s"m${i}_$j")
+        } :+ sum(bc(i) * col("y")).as(s"r$i")
+      } ++ Seq(count(lit(1)).as("n_months"), sum("y").as("n_adopt"))
+      val mats = rows.groupBy("region").agg(sums.head, sums.tail: _*)
+        .withColumn("m", array((for (i <- 0 until 3; j <- 0 to 3) yield
+          if (j < 3) col(s"m${i}_$j") else col(s"r$i")): _*))
+      graft.models.GaussJordan.eliminate(mats, "m", 3, 4)
+        .select(col("region"), col("n_months"), col("n_adopt").cast("long").as("n_adopt"),
+          round(col("m")(3), 6).as("a"), round(col("m")(7), 6).as("b"),
+          round(col("m")(11), 6).as("c"))
+        .withColumn("disc", col("b") * col("b") - lit(4.0) * col("a") * col("c"))
+        .withColumn("m_hat", when(col("c") < 0 && col("disc") >= 0,
+          (-col("b") - sqrt(col("disc"))) / (lit(2.0) * col("c"))))
+        .withColumn("p_hat", when(col("m_hat") > 0, col("a") / col("m_hat")))
+        .withColumn("q_hat", when(col("m_hat") > 0, -col("c") * col("m_hat")))
+        .withColumn("peak_month", when(col("p_hat") > 0 && col("q_hat") > 0,
+          log(col("q_hat") / col("p_hat")) / (col("p_hat") + col("q_hat"))))
+        .select(col("region"), col("n_months"), col("n_adopt"),
+          col("a"), col("b"), col("c"),
+          round(col("m_hat"), 6).as("m_hat"), round(col("p_hat"), 6).as("p_hat"),
+          round(col("q_hat"), 6).as("q_hat"), round(col("peak_month"), 6).as("peak_month"))
+    }),
+
     "q_leadtime" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
       val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -230,6 +290,46 @@ object BizQueries {
         |  count(DISTINCT pid)::BIGINT AS purchases_touched,
         |  round(sum(credit), 6) AS credit
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_bass_diffusion" ->
+      s"""WITH RECURSIVE fo AS (SELECT o_custkey, min(o_orderdate)::DATE AS fd FROM orders GROUP BY 1),
+         |ad AS (SELECT r.r_name AS region, date_trunc('month', f.fd)::DATE AS mo
+         |       FROM fo f JOIN customer c ON f.o_custkey = c.c_custkey
+         |       JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |       JOIN region r ON n.n_regionkey = r.r_regionkey),
+         |monthly AS (SELECT region, mo, count(*) AS s FROM ad GROUP BY 1, 2),
+         |span AS (SELECT min(mo) AS lo, max(mo) AS hi FROM ad),
+         |grid AS (SELECT g.region, m.mo
+         |         FROM (SELECT DISTINCT region FROM ad) g,
+         |              (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE AS mo FROM span) m),
+         |dense AS (SELECT g.region, g.mo, coalesce(y.s, 0) AS s
+         |          FROM grid g LEFT JOIN monthly y ON g.region = y.region AND g.mo = y.mo),
+         |rows0 AS (SELECT region, mo, s::DOUBLE AS y,
+         |    coalesce(sum(s) OVER (PARTITION BY region ORDER BY mo
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE AS nprev
+         |  FROM dense),
+         |mats AS (SELECT region AS event_type,
+         |    [sum(1.0E0 * 1.0E0) + 1e-8, sum(1.0E0 * nprev), sum(1.0E0 * (nprev * nprev)), sum(1.0E0 * y),
+         |     sum(nprev * 1.0E0), sum(nprev * nprev) + 1e-8, sum(nprev * (nprev * nprev)), sum(nprev * y),
+         |     sum((nprev * nprev) * 1.0E0), sum((nprev * nprev) * nprev),
+         |     sum((nprev * nprev) * (nprev * nprev)) + 1e-8, sum((nprev * nprev) * y)] AS m,
+         |    count(*) AS n_months, sum(y) AS n_adopt
+         |  FROM rows0 GROUP BY 1),
+         |${ModelQueries.gaussJordanSql(3)},
+         |bt AS (SELECT event_type, round(b[1], 6) AS ca, round(b[2], 6) AS cb, round(b[3], 6) AS cc
+         |       FROM beta),
+         |fin AS (SELECT bt.event_type, bt.ca, bt.cb, bt.cc, m2.n_months, m2.n_adopt,
+         |          bt.cb * bt.cb - 4.0 * bt.ca * bt.cc AS disc
+         |        FROM bt JOIN mats m2 USING (event_type)),
+         |fm AS (SELECT *, CASE WHEN cc < 0 AND disc >= 0
+         |                      THEN (-cb - sqrt(disc)) / (2.0 * cc) END AS mh FROM fin),
+         |fp AS (SELECT *, CASE WHEN mh > 0 THEN ca / mh END AS ph,
+         |          CASE WHEN mh > 0 THEN -cc * mh END AS qh FROM fm)
+         |SELECT event_type AS region, n_months::BIGINT AS n_months, n_adopt::BIGINT AS n_adopt,
+         |  ca AS a, cb AS b, cc AS c,
+         |  round(mh, 6) AS m_hat, round(ph, 6) AS p_hat, round(qh, 6) AS q_hat,
+         |  round(CASE WHEN ph > 0 AND qh > 0 THEN ln(qh / ph) / (ph + qh) END, 6) AS peak_month
+         |FROM fp""".stripMargin,
 
     "q_leadtime" ->
       """WITH d AS (

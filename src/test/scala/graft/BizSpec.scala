@@ -51,6 +51,29 @@ class BizSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_bass_diffusion: recovered market size tracks the realized adopter count") {
+    val rows = SparkEntry.queries("q_bass_diffusion")(spark, dir).collect()
+    assert(rows.length == 5)
+    var defined = 0
+    rows.foreach { r =>
+      val nAdopt = r.getLong(2)
+      assert(nAdopt > 0)
+      if (!r.isNullAt(6)) {
+        defined += 1
+        val mHat = r.getDouble(6)
+        // on a nearly-complete adoption history m must track realized adopters
+        assert(math.abs(mHat - nAdopt) / nAdopt < 0.25,
+          s"${r.getString(0)}: m_hat $mHat vs adopters $nAdopt")
+        assert(r.getDouble(7) > 0, "p must be positive when defined")
+      } else {
+        // guard consistency: undefined m comes only from c >= 0 or disc < 0
+        assert(r.getDouble(5) >= 0 ||
+          r.getDouble(4) * r.getDouble(4) - 4.0 * r.getDouble(3) * r.getDouble(5) < 0)
+      }
+    }
+    assert(defined >= 2, "Bass fit defined on too few regions")
+  }
+
   test("q_attribution: credit is conserved — one unit per touched purchase") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_attribution")(spark, dir).collect()
