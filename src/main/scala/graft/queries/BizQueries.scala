@@ -131,6 +131,34 @@ object BizQueries {
           round(sum("credit"), 6).as("credit"))
     }),
 
+    // Cohort lifetime-value curves: customers grouped by first-order
+    // month, revenue accumulated by cohort age (months since first
+    // order), LTV = cumulative revenue / cohort size — the
+    // revenue-per-cohort triangle next to q_retention's activity
+    // triangle. Ages capped at 12 for the report. Shapes: one
+    // customer-keyed first-order aggregation, one custkey join to
+    // orders, a (cohort, age) aggregate, and a ≤13-row-per-cohort
+    // cumulative window (revenue sums round to 6 dp on both sides;
+    // the cumulative sum runs over the already-rounded cell values so
+    // the running order is engine-identical).
+    "q_cohort_ltv" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      val first = ord.groupBy("o_custkey").agg(trunc(min(col("od")), "month").as("cohort"))
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      val aged = ord.join(first, "o_custkey")
+        .withColumn("age", months_between(trunc(col("od"), "month"), col("cohort")).cast("int"))
+        .where(col("age") <= 12)
+        .groupBy("cohort", "age").agg(round(sum("o_totalprice"), 6).as("revenue"))
+      val wCum = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      aged.join(broadcast(sizes), "cohort")
+        .withColumn("cum_revenue", round(sum("revenue").over(wCum), 6))
+        .withColumn("ltv", round(col("cum_revenue") / col("n_customers"), 6))
+        .select(col("cohort"), col("age"), col("n_customers"),
+          col("revenue"), col("cum_revenue"), col("ltv"))
+    }),
+
     // Bass diffusion model per region (Bass 1969) fit on the discrete
     // Bass regression S_t = a + b·N_{t−1} + c·N_{t−1}² over the monthly
     // first-order adoption series: market size m = (−b − √(b²−4ac))/2c,
@@ -290,6 +318,23 @@ object BizQueries {
         |  count(DISTINCT pid)::BIGINT AS purchases_touched,
         |  round(sum(credit), 6) AS credit
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate::DATE AS od, o_totalprice FROM orders),
+        |fo AS (SELECT o_custkey, date_trunc('month', min(od))::DATE AS cohort FROM o GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS n_customers FROM fo GROUP BY 1),
+        |aged AS (SELECT f.cohort,
+        |    date_diff('month', f.cohort, date_trunc('month', o.od)::DATE) AS age,
+        |    round(sum(o.o_totalprice), 6) AS revenue
+        |  FROM o JOIN fo f ON o.o_custkey = f.o_custkey
+        |  WHERE date_diff('month', f.cohort, date_trunc('month', o.od)::DATE) <= 12
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort, a.age::INT AS age, s.n_customers::BIGINT AS n_customers, a.revenue,
+        |  round(sum(a.revenue) OVER (PARTITION BY a.cohort ORDER BY a.age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_revenue,
+        |  round(round(sum(a.revenue) OVER (PARTITION BY a.cohort ORDER BY a.age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) / s.n_customers, 6) AS ltv
+        |FROM aged a JOIN sz s ON a.cohort = s.cohort""".stripMargin,
 
     "q_bass_diffusion" ->
       s"""WITH RECURSIVE fo AS (SELECT o_custkey, min(o_orderdate)::DATE AS fd FROM orders GROUP BY 1),

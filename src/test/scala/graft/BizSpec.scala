@@ -74,6 +74,24 @@ class BizSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(defined >= 2, "Bass fit defined on too few regions")
   }
 
+  test("q_cohort_ltv: cumulative revenue is non-decreasing in age; ltv = cum/size") {
+    val rows = SparkEntry.queries("q_cohort_ltv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.get(0)).foreach { case (_, cohort) =>
+      val byAge = cohort.sortBy(_.getInt(1))
+      assert(byAge.head.getInt(1) == 0, "every cohort starts at age 0")
+      var lastCum = 0.0
+      byAge.foreach { r =>
+        val (n, rev, cum, ltv) =
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(n > 0 && rev > 0)
+        assert(cum >= lastCum - 1e-9, "cumulative revenue must be non-decreasing")
+        assert(math.abs(ltv - cum / n) < 1e-6, "ltv must equal cum_revenue / n_customers")
+        lastCum = cum
+      }
+    }
+  }
+
   test("q_attribution: credit is conserved — one unit per touched purchase") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_attribution")(spark, dir).collect()
