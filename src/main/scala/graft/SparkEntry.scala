@@ -44,7 +44,8 @@ object SparkEntry {
     (GbtQueries.defs, GbtQueries.sql),
     (StreamQueries.defs, StreamQueries.sql),
     (StateQueries.defs, StateQueries.sql),
-    (BizQueries.defs, BizQueries.sql)
+    (BizQueries.defs, BizQueries.sql),
+    (EconQueries.defs, EconQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
