@@ -131,6 +131,72 @@ object BizQueries {
           round(sum("credit"), 6).as("credit"))
     }),
 
+    // Markov-chain (removal-effect) attribution — the data-driven
+    // counterpart to q_attribution's positional rules (Anderl et al.
+    // 2016): user journeys (purchase closes a journey; trailing touches
+    // end at 'null') become a first-order Markov chain over
+    // {start, touch channels, conv, null}; a channel's removal effect is
+    // the relative drop in start→conv absorption probability when every
+    // transition into it is redirected to null; attribution shares
+    // normalize the removal effects. Shapes: journey/transition
+    // construction is two user-keyed windows + one vocabulary-scale
+    // aggregate; the transition matrix is ≤(#event-types+2)² cells —
+    // driver state bounded by construction (the q_stationary_dist
+    // discipline) — and the 200-round value iteration runs over it, with
+    // the oracle replaying the identical iteration as a recursive CTE.
+    "q_markov_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .withColumn("jid", coalesce(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wj = Window.partitionBy("user_id", "jid").orderBy(col("ts"), col("event_id"))
+      val wjd = Window.partitionBy("user_id", "jid").orderBy(col("ts").desc, col("event_id").desc)
+      val st = ev
+        .withColumn("prev", coalesce(lag("event_type", 1).over(wj), lit("start")))
+        .withColumn("cur", when(col("event_type") === "purchase", "conv").otherwise(col("event_type")))
+        .withColumn("rd", row_number().over(wjd))
+      val tr = st.select(col("prev"), col("cur"))
+        .unionAll(st.where(col("rd") === 1 && col("event_type") =!= "purchase")
+          .select(col("event_type").as("prev"), lit("null").as("cur")))
+      val pairs = tr.groupBy("prev", "cur").agg(count(lit(1)).as("c")).collect()
+      val states = pairs.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+      val k = states.length
+      val si = states.zipWithIndex.toMap
+      val cnt = Array.ofDim[Long](k, k)
+      pairs.foreach(r => cnt(si(r.getString(0)))(si(r.getString(1))) = r.getLong(2))
+      val rowTot = cnt.map(_.sum)
+      val pm = Array.tabulate(k, k) { (i, j) =>
+        if (rowTot(i) == 0L) 0.0 else cnt(i)(j).toDouble / rowTot(i).toDouble
+      }
+      val (iConv, iNull, iStart) = (si("conv"), si("null"), si("start"))
+      def absorb(removed: Int): Double = {
+        var v = Array.tabulate(k)(i => if (i == iConv) 1.0 else 0.0)
+        var it = 0
+        while (it < 200) {
+          v = Array.tabulate(k) { i =>
+            if (i == iConv) 1.0
+            else if (i == iNull || i == removed) 0.0
+            else {
+              var acc = 0.0; var j = 0
+              while (j < k) { acc = acc + pm(i)(j) * v(j); j += 1 }
+              acc
+            }
+          }
+          it += 1
+        }
+        v(iStart)
+      }
+      val base = absorb(-1)
+      val channels = states.filterNot(Set("conv", "null", "start")).sorted
+      val re = channels.map(c => 1.0 - absorb(si(c)) / base)
+      val reSum = re.sum // sorted channel order — oracle sums the same order
+      import s.implicits._
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      channels.zip(re).map { case (c, e) => (c, r6(e), r6(e / reSum), r6(base)) }.toSeq
+        .toDF("channel", "removal_effect", "attribution", "base_cvr")
+    }),
+
     // Cohort lifetime-value curves: customers grouped by first-order
     // month, revenue accumulated by cohort age (months since first
     // order), LTV = cumulative revenue / cohort size — the
@@ -318,6 +384,67 @@ object BizQueries {
         |  count(DISTINCT pid)::BIGINT AS purchases_touched,
         |  round(sum(credit), 6) AS credit
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_markov_attribution" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |  FROM events),
+        |st AS (SELECT event_type,
+        |    coalesce(lag(event_type) OVER (PARTITION BY user_id, jid ORDER BY ts, event_id),
+        |             'start') AS prev,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS cur,
+        |    row_number() OVER (PARTITION BY user_id, jid ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM ev),
+        |tr AS (SELECT prev, cur FROM st
+        |       UNION ALL
+        |       SELECT event_type AS prev, 'null' AS cur FROM st
+        |       WHERE rd = 1 AND event_type <> 'purchase'),
+        |pairs AS (SELECT prev, cur, count(*) AS c FROM tr GROUP BY 1, 2),
+        |states AS (SELECT DISTINCT stt FROM
+        |  (SELECT prev AS stt FROM pairs UNION ALL SELECT cur FROM pairs)),
+        |idx AS (SELECT stt, row_number() OVER (ORDER BY stt) AS i, count(*) OVER () AS k
+        |        FROM states),
+        |tot AS (SELECT prev, sum(c) AS ca FROM pairs GROUP BY 1),
+        |grid AS (SELECT a.i AS i, b.i AS j,
+        |    coalesce(CAST(p.c AS DOUBLE) / CAST(t.ca AS DOUBLE), 0.0) AS pr
+        |  FROM idx a CROSS JOIN idx b
+        |    LEFT JOIN pairs p ON p.prev = a.stt AND p.cur = b.stt
+        |    LEFT JOIN tot t ON t.prev = a.stt),
+        |mat AS (SELECT max(i) AS k, list(pr ORDER BY i, j) AS pm FROM grid),
+        |ic AS (SELECT max(CASE WHEN stt = 'conv' THEN i END) AS icv,
+        |    max(CASE WHEN stt = 'null' THEN i END) AS inl,
+        |    max(CASE WHEN stt = 'start' THEN i END) AS ist FROM idx),
+        |scen AS (SELECT 0::BIGINT AS rem FROM mat
+        |         UNION ALL
+        |         SELECT i FROM idx WHERE stt NOT IN ('conv', 'null', 'start')),
+        |rec AS (
+        |  SELECT s.rem, 0 AS it,
+        |    list_transform(range(1, m.k + 1),
+        |      x -> CASE WHEN x = c.icv THEN 1.0E0 ELSE 0.0E0 END) AS v,
+        |    m.k, m.pm, c.icv, c.inl, c.ist
+        |  FROM scen s, mat m, ic c
+        |  UNION ALL
+        |  SELECT rem, it + 1,
+        |    list_transform(range(1, k + 1), i ->
+        |      CASE WHEN i = icv THEN 1.0E0
+        |           WHEN i = inl OR i = rem THEN 0.0E0
+        |           ELSE list_sum(list_transform(range(1, k + 1),
+        |                  j -> pm[(i - 1) * k + j] * v[j]))
+        |      END),
+        |    k, pm, icv, inl, ist
+        |  FROM rec WHERE it < 200),
+        |fin AS (SELECT rem, v[ist] AS cvr FROM rec WHERE it = 200),
+        |re AS (SELECT x.stt AS channel, 1.0 - f.cvr / b.cvr AS re, b.cvr AS base_cvr
+        |  FROM fin f JOIN idx x ON x.i = f.rem
+        |  CROSS JOIN (SELECT cvr FROM fin WHERE rem = 0) b
+        |  WHERE f.rem <> 0),
+        |rs AS (SELECT list_sum(list(re ORDER BY channel)) AS s FROM re)
+        |SELECT r.channel, round(r.re, 6) AS removal_effect,
+        |  round(r.re / t.s, 6) AS attribution, round(r.base_cvr, 6) AS base_cvr
+        |FROM re r CROSS JOIN rs t""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey, o_orderdate::DATE AS od, o_totalprice FROM orders),

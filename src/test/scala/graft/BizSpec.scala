@@ -74,6 +74,19 @@ class BizSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(defined >= 2, "Bass fit defined on too few regions")
   }
 
+  test("q_markov_attribution: shares sum to 1, removal effects in [0,1], base cvr sane") {
+    val rows = SparkEntry.queries("q_markov_attribution")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var shareSum = 0.0
+    rows.foreach { r =>
+      val (re, att, cvr) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(re >= 0.0 && re <= 1.0, s"removal effect $re out of range")
+      assert(cvr > 0.0 && cvr <= 1.0)
+      shareSum += att
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"attribution shares sum to $shareSum, not 1")
+  }
+
   test("q_cohort_ltv: cumulative revenue is non-decreasing in age; ltv = cum/size") {
     val rows = SparkEntry.queries("q_cohort_ltv")(spark, dir).collect()
     assert(rows.nonEmpty)
