@@ -45,7 +45,8 @@ object SparkEntry {
     (StreamQueries.defs, StreamQueries.sql),
     (StateQueries.defs, StateQueries.sql),
     (BizQueries.defs, BizQueries.sql),
-    (EconQueries.defs, EconQueries.sql)
+    (EconQueries.defs, EconQueries.sql),
+    (AbQueries.defs, AbQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the experimentation-hygiene pack (AbQueries): CUPED
+  * variance accounting, SRM count conservation, winsorization bounds.
+  */
+class AbSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_cuped: theta finite, variance reduction in (-0.05, 1)") {
+    val r = SparkEntry.queries("q_cuped")(spark, dir).collect().head
+    val (nA, nB, theta, vr) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(5))
+    assert(nA > 0 && nB > 0)
+    assert(!theta.isNaN && !theta.isInfinite)
+    assert(vr > -0.05 && vr < 1.0, s"variance reduction $vr out of the plausible band")
+    assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN)
+  }
+
+  test("q_srm: arm counts conserve the user total; p in [0,1]") {
+    val r = SparkEntry.queries("q_srm")(spark, dir).collect().head
+    val (nA, nB, p) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(nA + nB == users, s"arm counts ${nA + nB} != user total $users")
+    assert(p >= 0.0 && p <= 1.0)
+    // a fair deterministic hash split should not trip the 0.001 guardrail
+    assert(r.getInt(4) == 0, "deterministic 50/50 hash split flagged as SRM")
+  }
+
+  test("q_ab_winsorized: capped means never exceed raw means; cap positive") {
+    val rows = SparkEntry.queries("q_ab_winsorized")(spark, dir).collect()
+    val r = rows.head
+    val cap = r.getLong(2)
+    assert(cap > 0)
+    // recompute raw means to compare against the winsorized ones
+    val u = Tables.events(spark, dir).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("event_type") === "purchase",
+          org.apache.spark.sql.functions.col("value")).otherwise(0.0)).as("m"))
+    val rawMax = u.agg(org.apache.spark.sql.functions.max("m")).collect().head.getDouble(0)
+    assert(cap <= math.ceil(rawMax).toLong, "p99 cap cannot exceed the metric maximum")
+    assert(r.getDouble(3) > 0 && r.getDouble(4) > 0)
+    assert(!r.getDouble(5).isNaN && !r.getDouble(6).isNaN)
+  }
+}
