@@ -46,7 +46,8 @@ object SparkEntry {
     (StateQueries.defs, StateQueries.sql),
     (BizQueries.defs, BizQueries.sql),
     (EconQueries.defs, EconQueries.sql),
-    (AbQueries.defs, AbQueries.sql)
+    (AbQueries.defs, AbQueries.sql),
+    (OpsQueries.defs, OpsQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -114,6 +114,47 @@ object EconQueries {
           when(col("p") < 0.05, 1).otherwise(0).as("arch_present"))
     }),
 
+    // Haar discrete-wavelet energy decomposition per series: detail-band
+    // energies over the most recent 2^k points (k ≤ 9) — the
+    // multi-resolution "where does the variance live" feature next to
+    // q_seasonality_fft's single-band periodogram. One-series-per-row
+    // kernel; the oracle replays the identical pairwise cascade as a
+    // recursive CTE over lists (same ascending-index float order).
+    "q_haar_energy" -> ((s, dir) => {
+      val S = TSSchema(keys = Seq("event_type"))
+      val dense = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+      val fn = udf { xs: Seq[Double] =>
+        var m = 1
+        while (m * 2 <= xs.length && m * 2 <= 512) m *= 2
+        var a = xs.takeRight(m).toArray
+        val levels = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var total = 0.0
+        while (a.length >= 2) {
+          val half = a.length / 2
+          val ap = new Array[Double](half)
+          var e = 0.0
+          var i = 0
+          while (i < half) {
+            val u = a(2 * i); val v = a(2 * i + 1)
+            val d = (u - v) / math.sqrt(2.0)
+            ap(i) = (u + v) / math.sqrt(2.0)
+            e = e + d * d
+            i += 1
+          }
+          levels += e
+          total = total + e
+          a = ap
+        }
+        levels.zipWithIndex.map { case (e, i) =>
+          Seq((i + 1).toDouble, e, e / total)
+        }.toSeq
+      }
+      SeriesOps.collect(dense, S)
+        .withColumn("_lv", explode(fn(col("xs"))))
+        .select(col("event_type"), col("_lv")(0).cast("int").as("level"),
+          round(col("_lv")(1), 6).as("energy"), round(col("_lv")(2), 6).as("share"))
+    }),
+
     "q_newsvendor" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
@@ -211,6 +252,36 @@ object EconQueries {
          |  s.lm AS lm_stat, round(f.p, 6) AS p_value,
          |  CASE WHEN f.p < 0.05 THEN 1 ELSE 0 END AS arch_present
          |FROM st s JOIN chisf f USING (event_type)""".stripMargin,
+
+    "q_haar_energy" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |ser AS (SELECT event_type, list(value ORDER BY ts) AS xs0, count(*) AS n
+         |        FROM dense GROUP BY 1),
+         |tr AS (SELECT event_type,
+         |    CASE WHEN n >= 512 THEN 512 WHEN n >= 256 THEN 256 WHEN n >= 128 THEN 128
+         |         WHEN n >= 64 THEN 64 WHEN n >= 32 THEN 32 WHEN n >= 16 THEN 16
+         |         WHEN n >= 8 THEN 8 WHEN n >= 4 THEN 4 WHEN n >= 2 THEN 2
+         |         ELSE 1 END AS m, xs0, n
+         |  FROM ser),
+         |t2 AS (SELECT event_type, xs0[(n - m + 1):n] AS xs FROM tr),
+         |rec AS (
+         |  SELECT event_type, 1 AS lvl, xs FROM t2 WHERE len(xs) >= 2
+         |  UNION ALL
+         |  SELECT event_type, lvl + 1,
+         |    list_transform(range(1, len(xs) // 2 + 1),
+         |      i -> (xs[2 * i - 1] + xs[2 * i]) / sqrt(2.0))
+         |  FROM rec WHERE len(xs) >= 4),
+         |en AS (SELECT event_type, lvl,
+         |    list_sum(list_transform(range(1, len(xs) // 2 + 1),
+         |      i -> ((xs[2 * i - 1] - xs[2 * i]) / sqrt(2.0))
+         |         * ((xs[2 * i - 1] - xs[2 * i]) / sqrt(2.0)))) AS e
+         |  FROM rec),
+         |tot AS (SELECT event_type, list_sum(list(e ORDER BY lvl)) AS total
+         |        FROM en GROUP BY 1)
+         |SELECT e.event_type, e.lvl::INT AS level, round(e.e, 6) AS energy,
+         |  round(e.e / t.total, 6) AS share
+         |FROM en e JOIN tot t USING (event_type)""".stripMargin,
 
     "q_newsvendor" ->
       """WITH d AS (

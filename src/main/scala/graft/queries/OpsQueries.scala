@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retail/ops analytics — lifecycle, pricing, and inventory-classification
+  * operators over the warehouse tables:
+  *
+  *  - `q_churn_hazard` — discrete-time churn hazard by tenure week:
+  *    h(w) = churners(w)/at_risk(w) with right-censoring for users still
+  *    active in the stream's final week (the hazard-rate view next to
+  *    q_kaplan_meier's survival view). One user-keyed aggregation → a
+  *    ≤#weeks-row frame; at-risk from a reverse cumulative count, the KM
+  *    shape.
+  *  - `q_price_index` — monthly Laspeyres / Paasche / Fisher price
+  *    indices over lineitem (base = first shipping month, matched on
+  *    parts present in both periods): L = Σp_t·q_0/Σp_0·q_0,
+  *    P = Σp_t·q_t/Σp_0·q_t, F = √(L·P). One (part, month) aggregate +
+  *    one partkey-keyed join against the base-month slice.
+  *  - `q_pareto_abc` — ABC inventory classification: parts ranked by
+  *    revenue, A/B/C split at 80%/95% cumulative share. Class boundaries
+  *    come from the ordered cumulative sum itself (total = max(cum), the
+  *    same float sequence in both engines) — never a second unordered
+  *    re-sum that could disagree by an ulp at a boundary. The ranking
+  *    window is #parts-sized — dimension-scale, not fact-scale.
+  */
+object OpsQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_churn_hazard" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val mx = ev.agg(to_date(max(col("ts"))).as("mx"))
+      val u = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .crossJoin(broadcast(mx))
+        .select(
+          (datediff(col("d1"), col("d0")).cast("long") / 7L).cast("long").as("w"),
+          (datediff(col("mx"), col("d1")) < 7).as("censored"))
+      val total = u.agg(count(lit(1)).as("n_users"))
+      val byW = u.groupBy("w").agg(
+        count(lit(1)).as("n_end"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("censored_n"))
+      val one = substring(col("w").cast("string"), 1, 0)
+      val wCum = Window.partitionBy(one).orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byW.crossJoin(broadcast(total))
+        .withColumn("at_risk", col("n_users") - coalesce(sum("n_end").over(wCum), lit(0L)))
+        .select(col("w").as("tenure_w"), col("at_risk"), col("churned"),
+          col("censored_n"),
+          round(col("churned").cast("double") / col("at_risk"), 6).as("hazard"))
+    }),
+
+    "q_price_index" -> ((s, dir) => {
+      val pm = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), trunc(to_date(col("l_shipdate")), "month").as("m"))
+        .agg(round(sum("l_extendedprice") / sum("l_quantity"), 6).as("p"),
+          sum(col("l_quantity").cast("long")).as("q"))
+      val m0 = pm.agg(min("m").as("m0"))
+      val base = pm.crossJoin(broadcast(m0)).where(col("m") === col("m0"))
+        .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+      pm.join(base, "l_partkey")
+        .groupBy("m").agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("p") * col("q0")).as("ptq0"), sum(col("p0") * col("q0")).as("p0q0"),
+          sum(col("p") * col("q")).as("ptqt"), sum(col("p0") * col("q")).as("p0qt"))
+        .withColumn("laspeyres", col("ptq0") / col("p0q0"))
+        .withColumn("paasche", col("ptqt") / col("p0qt"))
+        .select(col("m").as("month"), col("n_parts"),
+          round(col("laspeyres"), 6).as("laspeyres"),
+          round(col("paasche"), 6).as("paasche"),
+          round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
+    }),
+
+    "q_pareto_abc" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy("l_partkey").agg(round(sum("l_extendedprice"), 6).as("rev"))
+      val one = substring(col("l_partkey").cast("string"), 1, 0)
+      val wOrd = Window.partitionBy(one).orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(one)
+      val ranked = rev
+        .withColumn("cum", sum("rev").over(wOrd))
+        .withColumn("total", max(col("cum")).over(wAll))
+        .withColumn("abc_class",
+          when(col("cum") <= col("total") * 0.80, "A")
+            .when(col("cum") <= col("total") * 0.95, "B")
+            .otherwise("C"))
+      // cum_revenue at 2 dp: the cumulative sits at ~1e9-1e12 magnitude
+      // where a 6-dp grid is below the double ulp (and DuckDB's windowed
+      // sum is a segment-tree reduction, not sequential) — cents are the
+      // honest precision; the share ratio stays at 6 dp
+      ranked.groupBy("abc_class").agg(
+        count(lit(1)).as("n_parts"),
+        round(max("cum"), 2).as("cum_revenue"),
+        round(max("cum") / max("total"), 6).as("cum_share"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "q_churn_hazard" ->
+      """WITH mx AS (SELECT max(ts)::DATE AS mx FROM events),
+        |u AS (SELECT date_diff('day', min(e.ts)::DATE, max(e.ts)::DATE) // 7 AS w,
+        |        date_diff('day', max(e.ts)::DATE, m.mx) < 7 AS censored
+        |      FROM events e, mx m GROUP BY e.user_id, m.mx),
+        |d AS (SELECT w, count(*) AS n_end,
+        |        sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS churned,
+        |        sum(CASE WHEN censored THEN 1 ELSE 0 END) AS censored_n
+        |      FROM u GROUP BY 1),
+        |o AS (SELECT *, (SELECT count(*) FROM u)
+        |        - coalesce(sum(n_end) OVER (ORDER BY w
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        |      FROM d)
+        |SELECT w AS tenure_w, at_risk::BIGINT AS at_risk, churned::BIGINT AS churned,
+        |  censored_n::BIGINT AS censored_n,
+        |  round(churned::DOUBLE / at_risk, 6) AS hazard
+        |FROM o""".stripMargin,
+
+    "q_price_index" ->
+      """WITH pm AS (SELECT l_partkey, date_trunc('month', l_shipdate::DATE)::DATE AS m,
+        |    round(sum(l_extendedprice) / sum(l_quantity), 6) AS p,
+        |    sum(l_quantity::BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (SELECT l_partkey, p AS p0, q AS q0 FROM pm
+        |         WHERE m = (SELECT min(m) FROM pm)),
+        |j AS (SELECT pm.m, count(*) AS n_parts,
+        |    sum(pm.p * b.q0) AS ptq0, sum(b.p0 * b.q0) AS p0q0,
+        |    sum(pm.p * pm.q) AS ptqt, sum(b.p0 * pm.q) AS p0qt
+        |  FROM pm JOIN base b USING (l_partkey) GROUP BY 1)
+        |SELECT m AS month, n_parts::BIGINT AS n_parts,
+        |  round(ptq0 / p0q0, 6) AS laspeyres,
+        |  round(ptqt / p0qt, 6) AS paasche,
+        |  round(sqrt((ptq0 / p0q0) * (ptqt / p0qt)), 6) AS fisher
+        |FROM j""".stripMargin,
+
+    "q_pareto_abc" ->
+      """WITH rev AS (SELECT l_partkey, round(sum(l_extendedprice), 6) AS rev
+        |             FROM lineitem GROUP BY 1),
+        |rk AS (SELECT *,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |tt AS (SELECT *, max(cum) OVER () AS total FROM rk),
+        |cl AS (SELECT *,
+        |    CASE WHEN cum <= total * 0.80 THEN 'A'
+        |         WHEN cum <= total * 0.95 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM tt)
+        |SELECT abc_class, count(*)::BIGINT AS n_parts,
+        |  round(max(cum), 2) AS cum_revenue,
+        |  round(max(cum) / max(total), 6) AS cum_share
+        |FROM cl GROUP BY 1""".stripMargin
+  )
+}
