@@ -185,6 +185,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("econ/ab/ops pack plans keep their scale shape") {
+    // q_cuped / q_ab_winsorized: the 1-row pooled-stat and cap tables must
+    // broadcast onto the user relation — never shuffle users against them
+    Seq("q_cuped", "q_ab_winsorized", "q_churn_hazard", "q_cohort_ltv").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("Broadcast"), s"$q lost its 1-row/dim broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a SortMergeJoin:\n$p")
+    }
+    // value-domain quantile lookups: partial aggregation must survive
+    Seq("q_newsvendor", "q_price_index", "q_srm").foreach { q =>
+      val p = planOf(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // per-series moment diagnostics: exactly one series-keyed exchange
+    // feeding the moment aggregate (plus at most the output coalesce)
+    Seq("q_durbin_watson", "q_arch_lm").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q grew a join:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$q shuffles more than the series key:\n$p")
+    }
+  }
+
   test("props-profile keeps JSON extraction inside one codegen'd scan pass") {
     val p = planOf("q_props_profile")
     assert(p.contains("get_json_object"), s"q_props_profile lost the native JSON path:\n$p")
