@@ -47,7 +47,8 @@ object SparkEntry {
     (BizQueries.defs, BizQueries.sql),
     (EconQueries.defs, EconQueries.sql),
     (AbQueries.defs, AbQueries.sql),
-    (OpsQueries.defs, OpsQueries.sql)
+    (OpsQueries.defs, OpsQueries.sql),
+    (SignalQueries.defs, SignalQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
