@@ -48,7 +48,8 @@ object SparkEntry {
     (EconQueries.defs, EconQueries.sql),
     (AbQueries.defs, AbQueries.sql),
     (OpsQueries.defs, OpsQueries.sql),
-    (SignalQueries.defs, SignalQueries.sql)
+    (SignalQueries.defs, SignalQueries.sql),
+    (PanelQueries.defs, PanelQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
