@@ -49,7 +49,8 @@ object SparkEntry {
     (AbQueries.defs, AbQueries.sql),
     (OpsQueries.defs, OpsQueries.sql),
     (SignalQueries.defs, SignalQueries.sql),
-    (PanelQueries.defs, PanelQueries.sql)
+    (PanelQueries.defs, PanelQueries.sql),
+    (CorpusQueries.defs, CorpusQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -29,6 +29,9 @@ import graft.Tables
   */
 object OpsQueries {
 
+  /** Erlang-C service rate (jobs per hour per agent). */
+  private[queries] val Mu = 12.0
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_churn_hazard" -> ((s, dir) => {
@@ -74,6 +77,42 @@ object OpsQueries {
           round(col("laspeyres"), 6).as("laspeyres"),
           round(col("paasche"), 6).as("paasche"),
           round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
+    }),
+
+    // Erlang-C capacity planning per event stream: arrivals λ = events
+    // per hour (count/expected span — a ratio of integers), service rate
+    // μ = 12/hour, smallest agent count c with wait probability ≤ 0.2
+    // via the Erlang-B recursion B(c) = a·B(c−1)/(c + a·B(c−1)) then
+    // C = c·B/(c − a(1−B)) — the SRE/call-center staffing primitive.
+    // The recursion is a fixed-order scalar loop (≤60 steps) on a
+    // #series-row frame; the oracle replays it as a recursive CTE with
+    // the identical float sequence.
+    "q_erlang_c" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val lam = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        expr("(unix_timestamp(max(ts)) - unix_timestamp(min(ts))) DIV 3600 + 1").as("hours"))
+        .withColumn("lambda", col("n_events").cast("double") / col("hours"))
+        .withColumn("a", col("lambda") / lit(OpsQueries.Mu))
+      val fit = udf { a: Double =>
+        var bb = 1.0
+        var c = 0
+        var res: (Int, Double) = (0, 1.0)
+        var found = false
+        while (c < 60 && !found) {
+          c += 1
+          bb = a * bb / (c + a * bb)
+          if (c > a) {
+            val cw = c * bb / (c - a * (1.0 - bb))
+            if (cw <= 0.2) { res = (c, cw); found = true }
+          }
+        }
+        res
+      }
+      lam.withColumn("_f", fit(col("a")))
+        .select(col("event_type"), col("n_events"), round(col("lambda"), 6).as("lambda"),
+          round(col("a"), 6).as("offered_load"),
+          col("_f._1").as("c_star"), round(col("_f._2"), 6).as("wait_prob"))
     }),
 
     "q_pareto_abc" -> ((s, dir) => {
@@ -137,6 +176,31 @@ object OpsQueries {
         |  round(ptqt / p0qt, 6) AS paasche,
         |  round(sqrt((ptq0 / p0q0) * (ptqt / p0qt)), 6) AS fisher
         |FROM j""".stripMargin,
+
+    "q_erlang_c" ->
+      s"""WITH RECURSIVE lam AS (SELECT event_type, count(*)::BIGINT AS n_events,
+         |    ((epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000) // 3600 + 1)::BIGINT AS hours
+         |  FROM events GROUP BY 1),
+         |aa AS (SELECT event_type, n_events, hours,
+         |    n_events::DOUBLE / hours AS lambda,
+         |    (n_events::DOUBLE / hours) / $Mu AS a
+         |  FROM lam),
+         |rec AS (
+         |  SELECT event_type, a, 0 AS c, 1.0E0 AS b FROM aa
+         |  UNION ALL
+         |  SELECT event_type, a, c + 1, a * b / ((c + 1) + a * b)
+         |  FROM rec WHERE c < 60),
+         |erl AS (SELECT event_type, a, c, b,
+         |    c * b / (c - a * (1.0 - b)) AS cw
+         |  FROM rec WHERE c >= 1 AND c > a),
+         |pick AS (SELECT event_type, c, cw FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c) AS rk
+         |    FROM erl WHERE cw <= 0.2) WHERE rk = 1)
+         |SELECT l.event_type, l.n_events, round(l.lambda, 6) AS lambda,
+         |  round(l.a, 6) AS offered_load,
+         |  coalesce(p.c, 0)::INT AS c_star,
+         |  round(coalesce(p.cw, 1.0), 6) AS wait_prob
+         |FROM aa l LEFT JOIN pick p USING (event_type)""".stripMargin,
 
     "q_pareto_abc" ->
       """WITH rev AS (SELECT l_partkey, round(sum(l_extendedprice), 6) AS rev
