@@ -50,7 +50,8 @@ object SparkEntry {
     (OpsQueries.defs, OpsQueries.sql),
     (SignalQueries.defs, SignalQueries.sql),
     (PanelQueries.defs, PanelQueries.sql),
-    (CorpusQueries.defs, CorpusQueries.sql)
+    (CorpusQueries.defs, CorpusQueries.sql),
+    (ScanQueries.defs, ScanQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

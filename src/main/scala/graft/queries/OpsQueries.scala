@@ -79,6 +79,32 @@ object OpsQueries {
           round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
     }),
 
+    // Lorenz concentration curve of customer revenue by decile: ntile(10)
+    // over (revenue, custkey) — the "what share of revenue do the top 10%
+    // hold" view next to q_pareto_abc's part-level ABC; decile sums are
+    // dimension-scale, shares are ratios of 2-dp-snapped sums, the
+    // cumulative share accumulates the already-rounded decile shares so
+    // the running order is engine-identical.
+    "q_lorenz_deciles" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .groupBy("o_custkey").agg(round(sum("o_totalprice"), 6).as("rev"))
+      val one = substring(col("o_custkey").cast("string"), 1, 0)
+      val wT = Window.partitionBy(one).orderBy(col("rev"), col("o_custkey"))
+      val dec = rev.withColumn("decile", ntile(10).over(wT))
+        .groupBy("decile").agg(
+          count(lit(1)).as("n_customers"),
+          round(sum("rev"), 2).as("revenue"))
+      val wAll = Window.partitionBy(substring(col("decile").cast("string"), 1, 0))
+      val wCum = Window.partitionBy(substring(col("decile").cast("string"), 1, 0))
+        .orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      dec
+        .withColumn("total", sum("revenue").over(wAll))
+        .withColumn("share", round(col("revenue") / col("total"), 6))
+        .withColumn("cum_share", round(sum(col("share")).over(wCum), 6))
+        .select(col("decile").cast("int").as("decile"), col("n_customers"),
+          col("revenue"), col("share"), col("cum_share"))
+    }),
+
     // Erlang-C capacity planning per event stream: arrivals λ = events
     // per hour (count/expected span — a ratio of integers), service rate
     // μ = 12/hour, smallest agent count c with wait probability ≤ 0.2
@@ -176,6 +202,20 @@ object OpsQueries {
         |  round(ptqt / p0qt, 6) AS paasche,
         |  round(sqrt((ptq0 / p0q0) * (ptqt / p0qt)), 6) AS fisher
         |FROM j""".stripMargin,
+
+    "q_lorenz_deciles" ->
+      """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 6) AS rev
+        |             FROM orders GROUP BY 1),
+        |dec AS (SELECT ntile(10) OVER (ORDER BY rev, o_custkey) AS decile, rev FROM rev),
+        |d AS (SELECT decile, count(*)::BIGINT AS n_customers,
+        |        round(sum(rev), 2) AS revenue
+        |      FROM dec GROUP BY 1),
+        |t AS (SELECT *, sum(revenue) OVER () AS total FROM d),
+        |sh AS (SELECT *, round(revenue / total, 6) AS share FROM t)
+        |SELECT decile::INT AS decile, n_customers, revenue, share,
+        |  round(sum(share) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+        |FROM sh""".stripMargin,
 
     "q_erlang_c" ->
       s"""WITH RECURSIVE lam AS (SELECT event_type, count(*)::BIGINT AS n_events,

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal-scan + correlation-structure battery over the hourly panel:
+  *
+  *  - `q_scan_stat` — Kulldorff temporal scan (Poisson LLR): the
+  *    highest-scoring contiguous window of {6,12,24,48} hours per
+  *    series, LLR = c·ln(c/E) + (N−c)·ln((N−c)/(N−E)) for c > E — WHERE
+  *    an anomaly lives, not just whether (the localization complement
+  *    to q_anomaly_window). Counts are integers, E a ratio of integers,
+  *    so both engines derive identical doubles; candidates are sliding
+  *    ROWS frames over the dense grid — one window pass per length,
+  *    argmax by (llr desc, start asc, len asc).
+  *  - `q_record_stats` — record-breaking test: count of strict running
+  *    maxima vs the exchangeability expectation H_n (E[R] = Σ1/k,
+  *    Var[R] = Σ(1/k − 1/k²)) — a distribution-free trend test next to
+  *    q_mann_kendall.
+  *  - `q_ess` — autocorrelation-adjusted effective sample size:
+  *    ESS = n/(1 + 2Σ_{k≤24} ρ_k) — how many independent observations
+  *    an experiment on this series actually has (the q_cuped
+  *    companion); autocovariances 4-dp-snapped, 24 lag columns in one
+  *    window pass.
+  */
+object ScanQueries {
+
+  private val H = Tables.hourlySql
+
+  /** Scan-window candidate lengths (hours). */
+  private val Lens = Seq(6, 12, 24, 48)
+
+  /** ESS autocorrelation horizon. */
+  private val K = 24
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_scan_stat" -> ((s, dir) => {
+      // dense hourly COUNT grid (zeros where no events): contiguity of
+      // the scan windows must not skip gap hours
+      val S = graft.TSSchema(keys = Seq("event_type"), value = "n")
+      val dense = graft.TS.fillGaps(
+        Tables.hourlyEvents(s, dir).drop("value").withColumn("n", col("n").cast("double")),
+        S, 3600L, Some(0.0))
+        .withColumn("c1", col("n").cast("long"))
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wAll = Window.partitionBy("event_type")
+      val base = dense
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", sum("c1").over(wAll))
+        .withColumn("tt", count(lit(1)).over(wAll))
+      val cands = Lens.map { l =>
+        val win = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-(l - 1), 0)
+        base
+          .withColumn("len", lit(l))
+          .withColumn("c", sum("c1").over(win))
+          .where(col("rn") >= l)
+          .withColumn("e", col("nn").cast("double") * l / col("tt"))
+          .withColumn("llr",
+            when(col("c").cast("double") <= col("e"), lit(0.0))
+              .when(col("c") === col("nn"),
+                col("c") * log(col("c").cast("double") / col("e")))
+              .otherwise(col("c") * log(col("c").cast("double") / col("e")) +
+                (col("nn") - col("c")) * log((col("nn") - col("c")).cast("double") /
+                  (col("nn").cast("double") - col("e")))))
+          .select(col("event_type"), col("ts"), col("len"), col("c"), col("e"), col("llr"))
+      }.reduce(_ unionAll _)
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(col("llr").desc, col("ts"), col("len"))
+      cands.withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts")) - (col("len") - 1) * 3600L).as("window_start_s"),
+          col("len").as("window_h"), col("c").as("c_window"),
+          round(col("e"), 6).as("expected"), round(col("llr"), 6).as("llr"))
+    }),
+
+    "q_record_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("pmax", max("value").over(w))
+        .withColumn("rec", when(col("pmax").isNull || col("value") > col("pmax"), 1L).otherwise(0L))
+      val agg = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("rec").as("n_records"))
+      // E[R] = H_n, Var[R] = H_n − H_n^(2): harmonic sums of O(1) terms
+      val hFn = udf { n: Long =>
+        var h = 0.0; var h2 = 0.0; var k = 1L
+        while (k <= n) { h += 1.0 / k; h2 += 1.0 / (k.toDouble * k); k += 1 }
+        (h, h - h2)
+      }
+      agg.withColumn("_h", hFn(col("n")))
+        .select(col("event_type"), col("n").as("n_obs"), col("n_records"),
+          round(col("_h._1"), 6).as("expected"),
+          round((col("n_records") - col("_h._1")) / sqrt(col("_h._2")), 6).as("z"))
+        .withColumn("trending", when(col("z") >= 1.96, 1).otherwise(0))
+    }),
+
+    "q_ess" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wp = Window.partitionBy("event_type")
+      var df = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("m", round(avg("value").over(wp), 6))
+        .withColumn("e", col("value") - col("m"))
+      (1 to K).foreach { k => df = df.withColumn(s"l$k", lag("e", k).over(w)) }
+      val covs = col("event_type") +: count(lit(1)).as("n") +:
+        round(sum(col("e") * col("e")), 4).as("c0") +:
+        (1 to K).map(k => round(sum(col("e") * col(s"l$k")), 4).as(s"c$k"))
+      val mom = df.groupBy("event_type").agg(covs.tail.head, covs.drop(2): _*)
+      val sumRho = (1 to K).map(k => col(s"c$k") / col("c0")).reduce(_ + _)
+      mom
+        .withColumn("sum_rho", sumRho)
+        .withColumn("ess", col("n") / (lit(1.0) + lit(2.0) * col("sum_rho")))
+        .select(col("event_type"), col("n").as("n_obs"),
+          round(col("c1") / col("c0"), 6).as("rho1"),
+          round(col("sum_rho"), 6).as("sum_rho"),
+          round(col("ess"), 6).as("ess"),
+          round(col("ess") / col("n"), 6).as("ess_ratio"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "q_scan_stat" -> {
+      val lensSel = Lens.map(l => s"SELECT $l AS len").mkString(" UNION ALL ")
+      s"""WITH hourly0 AS (SELECT event_type, date_trunc('hour', ts) AS ts,
+         |    count(*)::BIGINT AS c1 FROM events GROUP BY 1, 2),
+         |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly0 GROUP BY 1),
+         |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
+         |dense AS (SELECT g.event_type, g.ts, coalesce(h.c1, 0) AS c1
+         |          FROM hgrid g LEFT JOIN hourly0 h ON g.event_type = h.event_type AND g.ts = h.ts),
+         |base AS (SELECT event_type, ts, c1,
+         |    row_number() OVER w AS rn,
+         |    sum(c1) OVER (PARTITION BY event_type) AS nn,
+         |    count(*) OVER (PARTITION BY event_type) AS tt
+         |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |lens AS ($lensSel),
+         |cand AS (SELECT b.event_type, b.ts, l.len,
+         |    sum(b.c1) OVER (PARTITION BY b.event_type, l.len ORDER BY b.ts
+         |      ROWS BETWEEN l.len - 1 PRECEDING AND CURRENT ROW) AS c,
+         |    b.rn, b.nn, b.tt
+         |  FROM base b CROSS JOIN lens l),
+         |sc AS (SELECT event_type, ts, len, c,
+         |    nn::DOUBLE * len / tt AS e, nn
+         |  FROM cand WHERE rn >= len),
+         |llr AS (SELECT *,
+         |    CASE WHEN c::DOUBLE <= e THEN 0.0E0
+         |         WHEN c = nn THEN c * ln(c::DOUBLE / e)
+         |         ELSE c * ln(c::DOUBLE / e)
+         |            + (nn - c) * ln((nn - c)::DOUBLE / (nn::DOUBLE - e))
+         |    END AS llr
+         |  FROM sc),
+         |pick AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY llr DESC, ts, len) AS rk FROM llr) WHERE rk = 1)
+         |SELECT event_type,
+         |  (epoch_us(ts) // 1000000 - (len - 1) * 3600)::BIGINT AS window_start_s,
+         |  len::INT AS window_h, c::BIGINT AS c_window,
+         |  round(e, 6) AS expected, round(llr, 6) AS llr
+         |FROM pick""".stripMargin
+    },
+
+    "q_record_stats" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |rc AS (SELECT event_type, value,
+         |    max(value) OVER (PARTITION BY event_type ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM hourly),
+         |agg AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN pmax IS NULL OR value > pmax THEN 1 ELSE 0 END)::BIGINT AS n_records
+         |  FROM rc GROUP BY 1),
+         |hrec AS (
+         |  SELECT event_type, n, 1::BIGINT AS k, 1.0E0 AS h, 1.0E0 AS h2 FROM agg
+         |  UNION ALL
+         |  SELECT event_type, n, k + 1, h + 1.0E0 / (k + 1),
+         |         h2 + 1.0E0 / ((k + 1)::DOUBLE * (k + 1))
+         |  FROM hrec WHERE k < n),
+         |hn AS (SELECT event_type, h, h - h2 AS v FROM hrec WHERE k = n)
+         |SELECT a.event_type, a.n AS n_obs, a.n_records,
+         |  round(h.h, 6) AS expected,
+         |  round((a.n_records - h.h) / sqrt(h.v), 6) AS z,
+         |  CASE WHEN (a.n_records - h.h) / sqrt(h.v) >= 1.96 THEN 1 ELSE 0 END AS trending
+         |FROM agg a JOIN hn h USING (event_type)""".stripMargin,
+
+    "q_ess" -> {
+      val lagCols = (1 to K).map(k => s"lag(e, $k) OVER w AS l$k").mkString(",\n         |    ")
+      val covCols = (1 to K).map(k => s"round(sum(e * l$k), 4) AS c$k").mkString(",\n         |    ")
+      val rhoSum = (1 to K).map(k => s"c$k / c0").mkString(" + ")
+      s"""WITH hourly AS ($H),
+         |ev AS (SELECT event_type, ts,
+         |    value - round(avg(value) OVER (PARTITION BY event_type), 6) AS e
+         |  FROM hourly),
+         |lg AS (SELECT event_type, e,
+         |    $lagCols
+         |  FROM ev WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(e * e), 4) AS c0,
+         |    $covCols
+         |  FROM lg GROUP BY 1),
+         |st AS (SELECT event_type, n, c1 / c0 AS rho1, ($rhoSum) AS sum_rho FROM mom)
+         |SELECT event_type, n AS n_obs, round(rho1, 6) AS rho1,
+         |  round(sum_rho, 6) AS sum_rho,
+         |  round(n / (1.0 + 2.0 * sum_rho), 6) AS ess,
+         |  round((n / (1.0 + 2.0 * sum_rho)) / n, 6) AS ess_ratio
+         |FROM st""".stripMargin
+    }
+  )
+}

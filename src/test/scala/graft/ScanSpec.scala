@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the temporal-scan pack (ScanQueries) + Lorenz deciles. */
+class ScanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_scan_stat: winner per series, window count above expectation, llr >= 0") {
+    val rows = SparkEntry.queries("q_scan_stat")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (len, c, e, llr) = (r.getInt(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(Seq(6, 12, 24, 48).contains(len))
+      assert(llr >= 0.0)
+      if (llr > 0) assert(c > e, "positive LLR requires an excess window")
+    }
+  }
+
+  test("q_record_stats: record count bounded by n, at least the first point is a record") {
+    val rows = SparkEntry.queries("q_record_stats")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, rec, exp) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rec >= 1 && rec <= n)
+      // H_n grows like ln n
+      assert(exp > math.log(n.toDouble) - 1 && exp < math.log(n.toDouble) + 2)
+    }
+  }
+
+  test("q_ess: ess in (0, n], ratio consistent") {
+    val rows = SparkEntry.queries("q_ess")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, ess, ratio) = (r.getLong(1), r.getDouble(4), r.getDouble(5))
+      assert(ess > 0, "negative/zero ESS would mean sum_rho <= -0.5 — implausible here")
+      assert(math.abs(ratio - ess / n) < 1e-5)
+    }
+  }
+
+  test("q_lorenz_deciles: 10 deciles, shares non-decreasing, cum ends at 1") {
+    val rows = SparkEntry.queries("q_lorenz_deciles")(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    var last = 0.0
+    rows.foreach { r =>
+      val share = r.getDouble(3)
+      assert(share >= last - 1e-9, "revenue deciles must have non-decreasing shares")
+      last = share
+    }
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-3, "cumulative share must end at 1")
+  }
+}
