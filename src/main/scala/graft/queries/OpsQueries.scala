@@ -32,6 +32,8 @@ object OpsQueries {
   /** Erlang-C service rate (jobs per hour per agent). */
   private[queries] val Mu = 12.0
 
+  private val H = Tables.hourlySql
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_churn_hazard" -> ((s, dir) => {
@@ -77,6 +79,73 @@ object OpsQueries {
           round(col("laspeyres"), 6).as("laspeyres"),
           round(col("paasche"), 6).as("paasche"),
           round(sqrt(col("laspeyres") * col("paasche")), 6).as("fisher"))
+    }),
+
+    // Join-key skew diagnostics — the pipeline-health screen a 100 TB
+    // join needs BEFORE it runs: key-multiplicity profile (max / p99 via
+    // count-of-counts value-domain lookup, never a sort of the fact
+    // rows), skew factor = max/avg, and the share of the biggest key.
+    // One count aggregate per relation + a ≤#distinct-multiplicities
+    // frame.
+    "q_skew_diag" -> ((s, dir) => {
+      def profile(df: DataFrame, rel: String, key: String): DataFrame = {
+        val mult = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("m"))
+        val cc = mult.groupBy("m").agg(count(lit(1)).as("nk"))
+        val one = substring(col("m").cast("string"), 1, 0)
+        val wCum = Window.partitionBy(one).orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy(one)
+        cc.withColumn("cum", sum("nk").over(wCum))
+          .withColumn("keys", sum("nk").over(wAll))
+          .withColumn("rows", sum(col("m") * col("nk")).over(wAll))
+          .withColumn("maxm", max("m").over(wAll))
+          .groupBy().agg(
+            first("keys").as("n_keys"), first("rows").as("n_rows"),
+            first("maxm").as("max_mult"),
+            min(when(col("cum") * 100 >= col("keys") * 99, col("m"))).as("p99_mult"))
+          .select(lit(rel).as("relation"), lit(key).as("key"),
+            col("n_keys"), col("n_rows"), col("max_mult"), col("p99_mult"),
+            round(col("max_mult") * col("n_keys").cast("double") / col("n_rows"), 6).as("skew_factor"),
+            round(col("max_mult").cast("double") / col("n_rows"), 6).as("max_key_share"))
+      }
+      profile(Tables.lineitem(s, dir).select("l_orderkey"), "lineitem", "l_orderkey")
+        .unionAll(profile(Tables.events(s, dir).select("user_id"), "events", "user_id"))
+        .unionAll(profile(Tables.orders(s, dir).select("o_custkey"), "orders", "o_custkey"))
+    }),
+
+    // Alert-budget threshold tuning: smallest z-threshold whose alert
+    // count fits one-alert-per-week (alerts·168 ≤ n hours, integer
+    // math) — the detector-calibration step an on-call rotation
+    // actually performs. Per-series mean+σ thresholds are 6-dp-snapped;
+    // the threshold grid is a 5-row broadcast.
+    "q_alert_budget" -> ((s, dir) => {
+      import s.implicits._
+      val thrs = Seq(2.0, 2.5, 3.0, 3.5, 4.0).toDF("t")
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      // mean/σ from snapped moment sums — a raw window avg/stddev differs
+      // across engines at ~1e-12, and the alert compare sits on the same
+      // 6-dp grid as the values, where a flipped cut changes a count
+      val mom = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        .withColumn("mu", expr("sv / n"))
+        .withColumn("sd", expr("sqrt((svv - sv * sv / n) / (n - 1))"))
+      val counts = hourly.join(broadcast(mom), "event_type")
+        .crossJoin(broadcast(thrs))
+        .withColumn("cut", round(col("mu") + col("t") * col("sd"), 6))
+        .groupBy("event_type", "t").agg(
+          first("n").as("n"),
+          sum(when(col("value") > col("cut"), 1L).otherwise(0L)).as("alerts"))
+      counts
+        .withColumn("fits", col("alerts") * 168 <= col("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("fits").desc, when(col("fits"), col("t")).otherwise(-col("t")))))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_hours"),
+          round(col("t"), 6).as("z_threshold"), col("alerts"),
+          when(col("fits"), 1).otherwise(0).as("within_budget"))
     }),
 
     // Lorenz concentration curve of customer revenue by decile: ntile(10)
@@ -202,6 +271,47 @@ object OpsQueries {
         |  round(ptqt / p0qt, 6) AS paasche,
         |  round(sqrt((ptq0 / p0q0) * (ptqt / p0qt)), 6) AS fisher
         |FROM j""".stripMargin,
+
+    "q_skew_diag" -> {
+      def profile(rel: String, table: String, key: String): String =
+        s"""SELECT '$rel' AS relation, '$key' AS key,
+           |  max(keys)::BIGINT AS n_keys, max(rws)::BIGINT AS n_rows,
+           |  max(maxm)::BIGINT AS max_mult,
+           |  min(CASE WHEN cum * 100 >= keys * 99 THEN m END)::BIGINT AS p99_mult,
+           |  round(max(maxm) * max(keys)::DOUBLE / max(rws), 6) AS skew_factor,
+           |  round(max(maxm)::DOUBLE / max(rws), 6) AS max_key_share
+           |FROM (SELECT m, nk,
+           |    sum(nk) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(nk) OVER () AS keys, sum(m * nk) OVER () AS rws,
+           |    max(m) OVER () AS maxm
+           |  FROM (SELECT m, count(*) AS nk FROM
+           |    (SELECT $key AS k, count(*) AS m FROM $table GROUP BY 1) GROUP BY 1))""".stripMargin
+      s"""WITH a AS (${profile("lineitem", "lineitem", "l_orderkey")}),
+         |b AS (${profile("events", "events", "user_id")}),
+         |c AS (${profile("orders", "orders", "o_custkey")})
+         |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c""".stripMargin
+    },
+
+    "q_alert_budget" ->
+      s"""WITH hourly AS ($H),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM hourly GROUP BY 1),
+         |ms AS (SELECT event_type, n, sv / n AS mu,
+         |    sqrt((svv - sv * sv / n) / (n - 1)) AS sd FROM mom),
+         |thr AS (SELECT unnest([2.0E0, 2.5E0, 3.0E0, 3.5E0, 4.0E0]) AS t),
+         |cnt AS (SELECT h.event_type, th.t, max(m.n) AS n,
+         |    sum(CASE WHEN h.value > round(m.mu + th.t * m.sd, 6) THEN 1 ELSE 0 END)::BIGINT AS alerts
+         |  FROM hourly h JOIN ms m USING (event_type) CROSS JOIN thr th
+         |  GROUP BY 1, 2),
+         |pick AS (SELECT *, alerts * 168 <= n AS fits,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY (alerts * 168 <= n) DESC,
+         |        CASE WHEN alerts * 168 <= n THEN t ELSE -t END) AS rk
+         |  FROM cnt)
+         |SELECT event_type, n AS n_hours, round(t, 6) AS z_threshold, alerts,
+         |  CASE WHEN fits THEN 1 ELSE 0 END AS within_budget
+         |FROM pick WHERE rk = 1""".stripMargin,
 
     "q_lorenz_deciles" ->
       """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 6) AS rev

@@ -59,6 +59,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("q_skew_diag: multiplicity accounting holds for each relation") {
+    val rows = SparkEntry.queries("q_skew_diag")(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (keys, n, maxM, p99) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(keys > 0 && n >= keys)
+      assert(p99 <= maxM)
+      assert(r.getDouble(6) >= 1.0 - 1e-9, "skew factor max/avg must be >= 1")
+      assert(r.getDouble(7) > 0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
+  test("q_alert_budget: within-budget choices respect the alert cap") {
+    val rows = SparkEntry.queries("q_alert_budget")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, t, alerts, ok) = (r.getLong(1), r.getDouble(2), r.getLong(3), r.getInt(4))
+      assert(Seq(2.0, 2.5, 3.0, 3.5, 4.0).contains(t))
+      if (ok == 1) assert(alerts * 168 <= n, "chosen threshold exceeds the weekly alert budget")
+    }
+  }
+
   test("q_haar_energy: shares sum to 1 per series; energy non-negative; dyadic levels") {
     val rows = SparkEntry.queries("q_haar_energy")(spark, dir).collect()
     assert(rows.nonEmpty)
