@@ -155,6 +155,86 @@ object EconQueries {
           round(col("_lv")(1), 6).as("energy"), round(col("_lv")(2), 6).as("share"))
     }),
 
+    // Cook's distance influence diagnostics on the per-series linear
+    // trend: D_t = e²h/(2s²(1−h)²) with leverage h = 1/n + (t−t̄)²/Sxx —
+    // WHICH points drive the fitted trend (the regression-diagnostics
+    // complement to q_outlier_zscore). Residuals come from the
+    // 6-dp-snapped (a,b), s² from the moment closed form (never an
+    // unordered Σe²), t-moments exact integers. Flag D > 4/n.
+    "q_cooks_distance" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("rn", row_number().over(w))
+      val mom = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sy"),
+        round(sum(col("rn") * col("value")), 2).as("sty"),
+        round(sum(col("value") * col("value")), 2).as("syy"))
+        .withColumn("st", expr("(n * (n + 1)) DIV 2"))
+        .withColumn("stt", expr("(n * (n + 1) * (2 * n + 1)) DIV 6"))
+        .withColumn("sxx", expr("CAST(stt AS DOUBLE) - (CAST(st AS DOUBLE) * st) / n"))
+        .withColumn("sxy", expr("sty - (CAST(st AS DOUBLE) * sy) / n"))
+        .withColumn("b", round(expr("sxy / sxx"), 6))
+        .withColumn("a", round(expr("(sy - b * st) / n"), 6))
+        .withColumn("s2", expr(
+          "((syy - (sy * sy) / n) - 2.0 * b * sxy + b * b * sxx) / (n - 2)"))
+      base.join(broadcast(mom.select("event_type", "n", "st", "sxx", "a", "b", "s2")), "event_type")
+        .withColumn("e", col("value") - (col("a") + col("b") * col("rn")))
+        .withColumn("h", expr("1.0E0 / n + (rn - CAST(st AS DOUBLE) / n) * (rn - CAST(st AS DOUBLE) / n) / sxx"))
+        .withColumn("d", expr("e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))"))
+        .where(col("d") * col("n") > 4.0)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"), col("value"),
+          round(col("d"), 6).as("cooks_d"), round(col("h"), 6).as("leverage"))
+    }),
+
+    // Box-Cox transformation selection per series (Box & Cox 1964 — the
+    // variance-stabilization step the reference's Holt-Winters MLE runs
+    // before fitting): profile log-likelihood
+    // LL(λ) = −n/2·ln(σ̂²_λ) + (λ−1)·Σln y over the λ grid
+    // {−1, −0.5, 0, 0.5, 1}, each transform expressed via
+    // correctly-rounded IEEE ops only (1/y, 1/√y, ln y, √y, y — never
+    // libm pow, whose last ulp differs across engines); moments
+    // 4-dp-snapped.
+    "q_boxcox" -> ((s, dir) => {
+      val pos = Tables.hourlyEvents(s, dir).drop("n").where(col("value") > 0)
+      def tr(lam: Double) = lam match {
+        case -1.0 => (lit(1.0) / col("value") - 1.0) / lit(-1.0)
+        case -0.5 => (lit(1.0) / sqrt(col("value")) - 1.0) / lit(-0.5)
+        case 0.0  => log(col("value"))
+        case 0.5  => (sqrt(col("value")) - 1.0) / lit(0.5)
+        case _    => col("value") - 1.0
+      }
+      // per-arm snap scales: the λ=−1 transform maps onto (0,1) where the
+      // centered moment is ~1e-3·n — a coarse snap would swamp it (and can
+      // even make the variance negative); the λ=1 arm sits at ~1e9 where a
+      // fine snap would be below cross-engine float-sum noise
+      def dps(lam: Double): (Int, Int) = lam match {
+        case -1.0 => (6, 6)
+        case -0.5 => (4, 4)
+        case 0.0  => (4, 4)
+        case 0.5  => (4, 2)
+        case _    => (2, 2)
+      }
+      val lls = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).map { lam =>
+        val (sDp, ssDp) = dps(lam)
+        pos.withColumn("yt", tr(lam))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n"),
+            round(sum("yt"), sDp).as("s"),
+            round(sum(col("yt") * col("yt")), ssDp).as("ss"),
+            round(sum(log(col("value"))), 4).as("slog"))
+          .withColumn("lam", lit(lam))
+          .withColumn("ll", expr(
+            s"-(n / 2.0E0) * ln((ss - s * s / n) / n) + (${lam}E0 - 1.0E0) * slog"))
+          .select(col("event_type"), col("lam"), col("n"), col("ll"))
+      }.reduce(_ unionAll _)
+      val wPick = Window.partitionBy("event_type").orderBy(col("ll").desc, col("lam"))
+      lls.withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_obs"),
+          round(col("lam"), 6).as("lambda_star"), round(col("ll"), 6).as("ll"),
+          when(col("lam") === 0.0, 1).otherwise(0).as("log_recommended"))
+    }),
+
     "q_newsvendor" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
@@ -282,6 +362,71 @@ object EconQueries {
          |SELECT e.event_type, e.lvl::INT AS level, round(e.e, 6) AS energy,
          |  round(e.e / t.total, 6) AS share
          |FROM en e JOIN tot t USING (event_type)""".stripMargin,
+
+    "q_cooks_distance" ->
+      s"""WITH hourly AS ($H),
+         |base AS (SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+         |  FROM hourly),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 2) AS sy, round(sum(rn * value), 2) AS sty,
+         |    round(sum(value * value), 2) AS syy
+         |  FROM base GROUP BY 1),
+         |tm AS (SELECT *, (n * (n + 1)) // 2 AS st,
+         |    (n * (n + 1) * (2 * n + 1)) // 6 AS stt FROM mom),
+         |cf AS (SELECT *,
+         |    CAST(stt AS DOUBLE) - (CAST(st AS DOUBLE) * st) / n AS sxx,
+         |    sty - (CAST(st AS DOUBLE) * sy) / n AS sxy
+         |  FROM tm),
+         |bb AS (SELECT *, round(sxy / sxx, 6) AS b FROM cf),
+         |ab AS (SELECT *, round((sy - b * st) / n, 6) AS a,
+         |    ((syy - (sy * sy) / n) - 2.0 * b * sxy + b * b * sxx) / (n - 2) AS s2
+         |  FROM bb),
+         |pts AS (SELECT p.event_type, p.ts, p.value, p.rn, m.n, m.st, m.sxx, m.a, m.b, m.s2,
+         |    p.value - (m.a + m.b * p.rn) AS e,
+         |    1.0E0 / m.n + (p.rn - CAST(m.st AS DOUBLE) / m.n) * (p.rn - CAST(m.st AS DOUBLE) / m.n) / m.sxx AS h
+         |  FROM base p JOIN ab m USING (event_type)),
+         |dd AS (SELECT *, e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) AS d FROM pts)
+         |SELECT event_type, epoch_us(ts) // 1000000 AS ts_s, value,
+         |  round(d, 6) AS cooks_d, round(h, 6) AS leverage
+         |FROM dd WHERE d * n > 4.0""".stripMargin,
+
+    "q_boxcox" -> {
+      def arm(lam: Double): String = {
+        val t = lam match {
+          case -1.0 => "(1.0E0 / value - 1.0E0) / -1.0E0"
+          case -0.5 => "(1.0E0 / sqrt(value) - 1.0E0) / -0.5E0"
+          case 0.0  => "ln(value)"
+          case 0.5  => "(sqrt(value) - 1.0E0) / 0.5E0"
+          case _    => "value - 1.0E0"
+        }
+        val (sDp, ssDp) = lam match {
+          case -1.0 => (6, 6)
+          case -0.5 => (4, 4)
+          case 0.0  => (4, 4)
+          case 0.5  => (4, 2)
+          case _    => (2, 2)
+        }
+        s"""SELECT event_type, ${lam}E0 AS lam, count(*)::BIGINT AS n,
+           |    round(sum($t), $sDp) AS s, round(sum(($t) * ($t)), $ssDp) AS ss,
+           |    round(sum(ln(value)), 4) AS slog
+           |  FROM pos GROUP BY 1""".stripMargin
+      }
+      val arms = Seq(-1.0, -0.5, 0.0, 0.5, 1.0).map(arm).mkString("\n  UNION ALL\n")
+      s"""WITH hourly AS ($H),
+         |pos AS (SELECT event_type, value FROM hourly WHERE value > 0),
+         |lls0 AS (
+         |$arms),
+         |lls AS (SELECT event_type, lam, n,
+         |    -(n / 2.0E0) * ln((ss - s * s / n) / n) + (lam - 1.0E0) * slog AS ll
+         |  FROM lls0),
+         |pick AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY ll DESC, lam) AS rk FROM lls)
+         |SELECT event_type, n AS n_obs, round(lam, 6) AS lambda_star,
+         |  round(ll, 6) AS ll,
+         |  CASE WHEN lam = 0.0 THEN 1 ELSE 0 END AS log_recommended
+         |FROM pick WHERE rk = 1""".stripMargin
+    },
 
     "q_newsvendor" ->
       """WITH d AS (

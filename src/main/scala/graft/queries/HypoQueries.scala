@@ -40,6 +40,42 @@ object HypoQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Friedman test across event types blocked by hour (the
+    // repeated-measures companion to q_kruskal): within each balanced
+    // block (hours where every series reports) values are ranked across
+    // types (tie-safe min+max doubled ranks), Q = 12/(nk(k+1))·ΣR_j² −
+    // 3n(k+1) ~ χ²(k−1). Rank sums are INTEGERS (2× avg ranks), the
+    // ΣR² pass runs as the q_kruskal ordered cumulative so both engines
+    // accumulate in event-type order. ──
+    "q_friedman" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val kAll = hourly.select(countDistinct("event_type")).collect()(0).getLong(0)
+      val full = hourly.groupBy("ts").agg(count(lit(1)).as("kk"))
+        .where(col("kk") === kAll).select("ts")
+      val h = hourly.join(full, "ts")
+      val wv = Window.partitionBy("ts").orderBy(col("value"), col("event_type"))
+      val wTies = Window.partitionBy("ts", "value")
+      val ranked = h.withColumn("rn", row_number().over(wv))
+        .withColumn("r2", (min("rn").over(wTies) + max("rn").over(wTies)).cast("long"))
+      val grp = ranked.groupBy("event_type")
+        .agg(sum("r2").as("s2"), count(lit(1)).as("nb"))
+      val one = substring(col("event_type"), 1, 0)
+      val wg = Window.partitionBy(one).orderBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val chi = udf { (x: Double, k: Int) => graft.detectors.ChiSq.sf(x, k) }
+      grp
+        .withColumn("cum", sum(col("s2").cast("double") * col("s2") / 4.0).over(wg))
+        .withColumn("kk", count(lit(1)).over(Window.partitionBy(one)))
+        .withColumn("nb1", first("nb").over(Window.partitionBy(one)))
+        .withColumn("rk", row_number().over(Window.partitionBy(one).orderBy(col("event_type").desc)))
+        .where(col("rk") === 1)
+        .withColumn("q", expr("12.0E0 / (nb1 * kk * (kk + 1)) * cum - 3.0E0 * nb1 * (kk + 1)"))
+        .withColumn("p", chi(col("q"), (col("kk") - 1).cast("int")))
+        .select(col("nb1").as("n_blocks"), col("kk").cast("int").as("k"),
+          round(col("q"), 6).as("q_stat"), round(col("p"), 6).as("p_value"),
+          when(col("p") < 0.05, 1).otherwise(0).as("significant"))
+    }),
+
     // ── Kruskal-Wallis H across event types on the hourly values. ──
     "q_kruskal" -> ((s, dir) => {
       val base = Tables.hourlyEvents(s, dir).drop("n")
@@ -397,6 +433,36 @@ object HypoQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_friedman" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |full_ts AS (SELECT ts FROM hourly GROUP BY ts
+         |  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM hourly)),
+         |h AS (SELECT e.* FROM hourly e JOIN full_ts USING (ts)),
+         |ranked AS (SELECT event_type, ts, value,
+         |    row_number() OVER (PARTITION BY ts ORDER BY value, event_type) AS rn
+         |  FROM h),
+         |r2t AS (SELECT event_type, value, ts,
+         |    (min(rn) OVER (PARTITION BY ts, value) + max(rn) OVER (PARTITION BY ts, value))::BIGINT AS r2
+         |  FROM ranked),
+         |grp AS (SELECT event_type, sum(r2)::BIGINT AS s2, count(*)::BIGINT AS nb
+         |        FROM r2t GROUP BY 1),
+         |tot AS (SELECT cum, kk, nb1 FROM (
+         |    SELECT sum(s2::DOUBLE * s2 / 4.0)
+         |      OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |      count(*) OVER ()::BIGINT AS kk,
+         |      first(nb) OVER ()::BIGINT AS nb1,
+         |      row_number() OVER (ORDER BY event_type DESC) AS rk
+         |    FROM grp) WHERE rk = 1),
+         |st AS (SELECT nb1, kk,
+         |    12.0E0 / (nb1 * kk * (kk + 1)) * cum - 3.0E0 * nb1 * (kk + 1) AS q
+         |  FROM tot),
+         |chsrc AS (SELECT 1 AS gid, q AS x, kk - 1 AS k FROM st),
+         |${graft.detectors.ChiSq.sqlReplay("chsrc", Seq("gid"))}
+         |SELECT st.nb1 AS n_blocks, st.kk::INT AS k, round(st.q, 6) AS q_stat,
+         |  round(f.p, 6) AS p_value,
+         |  CASE WHEN f.p < 0.05 THEN 1 ELSE 0 END AS significant
+         |FROM st CROSS JOIN (SELECT p FROM chisf) f""".stripMargin,
 
     "q_kruskal" ->
       s"""WITH RECURSIVE hourly AS ($H),

@@ -69,6 +69,36 @@ class EconSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_cooks_distance: flagged points exceed 4/n, leverage in (0,1)") {
+    val rows = SparkEntry.queries("q_cooks_distance")(spark, dir).collect()
+    assert(rows.nonEmpty, "a 600-point noisy series should have influential points")
+    rows.foreach { r =>
+      val (d, h) = (r.getDouble(3), r.getDouble(4))
+      assert(d > 0)
+      assert(h > 0 && h < 1.0, s"leverage $h out of (0,1)")
+    }
+  }
+
+  test("q_boxcox: lambda from the grid, ll finite; planted lognormal prefers log") {
+    val rows = SparkEntry.queries("q_boxcox")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(Seq(-1.0, -0.5, 0.0, 0.5, 1.0).contains(r.getDouble(2)))
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+    // planted check: exp(z), z ~ spread normals — profile LL must pick λ=0
+    // over λ=1 (the data is exactly log-normal)
+    val zs = (1 to 400).map(i => math.exp(3.0 + 1.5 * math.sin(i * 1.7) + 0.8 * math.cos(i * 0.31)))
+    def ll(lam: Double): Double = {
+      val yt = zs.map(y => if (lam == 0.0) math.log(y) else (math.pow(y, lam) - 1) / lam)
+      val n = yt.length
+      val v = yt.map(x => x * x).sum / n - math.pow(yt.sum / n, 2)
+      -(n / 2.0) * math.log(v) + (lam - 1.0) * zs.map(math.log).sum
+    }
+    assert(ll(0.0) > ll(1.0) && ll(0.0) > ll(-1.0),
+      "log transform must maximize the profile likelihood on log-normal data")
+  }
+
   test("q_newsvendor: fractile stocks are monotone in the ratio") {
     val rows = SparkEntry.queries("q_newsvendor")(spark, dir).collect()
     assert(rows.length == 5)

@@ -34,6 +34,14 @@ class HypoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kw.head.getInt(4) == 0, "Kruskal-Wallis rejects on identically-generated groups")
   }
 
+  test("q_friedman: block ranks average to k(k+1)/2 so Q is well-formed; p in [0,1]") {
+    val r = SparkEntry.queries("q_friedman")(spark, "/root/testdata/sf0.01").collect().head
+    val (nb, k, q, p) = (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))
+    assert(nb > 10 && k == 5)
+    assert(q >= 0.0, s"Friedman Q $q cannot be negative")
+    assert(p >= 0.0 && p <= 1.0)
+  }
+
   test("ChiSq.sf matches the standard critical points for even AND odd df") {
     import graft.detectors.ChiSq
     // chi2.ppf(0.95, df) table values — sf at each must be 0.05 to ~4dp
