@@ -93,6 +93,46 @@ object AbQueries {
           round(col("var_reduction"), 6).as("var_reduction"))
     }),
 
+    // Panel difference-in-differences on the CUPED pre/post split:
+    // per-user change d = post − pre, DiD = mean(d | treat) −
+    // mean(d | control) with the Welch z — the causal-inference staple
+    // when assignment isn't randomized per-metric. Same microsecond
+    // midpoint cut and md5-parity arms as q_cuped (salt ':did').
+    "q_did" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg(timestamp_micros(
+        expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2")).as("cut"))
+      val u = ev.crossJoin(broadcast(cut)).groupBy("user_id")
+        .agg(
+          round(sum(when(col("event_type") === "purchase" && col("ts") < col("cut"),
+            col("value")).otherwise(0.0)), 6).as("x"),
+          round(sum(when(col("event_type") === "purchase" && col("ts") >= col("cut"),
+            col("value")).otherwise(0.0)), 6).as("y"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":did"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+        .withColumn("d", col("y") - col("x"))
+      val arms = u.groupBy("arm").agg(
+        count(lit(1)).as("n"),
+        (round(sum("d"), 4) / count(lit(1))).as("md"), var_samp("d").as("vd"),
+        (round(sum("x"), 4) / count(lit(1))).as("mx"),
+        (round(sum("y"), 4) / count(lit(1))).as("my"))
+      val t = arms.where(col("arm") === 1)
+        .select(col("n").as("n_t"), col("md").as("md_t"), col("vd").as("vd_t"),
+          col("mx").as("pre_t"), col("my").as("post_t"))
+      val c = arms.where(col("arm") === 0)
+        .select(col("n").as("n_c"), col("md").as("md_c"), col("vd").as("vd_c"),
+          col("mx").as("pre_c"), col("my").as("post_c"))
+      t.crossJoin(c)
+        .withColumn("did", col("md_t") - col("md_c"))
+        .withColumn("z", col("did") / sqrt(col("vd_t") / col("n_t") + col("vd_c") / col("n_c")))
+        .select(col("n_t"), col("n_c"),
+          round(col("pre_t"), 6).as("pre_treat"), round(col("post_t"), 6).as("post_treat"),
+          round(col("pre_c"), 6).as("pre_control"), round(col("post_c"), 6).as("post_control"),
+          round(col("did"), 6).as("did"), round(col("z"), 6).as("z"),
+          (abs(col("z")) >= 1.96).cast("int").as("significant"))
+    }),
+
     "q_srm" -> ((s, dir) => {
       val chi = udf { x: Double => graft.detectors.ChiSq.sf(x, 1) }
       userDf(s, dir, "ab1").groupBy("arm").agg(count(lit(1)).as("n"))
@@ -171,6 +211,29 @@ object AbQueries {
         |  round(1.0 - (a.vyc + b.vyc) / (a.vy + b.vy), 6) AS var_reduction
         |FROM (SELECT * FROM arms WHERE arm = 0) a,
         |     (SELECT * FROM arms WHERE arm = 1) b""".stripMargin,
+
+    "q_did" ->
+      """WITH c AS (SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS cut
+        |           FROM events),
+        |u AS (SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'purchase' AND ts < c.cut THEN value ELSE 0.0 END), 6) AS x,
+        |    round(sum(CASE WHEN event_type = 'purchase' AND ts >= c.cut THEN value ELSE 0.0 END), 6) AS y,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':did'), 1, 1))::BIGINT % 2 AS arm
+        |  FROM events, c GROUP BY user_id, c.cut),
+        |ud AS (SELECT *, y - x AS d FROM u),
+        |arms AS (SELECT arm, count(*)::BIGINT AS n,
+        |    round(sum(d), 4) / count(*) AS md, var_samp(d) AS vd,
+        |    round(sum(x), 4) / count(*) AS mx, round(sum(y), 4) / count(*) AS my
+        |  FROM ud GROUP BY 1)
+        |SELECT t.n AS n_t, c2.n AS n_c,
+        |  round(t.mx, 6) AS pre_treat, round(t.my, 6) AS post_treat,
+        |  round(c2.mx, 6) AS pre_control, round(c2.my, 6) AS post_control,
+        |  round(t.md - c2.md, 6) AS did,
+        |  round((t.md - c2.md) / sqrt(t.vd / t.n + c2.vd / c2.n), 6) AS z,
+        |  CASE WHEN abs((t.md - c2.md) / sqrt(t.vd / t.n + c2.vd / c2.n)) >= 1.96
+        |       THEN 1 ELSE 0 END AS significant
+        |FROM (SELECT * FROM arms WHERE arm = 1) t,
+        |     (SELECT * FROM arms WHERE arm = 0) c2""".stripMargin,
 
     "q_srm" ->
       s"""WITH RECURSIVE u AS (${userSql("ab1")}),

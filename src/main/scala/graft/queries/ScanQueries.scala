@@ -77,6 +77,33 @@ object ScanQueries {
           round(col("e"), 6).as("expected"), round(col("llr"), 6).as("llr"))
     }),
 
+    // MOSUM change detector (moving-sum; Chu, Hornik & Kuan 1995): the
+    // windowed complement to CUSUM's cumulative drift — M_t =
+    // (Σ_{t−23..t} v − 24μ)/(σ√24) against the global snapped baseline,
+    // |M| > 3 flags a local level shift without CUSUM's reset heuristics.
+    // One series-keyed sliding frame; baseline from snapped moment sums.
+    "q_mosum" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val mom = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        .withColumn("mu", expr("sv / n"))
+        .withColumn("sd", expr("sqrt((svv - sv * sv / n) / (n - 1))"))
+        .select("event_type", "mu", "sd")
+      val hWin = 24
+      val win = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-(hWin - 1), 0)
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      hourly.join(broadcast(mom), "event_type")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ws", sum("value").over(win))
+        .where(col("rn") >= hWin)
+        .withColumn("m", expr(s"(ws - $hWin * mu) / (sd * sqrt(${hWin}E0))"))
+        .where(abs(col("m")) > 3.0)
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+          round(col("ws"), 6).as("window_sum"), round(col("m"), 6).as("mosum"))
+    }),
+
     "q_record_stats" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -161,6 +188,27 @@ object ScanQueries {
          |  round(e, 6) AS expected, round(llr, 6) AS llr
          |FROM pick""".stripMargin
     },
+
+    "q_mosum" ->
+      s"""WITH hourly AS ($H),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM hourly GROUP BY 1),
+         |ms AS (SELECT event_type, sv / n AS mu,
+         |    sqrt((svv - sv * sv / n) / (n - 1)) AS sd FROM mom),
+         |wn AS (SELECT h.event_type, h.ts,
+         |    row_number() OVER w AS rn,
+         |    sum(h.value) OVER (PARTITION BY h.event_type ORDER BY h.ts
+         |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS ws,
+         |    m.mu, m.sd
+         |  FROM hourly h JOIN ms m USING (event_type)
+         |  WINDOW w AS (PARTITION BY h.event_type ORDER BY h.ts)),
+         |st AS (SELECT event_type, ts, ws,
+         |    (ws - 24 * mu) / (sd * sqrt(24E0)) AS m
+         |  FROM wn WHERE rn >= 24)
+         |SELECT event_type, epoch_us(ts) // 1000000 AS ts_s,
+         |  round(ws, 6) AS window_sum, round(m, 6) AS mosum
+         |FROM st WHERE abs(m) > 3.0""".stripMargin,
 
     "q_record_stats" ->
       s"""WITH RECURSIVE hourly AS ($H),

@@ -57,6 +57,35 @@ object SignalQueries {
           col("beta"), col("alpha"), col("r2"))
     }),
 
+    // Time-varying exposure: 7-day (168 h) rolling OLS beta of each
+    // series' changes on the ex-own market change, sampled daily (every
+    // 24th full window) — drifting beta is itself a regime signal. The
+    // rolling moments are sliding ROWS frames; beta is a ratio of
+    // centered moments so the engines' ulp-level sliding-sum differences
+    // vanish at the 6-dp output grid.
+    "q_rolling_beta" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val mkt = hourly.groupBy("ts").agg(round(sum("value"), 6).as("mtot"))
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val base = hourly.join(mkt, "ts")
+        .withColumn("mx", round(col("mtot") - col("value"), 6))
+        .withColumn("dy", col("value") - lag("value", 1).over(w))
+        .withColumn("dx", col("mx") - lag("mx", 1).over(w))
+        .where(col("dx").isNotNull)
+      val win = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-167, 0)
+      base
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nw", count(lit(1)).over(win))
+        .withColumn("sx", sum("dx").over(win))
+        .withColumn("sy", sum("dy").over(win))
+        .withColumn("sxx", sum(col("dx") * col("dx")).over(win))
+        .withColumn("sxy", sum(col("dx") * col("dy")).over(win))
+        .where(col("nw") === 168 && col("rn") % 24 === lit(0))
+        .withColumn("beta", expr("(nw * sxy - sx * sy) / (nw * sxx - sx * sx)"))
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+          round(col("beta"), 6).as("beta"))
+    }),
+
     "q_mutual_info" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
       val dirs = Tables.hourlyEvents(s, dir).drop("n")
@@ -158,6 +187,29 @@ object SignalQueries {
          |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
          |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          |FROM bb""".stripMargin,
+
+    "q_rolling_beta" ->
+      s"""WITH hourly AS ($H),
+         |mkt AS (SELECT ts, round(sum(value), 6) AS mtot FROM hourly GROUP BY 1),
+         |j AS (SELECT h.event_type, h.ts, h.value,
+         |        round(m.mtot - h.value, 6) AS mx
+         |      FROM hourly h JOIN mkt m USING (ts)),
+         |lg AS (SELECT event_type, ts,
+         |        value - lag(value, 1) OVER w AS dy,
+         |        mx - lag(mx, 1) OVER w AS dx
+         |      FROM j WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |b AS (SELECT event_type, ts, dx, dy FROM lg WHERE dx IS NOT NULL),
+         |wn AS (SELECT event_type, ts,
+         |    row_number() OVER o AS rn,
+         |    count(*) OVER win AS nw,
+         |    sum(dx) OVER win AS sx, sum(dy) OVER win AS sy,
+         |    sum(dx * dx) OVER win AS sxx, sum(dx * dy) OVER win AS sxy
+         |  FROM b WINDOW o AS (PARTITION BY event_type ORDER BY ts),
+         |    win AS (PARTITION BY event_type ORDER BY ts
+         |      ROWS BETWEEN 167 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, epoch_us(ts) // 1000000 AS ts_s,
+         |  round((nw * sxy - sx * sy) / (nw * sxx - sx * sx), 6) AS beta
+         |FROM wn WHERE nw = 168 AND rn % 24 = 0""".stripMargin,
 
     "q_mutual_info" ->
       s"""WITH hourly AS ($H),

@@ -40,6 +40,17 @@ class AbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(4) == 0, "deterministic 50/50 hash split flagged as SRM")
   }
 
+  test("q_did: DiD equals the four-cell double difference; z finite") {
+    val r = SparkEntry.queries("q_did")(spark, dir).collect().head
+    val (preT, postT, preC, postC, did) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(did - ((postT - preT) - (postC - preC))) < 1e-4,
+      "DiD must equal (post_t - pre_t) - (post_c - pre_c)")
+    assert(!r.getDouble(7).isNaN)
+    // a null effect (hash split, same process both arms) should rarely be significant
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+  }
+
   test("q_ab_winsorized: capped means never exceed raw means; cap positive") {
     val rows = SparkEntry.queries("q_ab_winsorized")(spark, dir).collect()
     val r = rows.head

@@ -51,6 +51,28 @@ class ScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_mosum: every flagged window has |statistic| > 3") {
+    val rows = SparkEntry.queries("q_mosum")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) > 3.0)
+      assert(r.getDouble(2) > 0, "window sums of positive hourly values must be positive")
+    }
+  }
+
+  test("q_rolling_beta: daily samples, betas finite") {
+    val rows = SparkEntry.queries("q_rolling_beta")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+    // samples are 24 observations apart — with grid gaps that is AT LEAST
+    // 24 hours of wall time between consecutive betas
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val ts = g.map(_.getLong(1)).sorted
+      ts.zip(ts.drop(1)).foreach { case (a, b) => assert(b - a >= 86400) }
+    }
+  }
+
   test("q_lorenz_deciles: 10 deciles, shares non-decreasing, cum ends at 1") {
     val rows = SparkEntry.queries("q_lorenz_deciles")(spark, dir).collect()
       .sortBy(_.getInt(0))
