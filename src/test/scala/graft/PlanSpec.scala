@@ -210,6 +210,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("signal/panel/scan/corpus pack plans keep their scale shape") {
+    // hour-keyed market joins + moment aggregates: no sort-merge blowup
+    Seq("q_market_beta", "q_transfer_entropy", "q_variance_ratio", "q_mosum",
+      "q_boxcox", "q_friedman").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+    }
+    // per-series sliding/moment passes: bounded shuffle count
+    Seq("q_variance_ratio", "q_ess", "q_record_stats").foreach { q =>
+      val p = planOf(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$q shuffles more than the series key:\n$p")
+    }
+    // value-domain lookups + datasheets keep partial aggregation
+    Seq("q_hill_tail", "q_dataset_card", "q_skew_diag", "q_lorenz_deciles").foreach { q =>
+      val p = planOf(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // broadcast contracts: threshold grids / 1-row stats onto fact rows
+    // (q_erlang_c is joinless — one aggregate + a scalar kernel)
+    Seq("q_alert_budget", "q_cooks_distance").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("Broadcast"), s"$q lost its broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a SortMergeJoin:\n$p")
+    }
+  }
+
   test("props-profile keeps JSON extraction inside one codegen'd scan pass") {
     val p = planOf("q_props_profile")
     assert(p.contains("get_json_object"), s"q_props_profile lost the native JSON path:\n$p")
