@@ -123,6 +123,37 @@ object StreamQueries {
     // chronologically; one alarm row per series at the FIRST λ crossing.
     // The oracle replays the identical recursion and keeps the gap AT the
     // crossing (not the batch twin's max_gap).
+    // Streaming MOSUM level-shift monitor: hopping 24h/1h windows of the
+    // PRESENT hourly rows vs a dense-grid (μ, σ, t0) store — gap hours
+    // contribute nothing, so the streamed window sum equals the dense
+    // batch math without materializing gap rows; only full-span windows
+    // score. The oracle enumerates the identical hopping-window algebra
+    // by exploding each row's 24 member windows.
+    "q_stream_mosum" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val dense = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+      val store = dense.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"),
+        min("ts").as("t0"))
+        .withColumn("mu", expr("sv / n"))
+        .withColumn("sd", expr("sqrt((svv - sv * sv / n) / (n - 1))"))
+        .select("event_type", "mu", "sd", "t0")
+      val feed = Tables.hourlyEvents(s, dir).drop("n")
+        .select("event_type", "ts", "value").orderBy("ts", "event_type").collect()
+        .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      val sentinel = Point("zz_watermark_sentinel",
+        new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0.0)
+      val mem = MemoryStream[Point]
+      val t = replay(s, mem,
+        StreamingDetectors.mosum(mem.toDF(), localize(s, store)),
+        sink("mosum"), feed, tail = Seq(sentinel))
+      t.select(col("event_type"), unix_timestamp(col("ts_end")).as("ts_end_s"),
+        round(col("ws"), 6).as("window_sum"), round(col("m"), 6).as("mosum"))
+    }),
+
     "q_stream_page_hinkley" -> ((s, dir) => {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
@@ -741,6 +772,27 @@ object StreamQueries {
          |         w8 AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
          |SELECT event_type, epoch_us(ts)//1000000 AS ts_s, value, round(z, 6) AS z, r1, r2, r3, r4
          |FROM r WHERE r1 + r2 + r3 + r4 > 0""".stripMargin,
+
+    "q_stream_mosum" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv,
+         |    min(ts) AS t0
+         |  FROM dense GROUP BY 1),
+         |store AS (SELECT event_type, sv / n AS mu,
+         |    sqrt((svv - sv * sv / n) / (n - 1)) AS sd, t0 FROM mom),
+         |wins AS (SELECT h.event_type, h.ts + INTERVAL 1 HOUR * k.k AS wend, h.value
+         |  FROM hourly h CROSS JOIN (SELECT unnest(range(1, 25)) AS k) k),
+         |ws AS (SELECT event_type, wend, sum(value) AS ws
+         |       FROM wins GROUP BY 1, 2),
+         |st AS (SELECT w.event_type, w.wend, w.ws,
+         |    (w.ws - 24.0E0 * s.mu) / (s.sd * sqrt(24.0E0)) AS m
+         |  FROM ws w JOIN store s USING (event_type)
+         |  WHERE w.wend >= s.t0 + INTERVAL 24 HOUR)
+         |SELECT event_type, epoch_us(wend) // 1000000 AS ts_end_s,
+         |  round(ws, 6) AS window_sum, round(m, 6) AS mosum
+         |FROM st WHERE abs(m) > 3.0""".stripMargin,
 
     "q_stream_page_hinkley" ->
       s"""WITH RECURSIVE hourly AS ($H),

@@ -168,6 +168,28 @@ object StreamingDetectors {
     * wanting the exact batch alert AND the two conditions together.
     * At an SLO target t, burn = share/t; alert when burn > `burnAlert`.
     */
+  /** Streaming MOSUM level-shift monitor: hopping 24 h windows (1 h
+    * slide) of the hourly value stream against a batch-fit dense-grid
+    * (μ, σ, t0) store — M = (Σ_window v − 24μ)/(σ√24), |M| > 3 alarms.
+    * Gap hours contribute nothing to the window sum, exactly like the
+    * zero-filled dense batch twin, so streamed window sums equal the
+    * dense math without the stream ever materializing gap rows. Only
+    * full-span windows (end ≥ t0 + 24 h) are scored. State = one sum
+    * per open (series, window) — bytes per key, closed by the
+    * watermark.
+    */
+  def mosum(stream: DataFrame, store: DataFrame,
+            watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .join(store, "event_type") // stream-static: (mu, sd, t0) per series
+      .groupBy(col("event_type"), window(col("ts"), "24 hours", "1 hour"))
+      .agg(sum("value").as("ws"), first("mu").as("mu"),
+        first("sd").as("sd"), first("t0").as("t0"))
+      .where(col("window.end") >= col("t0") + expr("INTERVAL 24 HOURS"))
+      .select(col("event_type"), col("window.end").as("ts_end"), col("ws"),
+        ((col("ws") - lit(24.0) * col("mu")) / (col("sd") * sqrt(lit(24.0)))).as("m"))
+      .where(abs(col("m")) > 3.0)
+
   def burnMonitor(stream: DataFrame, sloTarget: Double = 0.2, burnAlert: Double = 1.5,
                   watermark: String = "2 hours"): DataFrame =
     stream.withWatermark("ts", watermark)

@@ -49,6 +49,35 @@ class StreamQueryPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_stream_mosum equals the batch hopping-window MOSUM algebra") {
+    import spark.implicits._
+    val stream = StreamQueries.defs("q_stream_mosum")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // batch twin: explode each present hourly row into its 24 member
+    // windows and recompute the identical statistic
+    val hourly = Tables.hourlyEvents(spark, dir).drop("n")
+    val dense = TS.fillGaps(hourly, TSSchema(keys = Seq("event_type")), 3600L, Some(0.0))
+    val store = dense.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      round(sum("value"), 4).as("sv"),
+      round(sum(col("value") * col("value")), 2).as("svv"),
+      min("ts").as("t0"))
+      .withColumn("mu", expr("sv / n"))
+      .withColumn("sd", expr("sqrt((svv - sv * sv / n) / (n - 1))"))
+    val wins = hourly.crossJoin(broadcast((1 to 24).toDF("k")))
+      .withColumn("wend", col("ts") + expr("make_interval(0, 0, 0, 0, k, 0, 0)"))
+      .groupBy("event_type", "wend").agg(sum("value").as("ws"))
+    val batch = wins.join(store, "event_type")
+      .where(col("wend") >= col("t0") + expr("INTERVAL 24 HOURS"))
+      .withColumn("m", (col("ws") - lit(24.0) * col("mu")) / (col("sd") * sqrt(lit(24.0))))
+      .where(abs(col("m")) > 3.0)
+      .select(col("event_type"), unix_timestamp(col("wend")).as("ts_end_s"),
+        round(col("ws"), 6).as("window_sum"), round(col("m"), 6).as("mosum"))
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty, "expected MOSUM alarms on testdata")
+    assert(stream === batch)
+  }
+
   test("q_stream_psi windows cover the serve half and PSI is finite") {
     val out = StreamQueries.defs("q_stream_psi")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
