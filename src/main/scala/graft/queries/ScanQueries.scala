@@ -125,6 +125,57 @@ object ScanQueries {
         .withColumn("trending", when(col("z") >= 1.96, 1).otherwise(0))
     }),
 
+    // Permutation entropy (Bandt & Pompe 2002): ordinal-pattern
+    // complexity over order-3 windows — a noise-robust "how predictable
+    // is this series" measure next to q_feat_entropy's spectral form.
+    // Patterns are pure comparisons (no float arithmetic), counts are
+    // integers, so both engines derive identical entropies.
+    "q_perm_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val pat = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("l1", lag("value", 1).over(w))
+        .withColumn("l2", lag("value", 2).over(w))
+        .where(col("l2").isNotNull)
+        .withColumn("code",
+          when(col("l2") <= col("l1"), 4).otherwise(0) +
+            when(col("l1") <= col("value"), 2).otherwise(0) +
+            when(col("l2") <= col("value"), 1).otherwise(0))
+      val cnt = pat.groupBy("event_type", "code").agg(count(lit(1)).as("c"))
+      val wp = Window.partitionBy("event_type")
+      cnt
+        .withColumn("n", sum("c").over(wp))
+        .withColumn("term", (col("c").cast("double") / col("n")) *
+          log(col("n").cast("double") / col("c")))
+        .groupBy("event_type").agg(
+          first("n").as("n_windows"),
+          count(lit(1)).as("n_patterns"),
+          round(sum("term"), 6).as("h"))
+        .withColumn("h_norm", round(col("h") / log(lit(6.0)), 6))
+        .withColumn("low_complexity", when(col("h_norm") < 0.6, 1).otherwise(0))
+    }),
+
+    // Turning-points randomness test: local extrema count vs the iid
+    // expectation 2(n−2)/3 with Var = (16n−29)/90 — a third
+    // distribution-free trend/structure screen next to q_record_stats
+    // and q_runs_test. Strict comparisons, integer counts.
+    "q_turning_points" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val base = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("pv", lag("value", 1).over(w))
+        .withColumn("nx", lead("value", 1).over(w))
+        .where(col("pv").isNotNull && col("nx").isNotNull)
+        .withColumn("tp",
+          when((col("value") > col("pv") && col("value") > col("nx")) ||
+            (col("value") < col("pv") && col("value") < col("nx")), 1L).otherwise(0L))
+      base.groupBy("event_type").agg(
+        (count(lit(1)) + 2).as("n"), sum("tp").as("n_turning"))
+        .withColumn("expected", expr("2.0E0 * (n - 2) / 3.0E0"))
+        .withColumn("z", expr("(n_turning - expected) / sqrt((16.0E0 * n - 29.0E0) / 90.0E0)"))
+        .select(col("event_type"), col("n").as("n_obs"), col("n_turning"),
+          round(col("expected"), 6).as("expected"), round(col("z"), 6).as("z"),
+          when(abs(col("z")) >= 1.96, 1).otherwise(0).as("non_random"))
+    }),
+
     "q_ess" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
       val wp = Window.partitionBy("event_type")
@@ -231,6 +282,49 @@ object ScanQueries {
          |  round((a.n_records - h.h) / sqrt(h.v), 6) AS z,
          |  CASE WHEN (a.n_records - h.h) / sqrt(h.v) >= 1.96 THEN 1 ELSE 0 END AS trending
          |FROM agg a JOIN hn h USING (event_type)""".stripMargin,
+
+    "q_perm_entropy" ->
+      s"""WITH hourly AS ($H),
+         |lg AS (SELECT event_type, value,
+         |    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |pat AS (SELECT event_type,
+         |    (CASE WHEN l2 <= l1 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN l1 <= value THEN 2 ELSE 0 END)
+         |    + (CASE WHEN l2 <= value THEN 1 ELSE 0 END) AS code
+         |  FROM lg WHERE l2 IS NOT NULL),
+         |cnt AS (SELECT event_type, code, count(*) AS c FROM pat GROUP BY 1, 2),
+         |tm AS (SELECT event_type, c,
+         |    sum(c) OVER (PARTITION BY event_type) AS n
+         |  FROM cnt),
+         |agg AS (SELECT event_type, max(n)::BIGINT AS n_windows,
+         |    count(*)::BIGINT AS n_patterns,
+         |    round(sum((c::DOUBLE / n) * ln(n::DOUBLE / c)), 6) AS h
+         |  FROM tm GROUP BY 1)
+         |SELECT event_type, n_windows, n_patterns, h,
+         |  round(h / ln(6.0E0), 6) AS h_norm,
+         |  CASE WHEN h / ln(6.0E0) < 0.6 THEN 1 ELSE 0 END AS low_complexity
+         |FROM agg""".stripMargin,
+
+    "q_turning_points" ->
+      s"""WITH hourly AS ($H),
+         |lg AS (SELECT event_type, value,
+         |    lag(value, 1) OVER w AS pv, lead(value, 1) OVER w AS nx
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |mid AS (SELECT event_type,
+         |    CASE WHEN (value > pv AND value > nx) OR (value < pv AND value < nx)
+         |         THEN 1 ELSE 0 END AS tp
+         |  FROM lg WHERE pv IS NOT NULL AND nx IS NOT NULL),
+         |agg AS (SELECT event_type, (count(*) + 2)::BIGINT AS n,
+         |    sum(tp)::BIGINT AS n_turning FROM mid GROUP BY 1),
+         |st AS (SELECT *, 2.0E0 * (n - 2) / 3.0E0 AS expected FROM agg),
+         |zz AS (SELECT *,
+         |    (n_turning - expected) / sqrt((16.0E0 * n - 29.0E0) / 90.0E0) AS z
+         |  FROM st)
+         |SELECT event_type, n AS n_obs, n_turning,
+         |  round(expected, 6) AS expected, round(z, 6) AS z,
+         |  CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END AS non_random
+         |FROM zz""".stripMargin,
 
     "q_ess" -> {
       val lagCols = (1 to K).map(k => s"lag(e, $k) OVER w AS l$k").mkString(",\n         |    ")

@@ -73,6 +73,27 @@ class ScanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_perm_entropy: h in [0, ln6], norm in [0,1], at most 6 valid patterns") {
+    val rows = SparkEntry.queries("q_perm_entropy")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (np, h, hn) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(np <= 6, "only 6 of the 8 comparison codes are geometrically valid")
+      assert(h >= 0.0 && h <= math.log(6.0) + 1e-9)
+      assert(hn >= 0.0 && hn <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_turning_points: count bounded by interior points; expectation formula") {
+    val rows = SparkEntry.queries("q_turning_points")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, t, exp) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(t <= n - 2)
+      assert(math.abs(exp - 2.0 * (n - 2) / 3.0) < 1e-6)
+    }
+  }
+
   test("q_lorenz_deciles: 10 deciles, shares non-decreasing, cum ends at 1") {
     val rows = SparkEntry.queries("q_lorenz_deciles")(spark, dir).collect()
       .sortBy(_.getInt(0))
