@@ -140,6 +140,42 @@ object SelectQueries {
     // embedding-quality probes); each probe scores against
     // (sum − own·x)/(n − own), so its own vector never inflates its class
     // centroid. One dim-explode aggregation + a broadcast of k rows. ──
+    // ── Simplified (centroid) silhouette per label: a = cosine distance
+    // to the OWN leave-one-out centroid (the q_embed_outliers
+    // convention), b = min distance to any other label's centroid,
+    // s = (b−a)/max(a,b) — the clustering-quality report card next to
+    // q_kmeans/q_embed_clusters, at O(n·k) instead of silhouette's
+    // O(n²). Same k×dim sum vectors, one broadcast, one vec-keyed
+    // aggregate. ──
+    "q_silhouette" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim").agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+        .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("sx")))).as("cs"),
+          first("n").as("n"))
+        .select(col("label").as("c_label"), expr("transform(cs, s -> s.sx)").as("sumvec"), col("n"))
+      val scored = e.select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("pv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("own", when(col("c_label") === col("label"), 1.0).otherwise(0.0))
+        .withColumn("cent", zip_with(col("sumvec"), col("pv"),
+          (sx, x) => (sx - col("own") * x) / (col("n") - col("own"))))
+        .withColumn("dot", aggregate(zip_with(col("pv"), col("cent"), _ * _), lit(0.0), _ + _))
+        .withColumn("na", sqrt(aggregate(transform(col("pv"), x => x * x), lit(0.0), _ + _)))
+        .withColumn("nb", sqrt(aggregate(transform(col("cent"), x => x * x), lit(0.0), _ + _)))
+        .withColumn("dist", lit(1.0) - col("dot") / (col("na") * col("nb")))
+      val ab = scored.groupBy("vec_id", "label").agg(
+        max(when(col("own") === 1.0, col("dist"))).as("a"),
+        min(when(col("own") === 0.0, col("dist"))).as("b"))
+        .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+      ab.groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg("a"), 6).as("mean_own_dist"),
+        round(avg("b"), 6).as("mean_other_dist"),
+        round(avg("sil"), 6).as("mean_silhouette"),
+        sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_misplaced"))
+    }),
+
     "q_centroid_classify" -> ((s, dir) => {
       val e = embs(s, dir)
       val cents = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -387,6 +423,38 @@ object SelectQueries {
         |SELECT s.vec_id, s.label, round(s.dist, 6) AS dist,
         |  CASE WHEN s.dist > st.mu_d + 2.0 * st.sd_d THEN 1 ELSE 0 END AS is_outlier
         |FROM sc3 s JOIN st ON s.label = st.label""".stripMargin,
+
+    "q_silhouette" ->
+      """WITH sums AS (
+        |  SELECT label, dim, sum(x) AS sx, count(*) AS n FROM (
+        |    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x
+        |    FROM embeddings) GROUP BY 1, 2),
+        |cents AS (SELECT label AS c_label, list(sx ORDER BY dim) AS sumvec, max(n) AS n FROM sums GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, c.c_label, c.sumvec, c.n,
+        |         e.embedding::DOUBLE[] AS pv,
+        |         CASE WHEN c.c_label = e.label THEN 1.0 ELSE 0.0 END AS own
+        |       FROM embeddings e CROSS JOIN cents c),
+        |sc2 AS (SELECT vec_id, label, own,
+        |          list_transform(list_zip(sumvec, pv), p -> (p[1] - own * p[2]) / (n - own)) AS cent,
+        |          pv
+        |        FROM sc),
+        |sc3 AS (SELECT vec_id, label, own,
+        |          list_sum(list_transform(list_zip(pv, cent), p -> p[1] * p[2])) AS dot,
+        |          sqrt(list_sum(list_transform(pv, x -> x * x))) AS na,
+        |          sqrt(list_sum(list_transform(cent, x -> x * x))) AS nb
+        |        FROM sc2),
+        |dist AS (SELECT vec_id, label, own, 1.0 - dot / (na * nb) AS dist FROM sc3),
+        |ab AS (SELECT vec_id, label,
+        |         max(CASE WHEN own = 1.0 THEN dist END) AS a,
+        |         min(CASE WHEN own = 0.0 THEN dist END) AS b
+        |       FROM dist GROUP BY 1, 2),
+        |sil AS (SELECT *, (b - a) / greatest(a, b) AS sil FROM ab)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  round(avg(a), 6) AS mean_own_dist,
+        |  round(avg(b), 6) AS mean_other_dist,
+        |  round(avg(sil), 6) AS mean_silhouette,
+        |  sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END)::BIGINT AS n_misplaced
+        |FROM sil GROUP BY 1""".stripMargin,
 
     "q_centroid_classify" ->
       """WITH sums AS (

