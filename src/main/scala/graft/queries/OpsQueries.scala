@@ -210,6 +210,65 @@ object OpsQueries {
           col("_f._1").as("c_star"), round(col("_f._2"), 6).as("wait_prob"))
     }),
 
+    // ABC-XYZ inventory matrix: the q_pareto_abc revenue classes crossed
+    // with demand-variability classes from the monthly coefficient of
+    // variation (X: cv ≤ 0.5 steady, Y: ≤ 1 variable, Z: erratic) — the
+    // classic planning grid (AX = automate, CZ = make-to-order). CV from
+    // snapped monthly-demand moments; both classifications are
+    // dimension-scale.
+    "q_abc_xyz" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val rev = li.groupBy("l_partkey").agg(round(sum("l_extendedprice"), 6).as("rev"))
+      val one = substring(col("l_partkey").cast("string"), 1, 0)
+      val wOrd = Window.partitionBy(one).orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(one)
+      val abc = rev
+        .withColumn("cum", sum("rev").over(wOrd))
+        .withColumn("total", max(col("cum")).over(wAll))
+        .withColumn("abc",
+          when(col("cum") <= col("total") * 0.80, "A")
+            .when(col("cum") <= col("total") * 0.95, "B")
+            .otherwise("C"))
+        .select("l_partkey", "abc")
+      val mdem = li.groupBy(col("l_partkey"), trunc(to_date(col("l_shipdate")), "month").as("m"))
+        .agg(sum(col("l_quantity").cast("long")).as("d"))
+      val xyz = mdem.groupBy("l_partkey").agg(
+        count(lit(1)).as("nm"),
+        sum("d").as("sd"), sum(col("d") * col("d")).as("sdd"))
+        .where(col("nm") >= 2)
+        .withColumn("mu", expr("CAST(sd AS DOUBLE) / nm"))
+        .withColumn("cv", expr(
+          "sqrt((CAST(sdd AS DOUBLE) - (CAST(sd AS DOUBLE) * sd) / nm) / (nm - 1)) / (CAST(sd AS DOUBLE) / nm)"))
+        .withColumn("xyz",
+          when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y").otherwise("Z"))
+        .select("l_partkey", "xyz")
+      abc.join(xyz, "l_partkey")
+        .groupBy("abc", "xyz").agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // Index-of-dispersion (Poisson) screen on per-customer order counts:
+    // D = (n−1)s²/x̄ with the Wilson-Hilferty normal approximation
+    // z = √(2D) − √(2(n−1)−1) — over- vs under-dispersion tells a
+    // planner whether order arrivals are bursty or regular. Integer
+    // counts, snapped moments.
+    "q_dispersion" -> ((s, dir) => {
+      val cnt = Tables.orders(s, dir).groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      cnt.agg(
+        count(lit(1)).as("n"),
+        sum("c").as("sc"), sum(col("c") * col("c")).as("scc"))
+        .withColumn("mean", expr("CAST(sc AS DOUBLE) / n"))
+        .withColumn("s2", expr("(CAST(scc AS DOUBLE) - (CAST(sc AS DOUBLE) * sc) / n) / (n - 1)"))
+        .withColumn("d", expr("(n - 1) * s2 / mean"))
+        .withColumn("z", expr("sqrt(2.0E0 * d) - sqrt(2.0E0 * (n - 1) - 1.0E0)"))
+        .select(col("n").as("n_customers"), round(col("mean"), 6).as("mean_orders"),
+          round(col("s2") / col("mean"), 6).as("dispersion_ratio"),
+          round(col("z"), 6).as("z"),
+          when(col("z") > 1.96, lit("overdispersed"))
+            .when(col("z") < -1.96, lit("underdispersed"))
+            .otherwise(lit("poisson_like")).as("verdict"))
+    }),
+
     "q_pareto_abc" -> ((s, dir) => {
       val rev = Tables.lineitem(s, dir)
         .groupBy("l_partkey").agg(round(sum("l_extendedprice"), 6).as("rev"))
@@ -351,6 +410,49 @@ object OpsQueries {
          |  coalesce(p.c, 0)::INT AS c_star,
          |  round(coalesce(p.cw, 1.0), 6) AS wait_prob
          |FROM aa l LEFT JOIN pick p USING (event_type)""".stripMargin,
+
+    "q_abc_xyz" ->
+      """WITH rev AS (SELECT l_partkey, round(sum(l_extendedprice), 6) AS rev
+        |             FROM lineitem GROUP BY 1),
+        |rk AS (SELECT *,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rev),
+        |tt AS (SELECT *, max(cum) OVER () AS total FROM rk),
+        |abc AS (SELECT l_partkey,
+        |    CASE WHEN cum <= total * 0.80 THEN 'A'
+        |         WHEN cum <= total * 0.95 THEN 'B' ELSE 'C' END AS abc
+        |  FROM tt),
+        |mdem AS (SELECT l_partkey, date_trunc('month', l_shipdate::DATE)::DATE AS m,
+        |    sum(l_quantity::BIGINT) AS d
+        |  FROM lineitem GROUP BY 1, 2),
+        |mm AS (SELECT l_partkey, count(*)::BIGINT AS nm,
+        |    sum(d)::BIGINT AS sd, sum(d * d)::BIGINT AS sdd
+        |  FROM mdem GROUP BY 1 HAVING count(*) >= 2),
+        |xyz AS (SELECT l_partkey,
+        |    CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz
+        |  FROM (SELECT l_partkey,
+        |      sqrt((CAST(sdd AS DOUBLE) - (CAST(sd AS DOUBLE) * sd) / nm) / (nm - 1))
+        |        / (CAST(sd AS DOUBLE) / nm) AS cv
+        |    FROM mm))
+        |SELECT a.abc, x.xyz, count(*)::BIGINT AS n_parts
+        |FROM abc a JOIN xyz x USING (l_partkey) GROUP BY 1, 2""".stripMargin,
+
+    "q_dispersion" ->
+      """WITH cnt AS (SELECT o_custkey, count(*)::BIGINT AS c FROM orders GROUP BY 1),
+        |mom AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+        |    sum(c * c)::BIGINT AS scc FROM cnt),
+        |st AS (SELECT n, CAST(sc AS DOUBLE) / n AS mean,
+        |    (CAST(scc AS DOUBLE) - (CAST(sc AS DOUBLE) * sc) / n) / (n - 1) AS s2
+        |  FROM mom),
+        |dd AS (SELECT *, (n - 1) * s2 / mean AS d FROM st),
+        |zz AS (SELECT *, sqrt(2.0E0 * d) - sqrt(2.0E0 * (n - 1) - 1.0E0) AS z FROM dd)
+        |SELECT n AS n_customers, round(mean, 6) AS mean_orders,
+        |  round(s2 / mean, 6) AS dispersion_ratio, round(z, 6) AS z,
+        |  CASE WHEN z > 1.96 THEN 'overdispersed'
+        |       WHEN z < -1.96 THEN 'underdispersed'
+        |       ELSE 'poisson_like' END AS verdict
+        |FROM zz""".stripMargin,
 
     "q_pareto_abc" ->
       """WITH rev AS (SELECT l_partkey, round(sum(l_extendedprice), 6) AS rev

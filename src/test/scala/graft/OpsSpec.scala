@@ -59,6 +59,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("q_abc_xyz: full 3x3 grid partition — part counts conserve across cells") {
+    val rows = SparkEntry.queries("q_abc_xyz")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Seq("A", "B", "C").contains(r.getString(0)))
+      assert(Seq("X", "Y", "Z").contains(r.getString(1)))
+      assert(r.getLong(2) > 0)
+    }
+    // every part with >=2 demand months lands in exactly one cell
+    val totalCells = rows.map(_.getLong(2)).sum
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, dir)
+    val eligible = li.groupBy(col("l_partkey"),
+      trunc(to_date(col("l_shipdate")), "month")).count()
+      .groupBy("l_partkey").count().where(col("count") >= 2).count()
+    assert(totalCells == eligible, s"cells $totalCells != eligible parts $eligible")
+  }
+
+  test("q_dispersion: ratio and verdict consistent") {
+    val r = SparkEntry.queries("q_dispersion")(spark, dir).collect().head
+    val (ratio, z, v) = (r.getDouble(2), r.getDouble(3), r.getString(4))
+    assert(ratio > 0)
+    if (z > 1.96) assert(v == "overdispersed")
+    else if (z < -1.96) assert(v == "underdispersed")
+    else assert(v == "poisson_like")
+  }
+
   test("q_skew_diag: multiplicity accounting holds for each relation") {
     val rows = SparkEntry.queries("q_skew_diag")(spark, dir).collect()
     assert(rows.length == 3)
