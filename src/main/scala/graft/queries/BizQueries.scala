@@ -131,6 +131,45 @@ object BizQueries {
           round(sum("credit"), 6).as("credit"))
     }),
 
+    // RFM segment-migration matrix: q_rfm's scoring run independently on
+    // the first and second halves of the order history (midpoint date
+    // cut, per-half recency reference), customers present in both halves
+    // counted by (segment_then → segment_now) — the churn-risk movement
+    // report behind lifecycle marketing. Two customer-keyed aggregations
+    // + deterministic ntile scoring per half + one custkey join.
+    "q_rfm_migration" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val cut = orders.agg(to_date(timestamp_micros(expr(
+        "(unix_micros(CAST(min(o_orderdate) AS TIMESTAMP)) + unix_micros(CAST(max(o_orderdate) AS TIMESTAMP))) DIV 2"))).as("cut"))
+      def half(pred: Column => Column): DataFrame = {
+        val o = orders.crossJoin(broadcast(cut)).where(pred(col("cut")))
+        val mx = o.agg(max("o_orderdate").as("mx"))
+        val cust = o.crossJoin(broadcast(mx)).groupBy("o_custkey")
+          .agg(expr("datediff(max(mx), max(o_orderdate))").as("recency_days"),
+            count(lit(1)).as("frequency"),
+            round(sum("o_totalprice"), 6).as("monetary"))
+        val one = substring(col("o_custkey").cast("string"), 1, 0)
+        cust
+          .withColumn("r_score", ntile(5).over(
+            Window.partitionBy(one).orderBy(col("recency_days").desc, col("o_custkey"))))
+          .withColumn("f_score", ntile(5).over(
+            Window.partitionBy(one).orderBy(col("frequency"), col("o_custkey"))))
+          .withColumn("segment",
+            when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+              .when(col("r_score") >= 4, "recent")
+              .when(col("f_score") >= 4, "loyal")
+              .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
+              .otherwise("regular"))
+          .select(col("o_custkey"), col("segment"))
+      }
+      val before = half(c => to_date(col("o_orderdate")) < c)
+        .withColumnRenamed("segment", "segment_then")
+      val after = half(c => to_date(col("o_orderdate")) >= c)
+        .withColumnRenamed("segment", "segment_now")
+      before.join(after, "o_custkey")
+        .groupBy("segment_then", "segment_now").agg(count(lit(1)).as("n_customers"))
+    }),
+
     // Markov-chain (removal-effect) attribution — the data-driven
     // counterpart to q_attribution's positional rules (Anderl et al.
     // 2016): user journeys (purchase closes a journey; trailing touches
@@ -384,6 +423,35 @@ object BizQueries {
         |  count(DISTINCT pid)::BIGINT AS purchases_touched,
         |  round(sum(credit), 6) AS credit
         |FROM c GROUP BY 1""".stripMargin,
+
+    "q_rfm_migration" -> {
+      def half(name: String, pred: String): String =
+        s"""${name}o AS (SELECT o.* FROM orders o, cut WHERE o.o_orderdate::DATE $pred cut.cut),
+           |${name}mx AS (SELECT max(o_orderdate) AS mx FROM ${name}o),
+           |${name}c AS (SELECT o_custkey,
+           |    date_diff('day', max(o_orderdate)::DATE, max(mx)::DATE)::INT AS recency_days,
+           |    count(*) AS frequency
+           |  FROM ${name}o, ${name}mx GROUP BY 1),
+           |${name}s AS (SELECT o_custkey,
+           |    ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+           |    ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score
+           |  FROM ${name}c),
+           |${name}g AS (SELECT o_custkey,
+           |    CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+           |         WHEN r_score >= 4 THEN 'recent'
+           |         WHEN f_score >= 4 THEN 'loyal'
+           |         WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+           |         ELSE 'regular' END AS segment
+           |  FROM ${name}s)""".stripMargin
+      s"""WITH cut AS (SELECT make_timestamp(
+         |    (epoch_us(min(o_orderdate)::TIMESTAMP) + epoch_us(max(o_orderdate)::TIMESTAMP)) // 2
+         |  )::DATE AS cut FROM orders),
+         |${half("bef", "<")},
+         |${half("aft", ">=")}
+         |SELECT b.segment AS segment_then, a.segment AS segment_now,
+         |  count(*)::BIGINT AS n_customers
+         |FROM befg b JOIN aftg a USING (o_custkey) GROUP BY 1, 2""".stripMargin
+    },
 
     "q_markov_attribution" ->
       """WITH RECURSIVE ev AS (

@@ -45,6 +45,35 @@ object TechQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // VWAP + OBV per series on the hourly (value=price, n=volume) frame:
+    // daily volume-weighted average price (ratio of snapped sums) and
+    // the on-balance-volume cumulative — OBV is an INTEGER cumsum
+    // (±volume by price direction), so the running value is exact on
+    // both engines; the day's last OBV is reported.
+    "q_tech_vwap_obv" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val base = hourly(s, dir)
+        .withColumn("pv", lag("value", 1).over(w))
+        .withColumn("sgn",
+          when(col("pv").isNull, 0L)
+            .when(col("value") > col("pv"), col("n"))
+            .when(col("value") < col("pv"), -col("n"))
+            .otherwise(0L))
+        .withColumn("obv", sum("sgn").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("day", to_date(col("ts")))
+      val wd = Window.partitionBy("event_type", "day").orderBy(col("ts").desc)
+      base
+        .withColumn("rk", row_number().over(wd))
+        .groupBy("event_type", "day").agg(
+          round(sum(col("value") * col("n")), 4).as("pvsum"),
+          sum("n").as("vol"),
+          max(when(col("rk") === 1, col("obv"))).as("obv_close"))
+        .select(col("event_type"), col("day"),
+          round(col("pvsum") / col("vol"), 6).as("vwap"),
+          col("vol").as("volume"), col("obv_close"))
+    }),
+
     // MACD(n_fast=12, n_slow=21): EMA12/EMA21 both masked at min_periods
     // n_slow−1=20; signal line = EWMA(span 9, mp 8) over the valid MACD
     // subsequence (feature_extraction.py:117).
@@ -216,6 +245,27 @@ object TechQueries {
   }
 
   val sql: Map[String, String] = Map(
+
+    "q_tech_vwap_obv" ->
+      s"""WITH hourly AS (${Tables.hourlySql}),
+         |lg AS (SELECT event_type, ts, value, n,
+         |    lag(value, 1) OVER w AS pv
+         |  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |sg AS (SELECT event_type, ts, value, n,
+         |    CASE WHEN pv IS NULL THEN 0
+         |         WHEN value > pv THEN n
+         |         WHEN value < pv THEN -n ELSE 0 END AS sgn
+         |  FROM lg),
+         |ob AS (SELECT *, sum(sgn) OVER (PARTITION BY event_type ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv,
+         |    ts::DATE AS day,
+         |    row_number() OVER (PARTITION BY event_type, ts::DATE ORDER BY ts DESC) AS rk
+         |  FROM sg)
+         |SELECT event_type, day,
+         |  round(round(sum(value * n), 4) / sum(n), 6) AS vwap,
+         |  sum(n)::BIGINT AS volume,
+         |  max(CASE WHEN rk = 1 THEN obv END)::BIGINT AS obv_close
+         |FROM ob GROUP BY 1, 2""".stripMargin,
 
     "q_nowcast_poly" -> nowcastPolySql,
 

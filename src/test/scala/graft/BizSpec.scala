@@ -74,6 +74,25 @@ class BizSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(defined >= 2, "Bass fit defined on too few regions")
   }
 
+  test("q_rfm_migration: 5x5-at-most matrix, counts positive, both-half customers only") {
+    val rows = SparkEntry.queries("q_rfm_migration")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    val segs = Set("champion", "recent", "loyal", "at_risk", "regular")
+    rows.foreach { r =>
+      assert(segs.contains(r.getString(0)) && segs.contains(r.getString(1)))
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("q_tech_vwap_obv: vwap within the day's value range; obv close is an integer walk") {
+    val rows = SparkEntry.queries("q_tech_vwap_obv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0, "vwap of positive prices must be positive")
+      assert(r.getLong(3) > 0)
+    }
+  }
+
   test("q_markov_attribution: shares sum to 1, removal effects in [0,1], base cvr sane") {
     val rows = SparkEntry.queries("q_markov_attribution")(spark, dir).collect()
     assert(rows.nonEmpty)
