@@ -247,6 +247,62 @@ object OpsQueries {
         .groupBy("abc", "xyz").agg(count(lit(1)).as("n_parts"))
     }),
 
+    // Syntetos-Boylan demand-pattern taxonomy (2005): each part classed
+    // by mean inter-demand interval p (months-span / demand-months) and
+    // CV² of nonzero demand sizes into smooth / intermittent / erratic /
+    // lumpy at the standard (1.32, 0.49) cut points — WHICH forecaster
+    // (SES vs Croston vs TSB) each SKU should get. p is a ratio of
+    // integers; CV² from snapped moments; one (part, month) aggregate.
+    "q_demand_classes" -> ((s, dir) => {
+      val mdem = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), trunc(to_date(col("l_shipdate")), "month").as("m"))
+        .agg(sum(col("l_quantity").cast("long")).as("d"))
+      val stats = mdem.groupBy("l_partkey").agg(
+        count(lit(1)).as("k"),
+        (months_between(max("m"), min("m")).cast("long") + 1L).as("span"),
+        sum("d").as("sd"), sum(col("d") * col("d")).as("sdd"))
+        .where(col("k") >= 2)
+        .withColumn("p", expr("CAST(span AS DOUBLE) / k"))
+        .withColumn("cv2", expr(
+          "((CAST(sdd AS DOUBLE) - (CAST(sd AS DOUBLE) * sd) / k) / (k - 1)) / ((CAST(sd AS DOUBLE) / k) * (CAST(sd AS DOUBLE) / k))"))
+        .withColumn("klass",
+          when(col("p") < 1.32 && col("cv2") < 0.49, "smooth")
+            .when(col("p") >= 1.32 && col("cv2") < 0.49, "intermittent")
+            .when(col("p") < 1.32, "erratic")
+            .otherwise("lumpy"))
+      stats.groupBy("klass").agg(
+        count(lit(1)).as("n_parts"),
+        round(avg("p"), 6).as("mean_interval"),
+        round(avg("cv2"), 6).as("mean_cv2"))
+    }),
+
+    // Hourly session-concurrency profile: each 30-min-gap session
+    // (q_sessionize conventions) exploded into its covered hours →
+    // active-session counts per hour → mean/peak by hour of day — the
+    // capacity-planning companion to q_erlang_c measured from real
+    // overlap instead of a Poisson model. Explosion is bounded by
+    // session duration (hours), never user count.
+    "q_concurrency" -> ((s, dir) => {
+      val sess = graft.TS.sessionize(
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("value")),
+        graft.TSSchema(keys = Seq("user_id")), gapSeconds = 1800)
+        .groupBy("user_id", "session")
+        .agg(min(unix_timestamp(col("ts"))).as("start_s"),
+          max(unix_timestamp(col("ts"))).as("end_s"))
+      val hours = sess
+        .withColumn("h0", expr("start_s DIV 3600"))
+        .withColumn("h1", expr("end_s DIV 3600"))
+        .withColumn("h", explode(expr("sequence(h0, h1)")))
+      val perHour = hours.groupBy("h").agg(count(lit(1)).as("active"))
+      val one = substring(col("h").cast("string"), 1, 0)
+      perHour
+        .withColumn("hod", expr("h % 24"))
+        .groupBy("hod").agg(
+          count(lit(1)).as("n_hours"),
+          round(sum("active").cast("double") / count(lit(1)), 6).as("mean_active"),
+          max("active").as("peak_active"))
+    }),
+
     // Index-of-dispersion (Poisson) screen on per-customer order counts:
     // D = (n−1)s²/x̄ with the Wilson-Hilferty normal approximation
     // z = √(2D) − √(2(n−1)−1) — over- vs under-dispersion tells a
@@ -437,6 +493,51 @@ object OpsQueries {
         |    FROM mm))
         |SELECT a.abc, x.xyz, count(*)::BIGINT AS n_parts
         |FROM abc a JOIN xyz x USING (l_partkey) GROUP BY 1, 2""".stripMargin,
+
+    "q_demand_classes" ->
+      """WITH mdem AS (SELECT l_partkey, date_trunc('month', l_shipdate::DATE)::DATE AS m,
+        |    sum(l_quantity::BIGINT) AS d
+        |  FROM lineitem GROUP BY 1, 2),
+        |st AS (SELECT l_partkey, count(*)::BIGINT AS k,
+        |    (date_diff('month', min(m), max(m)) + 1)::BIGINT AS span,
+        |    sum(d)::BIGINT AS sd, sum(d * d)::BIGINT AS sdd
+        |  FROM mdem GROUP BY 1 HAVING count(*) >= 2),
+        |cl AS (SELECT l_partkey,
+        |    CAST(span AS DOUBLE) / k AS p,
+        |    ((CAST(sdd AS DOUBLE) - (CAST(sd AS DOUBLE) * sd) / k) / (k - 1))
+        |      / ((CAST(sd AS DOUBLE) / k) * (CAST(sd AS DOUBLE) / k)) AS cv2
+        |  FROM st),
+        |kk AS (SELECT *,
+        |    CASE WHEN p < 1.32 AND cv2 < 0.49 THEN 'smooth'
+        |         WHEN p >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+        |         WHEN p < 1.32 THEN 'erratic' ELSE 'lumpy' END AS klass
+        |  FROM cl)
+        |SELECT klass, count(*)::BIGINT AS n_parts,
+        |  round(sum(p) / count(*), 6) AS mean_interval,
+        |  round(sum(cv2) / count(*), 6) AS mean_cv2
+        |FROM kk GROUP BY 1""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS ts_s FROM events),
+        |lg AS (SELECT user_id, ts_s,
+        |    CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800
+        |           OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sess0 AS (SELECT user_id, ts_s,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM lg),
+        |sess AS (SELECT user_id, session, min(ts_s) AS start_s, max(ts_s) AS end_s
+        |         FROM sess0 GROUP BY 1, 2),
+        |hrs AS (SELECT user_id, session,
+        |    unnest(generate_series(start_s // 3600, end_s // 3600)) AS h
+        |  FROM sess),
+        |ph AS (SELECT h, count(*) AS active FROM hrs GROUP BY 1)
+        |SELECT h % 24 AS hod, count(*)::BIGINT AS n_hours,
+        |  round(sum(active)::DOUBLE / count(*), 6) AS mean_active,
+        |  max(active)::BIGINT AS peak_active
+        |FROM ph GROUP BY 1""".stripMargin,
 
     "q_dispersion" ->
       """WITH cnt AS (SELECT o_custkey, count(*)::BIGINT AS c FROM orders GROUP BY 1),

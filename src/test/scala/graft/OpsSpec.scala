@@ -77,6 +77,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalCells == eligible, s"cells $totalCells != eligible parts $eligible")
   }
 
+  test("q_demand_classes: taxonomy cells valid, intervals >= 1 month") {
+    val rows = SparkEntry.queries("q_demand_classes")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val valid = Set("smooth", "intermittent", "erratic", "lumpy")
+    rows.foreach { r =>
+      assert(valid.contains(r.getString(0)))
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) >= 1.0 - 1e-9, "mean inter-demand interval cannot be < 1 month")
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("q_concurrency: 24 hour-of-day rows, peak >= mean >= 1") {
+    val rows = SparkEntry.queries("q_concurrency")(spark, dir).collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      val (m, p) = (r.getDouble(2), r.getLong(3))
+      assert(m >= 1.0 && p >= m.ceil.toLong - 1,
+        "peak active sessions must dominate the mean")
+    }
+  }
+
   test("q_dispersion: ratio and verdict consistent") {
     val r = SparkEntry.queries("q_dispersion")(spark, dir).collect().head
     val (ratio, z, v) = (r.getDouble(2), r.getDouble(3), r.getString(4))
