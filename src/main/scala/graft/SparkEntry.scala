@@ -51,7 +51,9 @@ object SparkEntry {
     (SignalQueries.defs, SignalQueries.sql),
     (PanelQueries.defs, PanelQueries.sql),
     (CorpusQueries.defs, CorpusQueries.sql),
-    (ScanQueries.defs, ScanQueries.sql)
+    (ScanQueries.defs, ScanQueries.sql),
+    (StabilityQueries.defs, StabilityQueries.sql),
+    (QualityQueries.defs, QualityQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

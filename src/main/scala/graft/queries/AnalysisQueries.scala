@@ -966,6 +966,53 @@ object AnalysisQueries {
       Seq((1, r6(lam1), r6(lam1 / trace), v1.map(r6).toSeq), (2, r6(lam2), r6(lam2 / trace), v2.map(r6).toSeq))
         .map { case (comp, lam, ex, l) => (comp, lam, ex, l(0), l(1), l(2), l(3), l(4), l(5), l(6), l(7)) }
         .toDF("component", "eigenvalue", "explained", "l0", "l1", "l2", "l3", "l4", "l5", "l6", "l7")
+    }),
+
+    // PCA reconstruction-error anomaly scoring (the subspace method of
+    // classical multivariate QC — Jackson & Mudholkar 1979): vectors whose
+    // residual outside the top-2 principal subspace is largest are the
+    // structural outliers the centroid-distance screen (q_embed_outliers)
+    // cannot see (it has no notion of the corpus' covariance shape).
+    // PC loadings + mean are 6-dp-SNAPPED before scoring on BOTH engines,
+    // so sub-6dp power-iteration wobble cannot reach the scores; the
+    // per-vector fold is left-to-right over the 8 dims in both engines.
+    // Scale: the 8×8 moment collect is k×dim driver state; scoring is one
+    // scan pass; top-20 compiles to TakeOrderedAndProject.
+    "q_pca_anomaly" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select((0 until PD).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+      val aggs =
+        (0 until PD).map(i => round(sum(col(s"x$i")), 4).as(s"s$i")) ++
+          (for { i <- 0 until PD; j <- i until PD }
+            yield round(sum(col(s"x$i") * col(s"x$j")), 4).as(s"ss${i}_$j")) :+
+          count(lit(1)).as("n")
+      val row = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getAs[Long]("n").toDouble
+      val sv = (0 until PD).map(i => row.getAs[Double](s"s$i")).toArray
+      val c = Array.tabulate(PD, PD) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        (row.getAs[Double](s"ss${a}_$b") - sv(a) * sv(b) / n) / (n - 1.0)
+      }
+      val (v1raw, lam1) = powerIter(c)
+      val d = Array.tabulate(PD, PD)((i, j) => c(i)(j) - lam1 * v1raw(i) * v1raw(j))
+      val (v2raw, _) = powerIter(d)
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val mu = sv.map(x => r6(x / n))
+      val v1 = v1raw.map(r6)
+      val v2 = v2raw.map(r6)
+      def litArr(a: Array[Double]) = array(a.map(lit(_)): _*)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        transform(slice(col("embedding"), 1, PD), x => x.cast("double")).as("pv"))
+        .withColumn("cent", zip_with(col("pv"), litArr(mu), _ - _))
+        .withColumn("p1", aggregate(zip_with(col("cent"), litArr(v1), _ * _), lit(0.0), _ + _))
+        .withColumn("p2", aggregate(zip_with(col("cent"), litArr(v2), _ * _), lit(0.0), _ + _))
+        .withColumn("ss", aggregate(transform(col("cent"), x => x * x), lit(0.0), _ + _))
+        .withColumn("resid", col("ss") - col("p1") * col("p1") - col("p2") * col("p2"))
+      e.orderBy(col("resid").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("label"),
+          round(col("resid"), 6).as("resid"),
+          round(col("p1"), 6).as("proj1"),
+          round(col("p2"), 6).as("proj2"))
     }))
 
   private val sigChainSql = sigChain.map { case (n, f) => s"$f AS $n" }
@@ -1660,5 +1707,46 @@ object AnalysisQueries {
          |UNION ALL
          |SELECT 2, round(p.lam2, 6), round(p.lam2 / $trace, 6), $loads2
          |FROM pc2 p, cov""".stripMargin
+    },
+
+    "q_pca_anomaly" -> {
+      // identical moments/cov/power-iteration chain as the q_embed_pca
+      // oracle, then 6-dp-snapped (mean, v1, v2) drive the scoring pass —
+      // the fold over the 8 dims is left-to-right in both engines
+      val moments =
+        ((0 until PD).map(i => s"round(sum(embedding[${i + 1}]::DOUBLE), 4) AS s$i") ++
+          (for { i <- 0 until PD; j <- i until PD }
+            yield s"round(sum(embedding[${i + 1}]::DOUBLE * embedding[${j + 1}]::DOUBLE), 4) AS ss${i}_$j") :+
+          "count(*) AS n").mkString(", ")
+      val covCols = (for { i <- 0 until PD; j <- 0 until PD }
+        yield s"${covFrag(i, j)} AS c${i}_$j").mkString(", ")
+      val defl = (for { i <- 0 until PD; j <- 0 until PD }
+        yield s"c${i}_$j - lam1 * v$i * v$j AS c${i}_$j").mkString(", ")
+      val snap = ((0 until PD).map(i => s"round(mo.s$i / mo.n, 6) AS m$i") ++
+        (0 until PD).map(i => s"round(p1.v$i, 6) AS w1$i") ++
+        (0 until PD).map(i => s"round(p2.v$i, 6) AS w2$i")).mkString(", ")
+      def fold(term: Int => String) = (0 until PD).map(term).mkString(" + ")
+      val p1 = fold(i => s"(embedding[${i + 1}]::DOUBLE - m$i) * w1$i")
+      val p2 = fold(i => s"(embedding[${i + 1}]::DOUBLE - m$i) * w2$i")
+      val ss = fold(i => s"(embedding[${i + 1}]::DOUBLE - m$i) * (embedding[${i + 1}]::DOUBLE - m$i)")
+      s"""WITH RECURSIVE
+         |mo AS (SELECT $moments FROM embeddings),
+         |cov AS (SELECT $covCols FROM mo),
+         |${iterCte("it1", "cov")},
+         |pc1 AS (SELECT v0, v1, v2, v3, v4, v5, v6, v7, $lamExpr AS lam1
+         |        FROM it1, cov WHERE step = $ITERS),
+         |cov2 AS (SELECT $defl FROM cov, pc1),
+         |${iterCte("it2", "cov2")},
+         |pc2 AS (SELECT v0, v1, v2, v3, v4, v5, v6, v7, $lamExpr AS lam2
+         |        FROM it2, cov2 WHERE step = $ITERS),
+         |snap AS (SELECT $snap FROM mo, pc1 p1, pc2 p2),
+         |score AS (SELECT vec_id, label, $p1 AS p1, $p2 AS p2, $ss AS ss
+         |          FROM embeddings, snap)
+         |SELECT vec_id, label,
+         |  round(ss - p1 * p1 - p2 * p2, 6) AS resid,
+         |  round(p1, 6) AS proj1, round(p2, 6) AS proj2
+         |FROM score
+         |ORDER BY (ss - p1 * p1 - p2 * p2) DESC, vec_id
+         |LIMIT 20""".stripMargin
     })
 }

@@ -20,6 +20,15 @@ import graft.Tables
   *    maxima vs the exchangeability expectation H_n (E[R] = Σ1/k,
   *    Var[R] = Σ(1/k − 1/k²)) — a distribution-free trend test next to
   *    q_mann_kendall.
+  *  - `q_mahalanobis` — bivariate Mahalanobis outlier hours per series:
+  *    D² of the hourly (value, count) pair under the series' own 2×2
+  *    covariance (Cramer inverse, the q_cusum_multi machinery) — hours
+  *    where value and volume are JOINTLY inconsistent even when each is
+  *    individually in range (the multivariate complement to
+  *    q_outlier_zscore). Flag at the χ²₂(0.999) quantile 13.815511
+  *    (identical decimal literal in both engines); covariance from
+  *    snapped moments, D² a closed-form ratio — no matrix op at scale,
+  *    one broadcast of the 5-row moment table.
   *  - `q_ess` — autocorrelation-adjusted effective sample size:
   *    ESS = n/(1 + 2Σ_{k≤24} ρ_k) — how many independent observations
   *    an experiment on this series actually has (the q_cuped
@@ -176,6 +185,35 @@ object ScanQueries {
           when(abs(col("z")) >= 1.96, 1).otherwise(0).as("non_random"))
     }),
 
+    "q_mahalanobis" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir)
+      val mom = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"),
+        sum("n").as("sc"),
+        sum(col("n") * col("n")).as("scc"),
+        round(sum(col("value") * col("n")), 2).as("svc"))
+        .where(col("n") >= 3)
+        .withColumn("mv", col("sv") / col("n").cast("double"))
+        .withColumn("mc", col("sc").cast("double") / col("n").cast("double"))
+        .withColumn("a", (col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - lit(1L)).cast("double"))
+        .withColumn("dd", (col("scc").cast("double") - col("sc").cast("double") * col("sc").cast("double") / col("n")) / (col("n") - lit(1L)).cast("double"))
+        .withColumn("b", (col("svc") - col("sv") * col("sc").cast("double") / col("n")) / (col("n") - lit(1L)).cast("double"))
+        .withColumn("det", col("a") * col("dd") - col("b") * col("b"))
+        .where(col("det") > 0)
+        .select("event_type", "mv", "mc", "a", "dd", "b", "det")
+      hourly.join(broadcast(mom), "event_type")
+        .withColumn("ev", col("value") - col("mv"))
+        .withColumn("ec", col("n").cast("double") - col("mc"))
+        .withColumn("d2",
+          (col("dd") * col("ev") * col("ev") - lit(2.0) * col("b") * col("ev") * col("ec") +
+            col("a") * col("ec") * col("ec")) / col("det"))
+        .where(col("d2") > lit(13.815511))
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
+          col("value"), col("n").as("n_events"), round(col("d2"), 6).as("d2"))
+    }),
+
     "q_ess" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
       val wp = Window.partitionBy("event_type")
@@ -325,6 +363,28 @@ object ScanQueries {
          |  round(expected, 6) AS expected, round(z, 6) AS z,
          |  CASE WHEN abs(z) >= 1.96 THEN 1 ELSE 0 END AS non_random
          |FROM zz""".stripMargin,
+
+    "q_mahalanobis" ->
+      s"""WITH hourly AS ($H),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv,
+         |    sum(n)::BIGINT AS sc, sum(n * n)::BIGINT AS scc,
+         |    round(sum(value * n), 2) AS svc
+         |  FROM hourly GROUP BY 1),
+         |cv AS (SELECT event_type, sv / n AS mv, sc::DOUBLE / n AS mc,
+         |    (svv - sv * sv / n) / (n - 1) AS a,
+         |    (scc::DOUBLE - sc::DOUBLE * sc::DOUBLE / n) / (n - 1) AS dd,
+         |    (svc - sv * sc::DOUBLE / n) / (n - 1) AS b
+         |  FROM mom WHERE n >= 3),
+         |cvd AS (SELECT *, a * dd - b * b AS det FROM cv WHERE a * dd - b * b > 0),
+         |sc AS (SELECT h.event_type, h.ts, h.value, h.n,
+         |    (c.dd * (h.value - c.mv) * (h.value - c.mv)
+         |     - 2.0E0 * c.b * (h.value - c.mv) * (h.n::DOUBLE - c.mc)
+         |     + c.a * (h.n::DOUBLE - c.mc) * (h.n::DOUBLE - c.mc)) / c.det AS d2
+         |  FROM hourly h JOIN cvd c USING (event_type))
+         |SELECT event_type, (epoch_us(ts) // 1000000)::BIGINT AS ts_s,
+         |  value, n::BIGINT AS n_events, round(d2, 6) AS d2
+         |FROM sc WHERE d2 > 13.815511E0""".stripMargin,
 
     "q_ess" -> {
       val lagCols = (1 to K).map(k => s"lag(e, $k) OVER w AS l$k").mkString(",\n         |    ")

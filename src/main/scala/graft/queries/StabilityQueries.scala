@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Structural-stability + rate battery over the event series — the
+  * parameter-constancy complement to the changepoint detectors (CUSUM /
+  * PELT / MOSUM localize WHERE a series moved; these test WHETHER a fitted
+  * relationship itself is stable, the econometrician's framing):
+  *
+  *  - `q_chow_test` — Chow (1960) structural-break F-test at the series
+  *    midpoint: OLS y = a + b·t fitted pooled vs split, F = ((SSE_p −
+  *    SSE_1 − SSE_2)/k) / ((SSE_1+SSE_2)/(n−2k)), k = 2. Runs on the
+  *    hourly COUNT series so every moment (Σt, Σt², Σy, Σty, Σy²) is an
+  *    exact integer — both engines derive identical doubles from identical
+  *    integers; one window pass for rn + one conditional aggregation.
+  *  - `q_quandt_andrews` — Quandt (1960) / Andrews (1993) sup-F: the Chow
+  *    F evaluated at EVERY candidate break in the middle 70% of the
+  *    series, sup over candidates. The scale discipline is the point:
+  *    prefix sums of the integer moments make all O(n) candidate fits
+  *    closed-form per row — ONE window pass, no per-candidate refit
+  *    (Σi and Σi² are polynomial identities in rn, only the y-moments
+  *    need running frames). Flagged at the Andrews (1993, Table I) 5%
+  *    critical value for p = 2, 15% trim.
+  *  - `q_anova` — one-way fixed-effects ANOVA of event value across
+  *    event types (the parametric twin of q_kruskal): F = (SSB/(k−1)) /
+  *    (SSW/(n−k)) + η² effect size. Per-group moments are snapped
+  *    (round 4/2, the q_mosum discipline); the k-group reduction runs in
+  *    scaled-BIGINT space (round(x·10⁴) summed as longs) so the
+  *    cross-group sum is order-free in both engines.
+  *  - `q_poisson_rate` — two-sample Poisson rate test per event type:
+  *    first-half vs second-half counts at the microsecond-integer
+  *    midpoint cut (equal exposure by construction), tested with the
+  *    variance-stabilizing square-root transform z = (√c₂ − √c₁)·√2
+  *    (Anscombe; Var √c → 1/4). sqrt is a correctly-rounded IEEE op —
+  *    zero cross-engine drift by construction.
+  *  - `q_ewma_chart` — EWMA control chart (Roberts 1959; Lucas &
+  *    Saccucci 1990), the SPC standard for small sustained shifts that
+  *    Shewhart/WE-rules charts (q_spc_rules) miss: z_t = λy_t + (1−λ)z_{t−1}
+  *    against time-varying limits μ ± Lσ·√(λ/(2−λ)·(1−(1−λ)^{2t})).
+  *    The (1−λ)^{2t} inflation factor is carried recursively (w ← w·(1−λ)²)
+  *    — no libm pow — and the whole per-series recursion is replayed
+  *    step-for-step by the oracle's recursive CTE, identical IEEE op
+  *    sequence in both engines; baseline μ/σ from snapped moments.
+  *
+  * Scale: every query is one shuffle keyed by series (plus a broadcast
+  * 1-row midpoint for q_poisson_rate); driver state nil; candidate breaks
+  * cost O(series length) rows inside the series partition, never a refit.
+  * Reference frame: Kats exposes trend-change detection
+  * (kats/detectors/trend_mk.py, cusum_detection.py); the F-test-on-moments
+  * framing here is the standard econometrics companion a production user
+  * expects next to them.
+  */
+object StabilityQueries {
+
+  private val H = Tables.hourlySql
+
+  /** Chow F 1% critical value for k=2 restrictions, large n (χ²(2)/2). */
+  private val ChowCrit = 4.61
+
+  /** Andrews (1993) Table I sup-F 5% critical value, p = 2, π₀ = 0.15. */
+  private val AndrewsCrit = 11.79
+
+  /** EWMA chart smoothing + limit width (Lucas & Saccucci 1990 defaults). */
+  private val Lam = 0.2
+  private val Lw = 3.0
+
+  /** Closed-form SSE of OLS y = a + b·t from integer moments.
+    * den = m·Σtt − (Σt)²; b = (m·Σty − Σt·Σy)/den; a = (Σy − b·Σt)/m;
+    * SSE = Σyy − a·Σy − b·Σty. All inputs are exact longs.
+    */
+  private def sse(m: Column, st: Column, stt: Column, sy: Column,
+                  sty: Column, syy: Column): Column = {
+    val den = (m * stt - st * st).cast("double")
+    val b = (m * sty - st * sy).cast("double") / den
+    val a = (sy.cast("double") - b * st.cast("double")) / m.cast("double")
+    syy.cast("double") - a * sy.cast("double") - b * sty.cast("double")
+  }
+
+  /** The oracle-side twin of [[sse]] over BIGINT moment columns. */
+  private def sseSql(m: String, st: String, stt: String, sy: String,
+                     sty: String, syy: String): String =
+    s"""($syy::DOUBLE
+       |  - (($sy::DOUBLE - (($m * $sty - $st * $sy)::DOUBLE / ($m * $stt - $st * $st)::DOUBLE) * $st::DOUBLE) / $m::DOUBLE) * $sy::DOUBLE
+       |  - (($m * $sty - $st * $sy)::DOUBLE / ($m * $stt - $st * $st)::DOUBLE) * $sty::DOUBLE)""".stripMargin.replace("\n", " ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_chow_test" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("value")
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wAll = Window.partitionBy("event_type")
+      val base = hourly
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nt", count(lit(1)).over(wAll))
+        .withColumn("h1", expr("rn <= nt DIV 2")) // integer division, both engines
+        .withColumn("t", col("rn").cast("long"))
+        .withColumn("y", col("n").cast("long"))
+      def seg(flag: Column, suf: String): Seq[Column] = Seq(
+        sum(when(flag, lit(1L)).otherwise(lit(0L))).as(s"m$suf"),
+        sum(when(flag, col("t")).otherwise(lit(0L))).as(s"st$suf"),
+        sum(when(flag, col("t") * col("t")).otherwise(lit(0L))).as(s"stt$suf"),
+        sum(when(flag, col("y")).otherwise(lit(0L))).as(s"sy$suf"),
+        sum(when(flag, col("t") * col("y")).otherwise(lit(0L))).as(s"sty$suf"),
+        sum(when(flag, col("y") * col("y")).otherwise(lit(0L))).as(s"syy$suf"))
+      val aggs = seg(col("h1"), "1") ++ seg(!col("h1"), "2")
+      val mom = base.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+        .withColumn("m", col("m1") + col("m2"))
+        .withColumn("st", col("st1") + col("st2"))
+        .withColumn("stt", col("stt1") + col("stt2"))
+        .withColumn("sy", col("sy1") + col("sy2"))
+        .withColumn("sty", col("sty1") + col("sty2"))
+        .withColumn("syy", col("syy1") + col("syy2"))
+        .where(col("m") >= 8) // both segments need >2 points for the df
+      val ssep = sse(col("m"), col("st"), col("stt"), col("sy"), col("sty"), col("syy"))
+      val sse1 = sse(col("m1"), col("st1"), col("stt1"), col("sy1"), col("sty1"), col("syy1"))
+      val sse2 = sse(col("m2"), col("st2"), col("stt2"), col("sy2"), col("sty2"), col("syy2"))
+      mom
+        .withColumn("sse_p", ssep)
+        .withColumn("sse_s", sse1 + sse2)
+        .withColumn("fstat",
+          ((col("sse_p") - col("sse_s")) / lit(2.0)) /
+            (col("sse_s") / (col("m") - lit(4L)).cast("double")))
+        .select(col("event_type"), col("m").as("n_obs"),
+          round(col("sse_p"), 6).as("sse_pooled"),
+          round(col("sse_s"), 6).as("sse_split"),
+          round(col("fstat"), 6).as("fstat"),
+          (col("fstat") > lit(ChowCrit)).as("break_flag"))
+    }),
+
+    "q_quandt_andrews" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("value")
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val wAll = Window.partitionBy("event_type")
+      val wPre = w.rowsBetween(Window.unboundedPreceding, 0)
+      val base = hourly
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("y", col("n").cast("long"))
+        .withColumn("nt", count(lit(1)).over(wAll))
+        // y-moment prefixes: the only running sums needed (Σi, Σi² are
+        // polynomial identities in rn — no frame at all)
+        .withColumn("py", sum("y").over(wPre))
+        .withColumn("pty", sum(col("rn") * col("y")).over(wPre))
+        .withColumn("pyy", sum(col("y") * col("y")).over(wPre))
+        .withColumn("sy", sum("y").over(wAll))
+        .withColumn("sty", sum(col("rn") * col("y")).over(wAll))
+        .withColumn("syy", sum(col("y") * col("y")).over(wAll))
+      def stOf(m: Column) = m * (m + lit(1L)) / lit(2L)
+      def sttOf(m: Column) = m * (m + lit(1L)) * (m * lit(2L) + lit(1L)) / lit(6L)
+      val lo = greatest(lit(3L), expr("nt * 15 DIV 100"))
+      val hi = least(col("nt") - lit(3L), expr("nt * 85 DIV 100"))
+      val m2 = col("nt") - col("rn")
+      val cand = base
+        .where(col("nt") >= 20 && col("rn").between(lo, hi))
+        .withColumn("sse_p",
+          sse(col("nt"), stOf(col("nt")), sttOf(col("nt")), col("sy"), col("sty"), col("syy")))
+        .withColumn("sse_1",
+          sse(col("rn"), stOf(col("rn")), sttOf(col("rn")), col("py"), col("pty"), col("pyy")))
+        .withColumn("sse_2",
+          sse(m2, stOf(col("nt")) - stOf(col("rn")), sttOf(col("nt")) - sttOf(col("rn")),
+            col("sy") - col("py"), col("sty") - col("pty"), col("syy") - col("pyy")))
+        .withColumn("f",
+          ((col("sse_p") - col("sse_1") - col("sse_2")) / lit(2.0)) /
+            ((col("sse_1") + col("sse_2")) / (col("nt") - lit(4L)).cast("double")))
+      val wPick = Window.partitionBy("event_type").orderBy(col("f").desc, col("rn"))
+      cand.withColumn("rk", row_number().over(wPick)).where(col("rk") === 1)
+        .select(col("event_type"), col("nt").as("n_obs"),
+          col("rn").as("break_rn"),
+          unix_timestamp(col("ts")).as("break_ts_s"),
+          round(col("f"), 6).as("sup_f"),
+          (col("f") > lit(AndrewsCrit)).as("break_flag"))
+    }),
+
+    "q_anova" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grp = ev.groupBy("event_type").agg(
+        count(lit(1)).as("m"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        // scaled-BIGINT terms so the k-group reduction is order-free:
+        // round(x·10⁴) is exact long arithmetic in both engines
+        .withColumn("ssw_s", round(((col("svv") - col("sv") * col("sv") / col("m")) * lit(1e4))).cast("long"))
+        .withColumn("ssb_term_s", round((col("sv") * col("sv") / col("m") * lit(1e4))).cast("long"))
+        .withColumn("sv_s", round(col("sv") * lit(1e4)).cast("long"))
+      grp.groupBy().agg(
+        count(lit(1)).as("k"),
+        sum("m").as("n"),
+        sum("ssw_s").as("ssw_s"),
+        sum("ssb_term_s").as("ssb_s"),
+        sum("sv_s").as("gs_s"))
+        .withColumn("ssw", col("ssw_s").cast("double") / lit(1e4))
+        .withColumn("ssb",
+          col("ssb_s").cast("double") / lit(1e4) -
+            (col("gs_s").cast("double") / lit(1e4)) * (col("gs_s").cast("double") / lit(1e4)) / col("n").cast("double"))
+        .withColumn("fstat",
+          (col("ssb") / (col("k") - lit(1L)).cast("double")) /
+            (col("ssw") / (col("n") - col("k")).cast("double")))
+        .select(col("k"), col("n"),
+          round(col("ssb"), 6).as("ss_between"),
+          round(col("ssw"), 6).as("ss_within"),
+          round(col("fstat"), 6).as("fstat"),
+          round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+    }),
+
+    "q_poisson_rate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg(timestamp_micros(
+        expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2")).as("cut"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy("event_type").agg(
+          sum(when(col("ts") < col("cut"), lit(1L)).otherwise(lit(0L))).as("c1"),
+          sum(when(col("ts") >= col("cut"), lit(1L)).otherwise(lit(0L))).as("c2"))
+        .where(col("c1") > 0)
+        .withColumn("z", (sqrt(col("c2").cast("double")) - sqrt(col("c1").cast("double"))) * sqrt(lit(2.0)))
+        .select(col("event_type"), col("c1"), col("c2"),
+          round(col("c2").cast("double") / col("c1").cast("double"), 6).as("rate_ratio"),
+          round(col("z"), 6).as("z_vst"),
+          (abs(col("z")) > lit(3.0)).as("rate_shift"))
+    }),
+
+    "q_ewma_chart" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val agg = hourly.groupBy("event_type").agg(
+        sort_array(collect_list(struct(col("ts").as("t"), col("value").cast("double").as("x")))).as("pts"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        .where(col("n") >= 2)
+        .withColumn("mu", col("sv") / col("n").cast("double"))
+        .withColumn("sd", sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - lit(1L)).cast("double")))
+      // per-series recursion: z ← λx + (1−λ)z, w ← w·(1−λ)² — the oracle
+      // replays the identical IEEE sequence in a recursive CTE
+      val kern = udf { (xs: Seq[Double], mu: Double, sd: Double) =>
+        var z = mu; var w = 1.0; val q = (1.0 - Lam) * (1.0 - Lam)
+        var ooc = 0L; var first = 0L; var lim = 0.0
+        var i = 0
+        while (i < xs.length) {
+          z = Lam * xs(i) + (1.0 - Lam) * z
+          w = w * q
+          lim = Lw * sd * math.sqrt(Lam / (2.0 - Lam) * (1.0 - w))
+          if (math.abs(z - mu) > lim) {
+            ooc += 1L
+            if (first == 0L) first = i + 1L
+          }
+          i += 1
+        }
+        (z, lim, ooc, first)
+      }
+      agg.withColumn("r", kern(col("pts.x"), col("mu"), col("sd")))
+        .select(col("event_type"), col("n").as("n_obs"),
+          round(col("r._1"), 6).as("ewma_final"),
+          round(col("r._2"), 6).as("limit_final"),
+          col("r._3").as("n_ooc"),
+          col("r._4").as("first_ooc"))
+    })
+  )
+
+  val sql: Map[String, String] = Map(
+
+    "q_chow_test" -> {
+      val sseP = sseSql("m", "st", "stt", "sy", "sty", "syy")
+      val sse1 = sseSql("m1", "st1", "stt1", "sy1", "sty1", "syy1")
+      val sse2 = sseSql("m2", "st2", "stt2", "sy2", "sty2", "syy2")
+      s"""WITH hourly AS ($H),
+         |base AS (SELECT event_type, n AS y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nt
+         |  FROM hourly),
+         |mom AS (SELECT event_type,
+         |    sum(CASE WHEN rn <= nt // 2 THEN 1 ELSE 0 END)::BIGINT AS m1,
+         |    sum(CASE WHEN rn <= nt // 2 THEN rn ELSE 0 END)::BIGINT AS st1,
+         |    sum(CASE WHEN rn <= nt // 2 THEN rn * rn ELSE 0 END)::BIGINT AS stt1,
+         |    sum(CASE WHEN rn <= nt // 2 THEN y ELSE 0 END)::BIGINT AS sy1,
+         |    sum(CASE WHEN rn <= nt // 2 THEN rn * y ELSE 0 END)::BIGINT AS sty1,
+         |    sum(CASE WHEN rn <= nt // 2 THEN y * y ELSE 0 END)::BIGINT AS syy1,
+         |    sum(CASE WHEN rn > nt // 2 THEN 1 ELSE 0 END)::BIGINT AS m2,
+         |    sum(CASE WHEN rn > nt // 2 THEN rn ELSE 0 END)::BIGINT AS st2,
+         |    sum(CASE WHEN rn > nt // 2 THEN rn * rn ELSE 0 END)::BIGINT AS stt2,
+         |    sum(CASE WHEN rn > nt // 2 THEN y ELSE 0 END)::BIGINT AS sy2,
+         |    sum(CASE WHEN rn > nt // 2 THEN rn * y ELSE 0 END)::BIGINT AS sty2,
+         |    sum(CASE WHEN rn > nt // 2 THEN y * y ELSE 0 END)::BIGINT AS syy2
+         |  FROM base GROUP BY 1),
+         |tot AS (SELECT *, (m1 + m2) AS m, (st1 + st2) AS st, (stt1 + stt2) AS stt,
+         |    (sy1 + sy2) AS sy, (sty1 + sty2) AS sty, (syy1 + syy2) AS syy
+         |  FROM mom WHERE m1 + m2 >= 8),
+         |f AS (SELECT event_type, m, $sseP AS sse_p, ($sse1 + $sse2) AS sse_s FROM tot)
+         |SELECT event_type, m::BIGINT AS n_obs,
+         |  round(sse_p, 6) AS sse_pooled, round(sse_s, 6) AS sse_split,
+         |  round(((sse_p - sse_s) / 2.0E0) / (sse_s / (m - 4)::DOUBLE), 6) AS fstat,
+         |  (((sse_p - sse_s) / 2.0E0) / (sse_s / (m - 4)::DOUBLE)) > $ChowCrit AS break_flag
+         |FROM f""".stripMargin
+    },
+
+    "q_quandt_andrews" -> {
+      val sseP = sseSql("nt", "stn", "sttn", "sy", "sty", "syy")
+      val sse1 = sseSql("rn", "st1", "stt1", "py", "pty", "pyy")
+      val sse2 = sseSql("m2", "st2", "stt2", "qy", "qty", "qyy")
+      s"""WITH hourly AS ($H),
+         |b0 AS (SELECT event_type, ts, n AS y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nt
+         |  FROM hourly),
+         |base AS (SELECT *,
+         |    sum(y) OVER w AS py,
+         |    sum(rn * y) OVER w AS pty,
+         |    sum(y * y) OVER w AS pyy,
+         |    sum(y) OVER wa AS sy,
+         |    sum(rn * y) OVER wa AS sty,
+         |    sum(y * y) OVER wa AS syy
+         |  FROM b0
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wa AS (PARTITION BY event_type)),
+         |cand AS (SELECT *,
+         |    rn * (rn + 1) // 2 AS st1,
+         |    rn * (rn + 1) * (2 * rn + 1) // 6 AS stt1,
+         |    nt * (nt + 1) // 2 AS stn,
+         |    nt * (nt + 1) * (2 * nt + 1) // 6 AS sttn,
+         |    (nt - rn) AS m2,
+         |    nt * (nt + 1) // 2 - rn * (rn + 1) // 2 AS st2,
+         |    nt * (nt + 1) * (2 * nt + 1) // 6 - rn * (rn + 1) * (2 * rn + 1) // 6 AS stt2,
+         |    (sy - py) AS qy, (sty - pty) AS qty, (syy - pyy) AS qyy
+         |  FROM base
+         |  WHERE nt >= 20 AND rn >= greatest(3, nt * 15 // 100)
+         |    AND rn <= least(nt - 3, nt * 85 // 100)),
+         |f AS (SELECT event_type, ts, rn, nt,
+         |    (($sseP - $sse1 - $sse2) / 2.0E0) / (($sse1 + $sse2) / (nt - 4)::DOUBLE) AS f
+         |  FROM cand),
+         |pick AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY f DESC, rn) AS rk
+         |    FROM f) WHERE rk = 1)
+         |SELECT event_type, nt::BIGINT AS n_obs, rn::BIGINT AS break_rn,
+         |  (epoch_us(ts) // 1000000)::BIGINT AS break_ts_s,
+         |  round(f, 6) AS sup_f, f > $AndrewsCrit AS break_flag
+         |FROM pick""".stripMargin
+    },
+
+    "q_anova" ->
+      s"""WITH grp AS (SELECT event_type, count(*)::BIGINT AS m,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM events GROUP BY 1),
+         |terms AS (SELECT m,
+         |    round((svv - sv * sv / m) * 1e4)::BIGINT AS ssw_s,
+         |    round(sv * sv / m * 1e4)::BIGINT AS ssb_term_s,
+         |    round(sv * 1e4)::BIGINT AS sv_s
+         |  FROM grp),
+         |red AS (SELECT count(*)::BIGINT AS k, sum(m)::BIGINT AS n,
+         |    sum(ssw_s)::BIGINT AS ssw_s, sum(ssb_term_s)::BIGINT AS ssb_s,
+         |    sum(sv_s)::BIGINT AS gs_s
+         |  FROM terms),
+         |fin AS (SELECT k, n,
+         |    ssw_s::DOUBLE / 1e4 AS ssw,
+         |    ssb_s::DOUBLE / 1e4 - (gs_s::DOUBLE / 1e4) * (gs_s::DOUBLE / 1e4) / n::DOUBLE AS ssb
+         |  FROM red)
+         |SELECT k, n, round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+         |  round((ssb / (k - 1)::DOUBLE) / (ssw / (n - k)::DOUBLE), 6) AS fstat,
+         |  round(ssb / (ssb + ssw), 6) AS eta_sq
+         |FROM fin""".stripMargin,
+
+    "q_poisson_rate" ->
+      s"""WITH cut AS (SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS cut
+         |  FROM events),
+         |c AS (SELECT event_type,
+         |    sum(CASE WHEN ts < cut THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN ts >= cut THEN 1 ELSE 0 END)::BIGINT AS c2
+         |  FROM events CROSS JOIN cut GROUP BY 1)
+         |SELECT event_type, c1, c2,
+         |  round(c2::DOUBLE / c1::DOUBLE, 6) AS rate_ratio,
+         |  round((sqrt(c2::DOUBLE) - sqrt(c1::DOUBLE)) * sqrt(2.0E0), 6) AS z_vst,
+         |  abs((sqrt(c2::DOUBLE) - sqrt(c1::DOUBLE)) * sqrt(2.0E0)) > 3.0E0 AS rate_shift
+         |FROM c WHERE c1 > 0""".stripMargin,
+
+    "q_ewma_chart" ->
+      s"""WITH RECURSIVE hourly AS ($H),
+         |ord AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+         |  FROM hourly),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM hourly GROUP BY 1),
+         |ms AS (SELECT event_type, n, sv / n AS mu,
+         |    sqrt((svv - sv * sv / n) / (n - 1)) AS sd
+         |  FROM mom WHERE n >= 2),
+         |rec AS (
+         |  SELECT event_type, n, mu, sd, 0 AS i, mu AS z, 1.0E0 AS w,
+         |         0.0E0 AS lim, 0::BIGINT AS ooc, 0::BIGINT AS first
+         |  FROM ms
+         |  UNION ALL
+         |  SELECT r.event_type, r.n, r.mu, r.sd, r.i + 1,
+         |    ${Lam}E0 * o.value + ${1.0 - Lam}E0 * r.z,
+         |    r.w * ${(1.0 - Lam) * (1.0 - Lam)}E0,
+         |    ${Lw}E0 * r.sd * sqrt(${Lam}E0 / (2.0E0 - ${Lam}E0) * (1.0E0 - r.w * ${(1.0 - Lam) * (1.0 - Lam)}E0)),
+         |    r.ooc + CASE WHEN abs(${Lam}E0 * o.value + ${1.0 - Lam}E0 * r.z - r.mu) >
+         |        ${Lw}E0 * r.sd * sqrt(${Lam}E0 / (2.0E0 - ${Lam}E0) * (1.0E0 - r.w * ${(1.0 - Lam) * (1.0 - Lam)}E0))
+         |      THEN 1 ELSE 0 END,
+         |    CASE WHEN r.first = 0 AND abs(${Lam}E0 * o.value + ${1.0 - Lam}E0 * r.z - r.mu) >
+         |        ${Lw}E0 * r.sd * sqrt(${Lam}E0 / (2.0E0 - ${Lam}E0) * (1.0E0 - r.w * ${(1.0 - Lam) * (1.0 - Lam)}E0))
+         |      THEN r.i + 1 ELSE r.first END
+         |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.i + 1
+         |  WHERE r.i + 1 <= r.n)
+         |SELECT event_type, n AS n_obs, round(z, 6) AS ewma_final,
+         |  round(lim, 6) AS limit_final, ooc::BIGINT AS n_ooc, first::BIGINT AS first_ooc
+         |FROM rec WHERE i = n""".stripMargin
+  )
+}

@@ -249,4 +249,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(read.contains("props") && !read.contains("user_id"),
       s"q_props_profile reads more than it needs: $read")
   }
+
+  test("stability pack plans keep their scale shape") {
+    // per-series window + moment passes: series-keyed shuffles only,
+    // never a join (the candidate-break sweep is closed-form per row)
+    Seq("q_chow_test", "q_quandt_andrews", "q_ewma_chart").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q grew a join:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        s"$q shuffles more than the series key:\n$p")
+    }
+    // the 1-row midpoint must broadcast onto the event stream
+    val pr = planOf("q_poisson_rate")
+    assert(pr.contains("Broadcast"), s"q_poisson_rate lost its 1-row broadcast:\n$pr")
+    assert(!pr.contains("SortMergeJoin"), s"q_poisson_rate grew a SortMergeJoin:\n$pr")
+    // the k-group reduction keeps map-side partial aggregation
+    val an = planOf("q_anova")
+    assert("HashAggregate".r.findAllIn(an).size >= 2,
+      s"q_anova lost partial aggregation:\n$an")
+  }
+
+  test("quality + multivariate pack plans keep their scale shape") {
+    // code routing is a pure scan pass: no shuffle, no join
+    val cd = planOf("q_code_detect")
+    assert(!cd.contains("Exchange") && !cd.contains("Join"),
+      s"q_code_detect must stay scan-only:\n$cd")
+    // boilerplate/ttr: exploded shingle groupBy keeps partial aggregation,
+    // never a cartesian (the df join is key-equality on (source, shingle))
+    Seq("q_boilerplate", "q_ttr").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // top-20 anomaly ranking must be a distributed top-k, and the
+    // 5-row covariance table must broadcast onto the hourly rows
+    val pa = planOf("q_pca_anomaly")
+    assert(pa.contains("TakeOrderedAndProject"),
+      s"q_pca_anomaly top-20 lost TakeOrderedAndProject:\n$pa")
+    val mh = planOf("q_mahalanobis")
+    assert(mh.contains("Broadcast"), s"q_mahalanobis lost its broadcast:\n$mh")
+    assert(!mh.contains("SortMergeJoin"), s"q_mahalanobis grew a SortMergeJoin:\n$mh")
+  }
 }
