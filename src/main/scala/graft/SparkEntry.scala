@@ -53,7 +53,8 @@ object SparkEntry {
     (CorpusQueries.defs, CorpusQueries.sql),
     (ScanQueries.defs, ScanQueries.sql),
     (StabilityQueries.defs, StabilityQueries.sql),
-    (QualityQueries.defs, QualityQueries.sql)
+    (QualityQueries.defs, QualityQueries.sql),
+    (DependQueries.defs, DependQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the rank-dependence + sequential-decision pack
+  * (DependQueries): Kendall/Spearman internal consistency, the UCB1
+  * replay's accounting identities, and the MMD kernel's bounds.
+  */
+class DependSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_kendall: pair accounting conserves, tau_b bounded, z sign follows S") {
+    val rows = SparkEntry.queries("q_kendall")(spark, dir).collect()
+    assert(rows.length == 10, "5 series -> 10 unordered pairs")
+    rows.foreach { r =>
+      val (n, conc, disc, tau, z) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+      val n0 = n * (n - 1) / 2
+      assert(conc + disc <= n0, "concordant + discordant can never exceed all pairs")
+      assert(tau >= -1.0 - 1e-9 && tau <= 1.0 + 1e-9)
+      if (conc > disc) assert(z > 0) else if (conc < disc) assert(z < 0)
+    }
+  }
+
+  test("q_spearman: rho bounded and consistent with Kendall's direction") {
+    val sp = SparkEntry.queries("q_spearman")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    val kd = SparkEntry.queries("q_kendall")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    assert(sp.size == 10)
+    sp.values.foreach(rho => assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9))
+    // the two rank correlations must agree in sign whenever either is
+    // decisively nonzero (|.| > 0.1)
+    sp.foreach { case (k, rho) =>
+      val tau = kd(k)
+      if (math.abs(rho) > 0.1 && math.abs(tau) > 0.1)
+        assert(rho.sign == tau.sign, s"pair $k: rho=$rho vs tau=$tau")
+    }
+  }
+
+  test("q_bandit_ucb: plays conserve to the horizon, every arm explored, one best") {
+    val rows = SparkEntry.queries("q_bandit_ucb")(spark, dir).collect()
+    assert(rows.length == 5)
+    val horizon = Tables.hourlyEvents(spark, dir)
+      .select("ts").distinct().count()
+    val plays = rows.map(_.getLong(1))
+    assert(plays.sum == horizon, "one pull per hour of the timeline")
+    assert(plays.forall(_ >= 1), "UCB1 initialization plays every arm once")
+    assert(rows.map(_.getInt(4)).sum == 1, "exactly one ex-post best arm")
+    rows.foreach { r =>
+      val mean = r.getDouble(3)
+      assert(mean >= 0.0 && mean <= 1.0 + 1e-9, "rewards are count shares in [0,1]")
+    }
+    // UCB must concentrate: the most-played arm gets more than an equal split
+    assert(plays.max > horizon / 5, "no concentration — the replay is broken")
+  }
+
+  test("q_mmd_drift: kernel bounds hold and the estimate is near-zero-safe") {
+    val r = SparkEntry.queries("q_mmd_drift")(spark, dir).collect()
+    assert(r.length == 1)
+    val (nq, s2, mmd) = (r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(2))
+    assert(nq >= 100, s"expected >=100 quadruples, got $nq")
+    assert(s2 > 0, "bandwidth must be positive")
+    // each h term is a difference of four kernel values in (0,1]
+    assert(mmd >= -2.0 - 1e-9 && mmd <= 2.0 + 1e-9)
+  }
+}

@@ -292,4 +292,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mh.contains("Broadcast"), s"q_mahalanobis lost its broadcast:\n$mh")
     assert(!mh.contains("SortMergeJoin"), s"q_mahalanobis grew a SortMergeJoin:\n$mh")
   }
+
+  test("dependence pack plans keep their scale shape") {
+    // the O(n^2) time-pair generators are key-equality joins on the
+    // (ta, tb) pair id — never a cartesian product
+    Seq("q_kendall", "q_spearman").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // the MMD quadruple joins are key-equality on the quadruple index,
+    // and the 1-row midpoint/bandwidth tables must broadcast
+    val md = planOf("q_mmd_drift")
+    assert(!md.contains("CartesianProduct"), s"q_mmd_drift plans a CartesianProduct:\n$md")
+    assert(md.contains("Broadcast"), s"q_mmd_drift lost its 1-row broadcasts:\n$md")
+  }
 }
