@@ -54,7 +54,8 @@ object SparkEntry {
     (ScanQueries.defs, ScanQueries.sql),
     (StabilityQueries.defs, StabilityQueries.sql),
     (QualityQueries.defs, QualityQueries.sql),
-    (DependQueries.defs, DependQueries.sql)
+    (DependQueries.defs, DependQueries.sql),
+    (NonparamQueries.defs, NonparamQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

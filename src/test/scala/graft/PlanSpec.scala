@@ -308,4 +308,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!md.contains("CartesianProduct"), s"q_mmd_drift plans a CartesianProduct:\n$md")
     assert(md.contains("Broadcast"), s"q_mmd_drift lost its 1-row broadcasts:\n$md")
   }
+
+  test("nonparametric pack plans keep their scale shape") {
+    // rank machinery is window passes over series-keyed shuffles; the
+    // energy pair generators are key-equality self-joins — no cartesian
+    Seq("q_mann_whitney", "q_cvm_test", "q_energy_dist").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+    }
+    // the huber kernel is the hourly resample + ONE series-keyed
+    // collect: two exchanges, no joins
+    val hb = planOf("q_huber")
+    assert(!hb.contains("Join"), s"q_huber grew a join:\n$hb")
+    assert("Exchange hashpartitioning".r.findAllIn(hb).size <= 2,
+      s"q_huber shuffles more than hourly + series keys:\n$hb")
+  }
 }
