@@ -214,6 +214,60 @@ object ScanQueries {
           col("value"), col("n").as("n_events"), round(col("d2"), 6).as("d2"))
     }),
 
+    // Lomb-Scargle periodogram (Lomb 1976; Scargle 1982) on the RAW
+    // (gappy) hourly grid — the periodicity scan that does NOT need the
+    // zero-filled dense grid q_seasonality_fft works on: missing hours
+    // simply contribute no terms, which is exactly the unevenly-sampled
+    // case LS was built for. Candidate periods {6,12,24,48,168}h; the
+    // tau phase correction and all four projection moments are
+    // 4-dp-snapped sums (trig rows are engine-ulp-sensitive), so the
+    // normalized power and the per-series peak argmax are identical
+    // doubles. Shape: one 5-row period broadcast, two aggregation
+    // passes, 25-row tau/stat broadcasts — scales with the grid, never
+    // the corpus.
+    "q_lomb_scargle" -> ((s, dir) => {
+      import s.implicits._
+      val periods = Seq(6.0, 12.0, 24.0, 48.0, 168.0).toDF("p")
+      val stats = Tables.hourlyEvents(s, dir).drop("n").groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        .withColumn("mu", expr("sv / n"))
+        .withColumn("vr", expr("(svv - sv * sv / n) / (n - 1)"))
+        .select("event_type", "n", "mu", "vr")
+      val base = graft.Scratch.materialize(
+        Tables.hourlyEvents(s, dir).drop("n")
+          .withColumn("t0", min(unix_timestamp(col("ts")))
+            .over(Window.partitionBy("event_type")))
+          .withColumn("tt", ((unix_timestamp(col("ts")) - col("t0")) / lit(3600L)).cast("double"))
+          .select("event_type", "tt", "value"),
+        "ls_base")
+      val bp = base.crossJoin(broadcast(periods))
+        .withColumn("w", expr("2.0E0 * pi() / p"))
+      val tau = bp.groupBy("event_type", "p").agg(
+        round(sum(expr("sin(2.0E0 * w * tt)")), 4).as("s2"),
+        round(sum(expr("cos(2.0E0 * w * tt)")), 4).as("c2"))
+        .withColumn("w", expr("2.0E0 * pi() / p"))
+        .withColumn("tau", expr("round(atan2(s2, c2) / (2.0E0 * w), 6)"))
+        .select("event_type", "p", "tau")
+      val mom = bp
+        .join(broadcast(tau), Seq("event_type", "p"))
+        .join(broadcast(stats), "event_type")
+        .withColumn("ph", expr("w * (tt - tau)"))
+        .groupBy("event_type", "p").agg(
+          first("n").as("n"), first("vr").as("vr"),
+          round(sum(expr("(value - mu) * cos(ph)")), 4).as("cc"),
+          round(sum(expr("(value - mu) * sin(ph)")), 4).as("ss"),
+          round(sum(expr("cos(ph) * cos(ph)")), 4).as("cd"),
+          round(sum(expr("sin(ph) * sin(ph)")), 4).as("sd"))
+        .withColumn("power", expr("(cc * cc / cd + ss * ss / sd) / (2.0E0 * vr)"))
+      val wPk = Window.partitionBy("event_type").orderBy(col("power").desc, col("p"))
+      mom.withColumn("rk", row_number().over(wPk))
+        .select(col("event_type"), col("p").cast("int").as("period_h"),
+          col("n").as("n_obs"), round(col("power"), 6).as("power"),
+          when(col("rk") === 1, 1).otherwise(0).as("is_peak"))
+    }),
+
     "q_ess" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
       val wp = Window.partitionBy("event_type")
@@ -385,6 +439,39 @@ object ScanQueries {
          |SELECT event_type, (epoch_us(ts) // 1000000)::BIGINT AS ts_s,
          |  value, n::BIGINT AS n_events, round(d2, 6) AS d2
          |FROM sc WHERE d2 > 13.815511E0""".stripMargin,
+
+    "q_lomb_scargle" ->
+      s"""WITH hourly AS ($H),
+         |stats AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM hourly GROUP BY 1),
+         |sm AS (SELECT event_type, n, sv / n AS mu, (svv - sv * sv / n) / (n - 1) AS vr FROM stats),
+         |t0 AS (SELECT event_type, min(epoch_us(ts) // 1000000) AS t0 FROM hourly GROUP BY 1),
+         |base AS (SELECT h.event_type,
+         |    ((epoch_us(h.ts) // 1000000 - t.t0) / 3600)::DOUBLE AS tt, h.value
+         |  FROM hourly h JOIN t0 t USING (event_type)),
+         |periods AS (SELECT unnest([6.0E0, 12.0E0, 24.0E0, 48.0E0, 168.0E0]) AS p),
+         |bp AS (SELECT b.*, p.p, 2.0E0 * pi() / p.p AS w FROM base b CROSS JOIN periods p),
+         |tau AS (SELECT event_type, p,
+         |    round(atan2(round(sum(sin(2.0E0 * w * tt)), 4), round(sum(cos(2.0E0 * w * tt)), 4))
+         |      / (2.0E0 * (2.0E0 * pi() / p)), 6) AS tau
+         |  FROM bp GROUP BY 1, 2),
+         |ph AS (SELECT bp.event_type, bp.p, bp.value, s.n, s.mu, s.vr,
+         |    bp.w * (bp.tt - t.tau) AS ph
+         |  FROM bp JOIN tau t USING (event_type, p) JOIN sm s USING (event_type)),
+         |mom AS (SELECT event_type, p, max(n) AS n, max(vr) AS vr,
+         |    round(sum((value - mu) * cos(ph)), 4) AS cc,
+         |    round(sum((value - mu) * sin(ph)), 4) AS ss,
+         |    round(sum(cos(ph) * cos(ph)), 4) AS cd,
+         |    round(sum(sin(ph) * sin(ph)), 4) AS sd
+         |  FROM ph GROUP BY 1, 2),
+         |pw AS (SELECT *, (cc * cc / cd + ss * ss / sd) / (2.0E0 * vr) AS power FROM mom),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY power DESC, p) AS rk FROM pw)
+         |SELECT event_type, p::INT AS period_h, n::BIGINT AS n_obs,
+         |  round(power, 6) AS power,
+         |  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_peak
+         |FROM rk""".stripMargin,
 
     "q_ess" -> {
       val lagCols = (1 to K).map(k => s"lag(e, $k) OVER w AS l$k").mkString(",\n         |    ")

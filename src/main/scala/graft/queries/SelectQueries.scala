@@ -287,6 +287,69 @@ object SelectQueries {
           round(avg("score"), 6).as("mean_score"),
           sum(when(col("eta") > 0, 1L).otherwise(0L)).as("n_keep"),
           round(avg(when(col("eta") > 0, 1.0).otherwise(0.0)), 6).as("keep_share"))
+    }),
+
+    // ── Calibration audit of the trained quality classifier: fixed-width
+    // probability bins (the standard ECE binning — map-side, NO global
+    // sort), per bin the 4-dp-snapped mean predicted probability vs the
+    // exact observed positive rate, and the Expected Calibration Error
+    // as a 1e6-scaled integer reduction over the ≤10-row bin frame. The
+    // ML-monitoring step between q_quality_logreg (fit) and
+    // q_quality_score_serve (deploy): a confident-but-wrong scorer
+    // passes accuracy checks and fails THIS one. ──
+    "q_calibration" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val scored = feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .withColumn("p", expr("1.0E0 / (1.0E0 + exp(-eta))"))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+      val bins = scored.groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum("y").cast("long").as("n_pos"),
+        (round(sum("p"), 4) / count(lit(1))).as("mean_pred"))
+        .withColumn("obs_rate", col("n_pos").cast("double") / col("n").cast("double"))
+        .withColumn("gap", abs(col("obs_rate") - col("mean_pred")))
+      val wAll = Window.partitionBy(substring(col("bin").cast("string"), 1, 0))
+      bins
+        .withColumn("nn", sum("n").over(wAll))
+        .withColumn("ece6", sum(round(col("n") * col("gap") * 1e6).cast("long")).over(wAll))
+        .select(col("bin"), col("n").as("n_docs"), col("n_pos"),
+          round(col("mean_pred"), 6).as("mean_pred"),
+          round(col("obs_rate"), 6).as("obs_rate"),
+          round(col("gap"), 6).as("gap"),
+          round(col("ece6").cast("double") / (col("nn").cast("double") * 1e6), 6).as("ece"))
+    }),
+
+    // ── Wilson 95% score intervals on the per-source keep rate (the
+    // eta > 0 selection rule): the binomial-monitoring guardrail that
+    // stays honest at small n where the Wald interval collapses. A
+    // source whose interval excludes the corpus-wide keep rate is
+    // flagged as diverging — the statistical version of "this source's
+    // filter behavior changed". All inputs are exact integer ratios;
+    // z² enters as the shared 1.96E0 * 1.96E0 product. ──
+    "q_wilson_keep" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val per = feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("eta") > 0, 1L).otherwise(0L)).as("k"))
+      val tot = per.agg(sum("n").as("tn"), sum("k").as("tk"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("zz", expr("1.96E0 * 1.96E0"))
+        .withColumn("phat", col("k").cast("double") / col("n").cast("double"))
+        .withColumn("ctr", expr("(phat + zz / (2.0E0 * n)) / (1.0E0 + zz / n)"))
+        .withColumn("hw", expr(
+          "1.96E0 * sqrt(phat * (1.0E0 - phat) / n + zz / (4.0E0 * n * n)) / (1.0E0 + zz / n)"))
+        .withColumn("pr", col("tk").cast("double") / col("tn").cast("double"))
+        .select(col("source"), col("n").as("n_docs"), col("k").as("n_keep"),
+          round(col("phat"), 6).as("keep_rate"),
+          round(greatest(col("ctr") - col("hw"), lit(0.0)), 6).as("ci_lo"),
+          round(least(col("ctr") + col("hw"), lit(1.0)), 6).as("ci_hi"),
+          when(col("pr") < col("ctr") - col("hw") || col("pr") > col("ctr") + col("hw"), 1)
+            .otherwise(0).as("diverges"))
     })
   )
 
@@ -294,6 +357,7 @@ object SelectQueries {
     * iterations and the scoring pass all reread it). */
   private def logregFeats(s: SparkSession, dir: String): DataFrame =
     Scratch.materialize(docs(s, dir).select(
+      col("doc_id"),
       col("source"),
       (col("lang") === "en").cast("int").as("y"),
       TextFunctions.alphaRatio(col("text")).as("x1"),
@@ -512,7 +576,44 @@ object SelectQueries {
          |  round(avg(1.0E0 / (1.0E0 + exp(-eta))), 6) AS mean_score,
          |  sum(CASE WHEN eta > 0 THEN 1 ELSE 0 END)::BIGINT AS n_keep,
          |  round(avg(CASE WHEN eta > 0 THEN 1.0E0 ELSE 0.0E0 END), 6) AS keep_share
-         |FROM fs GROUP BY 1""".stripMargin
+         |FROM fs GROUP BY 1""".stripMargin,
+
+    "q_calibration" ->
+      s"""WITH RECURSIVE $LogregChainSql,
+         |sc AS (SELECT y, 1.0E0 / (1.0E0 + exp(-eta)) AS p FROM fs),
+         |bn AS (SELECT least(floor(p * 10), 9.0E0)::INT AS bin, y, p FROM sc),
+         |bins AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+         |    round(sum(p), 4) / count(*) AS mean_pred
+         |  FROM bn GROUP BY 1),
+         |gp AS (SELECT *, n_pos::DOUBLE / n::DOUBLE AS obs_rate,
+         |    abs(n_pos::DOUBLE / n::DOUBLE - mean_pred) AS gap FROM bins),
+         |wn AS (SELECT *, sum(n) OVER () AS nn,
+         |    sum(round(n * gap * 1e6)::BIGINT) OVER () AS ece6 FROM gp)
+         |SELECT bin, n AS n_docs, n_pos,
+         |  round(mean_pred, 6) AS mean_pred, round(obs_rate, 6) AS obs_rate,
+         |  round(gap, 6) AS gap,
+         |  round(ece6::DOUBLE / (nn::DOUBLE * 1e6), 6) AS ece
+         |FROM wn""".stripMargin,
+
+    "q_wilson_keep" ->
+      s"""WITH RECURSIVE $LogregChainSql,
+         |per AS (SELECT source, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN eta > 0 THEN 1 ELSE 0 END)::BIGINT AS k
+         |  FROM fs GROUP BY 1),
+         |tot AS (SELECT sum(n)::BIGINT AS tn, sum(k)::BIGINT AS tk FROM per),
+         |st AS (SELECT per.*, tot.tn, tot.tk,
+         |    1.96E0 * 1.96E0 AS zz, k::DOUBLE / n::DOUBLE AS phat
+         |  FROM per, tot),
+         |ci AS (SELECT *,
+         |    (phat + zz / (2.0E0 * n)) / (1.0E0 + zz / n) AS ctr,
+         |    1.96E0 * sqrt(phat * (1.0E0 - phat) / n + zz / (4.0E0 * n * n)) / (1.0E0 + zz / n) AS hw,
+         |    tk::DOUBLE / tn::DOUBLE AS pr
+         |  FROM st)
+         |SELECT source, n AS n_docs, k AS n_keep, round(phat, 6) AS keep_rate,
+         |  round(greatest(ctr - hw, 0.0E0), 6) AS ci_lo,
+         |  round(least(ctr + hw, 1.0E0), 6) AS ci_hi,
+         |  CASE WHEN pr < ctr - hw OR pr > ctr + hw THEN 1 ELSE 0 END AS diverges
+         |FROM ci""".stripMargin
   )
 
   /** The shared IRLS oracle chain: features → 3 unrolled iterations →
@@ -529,7 +630,7 @@ object SelectQueries {
          |k${k}z AS (SELECT *, eta + (CAST(y AS DOUBLE) - p) / w AS z FROM k${k}w),
          |k${k}mats AS (SELECT 'all' AS event_type, [${IrlsMoments.mkString(", ")}] AS m FROM k${k}z),
          |${graft.models.GaussJordan.sqlAug(5, 1, s"k$k")}""".stripMargin
-    s"""f AS (SELECT source, (lang = 'en')::INT AS y,
+    s"""f AS (SELECT doc_id, source, (lang = 'en')::INT AS y,
        |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text) AS x1,
        |    (length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' '))) / 10.0E0 AS x2,
        |    len(list_filter(string_split(text, ' '), t -> t IN ($stopList)))::DOUBLE

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation of the classifier-monitoring pair (q_calibration /
+  * q_wilson_keep) and the Lomb-Scargle periodogram.
+  */
+class CalibSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_calibration: bins partition the corpus, ECE consistent with per-bin gaps") {
+    val rows = SparkEntry.queries("q_calibration")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must partition all docs")
+    val ece = rows.map(_.getDouble(6)).distinct
+    assert(ece.length == 1, "ECE is a corpus constant, identical on every row")
+    // ECE must equal the n-weighted mean gap (to rounding)
+    val recomputed = rows.map(r => r.getLong(1) * r.getDouble(5)).sum / total
+    assert(math.abs(ece.head - recomputed) < 1e-4, s"ece=${ece.head} vs $recomputed")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_wilson_keep: intervals contain the point estimate and stay in [0,1]") {
+    val rows = SparkEntry.queries("q_wilson_keep")(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, k, rate, lo, hi) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(k <= n)
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= hi)
+      assert(rate >= lo - 1e-9 && rate <= hi + 1e-9,
+        s"point estimate $rate outside Wilson interval [$lo, $hi]")
+    }
+  }
+
+  test("q_lomb_scargle: one peak per series, powers nonnegative") {
+    val rows = SparkEntry.queries("q_lomb_scargle")(spark, dir).collect()
+    assert(rows.length == 25, "5 series x 5 candidate periods")
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (et, rs) =>
+      assert(rs.map(_.getInt(4)).sum == 1, s"$et must have exactly one peak")
+      rs.foreach(r => assert(r.getDouble(3) >= -1e-9, s"$et negative power"))
+    }
+  }
+}

@@ -323,4 +323,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Exchange hashpartitioning".r.findAllIn(hb).size <= 2,
       s"q_huber shuffles more than hourly + series keys:\n$hb")
   }
+
+  test("monitoring + spectral pack plans keep their scale shape") {
+    // calibration bins are map-side (fixed-width, no sort); the trained
+    // 5-double model and the bin frame broadcast
+    val cb = planOf("q_calibration")
+    assert(!cb.contains("CartesianProduct"), s"q_calibration plans a CartesianProduct:\n$cb")
+    assert(!cb.contains("rangepartitioning"),
+      s"q_calibration grew a global sort (fixed bins need none):\n$cb")
+    // Wilson: the 1-row corpus total must broadcast
+    val wk = planOf("q_wilson_keep")
+    assert(wk.contains("Broadcast"), s"q_wilson_keep lost its broadcasts:\n$wk")
+    // Lomb-Scargle: the period table and tau/stat frames broadcast; no
+    // SortMergeJoin anywhere in the two-pass shape
+    val ls = planOf("q_lomb_scargle")
+    assert(!ls.contains("SortMergeJoin"), s"q_lomb_scargle grew a SortMergeJoin:\n$ls")
+    assert(ls.contains("Broadcast"), s"q_lomb_scargle lost its broadcasts:\n$ls")
+  }
 }
