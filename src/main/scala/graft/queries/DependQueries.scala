@@ -29,6 +29,10 @@ import graft.{Scratch, Tables}
   *    count, never corpus-scale); the oracle replays every pull's
   *    argmax as a recursive CTE over list state. Score ties resolve to
   *    the first (lexicographically smallest) arm in both engines.
+  *  - `q_dtw_matrix` — pairwise DTW shape-distance matrix on globally
+  *    aligned, z-normalized 12-hour PAA segments (Sakoe-Chiba band 6),
+  *    running the shared DtwCpd.dtw kernel; the oracle replays every DP
+  *    cell via the q_dtw_cpd cell-recursion.
   *  - `q_mmd_drift` — linear-time MMD² two-sample test (Gretton et al.
   *    2012, §6) between the first- and second-half embedding
   *    populations: h(i) = k(x₁,x₂)+k(y₁,y₂)−k(x₁,y₂)−k(x₂,y₁) over
@@ -97,7 +101,58 @@ object DependQueries {
     arms.indices.map(i => (arms(i), n(i), sc(i), m, if (i == bi) 1 else 0))
   }
 
+  /** Sakoe-Chiba band (segments) for q_dtw_matrix. */
+  private val DtwBand = 6
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Pairwise DTW distance matrix (Sakoe & Chiba 1978) between the
+    // series — the clustering-grade SHAPE distance next to q_xcorr's
+    // aligned-lag correlation and q_series_cluster's feature space.
+    // Series reduce to 12-hour PAA segments on a GLOBAL segment grid
+    // (every series gets the same length; absent segments are 0), get
+    // z-normalized from snapped moments with 6-dp-snapped z values (so
+    // both engines run the banded DP on bit-identical inputs — min/+/abs
+    // then agree exactly), and the 10 pairs run the shared DtwCpd.dtw
+    // kernel. The oracle replays every DP cell of every pair through
+    // the q_dtw_cpd cell-recursion. O(S²·band) per pair with S the
+    // segment grid (time-span-bounded), pair count #series². ──
+    "q_dtw_matrix" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val seg = hourly
+        .crossJoin(broadcast(hourly.agg(min(unix_timestamp(col("ts"))).as("gt0"))))
+        .withColumn("seg", expr("(unix_timestamp(ts) - gt0) DIV 43200"))
+        .groupBy("event_type", "seg")
+        .agg((round(sum("value"), 4) / count(lit(1))).as("v"))
+      val smax = seg.agg(max("seg").as("smax"))
+      val grid = seg.select("event_type").distinct()
+        .crossJoin(broadcast(smax))
+        .select(col("event_type"), explode(expr("sequence(0, smax)")).as("seg"))
+      val filled = grid.join(seg, Seq("event_type", "seg"), "left")
+        .withColumn("v", coalesce(col("v"), lit(0.0)))
+      val mom = filled.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("v"), 4).as("sv"),
+        round(sum(col("v") * col("v")), 2).as("svv"))
+        .withColumn("mu", expr("sv / n"))
+        .withColumn("sd", expr("sqrt((svv - sv * sv / n) / (n - 1))"))
+        .select("event_type", "mu", "sd")
+      val z = filled.join(broadcast(mom), "event_type")
+        .withColumn("z", round((col("v") - col("mu")) / col("sd"), 6))
+      val ser = z.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("seg"), col("z")))).as("_p"))
+        .select(col("event_type"), col("_p.z").as("zs"))
+      val dtwFn = udf { (a: Seq[Double], b: Seq[Double]) =>
+        graft.detectors.DtwCpd.dtw(a.toArray, b.toArray, DtwBand)
+      }
+      ser.select(col("event_type").as("sa"), col("zs").as("za"))
+        .join(broadcast(ser.select(col("event_type").as("sb"), col("zs").as("zb"))),
+          col("sa") < col("sb"))
+        .withColumn("d", dtwFn(col("za"), col("zb")))
+        .select(col("sa"), col("sb"), size(col("za")).cast("long").as("n_segs"),
+          round(col("d"), 6).as("dtw"),
+          round(col("d") / (size(col("za")) * 2).cast("double"), 6).as("dtw_per_step"))
+    }),
 
     "q_kendall" -> ((s, dir) => {
       val hourly = Tables.hourlyEvents(s, dir).drop("n")
@@ -224,6 +279,55 @@ object DependQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_dtw_matrix" -> {
+      val inf = Double.MaxValue / 4
+      s"""WITH RECURSIVE hourly AS ($H),
+         |g0 AS (SELECT min(epoch_us(ts) // 1000000) AS gt0 FROM hourly),
+         |seg AS (SELECT event_type, (epoch_us(ts) // 1000000 - gt0) // 43200 AS seg,
+         |          round(sum(value), 4) / count(*) AS v
+         |        FROM hourly, g0 GROUP BY 1, 2),
+         |smax AS (SELECT max(seg) AS sm FROM seg),
+         |sers AS (SELECT DISTINCT event_type FROM seg),
+         |grid AS (SELECT s.event_type, unnest(range(0, sm + 1)) AS seg FROM sers s, smax),
+         |filled AS (SELECT g.event_type, g.seg, coalesce(p.v, 0.0E0) AS v
+         |           FROM grid g LEFT JOIN seg p ON g.event_type = p.event_type AND g.seg = p.seg),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(v), 4) AS sv, round(sum(v * v), 2) AS svv
+         |  FROM filled GROUP BY 1),
+         |ms AS (SELECT event_type, sv / n AS mu,
+         |    sqrt((svv - sv * sv / n) / (n - 1)) AS sd FROM mom),
+         |zz AS (SELECT f.event_type, f.seg, round((f.v - m.mu) / m.sd, 6) AS z
+         |       FROM filled f JOIN ms m USING (event_type)),
+         |ser AS (SELECT event_type, list(z ORDER BY seg) AS zs FROM zz GROUP BY 1),
+         |pairs AS (SELECT a.event_type AS sa, b.event_type AS sb,
+         |            a.zs AS wa, b.zs AS wb, len(b.zs) AS m
+         |          FROM ser a JOIN ser b ON a.event_type < b.event_type),
+         |rec AS (
+         |  SELECT sa, sb, wa, wb, m, 0 AS k,
+         |    list_concat([0.0::DOUBLE], list_transform(range(1, m + 1), x -> $inf)) AS prev,
+         |    list_transform(range(0, m + 1), x -> $inf) AS cur
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT sa, sb, wa, wb, m, kn,
+         |    CASE WHEN j = m THEN cur2 ELSE prev END,
+         |    CASE WHEN j = m THEN list_transform(range(0, m + 1), x -> $inf) ELSE cur2 END
+         |  FROM (
+         |    SELECT sa, sb, wa, wb, m, kn, j, prev,
+         |      list_transform(cur, (v, li) -> CASE WHEN li = j + 1 THEN
+         |        CASE WHEN j >= greatest(1, i - $DtwBand) AND j <= least(m, i + $DtwBand)
+         |             THEN abs(wa[i] - wb[j]) + least(prev[j + 1], cur[j], prev[j])
+         |             ELSE v END
+         |        ELSE v END) AS cur2
+         |    FROM (
+         |      SELECT sa, sb, wa, wb, m, k + 1 AS kn, prev, cur,
+         |        k // m + 1 AS i, k % m + 1 AS j
+         |      FROM rec WHERE k < len(wa) * m))),
+         |fin AS (SELECT sa, sb, m, prev[m + 1] AS d FROM rec WHERE k = len(wa) * m)
+         |SELECT sa, sb, m::BIGINT AS n_segs, round(d, 6) AS dtw,
+         |  round(d / (m * 2)::DOUBLE, 6) AS dtw_per_step
+         |FROM fin""".stripMargin
+    },
 
     "q_kendall" ->
       s"""WITH hourly AS ($H),

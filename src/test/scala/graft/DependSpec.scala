@@ -68,6 +68,19 @@ class DependSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plays.max > horizon / 5, "no concentration — the replay is broken")
   }
 
+  test("q_dtw_matrix: metric axioms hold on the pair set") {
+    val rows = SparkEntry.queries("q_dtw_matrix")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (n, d) = (r.getLong(2), r.getDouble(3))
+      assert(n >= 10, "PAA grid too short")
+      assert(d >= 0.0, "DTW distance is nonnegative")
+      assert(d < 1e300, "band must never disconnect equal-length series")
+    }
+    // distances must discriminate: not all pairs identical
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("q_mmd_drift: kernel bounds hold and the estimate is near-zero-safe") {
     val r = SparkEntry.queries("q_mmd_drift")(spark, dir).collect()
     assert(r.length == 1)

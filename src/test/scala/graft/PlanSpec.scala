@@ -302,6 +302,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert("HashAggregate".r.findAllIn(p).size >= 2,
         s"$q lost partial aggregation:\n$p")
     }
+    // the DTW pair join is a broadcast nested loop over the #series-row
+    // collected frame, never a CartesianProduct
+    val dm = planOf("q_dtw_matrix")
+    assert(!dm.contains("CartesianProduct"), s"q_dtw_matrix plans a CartesianProduct:\n$dm")
+    assert(dm.contains("Broadcast"), s"q_dtw_matrix lost its broadcasts:\n$dm")
     // the MMD quadruple joins are key-equality on the quadruple index,
     // and the 1-row midpoint/bandwidth tables must broadcast
     val md = planOf("q_mmd_drift")
