@@ -195,6 +195,44 @@ object DependQueries {
               .otherwise(lit(0.0)), 6).as("z"))
     }),
 
+    // ── Hoeffding's D independence test (Hoeffding 1948): sensitive to
+    // NON-MONOTONE dependence that tau/rho/MI's binarization all miss.
+    // Ties enter through the classic c(u) = (sign(u)+1)/2 convention,
+    // carried as 2×/4×-scaled integers (R2 = 2·Σc(x_i−x_j), Q4 =
+    // 4·Σc(x)c(y)), so D1/D2/D3 and the final D are exact integer
+    // ratios. Same O(n²) pair-join shape as q_kendall. ──
+    "q_hoeffding" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val a = hourly.select(col("event_type").as("ta"), col("ts"), col("value").as("x"))
+      val b = hourly.select(col("event_type").as("tb"), col("ts"), col("value").as("y"))
+      val pr = Scratch.materialize(
+        a.join(b, "ts").where(col("ta") < col("tb")).select("ta", "tb", "ts", "x", "y"),
+        "hoeffding_pairs")
+      val p1 = pr.select(col("ta"), col("tb"), col("ts").as("t1"), col("x").as("x1"), col("y").as("y1"))
+      val p2 = pr.select(col("ta"), col("tb"), col("ts").as("t2"), col("x").as("x2"), col("y").as("y2"))
+      val per = p1.join(p2, Seq("ta", "tb")).where(col("t1") =!= col("t2"))
+        .withColumn("cx",
+          when(col("x2") < col("x1"), 2L).when(col("x2") === col("x1"), 1L).otherwise(0L))
+        .withColumn("cy",
+          when(col("y2") < col("y1"), 2L).when(col("y2") === col("y1"), 1L).otherwise(0L))
+        .groupBy("ta", "tb", "t1").agg(
+          sum("cx").as("r2"), sum("cy").as("s2"),
+          sum(col("cx") * col("cy")).as("q4"))
+      per.groupBy("ta", "tb").agg(
+        count(lit(1)).as("n"),
+        sum(col("q4") * (col("q4") - 4)).as("d1"),
+        sum(col("r2") * (col("r2") - 2) * col("s2") * (col("s2") - 2)).as("d2"),
+        sum((col("r2") - 2) * (col("s2") - 2) * col("q4")).as("d3"))
+        .withColumn("dnum",
+          (col("n") - 2) * (col("n") - 3) * col("d1") + col("d2") -
+            (col("n") - 2) * col("d3") * 2)
+        .withColumn("dden",
+          col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3) * (col("n") - 4))
+        .select(col("ta"), col("tb"), col("n").as("n_obs"),
+          round(lit(30.0) * col("dnum").cast("double") /
+            (lit(16.0) * col("dden").cast("double")), 6).as("d_stat"))
+    }),
+
     "q_spearman" -> ((s, dir) => {
       val hourly = Tables.hourlyEvents(s, dir).drop("n")
       val wv = Window.partitionBy("event_type").orderBy("value")
@@ -358,6 +396,30 @@ object DependQueries {
          |             WHEN ss < 0 THEN (ss + 1) / sqrt(vnum / 18.0E0)
          |             ELSE 0.0E0 END, 6) AS z
          |FROM j""".stripMargin,
+
+    "q_hoeffding" ->
+      s"""WITH hourly AS ($H),
+         |pr AS (SELECT a.event_type AS ta, b.event_type AS tb, a.ts, a.value AS x, b.value AS y
+         |       FROM hourly a JOIN hourly b ON a.ts = b.ts AND a.event_type < b.event_type),
+         |per AS (SELECT p.ta, p.tb, p.ts,
+         |    sum(CASE WHEN q.x < p.x THEN 2 WHEN q.x = p.x THEN 1 ELSE 0 END)::BIGINT AS r2,
+         |    sum(CASE WHEN q.y < p.y THEN 2 WHEN q.y = p.y THEN 1 ELSE 0 END)::BIGINT AS s2,
+         |    sum((CASE WHEN q.x < p.x THEN 2 WHEN q.x = p.x THEN 1 ELSE 0 END)
+         |      * (CASE WHEN q.y < p.y THEN 2 WHEN q.y = p.y THEN 1 ELSE 0 END))::BIGINT AS q4
+         |  FROM pr p JOIN pr q ON p.ta = q.ta AND p.tb = q.tb AND p.ts <> q.ts
+         |  GROUP BY 1, 2, 3),
+         |agg AS (SELECT ta, tb, count(*)::BIGINT AS n,
+         |    sum(q4 * (q4 - 4))::BIGINT AS d1,
+         |    sum(r2 * (r2 - 2) * s2 * (s2 - 2))::BIGINT AS d2,
+         |    sum((r2 - 2) * (s2 - 2) * q4)::BIGINT AS d3
+         |  FROM per GROUP BY 1, 2),
+         |st AS (SELECT ta, tb, n,
+         |    (n - 2) * (n - 3) * d1 + d2 - (n - 2) * d3 * 2 AS dnum,
+         |    n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS dden
+         |  FROM agg)
+         |SELECT ta, tb, n AS n_obs,
+         |  round(30.0E0 * dnum::DOUBLE / (16.0E0 * dden::DOUBLE), 6) AS d_stat
+         |FROM st""".stripMargin,
 
     "q_spearman" ->
       s"""WITH hourly AS ($H),

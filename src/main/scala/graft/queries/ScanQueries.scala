@@ -45,6 +45,39 @@ object ScanQueries {
   /** ESS autocorrelation horizon. */
   private val K = 24
 
+  /** Lanczos Γ(z) for z in (0.5, 1.5) (g = 7, 9 coefficients) as an
+    * engine-shared SQL fragment — every literal E-notation so Spark's
+    * expr() never falls into DECIMAL arithmetic. */
+  private def gammaSql(z: String): String = {
+    val cs = Seq(
+      "676.5203681218851E0", "-1259.1392167224028E0", "771.32342877765313E0",
+      "-176.61502916214059E0", "12.507343278686905E0", "-0.13857109526572012E0",
+      "9.9843695780195716E-6", "1.5056327351493116E-7")
+    val a = "0.99999999999980993E0" +
+      cs.zipWithIndex.map { case (c, i) => s" + ($c) / (($z) + $i)" }.mkString
+    s"(sqrt(2.0E0 * pi()) * exp((($z) - 0.5E0) * ln(($z) + 6.5E0)) * exp(-(($z) + 6.5E0)) * ($a))"
+  }
+
+  /** The shared GEV chain (L-moments → Hosking (κ, σ, μ) → return
+    * levels), spliced verbatim into both engines. */
+  private val GevExprs: Seq[(String, String)] = Seq(
+    "b0" -> "s0 / n",
+    "b1" -> "s1 / (n * (n - 1))",
+    "b2" -> "s2 / (n * (n - 1) * (n - 2))",
+    "l2" -> "2.0E0 * b1 - b0",
+    "t3" -> "(6.0E0 * b2 - 6.0E0 * b1 + b0) / l2",
+    "c" -> "2.0E0 / (3.0E0 + t3) - ln(2.0E0) / ln(3.0E0)",
+    "kappa" -> "7.8590E0 * c + 2.9554E0 * c * c",
+    "g" -> gammaSql("1.0E0 + kappa"),
+    "sigma" -> "l2 * kappa / (g * (1.0E0 - exp(-kappa * ln(2.0E0))))",
+    "mu" -> "b0 - sigma * (1.0E0 - g) / kappa",
+    "rl30" -> rlExpr(30),
+    "rl90" -> rlExpr(90),
+    "rl365" -> rlExpr(365))
+
+  private def rlExpr(t: Int): String =
+    s"mu + sigma * (1.0E0 - exp(kappa * ln(-ln(1.0E0 - 1.0E0 / $t.0E0)))) / kappa"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_scan_stat" -> ((s, dir) => {
@@ -212,6 +245,33 @@ object ScanQueries {
         .where(col("d2") > lit(13.815511))
         .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
           col("value"), col("n").as("n_events"), round(col("d2"), 6).as("d2"))
+    }),
+
+    // GEV block-maxima return levels via L-moments (Hosking, Wallis &
+    // Wood 1985): daily maxima per series, probability-weighted moments
+    // from exact integer rank weights (2-dp-snapped weighted sums),
+    // Hosking's closed-form (κ, σ, μ) with Γ(1+κ) as a shared Lanczos
+    // fragment, and the 30/90/365-day return levels — "what hourly load
+    // arrives once a quarter", the block-maxima complement to
+    // q_gpd_tail's peaks-over-threshold view. One daily-max aggregate +
+    // a #series-row closed-form frame.
+    "q_gev_return" -> ((s, dir) => {
+      val daily = Tables.hourlyEvents(s, dir).drop("n")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(max("value").as("x"))
+      val w = Window.partitionBy("event_type").orderBy(col("x"), col("d"))
+      var mom = daily.withColumn("r", row_number().over(w))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          round(sum("x"), 4).as("s0"),
+          round(sum((col("r") - 1) * col("x")), 2).as("s1"),
+          round(sum((col("r") - 1) * (col("r") - 2) * col("x")), 2).as("s2"))
+      GevExprs.foreach { case (nm, e) => mom = mom.withColumn(nm, expr(e)) }
+      mom.select(col("event_type"), col("n").as("n_blocks"),
+        round(col("kappa"), 6).as("kappa"), round(col("sigma"), 6).as("sigma"),
+        round(col("mu"), 6).as("mu"),
+        round(col("rl30"), 6).as("rl_30d"), round(col("rl90"), 6).as("rl_90d"),
+        round(col("rl365"), 6).as("rl_365d"))
     }),
 
     // Lomb-Scargle periodogram (Lomb 1976; Scargle 1982) on the RAW
@@ -439,6 +499,30 @@ object ScanQueries {
          |SELECT event_type, (epoch_us(ts) // 1000000)::BIGINT AS ts_s,
          |  value, n::BIGINT AS n_events, round(d2, 6) AS d2
          |FROM sc WHERE d2 > 13.815511E0""".stripMargin,
+
+    "q_gev_return" -> {
+      // fold the shared expression chain into nested CTE layers so each
+      // name is visible to the next (DuckDB has no lateral column refs)
+      val layers = GevExprs.zipWithIndex.map { case ((nm, e), i) =>
+        s"g$i AS (SELECT *, $e AS $nm FROM ${if (i == 0) "mom" else s"g${i - 1}"})"
+      }.mkString(",\n         |")
+      s"""WITH hourly AS ($H),
+         |daily AS (SELECT event_type, date_trunc('day', ts) AS d, max(value) AS x
+         |          FROM hourly GROUP BY 1, 2),
+         |rk AS (SELECT event_type, x,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY x, d) AS r
+         |  FROM daily),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(x), 4) AS s0,
+         |    round(sum((r - 1) * x), 2) AS s1,
+         |    round(sum((r - 1) * (r - 2) * x), 2) AS s2
+         |  FROM rk GROUP BY 1),
+         |$layers
+         |SELECT event_type, n AS n_blocks,
+         |  round(kappa, 6) AS kappa, round(sigma, 6) AS sigma, round(mu, 6) AS mu,
+         |  round(rl30, 6) AS rl_30d, round(rl90, 6) AS rl_90d, round(rl365, 6) AS rl_365d
+         |FROM g${GevExprs.length - 1}""".stripMargin
+    },
 
     "q_lomb_scargle" ->
       s"""WITH hourly AS ($H),

@@ -68,6 +68,33 @@ class DependSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plays.max > horizon / 5, "no concentration — the replay is broken")
   }
 
+  test("q_hoeffding: D bounded in [-0.5, 1], strong rank dependence registers") {
+    val hd = SparkEntry.queries("q_hoeffding")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    val sp = SparkEntry.queries("q_spearman")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+    assert(hd.size == 10)
+    hd.values.foreach(d => assert(d >= -0.5 - 1e-9 && d <= 1.0 + 1e-9))
+    // monotone dependence is a special case of what D detects
+    sp.foreach { case (k, rho) =>
+      if (math.abs(rho) > 0.5) assert(hd(k) > 0.0,
+        s"pair $k: |rho|=$rho but D=${hd(k)} missed it")
+    }
+  }
+
+  test("q_gev_return: return levels ordered and above the location parameter") {
+    val rows = SparkEntry.queries("q_gev_return")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (mu, r30, r90, r365) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(r30 > mu, "30-day return level must exceed the GEV location")
+      assert(r30 <= r90 + 1e-9 && r90 <= r365 + 1e-9,
+        s"return levels must be monotone in horizon: $r30 / $r90 / $r365")
+      assert(r.getDouble(2).abs < 1.0, "block-maxima kappa should be moderate")
+    }
+  }
+
   test("q_dtw_matrix: metric axioms hold on the pair set") {
     val rows = SparkEntry.queries("q_dtw_matrix")(spark, dir).collect()
     assert(rows.length == 10)
