@@ -25,6 +25,48 @@ object CorpusQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Heaps'-law vocabulary growth (Heaps 1978): V(N) = K·N^β fit over
+    // ten doc-count checkpoints. V_k = distinct word types whose FIRST
+    // occurrence (min doc_id) falls under checkpoint k and N_k = tokens
+    // under it are exact integers from one min-doc aggregate and one
+    // token-count prefix — no per-checkpoint rescan; the log-log OLS runs
+    // on the 10-row frame with 6-dp-snapped moments. β drifting across
+    // rounds of crawl ingestion signals template mass (sublinear novelty)
+    // — the growth view next to q_corpus_zipf's static rank law. ──
+    "q_heaps" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nDocs = d.agg(max("doc_id").as("mx"))
+      val toks = d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .where(col("tok").rlike("^[a-z]+$"))
+      val firstOcc = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val ck = nDocs.select(explode(expr(
+        "transform(sequence(1, 10), k -> struct(k AS k, ((mx + 1) * k) DIV 10 AS cdoc))")).as("c"))
+        .select(col("c.k").as("k"), col("c.cdoc").as("cdoc"))
+      val vk = broadcast(ck).join(firstOcc, col("fd") < col("cdoc"), "left")
+        .groupBy("k", "cdoc").agg(count(col("fd")).as("vocab"))
+      val nk = broadcast(ck).join(perDoc, col("doc_id") < col("cdoc"), "left")
+        .groupBy("k", "cdoc").agg(sum("nt").as("n_tokens"))
+      val pts = vk.join(nk, Seq("k", "cdoc"))
+        .withColumn("lx", log(col("n_tokens").cast("double")))
+        .withColumn("ly", log(col("vocab").cast("double")))
+      val wAll = Window.partitionBy(substring(col("k").cast("string"), 1, 0))
+      val fit = pts
+        .withColumn("np", count(lit(1)).over(wAll).cast("double"))
+        .withColumn("sx", round(sum("lx").over(wAll), 6))
+        .withColumn("sy", round(sum("ly").over(wAll), 6))
+        .withColumn("sxx", round(sum(col("lx") * col("lx")).over(wAll), 6))
+        .withColumn("sxy", round(sum(col("lx") * col("ly")).over(wAll), 6))
+        .withColumn("beta", expr("(np * sxy - sx * sy) / (np * sxx - sx * sx)"))
+        .withColumn("kcoef", expr("exp((sy - beta * sx) / np)"))
+      fit.select(col("k").cast("int").as("checkpoint"), col("cdoc").as("n_docs"),
+        col("n_tokens"), col("vocab"),
+        // + 0.0 normalizes the sign of a zero slope (a saturated
+        // vocabulary yields -0.0 on one engine, +0.0 on the other)
+        (round(col("beta"), 6) + lit(0.0)).as("heaps_beta"),
+        round(col("kcoef"), 6).as("heaps_k"))
+    }),
+
     "q_hill_tail" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
       val cnt = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
@@ -65,6 +107,32 @@ object CorpusQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_heaps" ->
+      """WITH nd AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |tk AS (SELECT doc_id, tok FROM toks WHERE regexp_matches(tok, '^[a-z]+$')),
+        |fo AS (SELECT tok, min(doc_id) AS fd FROM tk GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS nt FROM tk GROUP BY 1),
+        |ck AS (SELECT k, ((mx + 1) * k) // 10 AS cdoc
+        |       FROM nd, (SELECT unnest(range(1, 11)) AS k)),
+        |vk AS (SELECT c.k, c.cdoc, count(f.fd)::BIGINT AS vocab
+        |       FROM ck c LEFT JOIN fo f ON f.fd < c.cdoc GROUP BY 1, 2),
+        |nk AS (SELECT c.k, c.cdoc, sum(p.nt)::BIGINT AS n_tokens
+        |       FROM ck c LEFT JOIN pd p ON p.doc_id < c.cdoc GROUP BY 1, 2),
+        |pts AS (SELECT k, cdoc, n_tokens, vocab,
+        |    ln(n_tokens::DOUBLE) AS lx, ln(vocab::DOUBLE) AS ly
+        |  FROM vk JOIN nk USING (k, cdoc)),
+        |fit AS (SELECT *,
+        |    count(*) OVER ()::DOUBLE AS np,
+        |    round(sum(lx) OVER (), 6) AS sx, round(sum(ly) OVER (), 6) AS sy,
+        |    round(sum(lx * lx) OVER (), 6) AS sxx, round(sum(lx * ly) OVER (), 6) AS sxy
+        |  FROM pts),
+        |bb AS (SELECT *, (np * sxy - sx * sy) / (np * sxx - sx * sx) AS beta FROM fit)
+        |SELECT k::INT AS checkpoint, cdoc AS n_docs, n_tokens, vocab,
+        |  round(beta, 6) + 0.0E0 AS heaps_beta,
+        |  round(exp((sy - beta * sx) / np), 6) AS heaps_k
+        |FROM bb""".stripMargin,
 
     "q_hill_tail" ->
       """WITH cnt AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),

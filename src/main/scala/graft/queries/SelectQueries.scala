@@ -350,6 +350,38 @@ object SelectQueries {
           round(least(col("ctr") + col("hw"), lit(1.0)), 6).as("ci_hi"),
           when(col("pr") < col("ctr") - col("hw") || col("pr") > col("ctr") + col("hw"), 1)
             .otherwise(0).as("diverges"))
+    }),
+
+    // ── Dataset cartography (Swayamdipta et al. 2020): per-doc mean
+    // true-class confidence and variability across the THREE IRLS
+    // training checkpoints → easy-to-learn / hard-to-learn / ambiguous
+    // regions, rolled up per source. Hard docs are label-noise
+    // candidates, ambiguous docs the curriculum frontier — the
+    // training-dynamics view the single final model can't give. The
+    // three checkpoint models are 3×5 broadcast doubles; the scan is
+    // map-side. ──
+    "q_cartography" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      var scored = feats
+      logregBetas(s, feats).zipWithIndex.foreach { case (bdf, i) =>
+        scored = scored.crossJoin(broadcast(bdf))
+          .withColumn(s"p${i + 1}", expr(s"1.0E0 / (1.0E0 + exp(-($EtaExpr)))"))
+          .drop("b1", "b2", "b3", "b4", "b5")
+      }
+      val pt = scored
+        .withColumn("t1", expr("CASE WHEN y = 1 THEN p1 ELSE 1.0E0 - p1 END"))
+        .withColumn("t2", expr("CASE WHEN y = 1 THEN p2 ELSE 1.0E0 - p2 END"))
+        .withColumn("t3", expr("CASE WHEN y = 1 THEN p3 ELSE 1.0E0 - p3 END"))
+        .withColumn("conf", expr("(t1 + t2 + t3) / 3.0E0"))
+        .withColumn("stdv", expr(
+          "sqrt(((t1 - conf) * (t1 - conf) + (t2 - conf) * (t2 - conf) + (t3 - conf) * (t3 - conf)) / 3.0E0)"))
+        .withColumn("bucket", expr(
+          "CASE WHEN conf >= 0.7E0 AND stdv < 0.1E0 THEN 'easy' " +
+            "WHEN conf < 0.3E0 THEN 'hard' ELSE 'ambiguous' END"))
+      pt.groupBy("source", "bucket").agg(
+        count(lit(1)).as("n_docs"),
+        round(round(sum("conf"), 4) / count(lit(1)), 6).as("mean_conf"),
+        round(round(sum("stdv"), 4) / count(lit(1)), 6).as("mean_std"))
     })
   )
 
@@ -370,7 +402,12 @@ object SelectQueries {
     * 6-dp-snapped moment pass + the shared no-pivot Gauss-Jordan solve;
     * the solved model (5 doubles) is pinned locally between iterations
     * so iteration k's plan never replays iteration k−1. */
-  private def logregBeta(s: SparkSession, feats: DataFrame): DataFrame = {
+  private def logregBeta(s: SparkSession, feats: DataFrame): DataFrame =
+    logregBetas(s, feats).last
+
+  /** All three IRLS checkpoints (β after iterations 1, 2, 3) — the
+    * training dynamics q_cartography reads. */
+  private def logregBetas(s: SparkSession, feats: DataFrame): Seq[DataFrame] = {
     import s.implicits._
     def iterate(betaDf: DataFrame): DataFrame = {
       val scored = feats.crossJoin(broadcast(betaDf))
@@ -386,7 +423,10 @@ object SelectQueries {
         .toDF("b1", "b2", "b3", "b4", "b5")
     }
     val beta0 = Seq((0.0, 0.0, 0.0, 0.0, 0.0)).toDF("b1", "b2", "b3", "b4", "b5")
-    iterate(iterate(iterate(beta0)))
+    val b1 = iterate(beta0)
+    val b2 = iterate(b1)
+    val b3 = iterate(b2)
+    Seq(b1, b2, b3)
   }
 
   /** Stopword list shared with the quality operators (LlmQueries.EnStop). */
@@ -613,7 +653,36 @@ object SelectQueries {
          |  round(greatest(ctr - hw, 0.0E0), 6) AS ci_lo,
          |  round(least(ctr + hw, 1.0E0), 6) AS ci_hi,
          |  CASE WHEN pr < ctr - hw OR pr > ctr + hw THEN 1 ELSE 0 END AS diverges
-         |FROM ci""".stripMargin
+         |FROM ci""".stripMargin,
+
+    "q_cartography" -> {
+      def eta(a: String) =
+        s"$a.b1[1] + $a.b1[2] * x1 + $a.b1[3] * x2 + $a.b1[4] * x3 + $a.b1[5] * x4"
+      s"""WITH RECURSIVE $LogregChainSql,
+         |es AS (SELECT f.source, f.y,
+         |    1.0E0 / (1.0E0 + exp(-(${eta("bb1")}))) AS p1,
+         |    1.0E0 / (1.0E0 + exp(-(${eta("bb2")}))) AS p2,
+         |    1.0E0 / (1.0E0 + exp(-(${eta("bb3")}))) AS p3
+         |  FROM f CROSS JOIN k1beta bb1 CROSS JOIN k2beta bb2 CROSS JOIN k3beta bb3),
+         |pt AS (SELECT source,
+         |    CASE WHEN y = 1 THEN p1 ELSE 1.0E0 - p1 END AS t1,
+         |    CASE WHEN y = 1 THEN p2 ELSE 1.0E0 - p2 END AS t2,
+         |    CASE WHEN y = 1 THEN p3 ELSE 1.0E0 - p3 END AS t3
+         |  FROM es),
+         |cf AS (SELECT source, t1, t2, t3, (t1 + t2 + t3) / 3.0E0 AS conf FROM pt),
+         |sv AS (SELECT source, conf,
+         |    sqrt(((t1 - conf) * (t1 - conf) + (t2 - conf) * (t2 - conf)
+         |      + (t3 - conf) * (t3 - conf)) / 3.0E0) AS stdv
+         |  FROM cf),
+         |bk AS (SELECT source, conf, stdv,
+         |    CASE WHEN conf >= 0.7E0 AND stdv < 0.1E0 THEN 'easy'
+         |         WHEN conf < 0.3E0 THEN 'hard' ELSE 'ambiguous' END AS bucket
+         |  FROM sv)
+         |SELECT source, bucket, count(*)::BIGINT AS n_docs,
+         |  round(round(sum(conf), 4) / count(*), 6) AS mean_conf,
+         |  round(round(sum(stdv), 4) / count(*), 6) AS mean_std
+         |FROM bk GROUP BY 1, 2""".stripMargin
+    }
   )
 
   /** The shared IRLS oracle chain: features → 3 unrolled iterations →

@@ -50,6 +50,32 @@ class CalibSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_cartography: buckets partition every source's docs, conf bounded") {
+    val rows = SparkEntry.queries("q_cartography")(spark, dir).collect()
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "buckets must partition all docs")
+    rows.foreach { r =>
+      assert(Set("easy", "hard", "ambiguous")(r.getString(1)))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 0.5 + 1e-9,
+        "std of 3 values in [0,1] is at most 0.5")
+    }
+  }
+
+  test("q_heaps: vocabulary growth monotone, token counts monotone") {
+    val rows = SparkEntry.queries("q_heaps")(spark, dir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { p =>
+      assert(p(0).getLong(2) <= p(1).getLong(2), "token prefix must grow")
+      assert(p(0).getLong(3) <= p(1).getLong(3), "vocabulary never shrinks")
+    }
+    val beta = rows.map(_.getDouble(4)).distinct
+    assert(beta.length == 1, "the fitted beta is a corpus constant")
+    assert(beta.head >= 0.0 && beta.head <= 1.0 + 1e-9,
+      s"Heaps beta ${beta.head} outside [0,1]")
+  }
+
   test("q_lomb_scargle: one peak per series, powers nonnegative") {
     val rows = SparkEntry.queries("q_lomb_scargle")(spark, dir).collect()
     assert(rows.length == 25, "5 series x 5 candidate periods")
