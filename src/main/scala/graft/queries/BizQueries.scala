@@ -39,6 +39,75 @@ object BizQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Weekly growth accounting (the Social Capital decomposition):
+    // active(w) splits exactly into new + retained + resurrected, with
+    // churned(w) = active last week but not this one and the quick
+    // ratio (new + resurrected)/churned. The FLOW view next to
+    // q_retention's cohort matrix — "MAU grew" decomposes into who
+    // arrived, who came back, who left. Pure integer counting on one
+    // distinct (user, week) relation + two key-equality self-joins;
+    // scale axis = users. ──
+    "q_growth_accounting" -> ((s, dir) => {
+      val act = Scratch.materialize(
+        Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct(),
+        "growth_act")
+      val first = act.groupBy("user_id").agg(min("w").as("fw"))
+      val prev = act.select(col("user_id"), (col("w") + expr("INTERVAL 7 DAYS")).as("w"))
+        .withColumn("was_prev", lit(1))
+      val flows = act.join(first, "user_id").join(prev, Seq("user_id", "w"), "left")
+        .groupBy("w").agg(
+          count(lit(1)).as("active"),
+          sum(when(col("fw") === col("w"), 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("fw") =!= col("w") && col("was_prev") === 1, 1L).otherwise(0L)).as("retained"),
+          sum(when(col("fw") =!= col("w") && col("was_prev").isNull, 1L).otherwise(0L)).as("resurrected"))
+      val churn = act.select(col("user_id"), (col("w") + expr("INTERVAL 7 DAYS")).as("w"))
+        .join(act, Seq("user_id", "w"), "left_anti")
+        .groupBy("w").agg(count(lit(1)).as("churned"))
+      flows.join(churn, Seq("w"), "left")
+        .withColumn("churned", coalesce(col("churned"), lit(0L)))
+        .select(unix_timestamp(col("w")).as("week_s"), col("active"), col("new_users"),
+          col("retained"), col("resurrected"), col("churned"),
+          when(col("churned") > 0,
+            round((col("new_users") + col("resurrected")).cast("double") /
+              col("churned").cast("double"), 6)).as("quick_ratio"))
+    }),
+
+    // ── Adtributor root-cause attribution (Bhagwan et al. 2014): when
+    // the metric moves between the halves, which dimension values
+    // explain it? Per event_type: explanatory power EP = Δv_i/ΔV and
+    // JS-divergence surprise between the before/after share
+    // distributions. High-EP + high-surprise values are the incident
+    // candidates. One conditional aggregate per event_type from the
+    // 4-dp-snapped period sums; #dimension-values output rows. ──
+    "q_adtributor" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // microsecond midpoint of the observed span (the q_did convention)
+      val bounds = ev.agg(
+        expr("min(unix_micros(ts))").as("t0"), expr("max(unix_micros(ts))").as("t1"))
+        .withColumn("midus", expr("t0 + (t1 - t0) DIV 2"))
+        .select("midus")
+      val per = ev.crossJoin(broadcast(bounds))
+        .withColumn("half", when(expr("unix_micros(ts)") < col("midus"), 1).otherwise(2))
+        .groupBy("event_type").agg(
+          round(sum(when(col("half") === 1, col("value")).otherwise(0.0)), 4).as("v1"),
+          round(sum(when(col("half") === 2, col("value")).otherwise(0.0)), 4).as("v2"))
+      val tot = per.agg(round(sum("v1"), 4).as("tv1"), round(sum("v2"), 4).as("tv2"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("p", col("v1") / col("tv1"))
+        .withColumn("q", col("v2") / col("tv2"))
+        .withColumn("surprise", expr(
+          "0.5E0 * (CASE WHEN p > 0 THEN p * ln(2.0E0 * p / (p + q)) ELSE 0.0E0 END" +
+            " + CASE WHEN q > 0 THEN q * ln(2.0E0 * q / (p + q)) ELSE 0.0E0 END)"))
+        .withColumn("ep",
+          when(col("tv2") =!= col("tv1"),
+            (col("v2") - col("v1")) / (col("tv2") - col("tv1"))))
+        .select(col("event_type"),
+          round(col("v1"), 4).as("v_before"), round(col("v2"), 4).as("v_after"),
+          round(col("p"), 6).as("share_before"), round(col("q"), 6).as("share_after"),
+          round(col("surprise"), 6).as("surprise"), round(col("ep"), 6).as("explanatory_power"))
+    }),
+
     "q_kaplan_meier" -> ((s, dir) => {
       val ev0 = Tables.events(s, dir)
       val cut = ev0.agg(date_add(to_date(min(col("ts"))), ObsWindowDays).as("cut"))
@@ -349,6 +418,47 @@ object BizQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_growth_accounting" ->
+      """WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+        |fw AS (SELECT user_id, min(w) AS fw FROM act GROUP BY 1),
+        |prev AS (SELECT user_id, w + INTERVAL 7 DAY AS w, 1 AS was_prev FROM act),
+        |flows AS (SELECT a.w,
+        |    count(*)::BIGINT AS active,
+        |    sum(CASE WHEN f.fw = a.w THEN 1 ELSE 0 END)::BIGINT AS new_users,
+        |    sum(CASE WHEN f.fw <> a.w AND p.was_prev = 1 THEN 1 ELSE 0 END)::BIGINT AS retained,
+        |    sum(CASE WHEN f.fw <> a.w AND p.was_prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS resurrected
+        |  FROM act a JOIN fw f USING (user_id)
+        |  LEFT JOIN prev p ON p.user_id = a.user_id AND p.w = a.w
+        |  GROUP BY 1),
+        |churn AS (SELECT n.w, count(*)::BIGINT AS churned
+        |  FROM (SELECT user_id, w + INTERVAL 7 DAY AS w FROM act) n
+        |  LEFT JOIN act a ON a.user_id = n.user_id AND a.w = n.w
+        |  WHERE a.user_id IS NULL GROUP BY 1)
+        |SELECT epoch_us(f.w) // 1000000 AS week_s, f.active, f.new_users,
+        |  f.retained, f.resurrected, coalesce(c.churned, 0) AS churned,
+        |  CASE WHEN coalesce(c.churned, 0) > 0
+        |       THEN round((f.new_users + f.resurrected)::DOUBLE / c.churned::DOUBLE, 6)
+        |  END AS quick_ratio
+        |FROM flows f LEFT JOIN churn c ON c.w = f.w""".stripMargin,
+
+    "q_adtributor" ->
+      """WITH bounds AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,
+        |    min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS midus
+        |  FROM events),
+        |per AS (SELECT event_type,
+        |    round(sum(CASE WHEN epoch_us(e.ts) < b.midus THEN value ELSE 0.0E0 END), 4) AS v1,
+        |    round(sum(CASE WHEN epoch_us(e.ts) >= b.midus THEN value ELSE 0.0E0 END), 4) AS v2
+        |  FROM events e, bounds b GROUP BY 1),
+        |tot AS (SELECT round(sum(v1), 4) AS tv1, round(sum(v2), 4) AS tv2 FROM per),
+        |st AS (SELECT per.*, tot.tv1, tot.tv2,
+        |    v1 / tv1 AS p, v2 / tv2 AS q FROM per, tot)
+        |SELECT event_type, round(v1, 4) AS v_before, round(v2, 4) AS v_after,
+        |  round(p, 6) AS share_before, round(q, 6) AS share_after,
+        |  round(0.5E0 * (CASE WHEN p > 0 THEN p * ln(2.0E0 * p / (p + q)) ELSE 0.0E0 END
+        |    + CASE WHEN q > 0 THEN q * ln(2.0E0 * q / (p + q)) ELSE 0.0E0 END), 6) AS surprise,
+        |  CASE WHEN tv2 <> tv1 THEN round((v2 - v1) / (tv2 - tv1), 6) END AS explanatory_power
+        |FROM st""".stripMargin,
 
     "q_kaplan_meier" ->
       s"""WITH RECURSIVE c AS (

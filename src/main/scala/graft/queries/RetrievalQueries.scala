@@ -64,7 +64,52 @@ object RetrievalQueries {
   /** int8 quantization levels. */
   private val SqLevels = 255
 
+  /** IDCG@10 for m relevant docs as an engine-shared CASE — each arm the
+    * identical left-to-right 1/log2(i+1) sum. */
+  private def idcgSql(m: String): String = {
+    val arms = (1 to 10).map { mm =>
+      val terms = (1 to mm).map(i => s"1.0E0 / (ln(${i + 1}.0E0) / ln(2.0E0))").mkString(" + ")
+      s"WHEN $mm THEN $terms"
+    }.mkString(" ")
+    s"(CASE least($m, 10) WHEN 0 THEN 0.0E0 $arms END)"
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Retrieval-quality evaluation (NDCG@10 / MRR / P@10) of exact
+    // cosine retrieval against the label-match relevance oracle — the
+    // embedding-quality scoreboard a retrieval pipeline publishes
+    // (complements q_ann_recall's index-vs-exact view: this scores the
+    // EMBEDDING, that scores the INDEX). DCG terms reduce as 1e6-scaled
+    // integers (rank-determined constants, order-free), IDCG is a
+    // shared 10-arm CASE, the probe kernel broadcasts — the corpus
+    // never shuffles. ──
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probes = e.where(col("vec_id") % 50 === 0)
+      val nn = graft.ann.Ann.knnBruteForce(e, probes, k = 10)
+      val labels = e.select(col("vec_id").as("neighbor_id"), col("label").as("nl"))
+      val pl = probes.select(col("vec_id").as("probe_id"), col("label").as("tl"))
+      val relCnt = e.groupBy("label").agg(count(lit(1)).as("nlab"))
+      val scored = nn.join(labels, "neighbor_id").join(broadcast(pl), "probe_id")
+        .withColumn("rel", when(col("nl") === col("tl"), 1L).otherwise(0L))
+        .withColumn("dcg6",
+          expr("CAST(round(rel / (ln(rk + 1.0E0) / ln(2.0E0)) * 1e6) AS BIGINT)"))
+        .withColumn("rr6",
+          when(col("rel") === 1, expr("CAST(round(1e6 / rk) AS BIGINT)")).otherwise(0L))
+      scored.groupBy("probe_id", "tl").agg(
+        sum("rel").as("n_rel_at10"),
+        sum("dcg6").as("dcg6"),
+        max("rr6").as("rr6"))
+        .join(broadcast(relCnt.withColumnRenamed("label", "tl")), "tl")
+        .withColumn("nrel", col("nlab") - 1)
+        .withColumn("idcg", expr(idcgSql("nrel")))
+        .select(col("probe_id"), col("tl").as("label"), col("nrel").as("n_relevant"),
+          col("n_rel_at10"),
+          round(col("dcg6").cast("double") / 1e6 / col("idcg"), 6).as("ndcg_10"),
+          round(col("rr6").cast("double") / 1e6, 6).as("mrr"),
+          round(col("n_rel_at10").cast("double") / 10.0, 6).as("p_at_10"))
+    }),
 
     // ── BM25 self-retrieval eval: probe docs (doc_id % 97) contribute
     // their top-3 terms (tf desc, term asc — the q_tfidf_terms ranking
@@ -476,6 +521,31 @@ object RetrievalQueries {
     s"SELECT doc_id, lang, source, list_filter(string_split(lower(text), ' '), t -> regexp_matches(t, '$WordReSql')) AS t FROM documents"
 
   val sql: Map[String, String] = Map(
+
+    "q_retrieval_ndcg" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS tl
+         |               FROM embeddings WHERE vec_id % 50 = 0),
+         |sc AS (SELECT p.probe_id, p.tl, c.vec_id AS nid, c.label AS nl,
+         |         ${LlmQueries.cosSql("p.pvec", "c.embedding")} AS cos
+         |       FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |         ORDER BY cos DESC, nid) AS rk FROM sc),
+         |top AS (SELECT probe_id, tl, nl, rk,
+         |    CASE WHEN nl = tl THEN 1 ELSE 0 END AS rel FROM rk WHERE rk <= 10),
+         |tm AS (SELECT probe_id, tl,
+         |    sum(rel)::BIGINT AS n_rel_at10,
+         |    sum(round(rel / (ln(rk + 1.0E0) / ln(2.0E0)) * 1e6)::BIGINT)::BIGINT AS dcg6,
+         |    max(CASE WHEN rel = 1 THEN round(1e6 / rk)::BIGINT ELSE 0 END) AS rr6
+         |  FROM top GROUP BY 1, 2),
+         |rc AS (SELECT label AS tl, count(*)::BIGINT AS nlab FROM embeddings GROUP BY 1),
+         |fin AS (SELECT tm.*, rc.nlab - 1 AS nrel,
+         |    ${idcgSql("rc.nlab - 1")} AS idcg
+         |  FROM tm JOIN rc USING (tl))
+         |SELECT probe_id, tl AS label, nrel AS n_relevant, n_rel_at10,
+         |  round(dcg6::DOUBLE / 1e6 / idcg, 6) AS ndcg_10,
+         |  round(rr6::DOUBLE / 1e6, 6) AS mrr,
+         |  round(n_rel_at10::DOUBLE / 10.0E0, 6) AS p_at_10
+         |FROM fin""".stripMargin,
     "q_bm25" ->
       s"""WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
          |            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)

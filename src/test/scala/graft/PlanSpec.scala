@@ -345,4 +345,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!ls.contains("SortMergeJoin"), s"q_lomb_scargle grew a SortMergeJoin:\n$ls")
     assert(ls.contains("Broadcast"), s"q_lomb_scargle lost its broadcasts:\n$ls")
   }
+
+  test("product-analytics pack plans keep their scale shape") {
+    // growth accounting: user-keyed self-joins only, never cartesian
+    val ga = planOf("q_growth_accounting")
+    assert(!ga.contains("CartesianProduct"), s"q_growth_accounting cartesian:\n$ga")
+    // adtributor: 1-row bounds + #values totals must broadcast
+    val ad = planOf("q_adtributor")
+    assert(ad.contains("Broadcast"), s"q_adtributor lost its broadcasts:\n$ad")
+    assert(!ad.contains("SortMergeJoin"), s"q_adtributor grew a SortMergeJoin:\n$ad")
+    // ndcg: the probe kernel broadcasts; the corpus side never shuffles
+    // into a SortMergeJoin
+    val nd = planOf("q_retrieval_ndcg")
+    assert(nd.contains("Broadcast"), s"q_retrieval_ndcg lost the probe broadcast:\n$nd")
+    assert(!nd.contains("SortMergeJoin"), s"q_retrieval_ndcg grew a SortMergeJoin:\n$nd")
+  }
 }
