@@ -941,6 +941,38 @@ object AnalysisQueries {
         .limit(20)
     }),
 
+    // ── Effective rank (participation ratio) of the embedding-prefix
+    // covariance: er = tr(S)²/tr(S²) — the intrinsic-dimension proxy
+    // (Roy & Vetterli 2007) that needs NO eigendecomposition because
+    // both traces are basis-free sums over the snapped Gram entries.
+    // An embedding space collapsing onto few directions (er ≪ dims)
+    // degrades retrieval before recall metrics notice. One distributed
+    // moment aggregation; everything after is closed form on 44 doubles. ──
+    "q_effective_rank" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select((0 until PD).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
+      val aggs =
+        (0 until PD).map(i => round(sum(col(s"x$i")), 4).as(s"s$i")) ++
+          (for { i <- 0 until PD; j <- i until PD }
+            yield round(sum(col(s"x$i") * col(s"x$j")), 4).as(s"ss${i}_$j")) :+
+          count(lit(1)).as("n")
+      var df = base.agg(aggs.head, aggs.tail: _*)
+      for { i <- 0 until PD; j <- i until PD }
+        df = df.withColumn(s"c${i}_$j", expr(covFrag(i, j)))
+      val trace = (0 until PD).map(i => s"c${i}_$i").mkString(" + ")
+      val fro = (for { i <- 0 until PD; j <- 0 until PD } yield {
+        val (a, b) = if (i <= j) (i, j) else (j, i); s"c${a}_$b * c${a}_$b"
+      }).mkString(" + ")
+      val maxd = "greatest(" + (0 until PD).map(i => s"c${i}_$i").mkString(", ") + ")"
+      df.withColumn("trace", expr(trace))
+        .withColumn("fro2", expr(fro))
+        .withColumn("maxd", expr(maxd))
+        .select(col("n").as("n_vectors"), lit(PD).as("dims"),
+          round(col("trace"), 6).as("trace"),
+          round(expr("trace * trace / fro2"), 6).as("effective_rank"),
+          round(expr("maxd / trace"), 6).as("top_dim_share"))
+    }),
+
     "q_embed_pca" -> ((s, dir) => {
       val base = Tables.embeddings(s, dir)
         .select((0 until PD).map(i => element_at(col("embedding"), i + 1).cast("double").as(s"x$i")): _*)
@@ -1677,6 +1709,28 @@ object AnalysisQueries {
          |SELECT gram, cxy_l AS c_pair, cx_l AS c_left, cy_l AS c_right,
          |  round($pmiFrag, 6) AS pmi
          |FROM j ORDER BY pmi DESC, gram LIMIT 20""".stripMargin,
+
+    "q_effective_rank" -> {
+      val moments =
+        ((0 until PD).map(i => s"round(sum(embedding[${i + 1}]::DOUBLE), 4) AS s$i") ++
+          (for { i <- 0 until PD; j <- i until PD }
+            yield s"round(sum(embedding[${i + 1}]::DOUBLE * embedding[${j + 1}]::DOUBLE), 4) AS ss${i}_$j") :+
+          "count(*) AS n").mkString(", ")
+      val covCols = (for { i <- 0 until PD; j <- i until PD }
+        yield s"${covFrag(i, j)} AS c${i}_$j").mkString(", ")
+      val trace = (0 until PD).map(i => s"c${i}_$i").mkString(" + ")
+      val fro = (for { i <- 0 until PD; j <- 0 until PD } yield {
+        val (a, b) = if (i <= j) (i, j) else (j, i); s"c${a}_$b * c${a}_$b"
+      }).mkString(" + ")
+      val maxd = "greatest(" + (0 until PD).map(i => s"c${i}_$i").mkString(", ") + ")"
+      s"""WITH mom AS (SELECT $moments FROM embeddings),
+         |cv AS (SELECT n, $covCols FROM mom),
+         |st AS (SELECT n, $trace AS trace, $fro AS fro2, $maxd AS maxd FROM cv)
+         |SELECT n::BIGINT AS n_vectors, $PD AS dims, round(trace, 6) AS trace,
+         |  round(trace * trace / fro2, 6) AS effective_rank,
+         |  round(maxd / trace, 6) AS top_dim_share
+         |FROM st""".stripMargin
+    },
 
     "q_embed_pca" -> {
       val moments =

@@ -387,7 +387,7 @@ object SelectQueries {
 
   /** The q_quality_logreg feature relation (materialized — the IRLS
     * iterations and the scoring pass all reread it). */
-  private def logregFeats(s: SparkSession, dir: String): DataFrame =
+  private[queries] def logregFeats(s: SparkSession, dir: String): DataFrame =
     Scratch.materialize(docs(s, dir).select(
       col("doc_id"),
       col("source"),
@@ -402,7 +402,7 @@ object SelectQueries {
     * 6-dp-snapped moment pass + the shared no-pivot Gauss-Jordan solve;
     * the solved model (5 doubles) is pinned locally between iterations
     * so iteration k's plan never replays iteration k−1. */
-  private def logregBeta(s: SparkSession, feats: DataFrame): DataFrame =
+  private[queries] def logregBeta(s: SparkSession, feats: DataFrame): DataFrame =
     logregBetas(s, feats).last
 
   /** All three IRLS checkpoints (β after iterations 1, 2, 3) — the
@@ -430,12 +430,12 @@ object SelectQueries {
   }
 
   /** Stopword list shared with the quality operators (LlmQueries.EnStop). */
-  private val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "it")
+  private[queries] val EnStop = Seq("the", "a", "and", "of", "to", "is", "in", "it")
 
   /** IRLS fragments shared verbatim by the Spark plan and the oracle:
     * the linear predictor over (1, x1..x4) and the row-major 5×6
     * weighted-normal-equation entries, each 6-dp-snapped. */
-  private val EtaExpr = "b1 + b2 * x1 + b3 * x2 + b4 * x3 + b5 * x4"
+  private[queries] val EtaExpr = "b1 + b2 * x1 + b3 * x2 + b4 * x3 + b5 * x4"
   private val IrlsXs = Seq("1.0E0", "x1", "x2", "x3", "x4")
   private val IrlsMoments: Seq[String] =
     for { i <- 0 until 5; j <- 0 to 5 } yield {
@@ -688,7 +688,7 @@ object SelectQueries {
   /** The shared IRLS oracle chain: features → 3 unrolled iterations →
     * `k3beta` (the trained 5-list) and `fs` (every doc with its final
     * eta). Mirrors logregFeats/logregBeta float-for-float. */
-  private lazy val LogregChainSql: String = {
+  private[queries] lazy val LogregChainSql: String = {
     val stopList = EnStop.map(t => s"'$t'").mkString(", ")
     def etaFrom(betaCte: String) =
       s"bb.b1[1] + bb.b1[2] * x1 + bb.b1[3] * x2 + bb.b1[4] * x3 + bb.b1[5] * x4"

@@ -521,6 +521,44 @@ object StreamQueries {
         col("keep").cast("int").as("keep"), col("fail_reason"))
     }),
 
+    // Live classifier-calibration monitor as a stream: every arriving
+    // doc scored with the trained five-double q_quality_logreg model,
+    // per hourly window the ECE bin counters (≤10 counters of state per
+    // open window, scaled-integer p-sums order-free across state-store
+    // merges), ECE derived per closed window. The oracle refits the
+    // identical IRLS chain and recomputes every window's bins — the
+    // DuckDB gate certifies the streamed ECE end to end.
+    "q_stream_calibration" -> ((s, dir) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val t0 = 1704067200L
+      val b = SelectQueries.logregBeta(s, SelectQueries.logregFeats(s, dir)).head()
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+        .orderBy("doc_id").collect()
+      val feed = docs.map(r => StreamingDetectors.LangDoc(r.getLong(0),
+        new java.sql.Timestamp((t0 + r.getLong(0) * 60) * 1000L),
+        r.getString(1), r.getString(2))).toSeq
+      val sentinel = StreamingDetectors.LangDoc(-1L,
+        new java.sql.Timestamp((t0 + feed.map(_.doc_id).max * 60 + 365L * 24 * 3600) * 1000L),
+        "xx", "sentinel")
+      val mem = MemoryStream[StreamingDetectors.LangDoc]
+      val t = replay(s, mem,
+        StreamingDetectors.calibMonitor(mem.toDF(), b.getDouble(0), b.getDouble(1),
+          b.getDouble(2), b.getDouble(3), b.getDouble(4), SelectQueries.EnStop),
+        sink("calib"), feed, tail = Seq(sentinel))
+      val wW = Window.partitionBy("win")
+      t.withColumn("mean_pred", col("sum_p6").cast("double") / (col("n_docs") * lit(1e6)))
+        .withColumn("obs", col("n_pos").cast("double") / col("n_docs").cast("double"))
+        .withColumn("gap", abs(col("obs") - col("mean_pred")))
+        .withColumn("nn", sum("n_docs").over(wW))
+        .withColumn("ece6", sum(round(col("n_docs") * col("gap") * 1e6).cast("long")).over(wW))
+        .select(unix_timestamp(col("win")).as("win_s"), col("bin"),
+          col("n_docs"), col("n_pos"),
+          round(col("mean_pred"), 6).as("mean_pred"), round(col("obs"), 6).as("obs_rate"),
+          round(col("gap"), 6).as("gap"),
+          round(col("ece6").cast("double") / (col("nn").cast("double") * 1e6), 6).as("ece"))
+    }),
+
     // Point-in-time enrichment as a stream: the per-user CLOSED-bucket
     // click-feature index (pitFeatureIndex — the serving-store shape)
     // broadcast-joins every arriving event statelessly; each event picks
@@ -1076,6 +1114,28 @@ object StreamQueries {
         |  round(n_err::DOUBLE / n_tot / 0.2E0, 6) AS burn_6h,
         |  CASE WHEN n_err::DOUBLE / n_tot / 0.2E0 > 1.5E0 THEN 1 ELSE 0 END AS alert
         |FROM agg""".stripMargin,
+
+    "q_stream_calibration" ->
+      s"""WITH RECURSIVE ${SelectQueries.LogregChainSql},
+         |ds AS (SELECT doc_id, y, 1.0E0 / (1.0E0 + exp(-eta)) AS p FROM fs),
+         |wb AS (SELECT ((1704067200 + doc_id * 60) // 3600) * 3600 AS win_s,
+         |    least(floor(p * 10), 9.0E0)::INT AS bin, y,
+         |    round(p * 1e6)::BIGINT AS p6
+         |  FROM ds),
+         |bins AS (SELECT win_s, bin, count(*)::BIGINT AS n_docs,
+         |    sum(y)::BIGINT AS n_pos, sum(p6)::BIGINT AS sum_p6
+         |  FROM wb GROUP BY 1, 2),
+         |gp AS (SELECT *, sum_p6::DOUBLE / (n_docs * 1e6) AS mean_pred,
+         |    n_pos::DOUBLE / n_docs::DOUBLE AS obs FROM bins),
+         |g2 AS (SELECT *, abs(obs - mean_pred) AS gap FROM gp),
+         |wn AS (SELECT *, sum(n_docs) OVER (PARTITION BY win_s) AS nn,
+         |    sum(round(n_docs * gap * 1e6)::BIGINT) OVER (PARTITION BY win_s) AS ece6
+         |  FROM g2)
+         |SELECT win_s, bin, n_docs, n_pos,
+         |  round(mean_pred, 6) AS mean_pred, round(obs, 6) AS obs_rate,
+         |  round(gap, 6) AS gap,
+         |  round(ece6::DOUBLE / (nn::DOUBLE * 1e6), 6) AS ece
+         |FROM wn""".stripMargin,
 
     "q_stream_quality" ->
       """WITH base AS (SELECT doc_id, 1704067200 + doc_id AS ts_s, text,

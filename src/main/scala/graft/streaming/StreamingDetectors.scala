@@ -67,6 +67,40 @@ object StreamingDetectors {
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
   case class SourcedDoc(doc_id: Long, ts: java.sql.Timestamp, source: String, text: String)
+  case class LangDoc(doc_id: Long, ts: java.sql.Timestamp, lang: String, text: String)
+
+  /** Streaming calibration monitor for a deployed quality classifier:
+    * every arriving doc is scored with the broadcast five-double model
+    * (the q_quality_logreg fit) and lands in its fixed-width probability
+    * bin; per tumbling window the op emits the ECE bin counters —
+    * (n, n_pos, Σ round(p·1e6)) per bin, i.e. ≤10 counters of state per
+    * open window, with the scaled-integer predicted-probability sum
+    * order-free across state-store merges. A drifting live ECE is the
+    * first sign the scorer no longer matches the incoming distribution —
+    * the streaming twin of q_calibration.
+    */
+  def calibMonitor(stream: DataFrame,
+                   b1: Double, b2: Double, b3: Double, b4: Double, b5: Double,
+                   stop: Seq[String], every: String = "1 hour"): DataFrame = {
+    import graft.text.TextFunctions
+    stream
+      .withColumn("y", (col("lang") === "en").cast("int"))
+      .withColumn("x1", TextFunctions.alphaRatio(col("text")))
+      .withColumn("x2", TextFunctions.meanTokenLen(col("text")) / lit(10.0))
+      .withColumn("x3", TextFunctions.stopwordRatio(col("text"), stop))
+      .withColumn("x4", least(TextFunctions.nTokens(col("text")).cast("double") / 100, lit(1.0)))
+      .withColumn("eta",
+        lit(b1) + lit(b2) * col("x1") + lit(b3) * col("x2") + lit(b4) * col("x3") + lit(b5) * col("x4"))
+      .withColumn("p", expr("1.0E0 / (1.0E0 + exp(-eta))"))
+      .withColumn("bin", least(floor(col("p") * 10), lit(9.0)).cast("int"))
+      .withColumn("p6", round(col("p") * 1e6).cast("long"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), every), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("y").cast("long").as("n_pos"),
+        sum("p6").as("sum_p6"))
+      .select(col("window.start").as("win"), col("bin"),
+        col("n_docs"), col("n_pos"), col("sum_p6"))
+  }
 
   /** Streaming ingest telemetry: per-(source, window) doc/token/byte
     * accounting — the rate meter a pretraining ingest runs alongside the

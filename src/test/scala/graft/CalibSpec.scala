@@ -76,6 +76,33 @@ class CalibSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"Heaps beta ${beta.head} outside [0,1]")
   }
 
+  test("q_effective_rank: bounded by the dimension count, shares coherent") {
+    val r = SparkEntry.queries("q_effective_rank")(spark, dir).collect()
+    assert(r.length == 1)
+    val (dims, er, share) = (r(0).getInt(1), r(0).getDouble(3), r(0).getDouble(4))
+    assert(er >= 1.0 - 1e-6 && er <= dims + 1e-6,
+      s"effective rank $er outside [1, $dims]")
+    assert(share > 0.0 && share <= 1.0 + 1e-9)
+    // participation ratio >= 1/top_dim_share is not an identity, but a
+    // dominant single direction must pull er down toward 1
+    if (share > 0.9) assert(er < 2.0)
+  }
+
+  test("q_stream_calibration: windows partition docs, ECE consistent per window") {
+    val rows = SparkEntry.queries("q_stream_calibration")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == total, "all docs must land in closed windows")
+    rows.groupBy(_.getLong(0)).foreach { case (w, rs) =>
+      assert(rs.map(_.getDouble(7)).distinct.length == 1,
+        s"window $w: ECE must be constant across its bins")
+      val n = rs.map(_.getLong(2)).sum.toDouble
+      val recomputed = rs.map(r => r.getLong(2) * r.getDouble(6)).sum / n
+      assert(math.abs(rs.head.getDouble(7) - recomputed) < 1e-4,
+        s"window $w: ece=${rs.head.getDouble(7)} vs recomputed $recomputed")
+    }
+  }
+
   test("q_lomb_scargle: one peak per series, powers nonnegative") {
     val rows = SparkEntry.queries("q_lomb_scargle")(spark, dir).collect()
     assert(rows.length == 25, "5 series x 5 candidate periods")
