@@ -941,6 +941,73 @@ object AnalysisQueries {
         .limit(20)
     }),
 
+    // ── Synthetic control (Abadie et al. 2010, OLS-weight variant): the
+    // lexicographically first series is "treated", the other four are
+    // donors; donor weights fit by the shared 6-dp-snapped normal
+    // equations + GaussJordan kernel on the pre-period (first half of
+    // the balanced panel), the counterfactual projects over the post
+    // period, and the effect is the post-period gap with a z against
+    // the pre-period residual scale. The q_causal_impact companion when
+    // parallel UNITS exist instead of a parallel model. Panel width is
+    // the 5-series literal (the q_partial_corr convention); the panel
+    // lives on 12-hour buckets — the coarsest grid every series still
+    // reports on at the smallest SF — balanced buckets only. ──
+    "q_synth_control" -> ((s, dir) => {
+      import s.implicits._
+      val b12 = Tables.hourlyEvents(s, dir).drop("n")
+        .groupBy(col("event_type"), expr("unix_timestamp(ts) DIV 43200").as("seg"))
+        .agg(round(sum("value"), 6).as("value"))
+      val rk = b12.select("event_type").distinct()
+        .withColumn("ai", row_number().over(
+          Window.partitionBy(substring(col("event_type"), 1, 0)).orderBy("event_type")))
+      val panel = b12.join(broadcast(rk), "event_type")
+        .groupBy("seg").agg(
+          max(when(col("ai") === 1, col("value"))).as("y"),
+          max(when(col("ai") === 2, col("value"))).as("x1"),
+          max(when(col("ai") === 3, col("value"))).as("x2"),
+          max(when(col("ai") === 4, col("value"))).as("x3"),
+          max(when(col("ai") === 5, col("value"))).as("x4"),
+          count(lit(1)).as("kk"))
+        .where(col("kk") === 5)
+      val zt = substring(col("seg").cast("string"), 1, 0)
+      val base = Scratch.materialize(panel
+        .withColumn("rn", row_number().over(Window.partitionBy(zt).orderBy("seg")))
+        .withColumn("nn", count(lit(1)).over(Window.partitionBy(zt)))
+        .withColumn("pre", col("rn") <= col("nn") / 2), "synth_panel")
+      val zs = Seq("1.0E0", "x1", "x2", "x3", "x4")
+      val moms = (for { i <- 0 until 5; j <- 0 to 5 } yield {
+        val t = if (j == 5) "y" else zs(j)
+        s"round(sum(${zs(i)} * $t), 6)"
+      }).mkString(", ")
+      val mr = graft.models.GaussJordan.eliminate(
+        base.where(col("pre")).agg(expr(s"array($moms)").as("_m")), "_m", 5, 6)
+        .select((1 to 5).map(k => expr(s"_m[${(k - 1) * 6 + 5}]").as(s"b$k")): _*)
+        .head()
+      val bdf = Seq((mr.getDouble(0), mr.getDouble(1), mr.getDouble(2), mr.getDouble(3),
+        mr.getDouble(4))).toDF("b1", "b2", "b3", "b4", "b5")
+      base.crossJoin(broadcast(bdf))
+        .withColumn("gap", expr("y - (b1 + b2 * x1 + b3 * x2 + b4 * x3 + b5 * x4)"))
+        .groupBy()
+        .agg(
+          sum(when(col("pre"), 1L).otherwise(0L)).as("n_pre"),
+          sum(when(!col("pre"), 1L).otherwise(0L)).as("n_post"),
+          first("b1").as("w0"), first("b2").as("w1"), first("b3").as("w2"),
+          first("b4").as("w3"), first("b5").as("w4"),
+          round(sum(when(col("pre"), col("gap") * col("gap")).otherwise(0.0)), 4).as("sse_pre"),
+          round(sum(when(col("pre"), col("gap")).otherwise(0.0)), 4).as("sg_pre"),
+          round(sum(when(!col("pre"), col("gap")).otherwise(0.0)), 4).as("sg_post"))
+        .withColumn("pre_sd", expr(
+          "sqrt((sse_pre - sg_pre * sg_pre / n_pre) / (n_pre - 1))"))
+        .select(col("n_pre"), col("n_post"),
+          round(col("w0"), 6).as("w_intercept"), round(col("w1"), 6).as("w_d1"),
+          round(col("w2"), 6).as("w_d2"), round(col("w3"), 6).as("w_d3"),
+          round(col("w4"), 6).as("w_d4"),
+          round(expr("sqrt(sse_pre / n_pre)"), 6).as("pre_rmse"),
+          round(expr("sg_post / n_post"), 6).as("post_mean_gap"),
+          round(col("sg_post"), 4).as("post_cum_gap"),
+          round(expr("(sg_post / n_post) / pre_sd"), 6).as("z"))
+    }),
+
     // ── Effective rank (participation ratio) of the embedding-prefix
     // covariance: er = tr(S)²/tr(S²) — the intrinsic-dimension proxy
     // (Roy & Vetterli 2007) that needs NO eigendecomposition because
@@ -1709,6 +1776,55 @@ object AnalysisQueries {
          |SELECT gram, cxy_l AS c_pair, cx_l AS c_left, cy_l AS c_right,
          |  round($pmiFrag, 6) AS pmi
          |FROM j ORDER BY pmi DESC, gram LIMIT 20""".stripMargin,
+
+    "q_synth_control" -> {
+      val zs = Seq("1.0E0", "x1", "x2", "x3", "x4")
+      val moms = (for { i <- 0 until 5; j <- 0 to 5 } yield {
+        val t = if (j == 5) "y" else zs(j)
+        s"round(sum(${zs(i)} * $t), 6)"
+      }).mkString(", ")
+      s"""WITH RECURSIVE hourly AS ($H),
+         |b12 AS (SELECT event_type, epoch_us(ts) // 1000000 // 43200 AS seg,
+         |          round(sum(value), 6) AS value
+         |        FROM hourly GROUP BY 1, 2),
+         |rk AS (SELECT event_type, row_number() OVER (ORDER BY event_type) AS ai
+         |       FROM (SELECT DISTINCT event_type FROM b12)),
+         |panel AS (SELECT h.seg,
+         |    max(CASE WHEN r.ai = 1 THEN h.value END) AS y,
+         |    max(CASE WHEN r.ai = 2 THEN h.value END) AS x1,
+         |    max(CASE WHEN r.ai = 3 THEN h.value END) AS x2,
+         |    max(CASE WHEN r.ai = 4 THEN h.value END) AS x3,
+         |    max(CASE WHEN r.ai = 5 THEN h.value END) AS x4,
+         |    count(*) AS kk
+         |  FROM b12 h JOIN rk r USING (event_type) GROUP BY 1),
+         |bal AS (SELECT * FROM panel WHERE kk = 5),
+         |base AS (SELECT *, row_number() OVER (ORDER BY seg) AS rn,
+         |    count(*) OVER () AS nn FROM bal),
+         |pp AS (SELECT *, rn <= nn / 2 AS pre FROM base),
+         |scmats AS (SELECT 'all' AS event_type, [$moms] AS m FROM pp WHERE pre),
+         |${graft.models.GaussJordan.sqlAug(5, 1, "sc")},
+         |gp AS (SELECT p.pre,
+         |    p.y - (b.b1[1] + b.b1[2] * p.x1 + b.b1[3] * p.x2 + b.b1[4] * p.x3 + b.b1[5] * p.x4) AS gap,
+         |    b.b1[1] AS w0, b.b1[2] AS w1, b.b1[3] AS w2, b.b1[4] AS w3, b.b1[5] AS w4
+         |  FROM pp p CROSS JOIN scbeta b),
+         |agg AS (SELECT
+         |    sum(CASE WHEN pre THEN 1 ELSE 0 END)::BIGINT AS n_pre,
+         |    sum(CASE WHEN pre THEN 0 ELSE 1 END)::BIGINT AS n_post,
+         |    max(w0) AS w0, max(w1) AS w1, max(w2) AS w2, max(w3) AS w3, max(w4) AS w4,
+         |    round(sum(CASE WHEN pre THEN gap * gap ELSE 0.0E0 END), 4) AS sse_pre,
+         |    round(sum(CASE WHEN pre THEN gap ELSE 0.0E0 END), 4) AS sg_pre,
+         |    round(sum(CASE WHEN pre THEN 0.0E0 ELSE gap END), 4) AS sg_post
+         |  FROM gp),
+         |sd AS (SELECT *, sqrt((sse_pre - sg_pre * sg_pre / n_pre) / (n_pre - 1)) AS pre_sd FROM agg)
+         |SELECT n_pre, n_post,
+         |  round(w0, 6) AS w_intercept, round(w1, 6) AS w_d1, round(w2, 6) AS w_d2,
+         |  round(w3, 6) AS w_d3, round(w4, 6) AS w_d4,
+         |  round(sqrt(sse_pre / n_pre), 6) AS pre_rmse,
+         |  round(sg_post / n_post, 6) AS post_mean_gap,
+         |  round(sg_post, 4) AS post_cum_gap,
+         |  round((sg_post / n_post) / pre_sd, 6) AS z
+         |FROM sd""".stripMargin
+    },
 
     "q_effective_rank" -> {
       val moments =

@@ -67,6 +67,25 @@ object CorpusQueries {
         round(col("kcoef"), 6).as("heaps_k"))
     }),
 
+    // ── k-anonymity profile of the (source, lang) quasi-identifier pair
+    // (Sweeney 2002) — the governance metric a dataset release publishes:
+    // per equivalence class its size and risk flag (size < 10), plus the
+    // corpus k (smallest class) and the share of docs living in risky
+    // classes. Pure integer counting: one aggregate + a ≤#classes-row
+    // window frame. ──
+    "q_k_anonymity" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(substring(col("source"), 1, 0))
+      g.withColumn("k_anon", min("n").over(w))
+        .withColumn("total", sum("n").over(w))
+        .withColumn("below", sum(when(col("n") < 10, col("n")).otherwise(0L)).over(w))
+        .select(col("source"), col("lang"), col("n").as("class_size"),
+          when(col("n") < 10, 1).otherwise(0).as("risky"),
+          col("k_anon"),
+          round(col("below").cast("double") / col("total").cast("double"), 6).as("risk_share"))
+    }),
+
     "q_hill_tail" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
       val cnt = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
@@ -133,6 +152,19 @@ object CorpusQueries {
         |  round(beta, 6) + 0.0E0 AS heaps_beta,
         |  round(exp((sy - beta * sx) / np), 6) AS heaps_k
         |FROM bb""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    min(n) OVER () AS k_anon,
+        |    sum(n) OVER () AS total,
+        |    sum(CASE WHEN n < 10 THEN n ELSE 0 END) OVER () AS below
+        |  FROM g)
+        |SELECT source, lang, n AS class_size,
+        |  CASE WHEN n < 10 THEN 1 ELSE 0 END AS risky,
+        |  k_anon::BIGINT AS k_anon,
+        |  round(below::DOUBLE / total::DOUBLE, 6) AS risk_share
+        |FROM w""".stripMargin,
 
     "q_hill_tail" ->
       """WITH cnt AS (SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),

@@ -213,6 +213,62 @@ object NonparamQueries {
             col("e"), 6).as("t_stat"))
     }),
 
+    // ── Moving-block bootstrap CI for the mean of an autocorrelated
+    // series (Künsch 1989): B = 200 resamples of L = 24-hour blocks with
+    // hash-as-randomness starts (md5-derived — no sequential RNG, the
+    // q_perm_test discipline), percentile CI by exact rank pick, next to
+    // the iid-naive ±1.96·σ/√n interval it corrects. Blocks resolve
+    // through ONE key-equality join of the (series, b, j) grid against
+    // the precomputed sliding block sums; resample count is a constant,
+    // so everything scales with the grid. ──
+    "q_block_bootstrap" -> ((s, dir) => {
+      val L = 24
+      val B = 200
+      val w = Window.partitionBy("event_type").orderBy("ts")
+      val base = graft.Scratch.materialize(
+        dense(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("bsum", round(sum("value").over(
+            w.rowsBetween(Window.currentRow, L - 1)), 4))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type"))),
+        "bb_base")
+      val starts = base.where(col("rn") <= col("nn") - L + 1)
+        .select(col("event_type"), col("rn").as("start"), col("bsum"))
+      val meta = base.groupBy("event_type").agg(
+        max("nn").as("nn"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        .withColumn("m", expr(s"nn DIV $L"))
+        .withColumn("nstarts", col("nn") - L + 1)
+        .withColumn("mean", expr("sv / nn"))
+        .withColumn("sd", expr("sqrt((svv - sv * sv / nn) / (nn - 1))"))
+      val grid = meta.select(col("event_type"), col("nstarts"), col("m"),
+        explode(expr(s"sequence(1, $B)")).as("b"))
+        .select(col("event_type"), col("nstarts"), col("b"),
+          explode(expr("sequence(1, m)")).as("j"))
+        .withColumn("start",
+          graft.text.TextFunctions.hash60(
+            concat_ws(":", col("event_type"), col("b"), col("j"))) % col("nstarts") + 1)
+      val res = grid.join(starts, Seq("event_type", "start"))
+        .groupBy("event_type", "b").agg(
+          round(sum("bsum"), 4).as("tot"), (count(lit(1)) * L).as("cnt"))
+        .withColumn("rmean", col("tot") / col("cnt").cast("double"))
+      val wB = Window.partitionBy("event_type").orderBy(col("rmean"), col("b"))
+      res.withColumn("rk", row_number().over(wB))
+        .where(col("rk") === 5 || col("rk") === 196)
+        .groupBy("event_type").agg(
+          max(when(col("rk") === 5, col("rmean"))).as("lo"),
+          max(when(col("rk") === 196, col("rmean"))).as("hi"))
+        .join(broadcast(meta.select("event_type", "nn", "mean", "sd")), "event_type")
+        .withColumn("nlo", expr("mean - 1.96E0 * sd / sqrt(CAST(nn AS DOUBLE))"))
+        .withColumn("nhi", expr("mean + 1.96E0 * sd / sqrt(CAST(nn AS DOUBLE))"))
+        .select(col("event_type"), col("nn").as("n_obs"),
+          round(col("mean"), 6).as("mean"),
+          round(col("lo"), 6).as("boot_lo"), round(col("hi"), 6).as("boot_hi"),
+          round(col("nlo"), 6).as("naive_lo"), round(col("nhi"), 6).as("naive_hi"),
+          round(expr("(hi - lo) / (nhi - nlo)"), 6).as("width_ratio"))
+    }),
+
     "q_huber" -> ((s, dir) => {
       val S = TSSchema(keys = Seq("event_type"))
       SeriesOps.collect(Tables.hourlyEvents(s, dir).drop("n"), S)
@@ -304,6 +360,45 @@ object NonparamQueries {
          |SELECT event_type, n1, n2, round(e, 6) AS e_dist,
          |  round((n1 * n2)::DOUBLE / (n1 + n2)::DOUBLE * e, 6) AS t_stat
          |FROM ee""".stripMargin,
+
+    "q_block_bootstrap" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |base AS (SELECT event_type, ts, value,
+         |    row_number() OVER w AS rn,
+         |    round(sum(value) OVER (PARTITION BY event_type ORDER BY ts
+         |      ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING), 4) AS bsum,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |starts AS (SELECT event_type, rn AS start, bsum FROM base WHERE rn <= nn - 24 + 1),
+         |meta AS (SELECT event_type, max(nn) AS nn,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM base GROUP BY 1),
+         |m2 AS (SELECT *, nn // 24 AS m, nn - 24 + 1 AS nstarts,
+         |    sv / nn AS mean, sqrt((svv - sv * sv / nn) / (nn - 1)) AS sd FROM meta),
+         |grid AS (SELECT event_type, nstarts, b, j,
+         |    ('0x' || substr(md5(event_type || ':' || b || ':' || j), 1, 15))::BIGINT
+         |      % nstarts + 1 AS start
+         |  FROM m2, (SELECT unnest(range(1, 201)) AS b), LATERAL (SELECT unnest(range(1, m + 1)) AS j)),
+         |res AS (SELECT g.event_type, g.b,
+         |    round(sum(s.bsum), 4) AS tot, count(*) * 24 AS cnt
+         |  FROM grid g JOIN starts s ON s.event_type = g.event_type AND s.start = g.start
+         |  GROUP BY 1, 2),
+         |rm AS (SELECT event_type, b, tot / cnt::DOUBLE AS rmean FROM res),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY rmean, b) AS rk FROM rm),
+         |ci AS (SELECT event_type,
+         |    max(CASE WHEN rk = 5 THEN rmean END) AS lo,
+         |    max(CASE WHEN rk = 196 THEN rmean END) AS hi
+         |  FROM rk WHERE rk IN (5, 196) GROUP BY 1),
+         |fin AS (SELECT c.event_type, m.nn, m.mean, c.lo, c.hi,
+         |    m.mean - 1.96E0 * m.sd / sqrt(CAST(m.nn AS DOUBLE)) AS nlo,
+         |    m.mean + 1.96E0 * m.sd / sqrt(CAST(m.nn AS DOUBLE)) AS nhi
+         |  FROM ci c JOIN m2 m USING (event_type))
+         |SELECT event_type, nn AS n_obs, round(mean, 6) AS mean,
+         |  round(lo, 6) AS boot_lo, round(hi, 6) AS boot_hi,
+         |  round(nlo, 6) AS naive_lo, round(nhi, 6) AS naive_hi,
+         |  round((hi - lo) / (nhi - nlo), 6) AS width_ratio
+         |FROM fin""".stripMargin,
 
     "q_huber" -> {
       val (aExpr, bExpr) = huberStep

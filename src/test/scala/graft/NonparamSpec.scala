@@ -58,6 +58,35 @@ class NonparamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_block_bootstrap: intervals contain the mean, bootstrap respects autocorrelation") {
+    val rows = SparkEntry.queries("q_block_bootstrap")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (mean, blo, bhi, nlo, nhi, wr) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(blo <= bhi && nlo <= nhi)
+      assert(mean >= nlo && mean <= nhi, "naive CI must contain the point mean")
+      assert(wr > 0.0, "width ratio must be positive")
+    }
+  }
+
+  test("q_synth_control: weights reproduce the pre-period fit quality") {
+    val r = SparkEntry.queries("q_synth_control")(spark, dir).collect()
+    assert(r.length == 1)
+    val (nPre, nPost, rmse) = (r(0).getLong(0), r(0).getLong(1), r(0).getDouble(7))
+    assert(nPre > 5 && nPost > 5, "both periods must be populated")
+    assert(rmse >= 0.0)
+    assert(!r(0).isNullAt(10), "z must be defined")
+  }
+
+  test("q_k_anonymity: class sizes conserve and k is the minimum") {
+    val rows = SparkEntry.queries("q_k_anonymity")(spark, dir).collect()
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val k = rows.map(_.getLong(4)).distinct
+    assert(k.length == 1 && k.head == rows.map(_.getLong(2)).min)
+  }
+
   test("q_huber: recovers a planted trend through 20% gross outliers where OLS cannot") {
     import spark.implicits._
     // y = 10 + 0.5 t, every 5th point blasted by +500
