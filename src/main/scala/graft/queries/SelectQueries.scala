@@ -352,6 +352,48 @@ object SelectQueries {
             .otherwise(0).as("diverges"))
     }),
 
+    // ── ROC analysis of the trained quality classifier: EXACT AUC over
+    // the 1e-6-quantized score domain (value-domain counting — the rank
+    // machinery runs on the ≤#distinct-scores frame, never a global doc
+    // sort) via the Mann-Whitney identity U = Σ_v c1(v)·(2·cum0(<v) +
+    // c0(v)), all BIGINTs; plus the Youden-J optimal operating threshold
+    // (max TPR − FPR over the same domain, tie → smallest threshold).
+    // Completes the classifier-eval battery: q_calibration (is p
+    // honest), q_cartography (which docs), THIS (how separable + where
+    // to cut). ──
+    "q_roc_auc" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val dom = feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .withColumn("p6", expr("CAST(round(1.0E0 / (1.0E0 + exp(-eta)) * 1e6) AS BIGINT)"))
+        .groupBy("p6").agg(
+          sum("y").cast("long").as("c1"),
+          (count(lit(1)) - sum("y")).cast("long").as("c0"))
+      val w = Window.partitionBy(substring(col("p6").cast("string"), 1, 0)).orderBy("p6")
+      val wAll = Window.partitionBy(substring(col("p6").cast("string"), 1, 0))
+      val cum = dom
+        .withColumn("cum0lt", coalesce(sum("c0").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cum1ge", sum("c1").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("cum0ge", sum("c0").over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("n1", sum("c1").over(wAll))
+        .withColumn("n0", sum("c0").over(wAll))
+        .withColumn("u2term", col("c1") * (col("cum0lt") * 2 + col("c0")))
+      val wJ = Window.partitionBy(substring(col("p6").cast("string"), 1, 0))
+        .orderBy((col("cum1ge") * col("n0") - col("cum0ge") * col("n1")).desc, col("p6"))
+      cum
+        .withColumn("u2", sum("u2term").over(wAll))
+        .withColumn("jrk", row_number().over(wJ))
+        .where(col("jrk") === 1)
+        .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+          round(col("u2").cast("double") / (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")), 6).as("auc"),
+          round(col("p6").cast("double") / 1e6, 6).as("best_threshold"),
+          round(col("cum1ge").cast("double") / col("n1").cast("double"), 6).as("tpr"),
+          round(col("cum0ge").cast("double") / col("n0").cast("double"), 6).as("fpr"),
+          round(col("cum1ge").cast("double") / col("n1").cast("double") -
+            col("cum0ge").cast("double") / col("n0").cast("double"), 6).as("youden_j"))
+    }),
+
     // ── Dataset cartography (Swayamdipta et al. 2020): per-doc mean
     // true-class confidence and variability across the THREE IRLS
     // training checkpoints → easy-to-learn / hard-to-learn / ambiguous
@@ -654,6 +696,32 @@ object SelectQueries {
          |  round(least(ctr + hw, 1.0E0), 6) AS ci_hi,
          |  CASE WHEN pr < ctr - hw OR pr > ctr + hw THEN 1 ELSE 0 END AS diverges
          |FROM ci""".stripMargin,
+
+    "q_roc_auc" ->
+      s"""WITH RECURSIVE $LogregChainSql,
+         |sc AS (SELECT y, round(1.0E0 / (1.0E0 + exp(-eta)) * 1e6)::BIGINT AS p6 FROM fs),
+         |dom AS (SELECT p6, sum(y)::BIGINT AS c1, (count(*) - sum(y))::BIGINT AS c0
+         |        FROM sc GROUP BY 1),
+         |cum AS (SELECT *,
+         |    coalesce(sum(c0) OVER (ORDER BY p6
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum0lt,
+         |    sum(c1) OVER (ORDER BY p6
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS cum1ge,
+         |    sum(c0) OVER (ORDER BY p6
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS cum0ge,
+         |    sum(c1) OVER ()::BIGINT AS n1,
+         |    sum(c0) OVER ()::BIGINT AS n0
+         |  FROM dom),
+         |u AS (SELECT *, sum(c1 * (cum0lt * 2 + c0)) OVER ()::BIGINT AS u2 FROM cum),
+         |j AS (SELECT *, row_number() OVER (
+         |    ORDER BY (cum1ge * n0 - cum0ge * n1) DESC, p6) AS jrk FROM u)
+         |SELECT n1 AS n_pos, n0 AS n_neg,
+         |  round(u2::DOUBLE / (2.0E0 * n1::DOUBLE * n0::DOUBLE), 6) AS auc,
+         |  round(p6::DOUBLE / 1e6, 6) AS best_threshold,
+         |  round(cum1ge::DOUBLE / n1::DOUBLE, 6) AS tpr,
+         |  round(cum0ge::DOUBLE / n0::DOUBLE, 6) AS fpr,
+         |  round(cum1ge::DOUBLE / n1::DOUBLE - cum0ge::DOUBLE / n0::DOUBLE, 6) AS youden_j
+         |FROM j WHERE jrk = 1""".stripMargin,
 
     "q_cartography" -> {
       def eta(a: String) =

@@ -89,6 +89,76 @@ object StabilityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Tukey-Kramer HSD post-hoc (Tukey 1949): which PAIRS differ once
+    // q_anova says "something does" — |mean_i − mean_j| against
+    // HSD = q₀.₀₅·√(MSW/2·(1/nᵢ+1/nⱼ)) with the studentized-range
+    // critical q(0.95, k=5, df=∞) = 3.858 as a shared literal
+    // (declared ∞-df approximation). Group moments ride the q_anova
+    // scaled-BIGINT reduction; the pair frame is #series². ──
+    "q_tukey_hsd" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grp = ev.groupBy("event_type").agg(
+        count(lit(1)).as("m"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        .withColumn("ssw_s", round(((col("svv") - col("sv") * col("sv") / col("m")) * lit(1e4))).cast("long"))
+      val msw = grp.groupBy().agg(
+        count(lit(1)).as("k"), sum("m").as("n"), sum("ssw_s").as("ssw_s"))
+        .withColumn("msw",
+          (col("ssw_s").cast("double") / lit(1e4)) / (col("n") - col("k")).cast("double"))
+        .select("msw", "n", "k")
+      val a = grp.select(col("event_type").as("ta"), col("m").as("ma"), col("sv").as("sva"))
+      val b = grp.select(col("event_type").as("tb"), col("m").as("mb"), col("sv").as("svb"))
+      a.join(broadcast(b), col("ta") < col("tb"))
+        .crossJoin(broadcast(msw))
+        .withColumn("diff", expr("abs(sva / ma - svb / mb)"))
+        .withColumn("hsd", expr("3.858E0 * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb))"))
+        .select(col("ta"), col("tb"), col("ma").as("n_a"), col("mb").as("n_b"),
+          round(col("diff"), 6).as("mean_diff"), round(col("hsd"), 6).as("hsd"),
+          when(col("diff") > col("hsd"), 1).otherwise(0).as("significant"))
+    }),
+
+    // ── Brown-Forsythe/Levene variance-homogeneity test (Levene 1960;
+    // Brown & Forsythe 1974): one-way F on z = |x − median_g| over the
+    // hourly panel — the heteroscedasticity gate before q_anova's
+    // equal-variance F means anything. Group medians are exact order
+    // statistics ((n+1)//2, (n+2)//2 picks over the series-keyed rank);
+    // the F rides the q_anova scaled-BIGINT reduction; flagged at
+    // F(0.95, 4, ∞) = 2.372 (shared literal, declared). ──
+    "q_levene" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("ts"))
+      val wp = Window.partitionBy("event_type")
+      val rk = hourly
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nn", count(lit(1)).over(wp))
+      val med = rk
+        .where(col("rn") === expr("(nn + 1) DIV 2") || col("rn") === expr("(nn + 2) DIV 2"))
+        .groupBy("event_type")
+        .agg((sum("value") / count(lit(1))).as("med"))
+      val z = hourly.join(broadcast(med), "event_type")
+        .withColumn("z", abs(col("value") - col("med")))
+      val grp = z.groupBy("event_type").agg(
+        count(lit(1)).as("m"),
+        round(sum("z"), 4).as("sv"),
+        round(sum(col("z") * col("z")), 2).as("svv"))
+        .withColumn("ssw_s", round(((col("svv") - col("sv") * col("sv") / col("m")) * lit(1e4))).cast("long"))
+        .withColumn("ssb_term_s", round((col("sv") * col("sv") / col("m") * lit(1e4))).cast("long"))
+        .withColumn("sv_s", round(col("sv") * lit(1e4)).cast("long"))
+      grp.groupBy().agg(
+        count(lit(1)).as("k"), sum("m").as("n"),
+        sum("ssw_s").as("ssw_s"), sum("ssb_term_s").as("ssb_s"), sum("sv_s").as("gs_s"))
+        .withColumn("ssw", col("ssw_s").cast("double") / lit(1e4))
+        .withColumn("ssb",
+          col("ssb_s").cast("double") / lit(1e4) -
+            (col("gs_s").cast("double") / lit(1e4)) * (col("gs_s").cast("double") / lit(1e4)) / col("n").cast("double"))
+        .withColumn("w_stat",
+          (col("ssb") / (col("k") - lit(1L)).cast("double")) /
+            (col("ssw") / (col("n") - col("k")).cast("double")))
+        .select(col("k"), col("n"), round(col("w_stat"), 6).as("w_stat"),
+          when(col("w_stat") > lit(2.372), 1).otherwise(0).as("heteroscedastic"))
+    }),
+
     "q_chow_test" -> ((s, dir) => {
       val hourly = Tables.hourlyEvents(s, dir).drop("value")
       val w = Window.partitionBy("event_type").orderBy("ts")
@@ -260,6 +330,56 @@ object StabilityQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_tukey_hsd" ->
+      """WITH grp AS (SELECT event_type, count(*)::BIGINT AS m,
+        |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+        |  FROM events GROUP BY 1),
+        |g2 AS (SELECT *, round((svv - sv * sv / m) * 1e4)::BIGINT AS ssw_s FROM grp),
+        |msw AS (SELECT count(*)::BIGINT AS k, sum(m)::BIGINT AS n,
+        |    sum(ssw_s)::BIGINT AS ssw_s FROM g2),
+        |mw AS (SELECT (ssw_s::DOUBLE / 1e4) / (n - k)::DOUBLE AS msw FROM msw),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.m AS ma, b.m AS mb, a.sv AS sva, b.sv AS svb
+        |  FROM g2 a JOIN g2 b ON a.event_type < b.event_type)
+        |SELECT ta, tb, ma AS n_a, mb AS n_b,
+        |  round(abs(sva / ma - svb / mb), 6) AS mean_diff,
+        |  round(3.858E0 * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb)), 6) AS hsd,
+        |  CASE WHEN abs(sva / ma - svb / mb)
+        |       > 3.858E0 * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb))
+        |       THEN 1 ELSE 0 END AS significant
+        |FROM pr, mw""".stripMargin,
+
+    "q_levene" ->
+      s"""WITH hourly AS ($H),
+         |rk AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |med AS (SELECT event_type, sum(value) / count(*) AS med
+         |  FROM rk WHERE rn = (nn + 1) // 2 OR rn = (nn + 2) // 2 GROUP BY 1),
+         |z AS (SELECT h.event_type, abs(h.value - m.med) AS z
+         |      FROM hourly h JOIN med m USING (event_type)),
+         |grp AS (SELECT event_type, count(*)::BIGINT AS m,
+         |    round(sum(z), 4) AS sv, round(sum(z * z), 2) AS svv
+         |  FROM z GROUP BY 1),
+         |g2 AS (SELECT *,
+         |    round((svv - sv * sv / m) * 1e4)::BIGINT AS ssw_s,
+         |    round(sv * sv / m * 1e4)::BIGINT AS ssb_term_s,
+         |    round(sv * 1e4)::BIGINT AS sv_s
+         |  FROM grp),
+         |agg AS (SELECT count(*)::BIGINT AS k, sum(m)::BIGINT AS n,
+         |    sum(ssw_s)::BIGINT AS ssw_s, sum(ssb_term_s)::BIGINT AS ssb_s,
+         |    sum(sv_s)::BIGINT AS gs_s FROM g2),
+         |st AS (SELECT k, n, ssw_s::DOUBLE / 1e4 AS ssw,
+         |    ssb_s::DOUBLE / 1e4
+         |      - (gs_s::DOUBLE / 1e4) * (gs_s::DOUBLE / 1e4) / n::DOUBLE AS ssb
+         |  FROM agg),
+         |ww AS (SELECT k, n,
+         |    (ssb / (k - 1)::DOUBLE) / (ssw / (n - k)::DOUBLE) AS w_stat FROM st)
+         |SELECT k, n, round(w_stat, 6) AS w_stat,
+         |  CASE WHEN w_stat > 2.372E0 THEN 1 ELSE 0 END AS heteroscedastic
+         |FROM ww""".stripMargin,
 
     "q_chow_test" -> {
       val sseP = sseSql("m", "st", "stt", "sy", "sty", "syy")

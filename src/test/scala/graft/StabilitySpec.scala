@@ -7,6 +7,36 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Validation of the structural-stability pack (StabilityQueries). */
 class StabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  test("q_tukey_hsd: HSD positive, significance consistent with the gap") {
+    val rows = SparkEntry.queries("q_tukey_hsd")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (diff, hsd, sig) = (r.getDouble(4), r.getDouble(5), r.getInt(6))
+      assert(hsd > 0)
+      assert((diff > hsd) == (sig == 1))
+    }
+  }
+
+  test("q_levene: W nonnegative with sane dfs") {
+    val r = SparkEntry.queries("q_levene")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 5, "five groups")
+    assert(r(0).getDouble(2) >= 0.0)
+  }
+
+  test("q_roc_auc: AUC and J bounded, threshold consistent") {
+    val r = SparkEntry.queries("q_roc_auc")(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == 1)
+    val (auc, thr, tpr, fpr, j) =
+      (r(0).getDouble(2), r(0).getDouble(3), r(0).getDouble(4), r(0).getDouble(5), r(0).getDouble(6))
+    assert(auc >= 0.0 && auc <= 1.0 + 1e-9)
+    assert(thr >= 0.0 && thr <= 1.0)
+    assert(math.abs(j - (tpr - fpr)) < 1e-5)
+    // a trained classifier on its own training data must beat chance
+    assert(auc > 0.5, s"AUC $auc at or below chance")
+    assert(j > 0.0)
+  }
+
   private lazy val spark = SparkSession.builder()
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
