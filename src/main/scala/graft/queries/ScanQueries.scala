@@ -45,6 +45,12 @@ object ScanQueries {
   /** ESS autocorrelation horizon. */
   private val K = 24
 
+  /** Dense zero-filled hourly grid (the TS.fillGaps twin of
+    * Tables.denseHourlySql). */
+  private def dense(s: SparkSession, dir: String): DataFrame =
+    graft.TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"),
+      graft.TSSchema(keys = Seq("event_type")), 3600L, Some(0.0))
+
   /** Lanczos Γ(z) for z in (0.5, 1.5) (g = 7, 9 coefficients) as an
     * engine-shared SQL fragment — every literal E-notation so Spark's
     * expr() never falls into DECIMAL arithmetic. */
@@ -245,6 +251,108 @@ object ScanQueries {
         .where(col("d2") > lit(13.815511))
         .select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
           col("value"), col("n").as("n_events"), round(col("d2"), 6).as("d2"))
+    }),
+
+    // Detrended fluctuation analysis (Peng et al. 1994): long-range
+    // correlation exponent α from the RMS fluctuation of the OLS-detrended
+    // cumulative profile over box sizes {8,16,32,64} — the
+    // nonstationarity-robust Hurst complement to q_feat_hurst's R/S.
+    // The profile is a sequential cumulative sum (identical IEEE order
+    // both engines), per-box time moments are integer literals in s,
+    // per-box Y-moments 4/2-dp-snapped, SSE by the normal-equations
+    // identity; the log-log fit runs on a 4-row frame. One window pass
+    // + one (series, s, box) aggregation.
+    "q_dfa" -> ((s, dir) => {
+      val dense0 = dense(s, dir)
+      val wp = Window.partitionBy("event_type")
+      val wo = Window.partitionBy("event_type").orderBy("ts")
+      val prof = dense0
+        .withColumn("mu", (round(sum("value").over(wp), 4) / count(lit(1)).over(wp)))
+        .withColumn("yy", sum(col("value") - col("mu")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wo))
+      val sizes = Seq(8, 16, 32, 64)
+      val boxes = sizes.map { sz =>
+        prof.select(col("event_type"), lit(sz).as("s"),
+          expr(s"(rn - 1) DIV $sz").as("box"),
+          (((col("rn") - 1) % sz) + 1).as("t"), col("yy"))
+      }.reduce(_ unionAll _)
+      val perBox = boxes.groupBy("event_type", "s", "box").agg(
+        count(lit(1)).as("cnt"),
+        round(sum("yy"), 4).as("sy"),
+        round(sum(col("t") * col("yy")), 2).as("sty"),
+        round(sum(col("yy") * col("yy")), 2).as("syy"))
+        .where(col("cnt") === col("s"))
+        .withColumn("st", expr("(s * (s + 1)) DIV 2"))
+        .withColumn("stt", expr("(s * (s + 1) * (2 * s + 1)) DIV 6"))
+        .withColumn("sxx", expr("CAST(stt AS DOUBLE) - (CAST(st AS DOUBLE) * st) / s"))
+        .withColumn("sxy", expr("sty - (CAST(st AS DOUBLE) * sy) / s"))
+        .withColumn("b", expr("sxy / sxx"))
+        .withColumn("a", expr("(sy - b * st) / s"))
+        .withColumn("sse", expr("syy - a * sy - b * sty"))
+      val fl = perBox.groupBy("event_type", "s").agg(
+        count(lit(1)).as("n_boxes"),
+        round(sum("sse"), 4).as("ssse"))
+        .withColumn("fs", expr("sqrt(ssse / (n_boxes * s))"))
+        .withColumn("lx", log(col("s").cast("double")))
+        .withColumn("ly", log(col("fs")))
+      val wAll = Window.partitionBy("event_type")
+      fl
+        .withColumn("np", count(lit(1)).over(wAll).cast("double"))
+        .withColumn("sx", round(sum("lx").over(wAll), 6))
+        .withColumn("sy2", round(sum("ly").over(wAll), 6))
+        .withColumn("sxx2", round(sum(col("lx") * col("lx")).over(wAll), 6))
+        .withColumn("sxy2", round(sum(col("lx") * col("ly")).over(wAll), 6))
+        .withColumn("alpha", expr("(np * sxy2 - sx * sy2) / (np * sxx2 - sx * sx)"))
+        .select(col("event_type"), col("s").cast("int").as("box_size"),
+          col("n_boxes"), round(col("fs"), 6).as("fluctuation"),
+          round(col("alpha"), 6).as("dfa_alpha"))
+    }),
+
+    // Sample entropy (Richman & Moorman 2000): −ln(A/B) with B = m=2
+    // template matches and A = m=3 matches under Chebyshev tolerance
+    // r = 0.2σ — the complexity measure that, unlike q_perm_entropy's
+    // ordinal patterns, sees amplitude. All matches are integer counts
+    // of snapped-value comparisons from ONE O(n²) key-equality self-join
+    // per series (n = dense grid, time-span-bounded).
+    "q_sampen" -> ((s, dir) => {
+      val wo = Window.partitionBy("event_type").orderBy("ts")
+      val wp = Window.partitionBy("event_type")
+      val base = dense(s, dir)
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("nn", count(lit(1)).over(wp))
+        .withColumn("v1", lead("value", 1).over(wo))
+        .withColumn("v2", lead("value", 2).over(wo))
+      val mom = base.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("svv"))
+        .withColumn("r", round(
+          expr("0.2E0 * sqrt((svv - sv * sv / n) / (n - 1))"), 6))
+        .select("event_type", "n", "r")
+      val tmpl = graft.Scratch.materialize(
+        base.where(col("v1").isNotNull)
+          .join(broadcast(mom), "event_type")
+          .select(col("event_type"), col("rn"), col("value").as("v0"), col("v1"), col("v2"), col("r")),
+        "sampen_tmpl")
+      val p1 = tmpl.select(col("event_type"), col("rn").as("i"),
+        col("v0").as("a0"), col("v1").as("a1"), col("v2").as("a2"), col("r"))
+      val p2 = tmpl.select(col("event_type"), col("rn").as("j"),
+        col("v0").as("b0"), col("v1").as("b1"), col("v2").as("b2"))
+      p1.join(p2, Seq("event_type")).where(col("i") < col("j"))
+        .withColumn("m2", (abs(col("a0") - col("b0")) <= col("r")) &&
+          (abs(col("a1") - col("b1")) <= col("r")))
+        .withColumn("m3", col("m2") && col("a2").isNotNull && col("b2").isNotNull &&
+          (abs(col("a2") - col("b2")) <= col("r")))
+        .groupBy("event_type").agg(
+          sum(when(col("m2"), 1L).otherwise(0L)).as("b_cnt"),
+          sum(when(col("m3"), 1L).otherwise(0L)).as("a_cnt"))
+        .join(broadcast(mom), "event_type")
+        .select(col("event_type"), col("n").as("n_obs"), col("r").as("tolerance"),
+          col("b_cnt"), col("a_cnt"),
+          when(col("a_cnt") > 0,
+            round(-log(col("a_cnt").cast("double") / col("b_cnt").cast("double")), 6))
+            .as("sampen"))
     }),
 
     // GEV block-maxima return levels via L-moments (Hosking, Wallis &
@@ -499,6 +607,75 @@ object ScanQueries {
          |SELECT event_type, (epoch_us(ts) // 1000000)::BIGINT AS ts_s,
          |  value, n::BIGINT AS n_events, round(d2, 6) AS d2
          |FROM sc WHERE d2 > 13.815511E0""".stripMargin,
+
+    "q_dfa" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |mu AS (SELECT event_type, round(sum(value), 4) / count(*) AS mu FROM dense GROUP BY 1),
+         |prof AS (SELECT d.event_type, d.ts,
+         |    sum(d.value - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS yy,
+         |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.ts) AS rn
+         |  FROM dense d JOIN mu m USING (event_type)),
+         |boxes AS (SELECT p.event_type, s.s, (p.rn - 1) // s.s AS box,
+         |    ((p.rn - 1) % s.s) + 1 AS t, p.yy
+         |  FROM prof p CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS s) s),
+         |pb AS (SELECT event_type, s, box, count(*)::BIGINT AS cnt,
+         |    round(sum(yy), 4) AS sy, round(sum(t * yy), 2) AS sty,
+         |    round(sum(yy * yy), 2) AS syy
+         |  FROM boxes GROUP BY 1, 2, 3),
+         |fit AS (SELECT *, (s * (s + 1)) // 2 AS st,
+         |    (s * (s + 1) * (2 * s + 1)) // 6 AS stt
+         |  FROM pb WHERE cnt = s),
+         |ab AS (SELECT *,
+         |    CAST(stt AS DOUBLE) - (CAST(st AS DOUBLE) * st) / s AS sxx,
+         |    sty - (CAST(st AS DOUBLE) * sy) / s AS sxy
+         |  FROM fit),
+         |bb AS (SELECT *, sxy / sxx AS b FROM ab),
+         |aa AS (SELECT *, (sy - b * st) / s AS a FROM bb),
+         |sse AS (SELECT event_type, s, syy - a * sy - b * sty AS sse FROM aa),
+         |fl AS (SELECT event_type, s, count(*)::BIGINT AS n_boxes,
+         |    round(sum(sse), 4) AS ssse FROM sse GROUP BY 1, 2),
+         |fs AS (SELECT *, sqrt(ssse / (n_boxes * s)) AS fs,
+         |    ln(s::DOUBLE) AS lx FROM fl),
+         |f2 AS (SELECT *, ln(fs) AS ly FROM fs),
+         |ag AS (SELECT *,
+         |    count(*) OVER (PARTITION BY event_type)::DOUBLE AS np,
+         |    round(sum(lx) OVER (PARTITION BY event_type), 6) AS sx,
+         |    round(sum(ly) OVER (PARTITION BY event_type), 6) AS sy2,
+         |    round(sum(lx * lx) OVER (PARTITION BY event_type), 6) AS sxx2,
+         |    round(sum(lx * ly) OVER (PARTITION BY event_type), 6) AS sxy2
+         |  FROM f2)
+         |SELECT event_type, s::INT AS box_size, n_boxes,
+         |  round(fs, 6) AS fluctuation,
+         |  round((np * sxy2 - sx * sy2) / (np * sxx2 - sx * sx), 6) AS dfa_alpha
+         |FROM ag""".stripMargin,
+
+    "q_sampen" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |base AS (SELECT event_type, value,
+         |    row_number() OVER w AS rn,
+         |    lead(value, 1) OVER w AS v1, lead(value, 2) OVER w AS v2
+         |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |mom AS (SELECT event_type, count(*)::BIGINT AS n,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM base GROUP BY 1),
+         |rr AS (SELECT event_type, n,
+         |    round(0.2E0 * sqrt((svv - sv * sv / n) / (n - 1)), 6) AS r FROM mom),
+         |tmpl AS (SELECT b.event_type, b.rn, b.value AS v0, b.v1, b.v2, r.r
+         |         FROM base b JOIN rr r USING (event_type) WHERE b.v1 IS NOT NULL),
+         |cnts AS (SELECT p.event_type,
+         |    sum(CASE WHEN abs(p.v0 - q.v0) <= p.r AND abs(p.v1 - q.v1) <= p.r
+         |        THEN 1 ELSE 0 END)::BIGINT AS b_cnt,
+         |    sum(CASE WHEN abs(p.v0 - q.v0) <= p.r AND abs(p.v1 - q.v1) <= p.r
+         |             AND p.v2 IS NOT NULL AND q.v2 IS NOT NULL AND abs(p.v2 - q.v2) <= p.r
+         |        THEN 1 ELSE 0 END)::BIGINT AS a_cnt
+         |  FROM tmpl p JOIN tmpl q ON p.event_type = q.event_type AND p.rn < q.rn
+         |  GROUP BY 1)
+         |SELECT c.event_type, r.n AS n_obs, r.r AS tolerance, c.b_cnt, c.a_cnt,
+         |  CASE WHEN c.a_cnt > 0 THEN round(-ln(c.a_cnt::DOUBLE / c.b_cnt::DOUBLE), 6) END AS sampen
+         |FROM cnts c JOIN rr r USING (event_type)""".stripMargin,
 
     "q_gev_return" -> {
       // fold the shared expression chain into nested CTE layers so each

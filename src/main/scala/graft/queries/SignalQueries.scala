@@ -143,6 +143,55 @@ object SignalQueries {
           col("value"), col("thr").as("threshold"))
     }),
 
+    // ── Welch-averaged cross-spectral coherence + phase lag per series
+    // pair at the {6,12,24}h cycles: 72-hour segments (an exact multiple
+    // of every candidate period, so per-segment phases are commensurate),
+    // per-segment DFT coefficients from 4-dp-snapped trig sums, coherence
+    // = |ΣXY*|²/(Σ|X|²·Σ|Y|²) ∈ [0,1] and the phase converted to a lag in
+    // hours — WHO LEADS WHOM at the daily cycle, the frequency-domain
+    // companion to q_xcorr's time-domain peak lag. Pair rows are the
+    // common aligned hours (key-equality join on ts); segment count and
+    // pair count are span/series bounded. ──
+    "q_coherence" -> ((s, dir) => {
+      import s.implicits._
+      val SegLen = 72
+      val hourly = graft.TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"),
+        graft.TSSchema(keys = Seq("event_type")), 3600L, Some(0.0))
+      val mu = hourly.groupBy("event_type").agg(
+        (round(sum("value"), 4) / count(lit(1))).as("mu"))
+      val a = hourly.join(broadcast(mu), "event_type")
+        .select(col("event_type").as("ta"), col("ts"), (col("value") - col("mu")).as("xa"))
+      val b = hourly.join(broadcast(mu), "event_type")
+        .select(col("event_type").as("tb"), col("ts"), (col("value") - col("mu")).as("xb"))
+      val wP = Window.partitionBy("ta", "tb").orderBy("ts")
+      val pr = a.join(b, "ts").where(col("ta") < col("tb"))
+        .withColumn("rn", row_number().over(wP))
+        .withColumn("g", expr(s"(rn - 1) DIV $SegLen"))
+        .withColumn("trel", ((col("rn") - 1) % SegLen) + 1)
+      val periods = Seq(6.0, 12.0, 24.0).toDF("p")
+      val seg = pr.crossJoin(broadcast(periods))
+        .withColumn("w", expr("2.0E0 * pi() / p"))
+        .groupBy("ta", "tb", "g", "p").agg(
+          count(lit(1)).as("cnt"),
+          round(sum(expr("xa * cos(w * trel)")), 4).as("rex"),
+          round(sum(expr("xa * sin(w * trel)")), 4).as("imx"),
+          round(sum(expr("xb * cos(w * trel)")), 4).as("rey"),
+          round(sum(expr("xb * sin(w * trel)")), 4).as("imy"))
+        .where(col("cnt") === SegLen)
+      seg.groupBy("ta", "tb", "p").agg(
+        count(lit(1)).as("n_segments"),
+        round(sum(expr("rex * rey + imx * imy")), 4).as("cre"),
+        round(sum(expr("imx * rey - rex * imy")), 4).as("cim"),
+        round(sum(expr("rex * rex + imx * imx")), 4).as("sxx"),
+        round(sum(expr("rey * rey + imy * imy")), 4).as("syy"))
+        .withColumn("coh", expr("(cre * cre + cim * cim) / (sxx * syy)"))
+        .withColumn("phase", expr("atan2(cim, cre)"))
+        .select(col("ta"), col("tb"), col("p").cast("int").as("period_h"),
+          col("n_segments"), round(col("coh"), 6).as("coherence"),
+          round(col("phase"), 6).as("phase_rad"),
+          round(expr("phase / (2.0E0 * pi()) * p"), 6).as("lag_hours"))
+    }),
+
     "q_calendar_lift" -> ((s, dir) => {
       val hourly = Tables.hourlyEvents(s, dir).drop("n")
         .withColumn("dow", (dayofweek(col("ts")) + 5) % 7)
@@ -253,6 +302,42 @@ object SignalQueries {
          |FROM wn
          |WHERE value = wmax AND value >= thr AND nwin = 7
          |  AND (prevv IS NULL OR value > prevv)""".stripMargin,
+
+    "q_coherence" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |mu AS (SELECT event_type, round(sum(value), 4) / count(*) AS mu
+         |       FROM dense GROUP BY 1),
+         |c AS (SELECT h.event_type, h.ts, h.value - m.mu AS x
+         |      FROM dense h JOIN mu m USING (event_type)),
+         |pr AS (SELECT a.event_type AS ta, b.event_type AS tb, a.ts,
+         |         a.x AS xa, b.x AS xb,
+         |         row_number() OVER (PARTITION BY a.event_type, b.event_type
+         |           ORDER BY a.ts) AS rn
+         |       FROM c a JOIN c b ON a.ts = b.ts AND a.event_type < b.event_type),
+         |sg AS (SELECT ta, tb, xa, xb, (rn - 1) // 72 AS g,
+         |         ((rn - 1) % 72) + 1 AS trel
+         |       FROM pr),
+         |pp AS (SELECT s.*, p.p, 2.0E0 * pi() / p.p AS w
+         |       FROM sg s CROSS JOIN (SELECT unnest([6.0E0, 12.0E0, 24.0E0]) AS p) p),
+         |seg AS (SELECT ta, tb, g, p, count(*) AS cnt,
+         |    round(sum(xa * cos(w * trel)), 4) AS rex,
+         |    round(sum(xa * sin(w * trel)), 4) AS imx,
+         |    round(sum(xb * cos(w * trel)), 4) AS rey,
+         |    round(sum(xb * sin(w * trel)), 4) AS imy
+         |  FROM pp GROUP BY 1, 2, 3, 4),
+         |agg AS (SELECT ta, tb, p, count(*)::BIGINT AS n_segments,
+         |    round(sum(rex * rey + imx * imy), 4) AS cre,
+         |    round(sum(imx * rey - rex * imy), 4) AS cim,
+         |    round(sum(rex * rex + imx * imx), 4) AS sxx,
+         |    round(sum(rey * rey + imy * imy), 4) AS syy
+         |  FROM seg WHERE cnt = 72 GROUP BY 1, 2, 3),
+         |st AS (SELECT *, (cre * cre + cim * cim) / (sxx * syy) AS coh,
+         |    atan2(cim, cre) AS phase FROM agg)
+         |SELECT ta, tb, p::INT AS period_h, n_segments,
+         |  round(coh, 6) AS coherence, round(phase, 6) AS phase_rad,
+         |  round(phase / (2.0E0 * pi()) * p, 6) AS lag_hours
+         |FROM st""".stripMargin,
 
     "q_calendar_lift" ->
       s"""WITH hourly AS ($H),

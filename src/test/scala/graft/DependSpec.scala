@@ -82,6 +82,36 @@ class DependSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_dfa: one alpha per series, fluctuations grow with box size") {
+    val rows = SparkEntry.queries("q_dfa")(spark, dir).collect()
+    assert(rows.length == 20, "5 series x 4 box sizes")
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.map(_.getDouble(4)).distinct.length == 1, s"$et: alpha not constant")
+      val bySize = rs.sortBy(_.getInt(1))
+      assert(bySize.last.getDouble(3) > bySize.head.getDouble(3),
+        s"$et: F(64) must exceed F(8) for any real series")
+    }
+  }
+
+  test("q_sampen: counts nested (A <= B), entropy nonnegative") {
+    val rows = SparkEntry.queries("q_sampen")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "m=3 matches are a subset of m=2 matches")
+      if (!r.isNullAt(5)) assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
+  test("q_coherence: bounded in [0,1], lag within half a period") {
+    val rows = SparkEntry.queries("q_coherence")(spark, dir).collect()
+    assert(rows.length == 30, "10 pairs x 3 periods")
+    rows.foreach { r =>
+      val (p, coh, lag) = (r.getInt(2), r.getDouble(4), r.getDouble(6))
+      assert(coh >= -1e-9 && coh <= 1.0 + 1e-9, s"coherence $coh out of [0,1]")
+      assert(math.abs(lag) <= p / 2.0 + 1e-6, s"lag $lag beyond half of $p")
+    }
+  }
+
   test("q_gev_return: return levels ordered and above the location parameter") {
     val rows = SparkEntry.queries("q_gev_return")(spark, dir).collect()
     assert(rows.length == 5)
