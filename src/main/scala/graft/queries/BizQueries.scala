@@ -73,6 +73,38 @@ object BizQueries {
               col("churned").cast("double"), 6)).as("quick_ratio"))
     }),
 
+    // ── Funnel step-timing: per user, the gap between FIRST view →
+    // first click → first purchase (ordered pairs only), with exact
+    // p50/p90 by value-domain counting over integer minute gaps (the
+    // q_leadtime discipline — a ≤#distinct-gaps frame, never a per-group
+    // sort) — q_funnel says how many convert, THIS says how long they
+    // take. One user-keyed aggregation, scale axis = users. ──
+    "q_funnel_timing" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firsts = ev.where(col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id").agg(
+          min(when(col("event_type") === "view", expr("unix_micros(ts)"))).as("tv"),
+          min(when(col("event_type") === "click", expr("unix_micros(ts)"))).as("tc"),
+          min(when(col("event_type") === "purchase", expr("unix_micros(ts)"))).as("tp"))
+      val gaps = firsts.select(lit("view->click").as("step_pair"),
+        when(col("tc") >= col("tv"), expr("(tc - tv) DIV 60000000")).as("gap_min"))
+        .unionAll(firsts.select(lit("click->purchase").as("step_pair"),
+          when(col("tp") >= col("tc"), expr("(tp - tc) DIV 60000000")).as("gap_min")))
+        .where(col("gap_min").isNotNull)
+      val cnt = gaps.groupBy("step_pair", "gap_min").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("step_pair").orderBy("gap_min")
+      val wAll = Window.partitionBy("step_pair")
+      val cum = cnt
+        .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(wAll))
+        .withColumn("sg", sum(col("c") * col("gap_min")).over(wAll))
+      def pick(q: Int) = min(when(col("cum") * 100 >= col("n") * q, col("gap_min")))
+      cum.groupBy("step_pair").agg(
+        max("n").as("n_users"),
+        round((max("sg").cast("double") / max("n").cast("double")), 6).as("mean_min"),
+        pick(50).as("p50_min"), pick(90).as("p90_min"))
+    }),
+
     // ── Adtributor root-cause attribution (Bhagwan et al. 2014): when
     // the metric moves between the halves, which dimension values
     // explain it? Per event_type: explanatory power EP = Δv_i/ΔV and
@@ -441,6 +473,32 @@ object BizQueries {
         |       THEN round((f.new_users + f.resurrected)::DOUBLE / c.churned::DOUBLE, 6)
         |  END AS quick_ratio
         |FROM flows f LEFT JOIN churn c ON c.w = f.w""".stripMargin,
+
+    "q_funnel_timing" ->
+      """WITH firsts AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS tc,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase') GROUP BY 1),
+        |gaps AS (
+        |  SELECT 'view->click' AS step_pair,
+        |    CASE WHEN tc >= tv THEN (tc - tv) // 60000000 END AS gap_min FROM firsts
+        |  UNION ALL
+        |  SELECT 'click->purchase',
+        |    CASE WHEN tp >= tc THEN (tp - tc) // 60000000 END FROM firsts),
+        |g AS (SELECT * FROM gaps WHERE gap_min IS NOT NULL),
+        |cnt AS (SELECT step_pair, gap_min, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    sum(c) OVER (PARTITION BY step_pair ORDER BY gap_min
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY step_pair)::BIGINT AS n,
+        |    sum(c * gap_min) OVER (PARTITION BY step_pair)::BIGINT AS sg
+        |  FROM cnt)
+        |SELECT step_pair, max(n)::BIGINT AS n_users,
+        |  round(max(sg)::DOUBLE / max(n)::DOUBLE, 6) AS mean_min,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN gap_min END)::BIGINT AS p50_min,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN gap_min END)::BIGINT AS p90_min
+        |FROM cum GROUP BY 1""".stripMargin,
 
     "q_adtributor" ->
       """WITH bounds AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1,

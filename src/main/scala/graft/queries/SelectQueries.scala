@@ -394,6 +394,77 @@ object SelectQueries {
             col("cum0ge").cast("double") / col("n0").cast("double"), 6).as("youden_j"))
     }),
 
+    // ── Exact logit-scale Shapley attribution of the quality classifier
+    // (for a linear logit, the Shapley value of feature i is EXACTLY
+    // β_i·(x_i − x̄_i) — no sampling): per source, the mean |contribution|
+    // and mean signed contribution of each feature — WHICH signal drives
+    // keep/drop decisions where, the interpretability report next to
+    // q_roc_auc's aggregate quality. Feature means snapped; contributions
+    // reduce as 1e6-scaled BIGINTs. ──
+    "q_shap_logit" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val means = feats.agg(
+        count(lit(1)).as("nn"),
+        round(sum("x1"), 4).as("m1s"), round(sum("x2"), 4).as("m2s"),
+        round(sum("x3"), 4).as("m3s"), round(sum("x4"), 4).as("m4s"))
+      val contrib = feats.crossJoin(broadcast(beta)).crossJoin(broadcast(means))
+      val feats4 = Seq("x1" -> "b2", "x2" -> "b3", "x3" -> "b4", "x4" -> "b5")
+        .zipWithIndex.map { case ((x, b), i) =>
+          val m = s"m${i + 1}s / nn"
+          contrib
+            .withColumn("phi", expr(s"$b * ($x - $m)"))
+            .groupBy("source").agg(
+              count(lit(1)).as("n_docs"),
+              sum(expr("CAST(round(abs(phi) * 1e6) AS BIGINT)")).as("sa6"),
+              sum(expr("CAST(round(phi * 1e6) AS BIGINT)")).as("ss6"))
+            .select(col("source"), lit(x).as("feature"), col("n_docs"),
+              round(col("sa6").cast("double") / (col("n_docs").cast("double") * 1e6), 6)
+                .as("mean_abs_shap"),
+              round(col("ss6").cast("double") / (col("n_docs").cast("double") * 1e6), 6)
+                .as("mean_shap"))
+        }
+      feats4.reduce(_ unionAll _)
+    }),
+
+    // ── Cumulative gains of the quality classifier: what share of the
+    // positives does the top-k% by score capture, k ∈ {5,10,20,50}? The
+    // deployment-facing cousin of q_roc_auc — "skim the top decile" is a
+    // budget decision, and this is its exact yield. Cut thresholds come
+    // from exact integer-rank order statistics over the 1e-6-quantized
+    // score domain (value-domain counting — never a global doc sort). ──
+    "q_gains" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val dom = feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .withColumn("p6", expr("CAST(round(1.0E0 / (1.0E0 + exp(-eta)) * 1e6) AS BIGINT)"))
+        .groupBy("p6").agg(
+          count(lit(1)).as("c"), sum("y").cast("long").as("c1"))
+      val zd = substring(col("p6").cast("string"), 1, 0)
+      val w = Window.partitionBy(zd).orderBy(col("p6").desc)
+      val wAll = Window.partitionBy(zd)
+      val cum = dom
+        .withColumn("cumc", sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cum1", sum("c1").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nn", sum("c").over(wAll))
+        .withColumn("n1", sum("c1").over(wAll))
+      import s.implicits._
+      val ks = Seq(5, 10, 20, 50).toDF("kpct")
+      // first domain row whose cumulative count reaches k% of the corpus
+      cum.crossJoin(broadcast(ks))
+        .where(col("cumc") * 100 >= col("nn") * col("kpct"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("kpct").orderBy(col("p6").desc)))
+        .where(col("rk") === 1)
+        .select(col("kpct"), col("cumc").as("n_top"),
+          col("cum1").as("pos_top"), col("n1").as("n_pos"),
+          round(col("p6").cast("double") / 1e6, 6).as("score_cut"),
+          round(col("cum1").cast("double") / col("n1").cast("double"), 6).as("capture"),
+          round((col("cum1").cast("double") / col("n1").cast("double")) /
+            (col("cumc").cast("double") / col("nn").cast("double")), 6).as("lift"))
+    }),
+
     // ── Dataset cartography (Swayamdipta et al. 2020): per-doc mean
     // true-class confidence and variability across the THREE IRLS
     // training checkpoints → easy-to-learn / hard-to-learn / ambiguous
@@ -696,6 +767,45 @@ object SelectQueries {
          |  round(least(ctr + hw, 1.0E0), 6) AS ci_hi,
          |  CASE WHEN pr < ctr - hw OR pr > ctr + hw THEN 1 ELSE 0 END AS diverges
          |FROM ci""".stripMargin,
+
+    "q_shap_logit" -> {
+      val unions = Seq("x1" -> "2", "x2" -> "3", "x3" -> "4", "x4" -> "5")
+        .zipWithIndex.map { case ((x, b), i) =>
+          s"""SELECT source, '$x' AS feature, count(*)::BIGINT AS n_docs,
+             |  round(sum(round(abs(bb.b1[$b] * ($x - m.m${i + 1}s / m.nn)) * 1e6)::BIGINT)::BIGINT::DOUBLE
+             |    / (count(*)::DOUBLE * 1e6), 6) AS mean_abs_shap,
+             |  round(sum(round((bb.b1[$b] * ($x - m.m${i + 1}s / m.nn)) * 1e6)::BIGINT)::BIGINT::DOUBLE
+             |    / (count(*)::DOUBLE * 1e6), 6) AS mean_shap
+             |FROM f CROSS JOIN k3beta bb CROSS JOIN means m GROUP BY 1""".stripMargin
+        }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE $LogregChainSql,
+         |means AS (SELECT count(*)::BIGINT AS nn,
+         |    round(sum(x1), 4) AS m1s, round(sum(x2), 4) AS m2s,
+         |    round(sum(x3), 4) AS m3s, round(sum(x4), 4) AS m4s
+         |  FROM f)
+         |$unions""".stripMargin
+    },
+
+    "q_gains" ->
+      s"""WITH RECURSIVE $LogregChainSql,
+         |sc AS (SELECT y, round(1.0E0 / (1.0E0 + exp(-eta)) * 1e6)::BIGINT AS p6 FROM fs),
+         |dom AS (SELECT p6, count(*)::BIGINT AS c, sum(y)::BIGINT AS c1 FROM sc GROUP BY 1),
+         |cum AS (SELECT *,
+         |    sum(c) OVER (ORDER BY p6 DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumc,
+         |    sum(c1) OVER (ORDER BY p6 DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum1,
+         |    sum(c) OVER ()::BIGINT AS nn, sum(c1) OVER ()::BIGINT AS n1
+         |  FROM dom),
+         |ks AS (SELECT unnest([5, 10, 20, 50]) AS kpct),
+         |hit AS (SELECT c.*, k.kpct,
+         |    row_number() OVER (PARTITION BY k.kpct ORDER BY c.p6 DESC) AS rk
+         |  FROM cum c CROSS JOIN ks k WHERE c.cumc * 100 >= c.nn * k.kpct)
+         |SELECT kpct::INT AS kpct, cumc AS n_top, cum1 AS pos_top, n1 AS n_pos,
+         |  round(p6::DOUBLE / 1e6, 6) AS score_cut,
+         |  round(cum1::DOUBLE / n1::DOUBLE, 6) AS capture,
+         |  round((cum1::DOUBLE / n1::DOUBLE) / (cumc::DOUBLE / nn::DOUBLE), 6) AS lift
+         |FROM hit WHERE rk = 1""".stripMargin,
 
     "q_roc_auc" ->
       s"""WITH RECURSIVE $LogregChainSql,

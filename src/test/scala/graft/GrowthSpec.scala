@@ -54,6 +54,37 @@ class GrowthSpec extends AnyFunSuite with BeforeAndAfterAll {
         "explanatory powers must sum to 1 when the metric moved")
   }
 
+  test("q_shap_logit: abs dominates signed, every source covered for every feature") {
+    val rows = SparkEntry.queries("q_shap_logit")(spark, dir).collect()
+    assert(rows.length == 80, "20 sources x 4 features")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4)) <= r.getDouble(3) + 1e-6,
+        "mean |shap| bounds the signed mean")
+    }
+  }
+
+  test("q_gains: capture monotone in k, lift >= 1 at the top for a working model") {
+    val rows = SparkEntry.queries("q_gains")(spark, dir).collect().sortBy(_.getInt(0))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach(p =>
+      assert(p(0).getDouble(5) <= p(1).getDouble(5) + 1e-9, "capture grows with k"))
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-9)
+      assert(r.getLong(1) * 100 >= rows.map(_.getLong(1)).max * 0, "sanity")
+    }
+    assert(rows.head.getDouble(6) >= 1.0, "top-5% lift must beat random for a trained model")
+  }
+
+  test("q_funnel_timing: percentiles ordered, both step pairs present") {
+    val rows = SparkEntry.queries("q_funnel_timing")(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("view->click", "click->purchase"))
+    rows.foreach { r =>
+      val (mean, p50, p90) = (r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90, "p50 must not exceed p90")
+      assert(mean >= 0 && p50 >= 0)
+    }
+  }
+
   test("q_retrieval_ndcg: metrics bounded, mrr consistent with hits") {
     val rows = SparkEntry.queries("q_retrieval_ndcg")(spark, dir).collect()
     assert(rows.nonEmpty)
