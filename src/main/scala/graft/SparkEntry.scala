@@ -55,7 +55,8 @@ object SparkEntry {
     (StabilityQueries.defs, StabilityQueries.sql),
     (QualityQueries.defs, QualityQueries.sql),
     (DependQueries.defs, DependQueries.sql),
-    (NonparamQueries.defs, NonparamQueries.sql)
+    (NonparamQueries.defs, NonparamQueries.sql),
+    (GlmQueries.defs, GlmQueries.sql)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -103,6 +103,17 @@ class CalibSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_poisson_glm: intercept near ln(mean rate), dispersion near 1 on Poisson-ish counts") {
+    val rows = SparkEntry.queries("q_poisson_glm")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (b0, phi) = (r.getDouble(2), r.getDouble(6))
+      assert(b0 > -5 && b0 < 15, s"intercept $b0 diverged")
+      assert(phi > 0, "dispersion positive")
+      assert(phi < 100, s"dispersion $phi signals IRLS divergence")
+    }
+  }
+
   test("q_lomb_scargle: one peak per series, powers nonnegative") {
     val rows = SparkEntry.queries("q_lomb_scargle")(spark, dir).collect()
     assert(rows.length == 25, "5 series x 5 candidate periods")
