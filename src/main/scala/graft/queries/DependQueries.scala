@@ -275,6 +275,43 @@ object DependQueries {
           col("r._5").as("is_best"))
     }),
 
+    // ── Empirical upper/lower tail dependence per series pair:
+    // λ_U = P(X > q90_X | Y > q90_Y) (and the lower-tail mirror) —
+    // co-movement exactly where correlation matters least and incidents
+    // matter most (simultaneous spikes). Thresholds are exact integer-
+    // rank order statistics per series; exceedance counts are integers;
+    // independence would give 0.1 — emitted as the lift vs independent.
+    // One rank pass per series + one key-equality pair join. ──
+    "q_tail_dependence" -> ((s, dir) => {
+      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val wv = Window.partitionBy("event_type").orderBy(col("value"), col("ts"))
+      val wp = Window.partitionBy("event_type")
+      val rk = hourly
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("nn", count(lit(1)).over(wp))
+        .withColumn("hi", (col("rn") * 10 > col("nn") * 9).cast("int"))
+        .withColumn("lo", (col("rn") * 10 <= col("nn")).cast("int"))
+      val a = rk.select(col("event_type").as("ta"), col("ts"),
+        col("hi").as("ha"), col("lo").as("la"))
+      val b = rk.select(col("event_type").as("tb"), col("ts"),
+        col("hi").as("hb"), col("lo").as("lb"))
+      a.join(b, "ts").where(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(
+          count(lit(1)).as("n"),
+          sum(col("ha").cast("long")).as("nxh"),
+          sum(col("hb").cast("long")).as("nyh"),
+          sum(col("lb").cast("long")).as("nyl"),
+          sum((col("ha") * col("hb")).cast("long")).as("joint_hi"),
+          sum((col("la") * col("lb")).cast("long")).as("joint_lo"))
+        .where(col("nyh") > 0 && col("nyl") > 0)
+        .select(col("ta"), col("tb"), col("n").as("n_obs"),
+          col("joint_hi"), col("joint_lo"),
+          round(col("joint_hi").cast("double") / col("nyh").cast("double"), 6).as("lambda_u"),
+          round(col("joint_lo").cast("double") / col("nyl").cast("double"), 6).as("lambda_l"),
+          round(col("joint_hi").cast("double") * col("n").cast("double") /
+            (col("nxh").cast("double") * col("nyh").cast("double")), 6).as("lift_u"))
+    }),
+
     "q_mmd_drift" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id").cast("long").as("id"), col("embedding"))
       val mx = e.agg(expr("max(id) DIV 2").as("mid"))
@@ -485,6 +522,29 @@ object DependQueries {
          |  CASE WHEN a.event_type = (SELECT event_type FROM best) THEN 1 ELSE 0 END AS is_best
          |FROM arms a, fin f, mm""".stripMargin
     },
+
+    "q_tail_dependence" ->
+      s"""WITH hourly AS ($H),
+         |rk AS (SELECT event_type, ts,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |fl AS (SELECT event_type, ts,
+         |    CASE WHEN rn * 10 > nn * 9 THEN 1 ELSE 0 END AS hi,
+         |    CASE WHEN rn * 10 <= nn THEN 1 ELSE 0 END AS lo
+         |  FROM rk),
+         |pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |    a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+         |  FROM fl a JOIN fl b ON a.ts = b.ts AND a.event_type < b.event_type),
+         |agg AS (SELECT ta, tb, count(*)::BIGINT AS n,
+         |    sum(ha)::BIGINT AS nxh, sum(hb)::BIGINT AS nyh, sum(lb)::BIGINT AS nyl,
+         |    sum(ha * hb)::BIGINT AS joint_hi, sum(la * lb)::BIGINT AS joint_lo
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT ta, tb, n AS n_obs, joint_hi, joint_lo,
+         |  round(joint_hi::DOUBLE / nyh::DOUBLE, 6) AS lambda_u,
+         |  round(joint_lo::DOUBLE / nyl::DOUBLE, 6) AS lambda_l,
+         |  round(joint_hi::DOUBLE * n::DOUBLE / (nxh::DOUBLE * nyh::DOUBLE), 6) AS lift_u
+         |FROM agg WHERE nyh > 0 AND nyl > 0""".stripMargin,
 
     "q_mmd_drift" ->
       s"""WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),

@@ -394,6 +394,31 @@ object SelectQueries {
             col("cum0ge").cast("double") / col("n0").cast("double"), 6).as("youden_j"))
     }),
 
+    // ── Active-learning batch selection: the 20 docs the quality
+    // classifier is LEAST sure about (smallest |eta|), with a
+    // 2-per-source diversity cap (window rank inside the uncertainty
+    // order) — the labeling batch that moves the decision boundary most
+    // per annotation dollar. Deterministic ties by doc_id; two window
+    // passes over the scored scan. ──
+    "q_uncertainty_sample" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val scored = feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .withColumn("unc", abs(col("eta")))
+      val wSrc = Window.partitionBy("source").orderBy(col("unc"), col("doc_id"))
+      val zd = substring(col("source"), 1, 0)
+      val wAll = Window.partitionBy(zd).orderBy(col("unc"), col("doc_id"))
+      scored
+        .withColumn("src_rk", row_number().over(wSrc))
+        .where(col("src_rk") <= 2)
+        .withColumn("rk", row_number().over(wAll))
+        .where(col("rk") <= 20)
+        .select(col("rk").as("pick_rank"), col("doc_id"), col("source"),
+          col("y").as("current_label"), round(col("eta"), 6).as("eta"),
+          round(expr("1.0E0 / (1.0E0 + exp(-eta))"), 6).as("score"))
+    }),
+
     // ── Exact logit-scale Shapley attribution of the quality classifier
     // (for a linear logit, the Shapley value of feature i is EXACTLY
     // β_i·(x_i − x̄_i) — no sampling): per source, the mean |contribution|
@@ -767,6 +792,18 @@ object SelectQueries {
          |  round(least(ctr + hw, 1.0E0), 6) AS ci_hi,
          |  CASE WHEN pr < ctr - hw OR pr > ctr + hw THEN 1 ELSE 0 END AS diverges
          |FROM ci""".stripMargin,
+
+    "q_uncertainty_sample" ->
+      s"""WITH RECURSIVE $LogregChainSql,
+         |sc AS (SELECT doc_id, source, y, eta, abs(eta) AS unc FROM fs),
+         |sr AS (SELECT *, row_number() OVER (PARTITION BY source
+         |         ORDER BY unc, doc_id) AS src_rk FROM sc),
+         |cap AS (SELECT * FROM sr WHERE src_rk <= 2),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY unc, doc_id) AS rk FROM cap)
+         |SELECT rk AS pick_rank, doc_id, source, y AS current_label,
+         |  round(eta, 6) AS eta,
+         |  round(1.0E0 / (1.0E0 + exp(-eta)), 6) AS score
+         |FROM rk WHERE rk <= 20""".stripMargin,
 
     "q_shap_logit" -> {
       val unions = Seq("x1" -> "2", "x2" -> "3", "x3" -> "4", "x4" -> "5")
