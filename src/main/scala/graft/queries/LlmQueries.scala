@@ -238,6 +238,40 @@ object LlmQueries {
           min("score").as("min_score"), max("score").as("max_score"))
     }),
 
+    // ── Language-ID evaluation: the confusion rollup of q_text_langid's
+    // heuristic against the gold lang label — per (true, predicted) cell
+    // count, per-class recall/precision and F1, all exact integer ratios
+    // with window sums over the ≤#langs² cell frame. The eval a routing
+    // pipeline publishes before trusting the router. ──
+    "q_langid_eval" -> ((s, dir) => {
+      val scored = TextFunctions.LangProfiles.foldLeft(docs(s, dir)) { case (d, (lang, words)) =>
+        d.withColumn(s"score_$lang", TextFunctions.wordListHits(col("text"), words).cast("long"))
+      }
+      val langs = TextFunctions.LangProfiles.map(_._1)
+      val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+        .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+      val cells = scored.withColumn("pred_lang", best.getField("lang"))
+        .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val wT = Window.partitionBy("true_lang")
+      val wP = Window.partitionBy("pred_lang")
+      cells
+        .withColumn("n_true", sum("n").over(wT))
+        .withColumn("n_pred", sum("n").over(wP))
+        .withColumn("recall",
+          when(col("true_lang") === col("pred_lang"),
+            col("n").cast("double") / col("n_true").cast("double")))
+        .withColumn("precision",
+          when(col("true_lang") === col("pred_lang"),
+            col("n").cast("double") / col("n_pred").cast("double")))
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          col("n_true"), col("n_pred"),
+          round(col("recall"), 6).as("recall"),
+          round(col("precision"), 6).as("precision"),
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6).as("f1"))
+    }),
+
     "q_text_langid" -> ((s, dir) => {
       val scored = TextFunctions.LangProfiles.foldLeft(docs(s, dir)) { case (d, (lang, words)) =>
         d.withColumn(s"score_$lang", TextFunctions.wordListHits(col("text"), words).cast("long"))
@@ -940,6 +974,31 @@ object LlmQueries {
          |SELECT source, bin, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
          |  round(sum(score), 6) AS sum_score, min(score) AS min_score, max(score) AS max_score
          |FROM b GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_langid_eval" -> {
+      val scoreCols = TextFunctions.LangProfiles
+        .map { case (l, ws) => s"${langScoreSql(ws)}::BIGINT AS score_$l" }.mkString(",\n  ")
+      val langs = TextFunctions.LangProfiles.map(_._1)
+      val pred = langs.tail.foldLeft(s"struct_pack(score := score_${langs.head}, lang := '${langs.head}')") {
+        (acc, l) => s"CASE WHEN struct_pack(score := score_$l, lang := '$l').score > ($acc).score THEN struct_pack(score := score_$l, lang := '$l') ELSE ($acc) END"
+      }
+      s"""WITH scored AS (SELECT lang, ($pred).lang AS pred_lang
+         |  FROM (SELECT lang, text, $scoreCols FROM documents)),
+         |cells AS (SELECT lang AS true_lang, pred_lang, count(*)::BIGINT AS n
+         |          FROM scored GROUP BY 1, 2),
+         |wn AS (SELECT *,
+         |    sum(n) OVER (PARTITION BY true_lang)::BIGINT AS n_true,
+         |    sum(n) OVER (PARTITION BY pred_lang)::BIGINT AS n_pred
+         |  FROM cells),
+         |pr AS (SELECT *,
+         |    CASE WHEN true_lang = pred_lang THEN n::DOUBLE / n_true::DOUBLE END AS recall,
+         |    CASE WHEN true_lang = pred_lang THEN n::DOUBLE / n_pred::DOUBLE END AS precision
+         |  FROM wn)
+         |SELECT true_lang, pred_lang, n, n_true, n_pred,
+         |  round(recall, 6) AS recall, round(precision, 6) AS precision,
+         |  round(2.0E0 * precision * recall / (precision + recall), 6) AS f1
+         |FROM pr""".stripMargin
     },
 
     "q_text_langid" -> {

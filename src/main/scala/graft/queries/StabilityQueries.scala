@@ -89,6 +89,79 @@ object StabilityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Process capability (Cp / Cpk): natural tolerance limits fit on
+    // the first half of the dense grid (μ₀ ± 3σ₀ from snapped moments),
+    // capability evaluated on the second half — Cp = tolerance width /
+    // 6σ₁, Cpk = min(USL−μ₁, μ₁−LSL)/3σ₁, plus the exact share of
+    // second-half hours outside the limits. Cpk < 1 means the process
+    // drifted or widened relative to its own baseline — the SPC summary
+    // next to q_spc_rules' pointwise alarms. One window split + two
+    // moment passes. ──
+    "q_capability" -> ((s, dir) => {
+      val wo = Window.partitionBy("event_type").orderBy("ts")
+      val wp = Window.partitionBy("event_type")
+      val dense = graft.TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"),
+        graft.TSSchema(keys = Seq("event_type")), 3600L, Some(0.0))
+      val half = dense
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("nn", count(lit(1)).over(wp))
+        .withColumn("grp", when(col("rn") <= col("nn") / 2, 1).otherwise(2))
+      def mom(g: Int, p: String) = half.where(col("grp") === g)
+        .groupBy("event_type").agg(
+          count(lit(1)).as(s"n$p"),
+          round(sum("value"), 4).as(s"sv$p"),
+          round(sum(col("value") * col("value")), 2).as(s"svv$p"))
+        .withColumn(s"mu$p", expr(s"sv$p / n$p"))
+        .withColumn(s"sd$p", expr(s"sqrt((svv$p - sv$p * sv$p / n$p) / (n$p - 1))"))
+        .select("event_type", s"n$p", s"mu$p", s"sd$p")
+      val base = mom(1, "0")
+        .withColumn("usl", expr("mu0 + 3.0E0 * sd0"))
+        .withColumn("lsl", expr("mu0 - 3.0E0 * sd0"))
+      val ev = mom(2, "1").join(broadcast(base), "event_type")
+      val outCnt = half.where(col("grp") === 2)
+        .join(broadcast(base), "event_type")
+        .groupBy("event_type").agg(
+          sum(when(col("value") > col("usl") || col("value") < col("lsl"), 1L)
+            .otherwise(0L)).as("n_out"))
+      ev.join(outCnt, "event_type")
+        .withColumn("cp", expr("(usl - lsl) / (6.0E0 * sd1)"))
+        .withColumn("cpk", expr("least(usl - mu1, mu1 - lsl) / (3.0E0 * sd1)"))
+        .select(col("event_type"), col("n0").as("n_baseline"), col("n1").as("n_eval"),
+          round(col("usl"), 6).as("usl"), round(col("lsl"), 6).as("lsl"),
+          round(col("cp"), 6).as("cp"), round(col("cpk"), 6).as("cpk"),
+          round(col("n_out").cast("double") / col("n1").cast("double"), 6).as("out_share"),
+          when(col("cpk") < 1.0, 1).otherwise(0).as("not_capable"))
+    }),
+
+    // ── Forecast tracking signal (Trigg 1964): cumulative seasonal-naive
+    // forecast error over its cumulative MAD, alarming at |TS| > 4 — the
+    // demand-planning bias monitor that catches a forecast that is
+    // consistently wrong in ONE direction long before accuracy metrics
+    // degrade. The cumulative sums run sequentially over the ordered
+    // grid (identical IEEE order both engines); alarms are exact
+    // comparisons. One window pass. ──
+    "q_tracking_signal" -> ((s, dir) => {
+      val wo = Window.partitionBy("event_type").orderBy("ts")
+      val dense = graft.TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"),
+        graft.TSSchema(keys = Seq("event_type")), 3600L, Some(0.0))
+      val e = dense
+        .withColumn("yhat", lag("value", 24).over(wo))
+        .where(col("yhat").isNotNull)
+        .withColumn("e", col("value") - col("yhat"))
+      val cumW = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ts = e
+        .withColumn("k", row_number().over(wo))
+        .withColumn("ce", sum("e").over(cumW))
+        .withColumn("cae", sum(abs(col("e"))).over(cumW))
+        .withColumn("tsig", expr("CASE WHEN cae > 0 THEN ce / (cae / k) END"))
+      ts.groupBy("event_type").agg(
+        count(lit(1)).as("n_obs"),
+        round(max_by(col("tsig"), col("k")), 6).as("final_ts"),
+        round(max(abs(col("tsig"))), 6).as("max_abs_ts"),
+        sum(when(abs(col("tsig")) > 4.0, 1L).otherwise(0L)).as("n_alarm_hours"))
+        .withColumn("biased", when(col("max_abs_ts") > 4.0, 1).otherwise(0))
+    }),
+
     // ── Tukey-Kramer HSD post-hoc (Tukey 1949): which PAIRS differ once
     // q_anova says "something does" — |mean_i − mean_j| against
     // HSD = q₀.₀₅·√(MSW/2·(1/nᵢ+1/nⱼ)) with the studentized-range
@@ -330,6 +403,64 @@ object StabilityQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_capability" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |half AS (SELECT event_type, value,
+         |    CASE WHEN rn <= nn / 2 THEN 1 ELSE 2 END AS grp
+         |  FROM (SELECT event_type, value,
+         |          row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS nn
+         |        FROM dense)),
+         |m0 AS (SELECT event_type, count(*)::BIGINT AS n0,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM half WHERE grp = 1 GROUP BY 1),
+         |b0 AS (SELECT event_type, n0, sv / n0 AS mu0,
+         |    sqrt((svv - sv * sv / n0) / (n0 - 1)) AS sd0 FROM m0),
+         |bl AS (SELECT *, mu0 + 3.0E0 * sd0 AS usl, mu0 - 3.0E0 * sd0 AS lsl FROM b0),
+         |m1 AS (SELECT event_type, count(*)::BIGINT AS n1,
+         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
+         |  FROM half WHERE grp = 2 GROUP BY 1),
+         |b1 AS (SELECT event_type, n1, sv / n1 AS mu1,
+         |    sqrt((svv - sv * sv / n1) / (n1 - 1)) AS sd1 FROM m1),
+         |oc AS (SELECT h.event_type,
+         |    sum(CASE WHEN h.value > b.usl OR h.value < b.lsl THEN 1 ELSE 0 END)::BIGINT AS n_out
+         |  FROM half h JOIN bl b USING (event_type) WHERE h.grp = 2 GROUP BY 1),
+         |fin AS (SELECT b.event_type, b.n0, e.n1, b.usl, b.lsl, o.n_out,
+         |    (b.usl - b.lsl) / (6.0E0 * e.sd1) AS cp,
+         |    least(b.usl - e.mu1, e.mu1 - b.lsl) / (3.0E0 * e.sd1) AS cpk
+         |  FROM bl b JOIN b1 e USING (event_type) JOIN oc o USING (event_type))
+         |SELECT event_type, n0 AS n_baseline, n1 AS n_eval,
+         |  round(usl, 6) AS usl, round(lsl, 6) AS lsl,
+         |  round(cp, 6) AS cp, round(cpk, 6) AS cpk,
+         |  round(n_out::DOUBLE / n1::DOUBLE, 6) AS out_share,
+         |  CASE WHEN cpk < 1.0E0 THEN 1 ELSE 0 END AS not_capable
+         |FROM fin""".stripMargin,
+
+    "q_tracking_signal" ->
+      s"""WITH hourly AS ($H),
+         |${Tables.denseHourlySql},
+         |e AS (SELECT event_type, ts, value - yhat AS e
+         |      FROM (SELECT event_type, ts, value,
+         |              lag(value, 24) OVER (PARTITION BY event_type ORDER BY ts) AS yhat
+         |            FROM dense)
+         |      WHERE yhat IS NOT NULL),
+         |ts AS (SELECT event_type,
+         |    row_number() OVER w AS k,
+         |    sum(e) OVER (PARTITION BY event_type ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce,
+         |    sum(abs(e)) OVER (PARTITION BY event_type ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cae
+         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+         |tsig AS (SELECT event_type, k,
+         |    CASE WHEN cae > 0 THEN ce / (cae / k) END AS tsig FROM ts),
+         |agg AS (SELECT event_type, count(*)::BIGINT AS n_obs,
+         |    round(max_by(tsig, k), 6) AS final_ts,
+         |    round(max(abs(tsig)), 6) AS max_abs_ts,
+         |    sum(CASE WHEN abs(tsig) > 4.0E0 THEN 1 ELSE 0 END)::BIGINT AS n_alarm_hours
+         |  FROM tsig GROUP BY 1)
+         |SELECT *, CASE WHEN max_abs_ts > 4.0E0 THEN 1 ELSE 0 END AS biased FROM agg""".stripMargin,
 
     "q_tukey_hsd" ->
       """WITH grp AS (SELECT event_type, count(*)::BIGINT AS m,

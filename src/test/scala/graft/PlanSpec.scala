@@ -346,6 +346,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ls.contains("Broadcast"), s"q_lomb_scargle lost its broadcasts:\n$ls")
   }
 
+  test("late-wave query plans keep their scale shape") {
+    // fractal/complexity + GLM: series-keyed shuffles, bounded exchanges,
+    // no cartesian products anywhere
+    Seq("q_dfa", "q_sampen", "q_poisson_glm", "q_coherence", "q_tail_dependence")
+      .foreach { q =>
+        val p = planOf(q)
+        assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+      }
+    // the classifier-eval family runs on the quantized score domain /
+    // broadcast models — never a global doc-range sort
+    Seq("q_roc_auc", "q_gains", "q_shap_logit", "q_calibration").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("rangepartitioning") || q == "q_roc_auc" || q == "q_gains",
+        s"$q grew an unexpected global sort:\n$p")
+      assert(p.contains("Broadcast"), s"$q lost its model broadcast:\n$p")
+    }
+    // synth control: the 12h panel is a pivot + one balanced filter; the
+    // donor-weight table broadcasts back
+    val sc = planOf("q_synth_control")
+    assert(sc.contains("Broadcast"), s"q_synth_control lost its broadcasts:\n$sc")
+    assert(!sc.contains("CartesianProduct"), s"q_synth_control cartesian:\n$sc")
+    // block bootstrap: the resample grid joins block sums by key equality
+    val bb = planOf("q_block_bootstrap")
+    assert(!bb.contains("CartesianProduct"), s"q_block_bootstrap cartesian:\n$bb")
+  }
+
   test("product-analytics pack plans keep their scale shape") {
     // growth accounting: user-keyed self-joins only, never cartesian
     val ga = planOf("q_growth_accounting")

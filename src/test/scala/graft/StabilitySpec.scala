@@ -7,6 +7,41 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Validation of the structural-stability pack (StabilityQueries). */
 class StabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  test("q_capability: limits ordered, out-share consistent with cpk direction") {
+    val rows = SparkEntry.queries("q_capability")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (usl, lsl, cp, cpk, outs) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(usl > lsl)
+      assert(cp > 0 && cpk <= cp + 1e-9, "Cpk never exceeds Cp")
+      assert(outs >= 0.0 && outs <= 1.0)
+    }
+  }
+
+  test("q_tracking_signal: alarm count consistent with the max statistic") {
+    val rows = SparkEntry.queries("q_tracking_signal")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (maxAbs, alarms, biased) = (r.getDouble(3), r.getLong(4), r.getInt(5))
+      assert(maxAbs >= 0)
+      if (alarms > 0) assert(biased == 1 && maxAbs > 4.0)
+      assert(math.abs(r.getDouble(2)) <= maxAbs + 1e-9, "final |TS| bounded by max")
+    }
+  }
+
+  test("q_langid_eval: counts conserve and diagonal metrics defined") {
+    val rows = SparkEntry.queries("q_langid_eval")(spark, "/root/testdata/sf0.001").collect()
+    val total = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(rows.map(_.getLong(2)).sum == total, "confusion cells partition all docs")
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+    assert(diag.nonEmpty)
+    diag.foreach { r =>
+      assert(!r.isNullAt(5) && !r.isNullAt(6))
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0 + 1e-9)
+    }
+  }
+
   test("q_tukey_hsd: HSD positive, significance consistent with the gap") {
     val rows = SparkEntry.queries("q_tukey_hsd")(spark, dir).collect()
     assert(rows.length == 10)
