@@ -49,6 +49,112 @@ object AbQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Delta-method A/B test for a RATIO metric (revenue per event —
+    // the metric shape most real experiments ship, where the naive
+    // per-user t-test is simply wrong because numerator and denominator
+    // covary): per arm R = x̄/ȳ and var(R) ≈ (σx² − 2Rσxy + R²σy²)/(n·ȳ²),
+    // z on the difference. User-level moments snapped; md5-parity arms
+    // (salt :ratio). One user-keyed aggregation + a 2-row frame. ──
+    "q_ab_ratio_delta" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6).as("x"),
+          count(lit(1)).cast("double").as("y"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":ratio"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+      val mom = u.groupBy("arm").agg(
+        count(lit(1)).as("n"),
+        round(sum("x"), 4).as("sx"), round(sum("y"), 4).as("sy"),
+        round(sum(col("x") * col("x")), 2).as("sxx"),
+        round(sum(col("y") * col("y")), 2).as("syy"),
+        round(sum(col("x") * col("y")), 2).as("sxy"))
+        .withColumn("xb", expr("sx / n")).withColumn("yb", expr("sy / n"))
+        .withColumn("r", expr("xb / yb"))
+        .withColumn("vx", expr("(sxx - sx * sx / n) / (n - 1)"))
+        .withColumn("vy", expr("(syy - sy * sy / n) / (n - 1)"))
+        .withColumn("cxy", expr("(sxy - sx * sy / n) / (n - 1)"))
+        .withColumn("vr", expr("(vx - 2.0E0 * r * cxy + r * r * vy) / (n * yb * yb)"))
+      val a0 = mom.where(col("arm") === 0).select(col("n").as("n0"), col("r").as("r0"), col("vr").as("vr0"))
+      val a1 = mom.where(col("arm") === 1).select(col("n").as("n1"), col("r").as("r1"), col("vr").as("vr1"))
+      a0.crossJoin(broadcast(a1))
+        .withColumn("z", expr("(r1 - r0) / sqrt(vr0 + vr1)"))
+        .select(col("n0"), col("n1"), round(col("r0"), 6).as("ratio_control"),
+          round(col("r1"), 6).as("ratio_treat"),
+          round(expr("r1 - r0"), 6).as("delta"),
+          round(col("z"), 6).as("z"),
+          when(abs(col("z")) >= 1.96, 1).otherwise(0).as("significant"))
+    }),
+
+    // ── A/A calibration of the experimentation pipeline: the SAME Welch
+    // z machinery run over 20 independent md5-salted null splits — the
+    // false-positive share must sit near 5%, or the assignment/metric
+    // pipeline is broken (correlated users, heavy tails, SRM). Salts are
+    // plan literals; one user scan exploded ×20, moments per (salt, arm).
+    // The health check every platform runs before trusting any p-value. ──
+    "q_aa_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6).as("metric"))
+      val salts = (1 to 20).toDF("salt_id")
+      val mom = u.crossJoin(broadcast(salts))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":aa"), col("salt_id").cast("string"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+        .groupBy("salt_id", "arm").agg(
+          count(lit(1)).as("n"),
+          round(sum("metric"), 4).as("sm"),
+          round(sum(col("metric") * col("metric")), 2).as("smm"))
+        .withColumn("mu", expr("sm / n"))
+        .withColumn("v", expr("(smm - sm * sm / n) / (n - 1)"))
+      val a0 = mom.where(col("arm") === 0).select(col("salt_id"), col("n").as("n0"), col("mu").as("m0"), col("v").as("v0"))
+      val a1 = mom.where(col("arm") === 1).select(col("salt_id"), col("n").as("n1"), col("mu").as("m1"), col("v").as("v1"))
+      val z = a0.join(a1, "salt_id")
+        .withColumn("z", expr("(m1 - m0) / sqrt(v0 / n0 + v1 / n1)"))
+        .withColumn("fp", when(abs(col("z")) >= 1.96, 1L).otherwise(0L))
+      val wAll = Window.partitionBy(substring(col("salt_id").cast("string"), 1, 0))
+      z.withColumn("fp_share",
+        round(sum("fp").over(wAll).cast("double") / count(lit(1)).over(wAll).cast("double"), 6))
+        .select(col("salt_id"), col("n0"), col("n1"),
+          round(col("z"), 6).as("z"), col("fp").cast("int").as("false_positive"),
+          col("fp_share"))
+    }),
+
+    // ── Quantile treatment effects at the metric deciles: arm-wise exact
+    // deciles by value-domain counting over the 1e6-scaled user metric
+    // (never a per-arm sort), QTE = q_treat − q_control per decile — the
+    // DISTRIBUTIONAL A/B view that catches treatments helping the median
+    // while hurting the tail (invisible to every mean test above).
+    // md5-parity arms (salt :qte). ──
+    "q_qte" -> ((s, dir) => {
+      import s.implicits._
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6).as("metric"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":qte"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+        .withColumn("m6", round(col("metric") * 1e6).cast("long"))
+      val dom = u.groupBy("arm", "m6").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("arm").orderBy("m6")
+      val wAll = Window.partitionBy("arm")
+      val cum = dom
+        .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(wAll))
+      val qs = (1 to 9).toDF("decile")
+      val picks = cum.crossJoin(broadcast(qs))
+        .where(col("cum") * 10 >= col("n") * col("decile"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("arm", "decile").orderBy("m6")))
+        .where(col("rk") === 1)
+        .select(col("arm"), col("decile"), (col("m6").cast("double") / 1e6).as("q"))
+      val q0 = picks.where(col("arm") === 0).select(col("decile"), col("q").as("q_control"))
+      val q1 = picks.where(col("arm") === 1).select(col("decile"), col("q").as("q_treat"))
+      q0.join(q1, "decile")
+        .select(col("decile"), round(col("q_control"), 6).as("q_control"),
+          round(col("q_treat"), 6).as("q_treat"),
+          round(col("q_treat") - col("q_control"), 6).as("qte"))
+    }),
+
     "q_cuped" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       // pre-period = first half of the stream's time range (midpoint cut,
@@ -188,6 +294,77 @@ object AbQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_ab_ratio_delta" ->
+      """WITH u AS (SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS x,
+        |    count(*)::DOUBLE AS y,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':ratio'), 1, 1))::BIGINT % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |mom AS (SELECT arm, count(*)::BIGINT AS n,
+        |    round(sum(x), 4) AS sx, round(sum(y), 4) AS sy,
+        |    round(sum(x * x), 2) AS sxx, round(sum(y * y), 2) AS syy,
+        |    round(sum(x * y), 2) AS sxy
+        |  FROM u GROUP BY 1),
+        |st AS (SELECT *, sx / n AS xb, sy / n AS yb FROM mom),
+        |s2 AS (SELECT *, xb / yb AS r,
+        |    (sxx - sx * sx / n) / (n - 1) AS vx,
+        |    (syy - sy * sy / n) / (n - 1) AS vy,
+        |    (sxy - sx * sy / n) / (n - 1) AS cxy
+        |  FROM st),
+        |s3 AS (SELECT *, (vx - 2.0E0 * r * cxy + r * r * vy) / (n * yb * yb) AS vr FROM s2),
+        |a0 AS (SELECT n AS n0, r AS r0, vr AS vr0 FROM s3 WHERE arm = 0),
+        |a1 AS (SELECT n AS n1, r AS r1, vr AS vr1 FROM s3 WHERE arm = 1),
+        |z AS (SELECT *, (r1 - r0) / sqrt(vr0 + vr1) AS z FROM a0 CROSS JOIN a1)
+        |SELECT n0, n1, round(r0, 6) AS ratio_control, round(r1, 6) AS ratio_treat,
+        |  round(r1 - r0, 6) AS delta, round(z, 6) AS z,
+        |  CASE WHEN abs(z) >= 1.96E0 THEN 1 ELSE 0 END AS significant
+        |FROM z""".stripMargin,
+
+    "q_aa_calibration" ->
+      """WITH u AS (SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS metric
+        |  FROM events GROUP BY user_id),
+        |salts AS (SELECT unnest(range(1, 21)) AS salt_id),
+        |asg AS (SELECT u.metric, s.salt_id,
+        |    ('0x' || substr(md5(u.user_id::VARCHAR || ':aa' || s.salt_id::VARCHAR), 1, 1))::BIGINT % 2 AS arm
+        |  FROM u CROSS JOIN salts s),
+        |mom AS (SELECT salt_id, arm, count(*)::BIGINT AS n,
+        |    round(sum(metric), 4) AS sm, round(sum(metric * metric), 2) AS smm
+        |  FROM asg GROUP BY 1, 2),
+        |st AS (SELECT *, sm / n AS mu, (smm - sm * sm / n) / (n - 1) AS v FROM mom),
+        |a0 AS (SELECT salt_id, n AS n0, mu AS m0, v AS v0 FROM st WHERE arm = 0),
+        |a1 AS (SELECT salt_id, n AS n1, mu AS m1, v AS v1 FROM st WHERE arm = 1),
+        |z AS (SELECT a0.salt_id, n0, n1, (m1 - m0) / sqrt(v0 / n0 + v1 / n1) AS z
+        |      FROM a0 JOIN a1 USING (salt_id)),
+        |fp AS (SELECT *, CASE WHEN abs(z) >= 1.96E0 THEN 1 ELSE 0 END AS fp FROM z),
+        |sh AS (SELECT *, round(sum(fp) OVER ()::DOUBLE / count(*) OVER ()::DOUBLE, 6) AS fp_share FROM fp)
+        |SELECT salt_id::INT AS salt_id, n0, n1, round(z, 6) AS z,
+        |  fp::INT AS false_positive, fp_share
+        |FROM sh""".stripMargin,
+
+    "q_qte" ->
+      """WITH u AS (SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS metric,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':qte'), 1, 1))::BIGINT % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |dom AS (SELECT arm, round(metric * 1e6)::BIGINT AS m6, count(*)::BIGINT AS c
+        |        FROM u GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |    sum(c) OVER (PARTITION BY arm ORDER BY m6
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY arm)::BIGINT AS n
+        |  FROM dom),
+        |qs AS (SELECT unnest(range(1, 10)) AS decile),
+        |picks AS (SELECT arm, decile, m6,
+        |    row_number() OVER (PARTITION BY arm, decile ORDER BY m6) AS rk
+        |  FROM cum CROSS JOIN qs WHERE cum * 10 >= n * decile),
+        |p AS (SELECT arm, decile, m6::DOUBLE / 1e6 AS q FROM picks WHERE rk = 1),
+        |q0 AS (SELECT decile, q AS q_control FROM p WHERE arm = 0),
+        |q1 AS (SELECT decile, q AS q_treat FROM p WHERE arm = 1)
+        |SELECT decile::INT AS decile, round(q_control, 6) AS q_control,
+        |  round(q_treat, 6) AS q_treat, round(q_treat - q_control, 6) AS qte
+        |FROM q0 JOIN q1 USING (decile)""".stripMargin,
 
     "q_cuped" ->
       """WITH c AS (SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS cut

@@ -67,4 +67,30 @@ class AbSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(3) > 0 && r.getDouble(4) > 0)
     assert(!r.getDouble(5).isNaN && !r.getDouble(6).isNaN)
   }
+
+  test("q_ab_ratio_delta: ratios positive, z finite on a null split") {
+    val r = SparkEntry.queries("q_ab_ratio_delta")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(2) >= 0 && r(0).getDouble(3) >= 0)
+    assert(!r(0).getDouble(5).isNaN)
+  }
+
+  test("q_aa_calibration: 20 null splits, false-positive share plausible") {
+    val rows = SparkEntry.queries("q_aa_calibration")(spark, dir).collect()
+    assert(rows.length == 20)
+    val share = rows.map(_.getDouble(5)).distinct
+    assert(share.length == 1, "fp_share is a constant across salts")
+    // 20 null tests at 5%: P(>8 FPs) is astronomically small
+    assert(share.head <= 0.4, s"fp share ${share.head} — assignment machinery broken")
+    rows.foreach(r => assert(r.getInt(4) == (if (math.abs(r.getDouble(3)) >= 1.96) 1 else 0)))
+  }
+
+  test("q_qte: deciles monotone within each arm") {
+    val rows = SparkEntry.queries("q_qte")(spark, dir).collect().sortBy(_.getInt(0))
+    assert(rows.length == 9)
+    rows.sliding(2).foreach { p =>
+      assert(p(0).getDouble(1) <= p(1).getDouble(1) + 1e-9, "control deciles monotone")
+      assert(p(0).getDouble(2) <= p(1).getDouble(2) + 1e-9, "treat deciles monotone")
+    }
+  }
 }
