@@ -713,6 +713,47 @@ object LlmQueries {
     "q_kmeans" -> ((s, dir) =>
       graft.ann.KMeansDet.summary(embs(s, dir), k = 8, iters = 3)),
 
+    // ── External clustering evaluation: purity and NMI of the k=8
+    // deterministic Lloyd cells against the gold labels — does the
+    // embedding's UNSUPERVISED structure recover the classes? Integer
+    // contingency counts (the q_mutual_info telescoped-entropy trick —
+    // empty cells can't drop terms), per-cell majority by deterministic
+    // (count desc, label) rank; output one row per cell with the corpus
+    // purity/NMI as constants. ──
+    "q_cluster_purity" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = graft.ann.KMeansDet.fit(e, k = 8, iters = 3)
+      val asg = graft.ann.KMeansDet.assign(e, cents).select("vec_id", "cell")
+      val cells = asg.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label").agg(count(lit(1)).as("c"))
+      val zk = substring(col("label").cast("string"), 1, 0)
+      val wc = Window.partitionBy("cell")
+      val wl = Window.partitionBy(zk, col("label"))
+      val wAll = Window.partitionBy(zk)
+      val t = cells
+        .withColumn("csize", sum("c").over(wc))
+        .withColumn("lsize", sum("c").over(wl))
+        .withColumn("nn", sum("c").over(wAll))
+        .withColumn("mi_t", (col("c").cast("double") / col("nn")) *
+          log((col("c").cast("double") * col("nn")) / (col("csize").cast("double") * col("lsize"))))
+        .withColumn("hc_t", (col("c").cast("double") / col("nn")) *
+          log(col("nn").cast("double") / col("csize")))
+        .withColumn("hl_t", (col("c").cast("double") / col("nn")) *
+          log(col("nn").cast("double") / col("lsize")))
+        .withColumn("mi", sum("mi_t").over(wAll))
+        .withColumn("hc", sum("hc_t").over(wAll))
+        .withColumn("hl", sum("hl_t").over(wAll))
+      val rkw = Window.partitionBy("cell").orderBy(col("c").desc, col("label"))
+      val maj = t.withColumn("rk", row_number().over(rkw)).where(col("rk") === 1)
+      maj
+        .withColumn("pur_num", sum("c").over(wAll))
+        .select(col("cell"), col("csize").as("cell_size"),
+          col("label").as("majority_label"),
+          round(col("c").cast("double") / col("csize").cast("double"), 6).as("cell_purity"),
+          round(col("pur_num").cast("double") / col("nn").cast("double"), 6).as("purity"),
+          round(col("mi") / sqrt(col("hc") * col("hl")), 6).as("nmi"))
+    }),
+
     // Johnson-Lindenstrauss random projection 64→16 dims with the same
     // deterministic hash-derived matrix family as the LSH hyperplanes:
     // entries uniform(−0.5, 0.5) scaled by sqrt(12/k) so projected norms
@@ -1386,6 +1427,32 @@ object LlmQueries {
     "q_kmeans" ->
       s"""WITH ${kmChainSql(8, 3)}
          |SELECT cell, count(*) AS n_members, round(sum(d2), 6) AS inertia FROM as3 GROUP BY 1""".stripMargin,
+
+    "q_cluster_purity" ->
+      s"""WITH ${kmChainSql(8, 3)},
+         |cells AS (SELECT a.cell, e.label, count(*)::BIGINT AS c
+         |          FROM as3 a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |    sum(c) OVER (PARTITION BY cell)::BIGINT AS csize,
+         |    sum(c) OVER (PARTITION BY label)::BIGINT AS lsize,
+         |    sum(c) OVER ()::BIGINT AS nn
+         |  FROM cells),
+         |tm AS (SELECT *,
+         |    (c::DOUBLE / nn) * ln((c::DOUBLE * nn) / (csize::DOUBLE * lsize)) AS mi_t,
+         |    (c::DOUBLE / nn) * ln(nn::DOUBLE / csize) AS hc_t,
+         |    (c::DOUBLE / nn) * ln(nn::DOUBLE / lsize) AS hl_t
+         |  FROM t),
+         |ag AS (SELECT *,
+         |    sum(mi_t) OVER () AS mi, sum(hc_t) OVER () AS hc, sum(hl_t) OVER () AS hl
+         |  FROM tm),
+         |maj AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rk
+         |        FROM ag),
+         |fin AS (SELECT *, sum(c) OVER ()::BIGINT AS pur_num FROM maj WHERE rk = 1)
+         |SELECT cell, csize AS cell_size, label AS majority_label,
+         |  round(c::DOUBLE / csize::DOUBLE, 6) AS cell_purity,
+         |  round(pur_num::DOUBLE / nn::DOUBLE, 6) AS purity,
+         |  round(mi / sqrt(hc * hl), 6) AS nmi
+         |FROM fin""".stripMargin,
 
     "q_embed_rp" ->
       """WITH pr AS (SELECT label,

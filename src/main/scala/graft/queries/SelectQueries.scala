@@ -394,6 +394,84 @@ object SelectQueries {
             col("cum0ge").cast("double") / col("n0").cast("double"), 6).as("youden_j"))
     }),
 
+    // ── Intraclass correlation ICC(1) of the quality score by source:
+    // how much of score variance is BETWEEN sources — high ICC means
+    // filter at the source level (cheap), low ICC means per-doc scoring
+    // is unavoidable. One-way ANOVA machinery on the scored scan with
+    // the q_anova scaled-BIGINT reduction; k̄ = (N − Σnᵢ²/N)/(g−1) for
+    // unbalanced groups (Fisher). ──
+    "q_icc_source" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val sc = feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .withColumn("p", expr("1.0E0 / (1.0E0 + exp(-eta))"))
+      val grp = sc.groupBy("source").agg(
+        count(lit(1)).as("m"),
+        round(sum("p"), 4).as("sv"),
+        round(sum(col("p") * col("p")), 2).as("svv"))
+        .withColumn("ssw_s", round(((col("svv") - col("sv") * col("sv") / col("m")) * lit(1e6))).cast("long"))
+        .withColumn("ssb_term_s", round((col("sv") * col("sv") / col("m") * lit(1e6))).cast("long"))
+        .withColumn("sv_s", round(col("sv") * lit(1e6)).cast("long"))
+        .withColumn("mm_s", col("m") * col("m"))
+      grp.groupBy().agg(
+        count(lit(1)).as("g"), sum("m").as("n"),
+        sum("ssw_s").as("ssw_s"), sum("ssb_term_s").as("ssb_s"),
+        sum("sv_s").as("gs_s"), sum("mm_s").as("smm"))
+        .withColumn("ssw", col("ssw_s").cast("double") / lit(1e6))
+        .withColumn("ssb",
+          col("ssb_s").cast("double") / lit(1e6) -
+            (col("gs_s").cast("double") / lit(1e6)) * (col("gs_s").cast("double") / lit(1e6)) / col("n").cast("double"))
+        .withColumn("msb", expr("ssb / (g - 1)"))
+        .withColumn("msw", expr("ssw / (n - g)"))
+        .withColumn("kbar", expr("(n - CAST(smm AS DOUBLE) / n) / (g - 1)"))
+        .withColumn("icc", expr("(msb - msw) / (msb + (kbar - 1.0E0) * msw)"))
+        .select(col("g").as("n_sources"), col("n").as("n_docs"),
+          round(col("msb"), 6).as("ms_between"), round(col("msw"), 6).as("ms_within"),
+          round(col("kbar"), 6).as("k_bar"), round(col("icc"), 6).as("icc"),
+          when(col("icc") > 0.5, 1).otherwise(0).as("source_filterable"))
+    }),
+
+    // ── Empirical-Bayes (beta-binomial method-of-moments) shrinkage of
+    // the per-source keep rates: small sources' raw rates are noise —
+    // each shrinks toward the corpus rate with weight n/(n+M), prior
+    // strength M from the MoM fit to the observed between-source spread
+    // (Morris 1983 machinery in its simplest form; declared). The rate
+    // table a mixture planner should actually read instead of
+    // q_wilson_keep's raw point estimates. ──
+    "q_eb_shrinkage" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val beta = logregBeta(s, feats)
+      val per = feats.crossJoin(broadcast(beta))
+        .withColumn("eta", expr(EtaExpr))
+        .groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("eta") > 0, 1L).otherwise(0L)).as("k"))
+        .withColumn("phat", col("k").cast("double") / col("n").cast("double"))
+      val zk = substring(col("source"), 1, 0)
+      val wAll = Window.partitionBy(zk)
+      per
+        .withColumn("g", count(lit(1)).over(wAll))
+        .withColumn("tk", sum("k").over(wAll))
+        .withColumn("tn", sum("n").over(wAll))
+        .withColumn("pbar", col("tk").cast("double") / col("tn").cast("double"))
+        .withColumn("s2d6",
+          sum(expr("CAST(round((phat - tk / CAST(tn AS DOUBLE)) * (phat - tk / CAST(tn AS DOUBLE)) * 1e6) AS BIGINT)"))
+            .over(wAll))
+        .withColumn("hmean",
+          sum(expr("CAST(round(1e6 / n) AS BIGINT)")).over(wAll))
+        .withColumn("s2", expr("(s2d6 / 1e6) / (g - 1)"))
+        .withColumn("nbar_inv", expr("(hmean / 1e6) / g"))
+        .withColumn("tau2", expr("greatest(s2 - pbar * (1.0E0 - pbar) * nbar_inv, 1e-6)"))
+        .withColumn("mm", expr("pbar * (1.0E0 - pbar) / tau2"))
+        .withColumn("wgt", expr("n / (n + mm)"))
+        .select(col("source"), col("n").as("n_docs"), col("k").as("n_keep"),
+          round(col("phat"), 6).as("raw_rate"),
+          round(expr("wgt * phat + (1.0E0 - wgt) * pbar"), 6).as("shrunk_rate"),
+          round(col("wgt"), 6).as("shrink_weight"),
+          round(col("mm"), 6).as("prior_strength"))
+    }),
+
     // ── Active-learning batch selection: the 20 docs the quality
     // classifier is LEAST sure about (smallest |eta|), with a
     // 2-per-source diversity cap (window rank inside the uncertainty
@@ -792,6 +870,56 @@ object SelectQueries {
          |  round(least(ctr + hw, 1.0E0), 6) AS ci_hi,
          |  CASE WHEN pr < ctr - hw OR pr > ctr + hw THEN 1 ELSE 0 END AS diverges
          |FROM ci""".stripMargin,
+
+    "q_icc_source" ->
+      s"""WITH RECURSIVE $LogregChainSql,
+         |sc AS (SELECT source, 1.0E0 / (1.0E0 + exp(-eta)) AS p FROM fs),
+         |grp AS (SELECT source, count(*)::BIGINT AS m,
+         |    round(sum(p), 4) AS sv, round(sum(p * p), 2) AS svv
+         |  FROM sc GROUP BY 1),
+         |g2 AS (SELECT *,
+         |    round((svv - sv * sv / m) * 1e6)::BIGINT AS ssw_s,
+         |    round(sv * sv / m * 1e6)::BIGINT AS ssb_term_s,
+         |    round(sv * 1e6)::BIGINT AS sv_s,
+         |    m * m AS mm_s
+         |  FROM grp),
+         |agg AS (SELECT count(*)::BIGINT AS g, sum(m)::BIGINT AS n,
+         |    sum(ssw_s)::BIGINT AS ssw_s, sum(ssb_term_s)::BIGINT AS ssb_s,
+         |    sum(sv_s)::BIGINT AS gs_s, sum(mm_s)::BIGINT AS smm FROM g2),
+         |st AS (SELECT g, n, smm, ssw_s::DOUBLE / 1e6 AS ssw,
+         |    ssb_s::DOUBLE / 1e6
+         |      - (gs_s::DOUBLE / 1e6) * (gs_s::DOUBLE / 1e6) / n::DOUBLE AS ssb
+         |  FROM agg),
+         |ms AS (SELECT *, ssb / (g - 1) AS msb, ssw / (n - g) AS msw,
+         |    (n - CAST(smm AS DOUBLE) / n) / (g - 1) AS kbar FROM st),
+         |icc AS (SELECT *, (msb - msw) / (msb + (kbar - 1.0E0) * msw) AS icc FROM ms)
+         |SELECT g AS n_sources, n AS n_docs,
+         |  round(msb, 6) AS ms_between, round(msw, 6) AS ms_within,
+         |  round(kbar, 6) AS k_bar, round(icc, 6) AS icc,
+         |  CASE WHEN icc > 0.5E0 THEN 1 ELSE 0 END AS source_filterable
+         |FROM icc""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      s"""WITH RECURSIVE $LogregChainSql,
+         |per AS (SELECT source, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN eta > 0 THEN 1 ELSE 0 END)::BIGINT AS k
+         |  FROM fs GROUP BY 1),
+         |p2 AS (SELECT *, k::DOUBLE / n::DOUBLE AS phat FROM per),
+         |wn AS (SELECT *,
+         |    count(*) OVER ()::BIGINT AS g,
+         |    sum(k) OVER ()::BIGINT AS tk, sum(n) OVER ()::BIGINT AS tn,
+         |    sum(round((phat - tk2 / tn2) * (phat - tk2 / tn2) * 1e6)::BIGINT) OVER ()::BIGINT AS s2d6,
+         |    sum(round(1e6 / n)::BIGINT) OVER ()::BIGINT AS hmean
+         |  FROM (SELECT *, sum(k) OVER ()::DOUBLE AS tk2, sum(n) OVER ()::DOUBLE AS tn2 FROM p2)),
+         |st AS (SELECT *, tk::DOUBLE / tn::DOUBLE AS pbar,
+         |    (s2d6 / 1e6) / (g - 1) AS s2, (hmean / 1e6) / g AS nbar_inv FROM wn),
+         |tt AS (SELECT *, greatest(s2 - pbar * (1.0E0 - pbar) * nbar_inv, 1e-6) AS tau2 FROM st),
+         |mm AS (SELECT *, pbar * (1.0E0 - pbar) / tau2 AS mm FROM tt),
+         |wg AS (SELECT *, n / (n + mm) AS wgt FROM mm)
+         |SELECT source, n AS n_docs, k AS n_keep, round(phat, 6) AS raw_rate,
+         |  round(wgt * phat + (1.0E0 - wgt) * pbar, 6) AS shrunk_rate,
+         |  round(wgt, 6) AS shrink_weight, round(mm, 6) AS prior_strength
+         |FROM wg""".stripMargin,
 
     "q_uncertainty_sample" ->
       s"""WITH RECURSIVE $LogregChainSql,

@@ -103,6 +103,39 @@ class CalibSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q_cluster_purity: sizes conserve, purity/nmi bounded") {
+    val rows = SparkEntry.queries("q_cluster_purity")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "cells partition the corpus")
+    val (pur, nmi) = (rows.head.getDouble(4), rows.head.getDouble(5))
+    assert(rows.forall(r => r.getDouble(4) == pur && r.getDouble(5) == nmi))
+    assert(pur > 0.0 && pur <= 1.0 + 1e-9)
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+    rows.foreach(r => assert(r.getDouble(3) >= 1.0 / 8 - 1e-9, "cell purity >= 1/k... at least 1/#labels"))
+  }
+
+  test("q_icc_source: bounded and internally consistent") {
+    val r = SparkEntry.queries("q_icc_source")(spark, dir).collect()
+    assert(r.length == 1)
+    val icc = r(0).getDouble(5)
+    assert(icc >= -1.0 && icc <= 1.0 + 1e-9)
+    assert(r(0).getDouble(2) >= 0 && r(0).getDouble(3) >= 0)
+  }
+
+  test("q_eb_shrinkage: shrunk rates sit between raw and corpus rate") {
+    val rows = SparkEntry.queries("q_eb_shrinkage")(spark, dir).collect()
+    assert(rows.length == 20)
+    val pbar = rows.map(_.getLong(2)).sum.toDouble / rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (raw, shr, w) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(w > 0.0 && w < 1.0)
+      val lo = math.min(raw, pbar) - 1e-6
+      val hi = math.max(raw, pbar) + 1e-6
+      assert(shr >= lo && shr <= hi, s"shrunk $shr outside [$lo, $hi]")
+    }
+  }
+
   test("q_poisson_glm: intercept near ln(mean rate), dispersion near 1 on Poisson-ish counts") {
     val rows = SparkEntry.queries("q_poisson_glm")(spark, dir).collect()
     assert(rows.length == 5)
