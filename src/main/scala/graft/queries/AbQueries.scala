@@ -120,6 +120,50 @@ object AbQueries {
           col("fp_share"))
     }),
 
+    // ── Stratified ATT (exact matching on activity strata): users
+    // stratify by integer activity bucket (n_events DIV 5, capped at 9 —
+    // fixed-width, no sort), the treatment effect is the n₁-weighted
+    // within-stratum mean difference with the delta variance
+    // Σw²(v₁/n₁+v₀/n₀) — the observational-causal counterpart to the
+    // randomized tests: even under randomization it removes activity
+    // imbalance. Snapped stratum moments; md5-parity arms (salt :att);
+    // ≤10-stratum frame. ──
+    "q_stratified_att" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6).as("metric"),
+          count(lit(1)).as("acts"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("user_id").cast("string"), lit(":att"))), 1, 1), 16, 10)
+            .cast("int") % 2)
+        .withColumn("bucket", least(expr("acts DIV 5"), lit(9L)))
+      val strat = u.groupBy("bucket").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        round(sum(when(col("arm") === 0, col("metric")).otherwise(0.0)), 4).as("s0"),
+        round(sum(when(col("arm") === 1, col("metric")).otherwise(0.0)), 4).as("s1"),
+        round(sum(when(col("arm") === 0, col("metric") * col("metric")).otherwise(0.0)), 2).as("ss0"),
+        round(sum(when(col("arm") === 1, col("metric") * col("metric")).otherwise(0.0)), 2).as("ss1"))
+        .where(col("n0") >= 2 && col("n1") >= 2)
+        .withColumn("y0", expr("s0 / n0")).withColumn("y1", expr("s1 / n1"))
+        .withColumn("v0", expr("(ss0 - s0 * s0 / n0) / (n0 - 1)"))
+        .withColumn("v1", expr("(ss1 - s1 * s1 / n1) / (n1 - 1)"))
+        .withColumn("diff", expr("y1 - y0"))
+      val zk = substring(col("bucket").cast("string"), 1, 0)
+      val wAll = Window.partitionBy(zk)
+      strat
+        .withColumn("tn1", sum("n1").over(wAll))
+        .withColumn("w", expr("n1 / CAST(tn1 AS DOUBLE)"))
+        .withColumn("att6", sum(expr("CAST(round(n1 * diff * 1e6) AS BIGINT)")).over(wAll))
+        .withColumn("att", expr("att6 / 1e6 / tn1"))
+        .withColumn("vatt", sum(expr("w * w * (v1 / n1 + v0 / n0)")).over(wAll))
+        .select(col("bucket").as("stratum"), col("n0"), col("n1"),
+          round(col("y0"), 6).as("mean_control"), round(col("y1"), 6).as("mean_treat"),
+          round(col("diff"), 6).as("stratum_effect"),
+          round(col("att"), 6).as("att"),
+          round(expr("att / sqrt(vatt)"), 6).as("z"))
+    }),
+
     // ── Quantile treatment effects at the metric deciles: arm-wise exact
     // deciles by value-domain counting over the 1e6-scaled user metric
     // (never a per-arm sort), QTE = q_treat − q_control per decile — the
@@ -342,6 +386,39 @@ object AbQueries {
         |SELECT salt_id::INT AS salt_id, n0, n1, round(z, 6) AS z,
         |  fp::INT AS false_positive, fp_share
         |FROM sh""".stripMargin,
+
+    "q_stratified_att" ->
+      """WITH u AS (SELECT user_id,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS metric,
+        |    count(*)::BIGINT AS acts,
+        |    ('0x' || substr(md5(user_id::VARCHAR || ':att'), 1, 1))::BIGINT % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |ub AS (SELECT *, least(acts // 5, 9) AS bucket FROM u),
+        |strat AS (SELECT bucket,
+        |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    round(sum(CASE WHEN arm = 0 THEN metric ELSE 0.0 END), 4) AS s0,
+        |    round(sum(CASE WHEN arm = 1 THEN metric ELSE 0.0 END), 4) AS s1,
+        |    round(sum(CASE WHEN arm = 0 THEN metric * metric ELSE 0.0 END), 2) AS ss0,
+        |    round(sum(CASE WHEN arm = 1 THEN metric * metric ELSE 0.0 END), 2) AS ss1
+        |  FROM ub GROUP BY 1),
+        |ok AS (SELECT * FROM strat WHERE n0 >= 2 AND n1 >= 2),
+        |st AS (SELECT *, s0 / n0 AS y0, s1 / n1 AS y1,
+        |    (ss0 - s0 * s0 / n0) / (n0 - 1) AS v0,
+        |    (ss1 - s1 * s1 / n1) / (n1 - 1) AS v1
+        |  FROM ok),
+        |d AS (SELECT *, y1 - y0 AS diff FROM st),
+        |wn AS (SELECT *,
+        |    sum(n1) OVER ()::BIGINT AS tn1,
+        |    sum(round(n1 * (y1 - y0) * 1e6)::BIGINT) OVER ()::BIGINT AS att6
+        |  FROM d),
+        |w2 AS (SELECT *, n1 / CAST(tn1 AS DOUBLE) AS w, att6 / 1e6 / tn1 AS att FROM wn),
+        |vv AS (SELECT *, sum(w * w * (v1 / n1 + v0 / n0)) OVER () AS vatt FROM w2)
+        |SELECT bucket AS stratum, n0, n1,
+        |  round(y0, 6) AS mean_control, round(y1, 6) AS mean_treat,
+        |  round(diff, 6) AS stratum_effect, round(att, 6) AS att,
+        |  round(att / sqrt(vatt), 6) AS z
+        |FROM vv""".stripMargin,
 
     "q_qte" ->
       """WITH u AS (SELECT user_id,

@@ -89,6 +89,44 @@ object StabilityQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ── Seasonal-profile shift: χ² homogeneity of the hour-of-day COUNT
+    // profile, first half vs second half (24 cells, df = 23) — the
+    // PATTERN-change detector next to the level-change family (a series
+    // whose volume merely doubled passes; one whose daily shape rotated
+    // fails). Exact integer cells, expected counts ratios of integers,
+    // p via the shared detectors/ChiSq kernel (odd df → fixed-series
+    // incomplete gamma), oracle replays the same series. ──
+    "q_seasonal_shift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = ev.agg(timestamp_micros(
+        expr("(unix_micros(min(ts)) + unix_micros(max(ts))) DIV 2")).as("cut"))
+      val cells = ev.crossJoin(broadcast(cut))
+        .withColumn("h", hour(col("ts")))
+        .withColumn("grp", when(col("ts") < col("cut"), 1).otherwise(2))
+        .groupBy("event_type", "h").agg(
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("grp") === 2, 1L).otherwise(0L)).as("c2"))
+      val wp = Window.partitionBy("event_type")
+      val chi = udf { (x: Double, k: Int) => graft.detectors.ChiSq.sf(x, k) }
+      val st = cells
+        .withColumn("n1", sum("c1").over(wp))
+        .withColumn("n2", sum("c2").over(wp))
+        .withColumn("rt", col("c1") + col("c2"))
+        .withColumn("e1", col("rt").cast("double") * col("n1") / (col("n1") + col("n2")))
+        .withColumn("e2", col("rt").cast("double") * col("n2") / (col("n1") + col("n2")))
+        .withColumn("term",
+          (col("c1") - col("e1")) * (col("c1") - col("e1")) / col("e1") +
+            (col("c2") - col("e2")) * (col("c2") - col("e2")) / col("e2"))
+        .groupBy("event_type").agg(
+          first("n1").as("n1"), first("n2").as("n2"),
+          (count(lit(1)) - 1).cast("int").as("df"),
+          round(sum("term"), 6).as("x2"))
+      st.withColumn("p", chi(col("x2"), col("df")))
+        .select(col("event_type"), col("n1"), col("n2"), col("df"),
+          col("x2").as("chi2"), round(col("p"), 6).as("p_value"),
+          when(col("p") < 0.01, 1).otherwise(0).as("pattern_shifted"))
+    }),
+
     // ── Process capability (Cp / Cpk): natural tolerance limits fit on
     // the first half of the dense grid (μ₀ ± 3σ₀ from snapped moments),
     // capability evaluated on the second half — Cp = tolerance width /
@@ -403,6 +441,33 @@ object StabilityQueries {
   )
 
   val sql: Map[String, String] = Map(
+
+    "q_seasonal_shift" ->
+      s"""WITH RECURSIVE bounds AS (SELECT min(epoch_us(ts)) +
+         |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS midus FROM events),
+         |cells AS (SELECT event_type, hour(e.ts) AS h,
+         |    sum(CASE WHEN epoch_us(e.ts) < b.midus THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN epoch_us(e.ts) >= b.midus THEN 1 ELSE 0 END)::BIGINT AS c2
+         |  FROM events e, bounds b GROUP BY 1, 2),
+         |st AS (SELECT *,
+         |    sum(c1) OVER (PARTITION BY event_type)::BIGINT AS n1,
+         |    sum(c2) OVER (PARTITION BY event_type)::BIGINT AS n2,
+         |    (c1 + c2) AS rt
+         |  FROM cells),
+         |tm AS (SELECT *,
+         |    rt::DOUBLE * n1 / (n1 + n2) AS e1,
+         |    rt::DOUBLE * n2 / (n1 + n2) AS e2
+         |  FROM st),
+         |agg AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+         |    (count(*) - 1)::INT AS df,
+         |    round(sum((c1 - e1) * (c1 - e1) / e1 + (c2 - e2) * (c2 - e2) / e2), 6) AS x2
+         |  FROM tm GROUP BY 1),
+         |chsrc AS (SELECT event_type, x2 AS x, df AS k FROM agg),
+         |${graft.detectors.ChiSq.sqlReplay("chsrc", Seq("event_type"))}
+         |SELECT a.event_type, a.n1, a.n2, a.df, a.x2 AS chi2,
+         |  round(f.p, 6) AS p_value,
+         |  CASE WHEN f.p < 0.01E0 THEN 1 ELSE 0 END AS pattern_shifted
+         |FROM agg a JOIN chisf f USING (event_type)""".stripMargin,
 
     "q_capability" ->
       s"""WITH hourly AS ($H),
