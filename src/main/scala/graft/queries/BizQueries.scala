@@ -73,6 +73,42 @@ object BizQueries {
               col("churned").cast("double"), 6)).as("quick_ratio"))
     }),
 
+    // ── Retention half-life per weekly cohort: ln(retention share) is
+    // near-linear in cohort age for the standard exponential-decay
+    // regime, so the OLS slope of ln(share) on offset gives λ and
+    // half-life = ln2/(−λ) — the single number a growth team quotes
+    // from the whole q_retention triangle. Shares are exact integer
+    // ratios; the log-linear fit runs per cohort over its ≤#offsets
+    // rows with 6-dp-snapped moments; cohorts need ≥3 points and a
+    // negative slope to emit a half-life (else null, declared). ──
+    "q_retention_halflife" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy("user_id").agg(date_trunc("week", min("ts")).as("cw"))
+      val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw")).distinct()
+      val tri = active.join(first, "user_id")
+        .withColumn("off", ((unix_timestamp(col("aw")) - unix_timestamp(col("cw"))) / lit(604800L)).cast("long"))
+        .groupBy("cw", "off").agg(count(lit(1)).as("n_users"))
+      val w0 = Window.partitionBy("cw")
+      val pts = tri
+        .withColumn("n0", max(when(col("off") === 0, col("n_users"))).over(w0))
+        .where(col("off") >= 1 && col("n_users") > 0)
+        .withColumn("ly", log(col("n_users").cast("double") / col("n0").cast("double")))
+        .withColumn("x", col("off").cast("double"))
+      pts.groupBy("cw").agg(
+        count(lit(1)).as("np"),
+        max("n0").as("cohort_size"),
+        round(sum("x"), 6).as("sx"), round(sum("ly"), 6).as("sy"),
+        round(sum(col("x") * col("x")), 6).as("sxx"),
+        round(sum(col("x") * col("ly")), 6).as("sxy"))
+        .where(col("np") >= 3)
+        .withColumn("lam", expr("(np * sxy - sx * sy) / (np * sxx - sx * sx)"))
+        .select(unix_timestamp(col("cw")).as("cohort_w_s"), col("cohort_size"),
+          col("np").as("n_points"),
+          round(col("lam"), 6).as("decay_rate"),
+          when(col("lam") < 0,
+            round(expr("ln(2.0E0) / (-lam)"), 6)).as("halflife_weeks"))
+    }),
+
     // ── Funnel step-timing: per user, the gap between FIRST view →
     // first click → first purchase (ordered pairs only), with exact
     // p50/p90 by value-domain counting over integer minute gaps (the
@@ -473,6 +509,29 @@ object BizQueries {
         |       THEN round((f.new_users + f.resurrected)::DOUBLE / c.churned::DOUBLE, 6)
         |  END AS quick_ratio
         |FROM flows f LEFT JOIN churn c ON c.w = f.w""".stripMargin,
+
+    "q_retention_halflife" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events),
+        |tri AS (SELECT f.cw,
+        |    ((epoch_us(a.aw) // 1000000 - epoch_us(f.cw) // 1000000) / 604800)::BIGINT AS off,
+        |    count(*)::BIGINT AS n_users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |w0 AS (SELECT *, max(CASE WHEN off = 0 THEN n_users END)
+        |    OVER (PARTITION BY cw)::BIGINT AS n0 FROM tri),
+        |pts AS (SELECT cw, n0, off::DOUBLE AS x,
+        |    ln(n_users::DOUBLE / n0::DOUBLE) AS ly
+        |  FROM w0 WHERE off >= 1 AND n_users > 0),
+        |mom AS (SELECT cw, count(*)::BIGINT AS np, max(n0) AS cohort_size,
+        |    round(sum(x), 6) AS sx, round(sum(ly), 6) AS sy,
+        |    round(sum(x * x), 6) AS sxx, round(sum(x * ly), 6) AS sxy
+        |  FROM pts GROUP BY 1),
+        |fit AS (SELECT *, (np * sxy - sx * sy) / (np * sxx - sx * sx) AS lam
+        |        FROM mom WHERE np >= 3)
+        |SELECT epoch_us(cw) // 1000000 AS cohort_w_s, cohort_size,
+        |  np AS n_points, round(lam, 6) AS decay_rate,
+        |  CASE WHEN lam < 0 THEN round(ln(2.0E0) / (-lam), 6) END AS halflife_weeks
+        |FROM fit""".stripMargin,
 
     "q_funnel_timing" ->
       """WITH firsts AS (SELECT user_id,
