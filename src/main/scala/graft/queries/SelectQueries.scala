@@ -394,6 +394,39 @@ object SelectQueries {
             col("cum0ge").cast("double") / col("n0").cast("double"), 6).as("youden_j"))
     }),
 
+    // ── Per-feature PSI drift of the classifier INPUTS between the
+    // first- and second-half corpora (by doc_id): a drifting feature
+    // with a stable score means compensating shifts — the input-side
+    // monitor that explains WHAT moved when q_calibration says the
+    // score did. Fixed-width bins (clamped, map-side), +0.5 Laplace
+    // smoothing, industry 0.2 rule; exact integer counts. ──
+    "q_feature_drift" -> ((s, dir) => {
+      val feats = logregFeats(s, dir)
+      val mid = feats.agg(expr("max(doc_id) DIV 2").as("mid"))
+      val base = feats.crossJoin(broadcast(mid))
+        .withColumn("half", when(col("doc_id") <= col("mid"), 1).otherwise(2))
+      val fcols = Seq("x1", "x2", "x3", "x4")
+      val binned = fcols.map { f =>
+        base.select(lit(f).as("feature"), col("half"),
+          least(floor(col(f) * 10), lit(9.0)).cast("int").as("bin"))
+      }.reduce(_ unionAll _)
+      val cells = binned.groupBy("feature", "bin").agg(
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+      val wf = Window.partitionBy("feature")
+      cells
+        .withColumn("n1", sum("c1").over(wf))
+        .withColumn("n2", sum("c2").over(wf))
+        .withColumn("nb", count(lit(1)).over(wf))
+        .withColumn("p", expr("(c1 + 0.5E0) / (n1 + 0.5E0 * nb)"))
+        .withColumn("q", expr("(c2 + 0.5E0) / (n2 + 0.5E0 * nb)"))
+        .withColumn("term", expr("(p - q) * ln(p / q)"))
+        .groupBy("feature").agg(
+          first("n1").as("n_first"), first("n2").as("n_second"),
+          round(sum("term"), 6).as("psi"))
+        .withColumn("drifted", when(col("psi") > 0.2, 1).otherwise(0))
+    }),
+
     // ── Intraclass correlation ICC(1) of the quality score by source:
     // how much of score variance is BETWEEN sources — high ICC means
     // filter at the source level (cheap), low ICC means per-doc scoring
@@ -870,6 +903,35 @@ object SelectQueries {
          |  round(least(ctr + hw, 1.0E0), 6) AS ci_hi,
          |  CASE WHEN pr < ctr - hw OR pr > ctr + hw THEN 1 ELSE 0 END AS diverges
          |FROM ci""".stripMargin,
+
+    "q_feature_drift" -> {
+      val unions = Seq("x1", "x2", "x3", "x4").map { f =>
+        s"SELECT doc_id, '$f' AS feature, least(floor($f * 10), 9.0E0)::INT AS bin FROM f"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE $LogregChainSql,
+         |mid AS (SELECT max(doc_id) // 2 AS mid FROM f),
+         |binned AS ($unions),
+         |hb AS (SELECT b.feature, b.bin,
+         |    CASE WHEN b.doc_id <= m.mid THEN 1 ELSE 2 END AS half
+         |  FROM binned b, mid m),
+         |cells AS (SELECT feature, bin,
+         |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+         |  FROM hb GROUP BY 1, 2),
+         |wn AS (SELECT *,
+         |    sum(c1) OVER (PARTITION BY feature)::BIGINT AS n1,
+         |    sum(c2) OVER (PARTITION BY feature)::BIGINT AS n2,
+         |    count(*) OVER (PARTITION BY feature)::BIGINT AS nb
+         |  FROM cells),
+         |tm AS (SELECT *,
+         |    (c1 + 0.5E0) / (n1 + 0.5E0 * nb) AS p,
+         |    (c2 + 0.5E0) / (n2 + 0.5E0 * nb) AS q
+         |  FROM wn),
+         |agg AS (SELECT feature, max(n1) AS n_first, max(n2) AS n_second,
+         |    round(sum((p - q) * ln(p / q)), 6) AS psi
+         |  FROM tm GROUP BY 1)
+         |SELECT *, CASE WHEN psi > 0.2E0 THEN 1 ELSE 0 END AS drifted FROM agg""".stripMargin
+    },
 
     "q_icc_source" ->
       s"""WITH RECURSIVE $LogregChainSql,
