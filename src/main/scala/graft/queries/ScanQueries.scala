@@ -436,6 +436,33 @@ object ScanQueries {
           when(col("rk") === 1, 1).otherwise(0).as("is_peak"))
     }),
 
+    // ── Empirical VaR(95) + CVaR/expected shortfall per series: the
+    // 95th-percentile hourly load and the MEAN of everything above it —
+    // the coherent tail-risk number capacity planning actually needs
+    // (VaR says where the tail starts, CVaR says how bad it is inside).
+    // Threshold = exact integer-rank order statistic; the shortfall mean
+    // is a snapped sum over the deterministic exceedance set; empirical
+    // twin of q_gev_return's parametric return levels. ──
+    "q_cvar" -> ((s, dir) => {
+      val wv = Window.partitionBy("event_type").orderBy(col("value"), col("ts"))
+      val wp = Window.partitionBy("event_type")
+      val rk = Tables.hourlyEvents(s, dir).drop("n")
+        .withColumn("rn", row_number().over(wv))
+        .withColumn("nn", count(lit(1)).over(wp))
+      val thr = rk.where(col("rn") * 20 > col("nn") * 19)
+        .groupBy("event_type").agg(
+          min("value").as("var95"),
+          count(lit(1)).as("n_tail"),
+          round(sum("value"), 4).as("stail"))
+      rk.groupBy("event_type").agg(max("nn").as("n"))
+        .join(broadcast(thr), "event_type")
+        .select(col("event_type"), col("n").as("n_obs"), col("n_tail"),
+          round(col("var95"), 6).as("var_95"),
+          round(col("stail") / col("n_tail").cast("double"), 6).as("cvar_95"),
+          round((col("stail") / col("n_tail").cast("double")) / col("var95"), 6)
+            .as("tail_severity"))
+    }),
+
     "q_ess" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
       val wp = Window.partitionBy("event_type")
@@ -733,6 +760,22 @@ object ScanQueries {
          |  round(power, 6) AS power,
          |  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_peak
          |FROM rk""".stripMargin,
+
+    "q_cvar" ->
+      s"""WITH hourly AS ($H),
+         |rk AS (SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, ts) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nn
+         |  FROM hourly),
+         |thr AS (SELECT event_type, min(value) AS var95, count(*)::BIGINT AS n_tail,
+         |    round(sum(value), 4) AS stail
+         |  FROM rk WHERE rn * 20 > nn * 19 GROUP BY 1),
+         |nn AS (SELECT event_type, max(nn)::BIGINT AS n FROM rk GROUP BY 1)
+         |SELECT n.event_type, n.n AS n_obs, t.n_tail,
+         |  round(t.var95, 6) AS var_95,
+         |  round(t.stail / t.n_tail::DOUBLE, 6) AS cvar_95,
+         |  round((t.stail / t.n_tail::DOUBLE) / t.var95, 6) AS tail_severity
+         |FROM nn n JOIN thr t USING (event_type)""".stripMargin,
 
     "q_ess" -> {
       val lagCols = (1 to K).map(k => s"lag(e, $k) OVER w AS l$k").mkString(",\n         |    ")
