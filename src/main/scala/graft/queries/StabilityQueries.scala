@@ -58,6 +58,103 @@ object StabilityQueries {
 
   private val H = Tables.hourlySql
 
+  // ── computed critical values ───────────────────────────────────────────
+  // Closes the r9 declared "shared literal" deviations: q(0.95, 5, ∞) and
+  // F(0.95, 4, ∞) are now DERIVED from the normal / chi-square CDFs by
+  // both engines (identical arithmetic, 6-dp-snapped at every comparison)
+  // and emitted as output columns, so the hash gate certifies parity.
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Φ(x) via the Abramowitz-Stegun 7.1.26 erf polynomial (all-literal
+    * coefficients, odd symmetry) — the exact expression the oracle's SQL
+    * fragment evaluates, so both engines walk the same float sequence. */
+  private def normCdf(x: Double): Double = {
+    val ax = math.abs(x) / 1.4142135623730951
+    val t = 1.0 / (1.0 + 0.3275911 * ax)
+    val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    val erf = 1.0 - poly * math.exp(-ax * ax)
+    if (x >= 0.0) 0.5 * (1.0 + erf) else 0.5 * (1.0 - erf)
+  }
+
+  /** Studentized-range q(0.95, k=5, df=∞) as a grid-min: the CDF
+    * P(Q≤q) = k∫φ(z)[Φ(z)−Φ(z−q)]^{k−1}dz evaluated by rectangle sum
+    * (z = −8 + j/128, j ≤ 2048; exact-dyadic grid) at candidates
+    * q_c = 3.5 + c/2048, crit = first candidate whose 6-dp-snapped CDF
+    * reaches 0.95. Candidates are exact dyadics → the selected crit is
+    * bit-identical across engines; CDF spacing between candidates
+    * (~1.5e-4) dwarfs any libm-exp ulp drift in the snapped sum. */
+  private[queries] lazy val TukeyQCrit: Double = {
+    var c = 0
+    var res = Double.NaN
+    while (c <= 1024 && res.isNaN) {
+      val qc = 3.5 + c / 2048.0
+      var s = 0.0
+      var j = 0
+      while (j <= 2048) {
+        val z = -8.0 + j / 128.0
+        val d = normCdf(z) - normCdf(z - qc)
+        s += math.exp(-z * z / 2.0) * 0.3989422804014327 * 5.0 * d * d * d * d
+        j += 1
+      }
+      if (round6(s / 128.0) >= 0.95) res = qc
+      c += 1
+    }
+    res // = 3.85791015625 (tables: 3.858)
+  }
+
+  /** F(0.95, 4, ∞) = χ²₀.₉₅(4)/4 by 60-step bisection on the closed-form
+    * even-df chi-square CDF 1 − e^{−x/2}(1 + x/2), the CDF 6-dp-snapped
+    * at each comparison so both engines take the same branch; the oracle
+    * replays the identical bisection as a recursive CTE. */
+  private[queries] lazy val LeveneFCrit: Double = {
+    var lo = 0.0; var hi = 50.0
+    var it = 0
+    while (it < 60) {
+      val mid = (lo + hi) / 2.0
+      if (round6(1.0 - math.exp(-mid / 2.0) * (1.0 + mid / 2.0)) < 0.95) lo = mid else hi = mid
+      it += 1
+    }
+    round6((lo + hi) / 2.0 / 4.0) // = 2.371926 (tables: 2.372)
+  }
+
+  /** Oracle SQL: Φ(x) as an inline fragment (A&S 7.1.26, literals only). */
+  private def phiSql(x: String): String = {
+    val ax = s"(abs($x) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $ax))"
+    val poly = s"((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t - 0.284496736) * $t + 0.254829592) * $t"
+    val erf = s"(1.0 - $poly * exp(-$ax * $ax))"
+    s"(CASE WHEN $x >= 0.0 THEN 0.5 * (1.0 + $erf) ELSE 0.5 * (1.0 - $erf) END)"
+  }
+
+  /** Oracle CTE list yielding `tcrit(qcrit)` — [[TukeyQCrit]] replayed. */
+  private def tukeyCritSql: String = {
+    val z = "(-8.0 + j / 128.0)"
+    val d = s"(${phiSql(z)} - ${phiSql(s"($z - qc)")})"
+    s"""tq AS (SELECT 3.5 + c / 2048.0 AS qc FROM generate_series(0, 1024) AS t_(c)),
+       |tz AS (SELECT j::DOUBLE AS j FROM generate_series(0, 2048) AS t2_(j)),
+       |tcdf AS (SELECT qc,
+       |    round(sum(exp(-$z * $z / 2.0) * 0.3989422804014327 * 5.0 * $d * $d * $d * $d) / 128.0, 6) AS cdf
+       |  FROM tq, tz GROUP BY qc),
+       |tcrit AS (SELECT min(qc) AS qcrit FROM tcdf WHERE cdf >= 0.95)""".stripMargin
+  }
+
+  /** Oracle CTE list (requires WITH RECURSIVE) yielding `fcrit(fcrit)` —
+    * [[LeveneFCrit]]'s bisection replayed. */
+  private def leveneCritSql: String = {
+    val cdf = "round(1.0 - exp(-((lo + hi) / 2.0) / 2.0) * (1.0 + ((lo + hi) / 2.0) / 2.0), 6)"
+    s"""fb(it, lo, hi) AS (
+       |  SELECT 0, 0.0::DOUBLE, 50.0::DOUBLE
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    CASE WHEN $cdf < 0.95 THEN (lo + hi) / 2.0 ELSE lo END,
+       |    CASE WHEN $cdf < 0.95 THEN hi ELSE (lo + hi) / 2.0 END
+       |  FROM fb WHERE it < 60),
+       |fcrit AS (SELECT round((lo + hi) / 2.0 / 4.0, 6) AS fcrit FROM fb WHERE it = 60)""".stripMargin
+  }
+
   /** Chow F 1% critical value for k=2 restrictions, large n (χ²(2)/2). */
   private val ChowCrit = 4.61
 
@@ -202,10 +299,11 @@ object StabilityQueries {
 
     // ── Tukey-Kramer HSD post-hoc (Tukey 1949): which PAIRS differ once
     // q_anova says "something does" — |mean_i − mean_j| against
-    // HSD = q₀.₀₅·√(MSW/2·(1/nᵢ+1/nⱼ)) with the studentized-range
-    // critical q(0.95, k=5, df=∞) = 3.858 as a shared literal
-    // (declared ∞-df approximation). Group moments ride the q_anova
-    // scaled-BIGINT reduction; the pair frame is #series². ──
+    // HSD = q₀.₀₅·√(MSW/2·(1/nᵢ+1/nⱼ)). The studentized-range critical
+    // q(0.95, k=5, df=∞) is COMPUTED from the normal CDF ([[TukeyQCrit]];
+    // the oracle replays the identical grid-min) and emitted as q_crit —
+    // the former shared-literal deviation is closed. Group moments ride
+    // the q_anova scaled-BIGINT reduction; the pair frame is #series². ──
     "q_tukey_hsd" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val grp = ev.groupBy("event_type").agg(
@@ -223,9 +321,10 @@ object StabilityQueries {
       a.join(broadcast(b), col("ta") < col("tb"))
         .crossJoin(broadcast(msw))
         .withColumn("diff", expr("abs(sva / ma - svb / mb)"))
-        .withColumn("hsd", expr("3.858E0 * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb))"))
+        .withColumn("hsd", expr(s"${TukeyQCrit}E0 * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb))"))
         .select(col("ta"), col("tb"), col("ma").as("n_a"), col("mb").as("n_b"),
           round(col("diff"), 6).as("mean_diff"), round(col("hsd"), 6).as("hsd"),
+          round(lit(TukeyQCrit), 6).as("q_crit"),
           when(col("diff") > col("hsd"), 1).otherwise(0).as("significant"))
     }),
 
@@ -235,7 +334,8 @@ object StabilityQueries {
     // equal-variance F means anything. Group medians are exact order
     // statistics ((n+1)//2, (n+2)//2 picks over the series-keyed rank);
     // the F rides the q_anova scaled-BIGINT reduction; flagged at
-    // F(0.95, 4, ∞) = 2.372 (shared literal, declared). ──
+    // F(0.95, 4, ∞) COMPUTED by chi-square bisection ([[LeveneFCrit]];
+    // oracle replays it as a recursive CTE) and emitted as f_crit. ──
     "q_levene" -> ((s, dir) => {
       val hourly = Tables.hourlyEvents(s, dir).drop("n")
       val w = Window.partitionBy("event_type").orderBy(col("value"), col("ts"))
@@ -267,7 +367,8 @@ object StabilityQueries {
           (col("ssb") / (col("k") - lit(1L)).cast("double")) /
             (col("ssw") / (col("n") - col("k")).cast("double")))
         .select(col("k"), col("n"), round(col("w_stat"), 6).as("w_stat"),
-          when(col("w_stat") > lit(2.372), 1).otherwise(0).as("heteroscedastic"))
+          round(lit(LeveneFCrit), 6).as("f_crit"),
+          when(col("w_stat") > lit(LeveneFCrit), 1).otherwise(0).as("heteroscedastic"))
     }),
 
     "q_chow_test" -> ((s, dir) => {
@@ -528,26 +629,29 @@ object StabilityQueries {
          |SELECT *, CASE WHEN max_abs_ts > 4.0E0 THEN 1 ELSE 0 END AS biased FROM agg""".stripMargin,
 
     "q_tukey_hsd" ->
-      """WITH grp AS (SELECT event_type, count(*)::BIGINT AS m,
+      s"""WITH grp AS (SELECT event_type, count(*)::BIGINT AS m,
         |    round(sum(value), 4) AS sv, round(sum(value * value), 2) AS svv
         |  FROM events GROUP BY 1),
         |g2 AS (SELECT *, round((svv - sv * sv / m) * 1e4)::BIGINT AS ssw_s FROM grp),
         |msw AS (SELECT count(*)::BIGINT AS k, sum(m)::BIGINT AS n,
         |    sum(ssw_s)::BIGINT AS ssw_s FROM g2),
         |mw AS (SELECT (ssw_s::DOUBLE / 1e4) / (n - k)::DOUBLE AS msw FROM msw),
+        |$tukeyCritSql,
         |pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
         |    a.m AS ma, b.m AS mb, a.sv AS sva, b.sv AS svb
         |  FROM g2 a JOIN g2 b ON a.event_type < b.event_type)
         |SELECT ta, tb, ma AS n_a, mb AS n_b,
         |  round(abs(sva / ma - svb / mb), 6) AS mean_diff,
-        |  round(3.858E0 * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb)), 6) AS hsd,
+        |  round(qcrit * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb)), 6) AS hsd,
+        |  round(qcrit, 6) AS q_crit,
         |  CASE WHEN abs(sva / ma - svb / mb)
-        |       > 3.858E0 * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb))
+        |       > qcrit * sqrt(msw / 2.0E0 * (1.0E0 / ma + 1.0E0 / mb))
         |       THEN 1 ELSE 0 END AS significant
-        |FROM pr, mw""".stripMargin,
+        |FROM pr, mw, tcrit""".stripMargin,
 
     "q_levene" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH RECURSIVE hourly AS ($H),
+         |$leveneCritSql,
          |rk AS (SELECT event_type, value,
          |    row_number() OVER (PARTITION BY event_type ORDER BY value, ts) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS nn
@@ -573,9 +677,9 @@ object StabilityQueries {
          |  FROM agg),
          |ww AS (SELECT k, n,
          |    (ssb / (k - 1)::DOUBLE) / (ssw / (n - k)::DOUBLE) AS w_stat FROM st)
-         |SELECT k, n, round(w_stat, 6) AS w_stat,
-         |  CASE WHEN w_stat > 2.372E0 THEN 1 ELSE 0 END AS heteroscedastic
-         |FROM ww""".stripMargin,
+         |SELECT k, n, round(w_stat, 6) AS w_stat, fcrit AS f_crit,
+         |  CASE WHEN w_stat > fcrit THEN 1 ELSE 0 END AS heteroscedastic
+         |FROM ww, fcrit""".stripMargin,
 
     "q_chow_test" -> {
       val sseP = sseSql("m", "st", "stt", "sy", "sty", "syy")
