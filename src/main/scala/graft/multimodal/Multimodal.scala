@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   *
   *   raw bytes (binary) ──mapPartitions (batched)──► decoded features
   *
-  * The decode itself is STUBBED here (no image/audio codecs in this
-  * container): `fakeDecode` derives deterministic "pixel stats" from the
-  * bytes. Everything around it — schema, per-partition batching, null
-  * handling, feature schema — is the real production shape; swapping the
-  * stub for libjpeg/ffmpeg is a one-function change.
+  * The DECODE path is real as of round 10: [[decodeBmp]] parses genuine
+  * Windows-BMP containers (header offsets, 24-bpp stride padding,
+  * bottom-up rows) and [[decodeWav]] walks real RIFF/WAVE chunk lists
+  * (16-bit mono PCM, unknown chunks skipped) — both pure-JVM public
+  * formats, no codec deps, certified through the DuckDB gate because
+  * the synthesized pixel/PCM content is an md5 chain the oracle can
+  * replay without a parser. frameSample/phash keep the md5-chain
+  * payload stand-in (declared): their certified surface is the
+  * explode/blocking plumbing, not a demuxer.
   */
 object Multimodal {
 
@@ -74,11 +78,6 @@ object Multimodal {
       .withColumn("out_w", floor(col("width") * col("scale")).cast("long"))
       .withColumn("out_h", floor(col("height") * col("scale")).cast("long"))
 
-  /** STUB decode: deterministic byte statistics standing in for decoded
-    * pixel features. Real deployments replace the body with a codec call;
-    * the mapPartitions batching (one codec init per partition, not per
-    * row) is the part that matters at scale.
-    */
   /** Blockhash-style perceptual fingerprint over the decoded payload:
     * bit i set iff byte i exceeds the payload's mean byte — the
     * mean-threshold step every blockhash/aHash variant shares, over the
@@ -109,25 +108,207 @@ object Multimodal {
     }(enc)
   }
 
-  def decodeFeatures(df: DataFrame, id: String = "doc_id"): DataFrame = {
+  // ── REAL container codecs (round-10 de-stub; closes the one `weak`
+  // component carried since r2) ─────────────────────────────────────────
+  // The synthesized payloads are genuine Windows-BMP (BITMAPFILEHEADER +
+  // BITMAPINFOHEADER, 24 bpp BI_RGB, 4-byte-padded bottom-up rows) and
+  // RIFF/WAVE (fmt + an unknown LIST chunk the parser must SKIP + data,
+  // 16-bit mono PCM) files — the pixel/PCM content is an md5 chain so
+  // the DuckDB oracle reproduces the expected statistics WITHOUT a
+  // parser, while the Spark side recovers them only by honoring the real
+  // layout (magic, header offsets, stride padding, bottom-up row order,
+  // chunk traversal). A decoder bug — padding bytes included, rows
+  // misordered, chunk skipped wrong — shifts the stats and fails the
+  // hash gate.
+
+  private def md5Bytes(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+  private def md5Hex(s: String): String =
+    md5Bytes(s).map("%02x".format(_)).mkString
+
+  /** Deterministic byte chain: md5(seed + "_" + tag + k) digests
+    * concatenated and truncated to n — the oracle's
+    * ('0x' || substr(md5(...), (p%16)*2+1, 2)) replays it byte for byte. */
+  private def chain(seed: String, tag: String, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0; var k = 0
+    while (off < n) {
+      val d = md5Bytes(seed + "_" + tag + k)
+      val m = math.min(16, n - off)
+      System.arraycopy(d, 0, out, off, m)
+      off += m; k += 1
+    }
+    out
+  }
+
+  /** Encode one real 24-bpp BMP: dimensions 4..8 × 3..6 from the text's
+    * md5 (stride padding genuinely exercised for w ∉ {4, 8}), pixels =
+    * the "_px" chain in row-major TOP-DOWN BGR order, stored bottom-up
+    * as the format requires. */
+  def encodeBmp(text: String): Array[Byte] = {
+    val hx = md5Hex(text)
+    val w = 4 + Integer.parseInt(hx.substring(0, 2), 16) % 5
+    val h = 3 + Integer.parseInt(hx.substring(2, 4), 16) % 4
+    val px = chain(text, "px", w * h * 3)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val imgSize = stride * h
+    val buf = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-array offset
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = h - 1
+    while (r >= 0) { // bottom-up rows, zero padding to the 4-byte stride
+      buf.put(px, r * w * 3, w * 3)
+      var p = w * 3
+      while (p < stride) { buf.put(0.toByte); p += 1 }
+      r -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24-bpp uncompressed BMP: returns (width, height, pixel
+    * bytes in row-major top-down BGR order) or None if the container is
+    * not a BMP this decoder understands. Reads ONLY the header fields —
+    * offset 10 pixel-array start, 18/22 dimensions, 28 bpp, 30
+    * compression — and undoes stride padding + bottom-up storage. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    val planes = bb.getShort(26); val bpp = bb.getShort(28); val comp = bb.getInt(30)
+    if (bb.getInt(14) < 40 || planes != 1 || bpp != 24 || comp != 0) return None
+    if (w <= 0 || h <= 0 || w > 65536 || h > 65536) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride.toLong * h > bytes.length) return None
+    val px = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      System.arraycopy(bytes, off + (h - 1 - r) * stride, px, r * w * 3, w * 3)
+      r += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Synthesize the BMP payload column (one real container per doc). */
+  def withBmpPayload(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     val outSchema = StructType(Seq(
-      StructField(id, LongType), StructField("byte_mean", DoubleType),
-      StructField("byte_std", DoubleType), StructField("byte_entropy", DoubleType)))
+      StructField(id, LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(id), col(text)).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), encodeBmp(r.getString(1))))
+    }(enc)
+  }
+
+  /** Decode BMP payloads → per-image features. Integer byte sums keep
+    * the mean/std derivation exact on both engines; tl_luma is the
+    * BT.601 integer-weighted luma of the TOP-LEFT pixel — an
+    * order-sensitive probe that fails if rows are read top-down or
+    * padding shifts the lattice. Same batched mapPartitions shape as
+    * the stub it replaces (one decoder init per partition). */
+  def decodeBmpFeatures(df: DataFrame, id: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType), StructField("width", LongType),
+      StructField("height", LongType), StructField("n_bytes", LongType),
+      StructField("px_mean", DoubleType), StructField("px_std", DoubleType),
+      StructField("tl_luma", DoubleType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.select(col(id), col("payload")).mapPartitions { rows =>
-      // per-partition init happens HERE (codec handle, model weights, …)
-      rows.map { r =>
+      rows.flatMap { r =>
         val idv = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val n = bytes.length
-        var s = 0.0; var s2 = 0.0
-        val hist = new Array[Int](256)
-        bytes.foreach { b => val v = (b & 0xff).toDouble; s += v; s2 += v * v; hist(b & 0xff) += 1 }
-        val mean = s / n
-        val std = math.sqrt(math.max(s2 / n - mean * mean, 0))
-        var h = 0.0
-        hist.foreach { c => if (c > 0) { val p = c.toDouble / n; h -= p * math.log(p) / math.log(2) } }
-        Row(idv, mean, std, h)
+        decodeBmp(bytes).map { case (w, h, px) =>
+          val n = px.length
+          var s = 0L; var s2 = 0L
+          px.foreach { b => val v = (b & 0xff).toLong; s += v; s2 += v * v }
+          val mean = s.toDouble / n
+          val std = math.sqrt(math.max(s2.toDouble / n - mean * mean, 0.0))
+          val luma = (299L * (px(2) & 0xff) + 587L * (px(1) & 0xff) + 114L * (px(0) & 0xff)).toDouble / 1000.0
+          Row(idv, w.toLong, h.toLong, bytes.length.toLong, mean, std, luma)
+        }
+      }
+    }(enc)
+  }
+
+  /** Encode one real RIFF/WAVE file: 16-bit mono PCM at 8 kHz, 8..16
+    * samples from the "_pcm" chain (LE int16), with an unknown LIST
+    * chunk BETWEEN fmt and data that a correct parser must skip. */
+  def encodeWav(text: String): Array[Byte] = {
+    val hx = md5Hex(text)
+    val n = 8 + Integer.parseInt(hx.substring(4, 6), 16) % 9
+    val pcm = chain(text, "pcm", n * 2)
+    val junk = chain(text, "junk", 8)
+    val dataSize = n * 2
+    val riffSize = 4 + (8 + 16) + (8 + 8) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(8).put(junk)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize).put(pcm)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE container by walking its chunk list (odd sizes
+    * padded per the RIFF rule, unknown chunks skipped): returns
+    * (sampleRate, int16 samples) for 16-bit mono PCM, None otherwise. */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var pos = 12
+    var rate = -1; var ok = false
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos); val sz = bb.getInt(pos + 4)
+      if (sz < 0 || pos + 8 + sz > bytes.length) return None
+      id match {
+        case "fmt " if sz >= 16 =>
+          val fmt = bb.getShort(pos + 8); val ch = bb.getShort(pos + 10)
+          rate = bb.getInt(pos + 12)
+          val bits = bb.getShort(pos + 22)
+          ok = fmt == 1 && ch == 1 && bits == 16
+        case "data" =>
+          samples = Array.tabulate(sz / 2)(i => bb.getShort(pos + 8 + 2 * i))
+        case _ => // unknown chunk (LIST here): skip
+      }
+      pos += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks
+    }
+    if (ok && samples != null) Some((rate, samples)) else None
+  }
+
+  /** Synthesize the WAV payload column (one real container per doc). */
+  def withWavPayload(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(id), col(text)).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), encodeWav(r.getString(1))))
+    }(enc)
+  }
+
+  /** Decode WAV payloads → per-clip features (exact integer sums → mean
+    * / RMS / peak, engine-identical). */
+  def decodeWavFeatures(df: DataFrame, id: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType), StructField("sample_rate", LongType),
+      StructField("n_samples", LongType), StructField("pcm_mean", DoubleType),
+      StructField("pcm_rms", DoubleType), StructField("pcm_peak", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(id), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idv = r.getLong(0)
+        decodeWav(r.getAs[Array[Byte]](1)).map { case (rate, xs) =>
+          val n = xs.length
+          var s = 0L; var s2 = 0L; var pk = 0L
+          xs.foreach { v => s += v; s2 += v.toLong * v; pk = math.max(pk, math.abs(v.toLong)) }
+          Row(idv, rate.toLong, n.toLong, s.toDouble / n,
+            math.sqrt(s2.toDouble / n), pk)
+        }
       }
     }(enc)
   }

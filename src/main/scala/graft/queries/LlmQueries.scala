@@ -785,10 +785,25 @@ object LlmQueries {
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"), col("magic"),
           col("width"), col("height"), col("channels"))),
 
+    // REAL BMP decode (round-10 de-stub): each doc's payload is a genuine
+    // 24-bpp Windows BMP (variable 4..8 × 3..6 dims → stride padding
+    // exercised); the decoder recovers the pixels only through the real
+    // header/stride/bottom-up layout, and the oracle recomputes the
+    // expected stats from the md5 pixel chain WITHOUT a parser — a
+    // decoder bug fails the hash gate. tl_luma probes row order.
     "q_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.withPayload(docs(s, dir)))
-        .select(col("doc_id"), round(col("byte_mean"), 6).as("byte_mean"),
-          round(col("byte_std"), 6).as("byte_std"), round(col("byte_entropy"), 6).as("byte_entropy"))),
+      Multimodal.decodeBmpFeatures(Multimodal.withBmpPayload(docs(s, dir)))
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          round(col("px_mean"), 6).as("px_mean"), round(col("px_std"), 6).as("px_std"),
+          round(col("tl_luma"), 6).as("tl_luma"))),
+
+    // REAL RIFF/WAVE decode: 16-bit mono PCM with an unknown LIST chunk
+    // the parser must skip; mean/RMS/peak from exact integer sums.
+    "q_multimodal_wav" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(Multimodal.withWavPayload(docs(s, dir)))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("pcm_mean"), 6).as("pcm_mean"), round(col("pcm_rms"), 6).as("pcm_rms"),
+          col("pcm_peak"))),
 
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.withPayload(docs(s, dir)), k = 4)
@@ -1472,18 +1487,46 @@ object LlmQueries {
     // byte-statistics replay of the stubbed decode: the 16 payload bytes
     // are the md5 digest, so the oracle re-derives them from the hex
     "q_multimodal_decode" ->
-      """WITH b AS (SELECT doc_id, ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT AS v
-        |           FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
-        |st AS (SELECT doc_id, count(*)::DOUBLE AS n, avg(v::DOUBLE) AS mean,
-        |         sqrt(greatest(avg(v::DOUBLE * v) - avg(v::DOUBLE) * avg(v::DOUBLE), 0)) AS std
-        |       FROM b GROUP BY 1),
-        |hist AS (SELECT doc_id, v, count(*) AS c FROM b GROUP BY 1, 2),
-        |ent AS (SELECT h.doc_id,
-        |          -sum((h.c / s.n) * ln(h.c / s.n) / ln(2)) AS entropy
-        |        FROM hist h JOIN st s ON h.doc_id = s.doc_id GROUP BY 1)
-        |SELECT st.doc_id, round(st.mean, 6) AS byte_mean, round(st.std, 6) AS byte_std,
-        |  round(ent.entropy, 6) AS byte_entropy
-        |FROM st JOIN ent ON st.doc_id = ent.doc_id""".stripMargin,
+      """WITH dims AS (SELECT doc_id, text,
+        |    4 + ('0x' || substr(md5(text), 1, 2))::INT % 5 AS w,
+        |    3 + ('0x' || substr(md5(text), 3, 2))::INT % 4 AS h
+        |  FROM documents),
+        |pb AS (SELECT doc_id, text, w, h, unnest(range(0, w * h * 3)) AS p FROM dims),
+        |pxb AS (SELECT doc_id, w, h, p,
+        |    ('0x' || substr(md5(text || '_px' || (p // 16)::VARCHAR), (p % 16) * 2 + 1, 2))::BIGINT AS b
+        |  FROM pb),
+        |st AS (SELECT doc_id, max(w) AS w, max(h) AS h, count(*)::BIGINT AS n3,
+        |    sum(b)::BIGINT AS sb, sum(b * b)::BIGINT AS sbb,
+        |    max(CASE WHEN p = 0 THEN b END) AS b0,
+        |    max(CASE WHEN p = 1 THEN b END) AS g0,
+        |    max(CASE WHEN p = 2 THEN b END) AS r0
+        |  FROM pxb GROUP BY 1)
+        |SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+        |  (54 + ((w * 3 + 3) // 4) * 4 * h)::BIGINT AS n_bytes,
+        |  round(sb::DOUBLE / n3, 6) AS px_mean,
+        |  round(sqrt(greatest(sbb::DOUBLE / n3 - (sb::DOUBLE / n3) * (sb::DOUBLE / n3), 0.0)), 6) AS px_std,
+        |  round((299 * r0 + 587 * g0 + 114 * b0)::DOUBLE / 1000.0, 6) AS tl_luma
+        |FROM st""".stripMargin,
+
+    "q_multimodal_wav" ->
+      """WITH dims AS (SELECT doc_id, text,
+        |    8 + ('0x' || substr(md5(text), 5, 2))::INT % 9 AS n
+        |  FROM documents),
+        |sj AS (SELECT doc_id, text, n, unnest(range(0, n)) AS j FROM dims),
+        |sv AS (SELECT doc_id, n,
+        |    ('0x' || substr(md5(text || '_pcm' || ((2 * j) // 16)::VARCHAR), ((2 * j) % 16) * 2 + 1, 2))::BIGINT
+        |    + 256 * ('0x' || substr(md5(text || '_pcm' || ((2 * j + 1) // 16)::VARCHAR), ((2 * j + 1) % 16) * 2 + 1, 2))::BIGINT
+        |    AS raw
+        |  FROM sj),
+        |ss AS (SELECT doc_id, n, CASE WHEN raw > 32767 THEN raw - 65536 ELSE raw END AS v FROM sv),
+        |st AS (SELECT doc_id, max(n)::BIGINT AS n_samples,
+        |    sum(v)::BIGINT AS s, sum(v * v)::BIGINT AS s2, max(abs(v))::BIGINT AS pk
+        |  FROM ss GROUP BY 1)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate, n_samples,
+        |  round(s::DOUBLE / n_samples, 6) AS pcm_mean,
+        |  round(sqrt(s2::DOUBLE / n_samples), 6) AS pcm_rms,
+        |  pk AS pcm_peak
+        |FROM st""".stripMargin,
 
     // Spark hex() is uppercase, so the frame chain keys on upper(md5)
     "q_multimodal_frames" ->

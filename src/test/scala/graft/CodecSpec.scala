@@ -1,0 +1,108 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-10 multimodal de-stub: [[Multimodal.decodeBmp]] and
+  * [[Multimodal.decodeWav]] must parse REAL public containers — header
+  * offsets, stride padding, bottom-up row order, RIFF chunk traversal —
+  * not trust the synthesizer's layout. Hand-built containers with known
+  * pixel/PCM content probe each layout rule directly.
+  */
+class CodecSpec extends AnyFunSuite {
+
+  test("BMP round-trip recovers dimensions and the exact top-down pixel stream") {
+    for (text <- Seq("alpha", "bravo charlie", "δοκιμή unicode", "x")) {
+      val bytes = Multimodal.encodeBmp(text)
+      assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      val Some((w, h, px)) = Multimodal.decodeBmp(bytes)
+      assert(w >= 4 && w <= 8 && h >= 3 && h <= 6)
+      assert(px.length == w * h * 3)
+      // the pixel stream must equal the md5 chain the encoder wrote —
+      // any stride/row-order slip would permute or corrupt it
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = new Array[Byte](w * h * 3)
+      var off = 0; var k = 0
+      while (off < want.length) {
+        val d = md.digest((text + "_px" + k).getBytes("UTF-8"))
+        val m = math.min(16, want.length - off)
+        System.arraycopy(d, 0, want, off, m)
+        off += m; k += 1
+      }
+      assert(px.toSeq == want.toSeq, s"pixel stream mismatch for '$text' (w=$w h=$h)")
+    }
+  }
+
+  test("BMP decoder honors the stored layout, not the synthesizer: hand-built 2x2 image") {
+    // 2x2, 24bpp: stride = 8 (2 pad bytes/row). Top-down pixels
+    // (BGR): row0 = [1,2,3][4,5,6], row1 = [7,8,9][10,11,12].
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    val stride = 8
+    val buf = java.nio.ByteBuffer.allocate(54 + stride * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + stride * 2)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * 2).putInt(0).putInt(0).putInt(0).putInt(0)
+    // bottom-up storage: row1 first, pad bytes 0x7f must be IGNORED
+    buf.put(Array[Byte](7, 8, 9, 10, 11, 12, 127, 127))
+    buf.put(Array[Byte](1, 2, 3, 4, 5, 6, 127, 127))
+    val Some((w, h, got)) = Multimodal.decodeBmp(buf.array())
+    assert(w == 2 && h == 2)
+    assert(got.toSeq == px.toSeq, "decoder must undo bottom-up rows and drop stride padding")
+  }
+
+  test("BMP decoder rejects non-BMP and structurally broken containers") {
+    assert(Multimodal.decodeBmp("not a bitmap at all".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp(Array.empty[Byte]).isEmpty)
+    val ok = Multimodal.encodeBmp("doc")
+    val badMagic = ok.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.decodeBmp(badMagic).isEmpty)
+    val bad8bpp = ok.clone(); bad8bpp(28) = 8 // bpp field
+    assert(Multimodal.decodeBmp(bad8bpp).isEmpty)
+    val truncated = ok.take(ok.length - 4)
+    assert(Multimodal.decodeBmp(truncated).isEmpty, "pixel array overrunning the buffer must be rejected")
+  }
+
+  test("WAV round-trip recovers rate and the exact int16 samples, skipping the LIST chunk") {
+    for (text <- Seq("alpha", "bravo charlie", "x")) {
+      val bytes = Multimodal.encodeWav(text)
+      val Some((rate, xs)) = Multimodal.decodeWav(bytes)
+      assert(rate == 8000)
+      assert(xs.length >= 8 && xs.length <= 16)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val pcm = new Array[Byte](xs.length * 2)
+      var off = 0; var k = 0
+      while (off < pcm.length) {
+        val d = md.digest((text + "_pcm" + k).getBytes("UTF-8"))
+        val m = math.min(16, pcm.length - off)
+        System.arraycopy(d, 0, pcm, off, m)
+        off += m; k += 1
+      }
+      val want = Array.tabulate(xs.length)(i =>
+        ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort)
+      assert(xs.toSeq == want.toSeq, s"sample mismatch for '$text'")
+    }
+  }
+
+  test("WAV chunk walker: odd-sized unknown chunk with RIFF pad byte, data before fmt rejected") {
+    // hand-build: RIFF(WAVE) + junk chunk of ODD size 3 (pad byte) +
+    // fmt + data with samples [1000, -1000]
+    val data = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    data.putShort(1000).putShort(-1000)
+    val riffSize = 4 + (8 + 3 + 1) + (8 + 16) + (8 + 4)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("WAVE".getBytes("US-ASCII"))
+    buf.put("junk".getBytes("US-ASCII")).putInt(3).put(Array[Byte](9, 9, 9, 0)) // odd size + pad
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(44100).putInt(88200).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(4).put(data.array())
+    val Some((rate, xs)) = Multimodal.decodeWav(buf.array())
+    assert(rate == 44100 && xs.toSeq == Seq[Short](1000, -1000))
+    // stereo must be rejected (decoder only claims 16-bit mono PCM)
+    val stereo = buf.array().clone()
+    stereo(8 + 4 + 8 + 3 + 1 + 8 + 2) = 2 // channels field of fmt
+    assert(Multimodal.decodeWav(stereo).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+}
