@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for the SCALE.md evidence (VERDICT
+  * r9 #3): replicate a driver SF directory `factor`× so the heavy
+  * families (dedup, CC, BPE, ANN, streams) can be measured one decade
+  * above the largest driver SF.
+  *
+  *   sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10"
+  *
+  * Replica 0 is verbatim (intrinsic duplicate clusters preserved);
+  * replicas k ≥ 1 keep every distributional property that drives cost
+  * (token counts, vocabulary, per-user event rates, vector norms) but
+  * are NOT near-duplicates of the originals:
+  *   - documents: tokens Fisher-Yates-shuffled by a SplitMix64 PRNG
+  *     seeded per (doc_id, k) — same length/vocabulary, disjoint
+  *     3-gram shingles, so LSH pair counts scale with the corpus
+  *     instead of exploding in artificial 10-way dup cliques;
+  *   - events: ids/users offset per replica (per-user rates constant);
+  *   - embeddings: vector rotated k positions (norm-preserving).
+  * Everything else copies verbatim.
+  */
+object ScaleGen {
+
+  private def splitMix64(seed0: Long): () => Long = {
+    var seed = seed0
+    () => {
+      seed += 0x9e3779b97f4a7c15L
+      var z = seed
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Deterministic in-place Fisher-Yates keyed by (id, k). */
+  private[tools] def shuffleTokens(text: String, id: Long, k: Int): String = {
+    val toks = text.split(" ")
+    val rnd = splitMix64(id * 1000003L + k)
+    var i = toks.length - 1
+    while (i > 0) {
+      val j = (math.floorMod(rnd(), i + 1)).toInt
+      val t = toks(i); toks(i) = toks(j); toks(j) = t
+      i -= 1
+    }
+    toks.mkString(" ")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val off = 10000000L
+    def replicas(df: DataFrame): DataFrame = {
+      val ks = (0 until factor).toDF("k")
+      df.crossJoin(broadcast(ks))
+    }
+
+    val shuffleUdf = udf { (text: String, id: Long, k: Int) =>
+      if (k == 0) text else shuffleTokens(text, id, k)
+    }
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    replicas(docs)
+      .withColumn("text", shuffleUdf(col("text"), col("doc_id"), col("k")))
+      .select((col("doc_id") + col("k") * off).as("doc_id"), col("text"),
+        col("lang"), col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    replicas(ev)
+      .select((col("event_id") + col("k") * off).as("event_id"), col("ts"),
+        (col("user_id") + col("k") * off).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    replicas(emb)
+      .select((col("vec_id") + col("k") * off).as("vec_id"),
+        expr("concat(slice(embedding, k + 1, size(embedding) - k), slice(embedding, 1, k))")
+          .as("embedding"),
+        col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    println(s"""{"scalegen": "$out", "factor": $factor}""")
+    spark.stop()
+  }
+}

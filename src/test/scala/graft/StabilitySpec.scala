@@ -46,8 +46,11 @@ class StabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = SparkEntry.queries("q_tukey_hsd")(spark, dir).collect()
     assert(rows.length == 10)
     rows.foreach { r =>
-      val (diff, hsd, sig) = (r.getDouble(4), r.getDouble(5), r.getInt(6))
+      val (diff, hsd, qc, sig) = (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getInt(7))
       assert(hsd > 0)
+      // the computed studentized-range critical must sit where the
+      // k=5, df=inf tables put it (3.858)
+      assert(math.abs(qc - 3.858) < 1e-3, s"q_crit=$qc")
       assert((diff > hsd) == (sig == 1))
     }
   }
