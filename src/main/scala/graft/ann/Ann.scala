@@ -39,6 +39,36 @@ object Ann {
     */
   def cosineFast(a: Column, b: Column): Column = graft.expressions.cosine_sim(a, b)
 
+  /** Fixed-budget probe sample (round-10 scale fix). The old `% 50`
+    * probe sets scaled WITH the corpus, so every probe-broadcast eval
+    * was Θ(n²/50) — the one-decade SCALE measurement caught it at
+    * exponent ~1.5. A deterministic md5-rank cap keeps the probe budget
+    * CONSTANT: evals are linear in the corpus at any SF and the
+    * broadcast side is bounded by construction (the offline-recall
+    * harness shape that stays feasible at 100 TB). The identical rank
+    * filter rides each oracle's QUALIFY clause ([[ProbeQualify]]).
+    */
+  val ProbeCap = 64
+  def probeSample(df: DataFrame, id: String = "vec_id", cap: Int = ProbeCap): DataFrame =
+    df.orderBy(md5(col(id).cast("string")), col(id)).limit(cap)
+  val ProbeQualify =
+    s"QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= $ProbeCap"
+
+  /** Adaptive LSH band granularity (round-10 scale fix). With a FIXED
+    * rowsPerBand the candidate count is Θ(n²·2^{-rows}) — the one-decade
+    * SCALE measurement caught q_embed_clusters at exponent 2.0 (8-bucket
+    * bands). Bucket space must grow with the corpus: rows ≈ log2(n /
+    * target-bucket-load), stepped so both engines branch identically on
+    * the exact corpus count (the oracle replays the same step on its own
+    * count(*)). At the gate SFs (n ≤ 4096) this is the historical 3 —
+    * results unchanged; at 10× it yields 512-bucket bands and near-flat
+    * candidate counts. Recall concentrates on high-similarity pairs
+    * (cos 0.9 → 99%, cos 0.8 → 88% at rows = 9, 16 bands) — the regime
+    * cluster collapse cares about; the exact-verify threshold is
+    * unchanged.
+    */
+  def lshRowsFor(n: Long): Int = if (n <= 4096L) 3 else if (n <= 16384L) 6 else 9
+
   /** Exact all-pairs cosine near-duplicates above a threshold, fully
     * distributed — NO driver collect, NO broadcast of the corpus.
     *

@@ -92,7 +92,7 @@ object DensityQueries {
     // lrd(p). Distances are 1 − cos on the ROUNDED cosine. ──
     "q_lof" -> ((s, dir) => {
       val e = embs(s, dir)
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
       // materialize each hop's id frontier: u2 would otherwise replay
       // knn2 -> knn1 (every hop is a full-corpus broadcast scan)
       val knn1 = Ann.knnBruteForce(e, probes, LofK)
@@ -202,7 +202,7 @@ object DensityQueries {
            |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rk
            |    FROM $probeSet p JOIN embeddings c ON c.vec_id <> p.vec_id)
            |  WHERE rk <= $LofK)""".stripMargin
-      s"""WITH p0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH p0 AS (SELECT vec_id, embedding FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |${knnSql("p0", "knn1")},
          |u1 AS (SELECT vec_id, embedding FROM embeddings
          |       WHERE vec_id IN (SELECT pid FROM knn1 UNION SELECT nid FROM knn1)),

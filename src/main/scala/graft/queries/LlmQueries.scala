@@ -109,6 +109,32 @@ object LlmQueries {
   private[queries] def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
+  /** Oracle twin of the ADAPTIVE cosine-LSH banding (Ann.lshRowsFor):
+    * three rowsPerBand variants (3/6/9) built side by side, each branch
+    * guarded by the same corpus-count step the Spark side evaluates —
+    * both engines pick the identical granularity from the identical
+    * count. Plane index = band·rows + r, matching LshBandBuckets.
+    */
+  private lazy val adaptiveBandsSql: String = {
+    def projSql(v: String, p: Int) =
+      s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
+         |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
+    def bucketSql(v: String, band: Int, rows: Int) =
+      (0 until rows).map(r => s"(CASE WHEN ${projSql(v, band * rows + r)} >= 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
+    def variant(rows: Int, guard: String) =
+      (0 until 16).map(b =>
+        s"SELECT vec_id, $b AS band, ${bucketSql("embedding", b, rows)} AS bucket FROM embeddings WHERE $guard")
+        .mkString("\nUNION ALL\n")
+    val n = "(SELECT n FROM lshcnt)"
+    s"""lshcnt AS (SELECT count(*) AS n FROM embeddings),
+       |bands AS (
+       |${variant(3, s"$n <= 4096")}
+       |UNION ALL
+       |${variant(6, s"$n > 4096 AND $n <= 16384")}
+       |UNION ALL
+       |${variant(9, s"$n > 16384")})""".stripMargin
+  }
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -596,16 +622,21 @@ object LlmQueries {
     "q_neardup_cosine" -> ((s, dir) =>
       Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
 
-    // r=3, b=16 ⇒ recall ≈ 1-(1-p³)¹⁶ ≈ 0.99 at cos 0.4 (p = 1-θ/π)
-    "q_neardup_lsh" -> ((s, dir) =>
-      Ann.lshNearDupPairs(embs(s, dir), threshold = 0.4, bands = 16, rowsPerBand = 3)),
+    // r = lshRowsFor(n) (3 at gate SFs ⇒ recall ≈ 1-(1-p³)¹⁶ ≈ 0.99 at
+    // cos 0.4; adaptive 6/9 at larger corpora — see Ann.lshRowsFor)
+    "q_neardup_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Ann.lshNearDupPairs(e, threshold = 0.4, bands = 16, rowsPerBand = Ann.lshRowsFor(e.count()))
+    }),
 
     // embedding-side cluster collapse: the cosine near-dup pair graph
     // (LSH candidates, exact verify at a high threshold) collapsed by the
     // same connected-components machinery as the document clusters —
     // pairs → components → (vec, cluster, size)
     "q_embed_clusters" -> ((s, dir) => {
-      val pairs = Ann.lshNearDupPairs(embs(s, dir), threshold = 0.4, bands = 16, rowsPerBand = 3)
+      val e = embs(s, dir)
+      val pairs = Ann.lshNearDupPairs(e, threshold = 0.4, bands = 16,
+          rowsPerBand = Ann.lshRowsFor(e.count()))
         .select(col("i"), col("j"))
       val cc = Dedup.connectedComponents(pairs)
       val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
@@ -622,7 +653,7 @@ object LlmQueries {
     // map-side.
     "q_hard_negatives" -> ((s, dir) => {
       val e = embs(s, dir)
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("label").as("anchor_label"))
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("c.vec_id"))
       e.as("c").join(broadcast(probes),
@@ -635,12 +666,12 @@ object LlmQueries {
 
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = embs(s, dir)
-      Ann.knnBruteForce(e, e.where(col("vec_id") % 50 === 0), k = 5)
+      Ann.knnBruteForce(e, graft.ann.Ann.probeSample(e), k = 5)
     }),
 
     "q_knn_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      Ann.knnLsh(e, e.where(col("vec_id") % 50 === 0), k = 5, planes = 8)
+      Ann.knnLsh(e, graft.ann.Ann.probeSample(e), k = 5, planes = 8)
     }),
 
     // the recall eval every ANN deployment ships: approximate (LSH) top-k
@@ -650,7 +681,7 @@ object LlmQueries {
     // which is how offline recall harnesses stay feasible at 100 TB.
     "q_ann_recall" -> ((s, dir) => {
       val e = embs(s, dir)
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
       val ex = Ann.knnBruteForce(e, probes, k = 5).select(col("probe_id"), col("neighbor_id"))
       val ap = Ann.knnLsh(e, probes, k = 5, planes = 8).select(col("probe_id"), col("neighbor_id"))
       val ln = ap.groupBy("probe_id").agg(count(lit(1)).as("n_lsh"))
@@ -674,10 +705,10 @@ object LlmQueries {
       val cents = graft.ann.KMeansDet.fit(e, k = 8, iters = 3)
       val assigned = graft.ann.KMeansDet.assign(e, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
-      val probes = assigned.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(assigned)
       val ap = Ann.knnIvf(assigned, probes, cents, cell = "cell", k = 3, nprobe = 2,
         id = "vec_id", vec = "embedding").select(col("probe_id"), col("neighbor_id"))
-      val ex = Ann.knnBruteForce(e, e.where(col("vec_id") % 50 === 0), k = 3)
+      val ex = Ann.knnBruteForce(e, graft.ann.Ann.probeSample(e), k = 3)
         .select(col("probe_id"), col("neighbor_id"))
       val out = ex.join(ap.withColumn("hit", lit(1)), Seq("probe_id", "neighbor_id"), "left")
         .groupBy("probe_id").agg(
@@ -702,7 +733,7 @@ object LlmQueries {
       val cents = graft.ann.KMeansDet.fit(e, k = 8, iters = 3)
       val assigned = graft.ann.KMeansDet.assign(e, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
-      val out = Ann.knnIvf(assigned, assigned.where(col("vec_id") % 50 === 0), cents,
+      val out = Ann.knnIvf(assigned, graft.ann.Ann.probeSample(assigned), cents,
         cell = "cell", k = 3, nprobe = 2, id = "vec_id", vec = "embedding")
       e.unpersist()
       out
@@ -1300,14 +1331,7 @@ object LlmQueries {
         |SELECT i, j, hamming FROM r WHERE rk <= 20""".stripMargin,
 
     "q_embed_clusters" -> {
-      def projSql(v: String, p: Int) =
-        s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
-           |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
-      def bucketSql(v: String, band: Int, rows: Int) =
-        (0 until rows).map(r => s"(CASE WHEN ${projSql(v, band * rows + r)} >= 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
-      val bandSelects = (0 until 16).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucketSql("embedding", b, 3)} AS bucket FROM embeddings").mkString("\nUNION ALL\n")
-      s"""WITH RECURSIVE bands AS ($bandSelects),
+      s"""WITH RECURSIVE $adaptiveBandsSql,
          |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |e AS (SELECT i, j FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id
@@ -1323,14 +1347,7 @@ object LlmQueries {
     },
 
     "q_neardup_lsh" -> {
-      def projSql(v: String, p: Int) =
-        s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
-           |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
-      def bucketSql(v: String, band: Int, rows: Int) =
-        (0 until rows).map(r => s"(CASE WHEN ${projSql(v, band * rows + r)} >= 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
-      val bandSelects = (0 until 16).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucketSql("embedding", b, 3)} AS bucket FROM embeddings").mkString("\nUNION ALL\n")
-      s"""WITH bands AS ($bandSelects),
+      s"""WITH $adaptiveBandsSql,
          |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |v AS (SELECT i, j, ${cosSql("ea.embedding", "eb.embedding")} AS cos
@@ -1340,7 +1357,7 @@ object LlmQueries {
 
     "q_hard_negatives" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS anchor_label
-         |               FROM embeddings WHERE vec_id % 50 = 0),
+         |               FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |scored AS (SELECT probe_id, anchor_label, c.vec_id AS neg_id, c.label AS neg_label,
          |  ${cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id AND c.label <> anchor_label),
@@ -1349,7 +1366,7 @@ object LlmQueries {
          |FROM r WHERE rk <= 3""".stripMargin,
 
     "q_knn_bruteforce" ->
-      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |scored AS (SELECT probe_id, c.vec_id AS neighbor_id,
          |  ${cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
@@ -1363,7 +1380,7 @@ object LlmQueries {
       def bucketSql(v: String) =
         (0 until 8).map(p => s"(CASE WHEN ${projSql(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
       s"""WITH be AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |probes AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be WHERE vec_id % 50 = 0),
+         |probes AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |scored AS (SELECT probe_id, c.bucket, c.vec_id AS neighbor_id,
          |  ${cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN be c ON c.bucket = probes.bucket AND c.vec_id <> probe_id),
@@ -1377,14 +1394,14 @@ object LlmQueries {
            |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
       def bucketSql(v: String) =
         (0 until 8).map(p => s"(CASE WHEN ${projSql(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
-      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |ex0 AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosSql("pvec", "c.embedding")} AS cos
          |        FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
          |ex AS (SELECT probe_id, neighbor_id FROM (
          |         SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
          |         FROM ex0) WHERE rk <= 5),
          |be AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |lp AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be WHERE vec_id % 50 = 0),
+         |lp AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |ls0 AS (SELECT lp.probe_id, c.vec_id AS neighbor_id, ${cosSql("pvec", "c.embedding")} AS cos
          |        FROM lp JOIN be c ON c.bucket = lp.bucket AND c.vec_id <> lp.probe_id),
          |ls AS (SELECT probe_id, neighbor_id FROM (
@@ -1404,7 +1421,7 @@ object LlmQueries {
     // FITTED cents3 (not the member means), scan only the top-2 cells of as3
     "q_ivf_recall" ->
       s"""WITH ${kmChainSql(8, 3)},
-         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 WHERE vec_id % 50 = 0),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |pc AS (SELECT probe_id, pvec, cents3.cell, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cents3),
          |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS crk FROM pc) WHERE crk <= 2),
          |iscored AS (SELECT probe_id, c.vec_id AS neighbor_id,
@@ -1430,7 +1447,7 @@ object LlmQueries {
 
     "q_ann_ivf" ->
       s"""WITH ${kmChainSql(8, 3)},
-         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 WHERE vec_id % 50 = 0),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |pc AS (SELECT probe_id, pvec, cents3.cell, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cents3),
          |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS crk FROM pc) WHERE crk <= 2),
          |scored AS (SELECT probe_id, chosen.cell, c.vec_id AS neighbor_id,

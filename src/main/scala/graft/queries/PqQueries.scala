@@ -57,13 +57,13 @@ object PqQueries {
     "q_ann_pq" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding")).persist()
       val cb = Pq.fitCodebooks(e, M, KS, ITERS)
-      Pq.adcTopK(Pq.encode(e, cb), e.where(col("vec_id") % 50 === 0), cb, TOPK)
+      Pq.adcTopK(Pq.encode(e, cb), graft.ann.Ann.probeSample(e), cb, TOPK)
     }),
 
     "q_ann_pq_rerank" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding")).persist()
       val cb = Pq.fitCodebooks(e, M, KS, ITERS)
-      Pq.adcRerankTopK(Pq.encode(e, cb), e, e.where(col("vec_id") % 50 === 0), cb, CAND, TOPK)
+      Pq.adcRerankTopK(Pq.encode(e, cb), e, graft.ann.Ann.probeSample(e), cb, CAND, TOPK)
     }),
 
     "q_ann_ivfpq" -> ((s, dir) => {
@@ -76,7 +76,7 @@ object PqQueries {
       val resid = Pq.residuals(graft.ann.KMeansDet.assign(e, centsDf), centsDf).persist()
       val cb = Pq.fitCodebooks(resid, M, KS, ITERS)
       Pq.adcIvfTopK(Pq.encode(resid, cb, keep = Seq("cell")), cents, cb,
-        e.where(col("vec_id") % 50 === 0), NPROBE, TOPK)
+        graft.ann.Ann.probeSample(e), NPROBE, TOPK)
     })
   )
 
@@ -92,7 +92,7 @@ object PqQueries {
     }.mkString(",\n")
     val dtabs = (0 until M).map { j =>
       s"""dt$j AS (SELECT p.vec_id AS probe_id, b.pos, ${d2Sql(sl("p", j), "b.centroid")} AS d
-         |  FROM embeddings p CROSS JOIN book$j b WHERE p.vec_id % 50 = 0)""".stripMargin
+         |  FROM (SELECT * FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64) p CROSS JOIN book$j b)""".stripMargin
     }.mkString(",\n")
     val parts = (0 until M).map(j =>
       s"SELECT c.vec_id, d.probe_id, d.d FROM code$j c JOIN dt$j d ON d.pos = c.code"
@@ -156,7 +156,7 @@ object PqQueries {
          |  SELECT p.vec_id AS probe_id, c.cell, c.centroid,
          |    row_number() OVER (PARTITION BY p.vec_id
          |      ORDER BY ${d2Sql("(p.embedding::DOUBLE[])", "c.centroid")}, c.cell) AS rk
-         |  FROM embeddings p CROSS JOIN cents$IC c WHERE p.vec_id % 50 = 0) WHERE rk <= $NPROBE),
+         |  FROM (SELECT * FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64) p CROSS JOIN cents$IC c) WHERE rk <= $NPROBE),
          |prq AS (SELECT pc.probe_id, pc.cell,
          |    list_transform(list_zip(p.embedding::DOUBLE[], pc.centroid), x -> x[1] - x[2]) AS rq
          |  FROM pcells pc JOIN embeddings p ON p.vec_id = pc.probe_id),

@@ -86,7 +86,7 @@ object RetrievalQueries {
     // never shuffles. ──
     "q_retrieval_ndcg" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
       val nn = graft.ann.Ann.knnBruteForce(e, probes, k = 10)
       val labels = e.select(col("vec_id").as("neighbor_id"), col("label").as("nl"))
       val pl = probes.select(col("vec_id").as("probe_id"), col("label").as("tl"))
@@ -164,7 +164,7 @@ object RetrievalQueries {
     // 5·|probes| rows.
     "q_embed_matryoshka" -> ((s, dir) => {
       val e = embs(s, dir)
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
       def arm(dim: Option[Int]): DataFrame = {
         def cut(c: org.apache.spark.sql.Column) = dim.map(d => slice(c, 1, d)).getOrElse(c)
@@ -398,7 +398,7 @@ object RetrievalQueries {
     // ascending-rank window cumsum and share the JVM ln(2) literal.
     "q_retrieval_eval" -> ((s, dir) => {
       val e = embs(s, dir)
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
       val ranked = graft.ann.Ann.knnBruteForce(e, probes, k = 10)
       val lbl = e.select(col("vec_id"), col("label"))
       val top = ranked
@@ -524,7 +524,7 @@ object RetrievalQueries {
 
     "q_retrieval_ndcg" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS tl
-         |               FROM embeddings WHERE vec_id % 50 = 0),
+         |               FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |sc AS (SELECT p.probe_id, p.tl, c.vec_id AS nid, c.label AS nl,
          |         ${LlmQueries.cosSql("p.pvec", "c.embedding")} AS cos
          |       FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id),
@@ -572,7 +572,7 @@ object RetrievalQueries {
 
     "q_retrieval_eval" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
-         |               FROM embeddings WHERE vec_id % 50 = 0),
+         |               FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |r0 AS (SELECT probe_id, plabel, c.vec_id AS neighbor_id, c.label AS nlabel,
          |         ${LlmQueries.cosSql("pvec", "c.embedding")} AS cos
          |       FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
@@ -668,7 +668,7 @@ object RetrievalQueries {
            |    row_number() OVER (PARTITION BY p.probe_id
            |      ORDER BY ${LlmQueries.cosSql(s"p.pvec$vec", s"c.embedding$vec")} DESC, c.vec_id) AS rk
            |  FROM pr p JOIN embeddings c ON c.vec_id <> p.probe_id) WHERE rk <= 5)""".stripMargin
-      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |${armSql("full5", "")},
          |${armSql("d8", "[1:8]")},
          |${armSql("d16", "[1:16]")},

@@ -183,7 +183,7 @@ object SelectQueries {
         .groupBy("label").agg(array_sort(collect_list(struct(col("dim"), col("sx")))).as("cs"),
           first("n").as("n"))
         .select(col("label").as("c_label"), expr("transform(cs, s -> s.sx)").as("sumvec"), col("n"))
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
         .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
           expr("transform(embedding, x -> cast(x as double))").as("pv"))
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("c_label").asc)
@@ -230,12 +230,12 @@ object SelectQueries {
     }),
 
     // ── kNN label classification: exact 5-NN majority vote (vote-count
-    // desc, label asc — an integer decision) on the % 50 probe sample.
+    // desc, label asc — an integer decision) on the fixed md5-rank probe sample.
     // Composes the proven broadcast-probe kNN kernel: the corpus never
     // shuffles, votes aggregate 5 rows per probe. ──
     "q_knn_classify" -> ((s, dir) => {
       val e = embs(s, dir)
-      val probes = e.where(col("vec_id") % 50 === 0)
+      val probes = graft.ann.Ann.probeSample(e)
       val nn = graft.ann.Ann.knnBruteForce(e, probes, k = 5).select("probe_id", "neighbor_id")
       val votes = nn
         .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("pred_label")), "neighbor_id")
@@ -816,7 +816,7 @@ object SelectQueries {
         |    FROM embeddings) GROUP BY 1, 2),
         |cents AS (SELECT label AS c_label, list(sx ORDER BY dim) AS sumvec, max(n) AS n FROM sums GROUP BY 1),
         |pr AS (SELECT vec_id AS probe_id, label AS true_label, embedding::DOUBLE[] AS pv
-        |       FROM embeddings WHERE vec_id % 50 = 0),
+        |       FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
         |sc AS (SELECT probe_id, true_label, c_label, sumvec, pv, n,
         |         CASE WHEN c_label = true_label THEN 1.0 ELSE 0.0 END AS own
         |       FROM pr CROSS JOIN cents),
@@ -835,7 +835,7 @@ object SelectQueries {
 
     "q_knn_classify" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS true_label
-         |                FROM embeddings WHERE vec_id % 50 = 0),
+         |                FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
          |scored AS (SELECT probe_id, c.vec_id AS neighbor_id, c.label AS pred_label,
          |  ${LlmQueries.cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id),

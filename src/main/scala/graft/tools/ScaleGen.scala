@@ -35,7 +35,16 @@ object ScaleGen {
     }
   }
 
-  /** Deterministic in-place Fisher-Yates keyed by (id, k). */
+  /** Deterministic per-replica text perturbation keyed by (id, k):
+    * Fisher-Yates token shuffle (decorrelates ORDER-sensitive
+    * fingerprints: shingles, minhash, winnowing) plus replica-salting of
+    * half the token occurrences (decorrelates ORDER-INVARIANT ones:
+    * simhash over the distinct-token set — without the salt, a shuffled
+    * replica keeps the identical 64-bit simhash and the 10× corpus is
+    * ten exact signature cliques, a generator artifact, not an operator
+    * property). Token count and length distributions are preserved;
+    * vocabulary grows with the corpus as a real 10× scrape's would
+    * (Heaps' law). */
   private[tools] def shuffleTokens(text: String, id: Long, k: Int): String = {
     val toks = text.split(" ")
     val rnd = splitMix64(id * 1000003L + k)
@@ -44,6 +53,11 @@ object ScaleGen {
       val j = (math.floorMod(rnd(), i + 1)).toInt
       val t = toks(i); toks(i) = toks(j); toks(j) = t
       i -= 1
+    }
+    var p = 0
+    while (p < toks.length) {
+      if ((rnd() & 1L) == 0L) toks(p) = toks(p) + k
+      p += 1
     }
     toks.mkString(" ")
   }

@@ -168,7 +168,14 @@ class SelectSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val out = SparkEntry.queries("q_knn_classify")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(4)))
-    assert(out.length == vecs.count(_._1 % 50 == 0))
+    // fixed-budget md5-rank probe sample (Ann.probeSample, round-10)
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probeIds = vecs.map(_._1).sortBy(i => (md5Hex(i.toString), i))
+      .take(graft.ann.Ann.ProbeCap).toSet
+    assert(out.length == math.min(graft.ann.Ann.ProbeCap, vecs.length))
+    assert(out.map(_._1).toSet == probeIds)
     out.foreach { case (pid, trueL, predL, correct) =>
       val (_, pv, pl) = vecs.find(_._1 == pid).get
       val top5 = vecs.filter(_._1 != pid)
