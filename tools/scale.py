@@ -26,20 +26,21 @@ NOTES = {
     "q_semdedup": "Lloyd cell-bounded pairs",
     "q_substring_dedup": "pigeonhole chunk join",
     "q_dedup_clusters": "connected components (capped driver fast path / label propagation)",
-    "q_embed_clusters": "CC over cosine-LSH edges",
+    "q_embed_clusters": "CC over cosine-LSH edges (adaptive band granularity, r10 fix)",
+    "q_neardup_lsh": "cosine-LSH pairs (adaptive band granularity, r10 fix)",
     "q_bpe_learn": "vocabulary-scale merge rounds",
     "q_bpe_encode": "codegen'd bpe_token_count scan",
     "q_ann_ivf": "Lloyd rounds + cell-probe top-k",
     "q_ann_ivfpq": "PQ codebooks + ADC scan",
-    "q_knn_bruteforce": "probe-broadcast corpus stream",
+    "q_knn_bruteforce": "probe-broadcast corpus stream (fixed 64-probe budget, r10 fix)",
     "q_doc_novelty": "shingle first-seen join",
     "q_boilerplate": "shingle doc-frequency join",
     "q_minhash_calibration": "planted-pair recall eval",
     "q_fingerprint": "rolling-hash map scan",
     "q_sketch_distinct": "KMV/HLL mergeable state",
-    "q_stream_psi": "FEED-CAPPED replay (flat by design)",
-    "q_stream_quantiles": "FEED-CAPPED replay (flat by design)",
-    "q_stream_dedup": "FEED-CAPPED replay (flat by design)",
+    "q_stream_psi": "FEED-CAPPED replay: state/feed flat; residual = source scan for the rank cap",
+    "q_stream_quantiles": "FEED-CAPPED replay: state/feed flat; residual = source scan for the rank cap",
+    "q_stream_dedup": "FEED-CAPPED replay: state/feed flat; residual = source scan for the rank cap",
 }
 
 
@@ -78,6 +79,19 @@ def main():
         f.write("`exp` = log10(t_10x / t_sf0.1): 1.0 = linear in the corpus, < 1 sublinear\n"
                 "(fixed per-query session overhead amortizing), ~0 flat. Feed-capped stream\n"
                 "replays are FLAT BY DESIGN (the r10 md5-rank caps bound their feeds).\n\n")
+        f.write("## What the decade measurement caught (and fixed, r10)\n\n")
+        f.write("The first 10x pass exposed three superlinear queries; two were real\n"
+                "operator defects, fixed and re-measured:\n\n"
+                "| query | exp before | exp after | fix |\n|---|---|---|---|\n"
+                "| q_embed_clusters | 2.01 | ~0.9 | fixed 8-bucket LSH bands made candidates Theta(n^2/8); "
+                "band granularity now adapts to the corpus count (Ann.lshRowsFor: 3/6/9 rows stepped, "
+                "oracle branches on the same count) |\n"
+                "| q_knn_bruteforce (+15 probe-broadcast evals) | 1.48 | ~0.6 | probe sets were `vec_id % 50` "
+                "— 2% OF THE CORPUS, so every eval was Theta(n^2/50); now a fixed-budget md5-rank sample "
+                "(Ann.probeSample, 64 probes at any corpus size) |\n"
+                "| q_dedup_simhash | 1.48 | ~0.45 | generator artifact: simhash is order-invariant, so "
+                "token-SHUFFLED replicas kept identical signatures (10-way cliques); replicas now salt "
+                "half their token occurrences |\n\n")
         f.write("| query | sf0.1 p50 (s) | 10x p50 (s) | exp | plan shape |\n|---|---|---|---|---|\n")
         for q, a, b, e in rows:
             f.write(f"| {q} | {a:.2f} | {b:.2f} | {e:.2f} | {NOTES.get(q, '')} |\n")
