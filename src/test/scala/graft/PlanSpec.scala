@@ -60,6 +60,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r10: multimodal decodes are pure map plans — zero exchanges") {
+    Seq("q_multimodal_decode", "q_multimodal_wav").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q grew a shuffle — decode must stay map-side:\n$p")
+    }
+  }
+
+  test("r10: robust STL joins its median store broadcast, never a SortMergeJoin") {
+    val p = planOf("q_decompose_stl_robust")
+    assert(!p.contains("SortMergeJoin"), s"median store stopped broadcasting:\n$p")
+    assert(p.contains("Broadcast"), s"median store lost its broadcast join:\n$p")
+  }
+
+  test("r10: fixed-budget probe samples compile to TakeOrderedAndProject, not a global sort") {
+    Seq("q_knn_bruteforce", "q_hard_negatives", "q_lof").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q's probe cap lost its top-k plan (md5-rank cap must not be a full Sort):\n$p")
+    }
+  }
+
   test("aggregation-heavy queries keep map-side partial aggregation") {
     Seq("q_evaluator", "q_feat_basic", "q_metrics").foreach { q =>
       val p = planOf(q)
