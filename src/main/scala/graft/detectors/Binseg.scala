@@ -10,11 +10,15 @@ package graft.detectors
   * mirrors ruptures' `n_bkps` mode: the scan always returns its best
   * candidates and the caller thresholds).
   *
-  * Determinism contract (shared with the DuckDB oracle): prefix sums are
-  * accumulated sequentially in ts order, the gain formula is evaluated
-  * with the identical expression tree, and argmax ties keep the FIRST
-  * split index — so both engines walk the same float sequence and pick
-  * the same splits.
+  * Determinism contract (shared with the DuckDB oracle): inputs are
+  * quantized to 2 dp and prefix sums accumulate as EXACT scaled
+  * integers (values ×10², squares ×10⁴ — sums fit a long at any
+  * realistic series length), so the gain floats derive from identical
+  * integers on both engines regardless of summation order (DuckDB's
+  * windowed cumulative sums are segment-tree-ordered, which drifted a
+  * double prefix by an ulp at 3600 rows — caught by the first full
+  * sf0.1 gate, round 10); the gain expression tree is identical and
+  * argmax ties keep the FIRST split index.
   *
   * Scale: O(n·depth) per series after the one-series-per-row reduction;
   * the scale axis stays series count. This is the scan you run where
@@ -30,14 +34,21 @@ object Binseg {
   def splits(xs: Array[Double], minSeg: Int = 24): Seq[(Int, Int, Double, Boolean)] = {
     val n = xs.length
     require(n >= 2, s"need at least 2 points, got $n")
-    val sx = new Array[Double](n + 1); val s2 = new Array[Double](n + 1)
+    val sx = new Array[Long](n + 1); val s2 = new Array[Long](n + 1)
     var i = 0
-    while (i < n) { sx(i + 1) = sx(i) + xs(i); s2(i + 1) = s2(i) + xs(i) * xs(i); i += 1 }
-    val sigma2 = math.max((s2(n) - sx(n) * sx(n) / n) / n, 0.0)
+    while (i < n) {
+      // 2-dp quantized, exact; round-half-away matches DuckDB round()
+      val s = xs(i) * 100.0
+      val v = (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
+      sx(i + 1) = sx(i) + v; s2(i + 1) = s2(i) + v * v
+      i += 1
+    }
+    val sxT = sx(n).toDouble / 1e2; val s2T = s2(n).toDouble / 1e4
+    val sigma2 = math.max((s2T - sxT * sxT / n) / n, 0.0)
     val beta = 2.0 * sigma2 * math.log(n.toDouble)
     def sse(a: Int, b: Int): Double = {
-      val dx = sx(b) - sx(a)
-      (s2(b) - s2(a)) - dx * dx / (b - a)
+      val dx = (sx(b) - sx(a)).toDouble / 1e2
+      (s2(b) - s2(a)).toDouble / 1e4 - dx * dx / (b - a)
     }
     // best split of [a, b): (t, gain), first argmax on ties; None when the
     // range admits no split with both sides >= minSeg

@@ -239,27 +239,31 @@ object StateQueries {
 
     "q_binseg" -> {
       // shared SSE/gain fragments over the prefix lists (0-based segment
-      // [u, v) — lists are 1-indexed with a prepended 0)
+      // [u, v) — lists are 1-indexed with a prepended 0). Prefixes are
+      // EXACT scaled integers (values ×10², squares ×10⁴ — the Binseg
+      // kernel's quantization): a double cumulative window sum is
+      // segment-tree-ordered in DuckDB and drifted an ulp at 3600 rows
+      // (first full sf0.1 gate, round 10).
       def sse(u: String, v: String) =
-        s"((p.s2[($v) + 1] - p.s2[($u) + 1]) - " +
-          s"(p.sx[($v) + 1] - p.sx[($u) + 1]) * (p.sx[($v) + 1] - p.sx[($u) + 1]) / (($v) - ($u)))"
+        s"(((p.s2[($v) + 1] - p.s2[($u) + 1])::DOUBLE / 1e4) - " +
+          s"((p.sx[($v) + 1] - p.sx[($u) + 1])::DOUBLE / 1e2) * ((p.sx[($v) + 1] - p.sx[($u) + 1])::DOUBLE / 1e2) / (($v) - ($u)))"
       def gain(a: String, b: String, t: String) =
         s"${sse(a, b)} - ${sse(a, t)} - ${sse(t, b)}"
       s"""WITH hourly AS ($H),
-         |ord AS (SELECT event_type, value,
+         |ord AS (SELECT event_type, round(value * 100)::BIGINT AS v100,
          |    row_number() OVER (PARTITION BY event_type ORDER BY ts) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS n
          |  FROM hourly),
          |pre AS (SELECT event_type, rn, n,
-         |    sum(value) OVER (PARTITION BY event_type ORDER BY rn) AS sx,
-         |    sum(value * value) OVER (PARTITION BY event_type ORDER BY rn) AS s2
+         |    (sum(v100) OVER (PARTITION BY event_type ORDER BY rn))::BIGINT AS sx,
+         |    (sum(v100 * v100) OVER (PARTITION BY event_type ORDER BY rn))::BIGINT AS s2
          |  FROM ord),
          |arr AS (SELECT event_type, max(n) AS n,
-         |    list_prepend(0.0::DOUBLE, list(sx ORDER BY rn)) AS sx,
-         |    list_prepend(0.0::DOUBLE, list(s2 ORDER BY rn)) AS s2
+         |    list_prepend(0::BIGINT, list(sx ORDER BY rn)) AS sx,
+         |    list_prepend(0::BIGINT, list(s2 ORDER BY rn)) AS s2
          |  FROM pre GROUP BY 1),
          |par AS (SELECT *,
-         |    2.0 * greatest((s2[n + 1] - sx[n + 1] * sx[n + 1] / n) / n, 0.0)
+         |    2.0 * greatest(((s2[n + 1]::DOUBLE / 1e4) - (sx[n + 1]::DOUBLE / 1e2) * (sx[n + 1]::DOUBLE / 1e2) / n) / n, 0.0)
          |      * ln(CAST(n AS DOUBLE)) AS beta
          |  FROM arr),
          |c1 AS (SELECT o.event_type, o.rn AS t, ${gain("0", "p.n", "o.rn")} AS g

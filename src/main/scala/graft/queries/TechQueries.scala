@@ -121,9 +121,12 @@ object TechQueries {
           posexplode(arrays_zip(col("tss"), col("xs"), col("ex1"), col("ex3"), col("ex3l"))))
         .select(col("event_type"), unix_timestamp(col("col.tss")).as("ts_s"), col("col.xs").as("value"),
           nn(col("col.ex1")).as("ema_24"),
-          when(col("pos") === 0, lit(0.0))
-            .otherwise(nn(when(col("col.ex3l") =!= 0, (col("col.ex3") - col("col.ex3l")) / col("col.ex3l"))))
-            .as("trix"))
+          // round + 0.0 normalizes −0.0 (a tiny negative rate rounds to
+          // −0.0 in one engine and +0.0 in the other — the q_heaps
+          // convention; first caught by the full sf0.1 gate, round 10)
+          (round(when(col("pos") === 0, lit(0.0))
+            .otherwise(nn(when(col("col.ex3l") =!= 0, (col("col.ex3") - col("col.ex3l")) / col("col.ex3l")))), 6)
+            + lit(0.0)).as("trix"))
     }),
 
     // RSI(14) (feature_extraction.py:432): up/down gain series (pandas
@@ -317,7 +320,7 @@ object TechQueries {
          |  round(e.ex1, 6) AS ema_24,
          |  round(CASE WHEN o.rn = 1 THEN 0.0
          |             WHEN p.ex3 IS NOT NULL AND c.ex3 IS NOT NULL AND p.ex3 <> 0
-         |             THEN (c.ex3 - p.ex3) / p.ex3 END, 6) AS trix
+         |             THEN (c.ex3 - p.ex3) / p.ex3 END, 6) + 0.0 AS trix
          |FROM ord o
          |LEFT JOIN x1 e ON e.event_type = o.event_type AND e.rn = o.rn
          |LEFT JOIN x3 c ON c.event_type = o.event_type AND c.rn = o.rn
