@@ -54,20 +54,43 @@ object Ann {
   val ProbeQualify =
     s"QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= $ProbeCap"
 
-  /** Adaptive LSH band granularity (round-10 scale fix). With a FIXED
-    * rowsPerBand the candidate count is Θ(n²·2^{-rows}) — the one-decade
-    * SCALE measurement caught q_embed_clusters at exponent 2.0 (8-bucket
-    * bands). Bucket space must grow with the corpus: rows ≈ log2(n /
-    * target-bucket-load), stepped so both engines branch identically on
-    * the exact corpus count (the oracle replays the same step on its own
-    * count(*)). At the gate SFs (n ≤ 4096) this is the historical 3 —
-    * results unchanged; at 10× it yields 512-bucket bands and near-flat
-    * candidate counts. Recall concentrates on high-similarity pairs
-    * (cos 0.9 → 99%, cos 0.8 → 88% at rows = 9, 16 bands) — the regime
-    * cluster collapse cares about; the exact-verify threshold is
-    * unchanged.
+  /** Adaptive LSH banding schedule (rounds 10–11 scale fixes). With a
+    * FIXED rowsPerBand the candidate count is Θ(n²·2^{-rows}) — the
+    * one-decade SCALE measurement caught q_embed_clusters at exponent
+    * 2.0 (8-bucket bands), and the r10 three-step fix itself capped at
+    * 9 rows = 512 buckets, re-opening Θ(n²/512) one decade further out.
+    * This table is the UNCAPPED continuation: rows grow +3 per 8× of
+    * corpus (2^rows ∝ n ⇒ expected bucket load stays ≤ 512 at every
+    * boundary, ≤ 256 past the first ⇒ per-band candidates Θ(n)), and
+    * the band count grows to hold the recall curve 1−(1−pʳ)ᵇ fixed in
+    * the high-similarity regime cluster collapse cares about: at
+    * cos 0.9 (p = 1 − θ/π ≈ 0.8563) every step's analytic recall is
+    * ≥ 0.988 (AnnSpec asserts the whole curve). Band count growth is
+    * the standard log-factor price of constant recall — total
+    * candidate mass is Θ(n·log n), never quadratic.
+    *
+    * The schedule is a SHARED LITERAL: the steps below are the single
+    * source for both engines — the Spark side branches via
+    * [[lshStepFor]] on the exact corpus count, and the DuckDB twin
+    * replays the identical table via [[lshStepsValuesSql]] on its own
+    * count(*), so both engines always pick the same granularity.
     */
-  def lshRowsFor(n: Long): Int = if (n <= 4096L) 3 else if (n <= 16384L) 6 else 9
+  final case class LshStep(maxN: Long, rows: Int, bands: Int)
+  val LshSteps: Seq[LshStep] = Seq(
+    LshStep(4096L, 3, 16),
+    LshStep(16384L, 6, 16),
+    LshStep(131072L, 9, 16),
+    LshStep(1048576L, 12, 27),
+    LshStep(8388608L, 15, 44),
+    LshStep(67108864L, 18, 72),
+    LshStep(Long.MaxValue, 21, 115))
+  def lshStepFor(n: Long): LshStep = LshSteps.find(n <= _.maxN).get
+  def lshRowsFor(n: Long): Int = lshStepFor(n).rows
+  def lshBandsFor(n: Long): Int = lshStepFor(n).bands
+  /** The schedule as a SQL VALUES body `(maxn, rows_, bands_), …` for the
+    * oracle twin's step selection. */
+  val lshStepsValuesSql: String =
+    LshSteps.map(s => s"(${s.maxN}, ${s.rows}, ${s.bands})").mkString(", ")
 
   /** Exact all-pairs cosine near-duplicates above a threshold, fully
     * distributed — NO driver collect, NO broadcast of the corpus.

@@ -40,7 +40,12 @@ object Binseg {
       // 2-dp quantized, exact; round-half-away matches DuckDB round()
       val s = xs(i) * 100.0
       val v = (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toLong
-      sx(i + 1) = sx(i) + v; s2(i + 1) = s2(i) + v * v
+      // addExact/multiplyExact: |value| ≳ 5e5 over thousands of rows could
+      // wrap the ×10⁴ squared sum silently while the DuckDB twin (BIGINT
+      // sum → cast) raises — overflow must be an ERROR on both engines,
+      // never a silent divergence.
+      sx(i + 1) = Math.addExact(sx(i), v)
+      s2(i + 1) = Math.addExact(s2(i), Math.multiplyExact(v, v))
       i += 1
     }
     val sxT = sx(n).toDouble / 1e2; val s2T = s2(n).toDouble / 1e4

@@ -49,39 +49,87 @@ object DensityQueries {
   private val LsEps = 0.2
   private val LsRounds = 3
 
+  /** DBSCAN tail shared by the exact and LSH-candidate variants: degree +
+    * core flag from the symmetric view; clusters = CC over core-core edges
+    * (min-id labels — deterministic), singleton cores label themselves;
+    * border points take the smallest cluster id among their core neighbors
+    * (a deterministic tiebreak of DBSCAN's order-dependent border
+    * assignment); everything else is noise. cluster_id = -1 for noise. */
+  private def dbscanFrom(e: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
+    val deg = sym.groupBy("i").agg(count(lit(1)).as("deg"))
+    val core = deg.where(col("deg") + 1 >= MinPts).select(col("i").as("node"))
+    val coreEdges = edges
+      .join(core.withColumnRenamed("node", "i"), Seq("i"))
+      .join(core.withColumnRenamed("node", "j"), Seq("j"))
+      .select("i", "j")
+    val cc = Dedup.connectedComponents(coreEdges)
+      .select(col("u").as("node"), col("label").as("cluster_id"))
+    val coreClusters = core.join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+    val border = sym
+      .join(coreClusters.withColumnRenamed("node", "j"), Seq("j"))
+      .join(core.withColumnRenamed("node", "i"), Seq("i"), "left_anti")
+      .groupBy(col("i").as("node")).agg(min("cluster_id").as("cluster_id"))
+    val assigned = coreClusters.withColumn("role", lit("core"))
+      .union(border.withColumn("role", lit("border")))
+    e.select(col("vec_id")).join(assigned.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"),
+        coalesce(col("role"), lit("noise")).as("role"))
+  }
+
+  /** Label-spreading tail shared by the exact and LSH-candidate variants:
+    * `sym` is the symmetric weighted eps graph (i, j, w). */
+  private def labelSpreadFrom(e: DataFrame, sym: DataFrame): DataFrame = {
+    val seeds = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("label").as("lbl"))
+    var labeled = seeds
+    var r = 0
+    while (r < LsRounds) {
+      val votes = sym.join(labeled.withColumnRenamed("vec_id", "j"), Seq("j"))
+        .groupBy(col("i"), col("lbl")).agg(sum("w").as("wv"))
+      val wv = Window.partitionBy("i").orderBy(col("wv").desc, col("lbl").asc)
+      val picks = votes.withColumn("rk", row_number().over(wv)).where(col("rk") === 1)
+        .select(col("i").as("vec_id"), col("lbl"))
+        .join(labeled.select("vec_id"), Seq("vec_id"), "left_anti")
+      labeled = labeled.union(picks)
+      r += 1
+    }
+    e.select(col("vec_id"), col("label"))
+      .join(labeled.withColumnRenamed("lbl", "pred"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), coalesce(col("pred"), lit(-1L)).as("pred"),
+        when(col("vec_id") % 10 === 0, 1).otherwise(0).as("is_seed"),
+        when(col("vec_id") % 10 =!= 0 && col("pred") === col("label"), 1)
+          .when(col("vec_id") % 10 =!= 0 && col("pred").isNotNull, 0)
+          .otherwise(-1).as("correct"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ── DBSCAN. Edges once via the exact block join; degree + core flag
-    // from the symmetric view; clusters = CC over core-core edges (min-id
-    // labels — deterministic), singleton cores label themselves; border
-    // points take the smallest cluster id among their core neighbors (a
-    // deterministic tiebreak of DBSCAN's order-dependent border
-    // assignment); everything else is noise. cluster_id = -1 for noise. ──
+    // ── DBSCAN, exact eps graph via the triangle block join (opt-in at
+    // scale — compute is inherently quadratic). ──
     "q_dbscan" -> ((s, dir) => {
       val e = embs(s, dir)
       // the eps graph feeds FOUR consumers (degree, core-core edges,
       // border, via sym twice) — scratch-materialize it once
       val edges = Scratch.materialize(Ann.allPairsCosine(e, Eps).select("i", "j"), "dbscan_edges")
-      val sym = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
-      val deg = sym.groupBy("i").agg(count(lit(1)).as("deg"))
-      val core = deg.where(col("deg") + 1 >= MinPts).select(col("i").as("node"))
-      val coreEdges = edges
-        .join(core.withColumnRenamed("node", "i"), Seq("i"))
-        .join(core.withColumnRenamed("node", "j"), Seq("j"))
-        .select("i", "j")
-      val cc = Dedup.connectedComponents(coreEdges)
-        .select(col("u").as("node"), col("label").as("cluster_id"))
-      val coreClusters = core.join(cc, Seq("node"), "left")
-        .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
-      val border = sym
-        .join(coreClusters.withColumnRenamed("node", "j"), Seq("j"))
-        .join(core.withColumnRenamed("node", "i"), Seq("i"), "left_anti")
-        .groupBy(col("i").as("node")).agg(min("cluster_id").as("cluster_id"))
-      val assigned = coreClusters.withColumn("role", lit("core"))
-        .union(border.withColumn("role", lit("border")))
-      e.select(col("vec_id")).join(assigned.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
-        .select(col("vec_id"), coalesce(col("cluster_id"), lit(-1L)).as("cluster_id"),
-          coalesce(col("role"), lit("noise")).as("role"))
+      dbscanFrom(e, edges)
+    }),
+
+    // ── DBSCAN over the LSH-candidate eps graph — the 100 TB default:
+    // candidates come from the adaptive banded key-equality join
+    // (Θ(n·log n) total candidate mass under Ann.LshSteps), exact-verified
+    // at Eps before any density logic runs. The output is DBSCAN on a
+    // recall-bounded SUBGRAPH of the true eps graph (missed edges can
+    // only demote density, never invent it); the oracle replays the
+    // identical bands, so both engines see the same subgraph. ──
+    "q_dbscan_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val st = Ann.lshStepFor(e.count())
+      val edges = Scratch.materialize(
+        Ann.lshNearDupPairs(e, Eps, bands = st.bands, rowsPerBand = st.rows)
+          .select("i", "j"), "dbscan_lsh_edges")
+      dbscanFrom(e, edges)
     }),
 
     // ── LOF on the probe slice. One broadcast kNN kernel reused three
@@ -137,31 +185,52 @@ object DensityQueries {
           .select(col("i"), col("j"), round(col("cos") * 1e6).cast("long").as("w")),
         "label_spread_edges")
       val sym = edges.union(edges.select(col("j").as("i"), col("i").as("j"), col("w")))
-      val seeds = e.where(col("vec_id") % 10 === 0)
-        .select(col("vec_id"), col("label").as("lbl"))
-      var labeled = seeds
-      var r = 0
-      while (r < LsRounds) {
-        val votes = sym.join(labeled.withColumnRenamed("vec_id", "j"), Seq("j"))
-          .groupBy(col("i"), col("lbl")).agg(sum("w").as("wv"))
-        val wv = Window.partitionBy("i").orderBy(col("wv").desc, col("lbl").asc)
-        val picks = votes.withColumn("rk", row_number().over(wv)).where(col("rk") === 1)
-          .select(col("i").as("vec_id"), col("lbl"))
-          .join(labeled.select("vec_id"), Seq("vec_id"), "left_anti")
-        labeled = labeled.union(picks)
-        r += 1
-      }
-      e.select(col("vec_id"), col("label"))
-        .join(labeled.withColumnRenamed("lbl", "pred"), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("label"), coalesce(col("pred"), lit(-1L)).as("pred"),
-          when(col("vec_id") % 10 === 0, 1).otherwise(0).as("is_seed"),
-          when(col("vec_id") % 10 =!= 0 && col("pred") === col("label"), 1)
-            .when(col("vec_id") % 10 =!= 0 && col("pred").isNotNull, 0)
-            .otherwise(-1).as("correct"))
+      labelSpreadFrom(e, sym)
+    }),
+
+    // ── Label spreading over the LSH-candidate eps graph — the 100 TB
+    // default twin of q_label_spread (allPairsCosine stays the exact
+    // opt-in). At the low eps the band recall is the schedule's floor
+    // (votes travel the high-cosine edges preferentially — exactly the
+    // edges LSH keeps), and both engines replay the same subgraph. ──
+    "q_label_spread_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
+      val st = Ann.lshStepFor(e.count())
+      val edges = Scratch.materialize(
+        Ann.lshNearDupPairs(e, LsEps, bands = st.bands, rowsPerBand = st.rows)
+          .select(col("i"), col("j"), round(col("cos") * 1e6).cast("long").as("w")),
+        "label_spread_lsh_edges")
+      val sym = edges.union(edges.select(col("j").as("i"), col("i").as("j"), col("w")))
+      labelSpreadFrom(e, sym)
     })
   )
 
   private val cosSql = LlmQueries.cosSql _
+
+  /** DBSCAN SQL tail over an edge CTE named `e` (i, j) — shared verbatim
+    * by the exact and LSH-candidate variants. */
+  private def dbscanTailSql: String =
+    s"""sym AS (SELECT i, j FROM e UNION ALL SELECT j AS i, i AS j FROM e),
+       |deg AS (SELECT i, count(*) AS deg FROM sym GROUP BY 1),
+       |core AS (SELECT i AS node FROM deg WHERE deg + 1 >= $MinPts),
+       |ce AS (SELECT e.i, e.j FROM e
+       |       JOIN core ca ON e.i = ca.node JOIN core cb ON e.j = cb.node),
+       |symc AS (SELECT i AS u, j AS v FROM ce UNION SELECT j AS u, i AS v FROM ce),
+       |reach AS (SELECT u, v FROM symc
+       |          UNION
+       |          SELECT r.u, s.v FROM reach r JOIN symc s ON r.v = s.u WHERE s.v <> r.u),
+       |cc AS (SELECT u AS node, least(u, min(v)) AS cluster_id FROM reach GROUP BY 1),
+       |corec AS (SELECT c.node, coalesce(cc.cluster_id, c.node) AS cluster_id
+       |          FROM core c LEFT JOIN cc ON c.node = cc.node),
+       |border AS (SELECT s.i AS node, min(k.cluster_id) AS cluster_id
+       |           FROM sym s JOIN corec k ON s.j = k.node
+       |           WHERE s.i NOT IN (SELECT node FROM core) GROUP BY 1),
+       |assigned AS (SELECT node, cluster_id, 'core' AS role FROM corec
+       |             UNION ALL SELECT node, cluster_id, 'border' AS role FROM border)
+       |SELECT v.vec_id, coalesce(a.cluster_id, -1) AS cluster_id,
+       |       coalesce(a.role, 'noise') AS role
+       |FROM embeddings v LEFT JOIN assigned a ON v.vec_id = a.node""".stripMargin
 
   val sql: Map[String, String] = Map(
 
@@ -170,26 +239,15 @@ object DensityQueries {
          |  SELECT a.vec_id AS i, b.vec_id AS j
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $Eps),
-         |sym AS (SELECT i, j FROM e UNION ALL SELECT j AS i, i AS j FROM e),
-         |deg AS (SELECT i, count(*) AS deg FROM sym GROUP BY 1),
-         |core AS (SELECT i AS node FROM deg WHERE deg + 1 >= $MinPts),
-         |ce AS (SELECT e.i, e.j FROM e
-         |       JOIN core ca ON e.i = ca.node JOIN core cb ON e.j = cb.node),
-         |symc AS (SELECT i AS u, j AS v FROM ce UNION SELECT j AS u, i AS v FROM ce),
-         |reach AS (SELECT u, v FROM symc
-         |          UNION
-         |          SELECT r.u, s.v FROM reach r JOIN symc s ON r.v = s.u WHERE s.v <> r.u),
-         |cc AS (SELECT u AS node, least(u, min(v)) AS cluster_id FROM reach GROUP BY 1),
-         |corec AS (SELECT c.node, coalesce(cc.cluster_id, c.node) AS cluster_id
-         |          FROM core c LEFT JOIN cc ON c.node = cc.node),
-         |border AS (SELECT s.i AS node, min(k.cluster_id) AS cluster_id
-         |           FROM sym s JOIN corec k ON s.j = k.node
-         |           WHERE s.i NOT IN (SELECT node FROM core) GROUP BY 1),
-         |assigned AS (SELECT node, cluster_id, 'core' AS role FROM corec
-         |             UNION ALL SELECT node, cluster_id, 'border' AS role FROM border)
-         |SELECT v.vec_id, coalesce(a.cluster_id, -1) AS cluster_id,
-         |       coalesce(a.role, 'noise') AS role
-         |FROM embeddings v LEFT JOIN assigned a ON v.vec_id = a.node""".stripMargin,
+         |$dbscanTailSql""".stripMargin,
+
+    "q_dbscan_lsh" ->
+      s"""WITH RECURSIVE ${LlmQueries.adaptiveBandsSql},
+         |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |e AS (SELECT i, j FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id
+         |      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $Eps),
+         |$dbscanTailSql""".stripMargin,
 
     "q_lof" -> {
       // one reusable kNN-over-a-probe-set SQL block (1-indexed rank)
@@ -202,7 +260,7 @@ object DensityQueries {
            |        ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rk
            |    FROM $probeSet p JOIN embeddings c ON c.vec_id <> p.vec_id)
            |  WHERE rk <= $LofK)""".stripMargin
-      s"""WITH p0 AS (SELECT vec_id, embedding FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+      s"""WITH p0 AS (SELECT vec_id, embedding FROM embeddings ${Ann.ProbeQualify}),
          |${knnSql("p0", "knn1")},
          |u1 AS (SELECT vec_id, embedding FROM embeddings
          |       WHERE vec_id IN (SELECT pid FROM knn1 UNION SELECT nid FROM knn1)),
@@ -221,6 +279,37 @@ object DensityQueries {
          |JOIN lrd ln ON k.nid = ln.pid
          |JOIN lrd l ON k.pid = l.pid
          |GROUP BY 1, l.lrd""".stripMargin
+    },
+
+    "q_label_spread_lsh" -> {
+      def roundCte(prev: String, out: String) =
+        s"""${out}_v AS (SELECT s.i, l.lbl, sum(s.w)::BIGINT AS wv
+           |        FROM sym s JOIN $prev l ON s.j = l.vec_id GROUP BY 1, 2),
+           |${out}_p AS (SELECT i AS vec_id, lbl FROM (
+           |        SELECT i, lbl, row_number() OVER (PARTITION BY i ORDER BY wv DESC, lbl) AS rk
+           |        FROM ${out}_v) WHERE rk = 1),
+           |$out AS (SELECT vec_id, lbl FROM $prev
+           |        UNION ALL
+           |        SELECT p.vec_id, p.lbl FROM ${out}_p p
+           |        WHERE p.vec_id NOT IN (SELECT vec_id FROM $prev))""".stripMargin
+      s"""WITH ${LlmQueries.adaptiveBandsSql},
+         |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |e AS (SELECT i, j, round(round(${cosSql("ea.embedding", "eb.embedding")}, 6) * 1e6)::BIGINT AS w
+         |      FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id
+         |      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $LsEps),
+         |sym AS (SELECT i, j, w FROM e UNION ALL SELECT j AS i, i AS j, w FROM e),
+         |l0 AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings WHERE vec_id % 10 = 0),
+         |${roundCte("l0", "l1")},
+         |${roundCte("l1", "l2")},
+         |${roundCte("l2", "l3")}
+         |SELECT v.vec_id, v.label::BIGINT AS label,
+         |  coalesce(l.lbl, -1) AS pred,
+         |  CASE WHEN v.vec_id % 10 = 0 THEN 1 ELSE 0 END AS is_seed,
+         |  CASE WHEN v.vec_id % 10 <> 0 AND l.lbl = v.label::BIGINT THEN 1
+         |       WHEN v.vec_id % 10 <> 0 AND l.lbl IS NOT NULL THEN 0
+         |       ELSE -1 END AS correct
+         |FROM embeddings v LEFT JOIN l3 l ON v.vec_id = l.vec_id""".stripMargin
     },
 
     "q_label_spread" -> {

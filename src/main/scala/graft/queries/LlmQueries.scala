@@ -109,30 +109,61 @@ object LlmQueries {
   private[queries] def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
-  /** Oracle twin of the ADAPTIVE cosine-LSH banding (Ann.lshRowsFor):
-    * three rowsPerBand variants (3/6/9) built side by side, each branch
-    * guarded by the same corpus-count step the Spark side evaluates —
-    * both engines pick the identical granularity from the identical
-    * count. Plane index = band·rows + r, matching LshBandBuckets.
+  /** Oracle twin of the ADAPTIVE cosine-LSH banding: the step table is
+    * interpolated verbatim from [[Ann.lshStepsValuesSql]] (the single
+    * shared literal — editing Ann.LshSteps changes both engines), the
+    * applicable (rows, bands) row is picked by the SAME `n ≤ maxN` rule
+    * on the oracle's own count(*), and the plane grid (band, r, plane =
+    * band·rows + r) is unnested data-driven rather than unrolled — any
+    * step size replays without regenerating SQL. Per-plane projection
+    * arithmetic is the identical LCG expression LshBandBuckets compiles;
+    * bucket bits sum order-free, so the fold order difference is moot.
+    * A NULL/empty embedding projects NULL → every CASE is 0 → bucket 0
+    * per band, matching the Spark side's coalesce-to-zero buckets.
     */
-  private lazy val adaptiveBandsSql: String = {
-    def projSql(v: String, p: Int) =
-      s"""list_sum(list_transform(list_zip($v::DOUBLE[], range(0, 64)),
-         |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
-    def bucketSql(v: String, band: Int, rows: Int) =
-      (0 until rows).map(r => s"(CASE WHEN ${projSql(v, band * rows + r)} >= 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
-    def variant(rows: Int, guard: String) =
-      (0 until 16).map(b =>
-        s"SELECT vec_id, $b AS band, ${bucketSql("embedding", b, rows)} AS bucket FROM embeddings WHERE $guard")
-        .mkString("\nUNION ALL\n")
-    val n = "(SELECT n FROM lshcnt)"
+  private[queries] lazy val adaptiveBandsSql: String =
     s"""lshcnt AS (SELECT count(*) AS n FROM embeddings),
-       |bands AS (
-       |${variant(3, s"$n <= 4096")}
-       |UNION ALL
-       |${variant(6, s"$n > 4096 AND $n <= 16384")}
-       |UNION ALL
-       |${variant(9, s"$n > 16384")})""".stripMargin
+       |lshstep AS (SELECT rows_, bands_ FROM (VALUES ${Ann.lshStepsValuesSql}) t(maxn, rows_, bands_)
+       |            WHERE (SELECT n FROM lshcnt) <= maxn ORDER BY maxn LIMIT 1),
+       |lshband AS (SELECT rows_, unnest(range(0, bands_))::INT AS band FROM lshstep),
+       |lshplane AS (SELECT band, r, band * rows_ + r AS plane FROM (
+       |             SELECT rows_, band, unnest(range(0, rows_))::INT AS r FROM lshband)),
+       |lshproj AS (SELECT e.vec_id, p.band, p.r,
+       |  list_sum(list_transform(list_zip(e.embedding::DOUBLE[], range(0, 64)),
+       |    x -> x[1] * ((((p.plane * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5))) AS prj
+       |  FROM embeddings e CROSS JOIN lshplane p),
+       |bands AS (SELECT vec_id, band, sum(CASE WHEN prj >= 0 THEN (1::BIGINT << r) ELSE 0 END)::BIGINT AS bucket
+       |          FROM lshproj GROUP BY 1, 2)""".stripMargin
+
+  /** Oracle twin of the REAL aHash (Multimodal.phashBmp): BMP dims from
+    * the asset-key md5 (the 16-bit shared-asset id — docs embedding the
+    * same image get byte-identical BMPs), per-cell nearest-pixel index
+    * p = ((cell÷8)·h÷8)·w + ((cell%8)·w÷8), BT.601 integer luma from the
+    * _px chain bytes, bit set iff 64·luma > Σluma (exact integers). Bit
+    * 63 can't be built by `1::BIGINT << 63` (DuckDB raises on the
+    * overflow) — the CASE adds −2⁶³ instead, which IS the
+    * two's-complement value of that bit, so the HUGEINT sum casts back
+    * to the exact signed Long Spark emits. */
+  private lazy val aHashCtes: String = {
+    def chainByteSql(k: String) =
+      s"('0x' || substr(md5(img_key || '_px' || (($k) // 16)::VARCHAR), (($k) % 16) * 2 + 1, 2))::BIGINT"
+    s"""dims AS (SELECT doc_id, substr(md5(text), 1, 4) AS img_key,
+       |    4 + ('0x' || substr(md5(substr(md5(text), 1, 4)), 1, 2))::INT % 5 AS w,
+       |    3 + ('0x' || substr(md5(substr(md5(text), 1, 4)), 3, 2))::INT % 4 AS h
+       |  FROM documents),
+       |cg AS (SELECT doc_id, img_key, w, h, unnest(range(0, 64)) AS cell FROM dims),
+       |cp AS (SELECT doc_id, img_key, cell, (((cell // 8) * h) // 8) * w + ((cell % 8) * w) // 8 AS p FROM cg),
+       |lum AS (SELECT doc_id, cell,
+       |    299 * ${chainByteSql("3 * p + 2")} + 587 * ${chainByteSql("3 * p + 1")}
+       |      + 114 * ${chainByteSql("3 * p")} AS luma
+       |  FROM cp),
+       |tot AS (SELECT doc_id, sum(luma)::BIGINT AS s FROM lum GROUP BY 1),
+       |ph AS (SELECT l.doc_id,
+       |    sum(CASE WHEN 64 * l.luma > t.s THEN
+       |          CASE WHEN l.cell = 63 THEN (-9223372036854775807)::BIGINT - 1
+       |               ELSE (1::BIGINT << l.cell::INT) END
+       |        ELSE 0 END)::BIGINT AS phash
+       |  FROM lum l JOIN tot t ON l.doc_id = t.doc_id GROUP BY 1)""".stripMargin
   }
 
   private def langScoreSql(words: Seq[String]): String =
@@ -622,11 +653,13 @@ object LlmQueries {
     "q_neardup_cosine" -> ((s, dir) =>
       Ann.allPairsCosine(embs(s, dir), threshold = 0.4)),
 
-    // r = lshRowsFor(n) (3 at gate SFs ⇒ recall ≈ 1-(1-p³)¹⁶ ≈ 0.99 at
-    // cos 0.4; adaptive 6/9 at larger corpora — see Ann.lshRowsFor)
+    // (rows, bands) = Ann.lshStepFor(n) — (3, 16) at gate SFs ⇒ recall
+    // ≈ 1-(1-p³)¹⁶ ≈ 0.99 at cos 0.4; the banded schedule continues
+    // rows +3 per 8× corpus with recall-compensating band counts
     "q_neardup_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      Ann.lshNearDupPairs(e, threshold = 0.4, bands = 16, rowsPerBand = Ann.lshRowsFor(e.count()))
+      val st = Ann.lshStepFor(e.count())
+      Ann.lshNearDupPairs(e, threshold = 0.4, bands = st.bands, rowsPerBand = st.rows)
     }),
 
     // embedding-side cluster collapse: the cosine near-dup pair graph
@@ -635,8 +668,9 @@ object LlmQueries {
     // pairs → components → (vec, cluster, size)
     "q_embed_clusters" -> ((s, dir) => {
       val e = embs(s, dir)
-      val pairs = Ann.lshNearDupPairs(e, threshold = 0.4, bands = 16,
-          rowsPerBand = Ann.lshRowsFor(e.count()))
+      val st = Ann.lshStepFor(e.count())
+      val pairs = Ann.lshNearDupPairs(e, threshold = 0.4, bands = st.bands,
+          rowsPerBand = st.rows)
         .select(col("i"), col("j"))
       val cc = Dedup.connectedComponents(pairs)
       val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
@@ -836,9 +870,15 @@ object LlmQueries {
           round(col("pcm_mean"), 6).as("pcm_mean"), round(col("pcm_rms"), 6).as("pcm_rms"),
           col("pcm_peak"))),
 
+    // REAL frame demux + sample (round-11 de-stub): each payload is a
+    // genuine RIFF multi-frame container (odd-sized LIST chunk to skip,
+    // 4..7 `fram` chunks each holding a complete BMP); the demuxer
+    // recovers the frame count, samples 4 frames at even stride
+    // (idx = i·n/4), and the stats come from DECODED PIXELS — a demux,
+    // pad-rule, or sampling bug fails the hash gate.
     "q_multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(Multimodal.withPayload(docs(s, dir)), k = 4)
-        .select(col("doc_id"), col("frame_idx"),
+      Multimodal.frameSampleBmp(Multimodal.withVideoPayload(docs(s, dir)), k = 4)
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
           round(col("frame_mean"), 6).as("frame_mean"), round(col("frame_std"), 6).as("frame_std"))),
 
     "q_multimodal_resize" -> ((s, dir) =>
@@ -846,29 +886,36 @@ object LlmQueries {
         .select(col("doc_id"), col("width"), col("height"),
           round(col("scale"), 6).as("scale"), col("out_w"), col("out_h"))),
 
-    // visual near-dup: blockhash-style perceptual fingerprint over the
-    // decoded payload, pairs blocked by EXACT phash equality (the
-    // degenerate band of a hamming-block scheme — see q_dedup_simhash for
-    // the multi-chunk generalization). Byte-identical payloads always
-    // collide; the oracle replays the md5-chain bytes.
+    // visual near-dup: REAL aHash (round-11 de-stub) — decode the BMP,
+    // 8×8 nearest-pixel luma grid, exact-integer mean threshold — pairs
+    // blocked by EXACT phash equality (the degenerate band of a
+    // hamming-block scheme — see q_multimodal_neardup for the
+    // multi-chunk generalization). The synthesizer keys each doc's image
+    // to a 16-bit shared-asset id (docs embedding the same logo/stock
+    // image — how identical images actually recur in a web corpus), so
+    // byte-identical images exist and MUST collide; the oracle replays
+    // the pixel chain WITHOUT a parser.
     "q_multimodal_phash" -> ((s, dir) => {
-      val ph = Multimodal.phash(Multimodal.withPayload(docs(s, dir)))
+      val ph = Multimodal.phashBmp(Multimodal.withBmpPayload(
+        docs(s, dir).withColumn("img_key", substring(md5(col("text")), 1, 4)), text = "img_key"))
       ph.as("a").join(ph.as("b"),
           col("a.phash") === col("b.phash") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("a.phash").as("phash"))
         .orderBy("i", "j").limit(20)
     }),
 
-    // visual near-dup: Hamming ≤ 1 over the 16-bit perceptual hash via
-    // 2×8-bit pigeonhole chunk blocking (the q_dedup_simhash machinery on
-    // the multimodal axis) — a pair differing in ≤ 1 bit must agree on one
-    // full chunk, so candidates come from a chunk-equality join, never an
-    // all-pairs scan; bit_count(xor) verifies exactly.
+    // visual near-dup: Hamming ≤ 3 over the REAL 64-bit aHash via
+    // 4×16-bit pigeonhole chunk blocking (the q_dedup_simhash machinery
+    // on the multimodal axis, now over decoded pixels) — a pair
+    // differing in ≤ 3 bits must agree on one full 16-bit chunk, so
+    // candidates come from a chunk-equality join, never an all-pairs
+    // scan; bit_count(xor) verifies exactly.
     "q_multimodal_neardup" -> ((s, dir) => {
-      val ph = Multimodal.phash(Multimodal.withPayload(docs(s, dir)))
+      val ph = Multimodal.phashBmp(Multimodal.withBmpPayload(
+        docs(s, dir).withColumn("img_key", substring(md5(col("text")), 1, 4)), text = "img_key"))
       val chunks = ph.select(col("doc_id"), col("phash"),
-        explode(array((0 until 2).map(c =>
-          struct(lit(c).as("c"), shiftright(col("phash"), c * 8).bitwiseAND(lit(255L)).as("v"))): _*)).as("ck"))
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), shiftright(col("phash"), c * 16).bitwiseAND(lit(65535L)).as("v"))): _*)).as("ck"))
         .select(col("doc_id"), col("phash"), col("ck.c"), col("ck.v"))
       chunks.as("a").join(chunks.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v")
@@ -877,7 +924,7 @@ object LlmQueries {
           col("a.phash").as("ph_i"), col("b.phash").as("ph_j"))
         .distinct()
         .withColumn("hamming", bit_count(col("ph_i").bitwiseXOR(col("ph_j"))).cast("long"))
-        .where(col("hamming") <= 1)
+        .where(col("hamming") <= 3)
         .orderBy("hamming", "i", "j").limit(20)
     }),
 
@@ -1357,7 +1404,7 @@ object LlmQueries {
 
     "q_hard_negatives" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS anchor_label
-         |               FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |               FROM embeddings ${Ann.ProbeQualify}),
          |scored AS (SELECT probe_id, anchor_label, c.vec_id AS neg_id, c.label AS neg_label,
          |  ${cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id AND c.label <> anchor_label),
@@ -1366,7 +1413,7 @@ object LlmQueries {
          |FROM r WHERE rk <= 3""".stripMargin,
 
     "q_knn_bruteforce" ->
-      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings ${Ann.ProbeQualify}),
          |scored AS (SELECT probe_id, c.vec_id AS neighbor_id,
          |  ${cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
@@ -1380,7 +1427,7 @@ object LlmQueries {
       def bucketSql(v: String) =
         (0 until 8).map(p => s"(CASE WHEN ${projSql(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
       s"""WITH be AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |probes AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |probes AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be ${Ann.ProbeQualify}),
          |scored AS (SELECT probe_id, c.bucket, c.vec_id AS neighbor_id,
          |  ${cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN be c ON c.bucket = probes.bucket AND c.vec_id <> probe_id),
@@ -1394,14 +1441,14 @@ object LlmQueries {
            |  x -> x[1] * (((($p * 64 + x[2]) * 2654435761) % 1000003) / 1000003.0 - 0.5)))""".stripMargin
       def bucketSql(v: String) =
         (0 until 8).map(p => s"(CASE WHEN ${projSql(v, p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
-      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings ${Ann.ProbeQualify}),
          |ex0 AS (SELECT probe_id, c.vec_id AS neighbor_id, ${cosSql("pvec", "c.embedding")} AS cos
          |        FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
          |ex AS (SELECT probe_id, neighbor_id FROM (
          |         SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rk
          |         FROM ex0) WHERE rk <= 5),
          |be AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |lp AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |lp AS (SELECT bucket, vec_id AS probe_id, embedding AS pvec FROM be ${Ann.ProbeQualify}),
          |ls0 AS (SELECT lp.probe_id, c.vec_id AS neighbor_id, ${cosSql("pvec", "c.embedding")} AS cos
          |        FROM lp JOIN be c ON c.bucket = lp.bucket AND c.vec_id <> lp.probe_id),
          |ls AS (SELECT probe_id, neighbor_id FROM (
@@ -1421,7 +1468,7 @@ object LlmQueries {
     // FITTED cents3 (not the member means), scan only the top-2 cells of as3
     "q_ivf_recall" ->
       s"""WITH ${kmChainSql(8, 3)},
-         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 ${Ann.ProbeQualify}),
          |pc AS (SELECT probe_id, pvec, cents3.cell, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cents3),
          |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS crk FROM pc) WHERE crk <= 2),
          |iscored AS (SELECT probe_id, c.vec_id AS neighbor_id,
@@ -1447,7 +1494,7 @@ object LlmQueries {
 
     "q_ann_ivf" ->
       s"""WITH ${kmChainSql(8, 3)},
-         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pvec FROM as3 ${Ann.ProbeQualify}),
          |pc AS (SELECT probe_id, pvec, cents3.cell, ${cosSql("pvec", "centroid")} AS ccos FROM probes CROSS JOIN cents3),
          |chosen AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS crk FROM pc) WHERE crk <= 2),
          |scored AS (SELECT probe_id, chosen.cell, c.vec_id AS neighbor_id,
@@ -1545,16 +1592,30 @@ object LlmQueries {
         |  pk AS pcm_peak
         |FROM st""".stripMargin,
 
-    // Spark hex() is uppercase, so the frame chain keys on upper(md5)
+    // pixel-chain replay of the REAL demux+sample: frame count from the
+    // container md5, even-stride sample indices (s·n)//4, per-frame BMP
+    // dims and pixel chain keyed text_f<idx> — no parser needed, the
+    // Spark side recovers the same numbers only via the real RIFF/BMP
+    // layout
     "q_multimodal_frames" ->
-      """WITH fr AS (SELECT doc_id, text, unnest(range(0, 4)) AS frame_idx FROM documents),
-        |fh AS (SELECT doc_id, frame_idx, md5(upper(md5(text)) || '_' || frame_idx) AS h FROM fr),
-        |b AS (SELECT doc_id, frame_idx, ('0x' || substr(h, i * 2 + 1, 2))::BIGINT AS v
-        |      FROM fh CROSS JOIN (SELECT unnest(range(0, 16)) AS i))
-        |SELECT doc_id, frame_idx::INT AS frame_idx,
-        |  round(avg(v::DOUBLE), 6) AS frame_mean,
-        |  round(sqrt(greatest(avg(v::DOUBLE * v) - avg(v::DOUBLE) * avg(v::DOUBLE), 0)), 6) AS frame_std
-        |FROM b GROUP BY 1, 2""".stripMargin,
+      """WITH nf AS (SELECT doc_id, text, 4 + ('0x' || substr(md5(text), 7, 2))::INT % 4 AS n FROM documents),
+        |sm AS (SELECT doc_id, text, n, unnest(range(0, 4)) AS s FROM nf),
+        |fi AS (SELECT doc_id, text, n, (s * n) // 4 AS frame_idx FROM sm),
+        |dims AS (SELECT doc_id, text, n, frame_idx,
+        |    4 + ('0x' || substr(md5(text || '_f' || frame_idx), 1, 2))::INT % 5 AS w,
+        |    3 + ('0x' || substr(md5(text || '_f' || frame_idx), 3, 2))::INT % 4 AS h
+        |  FROM fi),
+        |pb AS (SELECT doc_id, text, n, frame_idx, unnest(range(0, w * h * 3)) AS p FROM dims),
+        |pxb AS (SELECT doc_id, n, frame_idx,
+        |    ('0x' || substr(md5(text || '_f' || frame_idx || '_px' || (p // 16)::VARCHAR), (p % 16) * 2 + 1, 2))::BIGINT AS b
+        |  FROM pb),
+        |st AS (SELECT doc_id, frame_idx, max(n) AS n, count(*)::BIGINT AS n3,
+        |    sum(b)::BIGINT AS sb, sum(b * b)::BIGINT AS sbb
+        |  FROM pxb GROUP BY 1, 2)
+        |SELECT doc_id, n::BIGINT AS n_frames, frame_idx::INT AS frame_idx,
+        |  round(sb::DOUBLE / n3, 6) AS frame_mean,
+        |  round(sqrt(greatest(sbb::DOUBLE / n3 - (sb::DOUBLE / n3) * (sb::DOUBLE / n3), 0.0)), 6) AS frame_std
+        |FROM st""".stripMargin,
 
     "q_multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
@@ -1568,34 +1629,24 @@ object LlmQueries {
         |FROM s""".stripMargin,
 
     "q_multimodal_phash" ->
-      """WITH b AS (SELECT doc_id, i, ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT AS v
-        |           FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
-        |m AS (SELECT doc_id, avg(v::DOUBLE) AS mean FROM b GROUP BY 1),
-        |ph AS (SELECT b.doc_id,
-        |         sum(CASE WHEN v::DOUBLE > mean THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS phash
-        |       FROM b JOIN m ON b.doc_id = m.doc_id GROUP BY 1),
-        |p AS (SELECT a.doc_id AS i, bb.doc_id AS j, a.phash
-        |      FROM ph a JOIN ph bb ON a.phash = bb.phash AND a.doc_id < bb.doc_id),
-        |r AS (SELECT *, row_number() OVER (ORDER BY i, j) AS rk FROM p)
-        |SELECT i, j, phash FROM r WHERE rk <= 20""".stripMargin,
+      s"""WITH $aHashCtes,
+         |p AS (SELECT a.doc_id AS i, bb.doc_id AS j, a.phash
+         |      FROM ph a JOIN ph bb ON a.phash = bb.phash AND a.doc_id < bb.doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY i, j) AS rk FROM p)
+         |SELECT i, j, phash FROM r WHERE rk <= 20""".stripMargin,
 
     "q_multimodal_neardup" ->
-      """WITH b AS (SELECT doc_id, i, ('0x' || substr(md5(text), i * 2 + 1, 2))::BIGINT AS v
-        |           FROM documents CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
-        |m AS (SELECT doc_id, avg(v::DOUBLE) AS mean FROM b GROUP BY 1),
-        |ph AS (SELECT b.doc_id,
-        |         sum(CASE WHEN v::DOUBLE > mean THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS phash
-        |       FROM b JOIN m ON b.doc_id = m.doc_id GROUP BY 1),
-        |ck AS (SELECT doc_id, phash, c, (phash >> (c * 8)) & 255 AS v
-        |       FROM ph CROSS JOIN (SELECT unnest(range(0, 2)) AS c)),
-        |p AS (SELECT DISTINCT a.doc_id AS i, bb.doc_id AS j,
-        |        a.phash AS ph_i, bb.phash AS ph_j
-        |      FROM ck a JOIN ck bb
-        |        ON a.c = bb.c AND a.v = bb.v AND a.doc_id < bb.doc_id),
-        |h AS (SELECT i, j, ph_i, ph_j, bit_count(xor(ph_i, ph_j))::BIGINT AS hamming
-        |      FROM p WHERE bit_count(xor(ph_i, ph_j)) <= 1),
-        |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM h)
-        |SELECT i, j, ph_i, ph_j, hamming FROM r WHERE rk <= 20""".stripMargin,
+      s"""WITH $aHashCtes,
+         |ck AS (SELECT doc_id, phash, c, (phash >> (c::INT * 16)) & 65535 AS v
+         |       FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+         |p AS (SELECT DISTINCT a.doc_id AS i, bb.doc_id AS j,
+         |        a.phash AS ph_i, bb.phash AS ph_j
+         |      FROM ck a JOIN ck bb
+         |        ON a.c = bb.c AND a.v = bb.v AND a.doc_id < bb.doc_id),
+         |h AS (SELECT i, j, ph_i, ph_j, bit_count(xor(ph_i, ph_j))::BIGINT AS hamming
+         |      FROM p WHERE bit_count(xor(ph_i, ph_j)) <= 3),
+         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM h)
+         |SELECT i, j, ph_i, ph_j, hamming FROM r WHERE rk <= 20""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft._
-import graft.ann.Pq
+import graft.ann.{Ann, Pq}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -92,7 +92,7 @@ object PqQueries {
     }.mkString(",\n")
     val dtabs = (0 until M).map { j =>
       s"""dt$j AS (SELECT p.vec_id AS probe_id, b.pos, ${d2Sql(sl("p", j), "b.centroid")} AS d
-         |  FROM (SELECT * FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64) p CROSS JOIN book$j b)""".stripMargin
+         |  FROM (SELECT * FROM embeddings ${Ann.ProbeQualify}) p CROSS JOIN book$j b)""".stripMargin
     }.mkString(",\n")
     val parts = (0 until M).map(j =>
       s"SELECT c.vec_id, d.probe_id, d.d FROM code$j c JOIN dt$j d ON d.pos = c.code"
@@ -156,7 +156,7 @@ object PqQueries {
          |  SELECT p.vec_id AS probe_id, c.cell, c.centroid,
          |    row_number() OVER (PARTITION BY p.vec_id
          |      ORDER BY ${d2Sql("(p.embedding::DOUBLE[])", "c.centroid")}, c.cell) AS rk
-         |  FROM (SELECT * FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64) p CROSS JOIN cents$IC c) WHERE rk <= $NPROBE),
+         |  FROM (SELECT * FROM embeddings ${Ann.ProbeQualify}) p CROSS JOIN cents$IC c) WHERE rk <= $NPROBE),
          |prq AS (SELECT pc.probe_id, pc.cell,
          |    list_transform(list_zip(p.embedding::DOUBLE[], pc.centroid), x -> x[1] - x[2]) AS rq
          |  FROM pcells pc JOIN embeddings p ON p.vec_id = pc.probe_id),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft._
+import graft.ann.Ann
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -524,7 +525,7 @@ object RetrievalQueries {
 
     "q_retrieval_ndcg" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS tl
-         |               FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |               FROM embeddings ${Ann.ProbeQualify}),
          |sc AS (SELECT p.probe_id, p.tl, c.vec_id AS nid, c.label AS nl,
          |         ${LlmQueries.cosSql("p.pvec", "c.embedding")} AS cos
          |       FROM probes p JOIN embeddings c ON c.vec_id <> p.probe_id),
@@ -572,7 +573,7 @@ object RetrievalQueries {
 
     "q_retrieval_eval" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
-         |               FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |               FROM embeddings ${Ann.ProbeQualify}),
          |r0 AS (SELECT probe_id, plabel, c.vec_id AS neighbor_id, c.label AS nlabel,
          |         ${LlmQueries.cosSql("pvec", "c.embedding")} AS cos
          |       FROM probes JOIN embeddings c ON c.vec_id <> probe_id),
@@ -668,7 +669,7 @@ object RetrievalQueries {
            |    row_number() OVER (PARTITION BY p.probe_id
            |      ORDER BY ${LlmQueries.cosSql(s"p.pvec$vec", s"c.embedding$vec")} DESC, c.vec_id) AS rk
            |  FROM pr p JOIN embeddings c ON c.vec_id <> p.probe_id) WHERE rk <= 5)""".stripMargin
-      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+      s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings ${Ann.ProbeQualify}),
          |${armSql("full5", "")},
          |${armSql("d8", "[1:8]")},
          |${armSql("d16", "[1:16]")},

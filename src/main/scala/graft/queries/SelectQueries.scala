@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft._
+import graft.ann.Ann
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -810,13 +811,13 @@ object SelectQueries {
         |FROM sil GROUP BY 1""".stripMargin,
 
     "q_centroid_classify" ->
-      """WITH sums AS (
+      s"""WITH sums AS (
         |  SELECT label, dim, sum(x) AS sx, count(*) AS n FROM (
         |    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding)::DOUBLE AS x
         |    FROM embeddings) GROUP BY 1, 2),
         |cents AS (SELECT label AS c_label, list(sx ORDER BY dim) AS sumvec, max(n) AS n FROM sums GROUP BY 1),
         |pr AS (SELECT vec_id AS probe_id, label AS true_label, embedding::DOUBLE[] AS pv
-        |       FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+        |       FROM embeddings ${Ann.ProbeQualify}),
         |sc AS (SELECT probe_id, true_label, c_label, sumvec, pv, n,
         |         CASE WHEN c_label = true_label THEN 1.0 ELSE 0.0 END AS own
         |       FROM pr CROSS JOIN cents),
@@ -835,7 +836,7 @@ object SelectQueries {
 
     "q_knn_classify" ->
       s"""WITH probes AS (SELECT vec_id AS probe_id, embedding AS pvec, label AS true_label
-         |                FROM embeddings QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 64),
+         |                FROM embeddings ${Ann.ProbeQualify}),
          |scored AS (SELECT probe_id, c.vec_id AS neighbor_id, c.label AS pred_label,
          |  ${LlmQueries.cosSql("pvec", "c.embedding")} AS cos
          |  FROM probes JOIN embeddings c ON c.vec_id <> probe_id),

@@ -53,6 +53,34 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"recall $recall ($lsh of $exact)")
   }
 
+  test("LSH banding schedule: bounded bucket load and flat recall curve") {
+    // The schedule's two contracts, checked analytically at EVERY step so
+    // the next decade can't silently re-open the Θ(n²/buckets) defect the
+    // r10/r11 measurements caught twice:
+    // (1) scale — expected bucket load n/2^rows stays ≤ 512 at each step
+    //     boundary (per-band candidates Θ(n·load), i.e. linear in n);
+    // (2) recall — 1-(1-p^r)^b at cos 0.9 (p = 1-θ/π) stays ≥ 0.988 at
+    //     every step: growing rows alone would crush recall, the
+    //     compensating band counts hold the curve.
+    val steps = Ann.LshSteps
+    assert(steps.last.maxN == Long.MaxValue, "schedule must cover every n")
+    assert(steps.map(_.maxN) == steps.map(_.maxN).sorted && steps.map(_.rows) == steps.map(_.rows).sorted)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    steps.foreach { st =>
+      if (st.maxN != Long.MaxValue)
+        assert(st.maxN.toDouble / math.pow(2, st.rows) <= 512.0,
+          s"bucket load at boundary ${st.maxN} with ${st.rows} rows exceeds 512")
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, st.rows), st.bands)
+      assert(recall >= 0.988, s"recall $recall at step $st")
+    }
+    // step selection is the same n <= maxN rule the oracle's VALUES twin
+    // replays (first applicable row in maxN order)
+    assert(Ann.lshStepFor(4096L) == Ann.LshSteps(0))
+    assert(Ann.lshStepFor(4097L) == Ann.LshSteps(1))
+    assert(Ann.lshStepFor(200000L).rows == 12 && Ann.lshStepFor(200000L).bands == 27)
+    assert(Ann.lshStepFor(Long.MaxValue).rows == 21)
+  }
+
   test("deterministic Lloyd separates two blobs") {
     import spark.implicits._
     val c = corpus(100).cache()

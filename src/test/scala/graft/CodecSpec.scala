@@ -105,4 +105,65 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(stereo).isEmpty)
     assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes).isEmpty)
   }
+
+  test("WAV/frames walkers reject a chunk size near Int.MaxValue (no Int-overflow bypass)") {
+    // a crafted chunk size that would wrap `pos + 8 + sz` negative if the
+    // bound check ran in Int arithmetic — the contract is None, not a
+    // ~2GB allocation or a StringIndexOutOfBounds from a negative pos
+    def crafted(form: String): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(16).put(form.getBytes("US-ASCII"))
+      buf.put("data".getBytes("US-ASCII")).putInt(Int.MaxValue - 4).putInt(0)
+      buf.array()
+    }
+    assert(Multimodal.decodeWav(crafted("WAVE")).isEmpty)
+    assert(Multimodal.decodeFrames(crafted("GBVI")).isEmpty)
+  }
+
+  test("frames container round-trip: LIST skipped with pad rule, every frame a decodable BMP") {
+    for (text <- Seq("alpha", "bravo charlie", "δοκιμή unicode", "x")) {
+      val bytes = Multimodal.encodeFrames(text)
+      val Some(frames) = Multimodal.decodeFrames(bytes)
+      assert(frames.length >= 4 && frames.length <= 7)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        // each demuxed frame must be byte-identical to its standalone BMP:
+        // a chunk-boundary slip (LIST pad dropped, size misread) shifts it
+        assert(f.toSeq == Multimodal.encodeBmp(text + "_f" + i).toSeq,
+          s"frame $i of '$text' corrupted by the demux")
+      }
+    }
+  }
+
+  test("frames demux rejects broken containers") {
+    assert(Multimodal.decodeFrames("not RIFF".getBytes).isEmpty)
+    assert(Multimodal.decodeFrames(Array.empty[Byte]).isEmpty)
+    val ok = Multimodal.encodeFrames("doc")
+    val wav = Multimodal.encodeWav("doc")
+    assert(Multimodal.decodeFrames(wav).isEmpty, "wrong RIFF form type must be rejected")
+    val truncated = ok.take(ok.length - 3)
+    assert(Multimodal.decodeFrames(truncated).isEmpty, "chunk overrunning the buffer must be rejected")
+  }
+
+  test("aHash bits derive from decoded pixels via the exact integer threshold") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "different text")).toDF("doc_id", "text")
+      val ph = Multimodal.phashBmp(Multimodal.withBmpPayload(df))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ph(1L) == ph(2L), "identical images must hash identically")
+      // reference recomputation straight from the decoded pixels
+      val Some((w, h, px)) = Multimodal.decodeBmp(Multimodal.encodeBmp("alpha"))
+      val luma = Array.tabulate(64) { cell =>
+        val p = (cell / 8 * h / 8) * w + (cell % 8 * w / 8)
+        299L * (px(3 * p + 2) & 0xff) + 587L * (px(3 * p + 1) & 0xff) + 114L * (px(3 * p) & 0xff)
+      }
+      val sum = luma.sum
+      val want = luma.zipWithIndex.foldLeft(0L) { case (acc, (l, c)) =>
+        if (64L * l > sum) acc | (1L << c) else acc
+      }
+      assert(ph(1L) == want)
+    } finally spark.stop()
+  }
 }

@@ -65,6 +65,55 @@ class DensitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((find(i) == find(j)) == (byId(i) == byId(j)), s"core pair $i,$j co-membership wrong")
   }
 
+  test("q_dbscan_lsh: a recall-bounded subgraph of the exact result — never inventing density") {
+    val ids = vecs.keys.toSeq.sorted
+    val nbrs = ids.map { i =>
+      i -> ids.filter(j => j != i && cos(vecs(i), vecs(j)) >= 0.4).toSet
+    }.toMap
+    val exactCore = ids.filter(i => nbrs(i).size + 1 >= 3).toSet
+    val out = SparkEntry.queries("q_dbscan_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == ids.size)
+    val lshCore = out.collect { case (id, _, "core") => id }.toSet
+    // LSH candidates are a SUBSET of the true eps edges (exact verify),
+    // so degrees can only drop: every LSH core is an exact core …
+    assert(lshCore.subsetOf(exactCore), s"invented cores: ${lshCore -- exactCore}")
+    // … and at the gate SF the banded recall (~0.99 per edge at cos 0.4)
+    // keeps most of the core set: cores sitting exactly at MinPts degrade
+    // on a single missed edge, so the core-level floor is looser than the
+    // edge-level recall (500-vector fixture: 15/18 kept)
+    assert(lshCore.size >= (0.75 * exactCore.size).toInt,
+      s"LSH kept ${lshCore.size} of ${exactCore.size} cores")
+    // subgraph connectivity implies exact connectivity: LSH co-members
+    // must be connected in the exact core-core graph
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    exactCore.foreach(i => nbrs(i).filter(exactCore).foreach { j =>
+      val (ri, rj) = (find(i), find(j)); if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    })
+    val byId = out.map(r => r._1 -> r._2).toMap
+    for (i <- lshCore; j <- lshCore if i < j && byId(i) == byId(j))
+      assert(find(i) == find(j), s"LSH co-members $i,$j not connected in the exact graph")
+  }
+
+  test("q_label_spread_lsh: seeds keep labels, spread stays in the label domain") {
+    val labels = Tables.embeddings(spark, dir).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val out = SparkEntry.queries("q_label_spread_lsh")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(out.length == labels.size)
+    val domain = labels.values.toSet
+    out.foreach { case (id, label, pred, isSeed, correct) =>
+      assert(label == labels(id))
+      if (isSeed == 1) assert(pred == label, s"seed $id must keep its label")
+      assert(pred == -1L || domain(pred), s"$id predicted outside the label domain")
+      assert(correct == (if (isSeed == 1) -1 else if (pred == -1L) -1 else if (pred == label) 1 else 0)
+        || (isSeed == 1 && correct == -1), s"$id correctness flag")
+    }
+    // the spread must actually reach beyond the seeds at gate SF
+    assert(out.count { case (_, _, pred, isSeed, _) => isSeed == 0 && pred != -1L } > 0)
+  }
+
   test("q_lof: scores match a brute-force reachability-density recompute") {
     val k = 5
     val ids = vecs.keys.toSeq.sorted

@@ -67,6 +67,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("r11: real frame demux stays a pure map plan — zero exchanges") {
+    val p = planOf("q_multimodal_frames")
+    assert(!p.contains("Exchange"), s"q_multimodal_frames grew a shuffle — demux+sample must stay map-side:\n$p")
+  }
+
+  test("r11: LSH-candidate density variants never nest loops — banding is a key-equality join") {
+    Seq("q_dbscan_lsh", "q_label_spread_lsh").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q's eps-graph must come from the banded key-equality join, not an all-pairs scan:\n$p")
+    }
+  }
+
   test("r10: robust STL joins its median store broadcast, never a SortMergeJoin") {
     val p = planOf("q_decompose_stl_robust")
     assert(!p.contains("SortMergeJoin"), s"median store stopped broadcasting:\n$p")

@@ -8,6 +8,11 @@ With --gate, also writes a builder-side correctness artifact with the
 driver's CORRECTNESS schema per query ({rows_match, schema_match,
 hash_match, err}) plus sf / git sha / timestamp — the self-insurance
 against an empty driver CORRECTNESS file (VERDICT r9 item #1).
+
+With --correctness CORRECTNESS_rN.json, ALSO writes the flat
+name → {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err} map in the driver's EXACT schema (VERDICT r10 item: the driver
+artifact shipped empty two rounds running; this file can stand in).
 """
 import decimal
 import json
@@ -50,7 +55,8 @@ def norm(rows):
 
 def compare(con, name, sql, out_dir):
     """One query's gate record: CORRECTNESS-schema booleans + err."""
-    rec = {"rows_match": False, "schema_match": False, "hash_match": False, "err": None}
+    rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+           "spark_rows": None, "oracle_rows": None, "err": None}
     try:
         want_rel = con.sql(sql)
         want_cols = want_rel.columns
@@ -67,6 +73,8 @@ def compare(con, name, sql, out_dir):
         rec["err"] = f"spark output missing: {e}"
         return rec
     rec["rows_match"] = len(want) == len(got)
+    rec["spark_rows"] = len(got)
+    rec["oracle_rows"] = len(want)
     # driver sorts columns by name before hashing
     wi = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
     gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
@@ -97,10 +105,14 @@ def compare(con, name, sql, out_dir):
 
 def main():
     args = [a for a in sys.argv[1:]]
-    gate_path = None
+    gate_path = correctness_path = None
     if "--gate" in args:
         i = args.index("--gate")
         gate_path = args[i + 1]
+        del args[i:i + 2]
+    if "--correctness" in args:
+        i = args.index("--correctness")
+        correctness_path = args[i + 1]
         del args[i:i + 2]
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
@@ -139,6 +151,12 @@ def main():
         with open(gate_path, "w") as f:
             json.dump(artifact, f, indent=1, sort_keys=True)
         print(f"gate artifact written: {gate_path}")
+    if correctness_path:
+        keys = ["rows_match", "schema_match", "hash_match", "spark_rows", "oracle_rows", "err"]
+        flat = {n: {k: r.get(k) for k in keys} for n, r in gate.items()}
+        with open(correctness_path, "w") as f:
+            json.dump(flat, f, indent=1, sort_keys=True)
+        print(f"driver-schema correctness artifact written: {correctness_path}")
     sys.exit(1 if fail else 0)
 
 
