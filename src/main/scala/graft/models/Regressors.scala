@@ -127,6 +127,196 @@ object Regressors {
     }
   }
 
+  // ── Prophet Laplace-prior MAP (round 11 — closes the declared ridge
+  // stand-in). The reference (kats/models/prophet.py:32 → fbprophet →
+  // Stan) fits the posterior mode of
+  //   y ~ N(trend(k, m, δ) + Xβ, σ),  δⱼ ~ Laplace(0, τ),
+  //   β ~ N(0, σ_β²), k, m ~ N(0, 5²),  τ = 0.05, σ_β = 10
+  // by L-BFGS. With the piecewise-linear basis the MAP objective given a
+  // plug-in σ̂ is an L1+L2-penalized least squares whose EXACT minimizer
+  // is found finitely: the solution's changepoint signs partition the
+  // space into 3^nCp orthants, each orthant's stationary point solves
+  // CLOSED-FORM normal equations (G + Λ₂)θ = X'y − λ₁s with inactive
+  // deltas pinned by identity rows; the MAP is the sign-FEASIBLE
+  // stationary point of least objective. No iterative optimizer, no
+  // convergence tolerance — and the DuckDB oracle replays the identical
+  // enumeration because every input is a 6-dp-snapped shared moment and
+  // the Gauss-Jordan arithmetic sequence is bit-identical on both
+  // engines (the q_bayes_var shared-moment precedent).
+
+  /** Round half away from zero at 6 / 9 dp — matches DuckDB round(). */
+  private def snap(x: Double, scale: Double): Double = {
+    val s = x * scale
+    (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)) / scale
+  }
+
+  /** Sign patterns for the changepoint orthants, ordered by (active
+    * count, lexicographic) so boundary ties resolve to the SPARSER
+    * pattern on both engines. SHARED LITERAL: the oracle's VALUES table
+    * is generated from this same sequence. */
+  def prophetPatterns(nCp: Int): Seq[Seq[Int]] = {
+    val all = (0 until math.pow(3, nCp).toInt).map { z =>
+      var v = z
+      Seq.fill(nCp) { val d = v % 3; v /= 3; d - 1 }
+    }
+    all.zipWithIndex.sortBy { case (s, i) => (s.count(_ != 0), i) }.map(_._1)
+  }
+
+  /** Exact Laplace-prior MAP fit of the prophet basis. Returns
+    * (nActiveChangepoints, forecasts 1..h). Deterministic and
+    * oracle-replayable: snapped moments → shared-arithmetic GJ per
+    * orthant → feasibility filter → argmin objective (6-dp snapped,
+    * pattern-id tiebreak). */
+  def prophetMap(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int,
+                 h: Int): (Int, Array[Double]) = {
+    val (b, na, yscale) = prophetMapFit(xs, period, orders, nChangepoints)
+    val n = xs.length
+    val nc = nChangepoints
+    val p = 2 + nc + 2 * orders
+    val cps = Array.tabulate(nc)(i => (i + 1).toDouble * n / (nc + 1))
+    val fc = Array.tabulate(h) { i =>
+      val t = (n + i).toDouble
+      var v = b(0) + b(1) * (t / n)
+      var j = 0
+      while (j < nc) { v += b(2 + j) * math.max(0.0, (t - cps(j)) / n); j += 1 }
+      var k = 1
+      while (k <= orders) {
+        val w = 2 * math.Pi * k * t / period
+        v += b(2 + nc + 2 * (k - 1)) * math.sin(w) + b(2 + nc + 2 * (k - 1) + 1) * math.cos(w)
+        k += 1
+      }
+      v * yscale
+    }
+    (na, fc)
+  }
+
+  /** The MAP fit itself: (coefficients on the SCALED series, active
+    * changepoint count, yscale). Coefficient order matches the basis:
+    * [m, k, δ₁..δ_nc, sin/cos pairs]. */
+  def prophetMapFit(xs: Array[Double], period: Int, orders: Int,
+                    nChangepoints: Int): (Array[Double], Int, Double) = {
+    val n = xs.length
+    val nc = nChangepoints
+    val p = 2 + nc + 2 * orders
+    val cols = p + 1
+    val cps = Array.tabulate(nc)(i => (i + 1).toDouble * n / (nc + 1))
+    def row(t: Double): Array[Double] = {
+      val r = new Array[Double](p)
+      r(0) = 1.0
+      r(1) = t / n
+      var j = 0
+      while (j < nc) { r(2 + j) = math.max(0.0, (t - cps(j)) / n); j += 1 }
+      var k = 1
+      while (k <= orders) {
+        val w = 2 * math.Pi * k * t / period
+        r(2 + nc + 2 * (k - 1)) = math.sin(w)
+        r(2 + nc + 2 * (k - 1) + 1) = math.cos(w)
+        k += 1
+      }
+      r
+    }
+    // prophet's absmax y-scaling, then 6-dp-snapped moments: the snap
+    // grid swamps cross-engine summation-order noise (~1e-13), so both
+    // engines run ALL downstream algebra on identical doubles
+    val yscale = math.max(xs.map(math.abs).max, 1e-9)
+    val ys = xs.map(_ / yscale)
+    val g = new Array[Double](p * p)
+    val xy = new Array[Double](p)
+    var syy = 0.0
+    var t = 0
+    while (t < n) {
+      val r = row(t.toDouble)
+      var i = 0
+      while (i < p) {
+        var j = 0
+        while (j < p) { g(i * p + j) += r(i) * r(j); j += 1 }
+        xy(i) += r(i) * ys(t)
+        i += 1
+      }
+      syy += ys(t) * ys(t)
+      t += 1
+    }
+    var q = 0
+    while (q < p * p) { g(q) = snap(g(q), 1e6); q += 1 }
+    q = 0
+    while (q < p) { xy(q) = snap(xy(q), 1e6); q += 1 }
+    syy = snap(syy, 1e6)
+    // Gauss-Jordan with the ORACLE's exact per-step arithmetic (reads
+    // from the pre-step matrix; division placed inside the product)
+    def gj(m0: Array[Double]): Array[Double] = {
+      var m = m0
+      var step = 1
+      while (step <= p) {
+        val out = new Array[Double](m.length)
+        var li = 0
+        while (li < m.length) {
+          val r = li / cols
+          val c = li % cols
+          val piv = m((step - 1) * cols + (step - 1))
+          out(li) =
+            if (r == step - 1) m(li) / piv
+            else m(li) - m(r * cols + (step - 1)) * (m((step - 1) * cols + c) / piv)
+          li += 1
+        }
+        m = out
+        step += 1
+      }
+      Array.tabulate(p)(i => m(i * cols + p))
+    }
+    // rss from the shared moments: ‖y−Xθ‖² = syy − 2θ'X'y + θ'Gθ
+    def rssOf(b: Array[Double]): Double = {
+      var acc = syy
+      var i = 0
+      while (i < p) { acc -= 2.0 * b(i) * xy(i); i += 1 }
+      var qq = 0
+      while (qq < p * p) { acc += b(qq / p) * b(qq % p) * g(qq); qq += 1 }
+      acc
+    }
+    // ridge pre-pass → plug-in σ̂² (9-dp snapped), then the Stan prior
+    // weights: λ₁ = σ̂²/τ, λ_β = σ̂²/σ_β², λ_km = σ̂²/5²
+    val m0 = Array.tabulate(p * cols) { li =>
+      val i = li / cols; val c = li % cols
+      if (c == p) xy(i) else if (c == i) g(i * p + c) + 1e-4 else g(i * p + c)
+    }
+    val s2 = snap(math.max(rssOf(gj(m0)), 0.0) / n, 1e9)
+    val l1 = 20.0 * s2
+    val lb = s2 / 100.0
+    val lkm = s2 / 25.0
+    var bestPid = -1
+    var bestL6 = 0.0
+    var bestB: Array[Double] = null
+    var bestActive = 0
+    for ((s, pid) <- prophetPatterns(nc).zipWithIndex) {
+      val m = Array.tabulate(p * cols) { li =>
+        val i = li / cols; val c = li % cols
+        if (i >= 2 && i < 2 + nc) {
+          val dj = i - 2
+          if (s(dj) == 0) { if (c == i) 1.0 else 0.0 } // pinned: θ_δ = 0 exactly
+          else if (c == p) xy(i) - l1 * s(dj)
+          else if (c == i) g(i * p + c) + 1e-8
+          else g(i * p + c)
+        } else if (c == p) xy(i)
+        else if (c == i) g(i * p + c) + (if (i < 2) lkm else lb)
+        else g(i * p + c)
+      }
+      val b = gj(m)
+      val feasible = (0 until nc).forall(j => s(j) == 0 || b(2 + j) * s(j) > 0)
+      if (feasible) {
+        var pen = 0.0
+        var j = 0
+        while (j < nc) { pen += l1 * math.abs(b(2 + j)); j += 1 }
+        pen += 0.5 * lkm * (b(0) * b(0) + b(1) * b(1))
+        var f = 2 + nc
+        while (f < p) { pen += 0.5 * lb * b(f) * b(f); f += 1 }
+        val l6 = snap(0.5 * rssOf(b) + pen, 1e6)
+        if (bestPid < 0 || l6 < bestL6) {
+          bestL6 = l6; bestPid = pid; bestB = b; bestActive = s.count(_ != 0)
+        }
+      }
+    }
+    (bestB, bestActive, yscale)
+  }
+
   /** Prophet logistic growth (kats/models/prophet.py:42/:86 —
     * growth='logistic' with a capacity): the saturating-forecast mode
     * adoption-curve users hit immediately. Deterministic MAP shape: the
@@ -148,6 +338,20 @@ object Regressors {
     }
     val fz = prophetLite(z, period, orders, nChangepoints, h)
     (cap, fz.map(v => cap / (1.0 + math.exp(-v))))
+  }
+
+  /** Logistic-growth prophet on the EXACT Laplace-MAP fit ([[prophetMap]]
+    * on the logit of the capacity share). Returns (cap,
+    * nActiveChangepoints, forecasts 1..h). */
+  def prophetLogisticMap(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int,
+                         h: Int): (Double, Int, Array[Double]) = {
+    val cap = 1.1 * xs.max
+    val z = xs.map { x =>
+      val r = math.min(math.max(x / cap, 1e-6), 1.0 - 1e-6)
+      math.log(r / (1 - r))
+    }
+    val (na, fz) = prophetMap(z, period, orders, nChangepoints, h)
+    (cap, na, fz.map(v => cap / (1.0 + math.exp(-v))))
   }
 
   /** In-sample fitted values of the prophetLite fit (for the

@@ -332,20 +332,25 @@ object ModelQueries {
         Array(fc(0), fc(23), r2)
       }),
 
+    // prophet additive model via the EXACT Laplace-prior MAP (round 11 —
+    // the ridge stand-in is gone): orthant enumeration over changepoint
+    // signs, closed-form subset normal equations per orthant, feasibility
+    // + argmin objective. n_active counts the surviving (nonzero)
+    // changepoints — the sparsity the Laplace prior exists to produce.
     "q_prophet_lite" -> ((s, dir) =>
-      SeriesOps.aggSeries(dense(s, dir), S, Seq("yhat_1", "yhat_12", "yhat_24")) { xs =>
-        val fc = Regressors.prophetLite(xs, period = 24, orders = 3, nChangepoints = 4, h = 24)
-        Array(fc(0), fc(11), fc(23))
-      }),
+      SeriesOps.aggSeries(dense(s, dir), S, Seq("n_active", "yhat_1", "yhat_12", "yhat_24")) { xs =>
+        val (na, fc) = Regressors.prophetMap(xs, period = 24, orders = 3, nChangepoints = 4, h = 24)
+        Array(na.toDouble, fc(0), fc(11), fc(23))
+      }.withColumn("n_active", col("n_active").cast("long"))),
 
     // prophet growth='logistic' + capacity (prophet.py:42/:86): the same
-    // hinge+Fourier ridge fit on the logit of the capacity share, back
-    // through cap·σ(ẑ) — forecasts saturate below cap by construction
+    // Laplace-MAP fit on the logit of the capacity share, back through
+    // cap·σ(ẑ) — forecasts saturate below cap by construction
     "q_prophet_logistic" -> ((s, dir) =>
-      SeriesOps.aggSeries(dense(s, dir), S, Seq("cap", "yhat_1", "yhat_12", "yhat_24")) { xs =>
-        val (cap, fc) = Regressors.prophetLogistic(xs, period = 24, orders = 3, nChangepoints = 4, h = 24)
-        Array(cap, fc(0), fc(11), fc(23))
-      }),
+      SeriesOps.aggSeries(dense(s, dir), S, Seq("cap", "n_active", "yhat_1", "yhat_12", "yhat_24")) { xs =>
+        val (cap, na, fc) = Regressors.prophetLogisticMap(xs, period = 24, orders = 3, nChangepoints = 4, h = 24)
+        Array(cap, na.toDouble, fc(0), fc(11), fc(23))
+      }.withColumn("n_active", col("n_active").cast("long"))),
 
     // ARIMA(2,1,1) via Hannan-Rissanen (kats/models/arima.py) — the
     // most-reached-for Kats model, now with an actual (deterministic) fit
@@ -686,19 +691,106 @@ object ModelQueries {
         max(when(col("_rn") === col("_nn"), col("y2"))).as("last2"))
   }
 
-  private[queries] def gaussJordanSql(p: Int, pre: String = ""): String = {
+  /** Oracle twin of [[Regressors.prophetMap]] (the exact Laplace-MAP
+    * orthant enumeration). Consumes a CTE `ord(event_type, y, t, n)` and
+    * emits `pwin` (per-pattern solutions ranked by snapped objective;
+    * rk = 1 is the MAP) and `pf(event_type, n, yscale)`. Every number the
+    * discrete decisions read — moments (6 dp), σ̂² (9 dp), objective
+    * (6 dp) — is snapped to the SAME grid the Scala kernel snaps to, and
+    * the GJ recursion is the identical arithmetic sequence, so both
+    * engines pick the same orthant; the sign-pattern table is generated
+    * verbatim from Regressors.prophetPatterns (shared literal). */
+  private[queries] lazy val prophetMapCtes: String = {
+    val p = 12
+    val basis = Seq("1.0", "(t::DOUBLE / n)") ++
+      (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
+      (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
+    val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
+    val gEntries = (0 until p).flatMap(i =>
+      (0 until p).map(j => s"round(sum(b${i + 1} * b${j + 1}), 6)")).mkString(", ")
+    val xyEntries = (0 until p).map(i => s"round(sum(b${i + 1} * y), 6)").mkString(", ")
+    val preEntries = (0 until p).flatMap { i =>
+      (0 to p).map { c =>
+        if (c == p) s"xy[${i + 1}]"
+        else if (c == i) s"g[${i * p + c + 1}] + 1e-4"
+        else s"g[${i * p + c + 1}]"
+      }
+    }.mkString(", ")
+    def rssExpr(b: String) =
+      s"(m.syy - 2 * list_sum(list_transform(range(1, ${p + 1}), i -> $b[i] * m.xy[i])) " +
+        s"+ list_sum(list_transform(range(0, ${p * p}), q -> $b[q // $p + 1] * $b[q % $p + 1] * m.g[q + 1])))"
+    val patVals = graft.models.Regressors.prophetPatterns(4).zipWithIndex
+      .map { case (s, pid) => s"($pid, ${s.mkString(", ")})" }.mkString(", ")
+    val patEntries = (0 until p).flatMap { i =>
+      (0 to p).map { c =>
+        if (i >= 2 && i < 6) {
+          val sj = s"p.s${i - 1}"
+          val act =
+            if (c == p) s"xy[${i + 1}] - l.l1 * $sj"
+            else if (c == i) s"g[${i * p + c + 1}] + 1e-8"
+            else s"g[${i * p + c + 1}]"
+          val pin = if (c == i) "1.0" else "0.0"
+          s"CASE WHEN $sj = 0 THEN $pin ELSE $act END"
+        } else if (c == p) s"xy[${i + 1}]"
+        else if (c == i) s"g[${i * p + c + 1}] + ${if (i < 2) "l.lkm" else "l.lb"}"
+        else s"g[${i * p + c + 1}]"
+      }
+    }.mkString(",\n           ")
+    s"""psc AS (SELECT event_type, greatest(max(abs(y)), 1e-9) AS yscale FROM ord GROUP BY 1),
+       |pbs AS (SELECT o.event_type, o.y / s.yscale AS y, o.t, o.n,
+       |         $bCols
+       |       FROM ord o JOIN psc s ON o.event_type = s.event_type),
+       |pmom AS (SELECT event_type, [$gEntries] AS g, [$xyEntries] AS xy,
+       |        round(sum(y * y), 6) AS syy, max(n) AS n FROM pbs GROUP BY 1),
+       |p0mats AS (SELECT event_type, [$preEntries] AS m FROM pmom),
+       |${gaussJordanSql(p, "p0")},
+       |psig AS (SELECT m.event_type, round(greatest(${rssExpr("be.b")}, 0.0) / m.n, 9) AS s2
+       |        FROM pmom m JOIN p0beta be ON m.event_type = be.event_type),
+       |plam AS (SELECT event_type, 20.0 * s2 AS l1, s2 / 100.0 AS lb, s2 / 25.0 AS lkm FROM psig),
+       |ppats AS (SELECT * FROM (VALUES $patVals) v(pid, s1, s2, s3, s4)),
+       |ppmats AS (SELECT m.event_type, p.pid,
+       |           [$patEntries] AS m
+       |           FROM pmom m JOIN plam l ON m.event_type = l.event_type CROSS JOIN ppats p),
+       |${gaussJordanSql(p, "pp", Seq("event_type", "pid"))},
+       |pobj AS (SELECT b.event_type, b.pid, b.b,
+       |        (pt.s1 <> 0)::INT + (pt.s2 <> 0)::INT + (pt.s3 <> 0)::INT + (pt.s4 <> 0)::INT AS n_active,
+       |        0.5 * ${rssExpr("b.b")}
+       |        + l.l1 * (abs(b.b[3]) + abs(b.b[4]) + abs(b.b[5]) + abs(b.b[6]))
+       |        + 0.5 * l.lkm * (b.b[1] * b.b[1] + b.b[2] * b.b[2])
+       |        + 0.5 * l.lb * (${(7 to 12).map(i => s"b.b[$i] * b.b[$i]").mkString(" + ")}) AS lobj
+       |        FROM ppbeta b JOIN ppats pt ON b.pid = pt.pid
+       |        JOIN plam l ON b.event_type = l.event_type
+       |        JOIN pmom m ON b.event_type = m.event_type
+       |        WHERE (pt.s1 = 0 OR b.b[3] * pt.s1 > 0) AND (pt.s2 = 0 OR b.b[4] * pt.s2 > 0)
+       |          AND (pt.s3 = 0 OR b.b[5] * pt.s3 > 0) AND (pt.s4 = 0 OR b.b[6] * pt.s4 > 0)),
+       |pwin AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY round(lobj, 6), pid) AS rk FROM pobj),
+       |pf AS (SELECT b.event_type, max(b.n) AS n, max(s.yscale) AS yscale
+       |       FROM pbs b JOIN psc s ON b.event_type = s.event_type GROUP BY 1)""".stripMargin
+  }
+
+  /** Forecast expression over the MAP winner `w.b` at time `tt` (scaled
+    * series — multiply by pf.yscale outside). */
+  private[queries] def prophetFcExpr(tt: String): String =
+    s"w.b[1] + w.b[2] * ($tt::DOUBLE / f.n) + " +
+      (1 to 4).map(j => s"w.b[${2 + j}] * greatest(0.0, ($tt - ($j * f.n / 5.0)) / f.n)").mkString(" + ") + " + " +
+      (1 to 3).map(k =>
+        s"w.b[${2 * k + 5}] * sin(2 * pi() * $k * $tt / 24) + w.b[${2 * k + 6}] * cos(2 * pi() * $k * $tt / 24)").mkString(" + ")
+
+  private[queries] def gaussJordanSql(p: Int, pre: String = "",
+                                      keys: Seq[String] = Seq("event_type")): String = {
     val cols = p + 1
+    val ks = keys.mkString(", ")
     s"""${pre}gj AS (
-       |  SELECT event_type, 0 AS step, m FROM ${pre}mats
+       |  SELECT $ks, 0 AS step, m FROM ${pre}mats
        |  UNION ALL
-       |  SELECT event_type, stepn,
+       |  SELECT $ks, stepn,
        |    list_transform(m, (v, li) ->
        |      CASE WHEN ((li - 1) // $cols + 1) = stepn THEN v / m[(stepn - 1) * $cols + stepn]
        |           ELSE v - m[((li - 1) // $cols) * $cols + stepn]
        |                   * (m[(stepn - 1) * $cols + ((li - 1) % $cols + 1)] / m[(stepn - 1) * $cols + stepn])
        |      END)
-       |  FROM (SELECT event_type, step + 1 AS stepn, m FROM ${pre}gj WHERE step < $p)),
-       |${pre}beta AS (SELECT event_type,
+       |  FROM (SELECT $ks, step + 1 AS stepn, m FROM ${pre}gj WHERE step < $p)),
+       |${pre}beta AS (SELECT $ks,
        |           list_transform(range(1, ${p + 1}), r -> m[(r - 1) * $cols + $cols]) AS b
        |         FROM ${pre}gj WHERE step = $p)""".stripMargin
   }
@@ -1161,23 +1253,6 @@ object ModelQueries {
     },
 
     "q_prophet_lite" -> {
-      // basis order mirrors Regressors.prophetLite: [1, t/n, hinge1..4, s1, c1, s2, c2, s3, c3]
-      val basis = Seq("1.0", "(t::DOUBLE / n)") ++
-        (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
-        (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
-      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
-      val p = 12
-      val matEntries = (0 until p).flatMap { i =>
-        (0 until p).map { j =>
-          val s = s"sum(b${i + 1} * b${j + 1})"
-          if (i == j) s"$s + 1e-4" else s
-        } :+ s"sum(b${i + 1} * y)"
-      }.mkString(",\n           ")
-      def fcExpr(tt: String): String =
-        s"be.b[1] + be.b[2] * ($tt::DOUBLE / f.n) + " +
-          (1 to 4).map(j => s"be.b[${2 + j}] * greatest(0.0, ($tt - ($j * f.n / 5.0)) / f.n)").mkString(" + ") + " + " +
-          (1 to 3).map(k =>
-            s"be.b[${2 * k + 5}] * sin(2 * pi() * $k * $tt / 24) + be.b[${2 * k + 6}] * cos(2 * pi() * $k * $tt / 24)").mkString(" + ")
       s"""WITH RECURSIVE hourly AS ($H),
          |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
          |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
@@ -1186,41 +1261,19 @@ object ModelQueries {
          |ord AS (SELECT event_type, value AS y,
          |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
          |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
-         |bs AS (SELECT event_type, y, t, n,
-         |         $bCols
-         |       FROM ord),
-         |mats AS (SELECT event_type,
-         |         [$matEntries] AS m
-         |         FROM bs GROUP BY 1),
-         |${gaussJordanSql(p)},
-         |f AS (SELECT event_type, max(n) AS n FROM bs GROUP BY 1)
-         |SELECT f.event_type,
-         |  round(${fcExpr("f.n")}, 6) AS yhat_1,
-         |  round(${fcExpr("(f.n + 11)")}, 6) AS yhat_12,
-         |  round(${fcExpr("(f.n + 23)")}, 6) AS yhat_24
-         |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+         |$prophetMapCtes
+         |SELECT f.event_type, w.n_active,
+         |  round((${prophetFcExpr("f.n")}) * f.yscale, 6) AS yhat_1,
+         |  round((${prophetFcExpr("(f.n + 11)")}) * f.yscale, 6) AS yhat_12,
+         |  round((${prophetFcExpr("(f.n + 23)")}) * f.yscale, 6) AS yhat_24
+         |FROM pf f JOIN pwin w ON f.event_type = w.event_type AND w.rk = 1""".stripMargin
     },
 
     "q_prophet_logistic" -> {
-      // identical basis/GJ replay as q_prophet_lite, fit on the logit of
-      // the capacity share; forecasts back through cap·σ(ẑ)
-      val basis = Seq("1.0", "(t::DOUBLE / n)") ++
-        (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
-        (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
-      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
-      val p = 12
-      val matEntries = (0 until p).flatMap { i =>
-        (0 until p).map { j =>
-          val s = s"sum(b${i + 1} * b${j + 1})"
-          if (i == j) s"$s + 1e-4" else s
-        } :+ s"sum(b${i + 1} * y)"
-      }.mkString(",\n           ")
-      def fcExpr(tt: String): String =
-        s"be.b[1] + be.b[2] * ($tt::DOUBLE / f.n) + " +
-          (1 to 4).map(j => s"be.b[${2 + j}] * greatest(0.0, ($tt - ($j * f.n / 5.0)) / f.n)").mkString(" + ") + " + " +
-          (1 to 3).map(k =>
-            s"be.b[${2 * k + 5}] * sin(2 * pi() * $k * $tt / 24) + be.b[${2 * k + 6}] * cos(2 * pi() * $k * $tt / 24)").mkString(" + ")
-      def back(tt: String): String = s"f.cap / (1.0 + exp(-(${fcExpr(tt)})))"
+      // identical Laplace-MAP replay as q_prophet_lite, fit on the logit
+      // of the capacity share; forecasts back through cap·σ(ẑ)
+      def back(tt: String): String =
+        s"cp.cap / (1.0 + exp(-((${prophetFcExpr(tt)}) * f.yscale)))"
       s"""WITH RECURSIVE hourly AS ($H),
          |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
          |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
@@ -1234,19 +1287,14 @@ object ModelQueries {
          |  ln(least(greatest(value / cap, 1e-6), 1.0 - 1e-6)
          |     / (1 - least(greatest(value / cap, 1e-6), 1.0 - 1e-6))) AS y
          |  FROM ord0),
-         |bs AS (SELECT event_type, y, t, n, cap,
-         |         $bCols
-         |       FROM ord),
-         |mats AS (SELECT event_type,
-         |         [$matEntries] AS m
-         |         FROM bs GROUP BY 1),
-         |${gaussJordanSql(p)},
-         |f AS (SELECT event_type, max(n) AS n, max(cap) AS cap FROM bs GROUP BY 1)
-         |SELECT f.event_type, round(f.cap, 6) AS cap,
+         |$prophetMapCtes,
+         |cps AS (SELECT event_type, max(cap) AS cap FROM ord GROUP BY 1)
+         |SELECT f.event_type, round(cp.cap, 6) AS cap, w.n_active,
          |  round(${back("f.n")}, 6) AS yhat_1,
          |  round(${back("(f.n + 11)")}, 6) AS yhat_12,
          |  round(${back("(f.n + 23)")}, 6) AS yhat_24
-         |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+         |FROM pf f JOIN pwin w ON f.event_type = w.event_type AND w.rk = 1
+         |JOIN cps cp ON f.event_type = cp.event_type""".stripMargin
     },
 
     // SSE-grid smoothing-parameter fits: the grid is a cross-join

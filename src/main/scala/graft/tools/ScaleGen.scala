@@ -99,11 +99,29 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
 
+    // rotate by k mod dim AND flip signs by a per-replica SplitMix64 mask:
+    // a pure rotation is the IDENTITY at k = dim (factor 100 would plant
+    // 2k exact duplicate vectors per wrapped replica pair — the same
+    // generator-artifact class the r10 decade caught for simhash). The
+    // sign mask is applied uniformly within a replica, so every
+    // intra-replica pairwise cosine (and every norm) is preserved —
+    // intrinsic near-dup structure intact — while cross-replica cosines
+    // decorrelate for ANY k ≥ 1.
+    val rotSignUdf = udf { (emb: Seq[Float], k: Int) =>
+      if (k == 0) emb else {
+        val d = emb.length
+        val r = k % d
+        val rot = (emb.drop(r) ++ emb.take(r)).toArray
+        val rnd = splitMix64(0x5ca1eL * 1000003L + k)
+        var i = 0
+        while (i < d) { if ((rnd() & 1L) == 1L) rot(i) = -rot(i); i += 1 }
+        rot.toSeq
+      }
+    }
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     replicas(emb)
       .select((col("vec_id") + col("k") * off).as("vec_id"),
-        expr("concat(slice(embedding, k + 1, size(embedding) - k), slice(embedding, 1, k))")
-          .as("embedding"),
+        rotSignUdf(col("embedding"), col("k")).as("embedding"),
         col("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
 

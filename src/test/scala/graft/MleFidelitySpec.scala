@@ -17,6 +17,73 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MleFidelitySpec extends AnyFunSuite {
 
+  /** Deterministic LCG noise in [-0.5, 0.5) (the AnnSpec pattern). */
+  private def lcgNoise(seed: Long, n: Int): Array[Double] =
+    Iterator.iterate(seed)(s => (s * 48271) % 2147483647L).drop(1)
+      .map(_.toDouble / 2147483647L - 0.5).take(n).toArray
+
+  test("prophet MAP recovers a planted changepoint SPARSELY — inactive deltas are exact zeros") {
+    // truth lives IN the basis: slope 5 on t/n, one delta of 8 at knot 2
+    // (2n/5 — exactly cps(1)), first-order daily seasonality, sd≈0.17 noise
+    val n = 480
+    val noise = lcgNoise(97L, n)
+    val xs = Array.tabulate(n) { t =>
+      val hinge2 = math.max(0.0, (t - 2.0 * n / 5) / n)
+      10.0 + 5.0 * t / n + 8.0 * hinge2 + 2.0 * math.sin(2 * math.Pi * t / 24) + 0.6 * noise(t)
+    }
+    val (b, nActive, yscale) = graft.models.Regressors.prophetMapFit(xs, 24, 3, 4)
+    // the Laplace prior's defining behavior, which the old ridge stand-in
+    // could not produce: changepoints the data doesn't demand are EXACT 0
+    // (λ₁ = σ̂²/τ is mild at this noise — observed: one exact zero, the
+    // planted delta dominant at 7.77, spurious mass ≤ 0.31)
+    val deltas = (0 until 4).map(j => b(2 + j) * yscale)
+    assert(deltas.count(_ == 0.0) >= 1, s"at least one exact-zero delta expected: $deltas")
+    // the planted break is found: total trend change across knots ≈ 8
+    // (correlated hinges can split mass between adjacent knots)
+    assert(math.abs(deltas.sum - 8.0) < 1.5, s"recovered delta mass ${deltas.sum} (truth 8)")
+    assert(deltas(1) == deltas.max && deltas(1) > 7.0,
+      s"dominant delta must sit at the planted knot: $deltas")
+    assert(deltas.patch(1, Nil, 1).forall(d => math.abs(d) < 0.5),
+      s"spurious deltas must stay small: $deltas")
+    // sparsity STRENGTHENS with noise exactly as the prior weight
+    // λ₁ = σ̂²/τ dictates: at 10× the noise the MAP zeroes two knots and
+    // still keeps the planted one
+    val noisy = Array.tabulate(n) { t =>
+      val hinge2 = math.max(0.0, (t - 2.0 * n / 5) / n)
+      10.0 + 5.0 * t / n + 8.0 * hinge2 + 2.0 * math.sin(2 * math.Pi * t / 24) + 6.0 * noise(t)
+    }
+    val (bN, naN, ysN) = graft.models.Regressors.prophetMapFit(noisy, 24, 3, 4)
+    val deltasN = (0 until 4).map(j => bN(2 + j) * ysN)
+    assert(naN <= 2 && deltasN.count(_ == 0.0) >= 2,
+      s"heavy noise must zero the spurious knots: $deltasN (nActive=$naN)")
+    assert(deltasN(1) == deltasN.max && deltasN(1) > 4.0,
+      s"the planted knot must survive heavy noise: $deltasN")
+    // forecast tracks the true continuation
+    val (_, fc) = graft.models.Regressors.prophetMap(xs, 24, 3, 4, h = 24)
+    (0 until 24).foreach { i =>
+      val t = n + i
+      val truth = 10.0 + 5.0 * t / n + 8.0 * math.max(0.0, (t - 2.0 * n / 5) / n) / 1.0 +
+        2.0 * math.sin(2 * math.Pi * t / 24)
+      assert(math.abs(fc(i) - truth) < 1.0, s"h=${i + 1}: fc=${fc(i)} truth=$truth")
+    }
+  }
+
+  test("prophet MAP on a changepoint-free series keeps only negligible deltas") {
+    val n = 480
+    for (seed <- Seq(97L, 13L, 55L)) {
+      val noise = lcgNoise(seed, n)
+      val xs = Array.tabulate(n)(t =>
+        20.0 + 3.0 * t / n + 1.5 * math.cos(2 * math.Pi * t / 24) + 2.0 * noise(t))
+      val (b, nActive, yscale) = graft.models.Regressors.prophetMapFit(xs, 24, 3, 4)
+      val deltas = (0 until 4).map(j => b(2 + j) * yscale)
+      assert(nActive <= 2 && deltas.count(_ == 0.0) >= 2,
+        s"seed $seed: no-break series must zero most deltas: $deltas")
+      assert(deltas.forall(d => math.abs(d) < 1.0), s"seed $seed: deltas must stay small: $deltas")
+      // and the trend/seasonal structure is still recovered through the prior
+      assert(math.abs(b(1) * yscale - 3.0) < 0.6, s"seed $seed: slope ${b(1) * yscale} (truth 3)")
+    }
+  }
+
   test("Hannan-Rissanen recovers ARMA(2,1) parameters on a known-truth simulation") {
     // x_t = 0.7 x_{t-1} - 0.2 x_{t-2} + e_t + 0.4 e_{t-1}, σ=1
     val xs = Simulator.arma(Array(0.7, -0.2), Array(0.4), n = 3000, seed = 7L)
