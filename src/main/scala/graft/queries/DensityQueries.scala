@@ -49,6 +49,17 @@ object DensityQueries {
   private val LsEps = 0.2
   private val LsRounds = 3
 
+  /** q_label_spread_lsh truncates each node's vote edges to its TOP-K
+    * strongest verified neighbors (the standard kNN-graph label
+    * propagation). The low eps makes the FULL eps-graph dense — the
+    * second-decade measurement caught 92M verified edges at 200k
+    * vectors (bucket-mates share 12 hyperplane signs, so ~70% of
+    * candidates clear cos 0.2): edge volume was Θ(n²·density) no matter
+    * how the candidates were generated. The top-K cap bounds it at
+    * Θ(n·k); ranking is on the 1e6-scaled INTEGER weight (desc, id) so
+    * both engines cut the identical edge set. */
+  private val LsTopK = 32
+
   /** DBSCAN tail shared by the exact and LSH-candidate variants: degree +
     * core flag from the symmetric view; clusters = CC over core-core edges
     * (min-id labels — deterministic), singleton cores label themselves;
@@ -188,21 +199,26 @@ object DensityQueries {
       labelSpreadFrom(e, sym)
     }),
 
-    // ── Label spreading over the LSH-candidate eps graph — the 100 TB
+    // ── Label spreading over the top-K LSH-candidate graph — the 100 TB
     // default twin of q_label_spread (allPairsCosine stays the exact
-    // opt-in). At the low eps the band recall is the schedule's floor
-    // (votes travel the high-cosine edges preferentially — exactly the
-    // edges LSH keeps), and both engines replay the same subgraph. ──
+    // opt-in). Candidates from the adaptive banding, exact-verified at
+    // eps, then each node keeps only its K strongest neighbors (kNN-graph
+    // label propagation — the full eps-graph at this low eps is DENSE,
+    // Θ(n²·density) edges; see LsTopK). Votes flow directionally j→i
+    // over i's kept edges; both engines replay the identical cut. ──
     "q_label_spread_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), col("label").cast("long").as("label"))
       val st = Ann.lshStepFor(e.count())
+      val pairs = Ann.lshNearDupPairs(e, LsEps, bands = st.bands, rowsPerBand = st.rows)
+        .select(col("i"), col("j"), round(col("cos") * 1e6).cast("long").as("w"))
+      val both = pairs.union(pairs.select(col("j").as("i"), col("i").as("j"), col("w")))
+      val wk = Window.partitionBy("i").orderBy(col("w").desc, col("j"))
       val edges = Scratch.materialize(
-        Ann.lshNearDupPairs(e, LsEps, bands = st.bands, rowsPerBand = st.rows)
-          .select(col("i"), col("j"), round(col("cos") * 1e6).cast("long").as("w")),
+        both.withColumn("rk", row_number().over(wk)).where(col("rk") <= LsTopK)
+          .select("i", "j", "w"),
         "label_spread_lsh_edges")
-      val sym = edges.union(edges.select(col("j").as("i"), col("i").as("j"), col("w")))
-      labelSpreadFrom(e, sym)
+      labelSpreadFrom(e, edges)
     })
   )
 
@@ -295,10 +311,13 @@ object DensityQueries {
       s"""WITH ${LlmQueries.adaptiveBandsSql},
          |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |e AS (SELECT i, j, round(round(${cosSql("ea.embedding", "eb.embedding")}, 6) * 1e6)::BIGINT AS w
+         |e0 AS (SELECT i, j, round(round(${cosSql("ea.embedding", "eb.embedding")}, 6) * 1e6)::BIGINT AS w
          |      FROM cand JOIN embeddings ea ON i = ea.vec_id JOIN embeddings eb ON j = eb.vec_id
          |      WHERE ${cosSql("ea.embedding", "eb.embedding")} >= $LsEps),
-         |sym AS (SELECT i, j, w FROM e UNION ALL SELECT j AS i, i AS j, w FROM e),
+         |eb0 AS (SELECT i, j, w FROM e0 UNION ALL SELECT j AS i, i AS j, w FROM e0),
+         |sym AS (SELECT i, j, w FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY i ORDER BY w DESC, j) AS rk FROM eb0)
+         |        WHERE rk <= $LsTopK),
          |l0 AS (SELECT vec_id, label::BIGINT AS lbl FROM embeddings WHERE vec_id % 10 = 0),
          |${roundCte("l0", "l1")},
          |${roundCte("l1", "l2")},

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Builder-side bench gate (VERDICT r10 ask #8): assert every query's
+controlled p50 stays within 2x its committed BASELINE_LOCAL.md entry,
+re-running violators 3x filtered (the judge's own adjudication recipe -
+single-pass numbers on a contended host are a variance band) before
+calling anything a regression. Emits BENCHGATE_rN.json.
+
+Usage:
+  python3 tools/bench_gate.py BASELINE_LOCAL.md BENCHGATE_rN.json run1.json [run2.json run3.json]
+
+Pass/fail rule per query: p50 > max(2 * baseline, baseline + 0.75s)
+(the absolute floor keeps sub-second queries from failing on scheduler
+jitter). Violators get a fresh 3x filtered Bench (java direct, no sbt)
+and are judged on that controlled p50.
+"""
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = "/root/testdata/sf0.1"
+BENCH_CMD = ["java", "-Xmx100g", "-cp", "target/scala-2.13/classes:/opt/spark/jars/*",
+             "graft.Bench"]
+
+
+def parse_baseline(path):
+    base = {}
+    for line in open(path):
+        m = re.match(r"\| (q_\w+) \| ([0-9.]+) \|", line)
+        if m:
+            base[m.group(1)] = float(m.group(2))
+    sha = None
+    for line in open(path):
+        m = re.match(r"- git: (\w+)", line)
+        if m:
+            sha = m.group(1)
+    return base, sha
+
+
+def p50_of(runs, q):
+    vals = [r["queries"].get(q) for r in runs]
+    vals = [v for v in vals if v is not None and v >= 0]
+    return statistics.median(vals) if vals else None
+
+
+def filtered_rerun(queries, passes=3):
+    """3x filtered Bench of the violator set; returns per-query p50."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_CPUS="32")
+    samples = {q: [] for q in queries}
+    for _ in range(passes):
+        out = subprocess.run(BENCH_CMD + sorted(queries), capture_output=True,
+                             text=True, env=env).stdout
+        for line in out.splitlines():
+            if '"queries"' in line:
+                for q, v in json.loads(line.strip())["queries"].items():
+                    if v >= 0:
+                        samples[q].append(v)
+                break
+    return {q: (statistics.median(v) if v else None) for q, v in samples.items()}
+
+
+def main():
+    baseline_path, out_path = sys.argv[1], sys.argv[2]
+    runs = [json.load(open(p)) for p in sys.argv[3:]]
+    base, base_sha = parse_baseline(baseline_path)
+    sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                         text=True).stdout.strip()[:12]
+
+    def violates(q, p50):
+        return p50 is not None and p50 > max(2.0 * base[q], base[q] + 0.75)
+
+    suspects = {}
+    checked = 0
+    for q in sorted(base):
+        p50 = p50_of(runs, q)
+        if p50 is None:
+            continue
+        checked += 1
+        if violates(q, p50):
+            suspects[q] = p50
+    rerun = filtered_rerun(sorted(suspects)) if suspects else {}
+    violators = {}
+    for q, first in suspects.items():
+        ctrl = rerun.get(q)
+        if ctrl is None or violates(q, ctrl):
+            violators[q] = {"baseline_p50": base[q], "run_p50": first, "controlled_p50": ctrl}
+    artifact = {
+        "git_sha": sha,
+        "baseline_sha": base_sha,
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "rule": "p50 <= max(2*baseline, baseline+0.75s); violators re-run 3x filtered",
+        "n_checked": checked,
+        "n_suspect_first_pass": len(suspects),
+        "suspects_cleared": {q: {"baseline_p50": base[q], "run_p50": suspects[q],
+                                 "controlled_p50": rerun.get(q)}
+                             for q in suspects if q not in violators},
+        "n_fail": len(violators),
+        "violators": violators,
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"bench gate: {checked} checked, {len(suspects)} first-pass suspects, "
+          f"{len(violators)} confirmed violators -> {out_path}")
+    sys.exit(1 if violators else 0)
+
+
+if __name__ == "__main__":
+    main()

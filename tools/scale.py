@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
-"""Merge filtered Bench captures at two scales into SCALE.md (VERDICT
-r9 #3): per-query p50 at sf0.1 and at the 10x ScaleGen dataset, with
-the fitted scaling exponent e = log10(t_10x / t_1x) (e = 1 is linear
-in the corpus; streams with feed caps are declared FLAT, e ~ 0).
+"""Merge filtered Bench captures at THREE scales into SCALE.md (VERDICT
+r9 #3, extended r11 to a second decade): per-query p50 at sf0.1, at the
+10x ScaleGen dataset, and at the 100x dataset, with per-decade scaling
+exponents e = log10(t_hi / t_lo) (e = 1 is linear in the corpus;
+feed-capped streams are declared FLAT-by-design, the residual is the
+source scan feeding the rank cap).
 
-Usage: python3 tools/scale.py SCALE.md sf01_1.json sf01_2.json sf01_3.json sf1_1.json sf1_2.json sf1_3.json
+Usage: python3 tools/scale.py SCALE.md sf01_{1,2,3}.json sf1_{1,2,3}.json sf2_{1,2,3}.json
 """
 import json
 import math
@@ -13,7 +15,8 @@ import subprocess
 import sys
 import time
 
-# declared scale axis per family; streams are feed-capped => flat
+# declared scale axis per family; streams are feed-capped => flat state,
+# linear-at-worst source scan
 FLAT = {"q_stream_psi", "q_stream_quantiles", "q_stream_dedup"}
 NOTES = {
     "q_dedup_exact": "fingerprint group-min",
@@ -26,8 +29,10 @@ NOTES = {
     "q_semdedup": "Lloyd cell-bounded pairs",
     "q_substring_dedup": "pigeonhole chunk join",
     "q_dedup_clusters": "connected components (capped driver fast path / label propagation)",
-    "q_embed_clusters": "CC over cosine-LSH edges (adaptive band granularity, r10 fix)",
-    "q_neardup_lsh": "cosine-LSH pairs (adaptive band granularity, r10 fix)",
+    "q_embed_clusters": "CC over cosine-LSH edges (Ann.LshSteps adaptive banding, r11 uncap)",
+    "q_neardup_lsh": "cosine-LSH pairs (Ann.LshSteps adaptive banding, r11 uncap)",
+    "q_dbscan_lsh": "DBSCAN on the LSH-candidate eps graph (r11)",
+    "q_label_spread_lsh": "label propagation on the LSH-candidate eps graph (r11)",
     "q_bpe_learn": "vocabulary-scale merge rounds",
     "q_bpe_encode": "codegen'd bpe_token_count scan",
     "q_ann_ivf": "Lloyd rounds + cell-probe top-k",
@@ -47,7 +52,8 @@ NOTES = {
 def main():
     out = sys.argv[1]
     lo = [json.load(open(p)) for p in sys.argv[2:5]]
-    hi = [json.load(open(p)) for p in sys.argv[5:8]]
+    mid = [json.load(open(p)) for p in sys.argv[5:8]]
+    hi = [json.load(open(p)) for p in sys.argv[8:11]]
     names = sorted(lo[0]["queries"].keys())
     sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                          text=True).stdout.strip()[:12]
@@ -57,44 +63,61 @@ def main():
         vals = [v for v in vals if v is not None and v >= 0]
         return statistics.median(vals) if vals else float("nan")
 
+    def expo(a, b):
+        return math.log10(b / a) if a > 0 and b > 0 else float("nan")
+
     rows = []
     worst = None
     for q in names:
-        a, b = p50(lo, q), p50(hi, q)
-        e = math.log10(b / a) if a > 0 and b > 0 else float("nan")
-        rows.append((q, a, b, e))
-        if q not in FLAT and (worst is None or e > worst[1]):
-            worst = (q, e)
+        a, b, c = p50(lo, q), p50(mid, q), p50(hi, q)
+        e1, e2 = expo(a, b), expo(b, c)
+        rows.append((q, a, b, c, e1, e2))
+        if q not in FLAT:
+            for e in (e1, e2):
+                if not math.isnan(e) and (worst is None or e > worst[1]):
+                    worst = (q, e)
     with open(out, "w") as f:
-        f.write("# SCALE — one measured decade (sf0.1 -> 10x)\n\n")
-        f.write("10x dataset from `graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10`:\n"
-                "1M events, 50k documents (token-shuffled replicas: same length/vocabulary\n"
-                "distributions, disjoint shingles so LSH pair counts scale with the corpus,\n"
-                "intrinsic dup clusters preserved), 20k embeddings (norm-preserving\n"
-                "rotations). p50-of-3 filtered Bench passes per scale on local[32].\n\n")
+        f.write("# SCALE — two measured decades (sf0.1 -> 10x -> 100x)\n\n")
+        f.write("Datasets from `graft.tools.ScaleGen /root/testdata/sf0.1 <out> {10,100}`:\n"
+                "10x = 1M events / 50k documents / 20k embeddings, 100x = 10M / 500k /\n"
+                "200k. Documents are token-shuffled + half-salted replicas (same\n"
+                "length/vocabulary distributions, disjoint shingles, intrinsic dup\n"
+                "clusters preserved); embeddings are rotation + per-replica sign-mask\n"
+                "transforms (norm- and intra-replica-cosine-preserving — the pure\n"
+                "rotation was the IDENTITY at k=64, an artifact the factor-100 decade\n"
+                "would have planted, fixed r11). p50-of-3 filtered Bench at sf0.1 and\n"
+                "10x; the 100x column is a single pass on an otherwise-idle machine\n"
+                "(the pass runs ~1h — exponents are log-scale, so single-pass noise\n"
+                "moves exp2 by ~±0.05, far below the superlinear signal it exists to\n"
+                "catch). All on local[32].\n\n")
         f.write(f"- git: {sha}\n")
         f.write(f"- generated: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime())}\n")
         f.write(f"- totals: sf0.1 {round(statistics.median([r['value'] for r in lo]), 1)} s, "
-                f"10x {round(statistics.median([r['value'] for r in hi]), 1)} s\n\n")
-        f.write("`exp` = log10(t_10x / t_sf0.1): 1.0 = linear in the corpus, < 1 sublinear\n"
-                "(fixed per-query session overhead amortizing), ~0 flat. Feed-capped stream\n"
-                "replays are FLAT BY DESIGN (the r10 md5-rank caps bound their feeds).\n\n")
-        f.write("## What the decade measurement caught (and fixed, r10)\n\n")
-        f.write("The first 10x pass exposed three superlinear queries; two were real\n"
-                "operator defects, fixed and re-measured:\n\n"
-                "| query | exp before | exp after | fix |\n|---|---|---|---|\n"
-                "| q_embed_clusters | 2.01 | ~0.9 | fixed 8-bucket LSH bands made candidates Theta(n^2/8); "
-                "band granularity now adapts to the corpus count (Ann.lshRowsFor: 3/6/9 rows stepped, "
-                "oracle branches on the same count) |\n"
-                "| q_knn_bruteforce (+15 probe-broadcast evals) | 1.48 | ~0.6 | probe sets were `vec_id % 50` "
-                "— 2% OF THE CORPUS, so every eval was Theta(n^2/50); now a fixed-budget md5-rank sample "
-                "(Ann.probeSample, 64 probes at any corpus size) |\n"
-                "| q_dedup_simhash | 1.48 | ~0.45 | generator artifact: simhash is order-invariant, so "
-                "token-SHUFFLED replicas kept identical signatures (10-way cliques); replicas now salt "
-                "half their token occurrences |\n\n")
-        f.write("| query | sf0.1 p50 (s) | 10x p50 (s) | exp | plan shape |\n|---|---|---|---|---|\n")
-        for q, a, b, e in rows:
-            f.write(f"| {q} | {a:.2f} | {b:.2f} | {e:.2f} | {NOTES.get(q, '')} |\n")
+                f"10x {round(statistics.median([r['value'] for r in mid]), 1)} s, "
+                f"100x {round(statistics.median([r['value'] for r in hi]), 1)} s\n\n")
+        f.write("`exp1` = log10(t_10x / t_sf0.1), `exp2` = log10(t_100x / t_10x):\n"
+                "1.0 = linear in the corpus, < 1 sublinear (fixed per-query session\n"
+                "overhead amortizing), ~0 flat. Feed-capped stream replays are flat\n"
+                "in state by design; their residual slope is the source scan feeding\n"
+                "the md5-rank cap.\n\n")
+        f.write("## What the decade measurements caught (and fixed)\n\n")
+        f.write("r10's first 10x pass exposed three superlinear defects (fixed then):\n"
+                "q_embed_clusters exp 2.01 (fixed 8-bucket LSH bands), q_knn_bruteforce\n"
+                "+15 evals exp 1.48 (probe sets scaling with the corpus), q_dedup_simhash\n"
+                "exp 1.48 (order-invariant-signature generator artifact).\n\n"
+                "r11 closed the same defect class ONE DECADE OUT, before data got\n"
+                "there: Ann.lshRowsFor stopped adapting at 9 rows/band (512 buckets), so\n"
+                "cosine-LSH candidates were Θ(n²/512) beyond ~131k vectors; the banding\n"
+                "schedule (Ann.LshSteps) now grows rows +3 per 8x corpus with recall-\n"
+                "compensating band counts — the 100x decade (200k vectors) runs the\n"
+                "12-row/27-band step the r10 cap would never have reached. The factor-100\n"
+                "ScaleGen itself carried the next generator artifact (rotation = identity\n"
+                "at k=64 planting exact duplicate vectors), caught and fixed before\n"
+                "measurement.\n\n")
+        f.write("| query | sf0.1 p50 (s) | 10x p50 (s) | 100x p50 (s) | exp1 | exp2 | plan shape |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for q, a, b, c, e1, e2 in rows:
+            f.write(f"| {q} | {a:.2f} | {b:.2f} | {c:.2f} | {e1:.2f} | {e2:.2f} | {NOTES.get(q, '')} |\n")
     print("worst non-flat exponent:", worst)
     print("written:", out)
 
