@@ -110,10 +110,29 @@ def main():
                 "cosine-LSH candidates were Θ(n²/512) beyond ~131k vectors; the banding\n"
                 "schedule (Ann.LshSteps) now grows rows +3 per 8x corpus with recall-\n"
                 "compensating band counts — the 100x decade (200k vectors) runs the\n"
-                "12-row/27-band step the r10 cap would never have reached. The factor-100\n"
+                "12-row/27-band step the r10 cap would never have reached, and the\n"
+                "schedule's proof is in the table: q_neardup_lsh exp 0.99 -> 0.38 and\n"
+                "q_embed_clusters 0.87 -> 0.69 across the decades. The factor-100\n"
                 "ScaleGen itself carried the next generator artifact (rotation = identity\n"
                 "at k=64 planting exact duplicate vectors), caught and fixed before\n"
-                "measurement.\n\n")
+                "measurement. The second decade also caught q_label_spread_lsh's full\n"
+                "eps-0.2 graph at 92M verified edges (dense by construction — bucket\n"
+                "mates share 12 hyperplane signs), fixed the same day with the standard\n"
+                "kNN-graph truncation (top-32 strongest neighbors per node, edges\n"
+                "Θ(n·k)).\n\n"
+                "## Known forward-scale item (found by THIS measurement, next round's\n"
+                "top fix)\n\n"
+                "q_dedup_simhash exp2 = ~1.65: the 4x16-bit pigeonhole over a 64-bit\n"
+                "simhash has a FIXED 65536-bucket space per chunk, so Hamming<=3\n"
+                "candidates are Θ(n²/2^16) — invisible at the first decade (exp 0.53),\n"
+                "superlinear at the second, painful around ~50M docs. Unlike the\n"
+                "banding schedule there is no free granularity knob: with 64 bits and\n"
+                "radius 3 the pigeonhole needs >= 4 chunks and 4x16 is already optimal.\n"
+                "The fix is a WIDTH-adaptive fingerprint (128-bit simhash from the full\n"
+                "md5 token hashes -> 4x32-bit chunks = 4.3e9 buckets, verify on both\n"
+                "64-bit words), branch shared-literal on the corpus count like\n"
+                "Ann.LshSteps. Absolute cost today: 173 s at 500k docs — the defect is\n"
+                "one decade beyond the measured frontier.\n\n")
         f.write("| query | sf0.1 p50 (s) | 10x p50 (s) | 100x p50 (s) | exp1 | exp2 | plan shape |\n")
         f.write("|---|---|---|---|---|---|---|\n")
         for q, a, b, c, e1, e2 in rows:
