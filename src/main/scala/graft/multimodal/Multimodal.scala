@@ -64,7 +64,11 @@ object Multimodal {
         val idv = r.getLong(0)
         decodeFrames(r.getAs[Array[Byte]](1)).toSeq.flatMap { frames =>
           val n = frames.length
-          (0 until k).flatMap { i =>
+          // All-or-nothing, matching the container decoders' contract: a
+          // single undecodable sampled frame drops the whole doc (no
+          // partial row sets that would silently diverge from the
+          // oracle's fixed k-rows-per-doc shape).
+          val sampled = (0 until k).map { i =>
             val idx = i * n / k
             decodeBmp(frames(idx)).map { case (_, _, px) =>
               var s = 0L; var s2 = 0L
@@ -74,6 +78,7 @@ object Multimodal {
                 mean, math.sqrt(math.max(s2.toDouble / px.length - mean * mean, 0.0)))
             }
           }
+          if (sampled.forall(_.isDefined)) sampled.map(_.get) else Seq.empty
         }
       }
     }(enc)
@@ -289,12 +294,18 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "GBVI") return None
+    // The header's declared RIFF size bounds the walk (bytes past it are
+    // trailing garbage real demuxers ignore); a declared size overrunning
+    // the buffer is a broken container.
+    val riffSize = bb.getInt(4)
+    if (riffSize < 4 || 8L + riffSize > bytes.length) return None
+    val end = 8 + riffSize
     var pos = 12
     val frames = Seq.newBuilder[Array[Byte]]
     var nFrames = 0
-    while (pos + 8 <= bytes.length) {
+    while (pos + 8 <= end) {
       val id = tag(pos); val sz = bb.getInt(pos + 4)
-      if (sz < 0 || pos.toLong + 8 + sz > bytes.length) return None
+      if (sz < 0 || pos.toLong + 8 + sz > end) return None
       if (id == "fram") {
         frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz)
         nFrames += 1
@@ -342,15 +353,20 @@ object Multimodal {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    // Same bound discipline as [[decodeFrames]]: the declared RIFF size
+    // ends the walk; overrun of the buffer rejects the container.
+    val riffSize = bb.getInt(4)
+    if (riffSize < 4 || 8L + riffSize > bytes.length) return None
+    val end = 8 + riffSize
     var pos = 12
     var rate = -1; var ok = false
     var samples: Array[Short] = null
-    while (pos + 8 <= bytes.length) {
+    while (pos + 8 <= end) {
       val id = tag(pos); val sz = bb.getInt(pos + 4)
       // Long-widened bound: a crafted chunk size near Int.MaxValue would
       // wrap `pos + 8 + sz` negative and bypass the check (decodeBmp
       // already widens); the contract is None for broken containers.
-      if (sz < 0 || pos.toLong + 8 + sz > bytes.length) return None
+      if (sz < 0 || pos.toLong + 8 + sz > end) return None
       id match {
         case "fmt " if sz >= 16 =>
           val fmt = bb.getShort(pos + 8); val ch = bb.getShort(pos + 10)

@@ -144,6 +144,28 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeFrames(truncated).isEmpty, "chunk overrunning the buffer must be rejected")
   }
 
+  test("RIFF walkers bound by the declared header size (trailing garbage ignored, overrun rejected)") {
+    // trailing bytes appended AFTER the declared RIFF payload must not be
+    // parsed as additional chunks — real demuxers stop at the header size
+    val vid = Multimodal.encodeFrames("doc")
+    val garbageTail = vid ++ "framXXXXmore-junk-that-looks-chunky".getBytes("US-ASCII")
+    assert(Multimodal.decodeFrames(garbageTail).map(_.length) ==
+      Multimodal.decodeFrames(vid).map(_.length), "trailing garbage must not add frames")
+    val wav = Multimodal.encodeWav("doc")
+    val wavTail = wav ++ Array.fill[Byte](32)(7)
+    assert(Multimodal.decodeWav(wavTail).map { case (r, xs) => (r, xs.toSeq) } ==
+      Multimodal.decodeWav(wav).map { case (r, xs) => (r, xs.toSeq) })
+    // a declared size overrunning the buffer is a broken container
+    def inflate(bytes: Array[Byte]): Array[Byte] = {
+      val c = bytes.clone()
+      val bb = java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(4, bytes.length) // declared riffSize > bytes.length - 8
+      c
+    }
+    assert(Multimodal.decodeFrames(inflate(vid)).isEmpty)
+    assert(Multimodal.decodeWav(inflate(wav)).isEmpty)
+  }
+
   test("aHash bits derive from decoded pixels via the exact integer threshold") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()

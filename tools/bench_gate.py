@@ -56,7 +56,9 @@ def filtered_rerun(queries, passes=3):
         for line in out.splitlines():
             if '"queries"' in line:
                 for q, v in json.loads(line.strip())["queries"].items():
-                    if v >= 0:
+                    # Bench may echo queries outside the requested set;
+                    # only the violator set feeds the gate.
+                    if v >= 0 and q in samples:
                         samples[q].append(v)
                 break
     return {q: (statistics.median(v) if v else None) for q, v in samples.items()}
