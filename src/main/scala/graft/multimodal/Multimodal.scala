@@ -135,6 +135,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** 256-bit aHash (16×16 luma grid, four 64-bit words) — the
+    * width-adaptive fingerprint for Hamming-block near-dup at corpus
+    * scale. [[phashBmp]]'s 64-bit hash forces 4×16-bit pigeonhole chunks
+    * (2¹⁶ buckets → Θ(n²/65536) candidates — the q_dedup_simhash defect
+    * on the visual axis); 256 bits make each chunk a FULL 64-bit word,
+    * so random-pair chunk collisions are ~n²/2⁶⁴: negligible at any
+    * achievable corpus. Same exact-integer threshold (256·luma > Σluma),
+    * same nearest-pixel grid sampling (cell (r,c) → pixel
+    * (r·h/16, c·w/16)), bit r·16+c in word (r·16+c)/64.
+    */
+  def phash256Bmp(df: DataFrame, id: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(id, LongType), StructField("ph0", LongType),
+      StructField("ph1", LongType), StructField("ph2", LongType),
+      StructField("ph3", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(id), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idv = r.getLong(0)
+        decodeBmp(r.getAs[Array[Byte]](1)).map { case (w, h, px) =>
+          val luma = new Array[Long](256)
+          var sum = 0L
+          var cell = 0
+          while (cell < 256) {
+            val p = (cell / 16 * h / 16) * w + (cell % 16 * w / 16)
+            luma(cell) = 299L * (px(3 * p + 2) & 0xff) +
+              587L * (px(3 * p + 1) & 0xff) + 114L * (px(3 * p) & 0xff)
+            sum += luma(cell)
+            cell += 1
+          }
+          val words = new Array[Long](4)
+          cell = 0
+          while (cell < 256) {
+            if (256L * luma(cell) > sum) words(cell / 64) |= (1L << (cell % 64))
+            cell += 1
+          }
+          Row(idv, words(0), words(1), words(2), words(3))
+        }
+      }
+    }(enc)
+  }
+
   // ── REAL container codecs (round-10 de-stub; closes the one `weak`
   // component carried since r2) ─────────────────────────────────────────
   // The synthesized payloads are genuine Windows-BMP (BITMAPFILEHEADER +

@@ -166,6 +166,39 @@ object LlmQueries {
        |  FROM lum l JOIN tot t ON l.doc_id = t.doc_id GROUP BY 1)""".stripMargin
   }
 
+  /** Oracle twin of the 256-bit aHash (Multimodal.phash256Bmp): the
+    * 16×16 grid generalization of [[aHashCtes]] — cell p-index uses /16,
+    * threshold 256·luma > Σluma, and the 256 bits fold into four BIGINT
+    * words (bit cell%64 of word cell/64, with the same −2⁶³ trick for
+    * each word's top bit). */
+  private lazy val aHash256Ctes: String = {
+    def chainByteSql(k: String) =
+      s"('0x' || substr(md5(img_key || '_px' || (($k) // 16)::VARCHAR), (($k) % 16) * 2 + 1, 2))::BIGINT"
+    s"""dims AS (SELECT doc_id, substr(md5(text), 1, 4) AS img_key,
+       |    4 + ('0x' || substr(md5(substr(md5(text), 1, 4)), 1, 2))::INT % 5 AS w,
+       |    3 + ('0x' || substr(md5(substr(md5(text), 1, 4)), 3, 2))::INT % 4 AS h
+       |  FROM documents),
+       |cg AS (SELECT doc_id, img_key, w, h, unnest(range(0, 256)) AS cell FROM dims),
+       |cp AS (SELECT doc_id, img_key, cell, (((cell // 16) * h) // 16) * w + ((cell % 16) * w) // 16 AS p FROM cg),
+       |lum AS (SELECT doc_id, cell,
+       |    299 * ${chainByteSql("3 * p + 2")} + 587 * ${chainByteSql("3 * p + 1")}
+       |      + 114 * ${chainByteSql("3 * p")} AS luma
+       |  FROM cp),
+       |tot AS (SELECT doc_id, sum(luma)::BIGINT AS s FROM lum GROUP BY 1),
+       |phw AS (SELECT l.doc_id, l.cell // 64 AS wd,
+       |    sum(CASE WHEN 256 * l.luma > t.s THEN
+       |          CASE WHEN l.cell % 64 = 63 THEN (-9223372036854775807)::BIGINT - 1
+       |               ELSE (1::BIGINT << (l.cell % 64)::INT) END
+       |        ELSE 0 END)::BIGINT AS w
+       |  FROM lum l JOIN tot t ON l.doc_id = t.doc_id GROUP BY 1, 2),
+       |ph256 AS (SELECT doc_id,
+       |    sum(CASE WHEN wd = 0 THEN w ELSE 0 END)::BIGINT AS ph0,
+       |    sum(CASE WHEN wd = 1 THEN w ELSE 0 END)::BIGINT AS ph1,
+       |    sum(CASE WHEN wd = 2 THEN w ELSE 0 END)::BIGINT AS ph2,
+       |    sum(CASE WHEN wd = 3 THEN w ELSE 0 END)::BIGINT AS ph3
+       |  FROM phw GROUP BY 1)""".stripMargin
+  }
+
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -904,27 +937,34 @@ object LlmQueries {
         .orderBy("i", "j").limit(20)
     }),
 
-    // visual near-dup: Hamming ≤ 3 over the REAL 64-bit aHash via
-    // 4×16-bit pigeonhole chunk blocking (the q_dedup_simhash machinery
-    // on the multimodal axis, now over decoded pixels) — a pair
-    // differing in ≤ 3 bits must agree on one full 16-bit chunk, so
-    // candidates come from a chunk-equality join, never an all-pairs
-    // scan; bit_count(xor) verifies exactly.
+    // visual near-dup: Hamming ≤ 3 over the REAL 256-bit aHash (16×16
+    // grid, four 64-bit words — r12 width fix, the q_dedup_simhash
+    // treatment on the multimodal axis) — a pair differing in ≤ 3 of
+    // 256 bits must agree on one FULL 64-bit word (pigeonhole over 4
+    // chunks), so candidates come from a word-equality join with a
+    // 2⁶⁴-value bucket space (vs 2¹⁶ for 16-bit chunks of a 64-bit
+    // hash), never an all-pairs scan; bit_count(xor) over all four
+    // words verifies exactly.
     "q_multimodal_neardup" -> ((s, dir) => {
-      val ph = Multimodal.phashBmp(Multimodal.withBmpPayload(
+      val ph = Multimodal.phash256Bmp(Multimodal.withBmpPayload(
         docs(s, dir).withColumn("img_key", substring(md5(col("text")), 1, 4)), text = "img_key"))
-      val chunks = ph.select(col("doc_id"), col("phash"),
+      val words = (0 until 4).map(c => col(s"ph$c"))
+      val chunks = ph.select(col("doc_id") +: words :+
         explode(array((0 until 4).map(c =>
-          struct(lit(c).as("c"), shiftright(col("phash"), c * 16).bitwiseAND(lit(65535L)).as("v"))): _*)).as("ck"))
-        .select(col("doc_id"), col("phash"), col("ck.c"), col("ck.v"))
+          struct(lit(c).as("c"), col(s"ph$c").as("v"))): _*)).as("ck"): _*)
+        .select(col("doc_id") +: words :+ col("ck.c") :+ col("ck.v"): _*)
       chunks.as("a").join(chunks.as("b"),
           col("a.c") === col("b.c") && col("a.v") === col("b.v")
             && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          col("a.phash").as("ph_i"), col("b.phash").as("ph_j"))
+        .select(col("a.doc_id").as("i") +: col("b.doc_id").as("j") +:
+          ((0 until 4).map(c => col(s"a.ph$c").as(s"a$c")) ++
+            (0 until 4).map(c => col(s"b.ph$c").as(s"b$c"))): _*)
         .distinct()
-        .withColumn("hamming", bit_count(col("ph_i").bitwiseXOR(col("ph_j"))).cast("long"))
+        .withColumn("hamming",
+          (0 until 4).map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))))
+            .reduce(_ + _).cast("long"))
         .where(col("hamming") <= 3)
+        .select(col("i"), col("j"), col("hamming"))
         .orderBy("hamming", "i", "j").limit(20)
     }),
 
@@ -1362,18 +1402,30 @@ object LlmQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin,
 
+    // 128-bit simhash as two UBIGINT words (md5 bytes 0..7 / 8..15 —
+    // TextFunctions.simhash128's exact bit layout), 4×32-bit pigeonhole
+    // chunks, hamming = bit_count over both words.
     "q_dedup_simhash" ->
       """WITH th AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
-        |hb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM th),
-        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-        |         FROM hb CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::UBIGINT << b::INT) ELSE 0 END)::UBIGINT AS sh
+        |hb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h1,
+        |              ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS h2 FROM th),
+        |bits AS (SELECT doc_id, b,
+        |           sum(CASE WHEN b < 64 THEN (CASE WHEN (h1 >> b::INT) & 1 = 1 THEN 1 ELSE -1 END)
+        |                    ELSE (CASE WHEN (h2 >> (b - 64)::INT) & 1 = 1 THEN 1 ELSE -1 END) END) AS vote
+        |         FROM hb CROSS JOIN (SELECT unnest(range(0, 128)) AS b) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |          sum(CASE WHEN vote > 0 AND b < 64 THEN (1::UBIGINT << b::INT) ELSE 0 END)::UBIGINT AS sh1,
+        |          sum(CASE WHEN vote > 0 AND b >= 64 THEN (1::UBIGINT << (b - 64)::INT) ELSE 0 END)::UBIGINT AS sh2
         |        FROM bits GROUP BY 1),
-        |chunks AS (SELECT doc_id, sh, c, (sh >> (c::INT * 16)) & 65535 AS ck
+        |chunks AS (SELECT doc_id, sh1, sh2, c,
+        |             CASE WHEN c < 2 THEN (sh1 >> ((c % 2) * 32)::INT) & 4294967295
+        |                  ELSE (sh2 >> ((c % 2) * 32)::INT) & 4294967295 END AS ck
         |           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
-        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, a.sh AS sa, b.sh AS sb
+        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+        |           a.sh1 AS sa1, a.sh2 AS sa2, b.sh1 AS sb1, b.sh2 AS sb2
         |         FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id),
-        |ham AS (SELECT i, j, bit_count(xor(sa, sb))::INT AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3),
+        |ham AS (SELECT i, j, (bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)))::INT AS hamming
+        |        FROM cand WHERE bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)) <= 3),
         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM ham)
         |SELECT i, j, hamming FROM r WHERE rk <= 20""".stripMargin,
 
@@ -1636,17 +1688,20 @@ object LlmQueries {
          |SELECT i, j, phash FROM r WHERE rk <= 20""".stripMargin,
 
     "q_multimodal_neardup" ->
-      s"""WITH $aHashCtes,
-         |ck AS (SELECT doc_id, phash, c, (phash >> (c::INT * 16)) & 65535 AS v
-         |       FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+      s"""WITH $aHash256Ctes,
+         |ck AS (SELECT doc_id, ph0, ph1, ph2, ph3, c,
+         |         CASE c WHEN 0 THEN ph0 WHEN 1 THEN ph1 WHEN 2 THEN ph2 ELSE ph3 END AS v
+         |       FROM ph256 CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
          |p AS (SELECT DISTINCT a.doc_id AS i, bb.doc_id AS j,
-         |        a.phash AS ph_i, bb.phash AS ph_j
+         |        a.ph0 AS a0, a.ph1 AS a1, a.ph2 AS a2, a.ph3 AS a3,
+         |        bb.ph0 AS b0, bb.ph1 AS b1, bb.ph2 AS b2, bb.ph3 AS b3
          |      FROM ck a JOIN ck bb
          |        ON a.c = bb.c AND a.v = bb.v AND a.doc_id < bb.doc_id),
-         |h AS (SELECT i, j, ph_i, ph_j, bit_count(xor(ph_i, ph_j))::BIGINT AS hamming
-         |      FROM p WHERE bit_count(xor(ph_i, ph_j)) <= 3),
-         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM h)
-         |SELECT i, j, ph_i, ph_j, hamming FROM r WHERE rk <= 20""".stripMargin,
+         |h AS (SELECT i, j, (bit_count(xor(a0, b0))::INT + bit_count(xor(a1, b1))::INT
+         |        + bit_count(xor(a2, b2))::INT + bit_count(xor(a3, b3))::INT)::BIGINT AS hamming
+         |      FROM p),
+         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM h WHERE hamming <= 3)
+         |SELECT i, j, hamming FROM r WHERE rk <= 20""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(unhex(md5(text)))::BIGINT AS n_bytes,

@@ -116,4 +116,36 @@ object TextFunctions {
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** 128-bit SimHash as two 64-bit words: word 0 votes on the token's
+    * first md5 word (bytes 0..7 big-endian — what the 64-bit kernel
+    * used), word 1 on bytes 8..15. The full digest was always computed;
+    * the wide fingerprint just stops throwing half of it away, buying a
+    * 2³²-bucket pigeonhole chunk space (vs 2¹⁶ for 4×16-bit chunks of a
+    * 64-bit hash) at ~2× the vote-loop cost. Oracle twin:
+    * `('0x' || substr(md5(tok), 1, 16))::UBIGINT` /
+    * `('0x' || substr(md5(tok), 17, 16))::UBIGINT`.
+    */
+  def simhash128(tokens: Seq[String]): Array[Long] = {
+    val votes = new Array[Int](128)
+    for (t <- tokens.distinct) {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      var w = 0
+      while (w < 2) {
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (md(8 * w + i) & 0xffL); i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(64 * w + b) += 1 else votes(64 * w + b) -= 1
+          b += 1
+        }
+        w += 1
+      }
+    }
+    val out = new Array[Long](2)
+    var b = 0
+    while (b < 128) { if (votes(b) > 0) out(b / 64) |= (1L << (b % 64)); b += 1 }
+    out
+  }
 }

@@ -166,6 +166,23 @@ class CodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(inflate(wav)).isEmpty)
   }
 
+  test("256-bit aHash: deterministic per image, identical images collide on all four words") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "different text")).toDF("doc_id", "text")
+      val ph = Multimodal.phash256Bmp(Multimodal.withBmpPayload(df))
+        .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+      assert(ph(1L) == ph(2L), "identical payloads must produce identical 256-bit hashes")
+      assert(ph(1L) != ph(3L), "different images must differ somewhere in 256 bits")
+      // bits only exist where the integer threshold fires: at least one
+      // word nonzero (some cell above mean) and at least one bit clear
+      val totalBits = ph(1L).map(java.lang.Long.bitCount).sum
+      assert(totalBits > 0 && totalBits < 256)
+    } finally spark.stop()
+  }
+
   test("aHash bits derive from decoded pixels via the exact integer threshold") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()

@@ -21,6 +21,22 @@ class TextSpec extends AnyFunSuite {
     assert(ham <= 12, s"hamming=$ham")
   }
 
+  test("simhash128: word 0 equals the 64-bit kernel; set semantics and locality hold over 128 bits") {
+    val a = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog")
+    val b = scala.util.Random.shuffle(a)
+    // word 0 votes on the same md5 bytes 0..7 the 64-bit kernel reads —
+    // the wide fingerprint is a strict extension, not a new hash family
+    assert(TextFunctions.simhash128(a)(0) === TextFunctions.simhash64(a))
+    assert(TextFunctions.simhash128(a).toSeq === TextFunctions.simhash128(b).toSeq)
+    def ham128(x: Array[Long], y: Array[Long]) =
+      java.lang.Long.bitCount(x(0) ^ y(0)) + java.lang.Long.bitCount(x(1) ^ y(1))
+    val c = Seq("completely", "different", "vocabulary", "entirely", "unrelated", "words", "here", "now")
+    assert(ham128(TextFunctions.simhash128(a), TextFunctions.simhash128(c)) > 20)
+    val base = (1 to 60).map(i => s"word$i")
+    val tweaked = base.updated(30, "REPLACED")
+    assert(ham128(TextFunctions.simhash128(base), TextFunctions.simhash128(tweaked)) <= 24)
+  }
+
   test("minhash permutation params are deterministic") {
     assert(TextFunctions.permParams(8) === TextFunctions.permParams(8))
     assert(TextFunctions.permParams(64).map(_._1).distinct.size === 64)
