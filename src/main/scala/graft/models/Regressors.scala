@@ -59,42 +59,14 @@ object Regressors {
     (out, r2)
   }
 
-  /** Trend-changepoint magnitudes of the prophetLite fit — the
-    * deterministic MAP reading of ProphetTrendDetectorModel
-    * (kats/detectors/prophet_detector.py:779, which scores each prophet
-    * changepoint with |mean delta|). Here the deltas ARE the hinge
-    * coefficients of the same ridge fit prophetLite/prophetLiteFitted
-    * use (ridge = the Gaussian analog of changepoint_prior_scale; the
-    * reference's Laplace prior has no closed-form normal-equations MAP).
-    * Returns the nChangepoints hinge betas in knot order.
-    */
-  def prophetLiteDeltas(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int): Array[Double] = {
-    val n = xs.length
-    val cps = Array.tabulate(nChangepoints)(i => (i + 1).toDouble * n / (nChangepoints + 1))
-    val p = 2 + nChangepoints + 2 * orders
-    def row(t: Double): Array[Double] = {
-      val r = new Array[Double](p)
-      r(0) = 1.0
-      r(1) = t / n
-      var j = 0
-      while (j < nChangepoints) { r(2 + j) = math.max(0.0, (t - cps(j)) / n); j += 1 }
-      var k = 1
-      while (k <= orders) {
-        val w = 2 * math.Pi * k * t / period
-        r(2 + nChangepoints + 2 * (k - 1)) = math.sin(w)
-        r(2 + nChangepoints + 2 * (k - 1) + 1) = math.cos(w)
-        k += 1
-      }
-      r
-    }
-    val X = DenseMatrix.tabulate[Double](n, p)((i, j) => row(i.toDouble)(j))
-    val beta = solve(X, DenseVector(xs), ridge = 1e-4)
-    Array.tabulate(nChangepoints)(j => beta(2 + j))
-  }
-
   /** Prophet-style additive model (prophet.py re-derived, not a port):
     * piecewise-linear trend with `nChangepoints` evenly spaced hinge
-    * knots + daily Fourier seasonality, ridge-fit. Returns forecasts for
+    * knots + daily Fourier seasonality, RIDGE-fit. Scope: this is the
+    * residual BASELINE model for q_causal_impact's counterfactual and
+    * q_prophet_detector's z-scores — deliberately the Gaussian-prior
+    * analog, cheap and dense. The prophet queries proper
+    * (q_prophet_lite/_logistic/_trend) use the exact Laplace-MAP
+    * [[prophetMap]]/[[prophetMapFit]] instead. Returns forecasts for
     * horizons 1..h.
     */
   def prophetLite(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int, h: Int): Array[Double] = {
@@ -127,8 +99,10 @@ object Regressors {
     }
   }
 
-  // ── Prophet Laplace-prior MAP (round 11 — closes the declared ridge
-  // stand-in). The reference (kats/models/prophet.py:32 → fbprophet →
+  // ── Prophet Laplace-prior MAP — the fit behind q_prophet_lite,
+  // q_prophet_logistic and q_prophet_trend ([[prophetLite]]'s ridge
+  // remains only as the residual baseline for q_causal_impact /
+  // q_prophet_detector). The reference (kats/models/prophet.py:32 → fbprophet →
   // Stan) fits the posterior mode of
   //   y ~ N(trend(k, m, δ) + Xβ, σ),  δⱼ ~ Laplace(0, τ),
   //   β ~ N(0, σ_β²), k, m ~ N(0, 5²),  τ = 0.05, σ_β = 10
@@ -317,32 +291,16 @@ object Regressors {
     (bestB, bestActive, yscale)
   }
 
-  /** Prophet logistic growth (kats/models/prophet.py:42/:86 —
-    * growth='logistic' with a capacity): the saturating-forecast mode
-    * adoption-curve users hit immediately. Deterministic MAP shape: the
-    * series is mapped through the logit of its capacity share
-    * (z = ln(r/(1−r)), r = clamp(y/cap, 1e-6, 1−1e-6)), the SAME
-    * hinge+Fourier ridge basis as [[prophetLite]] is fit on z, and
-    * forecasts come back through cap·σ(ẑ) — so every forecast respects
-    * 0 < ŷ < cap by construction, prophet's defining logistic property.
-    * cap defaults to 1.1·max(y) when the caller provides none (prophet
-    * requires an explicit cap; the data-driven default is declared).
-    * Returns (cap, forecasts 1..h).
-    */
-  def prophetLogistic(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int,
-                      h: Int): (Double, Array[Double]) = {
-    val cap = 1.1 * xs.max
-    val z = xs.map { x =>
-      val r = math.min(math.max(x / cap, 1e-6), 1.0 - 1e-6)
-      math.log(r / (1 - r))
-    }
-    val fz = prophetLite(z, period, orders, nChangepoints, h)
-    (cap, fz.map(v => cap / (1.0 + math.exp(-v))))
-  }
-
-  /** Logistic-growth prophet on the EXACT Laplace-MAP fit ([[prophetMap]]
-    * on the logit of the capacity share). Returns (cap,
-    * nActiveChangepoints, forecasts 1..h). */
+  /** Logistic-growth prophet (kats/models/prophet.py:42/:86 —
+    * growth='logistic' with a capacity) on the EXACT Laplace-MAP fit:
+    * the series is mapped through the logit of its capacity share
+    * (z = ln(r/(1−r)), r = clamp(y/cap, 1e-6, 1−1e-6)), [[prophetMap]]
+    * fits z, and forecasts come back through cap·σ(ẑ) — so every
+    * forecast respects 0 < ŷ < cap by construction, prophet's defining
+    * logistic property. cap defaults to 1.1·max(y) when the caller
+    * provides none (prophet requires an explicit cap; the data-driven
+    * default is declared). Returns (cap, nActiveChangepoints,
+    * forecasts 1..h). */
   def prophetLogisticMap(xs: Array[Double], period: Int, orders: Int, nChangepoints: Int,
                          h: Int): (Double, Int, Array[Double]) = {
     val cap = 1.1 * xs.max

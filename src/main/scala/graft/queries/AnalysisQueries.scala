@@ -375,28 +375,37 @@ object AnalysisQueries {
     }),
 
     // ProphetTrendDetectorModel (prophet_detector.py:779): score each
-    // trend changepoint with the magnitude of its slope change. The
-    // deltas are the hinge coefficients of the SAME ridge fit
-    // q_prophet_lite / q_prophet_detector already prove against the
-    // 12-param Gauss-Jordan oracle; top changepoint = first argmax of
-    // |delta| over the 6-dp-rounded deltas (both engines compare
-    // identical grid values).
+    // trend changepoint with the magnitude of its slope change. r12
+    // migration (closes the declared ridge deviation): the deltas are
+    // the SPARSE changepoint deltas of the exact Laplace-prior MAP —
+    // the same prophetMapFit orthant enumeration q_prophet_lite /
+    // q_prophet_logistic prove against the oracle — scaled back to
+    // original units (×yscale). Inactive changepoints are EXACT zeros,
+    // so the ranking reads the model family prophet actually fits; top
+    // changepoint = first argmax of |delta| over the 6-dp-rounded
+    // deltas (both engines compare identical grid values — the MAP
+    // coefficients are bit-identical by the shared-moment discipline).
     "q_prophet_trend" -> ((s, dir) => {
       val S = TSSchema(keys = Seq("event_type"))
       val dense = TS.fillGaps(hourly(s, dir).drop("n"), S, 3600L, Some(0.0))
-      val base = SeriesOps.aggSeries(dense, S, Seq("d1", "d2", "d3", "d4", "nn")) { xs =>
-        val d = graft.models.Regressors.prophetLiteDeltas(xs, period = 24, orders = 3, nChangepoints = 4)
-        Array(d(0), d(1), d(2), d(3), xs.length.toDouble)
+      val base = SeriesOps.aggSeries(dense, S, Seq("r1", "r2", "r3", "r4", "nn", "nact")) { xs =>
+        val (b, na, yscale) =
+          graft.models.Regressors.prophetMapFit(xs, period = 24, orders = 3, nChangepoints = 4)
+        Array(b(2) * yscale, b(3) * yscale, b(4) * yscale, b(5) * yscale,
+          xs.length.toDouble, na.toDouble)
       }
-      val abs1 = abs(col("d1")); val abs2 = abs(col("d2"))
-      val abs3 = abs(col("d3")); val abs4 = abs(col("d4"))
+      val ds = (1 to 4).map(k => round(col(s"r$k"), 6))
+      val Seq(abs1, abs2, abs3, abs4) = ds.map(abs(_))
       base
         .withColumn("n", col("nn").cast("long")).drop("nn")
-        .withColumn("top_cp",
-          when(abs1 >= abs2 && abs1 >= abs3 && abs1 >= abs4, 1)
-            .when(abs2 >= abs3 && abs2 >= abs4, 2)
-            .when(abs3 >= abs4, 3).otherwise(4))
-        .withColumn("top_score", round(greatest(abs1, abs2, abs3, abs4), 6))
+        .withColumn("n_active", col("nact").cast("long")).drop("nact")
+        .select((1 to 4).map(k => (round(col(s"r$k"), 6) + lit(0.0)).as(s"d$k")) ++
+          Seq(col("event_type"), col("n"), col("n_active"),
+            when(abs1 >= abs2 && abs1 >= abs3 && abs1 >= abs4, 1)
+              .when(abs2 >= abs3 && abs2 >= abs4, 2)
+              .when(abs3 >= abs4, 3).otherwise(4).as("top_cp")): _*)
+        .withColumn("top_score",
+          round(greatest(abs(col("d1")), abs(col("d2")), abs(col("d3")), abs(col("d4"))), 6))
         // knot locations: t = k·n/5 (0-based index into the dense grid)
         .withColumn("top_t", floor(col("top_cp") * col("n") / lit(5.0)).cast("long"))
     }),
@@ -1120,20 +1129,11 @@ object AnalysisQueries {
     "q_cusum_multi" -> cusumMultiSql,
 
     "q_prophet_trend" -> {
-      // identical basis + solve chain as the q_prophet_lite oracle
-      // (ModelQueries), re-targeted at the hinge betas b[3..6]
-      val basis = Seq("1.0", "(t::DOUBLE / n)") ++
-        (1 to 4).map(j => s"greatest(0.0, (t - ($j * n / 5.0)) / n)") ++
-        (1 to 3).flatMap(k => Seq(s"sin(2 * pi() * $k * t / 24)", s"cos(2 * pi() * $k * t / 24)"))
-      val bCols = basis.zipWithIndex.map { case (e, i) => s"$e AS b${i + 1}" }.mkString(",\n         ")
-      val p = 12
-      val matEntries = (0 until p).flatMap { i =>
-        (0 until p).map { j =>
-          val e = s"sum(b${i + 1} * b${j + 1})"
-          if (i == j) s"$e + 1e-4" else e
-        } :+ s"sum(b${i + 1} * y)"
-      }.mkString(",\n           ")
-      def d(k: Int) = s"round(be.b[${2 + k}], 6)"
+      // identical Laplace-MAP replay as the q_prophet_lite oracle
+      // (ModelQueries.prophetMapCtes), re-targeted at the winner's
+      // sparse changepoint deltas w.b[3..6] scaled back to original
+      // units; + 0.0 normalizes a −0.0 round result
+      def d(k: Int) = s"round(w.b[${2 + k}] * f.yscale, 6) + 0.0"
       s"""WITH RECURSIVE hourly AS ($H),
          |hb AS (SELECT event_type, min(ts) t0, max(ts) t1 FROM hourly GROUP BY 1),
          |hgrid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM hb),
@@ -1142,16 +1142,9 @@ object AnalysisQueries {
          |ord AS (SELECT event_type, value AS y,
          |  row_number() OVER (PARTITION BY event_type ORDER BY ts) - 1 AS t,
          |  count(*) OVER (PARTITION BY event_type) AS n FROM dense),
-         |bs AS (SELECT event_type, y, t, n,
-         |         $bCols
-         |       FROM ord),
-         |mats AS (SELECT event_type,
-         |         [$matEntries] AS m
-         |         FROM bs GROUP BY 1),
-         |${ModelQueries.gaussJordanSql(p)},
-         |f AS (SELECT event_type, max(n) AS n FROM bs GROUP BY 1)
+         |${ModelQueries.prophetMapCtes}
          |SELECT f.event_type, ${d(1)} AS d1, ${d(2)} AS d2, ${d(3)} AS d3, ${d(4)} AS d4,
-         |  f.n,
+         |  f.n, w.n_active::BIGINT AS n_active,
          |  CASE WHEN abs(${d(1)}) >= abs(${d(2)}) AND abs(${d(1)}) >= abs(${d(3)}) AND abs(${d(1)}) >= abs(${d(4)}) THEN 1
          |       WHEN abs(${d(2)}) >= abs(${d(3)}) AND abs(${d(2)}) >= abs(${d(4)}) THEN 2
          |       WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END AS top_cp,
@@ -1159,7 +1152,7 @@ object AnalysisQueries {
          |  (CASE WHEN abs(${d(1)}) >= abs(${d(2)}) AND abs(${d(1)}) >= abs(${d(3)}) AND abs(${d(1)}) >= abs(${d(4)}) THEN 1
          |        WHEN abs(${d(2)}) >= abs(${d(3)}) AND abs(${d(2)}) >= abs(${d(4)}) THEN 2
          |        WHEN abs(${d(3)}) >= abs(${d(4)}) THEN 3 ELSE 4 END * f.n) // 5 AS top_t
-         |FROM f JOIN beta be ON f.event_type = be.event_type""".stripMargin
+         |FROM pf f JOIN pwin w ON f.event_type = w.event_type AND w.rk = 1""".stripMargin
     },
 
     "q_stationary_dist" ->

@@ -716,9 +716,20 @@ object ModelQueries {
         else s"g[${i * p + c + 1}]"
       }
     }.mkString(", ")
+    // SEQUENCE-IDENTICAL to Regressors.prophetMapFit.rssOf: a left fold
+    // over the per-term list (syy, then −2·bᵢ·xyᵢ per i, then b·b·g per
+    // q), NOT grouped list_sums — the association must match the Scala
+    // loop term for term or σ̂²/lobj differ by ~1 ulp and a value landing
+    // on a rounding boundary makes the engines pick different orthants.
+    // list_reduce folds left (acc starts at element 1 = syy), and IEEE
+    // acc + (−t) is bit-equal to the loop's acc −= t; a flat list
+    // literal sidesteps the binder's 128-deep expression limit an
+    // explicit 157-term chain would hit.
     def rssExpr(b: String) =
-      s"(m.syy - 2 * list_sum(list_transform(range(1, ${p + 1}), i -> $b[i] * m.xy[i])) " +
-        s"+ list_sum(list_transform(range(0, ${p * p}), q -> $b[q // $p + 1] * $b[q % $p + 1] * m.g[q + 1])))"
+      "list_reduce([m.syy" +
+        (0 until p).map(i => s", -(2 * $b[${i + 1}] * m.xy[${i + 1}])").mkString +
+        (0 until p * p).map(q => s", $b[${q / p + 1}] * $b[${q % p + 1}] * m.g[${q + 1}]").mkString +
+        "]::DOUBLE[], (acc, x) -> acc + x)"
     val patVals = graft.models.Regressors.prophetPatterns(4).zipWithIndex
       .map { case (s, pid) => s"($pid, ${s.mkString(", ")})" }.mkString(", ")
     val patEntries = (0 until p).flatMap { i =>
@@ -755,9 +766,9 @@ object ModelQueries {
        |pobj AS (SELECT b.event_type, b.pid, b.b,
        |        (pt.s1 <> 0)::INT + (pt.s2 <> 0)::INT + (pt.s3 <> 0)::INT + (pt.s4 <> 0)::INT AS n_active,
        |        0.5 * ${rssExpr("b.b")}
-       |        + l.l1 * (abs(b.b[3]) + abs(b.b[4]) + abs(b.b[5]) + abs(b.b[6]))
-       |        + 0.5 * l.lkm * (b.b[1] * b.b[1] + b.b[2] * b.b[2])
-       |        + 0.5 * l.lb * (${(7 to 12).map(i => s"b.b[$i] * b.b[$i]").mkString(" + ")}) AS lobj
+       |        + (${(3 to 6).map(i => s"l.l1 * abs(b.b[$i])").mkString(" + ")}
+       |           + 0.5 * l.lkm * (b.b[1] * b.b[1] + b.b[2] * b.b[2])
+       |           + ${(7 to 12).map(i => s"0.5 * l.lb * b.b[$i] * b.b[$i]").mkString(" + ")}) AS lobj
        |        FROM ppbeta b JOIN ppats pt ON b.pid = pt.pid
        |        JOIN plam l ON b.event_type = l.event_type
        |        JOIN pmom m ON b.event_type = m.event_type

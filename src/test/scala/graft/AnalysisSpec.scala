@@ -149,20 +149,27 @@ class AnalysisSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q_prophet_trend: hinge deltas recover a planted slope change") {
-    // flat then steep: the strongest hinge must be the knot nearest the break
+  test("q_prophet_trend: MAP deltas recover a planted slope change, exact zeros elsewhere") {
+    // flat then steep: the top-ranked changepoint must be the knot
+    // nearest the break, and the MAP's sparsity must zero the others
     val n = 500
     val xs = Array.tabulate(n)(i => if (i < 300) 10.0 else 10.0 + 0.5 * (i - 300))
-    val d = models.Regressors.prophetLiteDeltas(xs, period = 24, orders = 3, nChangepoints = 4)
+    val (b, na, yscale) =
+      models.Regressors.prophetMapFit(xs, period = 24, orders = 3, nChangepoints = 4)
+    val d = Array.tabulate(4)(j => b(2 + j) * yscale)
     // knots at 100, 200, 300, 400 — the 300 knot (index 2) carries the break
     val top = d.map(math.abs).zipWithIndex.maxBy(_._1)._2
-    assert(top == 2, s"top hinge at knot $top, expected 2 (t=300); deltas=${d.mkString(",")}")
+    assert(top == 2, s"top delta at knot $top, expected 2 (t=300); deltas=${d.mkString(",")}")
+    assert(na >= 1 && na < 4, s"the Laplace MAP must activate SOME but not all knots, n_active=$na")
+    assert(d.count(_ == 0.0) == 4 - na, "inactive deltas are pinned to exact zero")
     val rows = SparkEntry.queries("q_prophet_trend")(spark, dir).collect()
     assert(rows.length >= 4)
     rows.foreach { r =>
       val ds = Seq("d1", "d2", "d3", "d4").map(c => math.abs(r.getAs[Double](c)))
       assert(math.abs(r.getAs[Double]("top_score") - ds.max) < 1e-9)
       assert(r.getAs[Int]("top_cp") == ds.indexOf(ds.max) + 1, "first-argmax convention")
+      val nActive = r.getAs[Long]("n_active")
+      assert(Seq("d1", "d2", "d3", "d4").count(c => r.getAs[Double](c) != 0.0) <= nActive)
     }
   }
 

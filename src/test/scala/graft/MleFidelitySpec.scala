@@ -45,6 +45,10 @@ class MleFidelitySpec extends AnyFunSuite {
       s"dominant delta must sit at the planted knot: $deltas")
     assert(deltas.patch(1, Nil, 1).forall(d => math.abs(d) < 0.5),
       s"spurious deltas must stay small: $deltas")
+    // q_prophet_trend's ranking convention (first argmax of the 6-dp
+    // rounded |delta|) must rank the PLANTED changepoint top
+    val topCp = deltas.map(d => math.abs(math.round(d * 1e6) / 1e6)).zipWithIndex.maxBy(_._1)._2
+    assert(topCp == 1, s"top-ranked changepoint must be the planted knot 2 (index 1): $deltas")
     // sparsity STRENGTHENS with noise exactly as the prior weight
     // λ₁ = σ̂²/τ dictates: at 10× the noise the MAP zeroes two knots and
     // still keeps the planted one

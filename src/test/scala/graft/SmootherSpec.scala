@@ -54,7 +54,7 @@ class SmootherSpec extends AnyFunSuite {
       5.0 + 100.0 / (1 + math.exp(-(t - 200.0) / 40)) + 2 * math.sin(2 * math.Pi * t / 24)
     val n = 280; val h = 120
     val xs = Array.tabulate(n)(curve)
-    val (cap, fc) = Regressors.prophetLogistic(xs, 24, 3, 4, h)
+    val (cap, _, fc) = Regressors.prophetLogisticMap(xs, 24, 3, 4, h)
     assert(cap > xs.max && math.abs(cap - 1.1 * xs.max) < 1e-9)
     fc.foreach(v => assert(v > 0 && v < cap, s"forecast $v escapes (0, cap)"))
     val lin = Regressors.prophetLite(xs, 24, 3, 4, h)
