@@ -90,6 +90,35 @@ object Tables {
       |       round(sum(value), 6) AS value, count(*) AS n
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Pair-analysis series budget — the probe-cap discipline
+    * (Ann.ProbeCap) applied to the SERIES axis. Queries whose cost is
+    * #series² (cross-correlation, rank dependence, coherence, pairwise
+    * DTW, Granger, panel moments, …) pair at most [[SeriesPairCap]]
+    * series, selected by deterministic md5 rank so both engines keep
+    * the identical set. At the driver SFs (5 series) every series
+    * survives — results unchanged — while at 50 000 series the pair
+    * count stays C(64,2) = 2 016 instead of 1.25 G. SHARED LITERAL:
+    * [[hourlyEventsCapped]] and [[hourlyCappedSql]] both read this val.
+    */
+  val SeriesPairCap = 64
+
+  /** [[hourlyEvents]] restricted to the [[SeriesPairCap]] md5-rank
+    * series — the input every #series²-shaped query must pair from. */
+  def hourlyEventsCapped(spark: SparkSession, dir: String): DataFrame = {
+    val h = hourlyEvents(spark, dir)
+    val keep = h.select(col("event_type")).distinct()
+      .orderBy(md5(col("event_type")), col("event_type")).limit(SeriesPairCap)
+    h.join(broadcast(keep), Seq("event_type"))
+  }
+
+  /** Oracle twin of [[hourlyEventsCapped]], as a DuckDB CTE body
+    * (drop-in replacement for [[hourlySql]] in pair-query oracles). */
+  val hourlyCappedSql: String =
+    s"""SELECT h.* FROM ($hourlySql) h
+       |JOIN (SELECT event_type FROM (SELECT DISTINCT event_type FROM events)
+       |      QUALIFY row_number() OVER (ORDER BY md5(event_type), event_type) <= $SeriesPairCap) k
+       |USING (event_type)""".stripMargin
+
   /** Oracle-side twin of `TS.fillGaps(hourlyEvents…, 3600, Some(0.0))`:
     * the dense zero-filled hourly grid, as CTEs over a `hourly` CTE.
     * ONE definition — the query packs must not fork their own copies

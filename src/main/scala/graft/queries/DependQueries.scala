@@ -46,6 +46,7 @@ import graft.{Scratch, Tables}
 object DependQueries {
 
   private val H = Tables.hourlySql
+  private val Hc = Tables.hourlyCappedSql // pair-query series budget
 
   /** Σ (aᵢ−bᵢ)² in double precision (left-to-right, same fold order as
     * the DuckDB list_sum replay). */
@@ -118,7 +119,7 @@ object DependQueries {
     // the q_dtw_cpd cell-recursion. O(S²·band) per pair with S the
     // segment grid (time-span-bounded), pair count #series². ──
     "q_dtw_matrix" -> ((s, dir) => {
-      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val seg = hourly
         .crossJoin(broadcast(hourly.agg(min(unix_timestamp(col("ts"))).as("gt0"))))
         .withColumn("seg", expr("(unix_timestamp(ts) - gt0) DIV 43200"))
@@ -155,7 +156,7 @@ object DependQueries {
     }),
 
     "q_kendall" -> ((s, dir) => {
-      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val a = hourly.select(col("event_type").as("ta"), col("ts"), col("value").as("x"))
       val b = hourly.select(col("event_type").as("tb"), col("ts"), col("value").as("y"))
       // aligned pair rows feed three consumers (time pairs × 2, tie
@@ -202,7 +203,7 @@ object DependQueries {
     // 4·Σc(x)c(y)), so D1/D2/D3 and the final D are exact integer
     // ratios. Same O(n²) pair-join shape as q_kendall. ──
     "q_hoeffding" -> ((s, dir) => {
-      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val a = hourly.select(col("event_type").as("ta"), col("ts"), col("value").as("x"))
       val b = hourly.select(col("event_type").as("tb"), col("ts"), col("value").as("y"))
       val pr = Scratch.materialize(
@@ -234,7 +235,7 @@ object DependQueries {
     }),
 
     "q_spearman" -> ((s, dir) => {
-      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val wv = Window.partitionBy("event_type").orderBy("value")
       val wc = Window.partitionBy("event_type", "value")
       // integer doubled average rank: 2·avgrank = 2·minrank + ties − 1
@@ -283,7 +284,7 @@ object DependQueries {
     // independence would give 0.1 — emitted as the lift vs independent.
     // One rank pass per series + one key-equality pair join. ──
     "q_tail_dependence" -> ((s, dir) => {
-      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val wv = Window.partitionBy("event_type").orderBy(col("value"), col("ts"))
       val wp = Window.partitionBy("event_type")
       val rk = hourly
@@ -357,7 +358,7 @@ object DependQueries {
 
     "q_dtw_matrix" -> {
       val inf = Double.MaxValue / 4
-      s"""WITH RECURSIVE hourly AS ($H),
+      s"""WITH RECURSIVE hourly AS ($Hc),
          |g0 AS (SELECT min(epoch_us(ts) // 1000000) AS gt0 FROM hourly),
          |seg AS (SELECT event_type, (epoch_us(ts) // 1000000 - gt0) // 43200 AS seg,
          |          round(sum(value), 4) / count(*) AS v
@@ -405,7 +406,7 @@ object DependQueries {
     },
 
     "q_kendall" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |pr AS (SELECT a.event_type AS ta, b.event_type AS tb, a.ts, a.value AS x, b.value AS y
          |       FROM hourly a JOIN hourly b ON a.ts = b.ts AND a.event_type < b.event_type),
          |base AS (SELECT ta, tb, count(*)::BIGINT AS n0,
@@ -435,7 +436,7 @@ object DependQueries {
          |FROM j""".stripMargin,
 
     "q_hoeffding" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |pr AS (SELECT a.event_type AS ta, b.event_type AS tb, a.ts, a.value AS x, b.value AS y
          |       FROM hourly a JOIN hourly b ON a.ts = b.ts AND a.event_type < b.event_type),
          |per AS (SELECT p.ta, p.tb, p.ts,
@@ -459,7 +460,7 @@ object DependQueries {
          |FROM st""".stripMargin,
 
     "q_spearman" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |rk AS (SELECT event_type, ts,
          |    rank() OVER (PARTITION BY event_type ORDER BY value) * 2
          |      + count(*) OVER (PARTITION BY event_type, value) - 1 AS dr
@@ -524,7 +525,7 @@ object DependQueries {
     },
 
     "q_tail_dependence" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |rk AS (SELECT event_type, ts,
          |    row_number() OVER (PARTITION BY event_type ORDER BY value, ts) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS nn

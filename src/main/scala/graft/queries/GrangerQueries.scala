@@ -66,7 +66,7 @@ object GrangerQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_granger" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
-      val lagged = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+      val lagged = TS.fillGaps(Tables.hourlyEventsCapped(s, dir).drop("n"), S, 3600L, Some(0.0))
         .withColumn("l1", lag("value", 1).over(w))
         .withColumn("l2", lag("value", 2).over(w))
         .where(col("l2").isNotNull)
@@ -101,6 +101,7 @@ object GrangerQueries {
   )
 
   private val H = Tables.hourlySql
+  private val Hc = Tables.hourlyCappedSql // pair-query series budget
   private val DenseSql = Tables.denseHourlySql
 
   val sql: Map[String, String] = Map(
@@ -108,7 +109,7 @@ object GrangerQueries {
       val momSql = Frag.moments.map { case (n, e) =>
         (if (n == "s0") s"count(*)::BIGINT" else e) + s" AS $n"
       }.mkString(",\n         ")
-      s"""WITH RECURSIVE hourly AS ($H),
+      s"""WITH RECURSIVE hourly AS ($Hc),
          |$DenseSql,
          |lagged AS (SELECT event_type, ts, value,
          |             lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts) AS l1,

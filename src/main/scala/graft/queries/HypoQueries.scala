@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
 object HypoQueries {
   private val S = TSSchema(keys = Seq("event_type"))
   private val H = Tables.hourlySql
+  private val Hc = Tables.hourlyCappedSql // pair-query series budget
 
   /** Permutation-test resamples. */
   private val PermB = 200
@@ -239,7 +240,7 @@ object HypoQueries {
     // tiebreak). One lag-grid explode + a ts-equality join — 49·C(k,2)
     // aggregation groups, never a per-point cross product. ──
     "q_xcorr" -> ((s, dir) => {
-      val dense = TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"), S, 3600L, Some(0.0))
+      val dense = TS.fillGaps(Tables.hourlyEventsCapped(s, dir).drop("n"), S, 3600L, Some(0.0))
         .withColumn("te", unix_timestamp(col("ts")))
       val lags = s.range(-XcLag, XcLag + 1).select(col("id").cast("int").as("lag"))
       val a = dense.select(col("event_type").as("ea"), col("te"), col("value").as("xa"))
@@ -613,7 +614,7 @@ object HypoQueries {
          |FROM ic""".stripMargin,
 
     "q_xcorr" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |${Tables.denseHourlySql},
          |dx AS (SELECT event_type, epoch(ts)::BIGINT AS te, value FROM dense),
          |la AS (SELECT d.event_type AS ea, d.te, d.value AS xa, l.lag,

@@ -34,6 +34,7 @@ import graft.Tables
 object PanelQueries {
 
   private val H = Tables.hourlySql
+  private val Hc = Tables.hourlyCappedSql // pair-query series budget
 
   /** Variance-ratio horizon (hours). */
   private val Q = 4
@@ -41,7 +42,7 @@ object PanelQueries {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_partial_corr" -> ((s, dir) => {
-      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val kAll = hourly.select(countDistinct("event_type")).collect()(0).getLong(0).toInt
       val full = hourly.groupBy("ts").agg(count(lit(1)).as("kk"))
         .where(col("kk") === kAll).select("ts")
@@ -98,7 +99,7 @@ object PanelQueries {
     }),
 
     "q_transfer_entropy" -> ((s, dir) => {
-      val hourly = Tables.hourlyEvents(s, dir).drop("n")
+      val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val prev = hourly.select(col("event_type"), (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
         col("value").as("pv"))
       val dirs = hourly.join(prev, Seq("event_type", "ts"))
@@ -154,7 +155,7 @@ object PanelQueries {
       val k = 5 // panel width: the testdata's event-type vocabulary
       val cols = 2 * k
       val omg = (1 to k).map(j => s"b$j").mkString(", ")
-      s"""WITH RECURSIVE hourly AS ($H),
+      s"""WITH RECURSIVE hourly AS ($Hc),
          |full_ts AS (SELECT ts FROM hourly GROUP BY ts HAVING count(*) = $k),
          |h AS (SELECT e.* FROM hourly e JOIN full_ts USING (ts)),
          |mom AS (SELECT a.event_type AS ta, b.event_type AS tb,
@@ -205,7 +206,7 @@ object PanelQueries {
     },
 
     "q_transfer_entropy" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |dirs AS (SELECT a.event_type, a.ts,
          |    CASE WHEN a.value > b.value THEN 1 ELSE 0 END AS d
          |  FROM hourly a JOIN hourly b

@@ -30,6 +30,7 @@ import graft.Tables
 object SignalQueries {
 
   private val H = Tables.hourlySql
+  private val Hc = Tables.hourlyCappedSql // pair-query series budget
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -88,7 +89,7 @@ object SignalQueries {
 
     "q_mutual_info" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("ts")
-      val dirs = Tables.hourlyEvents(s, dir).drop("n")
+      val dirs = Tables.hourlyEventsCapped(s, dir).drop("n")
         .withColumn("d", (col("value") > lag("value", 1).over(w)).cast("int"))
         .where(col("d").isNotNull)
         .select(col("event_type"), col("ts"), col("d"))
@@ -155,7 +156,7 @@ object SignalQueries {
     "q_coherence" -> ((s, dir) => {
       import s.implicits._
       val SegLen = 72
-      val hourly = graft.TS.fillGaps(Tables.hourlyEvents(s, dir).drop("n"),
+      val hourly = graft.TS.fillGaps(Tables.hourlyEventsCapped(s, dir).drop("n"),
         graft.TSSchema(keys = Seq("event_type")), 3600L, Some(0.0))
       val mu = hourly.groupBy("event_type").agg(
         (round(sum("value"), 4) / count(lit(1))).as("mu"))
@@ -261,7 +262,7 @@ object SignalQueries {
          |FROM wn WHERE nw = 168 AND rn % 24 = 0""".stripMargin,
 
     "q_mutual_info" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |dirs AS (SELECT event_type, ts,
          |    CASE WHEN value > lag(value, 1) OVER (PARTITION BY event_type ORDER BY ts)
          |         THEN 1 ELSE 0 END AS d,
@@ -304,7 +305,7 @@ object SignalQueries {
          |  AND (prevv IS NULL OR value > prevv)""".stripMargin,
 
     "q_coherence" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |${Tables.denseHourlySql},
          |mu AS (SELECT event_type, round(sum(value), 4) / count(*) AS mu
          |       FROM dense GROUP BY 1),

@@ -37,6 +37,7 @@ import org.apache.spark.sql.functions._
 object StateQueries {
   private val S = TSSchema(keys = Seq("event_type"))
   private val H = Tables.hourlySql
+  private val Hc = Tables.hourlyCappedSql // pair-query series budget
   private def hourly(s: SparkSession, dir: String) =
     Tables.hourlyEvents(s, dir).drop("n")
 
@@ -150,7 +151,7 @@ object StateQueries {
     }),
 
     "q_cointegration" -> ((s, dir) => {
-      val h = hourly(s, dir)
+      val h = Tables.hourlyEventsCapped(s, dir).drop("n")
       val a = h.select(col("event_type").as("x_type"), col("ts"), col("value").as("x"))
       val b = h.select(col("event_type").as("y_type"), col("ts"), col("value").as("y"))
       val pairs = a.join(b, Seq("ts")).where(col("x_type") < col("y_type"))
@@ -341,7 +342,7 @@ object StateQueries {
          |FROM rk4 GROUP BY 1""".stripMargin,
 
     "q_cointegration" ->
-      s"""WITH hourly AS ($H),
+      s"""WITH hourly AS ($Hc),
          |pairs AS (
          |  SELECT a.event_type AS x_type, b.event_type AS y_type, a.ts,
          |         a.value AS x, b.value AS y

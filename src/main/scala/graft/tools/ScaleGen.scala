@@ -62,6 +62,40 @@ object ScaleGen {
     toks.mkString(" ")
   }
 
+  /** Series-cardinality mode (r12 — SURVEY §1 claims "scale axis =
+    * number of series" but every prior decade multiplied events/docs/
+    * vectors at a FIXED 5 event_types): replicate events only, suffixing
+    * event_type per replica (replica 0 verbatim), ids offset so
+    * user/event keys stay unique. The hourly grid, per-series lengths,
+    * and value distributions are preserved exactly — per-series kernel
+    * cost per series is constant, so total cost must be Θ(#series); a
+    * superlinear exponent on this axis is a defect (the #series² pair
+    * joins were pre-fixed with Tables.SeriesPairCap). Other tables copy
+    * verbatim.
+    *
+    *   sbt "runMain graft.tools.ScaleGen /root/testdata/sf0.01 /tmp/ser100 100 series"
+    */
+  private def seriesMode(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val off = 10000000L
+    val ks = spark.range(factor).select(col("id").cast("int").as("k"))
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.crossJoin(broadcast(ks))
+      .select((col("event_id") + col("k") * off).as("event_id"), col("ts"),
+        (col("user_id") + col("k") * off).as("user_id"),
+        when(col("k") === 0, col("event_type"))
+          .otherwise(concat(col("event_type"), lit("_"), col("k"))).as("event_type"),
+        col("value"), col("props"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/events.parquet")
+    Seq("documents", "embeddings", "region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    }
+    println(s"""{"scalegen": "$out", "factor": $factor, "mode": "series"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -75,6 +109,12 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    if (args.length > 3 && args(3) == "series") {
+      seriesMode(spark, src, out, factor)
+      spark.stop()
+      return
+    }
 
     val off = 10000000L
     def replicas(df: DataFrame): DataFrame = {
