@@ -341,13 +341,19 @@ object Dedup {
     * width and wider chunks only SHRINK the candidate set, so the wide
     * fingerprint is unconditionally correct — no corpus-count branch.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, id: String = "doc_id", text: String = "text"): DataFrame = {
+  /** SHARED LITERALS for the simhash block scheme — both engines branch
+    * on these; the oracle SQL interpolates them (the Ann.LshSteps
+    * discipline), so changing the radius or chunk width edits one val. */
+  val SimhashMaxHamming = 3
+  val SimhashChunks = 4
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = SimhashMaxHamming, id: String = "doc_id", text: String = "text"): DataFrame = {
     val sim = udf { (toks: Seq[String]) => TextFunctions.simhash128(toks) }
     val sig = docs.select(col(id), sim(TextFunctions.tokens(col(text))).as("sh"))
       .select(col(id), col("sh").getItem(0).as("sh1"), col("sh").getItem(1).as("sh2"))
       .cache()
     val chunked = sig.select(col(id), col("sh1"), col("sh2"),
-      explode(array((0 until 4).map { c =>
+      explode(array((0 until SimhashChunks).map { c =>
         val word = if (c < 2) col("sh1") else col("sh2")
         struct(lit(c).as("chunk"),
           shiftrightunsigned(word, (c % 2) * 32).bitwiseAND(lit(0xffffffffL)).as("ck"))

@@ -135,6 +135,11 @@ object Multimodal {
     }(enc)
   }
 
+  /** SHARED LITERAL: the visual near-dup Hamming radius — interpolated
+    * into the q_multimodal_neardup oracle (pigeonhole over the four
+    * 64-bit words needs radius < chunk count). */
+  val PhashMaxHamming = 3
+
   /** 256-bit aHash (16×16 luma grid, four 64-bit words) — the
     * width-adaptive fingerprint for Hamming-block near-dup at corpus
     * scale. [[phashBmp]]'s 64-bit hash forces 4×16-bit pigeonhole chunks

@@ -631,9 +631,10 @@ object LlmQueries {
     }),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      // maxHamming = 3 is the 4×16-bit chunk blocking's recall guarantee
-      // (pigeonhole) — pairs beyond it are not promised, so don't emit them
-      Dedup.simhashPairs(docs(s, dir), maxHamming = 3)
+      // maxHamming (shared literal Dedup.SimhashMaxHamming) is the
+      // 4-chunk blocking's pigeonhole recall guarantee — pairs beyond it
+      // are not promised, so don't emit them
+      Dedup.simhashPairs(docs(s, dir))
         .orderBy(col("hamming"), col("i"), col("j")).limit(20)),
 
     // the dedup pipeline's END PRODUCT: per-source manifest of what
@@ -963,7 +964,7 @@ object LlmQueries {
         .withColumn("hamming",
           (0 until 4).map(c => bit_count(col(s"a$c").bitwiseXOR(col(s"b$c"))))
             .reduce(_ + _).cast("long"))
-        .where(col("hamming") <= 3)
+        .where(col("hamming") <= Multimodal.PhashMaxHamming)
         .select(col("i"), col("j"), col("hamming"))
         .orderBy("hamming", "i", "j").limit(20)
     }),
@@ -1406,7 +1407,7 @@ object LlmQueries {
     // TextFunctions.simhash128's exact bit layout), 4×32-bit pigeonhole
     // chunks, hamming = bit_count over both words.
     "q_dedup_simhash" ->
-      """WITH th AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+      s"""WITH th AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
         |hb AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h1,
         |              ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS h2 FROM th),
         |bits AS (SELECT doc_id, b,
@@ -1420,12 +1421,12 @@ object LlmQueries {
         |chunks AS (SELECT doc_id, sh1, sh2, c,
         |             CASE WHEN c < 2 THEN (sh1 >> ((c % 2) * 32)::INT) & 4294967295
         |                  ELSE (sh2 >> ((c % 2) * 32)::INT) & 4294967295 END AS ck
-        |           FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS c)),
+        |           FROM sig CROSS JOIN (SELECT unnest(range(0, ${Dedup.SimhashChunks})) AS c)),
         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
         |           a.sh1 AS sa1, a.sh2 AS sa2, b.sh1 AS sb1, b.sh2 AS sb2
         |         FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id),
         |ham AS (SELECT i, j, (bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)))::INT AS hamming
-        |        FROM cand WHERE bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)) <= 3),
+        |        FROM cand WHERE bit_count(xor(sa1, sb1)) + bit_count(xor(sa2, sb2)) <= ${Dedup.SimhashMaxHamming}),
         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM ham)
         |SELECT i, j, hamming FROM r WHERE rk <= 20""".stripMargin,
 
@@ -1700,7 +1701,8 @@ object LlmQueries {
          |h AS (SELECT i, j, (bit_count(xor(a0, b0))::INT + bit_count(xor(a1, b1))::INT
          |        + bit_count(xor(a2, b2))::INT + bit_count(xor(a3, b3))::INT)::BIGINT AS hamming
          |      FROM p),
-         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM h WHERE hamming <= 3)
+         |r AS (SELECT *, row_number() OVER (ORDER BY hamming, i, j) AS rk FROM h
+         |      WHERE hamming <= ${Multimodal.PhashMaxHamming})
          |SELECT i, j, hamming FROM r WHERE rk <= 20""".stripMargin,
 
     "q_multimodal_meta" ->
