@@ -159,29 +159,52 @@ object DependQueries {
       val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val a = hourly.select(col("event_type").as("ta"), col("ts"), col("value").as("x"))
       val b = hourly.select(col("event_type").as("tb"), col("ts"), col("value").as("y"))
-      // aligned pair rows feed three consumers (time pairs × 2, tie
-      // groups) — materialize once
-      val pr = Scratch.materialize(
-        a.join(b, "ts").where(col("ta") < col("tb")).select("ta", "tb", "ts", "x", "y"),
-        "kendall_pairs")
-      val p1 = pr.select(col("ta"), col("tb"), col("ts").as("t1"), col("x").as("x1"), col("y").as("y1"))
-      val p2 = pr.select(col("ta"), col("tb"), col("ts").as("t2"), col("x").as("x2"), col("y").as("y2"))
-      val base = p1.join(p2, Seq("ta", "tb")).where(col("t1") < col("t2"))
-        .withColumn("pp", signum(col("x1") - col("x2")) * signum(col("y1") - col("y2")))
-        .groupBy("ta", "tb").agg(
-          count(lit(1)).as("n0"),
-          sum(when(col("pp") > 0, 1L).otherwise(0L)).as("conc"),
-          sum(when(col("pp") < 0, 1L).otherwise(0L)).as("disc"))
-      val nob = pr.groupBy("ta", "tb").agg(count(lit(1)).as("n"))
-      def ties(c: String, s1: String, v1: String) =
-        pr.groupBy(col("ta"), col("tb"), col(c)).agg(count(lit(1)).as("t"))
-          .groupBy("ta", "tb").agg(
-            sum(col("t") * (col("t") - 1)).as(s1),
-            sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as(v1))
+      // aligned pair rows now feed ONE consumer (the per-pair kernel) —
+      // no scratch materialization needed
+      val pr = a.join(b, "ts").where(col("ta") < col("tb")).select("ta", "tb", "ts", "x", "y")
+      // Per-pair kernel over the collected aligned arrays (r12): the old
+      // shape joined pr with itself on (ta,tb) — Θ(#pairs·L²) = 1.04 G
+      // rows at the 64-series budget, and the series-axis measurement
+      // caught its broadcast-probe degrading 13× between otherwise
+      // identical datasets. The counts (concordant/discordant/tie sums)
+      // are EXACT integers either way, so the kernel — one bounded UDF
+      // row per pair, ≤ C(SeriesPairCap,2) rows total — changes nothing
+      // the oracle sees; the float tau/z math below is untouched.
+      val kendallCounts = udf { pts: Seq[Double] =>
+        val n = pts.length / 2
+        var conc = 0L; var disc = 0L
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val dx = java.lang.Double.compare(pts(2 * i), pts(2 * j))
+            val dy = java.lang.Double.compare(pts(2 * i + 1), pts(2 * j + 1))
+            val pp = dx * dy
+            if (pp > 0) conc += 1L else if (pp < 0) disc += 1L
+            j += 1
+          }
+          i += 1
+        }
+        def tieSums(off: Int): (Long, Long) = {
+          val m = scala.collection.mutable.HashMap.empty[Double, Long]
+          var i = 0
+          while (i < n) { val v = pts(2 * i + off); m.update(v, m.getOrElse(v, 0L) + 1L); i += 1 }
+          var s = 0L; var vv = 0L
+          m.valuesIterator.foreach { t => s += t * (t - 1); vv += t * (t - 1) * (t * 2 + 5) }
+          (s, vv)
+        }
+        val (s1, v1) = tieSums(0)
+        val (s2, v2) = tieSums(1)
+        Seq(n.toLong * (n - 1) / 2, conc, disc, s1, v1, s2, v2)
+      }
+      val base = pr.groupBy("ta", "tb").agg(
+          count(lit(1)).as("n"),
+          flatten(collect_list(array(col("x"), col("y")))).as("pts"))
+        .withColumn("k", kendallCounts(col("pts"))).drop("pts")
+        .select(col("ta"), col("tb"), col("n"),
+          col("k")(0).as("n0"), col("k")(1).as("conc"), col("k")(2).as("disc"),
+          col("k")(3).as("s1"), col("k")(4).as("v1"), col("k")(5).as("s2"), col("k")(6).as("v2"))
       base
-        .join(nob, Seq("ta", "tb"))
-        .join(ties("x", "s1", "v1"), Seq("ta", "tb"))
-        .join(ties("y", "s2", "v2"), Seq("ta", "tb"))
         .withColumn("ss", col("conc") - col("disc"))
         .withColumn("vnum",
           (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("v1") - col("v2")).cast("double"))
@@ -206,24 +229,40 @@ object DependQueries {
       val hourly = Tables.hourlyEventsCapped(s, dir).drop("n")
       val a = hourly.select(col("event_type").as("ta"), col("ts"), col("value").as("x"))
       val b = hourly.select(col("event_type").as("tb"), col("ts"), col("value").as("y"))
-      val pr = Scratch.materialize(
-        a.join(b, "ts").where(col("ta") < col("tb")).select("ta", "tb", "ts", "x", "y"),
-        "hoeffding_pairs")
-      val p1 = pr.select(col("ta"), col("tb"), col("ts").as("t1"), col("x").as("x1"), col("y").as("y1"))
-      val p2 = pr.select(col("ta"), col("tb"), col("ts").as("t2"), col("x").as("x2"), col("y").as("y2"))
-      val per = p1.join(p2, Seq("ta", "tb")).where(col("t1") =!= col("t2"))
-        .withColumn("cx",
-          when(col("x2") < col("x1"), 2L).when(col("x2") === col("x1"), 1L).otherwise(0L))
-        .withColumn("cy",
-          when(col("y2") < col("y1"), 2L).when(col("y2") === col("y1"), 1L).otherwise(0L))
-        .groupBy("ta", "tb", "t1").agg(
-          sum("cx").as("r2"), sum("cy").as("s2"),
-          sum(col("cx") * col("cy")).as("q4"))
-      per.groupBy("ta", "tb").agg(
-        count(lit(1)).as("n"),
-        sum(col("q4") * (col("q4") - 4)).as("d1"),
-        sum(col("r2") * (col("r2") - 2) * col("s2") * (col("s2") - 2)).as("d2"),
-        sum((col("r2") - 2) * (col("s2") - 2) * col("q4")).as("d3"))
+      // Per-pair kernel (r12, the q_kendall treatment): the scaled-integer
+      // c-counts R2/S2/Q4 per anchor point and the D-sums are exact
+      // integers, computed in one bounded UDF row per pair instead of a
+      // Θ(#pairs·L²) time-pair self-join. Oracle unchanged.
+      val pr = a.join(b, "ts").where(col("ta") < col("tb")).select("ta", "tb", "ts", "x", "y")
+      val hoeffdingSums = udf { pts: Seq[Double] =>
+        val n = pts.length / 2
+        var d1 = 0L; var d2 = 0L; var d3 = 0L
+        var i = 0
+        while (i < n) {
+          var r2 = 0L; var s2 = 0L; var q4 = 0L
+          var j = 0
+          while (j < n) {
+            if (j != i) {
+              val cx = if (pts(2 * j) < pts(2 * i)) 2L else if (pts(2 * j) == pts(2 * i)) 1L else 0L
+              val cy = if (pts(2 * j + 1) < pts(2 * i + 1)) 2L
+                       else if (pts(2 * j + 1) == pts(2 * i + 1)) 1L else 0L
+              r2 += cx; s2 += cy; q4 += cx * cy
+            }
+            j += 1
+          }
+          d1 += q4 * (q4 - 4)
+          d2 += r2 * (r2 - 2) * s2 * (s2 - 2)
+          d3 += (r2 - 2) * (s2 - 2) * q4
+          i += 1
+        }
+        Seq(d1, d2, d3)
+      }
+      pr.groupBy("ta", "tb").agg(
+          count(lit(1)).as("n"),
+          flatten(collect_list(array(col("x"), col("y")))).as("pts"))
+        .withColumn("d", hoeffdingSums(col("pts"))).drop("pts")
+        .select(col("ta"), col("tb"), col("n"),
+          col("d")(0).as("d1"), col("d")(1).as("d2"), col("d")(2).as("d3"))
         .withColumn("dnum",
           (col("n") - 2) * (col("n") - 3) * col("d1") + col("d2") -
             (col("n") - 2) * col("d3") * 2)
