@@ -9,6 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // CPU-dense per-series kernels make bytes a bad cost proxy: AQE's
+      // size-based partition coalescing would serialize a 500-series STOMP
+      // onto ~3 cores (measured 47 s vs 21 s for 10x the series). Keep
+      // post-shuffle parallelism at the configured partition count; 32
+      // tasks of overhead is nothing at local[32], and on a real cluster
+      // the same conf is how you ship kernel-heavy stages.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
