@@ -328,8 +328,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dependence pack plans keep their scale shape") {
-    // the O(n^2) time-pair generators are key-equality joins on the
-    // (ta, tb) pair id — never a cartesian product
+    // pair generation is a key-equality join (ts alignment), reduced by
+    // per-pair kernels / rank windows — never a cartesian product
     Seq("q_kendall", "q_spearman").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
