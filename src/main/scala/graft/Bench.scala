@@ -17,6 +17,10 @@ object Bench {
       // the same conf is how you ship kernel-heavy stages.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
       .config("spark.ui.enabled", "false")
+      // opt-in Spark event log for offline stage-level attribution (guide
+      // §1.5/§7): off by default, zero effect on the driver's runs
+      .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/graft-eventlog"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.warnOnSchemaDrift(spark, sfDir)
@@ -36,6 +40,7 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
+      spark.sparkContext.setJobDescription(name) // label jobs per query (guide §1.5)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -62,6 +67,7 @@ object Bench {
       if (only.nonEmpty) Seq.empty
       else top.map { case (name, t1, _) =>
         val fn = SparkEntry.queries(name)
+        spark.sparkContext.setJobDescription(s"$name (rerun)")
         val more = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
