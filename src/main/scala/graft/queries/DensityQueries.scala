@@ -103,7 +103,13 @@ object DensityQueries {
       val picks = votes.withColumn("rk", row_number().over(wv)).where(col("rk") === 1)
         .select(col("i").as("vec_id"), col("lbl"))
         .join(labeled.select("vec_id"), Seq("vec_id"), "left_anti")
-      labeled = labeled.union(picks)
+      // materialize each round: `labeled` appears THREE times in the next
+      // round's plan (votes join, anti-join, union), so an unmaterialized
+      // loop grows the plan ~3^r — the round-12 before-plan had 190
+      // Exchange/Scan nodes for 3 rounds. Per-round scratch parquet is the
+      // same shape connectedComponents uses for its rounds (guide §3.3:
+      // materialise intermediates to truncate the plan).
+      labeled = Scratch.materialize(labeled.union(picks), s"ls_round$r")
       r += 1
     }
     e.select(col("vec_id"), col("label"))

@@ -252,9 +252,13 @@ object LlmQueries {
     // one df join; integer counts, one exact ratio. Docs under 3 tokens
     // have no shingles and drop out on both engines.
     "q_doc_novelty" -> ((s, dir) => {
+      // df as a count-over-shingle window (the ngramJaccardPairs shape):
+      // ONE shingle shuffle instead of aggregate + join-back, and the
+      // shingle explode runs once instead of twice (r12: 2 Exchange of
+      // the exploded shingles -> 1)
       val sh = Dedup.docShingles(docs(s, dir))
-      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      sh.join(df, "shingle")
+      val w = Window.partitionBy("shingle")
+      sh.withColumn("df", count(lit(1)).over(w))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
@@ -569,7 +573,11 @@ object LlmQueries {
       val sh = Dedup.docShingles(d)
       val candDocs = cand.select(col("i").as("doc_id"))
         .union(cand.select(col("j").as("doc_id"))).distinct()
-      val shc = sh.join(broadcast(candDocs), "doc_id")
+      // materialized (the q_dedup_containment discipline): THREE consumers
+      // (sizes + both sides of the intersection join) would each replay
+      // the doc scan + shingle explode otherwise
+      val shc = Scratch.materialize(
+        sh.join(broadcast(candDocs), "doc_id"), "mh_cal_shc")
       // full per-doc set sizes, but computed on the candidate slice only
       val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       // intersection sizes restricted to the CANDIDATE PAIRS, not to all
@@ -673,15 +681,22 @@ object LlmQueries {
           + TextFunctions.stopwordRatio(col("text"), EnStop) * 0.2, 6)
       val scored = dedupClusters(s, dir).where(col("cluster_size") >= 2)
         .join(docs(s, dir).select(col("doc_id"), score.as("score")), "doc_id")
-      val w = Window.partitionBy("cluster_id").orderBy(col("score").desc, col("doc_id"))
-      val best = scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      val minScore = scored.where(col("doc_id") === col("cluster_id"))
-        .select(col("cluster_id"), col("score").as("min_id_score"))
-      best.join(minScore, "cluster_id")
-        .select(col("cluster_id"), col("cluster_size"), col("doc_id").as("kept_doc_id"),
-          col("score").as("kept_score"), col("min_id_score"),
-          (col("doc_id") =!= col("cluster_id")).cast("int").as("beats_min_id"),
-          round(col("score") - col("min_id_score"), 6).as("quality_lift"))
+      // ONE cluster-keyed aggregation replaces the window-top1 + min-id
+      // filter + join (r12: that shape evaluated the cluster+score subtree
+      // twice and paid a window sort plus an extra shuffle). The winner is
+      // max(struct(score, -doc_id)) — score desc then doc_id asc, exactly
+      // the old window order; the min-id member's score rides the same
+      // pass as max(when(doc_id = cluster_id, score)) (every cluster
+      // contains its min-id doc, so it is never null).
+      scored.groupBy("cluster_id")
+        .agg(max("cluster_size").as("cluster_size"),
+          max(struct(col("score"), (-col("doc_id")).as("nid"))).as("b"),
+          max(when(col("doc_id") === col("cluster_id"), col("score"))).as("min_id_score"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (-col("b.nid")).as("kept_doc_id"),
+          col("b.score").as("kept_score"), col("min_id_score"),
+          ((-col("b.nid")) =!= col("cluster_id")).cast("int").as("beats_min_id"),
+          round(col("b.score") - col("min_id_score"), 6).as("quality_lift"))
     }),
 
     "q_neardup_cosine" -> ((s, dir) =>

@@ -247,6 +247,10 @@ object RetrievalQueries {
     // null-denominator guards). Per-doc mean log S is the quality
     // signal. ──
     "q_lm_backoff" -> ((s, dir) => {
+      // NOT materialized (r12 measured): the tokenize is one cheap map —
+      // re-running it per explode branch beats a tokenized-corpus
+      // write+read-back 4x at bench scale, and at 100 TB the write is
+      // corpus-sized while the recompute is a plain scan
       val toks = docs(s, dir).select(col("doc_id"), col("lang"),
         expr(s"filter(split(lower(text), ' '), t -> t rlike '$WordRe')").as("t"))
       val triOf = (src: DataFrame) => src
@@ -300,6 +304,8 @@ object RetrievalQueries {
     // (lang-asc tie-break). One token shuffle + one broadcast join + one
     // WindowGroupLimit — the linear fastText-style serving shape. ──
     "q_nb_classify" -> ((s, dir) => {
+      // NOT materialized (r12 measured): two consumers = two shuffles of
+      // the same counts vs one shuffle + write + two reads — recompute won
       val db = docs(s, dir)
         .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("term"))
         .where(col("term").rlike(WordRe))
@@ -439,10 +445,15 @@ object RetrievalQueries {
     }),
 
     "q_mmr_rerank" -> ((s, dir) => {
-      val tf = docs(s, dir)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-        .where(col("term").rlike(WordRe))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf feeds FIVE consumers (dl, avgdl, df, query terms, the scoring
+      // join) — the q_bm25 materialization discipline; the before-plan
+      // re-tokenized the corpus 34 times without it
+      val tf = Scratch.materialize(
+        docs(s, dir)
+          .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+          .where(col("term").rlike(WordRe))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+        "mmr_tf")
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val nAvg = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       val dft = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
@@ -459,8 +470,12 @@ object RetrievalQueries {
             / (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
         .groupBy("qid", "doc_id").agg(round(sum("contrib"), 6).as("score"))
       val w = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-      val cands = scored.withColumn("rk", row_number().over(w)).where(col("rk") <= MmrCand)
-        .select("qid", "doc_id", "score")
+      // cands feeds THREE consumers (both sides of the pair-cosine join +
+      // the candidate list) — materialize so the BM25 chain runs once
+      val cands = Scratch.materialize(
+        scored.withColumn("rk", row_number().over(w)).where(col("rk") <= MmrCand)
+          .select("qid", "doc_id", "score"),
+        "mmr_cands")
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val pc = cands.as("a").join(cands.as("b"),
           col("a.qid") === col("b.qid") && col("a.doc_id") =!= col("b.doc_id"))

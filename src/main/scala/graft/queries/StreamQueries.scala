@@ -50,9 +50,21 @@ object StreamQueries {
   private[graft] val EventFeedCap = 50000
   private[graft] val DocFeedCap = 2000
 
-  /** Deterministic md5-rank cap of a feed relation (generic for specs). */
+  /** Deterministic md5-rank cap of a feed relation (generic for specs).
+    *
+    * The trailing repartition matters: GlobalLimit leaves the capped rows
+    * in ONE partition, and SinglePartition satisfies every downstream
+    * window/aggregate's ClusteredDistribution, so without it the whole
+    * feed-prep chain (rank windows, baseline fits, binning) runs in one
+    * task — measured as the 1.5–3.7 s single-task stages that dominated
+    * every q_stream_* replay (guide §2.5: repartition after a collapsing
+    * operation). Hash-spreading by id restores parallelism at any scale;
+    * the row SET is unchanged, so results and the oracle CTE are
+    * untouched.
+    */
   private[graft] def capFeed(df: DataFrame, id: String, cap: Int): DataFrame =
     df.orderBy(md5(col(id).cast("string")), col(id)).limit(cap)
+      .repartition(col(id))
 
   private def fEvents(s: SparkSession, dir: String): DataFrame =
     capFeed(Tables.events(s, dir), "event_id", EventFeedCap)
@@ -101,16 +113,47 @@ object StreamQueries {
     * the session value after. A production deployment keeps the real
     * setting.
     */
+  /** Throwaway checkpoint root for the replay queries: tmpfs when the
+    * host has one. The replay certifies the FINAL EMITTED STATE through
+    * the memory sink — its checkpoint is never restarted from, so the
+    * per-microbatch offset/commit/state-delta fsyncs it pays on a disk
+    * /tmp are pure harness latency (guide §6: I/O layout). Falls back to
+    * Spark's default temp checkpoint off tmpfs; a production deployment
+    * keeps a durable checkpoint store (the restart spec exercises that
+    * path explicitly with its own on-disk checkpoint).
+    */
+  private[queries] def throwawayCkpt(): Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft_ckpt_" + java.util.UUID.randomUUID())
+      d.mkdirs()
+      Some(d.getAbsolutePath)
+    } else None
+  }
+  private[queries] def rmrf(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+    f.delete()
+  }
+  /** Start a memory-sink stream on the throwaway checkpoint; the caller
+    * must stop the query, then [[dropCkpt]]. */
+  private[queries] def startMem(out: DataFrame, name: String): (org.apache.spark.sql.streaming.StreamingQuery, Option[String]) = {
+    val w = out.writeStream.format("memory").queryName(name).outputMode("append")
+    val ck = throwawayCkpt()
+    (ck.map(p => w.option("checkpointLocation", p)).getOrElse(w).start(), ck)
+  }
+  private[queries] def dropCkpt(ck: Option[String]): Unit =
+    ck.foreach(p => rmrf(new java.io.File(p)))
+
   private def replay[T](s: SparkSession, mem: MemoryStream[T], out: DataFrame,
                         name: String, feed: Seq[T], tail: Seq[T] = Nil): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      val (q, ck) = startMem(out, name)
       try {
         chunks(feed, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
         if (tail.nonEmpty) { mem.addData(tail: _*); q.processAllAvailable() }
-      } finally q.stop()
+      } finally { q.stop(); dropCkpt(ck) }
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -390,13 +433,12 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val name =
         try {
-          val q = out.writeStream.format("memory").queryName(sink("dedup"))
-            .outputMode("append").start()
+          val (q, ck) = startMem(out, sink("dedup"))
           try {
             chunks(uniq, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
             mem.addData(dupA: _*); q.processAllAvailable()
             mem.addData(dupB: _*); q.processAllAvailable()
-          } finally q.stop()
+          } finally { q.stop(); dropCkpt(ck) }
           q.name
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name).select("doc_id")
@@ -680,13 +722,12 @@ object StreamQueries {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val name =
         try {
-          val q = deduped.select("doc_id").writeStream.format("memory")
-            .queryName(sink("ingest")).outputMode("append").start()
+          val (q, ck) = startMem(deduped.select("doc_id"), sink("ingest"))
           try {
             chunks(feed, 5).foreach { c => mem.addData(c: _*); q.processAllAvailable() }
             mem.addData(dupC: _*); q.processAllAvailable()
             mem.addData(dupS: _*); q.processAllAvailable()
-          } finally q.stop()
+          } finally { q.stop(); dropCkpt(ck) }
           q.name
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(name)
