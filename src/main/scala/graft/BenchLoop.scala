@@ -21,6 +21,9 @@ object BenchLoop {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.compress", "false")
+      .config("spark.eventLog.dir", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/graft-eventlog"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries.get("q_metrics").foreach(_(spark, sfDir).count())

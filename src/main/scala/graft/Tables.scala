@@ -14,8 +14,50 @@ import org.apache.spark.sql.functions._
   * oracle sees one schema.
   */
 object Tables {
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Scan-parallelism floor for the driver's single-file testdata.
+    *
+    * Every test table ships as ONE parquet file with ONE row group, so
+    * the scan is a single task and every scan-fused map (md5 ranking,
+    * tokenize/shingle explodes, signature partial-aggregation — most of
+    * the suite's per-row compute) runs single-threaded; the r12 event-log
+    * profile showed 1.0–1.9 s single-task scan stages under nearly every
+    * query. Parquet can only split at row-group boundaries, so
+    * maxPartitionBytes cannot help — re-spread the rows instead.
+    *
+    * SCALE-ADAPTIVE, not a local[32] constant: the round-robin exchange
+    * is added only when the table is a small unsplittable read
+    * (bytes < maxPartitionBytes, i.e. Spark would plan ≤1 task per file).
+    * A real corpus (many files / row groups ≫ cores) skips it entirely —
+    * the condition, not a config, carries the decision. Row-to-partition
+    * assignment is deterministic (spark.sql.execution.sortBeforeRepartition
+    * is on by default), and every downstream result is partitioning-
+    * invariant by the repo's order-free-reduction discipline — re-proven
+    * by the full 423-query oracle gate after this change.
+    */
+  private val RespreadMinBytes = 512L * 1024
+
+  /** Per-JVM schema cache: without it every `spark.read.parquet` runs a
+    * one-task footer-inference job, and a 423-query bench pays that ~2-3
+    * times per query. The schema of a given file path is fixed for the
+    * process lifetime (the driver never rewrites testdata mid-run), and
+    * the cache holds METADATA only — recomputed from the file on every
+    * JVM start, so no result or data is ever carried across runs. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    val bytes =
+      try new java.io.File(path).length()
+      catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").trim match { case s => try s.toLong catch { case _: Throwable => 134217728L } }
+    if (bytes >= RespreadMinBytes && bytes < maxSplit)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -396,6 +396,9 @@ object LlmQueries {
           |  THEN transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))
           |  ELSE array() END""".stripMargin)).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      // bc feeds three branches but they all consume the same columns, so
+      // ReuseExchange dedups the aggregate inside the one physical plan —
+      // materializing it measured SLOWER (4.3 → 7.3 s warm, r12)
       val bc = dbg.groupBy("bg").agg(sum("cnt").as("nbg"))
       val c1 = bc.groupBy(expr("substring(bg, 1, 1)").as("c1")).agg(sum("nbg").as("nc1"))
       val v = bc.agg(countDistinct(expr("substring(bg, 2, 1)")).as("vv"))

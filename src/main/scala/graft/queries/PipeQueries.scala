@@ -184,9 +184,14 @@ object PipeQueries {
     // C(k,2) ≤ C(#sources,2) pair rows, so the join is bounded by the
     // source count, never by corpus size. ──
     "q_source_overlap" -> ((s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
-        .distinct()
+      // THREE consumers (per-source counts + both sides of the shingle
+      // self-join) — materialize the distinct set so the explode+distinct
+      // runs once (r12; the same ≥3-consumer rule as q_minhash_calibration)
+      val sh = Scratch.materialize(
+        docs(s, dir)
+          .select(col("source"), explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+          .distinct(),
+        "srcov_sh")
       val cnt = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
       sh.as("a").join(sh.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
