@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from the tail of sbt's
+// output; by default sbt wraps the forked JVM's stdout as "[info] {...}"
+// and appends an "[success] Total time" epilogue — both broke the
+// driver's parser in r11/r12 (parsed: null, VERDICT r12 #2). Route the
+// child's stdout through unwrapped and drop the epilogue so the JSON is
+// the literal last line of the run.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

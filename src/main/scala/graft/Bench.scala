@@ -4,18 +4,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the opt-in event log fails session startup if the dir is absent
+    if (sys.env.get("SPARK_GRAFT_EVENTLOG").contains("true"))
+      try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/graft-eventlog")))
+      catch { case _: Exception => }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // CPU-dense per-series kernels make bytes a bad cost proxy: AQE's
-      // size-based partition coalescing would serialize a 500-series STOMP
-      // onto ~3 cores (measured 47 s vs 21 s for 10x the series). Keep
-      // post-shuffle parallelism at the configured partition count; 32
-      // tasks of overhead is nothing at local[32], and on a real cluster
-      // the same conf is how you ship kernel-heavy stages.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      // r12's global coalescePartitions.minPartitionSize=1k pin is GONE:
+      // it protected a few CPU-dense kernel stages from AQE's size-based
+      // coalescing but denied coalescing to all 423 queries (+18% driver
+      // total, VERDICT r12 #4). The kernel stages now pin their own
+      // parallelism via SeriesOps.spread (REPARTITION_BY_NUM is never
+      // coalesced); everything else coalesces normally.
       .config("spark.ui.enabled", "false")
       // opt-in Spark event log for offline stage-level attribution (guide
       // §1.5/§7): off by default, zero effect on the driver's runs
@@ -48,8 +52,9 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // drop DataFrame caches a query registered (e.g. MinHash signature
       // reuse) so timings stay isolated and a 174-query session doesn't
-      // accumulate dead cached blocks
+      // accumulate dead cached blocks; same for scratch parquet
       spark.sqlContext.clearCache()
+      Scratch.sweep()
       (name, dt, ok)
     }
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -74,6 +79,7 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] rerun $name FAILED: ${e.getMessage}") }
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sqlContext.clearCache()
+          Scratch.sweep()
           dt
         }
         name -> (t1 +: more)
@@ -85,15 +91,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"top20":$top20Json,"errors":$errors,"sf":"$sfDir"}"""
-    // Full per-query map: one line on stdout + a repo file. The driver's
+    // Full per-query map: one line on stdout + repo files. The driver's
     // log capture keeps only the LAST ~2000 characters of output, so this
-    // line scrolls off for a 182-query suite — the file is the durable
-    // copy a reader can diff round over round. Full runs only (a filtered
-    // iteration run must not clobber the full-suite record), and never
-    // fatal: the stdout lines below are the primary channel.
+    // line scrolls off for a 423-query suite — the files are the durable
+    // copy a reader can diff round over round. The per-cpu name exists
+    // because r12's driver session ran Bench twice (32 then 8 cores) and
+    // the second run clobbered the first's per-query map (VERDICT r12
+    // #2). Full runs only (a filtered iteration run must not clobber the
+    // full-suite record), and never fatal: the stdout lines below are the
+    // primary channel.
+    def writeJson(name: String, body: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(name), body + "\n")
+      catch { case e: Exception => System.err.println(s"[bench] $name not written: ${e.getMessage}") }
     if (only.isEmpty) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-      catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json not written: ${e.getMessage}") }
+      writeJson("BENCH_FULL.json", full)
+      writeJson(s"BENCH_FULL_c$cpus.json", full)
     }
     println(full)
     // Compact line LAST so it lands inside the capture window and parses:
@@ -105,8 +117,18 @@ object Bench {
         reruns.map { case (k, rs) => "\"" + k + "\":" + fmt(p50(rs)) }.mkString("{", ",", "}")
       else qjson(slow)
     val errHead = errs.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"errors_head":$errHead,"slowest":$slowJson,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"errors_head":$errHead,"slowest":$slowJson,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    // The one-line contract JSON must survive the driver's capture AND a
+    // naive last-line parser: r11/r12 both parsed to null because sbt
+    // wrapped the line as "[info] {...}" with an "[success] Total time"
+    // line after it (VERDICT r12 #2). Three channels now: (1) stdout —
+    // unprefixed since build.sbt routes the forked JVM through
+    // StdoutOutput and suppresses the [success] epilogue, so this IS the
+    // last line; (2) a stable file BENCH_LAST.json a driver can read
+    // directly; (3) the full map files above.
+    if (only.isEmpty) writeJson("BENCH_LAST.json", compact)
+    println(compact)
     spark.stop()
   }
 }

@@ -14,12 +14,16 @@ object BenchLoop {
     val names = args.drop(1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the opt-in event log fails session startup if the dir is absent
+    if (sys.env.get("SPARK_GRAFT_EVENTLOG").contains("true"))
+      try java.nio.file.Files.createDirectories(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/graft-eventlog")))
+      catch { case _: Exception => }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
       .config("spark.ui.enabled", "false")
       .config("spark.eventLog.enabled", sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
       .config("spark.eventLog.compress", "false")
@@ -37,6 +41,7 @@ object BenchLoop {
         catch { case e: Throwable => System.err.println(s"[benchloop] $name FAILED: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache()
+        Scratch.sweep()
         name -> dt
       }
       println(s"""{"pass":$p,${times.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")}}""")

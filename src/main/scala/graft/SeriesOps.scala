@@ -16,9 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object SeriesOps {
 
+  /** Pin full-machine parallelism for a CPU-dense keyed kernel stage.
+    *
+    * AQE's size-based partition coalescing treats post-shuffle BYTES as
+    * the cost proxy; a per-series/per-pair kernel stage carries tiny
+    * bytes but heavy CPU, so coalescing serializes it (measured r12: a
+    * 500-series STOMP 47 s vs 4.9 s). r12 countered with a GLOBAL
+    * `coalescePartitions.minPartitionSize=1k` pin in Bench/Verify, which
+    * denied coalescing to all 423 queries and cost the suite +18%
+    * (VERDICT r12 #4) — so r13 scopes the fix to the kernel boundary:
+    * an explicit repartition-by-num (shuffleOrigin REPARTITION_BY_NUM,
+    * which AQE never coalesces) keyed on the kernel's grouping columns.
+    * The following groupBy on the same keys reuses this partitioning, so
+    * the exchange count is unchanged — only the coalescibility of the
+    * kernel stage is. Partition count = 2×defaultParallelism, for two
+    * load-bearing reasons: (1) EnsureRequirements ELIDES a user
+    * repartition whose child is already hash-partitioned by the same
+    * keys at the same count (measured r13: q_matrix_profile's dense-grid
+    * input arrives hashpartitioned(event_type, 32), so a spread at
+    * defaultParallelism disappeared from the plan and the kernel stage
+    * fell back behind a coalescible exchange — the exact stage the
+    * 500-series STOMP measurement caught at 47 s). 2× never equals the
+    * session shuffle partition count here, so the exchange survives.
+    * (2) Per-series kernel costs are uneven (series length skew); two
+    * waves per core is standard straggler insurance for a compute-bound
+    * stage (guide §2.5-2.6).
+    */
+  def spread(df: DataFrame, keys: Seq[Column]): DataFrame =
+    if (keys.isEmpty) df
+    else df.repartition(2 * df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   /** keys…, tss: array<ts>, xs: array<double> — ordered by ts. */
   def collect(df: DataFrame, s: TSSchema): DataFrame =
-    df.groupBy(s.keyCols: _*)
+    spread(df, s.keyCols).groupBy(s.keyCols: _*)
       .agg(sort_array(collect_list(struct(col(s.ts).as("t"), col(s.value).cast("double").as("x")))).as("_pts"))
       .withColumn("tss", col("_pts.t"))
       .withColumn("xs", col("_pts.x"))

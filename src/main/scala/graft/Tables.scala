@@ -14,25 +14,34 @@ import org.apache.spark.sql.functions._
   * oracle sees one schema.
   */
 object Tables {
-  /** Scan-parallelism floor for the driver's single-file testdata.
+  /** Scan-parallelism floor for the driver's single-file testdata —
+    * applied ONLY to the payload-heavy tables (documents, embeddings).
     *
     * Every test table ships as ONE parquet file with ONE row group, so
-    * the scan is a single task and every scan-fused map (md5 ranking,
-    * tokenize/shingle explodes, signature partial-aggregation — most of
-    * the suite's per-row compute) runs single-threaded; the r12 event-log
-    * profile showed 1.0–1.9 s single-task scan stages under nearly every
-    * query. Parquet can only split at row-group boundaries, so
-    * maxPartitionBytes cannot help — re-spread the rows instead.
+    * the scan is a single task and every scan-fused map runs
+    * single-threaded. Parquet can only split at row-group boundaries, so
+    * maxPartitionBytes cannot help — re-spread the rows instead. BUT the
+    * exchange only pays for itself when the per-row work is heavy:
+    * r12 applied it to EVERY 512 KB–128 MB table and the driver's bench
+    * total rose 427.5 → 503.9 s (+17.9%) — the ~25 scan-CPU-bound
+    * text/dedup/vector queries won 1.5–4×, while ~390 queries over
+    * narrow numeric rows (events, orders, lineitem) paid a full-table
+    * Exchange for nothing (VERDICT r12 #3). So the gate is CONTENT-
+    * derived, not size-derived alone: documents rows carry text blobs
+    * (tokenize/shingle/hash kernels downstream) and embeddings rows
+    * carry 64-dim vectors (distance/signature kernels) — orders of
+    * magnitude more CPU per row than the numeric tables, where the scan
+    * is never the bottleneck.
     *
-    * SCALE-ADAPTIVE, not a local[32] constant: the round-robin exchange
-    * is added only when the table is a small unsplittable read
-    * (bytes < maxPartitionBytes, i.e. Spark would plan ≤1 task per file).
-    * A real corpus (many files / row groups ≫ cores) skips it entirely —
-    * the condition, not a config, carries the decision. Row-to-partition
-    * assignment is deterministic (spark.sql.execution.sortBeforeRepartition
-    * is on by default), and every downstream result is partitioning-
-    * invariant by the repo's order-free-reduction discipline — re-proven
-    * by the full 423-query oracle gate after this change.
+    * Still scale-adaptive, not a local[32] constant: the round-robin
+    * exchange is added only when the table is a small unsplittable read
+    * (bytes < maxPartitionBytes, i.e. Spark would plan ≤1 task per
+    * file). A real corpus (many files / row groups ≫ cores) skips it
+    * entirely. Row-to-partition assignment is deterministic
+    * (spark.sql.execution.sortBeforeRepartition is on by default), and
+    * every downstream result is partitioning-invariant by the repo's
+    * order-free-reduction discipline — re-proven by the full 423-query
+    * oracle gate at sf0.01 and sf0.1 in round 13 (GATE_r13).
     */
   private val RespreadMinBytes = 512L * 1024
 
@@ -45,7 +54,8 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private def read(spark: SparkSession, dir: String, name: String,
+                   spread: Boolean = false): DataFrame = {
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
     val df = spark.read.schema(schema).parquet(path)
@@ -54,7 +64,7 @@ object Tables {
       catch { case _: Throwable => Long.MaxValue }
     val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
       .stripSuffix("b").trim match { case s => try s.toLong catch { case _: Throwable => 134217728L } }
-    if (bytes >= RespreadMinBytes && bytes < maxSplit)
+    if (spread && bytes >= RespreadMinBytes && bytes < maxSplit)
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
@@ -69,8 +79,10 @@ object Tables {
     raw.withColumn("ts", ts)
   }
 
-  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "documents", spread = true)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "embeddings", spread = true)
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

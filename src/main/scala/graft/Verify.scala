@@ -14,13 +14,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // CPU-dense per-series kernels make bytes a bad cost proxy: AQE's
-      // size-based partition coalescing would serialize a 500-series STOMP
-      // onto ~3 cores (measured 47 s vs 21 s for 10x the series). Keep
-      // post-shuffle parallelism at the configured partition count; 32
-      // tasks of overhead is nothing at local[32], and on a real cluster
-      // the same conf is how you ship kernel-heavy stages.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+      // kernel-stage parallelism is pinned at the operator level
+      // (SeriesOps.spread), not via a global AQE conf — see Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,8 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // per-query cache hygiene: see Bench
+      // per-query cache + scratch hygiene: see Bench
       spark.sqlContext.clearCache()
+      Scratch.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

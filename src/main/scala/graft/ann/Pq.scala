@@ -43,15 +43,17 @@ object Pq {
     * total, not m·(iters+1). */
   def fitCodebooks(corpus: DataFrame, m: Int, ks: Int, iters: Int,
                    id: String = "vec_id", vec: String = "embedding"): Seq[Seq[Seq[Double]]] = {
-    val dim = corpus.select(size(col(vec))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
     // seed: the slices of the ks lowest-id vectors (KMeansDet.fit's seed,
     // sliced) — books carry (cellId, centroid) so drop/tie semantics
-    // match the per-subspace fit exactly
+    // match the per-subspace fit exactly. The dim comes from the seed
+    // rows themselves — the old `select(size(vec)).head()` was a whole
+    // extra Spark job per fit just to read an array length (r13).
     val seedRows = corpus.orderBy(col(id)).limit(ks)
       .select(expr(s"transform($vec, x -> cast(x as double))").as("v")).collect()
       .map(_.getSeq[Double](0))
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
     var books: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
       seedRows.zipWithIndex.map { case (v, c) => (c, v.slice(j * sub, (j + 1) * sub).toSeq) }.toSeq
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{Scratch, Tables}
+import graft.{Scratch, SeriesOps, Tables}
 
 /** Rank-dependence + sequential-decision battery:
   *
@@ -140,7 +140,9 @@ object DependQueries {
         .select("event_type", "mu", "sd")
       val z = filled.join(broadcast(mom), "event_type")
         .withColumn("z", round((col("v") - col("mu")) / col("sd"), 6))
-      val ser = z.groupBy("event_type")
+      // spread: the DTW kernel runs fused after this aggregate's exchange;
+      // see SeriesOps.spread (replaces r12's global minPartitionSize pin)
+      val ser = SeriesOps.spread(z, Seq(col("event_type"))).groupBy("event_type")
         .agg(sort_array(collect_list(struct(col("seg"), col("z")))).as("_p"))
         .select(col("event_type"), col("_p.z").as("zs"))
       val dtwFn = udf { (a: Seq[Double], b: Seq[Double]) =>
@@ -197,7 +199,11 @@ object DependQueries {
         val (s2, v2) = tieSums(1)
         Seq(n.toLong * (n - 1) / 2, conc, disc, s1, v1, s2, v2)
       }
-      val base = pr.groupBy("ta", "tb").agg(
+      // spread before the kernel aggregate: pins full parallelism for the
+      // CPU-dense per-pair kernel stage (AQE would coalesce it by bytes —
+      // see SeriesOps.spread; replaces r12's global minPartitionSize pin)
+      val base = SeriesOps.spread(pr, Seq(col("ta"), col("tb")))
+        .groupBy("ta", "tb").agg(
           count(lit(1)).as("n"),
           flatten(collect_list(array(col("x"), col("y")))).as("pts"))
         .withColumn("k", kendallCounts(col("pts"))).drop("pts")
@@ -257,7 +263,9 @@ object DependQueries {
         }
         Seq(d1, d2, d3)
       }
-      pr.groupBy("ta", "tb").agg(
+      // spread before the kernel aggregate — see q_kendall / SeriesOps.spread
+      SeriesOps.spread(pr, Seq(col("ta"), col("tb")))
+        .groupBy("ta", "tb").agg(
           count(lit(1)).as("n"),
           flatten(collect_list(array(col("x"), col("y")))).as("pts"))
         .withColumn("d", hoeffdingSums(col("pts"))).drop("pts")

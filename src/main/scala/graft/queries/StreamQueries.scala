@@ -58,13 +58,19 @@ object StreamQueries {
     * feed-prep chain (rank windows, baseline fits, binning) runs in one
     * task — measured as the 1.5–3.7 s single-task stages that dominated
     * every q_stream_* replay (guide §2.5: repartition after a collapsing
-    * operation). Hash-spreading by id restores parallelism at any scale;
-    * the row SET is unchanged, so results and the oracle CTE are
-    * untouched.
+    * operation). Repartition-by-NUM, not by-col (r13): with the global
+    * AQE minPartitionSize pin gone, a REPARTITION_BY_COL exchange would
+    * be size-coalesced right back to ~1 partition (the capped feed is
+    * ~2 MB however large the corpus — the cap makes it SF-flat), while
+    * REPARTITION_BY_NUM is never coalesced, keeping the CPU-dense prep
+    * chain spread. Hash-by-id is deterministic; the row SET is
+    * unchanged, so results and the oracle CTE are untouched.
     */
-  private[graft] def capFeed(df: DataFrame, id: String, cap: Int): DataFrame =
+  private[graft] def capFeed(df: DataFrame, id: String, cap: Int): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
     df.orderBy(md5(col(id).cast("string")), col(id)).limit(cap)
-      .repartition(col(id))
+      .repartition(p, col(id))
+  }
 
   private def fEvents(s: SparkSession, dir: String): DataFrame =
     capFeed(Tables.events(s, dir), "event_id", EventFeedCap)
@@ -285,15 +291,22 @@ object StreamQueries {
     "q_stream_quantiles" -> ((s, dir) => {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
-      val ev = fEvents(s, dir)
-      val rng = ev.groupBy("event_type").agg(min("value").as("lo"), max("value").as("hi"))
-      val feed = ev.select("event_type", "ts", "value").orderBy("ts", "event_id").collect()
+      val feed = fEvents(s, dir)
+        .select("event_type", "ts", "value").orderBy("ts", "event_id").collect()
         .map(r => Point(r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq
+      // the (lo, hi) range store is min/max PER SERIES of the same capped
+      // feed — fold it from the already-collected rows instead of a second
+      // full distributed pass over the feed relation (orderBy(md5)+limit
+      // ran twice before; r13). Order-free min/max on identical doubles:
+      // bit-identical store, and the localize() collect disappears too.
+      val rng = feed.groupBy(_.event_type).map { case (k, ps) =>
+        (k, ps.map(_.value).min, ps.map(_.value).max)
+      }.toSeq.sortBy(_._1).toDF("event_type", "lo", "hi")
       val sentinel = Point("zz_watermark_sentinel",
         new java.sql.Timestamp(feed.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000), 0.0)
       val mem = MemoryStream[Point]
       val t = replay(s, mem,
-        StreamingDetectors.quantileMeter(mem.toDF(), localize(s, rng), buckets = 512),
+        StreamingDetectors.quantileMeter(mem.toDF(), rng, buckets = 512),
         sink("quant"), feed, tail = Seq(sentinel))
       t.select(col("event_type"), unix_timestamp(col("ts")).as("ts_s"),
         col("n"), col("p50_est"), col("p90_est"), col("p99_est"))
@@ -699,7 +712,10 @@ object StreamQueries {
           new java.sql.Timestamp(t0 + r.getLong(0)), r.getString(1))).toSeq
       // late duplicates: copies of corpus docs (+1e6) and of already-
       // streamed odd docs (+2e6) — neither may survive
-      val dupC = corpus.where(col("doc_id") % 20 === 0).collect()
+      // orderBy: deterministic feed order regardless of partitioning (the
+      // rows are all corpus duplicates and never survive, but in-batch
+      // arrival order should not depend on hash partitioning — ADVICE r12)
+      val dupC = corpus.where(col("doc_id") % 20 === 0).orderBy("doc_id").collect()
         .map(r => StreamingDetectors.Doc(r.getLong(0) + 1000000L,
           new java.sql.Timestamp(t0 + 1000000L + r.getLong(0)), r.getString(1))).toSeq
       val dupS = feed.zipWithIndex.collect { case (doc, i) if i % 10 == 0 =>
