@@ -41,12 +41,17 @@ object KMeansDet {
       .select(col(id), col(vec), col("_best.cell").as("cell"), col("_best.d2").as("d2"))
   }
 
-  /** Elementwise mean per cell (the Lloyd update). */
+  /** Elementwise mean per cell (the Lloyd update). The distributed part
+    * stops at the (cell, dim) keyed means — k·dim rows; [[fit]] collects
+    * those and assembles the centroid arrays driver-side, which removes
+    * the second exchange + stage per Lloyd round that the old
+    * groupBy(cell)+collect_list assembly cost (r13: the fit is
+    * stage-latency-bound, ~0.1 s per AQE stage-job at any data size —
+    * the k·dim row collect is identical bytes to collecting assembled
+    * arrays). */
   def update(assigned: DataFrame, vec: String = "embedding"): DataFrame =
     assigned.select(col("cell"), posexplode(col(vec)).as(Seq("dim", "x")))
       .groupBy("cell", "dim").agg(avg(col("x").cast("double")).as("cx"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("dim"), col("cx")))).as("cs"))
-      .select(col("cell"), expr("transform(cs, s -> s.cx)").as("centroid"))
 
   /** `iters` full Lloyd rounds from the deterministic seed; returns the
     * final centroid table (cell, centroid) as a LOCAL k-row DataFrame.
@@ -70,7 +75,9 @@ object KMeansDet {
     while (i < iters) {
       cents = update(assign(corpus, cents.toDF("cell", "centroid"), id, vec), vec)
         .collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq
+        .map { case (c, xs) => (c, xs.sortBy(_._2).map(_._3)) }
         .sortBy(_._1)
       i += 1
     }

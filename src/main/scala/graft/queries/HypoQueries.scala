@@ -240,7 +240,15 @@ object HypoQueries {
     // tiebreak). One lag-grid explode + a ts-equality join — 49·C(k,2)
     // aggregation groups, never a per-point cross product. ──
     "q_xcorr" -> ((s, dir) => {
-      val dense = TS.fillGaps(Tables.hourlyEventsCapped(s, dir).drop("n"), S, 3600L, Some(0.0))
+      // spread the dense grid before the ×49 lag expansion: the explode +
+      // pair join + partial aggregation fuse into the stage after
+      // fillGaps' last (tiny-bytes) exchange, which AQE size-coalesces to
+      // ~1 task — measured 25.8 s at 500 series without the r12 global
+      // pin vs 5.5 s with it; the REPARTITION_BY_NUM spread restores the
+      // pin's effect for exactly this stage (see SeriesOps.spread)
+      val dense = SeriesOps.spread(
+        TS.fillGaps(Tables.hourlyEventsCapped(s, dir).drop("n"), S, 3600L, Some(0.0)),
+        Seq(col("event_type"), col("ts")))
         .withColumn("te", unix_timestamp(col("ts")))
       val lags = s.range(-XcLag, XcLag + 1).select(col("id").cast("int").as("lag"))
       val a = dense.select(col("event_type").as("ea"), col("te"), col("value").as("xa"))
