@@ -52,28 +52,32 @@ object StreamQueries {
 
   /** Deterministic md5-rank cap of a feed relation (generic for specs).
     *
-    * The trailing repartition matters: GlobalLimit leaves the capped rows
-    * in ONE partition, and SinglePartition satisfies every downstream
-    * window/aggregate's ClusteredDistribution, so without it the whole
-    * feed-prep chain (rank windows, baseline fits, binning) runs in one
-    * task — measured as the 1.5–3.7 s single-task stages that dominated
-    * every q_stream_* replay (guide §2.5: repartition after a collapsing
-    * operation). Repartition-by-NUM, not by-col (r13): with the global
-    * AQE minPartitionSize pin gone, a REPARTITION_BY_COL exchange would
-    * be size-coalesced right back to ~1 partition (the capped feed is
-    * ~2 MB however large the corpus — the cap makes it SF-flat), while
-    * REPARTITION_BY_NUM is never coalesced, keeping the CPU-dense prep
-    * chain spread. Hash-by-id is deterministic; the row SET is
-    * unchanged, so results and the oracle CTE are untouched.
+    * `spread` re-partitions after the limit: GlobalLimit leaves the
+    * capped rows in ONE partition, and SinglePartition satisfies every
+    * downstream window/aggregate's ClusteredDistribution, so the whole
+    * feed-prep chain runs in one task. r12 respread EVERY feed; the r13
+    * controlled warm p50s show that only pays when the prep chain is
+    * genuinely CPU-dense — q_stream_psi's rank windows + PSI edge fit
+    * (8.7 s spread vs 10.5 s not) — while the other 12 replays' preps
+    * are light and the extra exchange is pure tax (family geomean 1.12×
+    * faster WITHOUT it; q_stream_pit 1.33×, q_stream_ingest 1.30×). So
+    * the default is the plain capped feed and the heavy-prep caller
+    * opts in. Repartition-by-NUM (never AQE-coalesced — the capped feed
+    * is ~2 MB at any corpus size, so by-col would coalesce back to ~1
+    * partition); hash-by-id is deterministic; the row SET is unchanged
+    * either way, so results and the oracle CTE are untouched.
     */
-  private[graft] def capFeed(df: DataFrame, id: String, cap: Int): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    df.orderBy(md5(col(id).cast("string")), col(id)).limit(cap)
-      .repartition(p, col(id))
+  private[graft] def capFeed(df: DataFrame, id: String, cap: Int,
+                             spread: Boolean = false): DataFrame = {
+    val capped = df.orderBy(md5(col(id).cast("string")), col(id)).limit(cap)
+    if (spread)
+      capped.repartition(df.sparkSession.sparkContext.defaultParallelism, col(id))
+    else capped
   }
 
-  private def fEvents(s: SparkSession, dir: String): DataFrame =
-    capFeed(Tables.events(s, dir), "event_id", EventFeedCap)
+  private def fEvents(s: SparkSession, dir: String,
+                      spread: Boolean = false): DataFrame =
+    capFeed(Tables.events(s, dir), "event_id", EventFeedCap, spread)
   private def fDocs(s: SparkSession, dir: String): DataFrame =
     capFeed(Tables.documents(s, dir), "doc_id", DocFeedCap)
 
@@ -264,7 +268,9 @@ object StreamQueries {
       import s.implicits._
       val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
       val wk = Window.partitionBy("event_type")
-      val ev = fEvents(s, dir)
+      // spread = true: psi's feed prep (rank windows + PSI edge fit) is
+      // the one replay prep heavy enough to need parallelism — see capFeed
+      val ev = fEvents(s, dir, spread = true)
         .withColumn("rn", row_number().over(w))
         .withColumn("nn", count(lit(1)).over(wk))
       val edges = graft.detectors.Drift.fitEdges(
